@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** One registered engine capability: a Spark query over the testdata
+  * tables plus (where SQL-expressible) a DuckDB oracle that must
+  * hash-match it. Column names/aliases MUST agree between the two.
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+)
+
+/** The engine's query catalog — every operator from SURVEY.md §2 plus the
+  * LLM-pipeline extensions, each expressed Spark-first and registered for
+  * the driver's DuckDB differential check.
+  *
+  * Determinism rules (SURVEY §5.2/§7.4):
+  *   - every query ends in a total-order `orderBy` mirrored by ORDER BY;
+  *   - double aggregates go through exact DECIMAL(18,2) sums (Tables.dsum);
+  *   - no wall-clock, no nondeterministic ids in any output.
+  */
+object Catalog {
+
+  // ---------------------------------------------------------------
+  // Core relational parity (reference §2 operators)
+  // ---------------------------------------------------------------
+
+  /** A1–A5 parity shape: the reference's per-Country sales_summary
+    * (max units + three averages, /root/reference/lambda.py:183-190)
+    * mapped onto orders⋈customer⋈nation, grouped by nation.
+    * nation is tiny → broadcast; the groupBy hash-aggregates with a
+    * map-side partial, so the only shuffle is on n_name (25 keys). */
+  val summaryByNation = GraftQuery(
+    "q01_summary_by_nation",
+    (s, d) => {
+      orders(s, d)
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          max(col("o_totalprice")).as("max_order_price"),
+          davg(col("o_totalprice")).as("avg_order_price"),
+          dsum(col("o_totalprice")).as("sum_order_price"),
+          count(lit(1)).as("order_cnt"),
+        )
+        .orderBy(col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             MAX(o_totalprice) AS max_order_price,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_order_price,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_order_price,
+             COUNT(*) AS order_cnt
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name
+    """.trim),
+  )
+
+  /** TPC-H Q1-shaped pricing summary: wide multi-aggregate groupBy over
+    * the fact table. Partial aggregation collapses 6k..600M rows to
+    * |flag×status| groups before the shuffle — scale-safe. */
+  val pricingSummary = GraftQuery(
+    "q02_pricing_summary",
+    (s, d) => {
+      val l = lineitem(s, d)
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast(dec2) *
+            (lit(1).cast(dec2) - col("l_discount").cast(dec2)))
+            .cast("double").as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"),
+        )
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """.trim),
+  )
+
+  /** W1 parity: keyed keep-LAST dedup (the reference's uuid upsert,
+    * lambda.py:179-181) with an explicit deterministic ordinal
+    * (event_id) instead of pandas positional order. Window row_number
+    * per key — single shuffle on the key. */
+  val upsertKeepLast = GraftQuery(
+    "q03_upsert_keep_last",
+    (s, d) => {
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id").desc)
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""
+      SELECT user_id, event_type, event_id, value
+      FROM (
+        SELECT user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        FROM events
+      )
+      WHERE rn = 1
+      ORDER BY user_id, event_type
+    """.trim),
+  )
+
+  /** Top-k: revenue per nation through a 4-way join, order+limit.
+    * region/nation broadcast; lineitem⋈orders shuffles on orderkey;
+    * TakeOrderedAndProject avoids a global sort. */
+  val topRevenueNations = GraftQuery(
+    "q04_top_revenue_nations",
+    (s, d) => {
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(dsumProduct(col("l_extendedprice"),
+          lit(1).cast(dec2) - col("l_discount").cast(dec2)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+        .limit(5)
+    },
+    Some("""
+      SELECT r_name, n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY revenue DESC, n_name
+      LIMIT 5
+    """.trim),
+  )
+
+  /** P1/P2/F5/F6 parity: the reference's date pipeline — strict-parse
+    * then re-format (lambda.py:107,167-169) — as pure projections.
+    * Pushed projection: the scan reads only 2 columns. */
+  val dateProjection = GraftQuery(
+    "q05_date_projection",
+    (s, d) => {
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date_iso"),
+          date_format(col("o_orderdate"), "MM/dd/yyyy").as("order_date_us"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"),
+        )
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS order_date_iso,
+             strftime(o_orderdate, '%m/%d/%Y') AS order_date_us,
+             CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(month(o_orderdate) AS INT) AS order_month
+      FROM orders
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
+  // ---------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------
+
+  val all: Seq[GraftQuery] = Seq(
+    summaryByNation,
+    pricingSummary,
+    upsertKeepLast,
+    topRevenueNations,
+    dateProjection,
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}
