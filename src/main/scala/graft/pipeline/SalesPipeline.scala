@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{FileOps, Readers, TableStore}
+import graft.ops.{Summary, Upsert}
+import graft.schema.SalesSchema
+import graft.validate.Validator
+
+/** Out-of-engine notification side channel (reference K7, SNS publish,
+  * /root/reference/lambda.py:251-265). */
+trait Notifier {
+  def success(message: String): Unit
+  def failure(message: String): Unit
+}
+object Notifier {
+  /** Default: log-only (the sandbox has no SNS). */
+  object Logging extends Notifier {
+    def success(m: String): Unit = System.err.println(s"[graft:notify] SUCCESS $m")
+    def failure(m: String): Unit = System.err.println(s"[graft:notify] FAILURE $m")
+  }
+  object Noop extends Notifier {
+    def success(m: String): Unit = ()
+    def failure(m: String): Unit = ()
+  }
+}
+
+sealed trait PipelineResult
+object PipelineResult {
+  final case class Success(processedPath: String, rows: Long) extends PipelineResult
+  final case class Quarantined(reasons: Seq[String], quarantinePath: Option[String]) extends PipelineResult
+  final case class Failed(error: String) extends PipelineResult
+}
+
+/** The full reference pipeline, step-for-step
+  * (/root/reference/lambda.py:204-266, SURVEY.md §3):
+  *
+  *   read → validate → [quarantine | parquet lake → append raw log →
+  *   upsert target → replace summary] → delete raw → notify.
+  *
+  * Spark-first shape: the batch frame is cached once (it feeds four
+  * sinks); every sink write is a distributed job; the only driver-side
+  * work is control flow.
+  */
+final class SalesPipeline(
+    store: TableStore,
+    lake: String,
+    notifier: Notifier = Notifier.Logging,
+    summaryFromTarget: Boolean = false,
+) {
+
+  def run(spark: SparkSession, rawPath: String): PipelineResult = {
+    val stamp = FileOps.runStamp()
+    try {
+      // STEP 1: read (S2–S5); strings-first so bad cells become
+      // validation errors, not reader crashes.
+      val raw = Readers.read(spark, rawPath, SalesSchema.rawStructType)
+
+      // STEP 2: validate (V1–V4) — errors as data + typed frame.
+      val report = Validator.validate(raw)
+      if (!report.isValid) {
+        val dest = FileOps.quarantine(spark, rawPath, lake, stamp)
+        // The reference does NOT notify on validation failure — only on
+        // exceptions (SURVEY.md §3.2's asymmetry), reproduced here.
+        return PipelineResult.Quarantined(report.errors, dest)
+      }
+      val batch = report.typed.cache()
+      val rows = batch.count()
+
+      // STEP 3: land the typed batch in the lake (K1).
+      val processedPath = FileOps.writeProcessed(batch, lake, stamp, rawPath)
+
+      // STEP 4: warehouse updates. Dates go back out as strings, as the
+      // reference's MySQL layer stores them (lambda.py:167-169).
+      val out = SalesSchema.dateColumns.foldLeft(batch) { (df, c) =>
+        df.withColumn(c, date_format(col(c), SalesSchema.outputDateFormat))
+      }
+      store.append("sales", out) // K2 raw log
+      val existing = store.readOrEmpty("sales_tgt", out.schema)(spark)
+      val merged = Upsert.upsert(existing, out, SalesSchema.keyColumn)
+      store.replace("sales_tgt", merged) // K3
+
+      val summarySource = if (summaryFromTarget) merged else out
+      store.replace("sales_summary", Summary.countrySummary(summarySource)) // K4
+
+      // STEP 5: drop the raw file (K6; errors swallowed inside).
+      FileOps.deleteRaw(spark, rawPath)
+
+      // STEP 6: notify (K7).
+      notifier.success(s"Processed $rawPath ($rows rows) → $processedPath")
+      batch.unpersist()
+      PipelineResult.Success(processedPath, rows)
+    } catch {
+      case e: Exception =>
+        notifier.failure(s"Processing of $rawPath failed: ${e.getMessage}")
+        PipelineResult.Failed(e.getMessage)
+    }
+  }
+}
