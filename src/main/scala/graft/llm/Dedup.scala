@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Deduplication operators for LLM training corpora: exact content
+  * dedup, fingerprint (blocking-key) dedup, MinHash+LSH near-dup pair
+  * mining, SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - Signatures (minhash/simhash/fingerprints) are pure map-side
+  *     column expressions over each row's own shingle array — zero
+  *     shuffle, linear in input.
+  *   - Candidate generation is a self-equi-join on (band, bandKey) —
+  *     a hash/sort-merge join on a high-cardinality key, never an
+  *     all-pairs product. Pairs only materialize for docs agreeing on
+  *     an entire band (r consecutive signature slots).
+  *   - Verification (exact Jaccard) runs only on the candidate pairs.
+  *   - The final keep-set derivation is a groupBy on doc id.
+  * The only quadratic danger is a degenerate band key (e.g. all-empty
+  * docs); `nearDupPairs` drops docs with < n tokens for that reason.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest `idCol` per distinct `textCol`.
+    * Group on the 60-bit content hash (not the full text) so the
+    * shuffle key is 8 bytes, not kilobytes of document — at 100 TB the
+    * shuffle moves hashes + ids only. Collisions at 2^-60 are accepted
+    * (standard practice; use a 128-bit hash to tighten). */
+  def exactKeepers(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
+
+  /** MinHash signature of a shingle array: for each of `numHashes`
+    * seeds, the minimum [[TextOps.hash60]] of "seed:shingle". Nested
+    * `transform`/`array_min` → computed per row, no shuffle. */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+    val seeds = array((0 until numHashes).map(lit): _*)
+    transform(
+      seeds,
+      seed =>
+        array_min(
+          transform(
+            shingleArr,
+            s => hash60(concat(seed.cast("string"), lit(":"), s)),
+          )
+        ),
+    )
+  }
+
+  /** LSH band keys: the signature cut into `bands` slices of
+    * `rowsPerBand`, each slice joined into one string key. Two docs
+    * become candidates iff they agree on an entire slice. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(
+      sequence(lit(0), lit(bands - 1)),
+      b =>
+        array_join(
+          transform(
+            slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string"),
+          ),
+          "_",
+        ),
+    )
+
+  /** Exact word-n-gram Jaccard between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** MinHash+LSH near-duplicate pair mining with exact-Jaccard
+    * verification. Returns (id_a, id_b, jaccard) for candidate pairs
+    * (sharing ≥1 LSH band) whose TRUE n-gram Jaccard ≥ `threshold`,
+    * with id_a < id_b.
+    *
+    * Plan shape: map (shingle+sign) → explode bands → self-join on
+    * (band, key) → distinct pairs → verify via two hash joins back to
+    * the shingle table. No cross product anywhere.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = df
+      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.select(
+      col("id"),
+      col("sh"),
+      minhashSignature(col("sh"), numHashes).as("sig"),
+    )
+    val banded = sig
+      .select(
+        col("id"),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)),
+      )
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    val pairs = banded
+      .as("a")
+      .join(
+        banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"),
+      )
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val shOnly = sh.select(col("id"), col("sh"))
+    pairs
+      .join(shOnly.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(shOnly.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"),
+      )
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-dup KEEP set: from the verified pairs, drop every doc that
+    * is near-duplicate of a lower-id doc (greedy min-id survivor —
+    * one groupBy over pair edges, no connected-components iteration;
+    * at 100 TB a full CC would need an iterative join loop, while this
+    * single-pass rule is the standard practical choice). */
+  def nearDupDrops(pairs: DataFrame): DataFrame =
+    pairs.select(col("id_b").as("drop_id")).distinct()
+
+  /** 64-bit SimHash of a shingle array: per bit position, majority vote
+    * of shingle-hash bits. Implemented as 64 shifted-bit sums over an
+    * exploded (id, hash) frame — partial aggregation makes the shuffle
+    * carry 64 small longs per doc. `hashCol` should be [[TextOps.hash64]]
+    * (xxhash64) of each shingle; production-speed, not oracle-mirrored. */
+  def simhash64(df: DataFrame, idCol: String, shingleArr: Column): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingleArr).as("s"))
+      .select(col("id"), hash64(col("s")).as("h"))
+    val bitSums: Seq[Column] = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b")
+    }
+    val n = count(lit(1)).as("n")
+    val agg = exploded.groupBy(col("id")).agg(bitSums.head, (bitSums.tail :+ n): _*)
+    // bit b set iff ones outnumber zeros among shingle hashes
+    val sim = (0 until 64)
+      .map(b => when(col(s"b$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, c) => a.bitwiseOR(c))
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

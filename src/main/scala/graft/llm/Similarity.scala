@@ -1,0 +1,172 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers, mirroring a production ANN stack:
+  *   - [[topKWithinLabel]] — IVF-style exact search within a coarse
+  *     partition (here the `label` column plays the inverted-list /
+  *     cluster-assignment role): an equi-join on the cell id, so Spark
+  *     plans a hash join, never a cartesian product. At 100 TB the cell
+  *     id is what bounds the pair count: N²/cells instead of N².
+  *   - [[lshBuckets]] — random-hyperplane (sign) LSH: a deterministic,
+  *     seed-derived set of hyperplanes maps each vector to a bit-bucket
+  *     key; candidates share a bucket. Approximate; recall measured in
+  *     the test suite against the brute-force baseline.
+  *
+  * Dot products use `zip_with` + `aggregate` (sequential left fold in
+  * doubles) — bit-identical to DuckDB's `list_dot_product` over
+  * `DOUBLE[]`, which is what makes the similarity queries exactly
+  * oracle-checkable. A codegen'd Catalyst Expression would be faster;
+  * the fold is kept because cross-engine bit-equality is a correctness
+  * feature here.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm via the same fold (sqrt is correctly-rounded IEEE). */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity with explicit association dot/(na*nb) — the
+    * oracle SQL mirrors this exact expression shape. */
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Project id + double-cast embedding + precomputed norm (computing
+    * each norm once, before the join, instead of per candidate pair). */
+  def withNorm(df: DataFrame, idCol: String, embCol: String, extra: Seq[String] = Nil): DataFrame = {
+    val e = col(embCol).cast("array<double>")
+    df.select(
+      (col(idCol).as("id") +: extra.map(col)) :+ e.as("e") :+ l2norm(e).as("nrm"): _*
+    )
+  }
+
+  /** Exact top-k cosine neighbors within each coarse cell (`labelCol`),
+    * for query rows selected by `queryPred`. Equi-join on the cell id →
+    * hash join; rank via window partitioned by query id with a
+    * deterministic (sim DESC, id ASC) order. */
+  def topKWithinLabel(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int,
+      queryPred: Column,
+  ): DataFrame = {
+    val v = withNorm(df, idCol, embCol, Seq(labelCol))
+    val q = v.filter(queryPred)
+      .withColumnsRenamed(
+        Map("id" -> "query_id", "e" -> "qe", "nrm" -> "qn", labelCol -> "q_label"))
+    val joined = q
+      .join(v, col("q_label") === col(labelCol) && col("query_id") =!= col("id"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("sim"),
+      )
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Brute-force exact top-k of a (small) query set against the full
+    * corpus: the query side is broadcast, so the "cross" is a
+    * BroadcastNestedLoopJoin streaming over corpus partitions — O(Q·N)
+    * work but no shuffle of the corpus. Baseline for ANN recall. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+  ): DataFrame = {
+    val c = withNorm(corpus, idCol, embCol)
+    val q = withNorm(queries, idCol, embCol)
+      .withColumnsRenamed(Map("id" -> "query_id", "e" -> "qe", "nrm" -> "qn"))
+    val joined = broadcast(q)
+      .join(c, col("query_id") =!= col("id"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("sim"),
+      )
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane p is
+    * derived from hash60("p:j") mapped to [-1,1]. Seeded by structure,
+    * not wall clock — reproducible across runs and engines. */
+  private def planeComponent(p: Int, j: Int): Double = {
+    // splitmix-style integer scramble of (p,j) — plain JVM arithmetic,
+    // evaluated at plan build time (constants in the expression tree)
+    var z = (p.toLong * 0x9E3779B97F4A7C15L) + (j.toLong * 0xBF58476D1CE4E5B9L)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** Sign-LSH bucket key: one bit per hyperplane = sign of ⟨v, plane⟩.
+    * `numPlanes` bits → 2^numPlanes buckets. Map-side only. */
+  def lshBuckets(emb: Column, dim: Int, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val plane = array((0 until dim).map(j => lit(planeComponent(p, j))): _*)
+      when(dot(emb.cast("array<double>"), plane) >= 0.0, shiftleft(lit(1L), p))
+        .otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k via multi-probe sign-LSH: candidates share the query's
+    * bucket OR any bucket at Hamming distance ≤ `probes` bit flips
+    * (standard multi-probe LSH — near misses on one hyperplane are the
+    * dominant recall loss, so probing adjacent buckets buys recall for
+    * a (1+numPlanes)× candidate factor instead of more tables).
+    * Only the QUERY side fans out (explode of probe keys); the corpus
+    * keeps one row per vector, and the join stays an equi-join on the
+    * bucket key — never a cross product. At 100 TB: corpus bucketed
+    * once (write-time partitioning), queries probe a handful of
+    * partitions each. */
+  def annTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      numPlanes: Int,
+      k: Int,
+      queryPred: Column,
+      probes: Int = 1,
+  ): DataFrame = {
+    val v = withNorm(df, idCol, embCol)
+      .withColumn("bucket", lshBuckets(col("e"), dim, numPlanes))
+    // probe keys: own bucket + one-bit flips (hamming ≤ probes·1)
+    val flips: Seq[Column] =
+      lit(0L) +: (if (probes >= 1) (0 until numPlanes).map(p => shiftleft(lit(1L), p): Column)
+                  else Seq.empty[Column])
+    val q = v.filter(queryPred)
+      .withColumnsRenamed(
+        Map("id" -> "query_id", "e" -> "qe", "nrm" -> "qn", "bucket" -> "q_bucket"))
+      .withColumn("probe_bucket",
+        explode(array_distinct(array(flips.map(f => col("q_bucket").bitwiseXOR(f)): _*))))
+    val joined = q
+      .join(v, col("probe_bucket") === col("bucket") && col("query_id") =!= col("id"))
+      .select(
+        col("query_id"),
+        col("id").as("neighbor_id"),
+        cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("sim"),
+      )
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

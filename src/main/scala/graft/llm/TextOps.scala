@@ -1,0 +1,140 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Columnar text-analysis primitives for LLM training-data pipelines:
+  * tokenization, n-gram shingling, token counting, language-ID
+  * heuristics, quality scoring, and document fingerprinting.
+  *
+  * Everything here is a pure Catalyst column expression (built-in
+  * functions + higher-order array functions) — no UDFs, no collects —
+  * so all of it stays inside whole-stage codegen (except the
+  * higher-order functions, which are still JVM-native and
+  * partition-local). Every op is embarrassingly parallel map-side work:
+  * at 100 TB these scale linearly with input splits and introduce no
+  * shuffle of their own.
+  *
+  * Determinism: the hash family used for fingerprints/minhash is
+  * md5-based (see [[hash60]]) specifically so the DuckDB oracle can
+  * reproduce it bit-for-bit; xxhash64 variants exist for production
+  * speed where cross-engine equality is not needed.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the reference corpus is space-separated;
+    * `\s+` keeps it robust to runs of whitespace). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy count: alpha runs, digit runs, and single
+    * punctuation marks each count as one token — a cheap, deterministic
+    * stand-in for a real BPE vocab (which would need a model file). */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0)))
+
+  /** Distinct word n-gram shingles of an already-tokenized array.
+    * `transform(sequence(...))` is per-row array work — no shuffle.
+    * Docs shorter than n tokens yield an empty array (guarded: Spark's
+    * `sequence(0, -1)` would count DOWN, not produce empty). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        array_distinct(
+          transform(
+            sequence(lit(0), size(toks) - n),
+            i => array_join(slice(toks, i + 1, lit(n)), " "),
+          )
+        )
+      )
+
+  /** 60-bit deterministic hash of a string via md5 — the first 15 hex
+    * digits parsed base-16. Chosen (over xxhash64) because DuckDB can
+    * compute the identical value (`('0x'||substr(md5(s),1,15))::BIGINT`),
+    * making minhash/fingerprint queries oracle-checkable. 60 bits keeps
+    * the value positive in a signed 64-bit long in both engines. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Production-speed 64-bit hash (no cross-engine mirror). */
+  def hash64(s: Column): Column = xxhash64(s)
+
+  /** Whole-document fingerprint: 60-bit content hash of the exact text.
+    * Equal fingerprint ⇔ equal text (mod 2^-60 collisions). */
+  def fingerprint(text: Column): Column = hash60(text)
+
+  /** Head fingerprint: hash of the first k tokens — a cheap near-dup
+    * blocking key (documents that share a long prefix collide). */
+  def headFingerprint(text: Column, k: Int): Column =
+    hash60(array_join(slice(tokens(text), 1, k), " "))
+
+  // -----------------------------------------------------------------
+  // Language ID (n-gram/stopword heuristic)
+  // -----------------------------------------------------------------
+
+  /** Tiny per-language stopword lists (public common function words).
+    * A real system would use char-n-gram profiles; the *shape* is the
+    * same: per-language evidence ratio, argmax — all map-side. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "les"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "ta", "zhe", "men", "hao"),
+  )
+
+  /** Fraction of tokens that are stopwords of `lang` (0 when empty). */
+  def stopwordRatio(toks: Column, lang: String): Column = {
+    val hits = size(filter(toks, t => t.isInCollection(stopwords(lang))))
+    hits.cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Heuristic language guess: argmax stopword ratio with a fixed
+    * precedence order (en,es,de,fr,zh) for ties; "und" (undetermined)
+    * when no stopword hits at all. Deterministic by construction. */
+  def langGuess(toks: Column): Column = {
+    val order = Seq("en", "es", "de", "fr", "zh")
+    val ratios = order.map(l => l -> stopwordRatio(toks, l))
+    val best = ratios.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = ratios.foldRight(lit("und")) { case ((l, r), els) =>
+      when(r === best && best > 0.0, lit(l)).otherwise(els)
+    }
+    // foldRight gives the FIRST match in precedence order priority:
+    // en's `when` wraps outermost.
+    pick
+  }
+
+  // -----------------------------------------------------------------
+  // Quality scoring
+  // -----------------------------------------------------------------
+
+  /** Fraction of characters that are ASCII letters or spaces. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Gopher-style keep/drop flag: token-count window, mean-word-length
+    * window, and alpha-ratio floor. Pure boolean algebra over exact
+    * counts → bit-stable across engines. */
+  def qualityKeep(
+      text: Column,
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      minMeanLen: Double = 2.0,
+      maxMeanLen: Double = 12.0,
+      minAlpha: Double = 0.6,
+  ): Column = {
+    val tc = tokenCount(text)
+    tc.geq(minTokens) && tc.leq(maxTokens) &&
+    meanTokenLen(text).geq(minMeanLen) && meanTokenLen(text).leq(maxMeanLen) &&
+    alphaRatio(text).geq(minAlpha)
+  }
+}

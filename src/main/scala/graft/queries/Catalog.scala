@@ -196,7 +196,7 @@ object Catalog {
     upsertKeepLast,
     topRevenueNations,
     dateProjection,
-  )
+  ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.llm.{Dedup, JsonOps, Similarity, TextOps}
+
+/** LLM-training-data-pipeline query surface: dedup, similarity search,
+  * semi-structured (JSON) column ops, and text analysis over the
+  * `documents` / `embeddings` / `events` tables.
+  *
+  * Every query here is oracle-checked against DuckDB, including the
+  * MinHash-LSH near-dup miner — the hash family is md5-based
+  * ([[graft.llm.TextOps.hash60]]) precisely so DuckDB can reproduce the
+  * signatures bit-for-bit. Doubles that reach output are either single
+  * IEEE ops mirrored expression-for-expression (ratios, cosines) or
+  * exact-integer-derived, so the driver's hash compare is stable.
+  */
+object LlmCatalog {
+
+  /** Exact content dedup over documents.text, grouped on the 60-bit
+    * content hash (8-byte shuffle key instead of the full text — the
+    * 100 TB-friendly form). Keeper = min doc_id per distinct content. */
+  val exactDupDocs = GraftQuery(
+    "q06_exact_dup_docs",
+    (s, d) =>
+      Dedup.exactKeepers(documents(s, d), "doc_id", "text")
+        .select(col("fp"), col("doc_id"), col("dup_count"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT ('0x'||substr(md5(text),1,15))::BIGINT AS fp,
+             MIN(doc_id) AS doc_id,
+             COUNT(*) AS dup_count
+      FROM documents
+      GROUP BY md5(text)
+      ORDER BY doc_id
+    """.trim),
+  )
+
+  /** IVF-style exact similarity search: top-5 cosine neighbors within
+    * each vector's coarse cell (`label` = the inverted-list id), for a
+    * deterministic 10% query sample. Equi-join on label → hash join
+    * (pair count N²/cells, never N²); norms precomputed pre-join;
+    * rank window is (sim DESC, id) — fully deterministic. */
+  val similarVectors = GraftQuery(
+    "q07_similar_vectors",
+    (s, d) =>
+      Similarity.topKWithinLabel(
+          embeddings(s, d), "vec_id", "embedding", "label",
+          k = 5, queryPred = col("vec_id") % 10 === 0)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank")),
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+      ), j AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS sim
+        FROM v q JOIN v c ON q.label = c.label AND q.vec_id <> c.vec_id
+        WHERE q.vec_id % 10 = 0
+      )
+      SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        FROM j
+      )
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim),
+  )
+
+  /** Semi-structured column ops: extract a JSON field from
+    * events.props in the scan projection (the JSON string itself is
+    * never shuffled), then aggregate per event_type. Exact-integer
+    * sums; avg is one mirrored double division. */
+  val propsExtract = GraftQuery(
+    "q08_props_extract",
+    (s, d) => {
+      val k = JsonOps.extractPath(col("props"), "$.k").cast("long")
+      events(s, d)
+        .select(col("event_type"), col("user_id"), k.as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("k")).as("sum_k"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"),
+          countDistinct(col("user_id")).as("distinct_users"),
+        )
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+             CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS DOUBLE) / COUNT(props->>'$.k') AS avg_k,
+             COUNT(DISTINCT user_id) AS distinct_users
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """.trim),
+  )
+
+  /** Text-analysis rollup per language: doc counts, whitespace token
+    * totals, BPE-ish subword-proxy totals, char totals, exact-sum
+    * average chars, distinct sources. All map-side counts; single
+    * 5-group shuffle. */
+  val textStats = GraftQuery(
+    "q09_text_stats",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("lang"),
+          col("source"),
+          col("n_chars"),
+          TextOps.tokenCount(col("text")).as("tc"),
+          TextOps.bpeishCount(col("text")).as("bc"),
+        )
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tc")).cast("long").as("total_tokens"),
+          sum(col("bc")).cast("long").as("total_bpeish"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast("double") / count(col("n_chars"))).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"),
+        )
+        .orderBy(col("lang")),
+    Some("""
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+             CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_bpeish,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+             CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+             COUNT(DISTINCT source) AS n_sources
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang
+    """.trim),
+  )
+
+  /** Per-document quality + language-ID heuristics: token counts,
+    * alpha ratio, mean token length, Gopher-style keep flag, stopword
+    * ratios and argmax language guess. Pure projections (no shuffle);
+    * every double is a single mirrored division. */
+  val docQuality = GraftQuery(
+    "q12_doc_quality",
+    (s, d) => {
+      val toks = TextOps.tokens(col("text"))
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeishCount(col("text")).as("n_bpeish"),
+          TextOps.alphaRatio(col("text")).as("alpha_ratio"),
+          TextOps.meanTokenLen(col("text")).as("mean_tok_len"),
+          TextOps.qualityKeep(col("text")).as("keep"),
+          TextOps.stopwordRatio(toks, "en").as("en_ratio"),
+          TextOps.langGuess(toks).as("lang_guess"),
+        )
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val langSql = TextOps.stopwords.map { case (l, ws) =>
+        l -> ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      }
+      def ratio(l: String) =
+        s"CAST(len(list_filter(string_split(text,' '), t -> t IN ${langSql(l)})) AS DOUBLE) / CAST(greatest(len(string_split(text,' ')), 1) AS DOUBLE)"
+      val best = s"greatest(${Seq("en", "es", "de", "fr", "zh").map(ratio).mkString(", ")})"
+      val guess = Seq("en", "es", "de", "fr", "zh")
+        .map(l => s"WHEN ${ratio(l)} = $best AND $best > 0.0 THEN '$l'")
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish,
+             CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) AS alpha_ratio,
+             CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS mean_tok_len,
+             (len(string_split(text, ' ')) >= 10 AND len(string_split(text, ' ')) <= 100000
+              AND CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) >= 2.0
+              AND CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) <= 12.0
+              AND CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) >= 0.6) AS keep,
+             ${ratio("en")} AS en_ratio,
+             $guess AS lang_guess
+      FROM documents
+      ORDER BY doc_id
+      """.trim
+    },
+  )
+
+  /** MinHash + banded-LSH near-duplicate pair mining with exact
+    * n-gram-Jaccard verification — fully oracle-checked: the md5-based
+    * hash family is reproduced in DuckDB, so candidate generation and
+    * verification match bit-for-bit. Plan: map-side signatures →
+    * band-key equi-join → verify only candidates (never all pairs). */
+  val nearDupPairs = GraftQuery(
+    "q13_near_dup_pairs",
+    (s, d) =>
+      Dedup.nearDupPairs(
+          documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                  generate_series(1, len(w)-2),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        FROM docs
+        WHERE len(w) >= 3
+      ),
+      sig AS (
+        SELECT doc_id, sh,
+               list_transform(generate_series(0, 31),
+                 seed -> list_min(list_transform(sh,
+                   s -> ('0x'||substr(md5(seed||':'||s),1,15))::BIGINT))) AS sig
+        FROM sh
+      ),
+      banded AS (
+        SELECT doc_id, b AS band,
+               array_to_string(list_slice(sig, b*4+1, b*4+4), '_') AS band_key
+        FROM sig, unnest(generate_series(0, 7)) AS t(b)
+      ),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc_id < b.doc_id
+      )
+      SELECT id_a, id_b, jaccard FROM (
+        SELECT p.id_a, p.id_b,
+               CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+               CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) AS jaccard
+        FROM pairs p
+        JOIN sh x ON p.id_a = x.doc_id
+        JOIN sh y ON p.id_b = y.doc_id
+      )
+      WHERE jaccard >= 0.5
+      ORDER BY id_a, id_b
+    """.trim),
+  )
+
+  val all: Seq[GraftQuery] = Seq(
+    exactDupDocs,
+    similarVectors,
+    propsExtract,
+    textStats,
+    docQuality,
+    nearDupPairs,
+  )
+}

@@ -1,0 +1,96 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the old river bank " +
+      "while rain falls softly on green hills and wind moves through tall trees"
+
+  test("exactKeepers groups identical content and keeps the min id") {
+    val df = Seq(
+      (1L, base),
+      (2L, base),                       // exact dup of 1
+      (3L, base + " extra"),            // different content
+      (4L, base),                       // exact dup of 1
+    ).toDF("doc_id", "text")
+    val keepers = Dedup.exactKeepers(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(keepers.length == 2)
+    assert(keepers(0).getLong(1) == 1L && keepers(0).getLong(2) == 3L)
+    assert(keepers(1).getLong(1) == 3L && keepers(1).getLong(2) == 1L)
+  }
+
+  test("nearDupPairs finds planted near-duplicates and only those") {
+    val nearDup = base.replace("lazy", "sleepy") // one token of ~26 changed
+    val unrelated =
+      "completely different words about spark query engines and columnar " +
+        "execution with shuffles partitions joins aggregates and codegen stages"
+    val df = Seq(
+      (1L, base),
+      (2L, nearDup),
+      (3L, unrelated),
+      (4L, base), // exact dup: jaccard 1.0
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text", threshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.contains((1L, 2L)), s"planted near-dup missed: ${found.mkString(",")}")
+    assert(found.contains((1L, 4L)) && found.contains((2L, 4L)))
+    assert(!found.exists { case (a, b) => a == 3L || b == 3L }, "unrelated doc paired")
+    val j14 = pairs.find(r => r.getLong(0) == 1L && r.getLong(1) == 4L).get.getDouble(2)
+    assert(j14 == 1.0, s"exact dup pair should have jaccard 1.0, got $j14")
+  }
+
+  test("nearDupDrops keeps the lowest id of a dup cluster") {
+    val df = Seq((1L, base), (2L, base), (3L, base)).toDF("doc_id", "text")
+    val drops = Dedup.nearDupDrops(Dedup.nearDupPairs(df, "doc_id", "text"))
+      .as[Long].collect().sorted
+    assert(drops.toSeq == Seq(2L, 3L)) // 1 survives as cluster min
+  }
+
+  test("docs shorter than the shingle width are excluded, not errored") {
+    val df = Seq((1L, "a b"), (2L, base), (3L, base)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(df, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((2L, 3L)))
+  }
+
+  test("simhash: near-dups are close in hamming distance, unrelated far") {
+    val nearDup = base.replace("lazy", "sleepy")
+    val unrelated =
+      "totally distinct vocabulary regarding database optimizers statistics " +
+        "cardinality estimation cost models and physical plan enumeration"
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val sh = Dedup.simhash64(
+      df, "doc_id", TextOps.shingles(TextOps.tokens(col("text")), 3))
+    val m = sh.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) < 16, s"near-dup hamming ${ham(m(1L), m(2L))}")
+    assert(ham(m(1L), m(3L)) > 16, s"unrelated hamming ${ham(m(1L), m(3L))}")
+  }
+
+  test("hamming column helper matches JVM bitCount") {
+    val df = Seq((255L, 0L), (7L, 5L), (-1L, 0L)).toDF("a", "b")
+    val got = df.select(Dedup.hamming(col("a"), col("b"))).as[Int].collect()
+    assert(got.toSeq == Seq(8, 1, 64))
+  }
+
+  test("minhash signature estimates jaccard roughly") {
+    // two docs with known shingle overlap: signature agreement rate
+    // should approximate the true jaccard (loose bound, 32 hashes)
+    val nearDup = base.replace("lazy", "sleepy")
+    val df = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val sh = df.select(
+      col("doc_id"),
+      TextOps.shingles(TextOps.tokens(col("text")), 3).as("sh"))
+    val withSig = sh.select(col("doc_id"), Dedup.minhashSignature(col("sh"), 32).as("sig"))
+    val sigs = withSig.orderBy("doc_id").as[(Long, Seq[Long])].collect()
+    val agree = sigs(0)._2.zip(sigs(1)._2).count { case (a, b) => a == b } / 32.0
+    val Seq(shA, shB) = sh.orderBy("doc_id").as[(Long, Seq[String])].collect().map(_._2.toSet).toSeq
+    val trueJ = shA.intersect(shB).size.toDouble / shA.union(shB).size
+    assert(math.abs(agree - trueJ) < 0.3, s"minhash est $agree vs true $trueJ")
+  }
+}

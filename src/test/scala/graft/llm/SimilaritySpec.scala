@@ -1,0 +1,81 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("bruteForceTopK ranks by true cosine (hand-checked tiny corpus)") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 1L)
+    val got = Similarity.bruteForceTopK(corpus, q, "vec_id", "embedding", k = 3)
+      .orderBy("rank")
+      .select("neighbor_id").as[Long].collect()
+    assert(got.toSeq == Seq(2L, 3L, 4L)) // by descending cosine to (1,0)
+  }
+
+  test("topKWithinLabel only pairs vectors sharing the coarse cell") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(0.99f, 0.0f), 1), // closer, but other cell
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.topKWithinLabel(
+      df, "vec_id", "embedding", "label", k = 5, queryPred = col("vec_id") === 1L)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.toSeq == Seq(2L))
+  }
+
+  test("ANN sign-LSH recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pred = col("vec_id") % 10 === 0
+    val k = 5
+    val brute = Similarity.bruteForceTopK(
+      emb, emb.filter(pred), "vec_id", "embedding", k)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // multi-probe (own bucket + 1-bit flips) over 4 planes probes
+    // 5/16 of the space; recall must beat that baseline meaningfully
+    val ann = Similarity.annTopK(
+      emb, "vec_id", "embedding", dim = 64, numPlanes = 4, k = k,
+      queryPred = pred, probes = 1)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (ann & brute).size.toDouble / brute.size
+    assert(recall > 0.3, s"ANN recall $recall vs brute ${brute.size} pairs")
+    assert(ann.nonEmpty)
+  }
+
+  test("ANN plan contains no cartesian product") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Similarity.annTopK(
+      emb, "vec_id", "embedding", 64, 4, 5, col("vec_id") % 10 === 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("IVF (label-cell) plan joins on the cell key, no cartesian product") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Similarity.topKWithinLabel(
+      emb, "vec_id", "embedding", "label", 5, col("vec_id") % 10 === 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("cosine of identical vectors is 1.0 after normalization") {
+    val df = Seq((1L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val v = Similarity.withNorm(df, "vec_id", "embedding")
+    val sim = v.select(
+      Similarity.cosine(col("e"), col("e"), col("nrm"), col("nrm")).as("s"))
+      .as[Double].head()
+    assert(math.abs(sim - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, text: String)(implicit
+      e: org.apache.spark.sql.Encoder[T]): T =
+    Seq(text).toDF("text").select(c.as("v")).as[T].head()
+
+  test("tokenCount handles multi-space runs") {
+    assert(one[Int](TextOps.tokenCount(col("text")), "a  b   c") == 3)
+  }
+
+  test("shingles: n-grams, distinct, empty below width") {
+    val sh = one[Seq[String]](
+      TextOps.shingles(TextOps.tokens(col("text")), 3), "a b c d")
+    assert(sh == Seq("a b c", "b c d"))
+    val short = one[Seq[String]](
+      TextOps.shingles(TextOps.tokens(col("text")), 3), "a b")
+    assert(short.isEmpty)
+    val rep = one[Seq[String]](
+      TextOps.shingles(TextOps.tokens(col("text")), 2), "x y x y x y")
+    assert(rep == Seq("x y", "y x")) // distinct
+  }
+
+  test("bpeishCount splits alpha runs, digit runs, punctuation") {
+    assert(one[Int](TextOps.bpeishCount(col("text")), "ab12 cd, e!") == 6)
+  }
+
+  test("fingerprint: equal text equal hash, different text different") {
+    val df = Seq(("a b c", "a b c"), ("a b c", "a b d")).toDF("x", "y")
+    val eq = df.select(
+      (TextOps.fingerprint(col("x")) === TextOps.fingerprint(col("y"))).as("e"))
+      .as[Boolean].collect()
+    assert(eq.toSeq == Seq(true, false))
+  }
+
+  test("headFingerprint collides on shared prefixes only") {
+    val df = Seq(
+      ("one two three four five six", "one two three four nine ten"),
+      ("one two three four five six", "zzz two three four five six"),
+    ).toDF("x", "y")
+    val eq = df.select(
+      (TextOps.headFingerprint(col("x"), 4) === TextOps.headFingerprint(col("y"), 4)).as("e"))
+      .as[Boolean].collect()
+    assert(eq.toSeq == Seq(true, false))
+  }
+
+  test("langGuess picks the language with densest stopwords") {
+    assert(one[String](TextOps.langGuess(TextOps.tokens(col("text"))),
+      "the cat sat of the mat and it is that") == "en")
+    assert(one[String](TextOps.langGuess(TextOps.tokens(col("text"))),
+      "el gato y la casa de los que en un") == "es")
+    assert(one[String](TextOps.langGuess(TextOps.tokens(col("text"))),
+      "xyzzy plugh qwerty") == "und")
+  }
+
+  test("qualityKeep: gopher-style windows") {
+    val good = ("the quick brown fox " * 5).trim
+    assert(one[Boolean](TextOps.qualityKeep(col("text")), good))
+    assert(!one[Boolean](TextOps.qualityKeep(col("text")), "too short"))
+    val junk = Seq.fill(20)("!!@@##$$%%").mkString(" ") // no alpha
+    assert(!one[Boolean](TextOps.qualityKeep(col("text")), junk))
+  }
+
+  test("hash60 is non-negative and stable") {
+    val h = one[Long](TextOps.hash60(col("text")), "abc")
+    assert(h > 0)
+    assert(h == one[Long](TextOps.hash60(col("text")), "abc"))
+  }
+
+  test("JsonOps extracts and explodes props") {
+    val df = Seq((1L, """{"k": 7, "m": "x"}""")).toDF("id", "props")
+    assert(df.select(JsonOps.extractPath(col("props"), "$.k").cast("long"))
+      .as[Long].head() == 7L)
+    val entries = JsonOps.explodeEntries(df, "props", Seq("id"))
+      .as[(Long, String, String)].collect().toSet
+    assert(entries == Set((1L, "k", "7"), (1L, "m", "x")))
+  }
+}
