@@ -35,7 +35,13 @@ object Dedup {
 
   /** MinHash signature of a shingle array: for each of `numHashes`
     * seeds, the minimum [[TextOps.hash60]] of "seed:shingle". Nested
-    * `transform`/`array_min` → computed per row, no shuffle. */
+    * `transform`/`array_min` → computed per row, no shuffle.
+    *
+    * NOTE: expression-form minhash evaluates one md5 per (seed,
+    * shingle) pair, and Spark does no common-subexpression elimination
+    * inside interpreted lambda bodies — fine for ad-hoc use on small
+    * arrays, but the pair-mining pipeline uses the aggregate form
+    * ([[minhashSigAgg]]) which hashes each shingle exactly once. */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
     val seeds = array((0 until numHashes).map(lit): _*)
     transform(
@@ -48,6 +54,45 @@ object Dedup {
           )
         ),
     )
+  }
+
+  /** Mersenne prime 2^31-1: modulus of the affine minhash family. */
+  val MinhashP = 2147483647L
+
+  /** Deterministic affine-family coefficients (a in [1,P-1], b in
+    * [0,P-1]) via a splitmix-style scramble of the seed index —
+    * structure-seeded, never wall-clock, so Spark and the generated
+    * DuckDB oracle SQL share the exact family. */
+  def minhashCoeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      def mix(x: Long): Long = {
+        var z = x + 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^ (z >>> 31)
+      }
+      val a = (math.abs(mix(2L * i)) % (MinhashP - 1)) + 1
+      val b = math.abs(mix(2L * i + 1)) % MinhashP
+      (a, b)
+    }
+
+  /** Aggregate-form MinHash: explode shingles, hash each ONCE with the
+    * 28-bit md5 base hash (a codegen'd scalar projection), then take
+    * `numHashes` codegen'd min-aggregates of the affine family
+    * (a_i·h+b_i) mod P. The groupBy is the evaluation barrier that the
+    * expression form lacks; partial (map-side) aggregation collapses
+    * each doc's shingles to one signature row before the shuffle, so
+    * the exchange moves |docs| × numHashes longs — at 100 TB this is
+    * the dominant-cost-by-far-cheaper shape. Input: (id, sh) with
+    * non-empty shingle arrays; output: (id, m0..m{n-1}). */
+  def minhashSigAgg(sh: DataFrame, numHashes: Int): DataFrame = {
+    val base = sh
+      .select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), hash28(col("s")).as("h"))
+    val aggs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % MinhashP).as(s"m$i")
+    }
+    base.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band keys: the signature cut into `bands` slices of
@@ -94,16 +139,13 @@ object Dedup {
     val sh = df
       .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sig = sh.select(
-      col("id"),
-      col("sh"),
-      minhashSignature(col("sh"), numHashes).as("sig"),
-    )
+    val sig = minhashSigAgg(sh, numHashes)
+    val bandKeyCols = (0 until bands).map { b =>
+      concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
     val banded = sig
-      .select(
-        col("id"),
-        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)),
-      )
+      .select(col("id"), posexplode(array(bandKeyCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
     val pairs = banded
       .as("a")

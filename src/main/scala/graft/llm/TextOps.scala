@@ -59,6 +59,14 @@ object TextOps {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** 28-bit md5-derived hash (first 7 hex digits): the cheap base hash
+    * for the minhash affine family — small enough that (a·h+b) stays
+    * below 2^62 for 31-bit a,b, so the SAME arithmetic is overflow-free
+    * in both Spark (Long) and DuckDB (BIGINT, which errors on
+    * overflow rather than wrapping). */
+  def hash28(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
   /** Production-speed 64-bit hash (no cross-engine mirror). */
   def hash64(s: Column): Column = xxhash64(s)
 

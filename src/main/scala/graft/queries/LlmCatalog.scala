@@ -202,7 +202,18 @@ object LlmCatalog {
           documents(s, d), "doc_id", "text",
           n = 3, numHashes = 32, bands = 8, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b")),
-    Some("""
+    Some {
+      // generated from the SAME affine family as the Spark side —
+      // one md5 per shingle, then min((a_i*h+b_i) % P) per seed
+      val coeffs = Dedup.minhashCoeffs(32)
+      val minAggs = coeffs.zipWithIndex
+        .map { case ((a, b), i) => s"MIN((h*$a+$b)%${Dedup.MinhashP}) AS m$i" }
+        .mkString(",\n               ")
+      val bandSelects = (0 until 8).map { bnd =>
+        val ms = (0 until 4).map(r => s"m${bnd * 4 + r}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, concat_ws('_', $ms) AS band_key FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""
       WITH docs AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
       ),
@@ -214,17 +225,17 @@ object LlmCatalog {
         FROM docs
         WHERE len(w) >= 3
       ),
-      sig AS (
-        SELECT doc_id, sh,
-               list_transform(generate_series(0, 31),
-                 seed -> list_min(list_transform(sh,
-                   s -> ('0x'||substr(md5(seed||':'||s),1,15))::BIGINT))) AS sig
+      base AS (
+        SELECT doc_id, ('0x'||substr(md5(unnest(sh)),1,7))::BIGINT AS h
         FROM sh
       ),
+      sig AS (
+        SELECT doc_id,
+               $minAggs
+        FROM base GROUP BY doc_id
+      ),
       banded AS (
-        SELECT doc_id, b AS band,
-               array_to_string(list_slice(sig, b*4+1, b*4+4), '_') AS band_key
-        FROM sig, unnest(generate_series(0, 7)) AS t(b)
+        $bandSelects
       ),
       pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -242,7 +253,8 @@ object LlmCatalog {
       )
       WHERE jaccard >= 0.5
       ORDER BY id_a, id_b
-    """.trim),
+      """.trim
+    },
   )
 
   val all: Seq[GraftQuery] = Seq(
