@@ -200,4 +200,31 @@ object Dedup {
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
+    * pairs in the SAME coarse block (`blockCol` — a cluster/IVF label,
+    * or an LSH bucket from [[Similarity.lshBuckets]]) with cosine ≥
+    * `threshold`. The equi-join on the block key is what keeps this
+    * N²/blocks instead of N² — the same candidate-generation discipline
+    * as the MinHash path, but in embedding space. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      blockCol: String,
+      threshold: Double,
+  ): DataFrame = {
+    val v = Similarity.withNorm(df, idCol, embCol, Seq(blockCol))
+    val a = v.withColumnsRenamed(
+      Map("id" -> "id_a", "e" -> "e_a", "nrm" -> "n_a", blockCol -> "blk"))
+    val b = v.withColumnsRenamed(
+      Map("id" -> "id_b", "e" -> "e_b", "nrm" -> "n_b"))
+    a.join(b, col("blk") === col(blockCol) && col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        Similarity.cosine(col("e_a"), col("e_b"), col("n_a"), col("n_b")).as("cosine"),
+      )
+      .filter(col("cosine") >= threshold)
+  }
 }

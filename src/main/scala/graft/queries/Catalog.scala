@@ -186,6 +186,65 @@ object Catalog {
     """.trim),
   )
 
+  /** §2.7 extended window analytics: per-customer order sequence via
+    * row_number + lag + datediff (gap since previous order) and a
+    * price rank with a deterministic tiebreak. Single shuffle on
+    * o_custkey serves all three window functions (same partitioning). */
+  val orderGaps = GraftQuery(
+    "q11_order_gaps",
+    (s, d) => {
+      val seqW = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val priceW = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, d)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          row_number().over(seqW).as("order_seq"),
+          coalesce(
+            datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(seqW)),
+            lit(-1),
+          ).as("gap_days"),
+          rank().over(priceW).as("price_rank"),
+        )
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(ROW_NUMBER() OVER w AS INT) AS order_seq,
+             CAST(COALESCE(date_diff('day',
+                    LAG(CAST(o_orderdate AS DATE), 1) OVER w,
+                    CAST(o_orderdate AS DATE)), -1) AS INT) AS gap_days,
+             CAST(RANK() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, o_orderkey
+    """.trim),
+  )
+
+  /** Approximate rollups (no oracle: sketch implementations are
+    * engine-specific by design; bounded-error vs exact is asserted in
+    * ApproxSpec). HLL++ distinct users + GK percentile sketch of value
+    * per event_type — the shapes that replace exact countDistinct /
+    * sort-percentiles at 100 TB. */
+  val approxRollups = GraftQuery(
+    "q15_approx_rollups",
+    (s, d) =>
+      graft.ops.Approx.rollup(
+          events(s, d),
+          groupCols = Seq("event_type"),
+          distinctCol = "user_id",
+          valueCol = "value")
+        .withColumn("p50", col("approx_percentiles").getItem(0))
+        .withColumn("p95", col("approx_percentiles").getItem(1))
+        .withColumn("p99", col("approx_percentiles").getItem(2))
+        .drop("approx_percentiles")
+        .orderBy(col("event_type")),
+    None,
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -196,6 +255,8 @@ object Catalog {
     upsertKeepLast,
     topRevenueNations,
     dateProjection,
+    orderGaps,
+    approxRollups,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

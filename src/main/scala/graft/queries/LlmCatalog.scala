@@ -257,6 +257,31 @@ object LlmCatalog {
     },
   )
 
+  /** Embedding-space near-dup mining: cosine ≥ threshold within the
+    * coarse `label` block. Same block-join discipline as q13 but in
+    * vector space; cosine doubles are bit-mirrored in the oracle. */
+  val embeddingDups = GraftQuery(
+    "q14_embedding_dup_pairs",
+    (s, d) =>
+      Dedup.embeddingNearDupPairs(
+          embeddings(s, d), "vec_id", "embedding", "label", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+      )
+      SELECT id_a, id_b, cosine FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      )
+      WHERE cosine >= 0.35
+      ORDER BY id_a, id_b
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -264,5 +289,6 @@ object LlmCatalog {
     textStats,
     docQuality,
     nearDupPairs,
+    embeddingDups,
   )
 }

@@ -78,6 +78,22 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(8, 1, 64))
   }
 
+  test("embeddingNearDupPairs: planted duplicate vector found, cross-block ignored") {
+    val v = Array.tabulate(8)(i => (i + 1).toFloat)
+    val dup = v.clone()
+    val other = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val crossBlockDup = v.clone()
+    val df = Seq(
+      (1L, v, 0),
+      (2L, dup, 0),            // same block, cosine 1.0
+      (3L, other, 0),          // same block, dissimilar
+      (4L, crossBlockDup, 1),  // identical but different block: not a candidate
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding", "label", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L)))
+  }
+
   test("minhash signature estimates jaccard roughly") {
     // two docs with known shingle overlap: signature agreement rate
     // should approximate the true jaccard (loose bound, 32 hashes)
