@@ -50,13 +50,25 @@ final class SalesPipeline(
     summaryFromTarget: Boolean = false,
 ) {
 
-  def run(spark: SparkSession, rawPath: String): PipelineResult = {
-    val stamp = FileOps.runStamp()
+  def run(spark: SparkSession, rawPath: String): PipelineResult =
     try {
       // STEP 1: read (S2–S5); strings-first so bad cells become
       // validation errors, not reader crashes.
       val raw = Readers.read(spark, rawPath, SalesSchema.rawStructType)
+      process(spark, raw, rawPath)
+    } catch {
+      case e: Exception =>
+        notifier.failure(s"Processing of $rawPath failed: ${e.getMessage}")
+        PipelineResult.Failed(e.getMessage)
+    }
 
+  /** Steps 2–6 on an already-read raw frame — shared by the batch
+    * entry ([[run]]) and the streaming `foreachBatch` fan-out
+    * ([[graft.streaming.StreamingSalesPipeline]]), so both execution
+    * models have literally the same per-file semantics. */
+  def process(spark: SparkSession, raw: DataFrame, rawPath: String): PipelineResult = {
+    val stamp = FileOps.runStamp()
+    try {
       // STEP 2: validate (V1–V4) — errors as data + typed frame.
       val report = Validator.validate(raw)
       if (!report.isValid) {
