@@ -22,4 +22,18 @@ object Summary {
         avg(col("TotalCost")).as("average_total_cost"),
         avg(col("TotalProfit")).as("average_total_profit"),
       )
+
+  /** Oracle-stable variant: same shape, but the means flow through
+    * exact DECIMAL(18,2) sums ([[graft.Tables.davg]]) so the result is
+    * bit-identical regardless of partial-aggregation order — float
+    * `avg` is not reproducible even across two Spark runs with
+    * different partitioning, let alone across engines. */
+  def countrySummaryExact(df: DataFrame): DataFrame =
+    df.groupBy(col("Country"))
+      .agg(
+        max(col("UnitsSold")).as("max_units_sold"),
+        graft.Tables.davg(col("TotalRevenue")).as("average_total_revenue"),
+        graft.Tables.davg(col("TotalCost")).as("average_total_cost"),
+        graft.Tables.davg(col("TotalProfit")).as("average_total_profit"),
+      )
 }

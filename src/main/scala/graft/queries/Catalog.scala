@@ -224,6 +224,38 @@ object Catalog {
     """.trim),
   )
 
+  /** The reference's flagship computation, oracle-checked end-to-end
+    * through the REAL ingestion path: CSV fixture → strings-first read
+    * (S2) → Validator V1–V4 (typed frame side effect) → per-Country
+    * summary (A1–A5). Turns the ScalaTest-only ingestion/validation
+    * operators into hard CORRECTNESS rows. Fixture is generated by
+    * tools/gen_fixture.py (deterministic, 2-decimal measures). */
+  val fixturePath = "/root/repo/fixtures/sales_data_500.csv"
+  val salesSummaryFixture = GraftQuery(
+    "q10_sales_summary_fixture",
+    (s, _) => {
+      val raw = graft.io.Readers.csv(s, fixturePath, graft.schema.SalesSchema.rawStructType)
+      val report = graft.validate.Validator.validate(raw)
+      require(report.isValid, s"fixture failed validation: ${report.errors.mkString("; ")}")
+      graft.ops.Summary.countrySummaryExact(report.typed).orderBy(col("Country"))
+    },
+    Some(s"""
+      SELECT Country,
+             MAX(UnitsSold) AS max_units_sold,
+             CAST(SUM(CAST(TotalRevenue AS DECIMAL(18,2))) AS DOUBLE) / COUNT(TotalRevenue) AS average_total_revenue,
+             CAST(SUM(CAST(TotalCost AS DECIMAL(18,2))) AS DOUBLE) / COUNT(TotalCost) AS average_total_cost,
+             CAST(SUM(CAST(TotalProfit AS DECIMAL(18,2))) AS DOUBLE) / COUNT(TotalProfit) AS average_total_profit
+      FROM read_csv('$fixturePath', header=true, columns={
+        'uuid':'BIGINT','Country':'VARCHAR','ItemType':'VARCHAR',
+        'SalesChannel':'VARCHAR','OrderPriority':'VARCHAR','OrderDate':'VARCHAR',
+        'Region':'VARCHAR','ShipDate':'VARCHAR','UnitsSold':'BIGINT',
+        'UnitPrice':'DOUBLE','UnitCost':'DOUBLE','TotalRevenue':'DOUBLE',
+        'TotalCost':'DOUBLE','TotalProfit':'DOUBLE'})
+      GROUP BY Country
+      ORDER BY Country
+    """.trim),
+  )
+
   /** Approximate rollups (no oracle: sketch implementations are
     * engine-specific by design; bounded-error vs exact is asserted in
     * ApproxSpec). HLL++ distinct users + GK percentile sketch of value
@@ -256,6 +288,7 @@ object Catalog {
     topRevenueNations,
     dateProjection,
     orderGaps,
+    salesSummaryFixture,
     approxRollups,
   ) ++ LlmCatalog.all
 
