@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.{FileOps, Readers, TableStore}
-import graft.ops.{Summary, Upsert}
+import graft.ops.Summary
 import graft.schema.SalesSchema
 import graft.validate.Validator
 
@@ -89,11 +89,13 @@ final class SalesPipeline(
         df.withColumn(c, date_format(col(c), SalesSchema.outputDateFormat))
       }
       store.append("sales", out) // K2 raw log
-      val existing = store.readOrEmpty("sales_tgt", out.schema)(spark)
-      val merged = Upsert.upsert(existing, out, SalesSchema.keyColumn)
-      store.replace("sales_tgt", merged) // K3
+      // K3: keyed upsert — reference semantics (full rewrite) by
+      // default; O(touched-partitions) when the store is bucketed
+      // (BucketedParquetDirStore, docs/SCALE.md §2).
+      store.upsert("sales_tgt", out, SalesSchema.keyColumn)(spark)
 
-      val summarySource = if (summaryFromTarget) merged else out
+      val summarySource =
+        if (summaryFromTarget) store.readOrEmpty("sales_tgt", out.schema)(spark) else out
       store.replace("sales_summary", Summary.countrySummary(summarySource)) // K4
 
       // STEP 5: drop the raw file (K6; errors swallowed inside).
