@@ -1,0 +1,175 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) columns for training-data pipelines:
+  * media as opaque `binary` columns + typed metadata, with
+  * decode / feature-extraction / frame-sampling as per-partition
+  * operators.
+  *
+  * The Spark-side plumbing here is real and tested — schemas, typed
+  * Datasets, `mapPartitions` batch shape, size-aware repartitioning —
+  * while the codec itself is a [[MediaDecoder]] trait: this container
+  * has no image/audio libraries, so the default implementation is
+  * [[MediaDecoder.Stub]], a clearly-marked deterministic fake that
+  * derives every output purely from the input bytes. Swapping in a
+  * real JNI/JVM codec changes ONE injection point and none of the
+  * distributed shape.
+  *
+  * Why `mapPartitions` (the documented last resort): codecs are
+  * imperative byte-array libraries with per-call setup cost —
+  * per-partition iteration amortizes codec init across a partition's
+  * records, which is exactly the case the escape hatch exists for.
+  * Everything around it (filters, metadata projections, joins back to
+  * text/embedding tables) stays declarative.
+  */
+object Multimodal {
+
+  /** One media object: id, modality kind, raw bytes, source URI. */
+  final case class MediaRecord(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      bytes: Array[Byte],
+      uri: String,
+  )
+
+  /** Decoded metadata (image dims / audio samples / frame count — the
+    * union of modality headers; unused fields are -1). */
+  final case class MediaMeta(
+      media_id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      sample_rate: Int,
+      n_frames: Int,
+      byte_len: Long,
+  )
+
+  final case class MediaFeature(media_id: Long, feature: Array[Float])
+
+  final case class Frame(media_id: Long, frame_idx: Int, bytes: Array[Byte])
+
+  /** The codec seam. Implementations MUST be deterministic per input
+    * bytes (replay/retry safety: a Spark task can run twice). */
+  trait MediaDecoder extends Serializable {
+    def decode(r: MediaRecord): MediaMeta
+    def features(r: MediaRecord, dim: Int): Array[Float]
+    def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame]
+  }
+
+  object MediaDecoder {
+
+    /** STUB CODEC — deterministic fake for environments without media
+      * libraries. Header fields are parsed from the first bytes of the
+      * payload (big-endian int32 pairs), features are a seeded hash
+      * fold of the bytes, frames are fixed-size slices. Every value is
+      * a pure function of the input, so tests exercise the full
+      * distributed path with exact assertions. */
+    object Stub extends MediaDecoder {
+      private def be32(b: Array[Byte], off: Int): Int =
+        if (b.length < off + 4) -1
+        else ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+          ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+      def decode(r: MediaRecord): MediaMeta = r.kind match {
+        case "image" =>
+          MediaMeta(r.media_id, r.kind, be32(r.bytes, 0), be32(r.bytes, 4),
+            3, -1, 1, r.bytes.length.toLong)
+        case "audio" =>
+          MediaMeta(r.media_id, r.kind, -1, -1, 1, be32(r.bytes, 0),
+            -1, r.bytes.length.toLong)
+        case _ => // video: dims + frame count
+          MediaMeta(r.media_id, r.kind, be32(r.bytes, 0), be32(r.bytes, 4),
+            3, -1, be32(r.bytes, 8), r.bytes.length.toLong)
+      }
+
+      def features(r: MediaRecord, dim: Int): Array[Float] = {
+        // splitmix over (byte-fold, index): deterministic pseudo-embedding
+        val fold = r.bytes.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+        Array.tabulate(dim) { i =>
+          var z = fold + i.toLong * 0x9E3779B97F4A7C15L
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          ((z ^ (z >>> 31)).toDouble / Long.MaxValue).toFloat
+        }
+      }
+
+      def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] = {
+        val meta = decode(r)
+        val header = 12
+        val n = math.max(meta.n_frames, 0)
+        val body = r.bytes.drop(header)
+        val frameSize = if (n > 0) math.max(body.length / n, 1) else 0
+        (0 until n by math.max(everyNth, 1)).iterator.map { i =>
+          Frame(r.media_id, i, body.slice(i * frameSize, (i + 1) * frameSize))
+        }
+      }
+    }
+  }
+
+  /** Decode metadata for every record — per-partition so a real codec
+    * initializes once per partition, not once per record. */
+  def decodeMeta(ds: Dataset[MediaRecord], decoder: MediaDecoder = MediaDecoder.Stub): Dataset[MediaMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(decoder.decode))
+  }
+
+  /** Feature extraction → (media_id, float vector) — the output feeds
+    * straight into [[Similarity]] / [[Dedup.embeddingNearDupPairs]]. */
+  def extractFeatures(
+      ds: Dataset[MediaRecord],
+      dim: Int,
+      decoder: MediaDecoder = MediaDecoder.Stub,
+  ): Dataset[MediaFeature] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.map(r => MediaFeature(r.media_id, decoder.features(r, dim))))
+  }
+
+  /** Frame sampling (video → frame rows): a flatMap, so one huge video
+    * fans out to many small frame records without driver involvement. */
+  def sampleFrames(
+      ds: Dataset[MediaRecord],
+      everyNth: Int,
+      decoder: MediaDecoder = MediaDecoder.Stub,
+  ): Dataset[Frame] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(decoder.sampleFrames(_, everyNth)))
+  }
+
+  /** Size-aware repartitioning: media rows are wildly skewed (a 4 KB
+    * thumbnail vs a 2 GB video), so partition count comes from TOTAL
+    * BYTES / target, not row count — otherwise one partition OOMs on
+    * the big objects while others idle. One 1-row aggregate on the
+    * driver; RangePartition on media_id spreads adjacent big objects. */
+  def repartitionBySize(
+      df: DataFrame,
+      bytesCol: String,
+      targetPartitionBytes: Long = 256L << 20,
+  ): DataFrame = {
+    val total = df.select(sum(length(col(bytesCol)))).head().getLong(0)
+    val parts = math.max((total / targetPartitionBytes).toInt, 1)
+    df.repartitionByRange(parts, col("media_id"))
+  }
+
+  /** Synthesize a deterministic media table (the testdata ships no
+    * binary tables) — header-bearing payloads per the Stub format. */
+  def syntheticMedia(spark: SparkSession, n: Int, kind: String = "image"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val w = 64 + (i % 8).toInt * 16
+      val h = 48 + (i % 5).toInt * 16
+      val frames = 4 + (i % 3).toInt
+      val headerVals = kind match {
+        case "image" => Seq(w, h)
+        case "audio" => Seq(16000 + (i % 4).toInt * 8000)
+        case _       => Seq(w, h, frames)
+      }
+      val header = headerVals.flatMap(v =>
+        Seq((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte))
+      val body = Array.tabulate(256 + (i % 7).toInt * 64)(j => ((i * 131 + j * 17) % 251).toByte)
+      MediaRecord(i, kind, header.toArray ++ body, s"mem://$kind/$i")
+    }
+  }
+}
