@@ -76,19 +76,17 @@ object Dedup {
       (a, b)
     }
 
-  /** Aggregate-form MinHash: explode shingles, hash each ONCE with the
-    * 28-bit md5 base hash (a codegen'd scalar projection), then take
-    * `numHashes` codegen'd min-aggregates of the affine family
-    * (a_i·h+b_i) mod P. The groupBy is the evaluation barrier that the
-    * expression form lacks; partial (map-side) aggregation collapses
-    * each doc's shingles to one signature row before the shuffle, so
-    * the exchange moves |docs| × numHashes longs — at 100 TB this is
-    * the dominant-cost-by-far-cheaper shape. Input: (id, sh) with
-    * non-empty shingle arrays; output: (id, m0..m{n-1}). */
+  /** Aggregate-form MinHash over PRE-HASHED shingles (array<long> from
+    * [[TextOps.shingleHashes]]): explode, then `numHashes` codegen'd
+    * min-aggregates of the affine family (a_i·h+b_i) mod P. The
+    * groupBy is the evaluation barrier the expression form lacks;
+    * partial (map-side) aggregation collapses each doc's shingles to
+    * one signature row before the shuffle, so the exchange moves
+    * |docs| × numHashes longs — at 100 TB this is the dominant-cost-
+    * by-far-cheaper shape. Input: (id, sh) with non-empty shingle-hash
+    * arrays; output: (id, m0..m{n-1}). */
   def minhashSigAgg(sh: DataFrame, numHashes: Int): DataFrame = {
-    val base = sh
-      .select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), hash28(col("s")).as("h"))
+    val base = sh.select(col("id"), explode(col("sh")).as("h"))
     val aggs = minhashCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("h") * a + b) % MinhashP).as(s"m$i")
     }
@@ -137,7 +135,7 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val sh = df
-      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sig = minhashSigAgg(sh, numHashes)
     val bandKeyCols = (0 until bands).map { b =>

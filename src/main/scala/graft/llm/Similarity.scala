@@ -17,17 +17,25 @@ import org.apache.spark.sql.functions._
   *     key; candidates share a bucket. Approximate; recall measured in
   *     the test suite against the brute-force baseline.
   *
-  * Dot products use `zip_with` + `aggregate` (sequential left fold in
-  * doubles) — bit-identical to DuckDB's `list_dot_product` over
-  * `DOUBLE[]`, which is what makes the similarity queries exactly
-  * oracle-checkable. A codegen'd Catalyst Expression would be faster;
-  * the fold is kept because cross-engine bit-equality is a correctness
-  * feature here.
+  * Dot products compile through [[graft.expr.DotProduct]] — a custom
+  * Catalyst expression whose generated code is a tight primitive loop
+  * with the same sequential left-to-right IEEE semantics as DuckDB's
+  * `list_dot_product` over `DOUBLE[]`, so similarity scores stay
+  * bit-identical across engines (the oracle hash-match) while running
+  * at whole-stage-codegen speed instead of interpreted-HOF speed.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  /** Codegen'd sequential dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.expr.DotProduct(
+        org.apache.spark.sql.GraftBridge.toExpr(a),
+        org.apache.spark.sql.GraftBridge.toExpr(b)))
+
+  /** Interpreted fold form (kept as the reference implementation the
+    * codegen expression is asserted against in tests). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** L2 norm via the same fold (sqrt is correctly-rounded IEEE). */

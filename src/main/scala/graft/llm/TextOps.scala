@@ -67,6 +67,43 @@ object TextOps {
   def hash28(s: Column): Column =
     conv(substring(md5(s), 1, 7), 16, 10).cast("long")
 
+  /** Shingle-combination constants (fixed primes; h·C sums stay below
+    * 2^62 for 28-bit h) and modulus shared with the DuckDB mirror. */
+  val ShingleC: Seq[Long] = Seq(1000003L, 999983L, 999979L)
+  val ShingleM: Long = 2147483647L
+
+  /** Hashed word-n-gram shingles: one 28-bit md5 per TOKEN, then each
+    * n-gram's hash is the arithmetic combination
+    * (h_i·C1 + h_{i+1}·C2 + … ) mod M — no shingle strings are ever
+    * materialized, which is ~10× cheaper than slice+array_join per
+    * shingle (profiled: string shingling dominated the near-dup
+    * pipeline). The token-hash array is bound ONCE via a single-element
+    * `transform` wrapper: Spark does no common-subexpression
+    * elimination inside interpreted lambdas, so referencing it three
+    * times directly would re-run the md5 pass three times.
+    * Output: distinct array<long>, empty below n tokens. */
+  def shingleHashes(text: Column, n: Int): Column = {
+    require(n <= ShingleC.length, s"n <= ${ShingleC.length} supported")
+    val toks = tokens(text)
+    val tokHashes = transform(toks, t => hash28(t))
+    val hashed = element_at(
+      transform(
+        array(tokHashes), // bind the hash array once as a lambda var
+        th =>
+          transform(
+            sequence(lit(0), size(th) - n),
+            i =>
+              (0 until n)
+                .map(k => element_at(th, i + k + 1) * ShingleC(k))
+                .reduce(_ + _) % ShingleM,
+          ),
+      ),
+      1,
+    )
+    when(size(toks) < n, array().cast("array<long>"))
+      .otherwise(array_distinct(hashed))
+  }
+
   /** Production-speed 64-bit hash (no cross-engine mirror). */
   def hash64(s: Column): Column = xxhash64(s)
 

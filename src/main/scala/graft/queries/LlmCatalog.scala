@@ -203,9 +203,12 @@ object LlmCatalog {
           n = 3, numHashes = 32, bands = 8, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b")),
     Some {
-      // generated from the SAME affine family as the Spark side —
-      // one md5 per shingle, then min((a_i*h+b_i) % P) per seed
+      // generated from the SAME hash pipeline as the Spark side —
+      // one md5 per TOKEN, arithmetic n-gram combination, then
+      // min((a_i*h+b_i) % P) per seed
       val coeffs = Dedup.minhashCoeffs(32)
+      val Seq(c1, c2, c3) = TextOps.ShingleC
+      val m = TextOps.ShingleM
       val minAggs = coeffs.zipWithIndex
         .map { case ((a, b), i) => s"MIN((h*$a+$b)%${Dedup.MinhashP}) AS m$i" }
         .mkString(",\n               ")
@@ -217,16 +220,21 @@ object LlmCatalog {
       WITH docs AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
       ),
+      tokh AS (
+        SELECT doc_id, len(w) AS nw,
+               list_transform(w, t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM docs
+      ),
       sh AS (
         SELECT doc_id,
                list_distinct(list_transform(
-                  generate_series(1, len(w)-2),
-                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        FROM docs
-        WHERE len(w) >= 3
+                  generate_series(1, nw-2),
+                  i -> (th[i]*$c1 + th[i+1]*$c2 + th[i+2]*$c3) % $m)) AS sh
+        FROM tokh
+        WHERE nw >= 3
       ),
       base AS (
-        SELECT doc_id, ('0x'||substr(md5(unnest(sh)),1,7))::BIGINT AS h
+        SELECT doc_id, unnest(sh) AS h
         FROM sh
       ),
       sig AS (

@@ -70,6 +70,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("codegen DotProduct is bit-identical to the interpreted fold") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val both = emb.select(
+      Similarity.dot($"e", $"e").as("fast"),
+      Similarity.dotFold($"e", $"e").as("fold"))
+    assert(both.filter($"fast" =!= $"fold").count() == 0)
+  }
+
+  test("graft_dot is SQL-callable via SparkSessionExtensions") {
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .as[Double].head()
+    assert(r == 32.0)
+  }
+
   test("cosine of identical vectors is 1.0 after normalization") {
     val df = Seq((1L, Array(3.0f, 4.0f))).toDF("vec_id", "embedding")
     val v = Similarity.withNorm(df, "vec_id", "embedding")
