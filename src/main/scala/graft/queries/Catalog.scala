@@ -277,6 +277,101 @@ object Catalog {
     None,
   )
 
+  /** §2.8 extended: hierarchical ROLLUP aggregation with GROUPING
+    * markers — subtotal + grand-total rows in one pass (Catalyst plans
+    * one Expand + one aggregate, not |levels| scans). NULLS FIRST is
+    * explicit on both sides: Spark defaults nulls-first on ASC sorts,
+    * DuckDB defaults nulls-last. */
+  val pricingRollup = GraftQuery(
+    "q16_pricing_rollup",
+    (s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+        )
+        .orderBy(
+          col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS cnt,
+             CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             CAST(GROUPING(l_linestatus) AS INT) AS g_status
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status,
+               l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """.trim),
+  )
+
+  /** §2.7 extended: explicit window FRAME spec — 3-row moving sum and
+    * a frame row count per customer order history. The decimal-exact
+    * sum keeps the moving aggregate bit-stable; one shuffle on
+    * o_custkey shared by both window functions. */
+  val movingAgg = GraftQuery(
+    "q17_moving_agg",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      orders(s, d)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          sum(col("o_totalprice").cast(dec2)).over(w).cast("double").as("moving_sum"),
+          count(lit(1)).over(w).as("frame_rows"),
+        )
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS moving_sum,
+             COUNT(*) OVER w AS frame_rows
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey
+    """.trim),
+  )
+
+  /** §2.11 extension: event-time tumbling windows (batch form) —
+    * hour buckets from the nanosecond epoch via integral division
+    * (`div`, not `/`: true division through double would lose
+    * precision above 2^53). The same bucketing drives the streaming
+    * watermark variant; per (hour, type): count + exact value sum. */
+  val hourlyEvents = GraftQuery(
+    "q18_hourly_events",
+    (s, d) =>
+      events(s, d)
+        .select(
+          expr("ts div 3600000000000").as("hour_bucket"),
+          col("event_type"),
+          col("value"),
+          col("user_id"),
+        )
+        .groupBy(col("hour_bucket"), col("event_type"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("users"),
+        )
+        .orderBy(col("hour_bucket"), col("event_type")),
+    Some("""
+      SELECT epoch_ns(ts)//3600000000000 AS hour_bucket, event_type,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             COUNT(DISTINCT user_id) AS users
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_bucket, event_type
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -290,6 +385,9 @@ object Catalog {
     orderGaps,
     salesSummaryFixture,
     approxRollups,
+    pricingRollup,
+    movingAgg,
+    hourlyEvents,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
