@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming analytics over the `events` shape
+  * (event_id, ts, user_id, event_type, value) — the extension surface
+  * beyond the reference's event-per-file model (SURVEY §2.11 end:
+  * watermarks, event-time windows, session state).
+  *
+  * All operators take a STREAMING frame (`readStream` source or
+  * MemoryStream in tests) and return an unstarted streaming frame —
+  * callers pick sink/output mode. They also run unchanged on batch
+  * frames (Spark's unified API), which is how the oracle-checked
+  * batch q18 shares semantics with [[hourlyCounts]].
+  *
+  * Scale: a watermarked windowed agg keeps state only for open
+  * windows (bounded by watermark lag × window rate); sessionization
+  * state is one small Session per active (user) group, evicted by
+  * event-time timeout. Both shuffle once on the group key.
+  */
+object EventStreams {
+
+  /** Typed event for the stateful operators. `ts` in epoch millis —
+    * milliseconds because GroupState timeouts speak millis. */
+  final case class Event(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
+
+  /** A closed activity session: maximal run of one user's events with
+    * no gap exceeding `gapMs`. */
+  final case class Session(
+      user_id: Long,
+      start_ts: Long,
+      end_ts: Long,
+      n_events: Long,
+      total_value: Double,
+  )
+
+  /** Tumbling event-time windows with a watermark: per (window,
+    * event_type) counts and value sums. Late data beyond
+    * `watermarkDelay` is dropped by the engine; state for closed
+    * windows is evicted — the unbounded-state hazard of a naive
+    * streaming groupBy is exactly what the watermark bounds. */
+  def hourlyCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour",
+      windowLen: String = "1 hour",
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("cnt"),
+        col("sum_value"),
+      )
+
+  /** Gap-based sessionization via `flatMapGroupsWithState`: one state
+    * entry per user holding the open session; events extend it while
+    * gaps stay under `gapMs`, otherwise the closed session is emitted
+    * and a new one opens. Event-time timeout closes idle sessions once
+    * the watermark passes end_ts + gap (so state is bounded and
+    * sessions eventually flush without requiring a newer event). */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long,
+      watermarkDelay: String = "10 minutes",
+  ): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(
+        userId: Long,
+        batch: Iterator[Event],
+        state: GroupState[Session],
+    ): Iterator[Session] = {
+      val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
+      var closed = List.empty[Session]
+      if (sorted.isEmpty) {
+        // no new events: only a timeout can have woken us
+        if (state.hasTimedOut && state.exists) {
+          closed = state.get :: closed
+          state.remove()
+        }
+      } else {
+        var cur = state.getOption.orNull
+        sorted.foreach { e =>
+          if (cur == null) {
+            cur = Session(userId, e.ts, e.ts, 1L, e.value)
+          } else if (e.ts - cur.end_ts > gapMs) {
+            closed = cur :: closed
+            cur = Session(userId, e.ts, e.ts, 1L, e.value)
+          } else {
+            cur = cur.copy(
+              end_ts = math.max(cur.end_ts, e.ts),
+              n_events = cur.n_events + 1L,
+              total_value = cur.total_value + e.value,
+            )
+          }
+        }
+        state.update(cur)
+        state.setTimeoutTimestamp(cur.end_ts + gapMs)
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the scale claims made in scaladoc (pushdown,
+  * pruning, broadcast choice, no cartesian products, codegen) asserted
+  * against the actual executed plans at sf0.001 — a plan regression
+  * fails CI, not just the 100 TB deployment. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(q: GraftQuery): String =
+    q.run(spark, sf).queryExecution.executedPlan.toString
+
+  test("q05 scan prunes to the two referenced columns") {
+    val p = plan(Catalog.dateProjection)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_orderdate"))
+    assert(!readSchema.contains("o_totalprice") && !readSchema.contains("o_custkey"),
+      readSchema)
+  }
+
+  test("filters reach the parquet scan as PushedFilters") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThan(l_quantity"), pushed)
+  }
+
+  test("q04 broadcasts the small dimensions and plans top-k without a global sort") {
+    val p = plan(Catalog.topRevenueNations)
+    assert(p.contains("BroadcastHashJoin"), "dims should broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "limit+sort should fuse")
+  }
+
+  test("no cartesian products anywhere in the catalog") {
+    Catalog.all.foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"${q.name} has a cartesian product")
+    }
+  }
+
+  test("aggregation queries keep whole-stage codegen spans") {
+    // AQE finalizes (and shows codegen spans) only after execution
+    val df = Catalog.pricingSummary.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print with the "*(stageId)" marker
+    assert(p.contains("*(1)") && p.contains("HashAggregate"), p.take(800))
+  }
+
+  test("bucketed table scans prune partitions on the bucket key") {
+    val root = tmpDir("graft_prune_")
+    implicit val s = spark
+    import s.implicits._
+    val store = new graft.io.BucketedParquetDirStore(root, numBuckets = 8)
+    store.upsert("t", (0 until 100).map(i => (i.toLong, s"v$i")).toDF("uuid", "v"), "uuid")
+    val pruned = spark.read.parquet(s"$root/t")
+      .filter(col("graft_bucket").isin(1L, 2L))
+    val p = pruned.queryExecution.executedPlan.toString
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("graft_bucket"), p.take(800))
+  }
+
+  test("q13 candidate generation is hash-join shaped (no nested-loop blowup)") {
+    val p = plan(LlmCatalog.nearDupPairs)
+    assert(!p.contains("BroadcastNestedLoopJoin") || !p.contains("CartesianProduct"), p.take(500))
+    assert(p.contains("HashAggregate"), "signature aggregation should hash-aggregate")
+  }
+}

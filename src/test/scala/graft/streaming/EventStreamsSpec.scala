@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamsSpec extends SparkSpec {
+  import EventStreams._
+
+  private val H = 3600L * 1000 // one hour in millis
+  private val B = 1600000000000L // base epoch: keeps events above the initial watermark (0)
+
+  test("watermarked tumbling windows aggregate per (window, type) incrementally") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val counts = hourlyCounts(
+      input.toDF().withColumn("ts", timestamp_millis($"ts")))
+    val q = counts.writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        Event(1, 0L, 1, "click", 1.0),
+        Event(2, 10L * 60 * 1000, 2, "click", 2.0),
+        Event(3, H + 1000, 1, "view", 5.0))
+      q.processAllAvailable()
+      val r1 = spark.sql("SELECT * FROM hourly").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(r1.toSet == Set((0L, "click", 2L, 3.0), (H, "view", 1L, 5.0)))
+
+      // second micro-batch updates the open hour-0 window
+      input.addData(Event(4, 20L * 60 * 1000, 3, "click", 4.0))
+      q.processAllAvailable()
+      val r2 = spark.sql("SELECT * FROM hourly WHERE event_type='click'").collect()
+        .map(r => (r.getTimestamp(0).getTime, r.getLong(2), r.getDouble(3))).toSet
+      assert(r2.contains((0L, 3L, 7.0)), r2.toString)
+    } finally q.stop()
+  }
+
+  test("sessionize: gap splits sessions, state flushes on later events") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = sessionize(input.toDS(), gapMs = 5L * 60 * 1000) // 5 min gap
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // user 1: burst at t=0..2min, then silence; user 2: one event
+      input.addData(
+        Event(1, B, 1, "click", 1.0),
+        Event(2, B + 60L * 1000, 1, "click", 2.0),
+        Event(3, B + 120L * 1000, 1, "view", 3.0),
+        Event(4, B, 2, "click", 9.0))
+      q.processAllAvailable()
+      // nothing closed yet — sessions still open in state
+      assert(spark.sql("SELECT * FROM sess").count() == 0)
+
+      // user 1 returns 30 min later: the gap closes user 1's first
+      // session, and the advancing watermark (B+30m − 10m delay)
+      // passes user 2's end+gap → event-time TIMEOUT flushes user 2's
+      // idle session without any new event for that user
+      input.addData(Event(5, B + 30L * 60 * 1000, 1, "click", 10.0))
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT * FROM sess").as[Session].collect()
+        .sortBy(_.user_id)
+      assert(closed.length == 2, closed.mkString(","))
+      val s1 = closed(0)
+      assert(s1.user_id == 1L && s1.start_ts == B && s1.end_ts == B + 120000L)
+      assert(s1.n_events == 3L && s1.total_value == 6.0)
+      val s2 = closed(1)
+      assert(s2.user_id == 2L && s2.n_events == 1L && s2.total_value == 9.0)
+    } finally q.stop()
+  }
+
+  test("hourlyCounts runs identically on a batch frame (unified API)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val batch = Seq(
+      Event(1, 0L, 1, "click", 1.0),
+      Event(2, H + 1, 1, "click", 2.0),
+    ).toDF().withColumn("ts", timestamp_millis($"ts"))
+    val out = hourlyCounts(batch).orderBy("window_start").collect()
+    assert(out.length == 2 && out(0).getLong(2) == 1L)
+  }
+}
