@@ -1,0 +1,87 @@
+package graft.expr
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Hashed word-n-gram shingles of a text column as ONE compiled loop:
+  * whitespace-tokenize, 28-bit md5 per token, combine each n-window as
+  * (h_i·C1 + h_{i+1}·C2 + …) mod M, distinct (first-occurrence order).
+  *
+  * Semantically identical to the column-composition form
+  * ([[graft.llm.TextOps.shingleHashesHof]], kept as the reference and
+  * the shape the DuckDB oracle mirrors) but ~an order of magnitude
+  * cheaper: the HOF pipeline pays an interpreted lambda dispatch per
+  * token plus Expression-tree md5 (hex string → conv → cast), while
+  * this runs MessageDigest directly on token bytes and reads the
+  * 28-bit value straight out of the first 4 digest bytes.
+  *
+  * The 28-bit value equals `conv(substring(md5(t),1,7),16,10)`: the
+  * first 7 hex digits are the high 28 bits of the first 4 bytes.
+  */
+case class ShingleHashes(
+    child: Expression,
+    n: Int,
+    coeffs: Seq[Long],
+    modulus: Long,
+) extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1 && coeffs.length >= n, "need one coefficient per shingle slot")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expects string input, got $t")
+    }
+
+  @transient private lazy val ws = Pattern.compile("\\s+")
+  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  @transient private lazy val cArr = coeffs.toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    // mirror of split(text, "\\s+") with limit -1 (keeps leading empty)
+    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(StandardCharsets.UTF_8))
+      // first 7 hex digits = high 28 bits of bytes 0..3
+      th(i) = (((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
+        ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4))
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[Long]()
+    i = 0
+    while (i <= toks.length - n) {
+      var acc = 0L
+      var k = 0
+      while (k < n) {
+        acc += th(i + k) * cArr(k)
+        k += 1
+      }
+      seen.add(acc % modulus)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}

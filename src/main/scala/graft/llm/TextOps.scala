@@ -75,14 +75,27 @@ object TextOps {
   /** Hashed word-n-gram shingles: one 28-bit md5 per TOKEN, then each
     * n-gram's hash is the arithmetic combination
     * (h_i·C1 + h_{i+1}·C2 + … ) mod M — no shingle strings are ever
-    * materialized, which is ~10× cheaper than slice+array_join per
-    * shingle (profiled: string shingling dominated the near-dup
-    * pipeline). The token-hash array is bound ONCE via a single-element
-    * `transform` wrapper: Spark does no common-subexpression
-    * elimination inside interpreted lambdas, so referencing it three
-    * times directly would re-run the md5 pass three times.
+    * materialized. Production path is the compiled
+    * [[graft.expr.ShingleHashes]] expression (one tight loop per row);
+    * [[shingleHashesHof]] is the equivalent column-composition form
+    * the DuckDB oracle mirrors and the equivalence test cross-checks.
     * Output: distinct array<long>, empty below n tokens. */
   def shingleHashes(text: Column, n: Int): Column = {
+    require(n <= ShingleC.length, s"n <= ${ShingleC.length} supported")
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.expr.ShingleHashes(
+        org.apache.spark.sql.GraftBridge.toExpr(text),
+        n,
+        ShingleC.take(n),
+        ShingleM))
+  }
+
+  /** HOF reference form of [[shingleHashes]] (see its doc). The
+    * token-hash array is bound ONCE via a single-element `transform`
+    * wrapper: Spark does no common-subexpression elimination inside
+    * interpreted lambdas, so referencing it three times directly would
+    * re-run the md5 pass three times. */
+  def shingleHashesHof(text: Column, n: Int): Column = {
     require(n <= ShingleC.length, s"n <= ${ShingleC.length} supported")
     val toks = tokens(text)
     val tokHashes = transform(toks, t => hash28(t))

@@ -372,6 +372,39 @@ object Catalog {
     """.trim),
   )
 
+  /** §2.6 extended set operations: INTERSECT/EXCEPT with SQL set
+    * (distinct) semantics. Catalyst plans both as semi/anti joins on
+    * distinct inputs — no materialized temp sets. */
+  val setOps = GraftQuery(
+    "q19_set_ops",
+    (s, d) => {
+      val o = orders(s, d)
+      val bigSpenders = o.filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      val both = bigSpenders.intersect(urgent)
+        .withColumn("relation", lit("big_and_urgent"))
+      val bigOnly = bigSpenders.except(urgent)
+        .withColumn("relation", lit("big_not_urgent"))
+      both.unionByName(bigOnly).orderBy(col("relation"), col("o_custkey"))
+    },
+    Some("""
+      SELECT o_custkey, relation FROM (
+        SELECT o_custkey, 'big_and_urgent' AS relation FROM (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+        UNION ALL
+        SELECT o_custkey, 'big_not_urgent' AS relation FROM (
+          SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        )
+      )
+      ORDER BY relation, o_custkey
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -388,6 +421,7 @@ object Catalog {
     pricingRollup,
     movingAgg,
     hourlyEvents,
+    setOps,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

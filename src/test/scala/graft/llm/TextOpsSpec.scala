@@ -66,6 +66,20 @@ class TextOpsSpec extends SparkSpec {
     assert(!one[Boolean](TextOps.qualityKeep(col("text")), junk))
   }
 
+  test("compiled ShingleHashes equals the HOF reference form on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = docs.select(
+      TextOps.shingleHashes(col("text"), 3).as("fast"),
+      TextOps.shingleHashesHof(col("text"), 3).as("hof"))
+    assert(both.filter(col("fast") =!= col("hof")).count() == 0)
+    // edge cases: short + empty + multi-space
+    val edge = Seq("a b", "", "x  y z", "a b c d").toDF("text").select(
+      TextOps.shingleHashes(col("text"), 3).as("fast"),
+      TextOps.shingleHashesHof(col("text"), 3).as("hof"))
+    edge.collect().foreach(r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
   test("hash60 is non-negative and stable") {
     val h = one[Long](TextOps.hash60(col("text")), "abc")
     assert(h > 0)
