@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import TextOps._
 
@@ -131,6 +132,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
+      maxBucketWidth: Int = 100,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
@@ -142,9 +144,21 @@ object Dedup {
       concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
     }
-    val banded = sig
+    val bandedAll = sig
       .select(col("id"), posexplode(array(bandKeyCols: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    // Bucket-width cap: a degenerate band key (boilerplate/templated
+    // corpora) with w members creates w²/2 candidates — the one
+    // quadratic cliff in the pipeline. Buckets wider than
+    // `maxBucketWidth` are dropped wholesale (w·(bands-1) other
+    // chances remain via the doc's other bands; truly identical docs
+    // belong to exact dedup, which runs first). One extra windowed
+    // count on the same (band, band_key) shuffle the join needs anyway.
+    val wCount = Window.partitionBy(col("band"), col("band_key"))
+    val banded = bandedAll
+      .withColumn("_bw", count(lit(1)).over(wCount))
+      .filter(col("_bw") <= maxBucketWidth)
+      .drop("_bw")
     val pairs = banded
       .as("a")
       .join(

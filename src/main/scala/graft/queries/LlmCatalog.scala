@@ -245,11 +245,18 @@ object LlmCatalog {
       banded AS (
         $bandSelects
       ),
+      bandedc AS (
+        SELECT doc_id, band, band_key FROM (
+          SELECT doc_id, band, band_key,
+                 COUNT(*) OVER (PARTITION BY band, band_key) AS bw
+          FROM banded
+        ) WHERE bw <= 100
+      ),
       pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a
-        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
-                      AND a.doc_id < b.doc_id
+        FROM bandedc a
+        JOIN bandedc b ON a.band = b.band AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
       )
       SELECT id_a, id_b, jaccard FROM (
         SELECT p.id_a, p.id_b,

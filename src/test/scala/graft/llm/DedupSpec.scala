@@ -78,6 +78,22 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(8, 1, 64))
   }
 
+  test("bucket-width cap drops degenerate LSH buckets, not normal ones") {
+    // 30 identical boilerplate docs (every band bucket has width 30)
+    // plus one real near-dup pair
+    val boiler = (10L until 40L).map(i => (i, base.replace("fox", "boiler")))
+    val df = (Seq((1L, base), (2L, base.replace("lazy", "sleepy"))) ++ boiler)
+      .toDF("doc_id", "text")
+    val capped = Dedup.nearDupPairs(df, "doc_id", "text", maxBucketWidth = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"boilerplate cluster should be capped out: $capped")
+    val uncapped = Dedup.nearDupPairs(df, "doc_id", "text", maxBucketWidth = 1000)
+      .count()
+    // 435 boiler-boiler pairs + (1,2) + 60 cross pairs (the boiler text
+    // is itself a one-word mutation of base, so docs 1/2 near-dup it)
+    assert(uncapped == 435L + 1 + 60)
+  }
+
   test("embeddingNearDupPairs: planted duplicate vector found, cross-block ignored") {
     val v = Array.tabulate(8)(i => (i + 1).toFloat)
     val dup = v.clone()
