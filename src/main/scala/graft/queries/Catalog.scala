@@ -405,6 +405,62 @@ object Catalog {
     """.trim),
   )
 
+  /** Sliding event-time windows (batch form): 1-hour windows sliding
+    * every 30 minutes — each event belongs to exactly 2 windows, so
+    * the overlap is an explicit 2-way explode (hop count = len/slide;
+    * Spark's streaming `window()` does the same expansion internally).
+    * Mirrored in DuckDB as a UNION ALL of the two shifted bucketings. */
+  val slidingWindows = GraftQuery(
+    "q20_sliding_windows",
+    (s, d) => {
+      val slide = 1800000000000L // 30 min in ns
+      // window start = the two slide-aligned starts covering ts
+      val b = expr(s"ts div $slide") // slide-bucket ordinal
+      events(s, d)
+        .select(
+          explode(array((b - 1) * slide, b * slide)).as("win_start_ns"),
+          col("ts"),
+          col("event_type"),
+          col("value"),
+        )
+        .filter(col("ts") < col("win_start_ns") + lit(2 * slide)) // inside the 1h window
+        .groupBy(col("win_start_ns"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("win_start_ns"), col("event_type"))
+    },
+    Some("""
+      SELECT win_start_ns, event_type, COUNT(*) AS cnt,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM (
+        SELECT (epoch_ns(ts)//1800000000000 - 1) * 1800000000000 AS win_start_ns,
+               epoch_ns(ts) AS ns, event_type, value FROM events
+        UNION ALL
+        SELECT (epoch_ns(ts)//1800000000000) * 1800000000000 AS win_start_ns,
+               epoch_ns(ts) AS ns, event_type, value FROM events
+      )
+      WHERE ns < win_start_ns + 3600000000000
+      GROUP BY win_start_ns, event_type
+      ORDER BY win_start_ns, event_type
+    """.trim),
+  )
+
+  /** Learned-centroid IVF ANN (graft.llm.Ivf): k-means trained inline,
+    * nprobe=2 of 8 cells searched. No SQL oracle (mirroring Lloyd's
+    * iterations in DuckDB is out of scope) → rows-only check; recall
+    * and exactness properties are pinned in IvfSpec instead. */
+  val ivfTopK = GraftQuery(
+    "q21_ivf_topk",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      val cents = graft.llm.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      graft.llm.Ivf.search(emb, "vec_id", "embedding", cents,
+          topK = 5, nprobe = 2, queryPred = col("vec_id") % 50 === 0)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None,
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -422,6 +478,8 @@ object Catalog {
     movingAgg,
     hourlyEvents,
     setOps,
+    slidingWindows,
+    ivfTopK,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -46,10 +46,13 @@ object EventStreams {
       tsCol: String = "ts",
       watermarkDelay: String = "1 hour",
       windowLen: String = "1 hour",
+      slide: Option[String] = None, // Some("30 minutes") → sliding windows
   ): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowLen), col("event_type"))
+      .groupBy(
+        slide.fold(window(col(tsCol), windowLen))(s => window(col(tsCol), windowLen, s)),
+        col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(
         col("window.start").as("window_start"),

@@ -74,6 +74,16 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows put each event in len/slide overlapping windows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val batch = Seq(Event(1, B + 45L * 60 * 1000, 1, "click", 1.0))
+      .toDF().withColumn("ts", timestamp_millis($"ts"))
+    val wins = hourlyCounts(batch, slide = Some("30 minutes"))
+      .orderBy("window_start").collect()
+    assert(wins.length == 2) // 1h window, 30min slide → 2 windows per event
+  }
+
   test("hourlyCounts runs identically on a batch frame (unified API)") {
     val spark2 = spark
     import spark2.implicits._
