@@ -20,12 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(
       (
         FunctionIdentifier("graft_dot"),
-        new ExpressionInfo(
-          classOf[graft.expr.DotProduct].getName,
-          null,
-          "graft_dot",
-          "graft_dot(a, b) - codegen'd dot product of two array<double>",
-          ""),
+        new ExpressionInfo(classOf[graft.expr.DotProduct].getName, "graft_dot"),
         (exprs: Seq[Expression]) => graft.expr.DotProduct(exprs(0), exprs(1)),
       )
     )

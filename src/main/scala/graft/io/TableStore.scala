@@ -126,7 +126,7 @@ final class BucketedParquetDirStore(root: String, numBuckets: Int = 64)(implicit
     // partition-pruned read of ONLY those buckets (.explain shows
     // PartitionFilters on graft_bucket)
     val existing = spark.read.parquet(p)
-      .filter(col(BucketCol).isin(touched: _*))
+      .filter(col(BucketCol).isin(touched.toIndexedSeq: _*))
       .drop(BucketCol)
     val merged = withBucket(
       graft.ops.Upsert.upsert(existing, incoming, key), key)

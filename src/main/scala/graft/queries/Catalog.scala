@@ -461,6 +461,62 @@ object Catalog {
     None,
   )
 
+  /** §2.8 extended: full CUBE — all 2^n grouping combinations in one
+    * Expand pass (vs ROLLUP's hierarchy in q16). Priority × status
+    * over orders with exact sums; explicit NULLS FIRST as in q16. */
+  val orderCube = GraftQuery(
+    "q22_order_cube",
+    (s, d) =>
+      orders(s, d)
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        )
+        .orderBy(
+          col("g_prio"), col("g_status"),
+          col("o_orderpriority").asc_nulls_first,
+          col("o_orderstatus").asc_nulls_first),
+    Some("""
+      SELECT o_orderpriority, o_orderstatus,
+             COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+      FROM orders
+      GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      ORDER BY g_prio, g_status,
+               o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+    """.trim),
+  )
+
+  /** Multimodal surface through the driver contract: deterministic
+    * synthetic media (the testdata ships no binary tables) → stub
+    * decode → per-kind metadata rollup. Rows-only check (the decode
+    * path is exercised exactly in MultimodalSpec; binary columns are
+    * not DuckDB-comparable). */
+  val mediaStats = GraftQuery(
+    "q23_media_stats",
+    (s, _) => {
+      import graft.llm.Multimodal
+      val media = Multimodal.syntheticMedia(s, 200, "image")
+        .union(Multimodal.syntheticMedia(s, 100, "video"))
+      Multimodal.decodeMeta(media).toDF()
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(col("width")).as("max_w"),
+          max(col("height")).as("max_h"),
+          sum(col("byte_len")).as("total_bytes"),
+          max(col("n_frames")).as("max_frames"),
+        )
+        .orderBy(col("kind"))
+    },
+    None,
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -480,6 +536,8 @@ object Catalog {
     setOps,
     slidingWindows,
     ivfTopK,
+    orderCube,
+    mediaStats,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
