@@ -202,22 +202,33 @@ object LlmCatalog {
           documents(s, d), "doc_id", "text",
           n = 3, numHashes = 32, bands = 8, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b")),
-    Some {
-      // generated from the SAME hash pipeline as the Spark side —
-      // one md5 per TOKEN, arithmetic n-gram combination, then
-      // min((a_i*h+b_i) % P) per seed
-      val coeffs = Dedup.minhashCoeffs(32)
-      val Seq(c1, c2, c3) = TextOps.ShingleC
-      val m = TextOps.ShingleM
-      val minAggs = coeffs.zipWithIndex
-        .map { case ((a, b), i) => s"MIN((h*$a+$b)%${Dedup.MinhashP}) AS m$i" }
-        .mkString(",\n               ")
-      val bandSelects = (0 until 8).map { bnd =>
-        val ms = (0 until 4).map(r => s"m${bnd * 4 + r}").mkString(", ")
-        s"SELECT doc_id, $bnd AS band, concat_ws('_', $ms) AS band_key FROM sig"
-      }.mkString("\n        UNION ALL ")
+    Some(
       s"""
-      WITH docs AS (
+      WITH $minhashCtes
+      SELECT id_a, id_b, jaccard FROM verified
+      WHERE jaccard >= 0.5
+      ORDER BY id_a, id_b
+      """.trim
+    ),
+  )
+
+  /** Shared DuckDB mirror of the MinHash-LSH chain (used by q13 and
+    * q24) — generated from the SAME hash pipeline as the Spark side:
+    * one md5 per TOKEN, arithmetic n-gram combination,
+    * min((a_i*h+b_i) % P) per seed, banded keys, width-capped buckets,
+    * candidate pairs, exact-Jaccard verification. */
+  private lazy val minhashCtes: String = {
+    val coeffs = Dedup.minhashCoeffs(32)
+    val Seq(c1, c2, c3) = TextOps.ShingleC
+    val m = TextOps.ShingleM
+    val minAggs = coeffs.zipWithIndex
+      .map { case ((a, b), i) => s"MIN((h*$a+$b)%${Dedup.MinhashP}) AS m$i" }
+      .mkString(",\n               ")
+    val bandSelects = (0 until 8).map { bnd =>
+      val ms = (0 until 4).map(r => s"m${bnd * 4 + r}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws('_', $ms) AS band_key FROM sig"
+    }.mkString("\n        UNION ALL ")
+    s"""docs AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
       ),
       tokh AS (
@@ -257,19 +268,54 @@ object LlmCatalog {
         FROM bandedc a
         JOIN bandedc b ON a.band = b.band AND a.band_key = b.band_key
                        AND a.doc_id < b.doc_id
-      )
-      SELECT id_a, id_b, jaccard FROM (
+      ),
+      verified AS (
         SELECT p.id_a, p.id_b,
                CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
                CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE) AS jaccard
         FROM pairs p
         JOIN sh x ON p.id_a = x.doc_id
         JOIN sh y ON p.id_b = y.doc_id
+      )"""
+  }
+
+  /** The composed corpus-cleaning pipeline (graft.llm.Corpus): exact
+    * dedup keepers → near-dup drops (full LSH chain) → quality
+    * filter — the end-to-end LLM training-data flow as ONE
+    * oracle-checked query. */
+  val cleanCorpus = GraftQuery(
+    "q24_clean_corpus",
+    (s, d) =>
+      graft.llm.Corpus.clean(documents(s, d))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+        )
+        .orderBy(col("doc_id")),
+    Some(
+      s"""
+      WITH $minhashCtes,
+      drops AS (
+        SELECT DISTINCT id_b AS doc_id FROM verified WHERE jaccard >= 0.5
+      ),
+      keepers AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
       )
-      WHERE jaccard >= 0.5
-      ORDER BY id_a, id_b
+      SELECT d.doc_id, d.lang,
+             CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+      FROM documents d
+      JOIN keepers k ON d.doc_id = k.doc_id
+      LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+      WHERE dr.doc_id IS NULL
+        AND len(string_split(d.text, ' ')) >= 10
+        AND len(string_split(d.text, ' ')) <= 100000
+        AND CAST(len(regexp_replace(d.text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(d.text, ' ')), 1) AS DOUBLE) >= 2.0
+        AND CAST(len(regexp_replace(d.text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(d.text, ' ')), 1) AS DOUBLE) <= 12.0
+        AND CAST(len(regexp_replace(d.text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(d.text), 1) AS DOUBLE) >= 0.6
+      ORDER BY d.doc_id
       """.trim
-    },
+    ),
   )
 
   /** Embedding-space near-dup mining: cosine ≥ threshold within the
@@ -305,5 +351,6 @@ object LlmCatalog {
     docQuality,
     nearDupPairs,
     embeddingDups,
+    cleanCorpus,
   )
 }
