@@ -517,6 +517,40 @@ object Catalog {
     None,
   )
 
+  /** Gap-based sessionization in relational form (lag → flag →
+    * running sum → aggregate; one shuffle on user_id). 30-minute gap
+    * over nanosecond timestamps. The stateful streaming twin is
+    * equivalence-tested against this in SessionizeSpec; raw
+    * timestamps stay out of the output (DuckDB truncates parquet
+    * TIMESTAMP_NS to µs — boundary-safe only above that grain). */
+  val sessions = GraftQuery(
+    "q25_sessions",
+    (s, d) =>
+      graft.ops.Sessionize.byGap(
+          events(s, d),
+          userCol = "user_id", tsCol = "ts", valueCol = "value",
+          gap = 1800000000000L, tieBreak = "event_id")
+        .orderBy(col("user_id"), col("session_id")),
+    Some("""
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM (
+        SELECT user_id, value,
+               CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts), 1) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+        )
+      )
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -538,6 +572,7 @@ object Catalog {
     ivfTopK,
     orderCube,
     mediaStats,
+    sessions,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
