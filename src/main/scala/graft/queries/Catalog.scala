@@ -551,6 +551,68 @@ object Catalog {
     """.trim),
   )
 
+  /** §2.5 extended: FULL OUTER join with null-side coalescing —
+    * customers vs their URGENT-order rollup (many customers have
+    * none → real null side). Aggregate-then-join keeps the outer
+    * join's build side small. */
+  val outerJoin = GraftQuery(
+    "q26_outer_join",
+    (s, d) => {
+      val urgent = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("spend"))
+      customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          coalesce(col("cnt"), lit(0L)).as("urgent_orders"),
+          coalesce(col("spend"), lit(0.0)).as("urgent_spend"),
+        )
+        .orderBy(col("custkey"))
+    },
+    Some("""
+      SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+             COALESCE(cnt, 0) AS urgent_orders,
+             COALESCE(spend, 0.0) AS urgent_spend
+      FROM customer
+      FULL OUTER JOIN (
+        SELECT o_custkey, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_custkey
+      ) ON c_custkey = o_custkey
+      ORDER BY custkey
+    """.trim),
+  )
+
+  /** Pivot (long → wide): per user-decile event counts, one column
+    * per event type. Spark's pivot with an explicit value list is one
+    * aggregate (no second pass to discover values); the oracle
+    * mirrors with FILTER aggregates — the portable spelling. */
+  val eventPivot = GraftQuery(
+    "q27_event_pivot",
+    (s, d) =>
+      events(s, d)
+        .withColumn("user_decile", col("user_id") % 10)
+        .groupBy(col("user_decile"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_decile")),
+    Some("""
+      SELECT user_id % 10 AS user_decile,
+             COALESCE(COUNT(*) FILTER (event_type = 'click'), 0) AS click,
+             COALESCE(COUNT(*) FILTER (event_type = 'error'), 0) AS error,
+             COALESCE(COUNT(*) FILTER (event_type = 'purchase'), 0) AS purchase,
+             COALESCE(COUNT(*) FILTER (event_type = 'signup'), 0) AS signup,
+             COALESCE(COUNT(*) FILTER (event_type = 'view'), 0) AS view
+      FROM events
+      GROUP BY 1
+      ORDER BY user_decile
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -573,6 +635,8 @@ object Catalog {
     orderCube,
     mediaStats,
     sessions,
+    outerJoin,
+    eventPivot,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
