@@ -613,6 +613,40 @@ object Catalog {
     """.trim),
   )
 
+  /** AS-OF join (graft.ops.AsOf): click→purchase attribution — each
+    * purchase matched to the user's latest click at or before it.
+    * Union+window form (one shuffle); oracle is DuckDB's NATIVE
+    * `ASOF LEFT JOIN`, so two entirely different algorithms must
+    * agree row-for-row. */
+  val asofAttribution = GraftQuery(
+    "q28_asof_attribution",
+    (s, d) => {
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+      graft.ops.AsOf.join(
+          purchases, clicks,
+          key = "user_id", tsCol = "ts", ord = "event_id",
+          payload = Seq("event_id"))
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("click_id"),
+          col("value"),
+        )
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, p.user_id,
+             COALESCE(c.event_id, -1) AS click_id, p.value
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      ORDER BY purchase_id
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -637,6 +671,7 @@ object Catalog {
     sessions,
     outerJoin,
     eventPivot,
+    asofAttribution,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
