@@ -647,6 +647,50 @@ object Catalog {
     """.trim),
   )
 
+  /** Range join (graft.ops.RangeJoin): every 500th order opens a
+    * 7-day promo window; count all orders placed inside each window —
+    * interval containment with NO equi-key. Spark side restores a
+    * hash join via week-binning; the DuckDB oracle is a plain
+    * inequality join (its IEJoin) — again two different algorithms
+    * that must produce identical rows. */
+  val rangeJoinPromos = GraftQuery(
+    "q29_range_join",
+    (s, d) => {
+      val days = (c: org.apache.spark.sql.Column) =>
+        datediff(c, to_date(lit("1970-01-01")))
+      val o = orders(s, d).withColumn("od", days(col("o_orderdate")))
+      val windows = o.filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey").as("promo_key"),
+          col("od").as("w_start"), (col("od") + 7).as("w_end"))
+      graft.ops.RangeJoin.pointInInterval(
+          o.select(col("o_orderkey"), col("od"), col("o_totalprice")),
+          "od", windows, "w_start", "w_end", binWidth = 7L)
+        .groupBy(col("promo_key"))
+        .agg(count(lit(1)).as("orders_in_window"),
+          dsum(col("o_totalprice")).as("window_sales"))
+        .orderBy(col("promo_key"))
+    },
+    Some("""
+      SELECT w.promo_key,
+             COUNT(*) AS orders_in_window,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS window_sales
+      FROM (
+        SELECT o_orderkey AS promo_key,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS w_start,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 7 AS w_end
+        FROM orders WHERE o_orderkey % 500 = 0
+      ) w
+      JOIN (
+        SELECT o_orderkey,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od,
+               o_totalprice
+        FROM orders
+      ) o ON o.od >= w.w_start AND o.od < w.w_end
+      GROUP BY w.promo_key
+      ORDER BY promo_key
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -672,6 +716,7 @@ object Catalog {
     outerJoin,
     eventPivot,
     asofAttribution,
+    rangeJoinPromos,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
