@@ -213,6 +213,33 @@ object Dedup {
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Edit-distance verification of candidate pairs: joins the raw
+    * texts back onto (id_a, id_b) pairs and scores normalized
+    * Levenshtein similarity 1 − dist/max(len). Character-grain
+    * complement to the token-grain Jaccard verifier — catches
+    * small in-word edits Jaccard over word shingles scores harshly.
+    * O(len²) per pair, so ONLY ever run on candidate pairs, never
+    * the corpus. */
+  def editDistancePairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+  ): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    pairs
+      .join(t.withColumnsRenamed(Map("id" -> "id_a", "t" -> "t_a")), "id_a")
+      .join(t.withColumnsRenamed(Map("id" -> "id_b", "t" -> "t_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        levenshtein(col("t_a"), col("t_b")).as("edit_dist"),
+        (lit(1.0) - levenshtein(col("t_a"), col("t_b")).cast("double") /
+          greatest(length(col("t_a")), length(col("t_b")), lit(1)).cast("double"))
+          .as("edit_sim"),
+      )
+  }
+
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
     * pairs in the SAME coarse block (`blockCol` — a cluster/IVF label,
     * or an LSH bucket from [[Similarity.lshBuckets]]) with cosine ≥

@@ -343,6 +343,36 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Character-grain fuzzy verification of the LSH candidates: the
+    * q13 near-dup pairs re-scored by normalized Levenshtein. Shares
+    * the generated MinHash CTE chain; levenshtein is exact integer DP
+    * in both engines, the similarity one mirrored division. */
+  val editDistance = GraftQuery(
+    "q30_edit_distance_pairs",
+    (s, d) =>
+      Dedup.editDistancePairs(
+          Dedup.nearDupPairs(documents(s, d), "doc_id", "text")
+            .select(col("id_a"), col("id_b")),
+          documents(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b")),
+    Some(
+      s"""
+      WITH $minhashCtes,
+      cand AS (
+        SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5
+      )
+      SELECT c.id_a, c.id_b,
+             CAST(levenshtein(x.text, y.text) AS INT) AS edit_dist,
+             1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE) /
+                   CAST(greatest(len(x.text), len(y.text), 1) AS DOUBLE) AS edit_sim
+      FROM cand c
+      JOIN documents x ON c.id_a = x.doc_id
+      JOIN documents y ON c.id_b = y.doc_id
+      ORDER BY c.id_a, c.id_b
+      """.trim
+    ),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -352,5 +382,6 @@ object LlmCatalog {
     nearDupPairs,
     embeddingDups,
     cleanCorpus,
+    editDistance,
   )
 }
