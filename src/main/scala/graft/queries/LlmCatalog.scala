@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.llm.{Dedup, JsonOps, Similarity, TextOps}
+import graft.llm.{Dedup, JsonOps, Similarity, Splits, TextOps}
 
 /** LLM-training-data-pipeline query surface: dedup, similarity search,
   * semi-structured (JSON) column ops, and text analysis over the
@@ -373,6 +373,29 @@ object LlmCatalog {
     ),
   )
 
+  /** Deterministic train/val/test assignment (graft.llm.Splits): the
+    * md5-hash split replayed row-for-row by the DuckDB oracle — the
+    * audit-my-split-with-any-engine property, demonstrated. */
+  val dataSplit = GraftQuery(
+    "q31_data_split",
+    (s, d) =>
+      Splits.withSplit(documents(s, d), "doc_id")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CASE WHEN b < 9000 THEN 'train'
+                  WHEN b < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               ('0x'||substr(md5('split:'||doc_id),1,15))::BIGINT % 10000 AS b
+        FROM documents
+      )
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -383,5 +406,6 @@ object LlmCatalog {
     embeddingDups,
     cleanCorpus,
     editDistance,
+    dataSplit,
   )
 }
