@@ -42,21 +42,25 @@ trait TableStore {
   }
 }
 
-/** Parquet-directory store: each table is `<root>/<name>` (a parquet
-  * dir). Stands in for MySQL in tests; also a perfectly good lake
-  * layout on its own. */
-final class ParquetDirStore(root: String)(implicit spark: SparkSession) extends TableStore {
+/** Single-format file-directory store: each table is `<root>/<name>`,
+  * written through any Spark batch file source ("parquet", "orc",
+  * "json", ...). Stands in for MySQL in tests; also a perfectly good
+  * lake layout on its own. Columnar formats (parquet/orc) keep
+  * predicate pushdown + column pruning; row formats trade that for
+  * interchange. */
+class FileDirStore(root: String, fmt: String)(implicit spark: SparkSession)
+    extends TableStore {
 
   private def path(name: String) = s"$root/$name"
 
   override def read(name: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path(name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(path(name))) else None
+    if (fs.exists(p)) Some(spark.read.format(fmt).load(path(name))) else None
   }
 
   override def append(name: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Append).parquet(path(name))
+    df.write.mode(SaveMode.Append).format(fmt).save(path(name))
 
   override def replace(name: String, df: DataFrame): Unit = {
     // The incoming plan may read the same table (upsert reads sales_tgt
@@ -65,11 +69,21 @@ final class ParquetDirStore(root: String)(implicit spark: SparkSession) extends 
     val p = new org.apache.hadoop.fs.Path(path(name))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = new org.apache.hadoop.fs.Path(path(name) + "_stage")
-    df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    df.write.mode(SaveMode.Overwrite).format(fmt).save(stage.toString)
     if (fs.exists(p)) fs.delete(p, true)
     fs.rename(stage, p)
   }
 }
+
+/** Parquet table store (the default lake format). */
+final class ParquetDirStore(root: String)(implicit spark: SparkSession)
+    extends FileDirStore(root, "parquet")
+
+/** ORC table store — same layout/semantics, ORC files (the other
+  * bundled columnar format; useful when downstream consumers are
+  * ORC-native, e.g. Hive-lineage warehouses). */
+final class OrcDirStore(root: String)(implicit spark: SparkSession)
+    extends FileDirStore(root, "orc")
 
 /** Key-bucketed parquet store: each table is laid out as
   * `<root>/<name>/graft_bucket=<b>/` with b = pmod(xxhash64(key), n).

@@ -691,6 +691,30 @@ object Catalog {
     """.trim),
   )
 
+  /** Single-pass column profiler (graft.ops.Profile) over lineitem's
+    * measures: null counts, exact distincts, min/max, exact sums —
+    * one scan for all columns, unpivoted to a row per column. */
+  val profileLineitem = GraftQuery(
+    "q32_profile",
+    (s, d) =>
+      graft.ops.Profile.numeric(
+          lineitem(s, d),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_name")),
+    Some {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+           COUNT(DISTINCT $c) AS n_distinct,
+           CAST(MIN($c) AS DOUBLE) AS min_value,
+           CAST(MAX($c) AS DOUBLE) AS max_value,
+           CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           FROM lineitem"""
+      }.mkString("", "\n      UNION ALL ", "\n      ORDER BY col_name")
+    },
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -717,6 +741,7 @@ object Catalog {
     eventPivot,
     asofAttribution,
     rangeJoinPromos,
+    profileLineitem,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
