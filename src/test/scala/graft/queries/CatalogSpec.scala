@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Catalog-wide invariants: every registered query must be runnable
+  * and DETERMINISTIC — two executions produce identical ordered rows.
+  * This is the local tripwire for the driver's hash-compare: any
+  * nondeterminism (float agg order, unordered output, wall-clock,
+  * arbitrary-row dedup) fails here before it fails a round. */
+class CatalogSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("query names are unique and well-formed") {
+    val names = Catalog.all.map(_.name)
+    assert(names.distinct.length == names.length)
+    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.mkString(","))
+  }
+
+  test("every oracle-checked query has matching name sets in both maps") {
+    val q = Catalog.queries.keySet
+    val o = Catalog.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle without query: ${o.diff(q)}")
+  }
+
+  test("every registered query runs twice with identical results at sf0.001") {
+    Catalog.all.foreach { q =>
+      val a = q.run(spark, sf).collect().map(_.toString).toSeq
+      val b = q.run(spark, sf).collect().map(_.toString).toSeq
+      assert(a == b, s"${q.name} is nondeterministic")
+      assert(a.nonEmpty || q.name.startsWith("q13") || q.name.startsWith("q30"),
+        s"${q.name} returned no rows at sf0.001") // near-dup pairs may be empty at tiny sf
+    }
+  }
+}
