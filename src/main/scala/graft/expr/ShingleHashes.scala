@@ -6,7 +6,6 @@ import java.util.regex.Pattern
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -31,7 +30,7 @@ case class ShingleHashes(
     n: Int,
     coeffs: Seq[Long],
     modulus: Long,
-) extends UnaryExpression with CodegenFallback {
+) extends UnaryExpression {
 
   require(n >= 1 && coeffs.length >= n, "need one coefficient per shingle slot")
 
@@ -46,18 +45,29 @@ case class ShingleHashes(
     }
 
   @transient private lazy val ws = Pattern.compile("\\s+")
-  @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // ThreadLocal: a codegen reference object can be visible to several
+  // tasks; MessageDigest is stateful and not thread-safe
+  @transient private lazy val md =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
   @transient private lazy val cArr = coeffs.toArray
 
-  override protected def nullSafeEval(input: Any): Any = {
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  /** Generated code calls back into this (the expression instance is
+    * shipped as a codegen reference object): the surrounding operator
+    * stays inside whole-stage codegen, and the loop itself is plain
+    * compiled JVM code either way — no interpreter in the path. */
+  def compute(input: UTF8String): GenericArrayData = {
     // mirror of split(text, "\\s+") with limit -1 (keeps leading empty)
-    val toks = ws.split(input.asInstanceOf[UTF8String].toString, -1)
+    val toks = ws.split(input.toString, -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
     val th = new Array[Long](toks.length)
+    val digest = md.get()
     var i = 0
     while (i < toks.length) {
-      md.reset()
-      val d = md.digest(toks(i).getBytes(StandardCharsets.UTF_8))
+      digest.reset()
+      val d = digest.digest(toks(i).getBytes(StandardCharsets.UTF_8))
       // first 7 hex digits = high 28 bits of bytes 0..3
       th(i) = (((d(0) & 0xffL) << 20) | ((d(1) & 0xffL) << 12) |
         ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4))
@@ -80,6 +90,14 @@ case class ShingleHashes(
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("shingleHashes", this, classOf[ShingleHashes].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.compute($input);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
