@@ -240,6 +240,35 @@ object Dedup {
       )
   }
 
+  /** Repeated-passage mining (the exact-substring-dedup family): find
+    * fixed-width token windows that occur in MORE THAN ONE document —
+    * the boilerplate/licence-block/template detector that document-
+    * level near-dup misses. Explode each doc's w-token window hashes
+    * with positions, group by window hash, keep cross-doc repeats.
+    * Map-side explode + one hash aggregation; the shuffle carries
+    * (hash, doc, pos) triples — no text moves. A true suffix-array
+    * dedup generalizes to variable length; fixed-w windows are the
+    * standard scalable approximation (run several w's if needed). */
+  def repeatedPassages(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      minDocs: Int = 2,
+  ): DataFrame = {
+    val sh = df.select(
+      col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), windowTokens)).as("passage_hash"),
+    )
+    // shingleHashes is per-doc distinct, so counts are document-grain
+    sh.groupBy(col("passage_hash"))
+      .agg(
+        countDistinct(col("id")).as("n_docs"),
+        min(col("id")).as("first_doc"),
+      )
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
     * pairs in the SAME coarse block (`blockCol` — a cluster/IVF label,
     * or an LSH bucket from [[Similarity.lshBuckets]]) with cosine ≥

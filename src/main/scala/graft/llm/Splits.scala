@@ -47,6 +47,26 @@ object Splits {
     }
   }
 
+  /** Deterministic stratified sampling: keep each row with a
+    * per-stratum rate — the corpus-rebalancing op (downsample the
+    * over-represented language, keep the rare ones). Same hash-bucket
+    * machinery as [[assign]], so the SAME rows are kept on every run
+    * and engine; map-side filter, no sampling pass. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 0.0,
+      salt: String = "sample",
+  ): DataFrame = {
+    val cut = rates.foldLeft(lit(math.round(defaultRate * Buckets)): Column) {
+      case (els, (k, r)) =>
+        when(col(strataCol) === k, lit(math.round(r * Buckets))).otherwise(els)
+    }
+    df.filter(bucketOf(col(idCol), salt) < cut)
+  }
+
   /** Materialized split column on a frame. */
   def withSplit(
       df: DataFrame,

@@ -67,9 +67,15 @@ object TextOps {
   def hash28(s: Column): Column =
     conv(substring(md5(s), 1, 7), 16, 10).cast("long")
 
-  /** Shingle-combination constants (fixed primes; h·C sums stay below
-    * 2^62 for 28-bit h) and modulus shared with the DuckDB mirror. */
-  val ShingleC: Seq[Long] = Seq(1000003L, 999983L, 999979L)
+  /** Shingle-combination constants (fixed odd constants near 1e6;
+    * h·C term sums stay far below 2^62 for 28-bit h even at width 16)
+    * and modulus — shared with the DuckDB mirrors. The first three are
+    * frozen (q13/q24/q30 oracles depend on them); the tail extends the
+    * family for wide passage windows (q33). */
+  val ShingleC: Seq[Long] = Seq(
+    1000003L, 999983L, 999979L, 999961L, 999959L, 999953L, 999931L,
+    999917L, 999907L, 999883L, 999863L, 999841L, 999809L, 999773L,
+    999769L, 999763L)
   val ShingleM: Long = 2147483647L
 
   /** Hashed word-n-gram shingles: one 28-bit md5 per TOKEN, then each

@@ -219,7 +219,7 @@ object LlmCatalog {
     * candidate pairs, exact-Jaccard verification. */
   private lazy val minhashCtes: String = {
     val coeffs = Dedup.minhashCoeffs(32)
-    val Seq(c1, c2, c3) = TextOps.ShingleC
+    val Seq(c1, c2, c3) = TextOps.ShingleC.take(3)
     val m = TextOps.ShingleM
     val minAggs = coeffs.zipWithIndex
       .map { case ((a, b), i) => s"MIN((h*$a+$b)%${Dedup.MinhashP}) AS m$i" }
@@ -396,6 +396,74 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Repeated-passage mining: 10-token windows occurring in ≥2 docs
+    * (the boilerplate detector; document-grain counts). Oracle
+    * generated from the same extended coefficient family. */
+  val repeatedPassages = GraftQuery(
+    "q33_repeated_passages",
+    (s, d) =>
+      Dedup.repeatedPassages(documents(s, d), "doc_id", "text", windowTokens = 10)
+        .orderBy(col("passage_hash")),
+    Some {
+      val w = 10
+      val m = TextOps.ShingleM
+      val comb = (0 until w)
+        .map(k => s"th[i+$k]*${TextOps.ShingleC(k)}")
+        .mkString("(", " + ", s") % $m")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS wtok FROM documents
+      ),
+      tokh AS (
+        SELECT doc_id, len(wtok) AS nw,
+               list_transform(wtok, t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM docs
+      ),
+      sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                  generate_series(1, nw-${w - 1}),
+                  i -> $comb)) AS sh
+        FROM tokh
+        WHERE nw >= $w
+      ),
+      expl AS (
+        SELECT doc_id, unnest(sh) AS passage_hash FROM sh
+      )
+      SELECT passage_hash,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             MIN(doc_id) AS first_doc
+      FROM expl
+      GROUP BY passage_hash
+      HAVING COUNT(DISTINCT doc_id) >= 2
+      ORDER BY passage_hash
+      """.trim
+    },
+  )
+
+  /** Deterministic stratified sampling: rebalance the corpus by
+    * language (downsample dominant 'en' to 20%, keep 80% of the
+    * rest) — hash-bucketed, so the DuckDB oracle keeps the exact
+    * same rows. */
+  val stratifiedSample = GraftQuery(
+    "q34_stratified_sample",
+    (s, d) =>
+      Splits.stratifiedSample(
+          documents(s, d), "doc_id", "lang",
+          rates = Map("en" -> 0.2), defaultRate = 0.8)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ('0x'||substr(md5('sample:'||doc_id),1,15))::BIGINT % 10000 AS b
+        FROM documents
+      )
+      WHERE b < (CASE WHEN lang = 'en' THEN 2000 ELSE 8000 END)
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -407,5 +475,7 @@ object LlmCatalog {
     cleanCorpus,
     editDistance,
     dataSplit,
+    repeatedPassages,
+    stratifiedSample,
   )
 }

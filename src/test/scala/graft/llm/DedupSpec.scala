@@ -78,6 +78,21 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq(8, 1, 64))
   }
 
+  test("repeatedPassages finds shared windows across docs only") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val df = Seq(
+      (1L, s"one two three $shared four five six seven eight nine ten"),
+      (2L, s"totally different preamble here $shared and a different tail section now"),
+      (3L, "no shared passage in this document at all just unique words " +
+        "plus more filler tokens to cross the window width"),
+    ).toDF("doc_id", "text")
+    val hits = Dedup.repeatedPassages(df, "doc_id", "text", windowTokens = 10)
+      .collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getLong(1) == 2L)) // only the 1-2 shared windows
+    assert(hits.forall(_.getLong(2) == 1L)) // first_doc = min id
+  }
+
   test("bucket-width cap drops degenerate LSH buckets, not normal ones") {
     // 30 identical boilerplate docs (every band bucket has width 30)
     // plus one real near-dup pair

@@ -31,6 +31,19 @@ class SplitsSpec extends SparkSpec {
     assert(agree < 0.95, s"salted splits should differ: agreement $agree")
   }
 
+  test("stratifiedSample: per-stratum rates, deterministic membership") {
+    val df = spark.range(4000)
+      .withColumn("lang", when($"id" % 2 === 0, "en").otherwise("fr"))
+      .withColumnRenamed("id", "doc_id")
+    val s1 = Splits.stratifiedSample(df, "doc_id", "lang", Map("en" -> 0.1), 0.9)
+    val s2 = Splits.stratifiedSample(df, "doc_id", "lang", Map("en" -> 0.1), 0.9)
+    val c = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(c("en") - 200) < 80, c.toString)   // 10% of 2000
+    assert(math.abs(c("fr") - 1800) < 120, c.toString) // 90% of 2000
+    assert(s1.collect().map(_.getLong(0)).toSet == s2.collect().map(_.getLong(0)).toSet)
+  }
+
   test("weights normalize and honor order") {
     val df = spark.range(5000).toDF("id")
     val counts = Splits.withSplit(df, "id", weights = Seq("x" -> 3.0, "y" -> 1.0))
