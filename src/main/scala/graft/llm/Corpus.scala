@@ -29,11 +29,18 @@ object Corpus {
   ): DataFrame = {
     val keepers = Dedup.exactKeepers(docs, idCol, textCol)
       .select(col(idCol))
+    // Exact-dedup FIRST, then run LSH on the survivors only. This is
+    // output-equivalent for the final keep-set (an exact dup has the
+    // keeper's text, hence the same shingles/signature/Jaccard, and
+    // the keeper has the smaller id — so any drop edge through a
+    // non-keeper is also a drop edge through its keeper) while the
+    // LSH input shrinks by the exact-dup fraction and identical-doc
+    // clusters can no longer blow past the bucket-width cap.
+    val kept = docs.join(keepers, Seq(idCol), "left_semi")
     val nearDrops = Dedup.nearDupDrops(
-      Dedup.nearDupPairs(docs, idCol, textCol, n = n, threshold = threshold))
+      Dedup.nearDupPairs(kept, idCol, textCol, n = n, threshold = threshold))
       .withColumnRenamed("drop_id", idCol)
-    docs
-      .join(keepers, Seq(idCol), "left_semi")
+    kept
       .join(nearDrops, Seq(idCol), "left_anti")
       .filter(TextOps.qualityKeep(col(textCol)))
   }

@@ -28,14 +28,23 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Initial centroids: the k rows with smallest xxhash64(id) —
-    * a deterministic pseudo-random spread. */
-  private def initCentroids(v: DataFrame, k: Int): DataFrame =
-    v.withColumn("_h", xxhash64(col("id")))
+    * a deterministic pseudo-random spread. The top-k runs distributed
+    * (TakeOrdered, no global sort); only the k×dim result is collected
+    * and numbered on the driver — same constant-size driver contract as
+    * the update step in [[train]], and no single-partition Window. */
+  private def initCentroids(v: DataFrame, k: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val top = v.withColumn("_h", xxhash64(col("id")))
       .orderBy(col("_h"))
       .limit(k)
-      .select(col("e").as("centroid"), col("_h"))
-      .withColumn("cell", row_number().over(Window.orderBy(col("_h"))) - 1)
-      .drop("_h")
+      .select(col("e"), col("_h"))
+      .collect()
+    top.sortBy(_.getLong(1)).zipWithIndex.toSeq
+      .map { case (r, i) => (i, r.getSeq[Double](0)) }
+      .toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<double>"))
+  }
 
   /** Squared L2 distance via dots: |a|²−2ab+|b|² (all codegen'd). */
   private def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =

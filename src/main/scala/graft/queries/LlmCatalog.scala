@@ -217,7 +217,9 @@ object LlmCatalog {
     * one md5 per TOKEN, arithmetic n-gram combination,
     * min((a_i*h+b_i) % P) per seed, banded keys, width-capped buckets,
     * candidate pairs, exact-Jaccard verification. */
-  private lazy val minhashCtes: String = {
+  private lazy val minhashCtes: String = minhashCtesOver("documents")
+
+  private def minhashCtesOver(src: String): String = {
     val coeffs = Dedup.minhashCoeffs(32)
     val Seq(c1, c2, c3) = TextOps.ShingleC.take(3)
     val m = TextOps.ShingleM
@@ -229,7 +231,7 @@ object LlmCatalog {
       s"SELECT doc_id, $bnd AS band, concat_ws('_', $ms) AS band_key FROM sig"
     }.mkString("\n        UNION ALL ")
     s"""docs AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        SELECT doc_id, string_split(text, ' ') AS w FROM $src
       ),
       tokh AS (
         SELECT doc_id, len(w) AS nw,
@@ -280,7 +282,8 @@ object LlmCatalog {
   }
 
   /** The composed corpus-cleaning pipeline (graft.llm.Corpus): exact
-    * dedup keepers → near-dup drops (full LSH chain) → quality
+    * dedup keepers → near-dup drops (LSH chain over the exact-dedup
+    * survivors only, mirroring Corpus.clean's stage order) → quality
     * filter — the end-to-end LLM training-data flow as ONE
     * oracle-checked query. */
   val cleanCorpus = GraftQuery(
@@ -295,17 +298,18 @@ object LlmCatalog {
         .orderBy(col("doc_id")),
     Some(
       s"""
-      WITH $minhashCtes,
+      WITH kept AS (
+        SELECT d.* FROM documents d
+        JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+          ON d.doc_id = k.doc_id
+      ),
+      ${minhashCtesOver("kept")},
       drops AS (
         SELECT DISTINCT id_b AS doc_id FROM verified WHERE jaccard >= 0.5
-      ),
-      keepers AS (
-        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
       )
       SELECT d.doc_id, d.lang,
              CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
-      FROM documents d
-      JOIN keepers k ON d.doc_id = k.doc_id
+      FROM kept d
       LEFT JOIN drops dr ON d.doc_id = dr.doc_id
       WHERE dr.doc_id IS NULL
         AND len(string_split(d.text, ' ')) >= 10
