@@ -29,13 +29,16 @@ object Corpus {
   ): DataFrame = {
     val keepers = Dedup.exactKeepers(docs, idCol, textCol)
       .select(col(idCol))
-    // Exact-dedup FIRST, then run LSH on the survivors only. This is
-    // output-equivalent for the final keep-set (an exact dup has the
-    // keeper's text, hence the same shingles/signature/Jaccard, and
-    // the keeper has the smaller id — so any drop edge through a
-    // non-keeper is also a drop edge through its keeper) while the
-    // LSH input shrinks by the exact-dup fraction and identical-doc
-    // clusters can no longer blow past the bucket-width cap.
+    // Exact-dedup FIRST, then run LSH on the survivors only. Modulo
+    // the bucket-width cap this is output-equivalent (an exact dup has
+    // the keeper's text, hence the same shingles/signature/Jaccard,
+    // and the keeper has the smaller id — so any drop edge through a
+    // non-keeper is also a drop edge through its keeper). WITH the cap
+    // the orders can legitimately differ — and this order strictly
+    // improves recall: identical-doc clusters that previously
+    // overflowed maxBucketWidth (silently dropping their near-dup
+    // edges) now collapse to one keeper before LSH ever sees them.
+    // The q24 oracle mirrors this order in lockstep.
     val kept = docs.join(keepers, Seq(idCol), "left_semi")
     val nearDrops = Dedup.nearDupDrops(
       Dedup.nearDupPairs(kept, idCol, textCol, n = n, threshold = threshold))

@@ -13,10 +13,19 @@ import org.apache.spark.sql.types.DecimalType
   * aggregate twice. The first aggregate groups by (col_name, value) —
   * its map-side partial collapses every repeated value BEFORE the one
   * shuffle, so the shuffle carries at most Σ per-column-distincts rows
-  * regardless of table size. The second (4-row) aggregate derives all
-  * five statistics from the (value, count) histogram: n = Σcnt,
-  * nulls = Σcnt over the null group, n_distinct = non-null group
-  * count, min/max over values, sum = Σ value·cnt (decimal-exact).
+  * regardless of table size. The second (row-per-column) aggregate
+  * derives all five statistics from the (value, count) histogram:
+  * n = Σcnt, nulls = Σcnt over the null group, n_distinct = non-null
+  * group count, min/max over values, sum = Σ value·cnt (decimal-exact).
+  *
+  * The histogram key is the value cast to DECIMAL(38,18), NOT double:
+  * a double key would silently collapse distinct bigints above 2^53
+  * and round >15-16-significant-digit decimals, corrupting n_distinct
+  * and the "exact" sum. DECIMAL(38,18) holds every int64 (20 integer
+  * digits) and any decimal up to scale 18 exactly; only the min/max
+  * OUTPUT columns are cast to double. Contract limit: values with
+  * |v| ≥ 1e20 or more than 18 fractional digits overflow the key and
+  * profile as null — far past int64/money ranges this engine targets.
   *
   * This deliberately avoids N×`countDistinct` in a single agg: Spark
   * plans that via an Expand that replicates every row (N+1)× and
@@ -34,22 +43,36 @@ import org.apache.spark.sql.types.DecimalType
 object Profile {
 
   private val dec2 = DecimalType(18, 2)
+  private val histKey = DecimalType(38, 18)
 
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
     val pairs = df.select(explode(array(cols.map { c =>
-      struct(lit(c).as("col_name"), col(c).cast("double").as("v"))
+      struct(lit(c).as("col_name"), col(c).cast(histKey).as("v"))
     }: _*)).as("p")).select(col("p.col_name"), col("p.v"))
     val histogram = pairs
       .groupBy(col("col_name"), col("v"))
       .agg(count(lit(1)).as("cnt"))
-    histogram.groupBy(col("col_name")).agg(
+    val stats = histogram.groupBy(col("col_name")).agg(
       sum(col("cnt")).as("n"),
       sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("nulls"),
       count(col("v")).as("n_distinct"),
-      min(col("v")).as("min_value"),
-      max(col("v")).as("max_value"),
+      min(col("v")).cast("double").as("min_value"),
+      max(col("v")).cast("double").as("max_value"),
       sum(col("v").cast(dec2) * col("cnt")).cast("double").as("sum_value"),
     )
+    // An empty input table must still yield one row per requested
+    // column (n=0, null min/max/sum) — the contract a caller diffing
+    // two profile runs relies on. The name table is #cols rows; the
+    // stats side (≤ #cols rows) broadcasts.
+    cols.toDF("col_name").join(stats, Seq("col_name"), "left")
+      .select(
+        col("col_name"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("nulls"), lit(0L)).as("nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"), col("sum_value"))
   }
 }

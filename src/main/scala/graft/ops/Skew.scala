@@ -21,6 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The shared salt derivation: a hash of the caller-supplied per-row
+    * ordinal, folded into `salts` buckets. Derived from the ordinal —
+    * never from an aggregate's value column — because the canonical
+    * skew case is millions of IDENTICAL rows under one hot key: a
+    * value-derived salt would hash them all to one bucket and spread
+    * nothing. Any per-row-distinct-ish column qualifies (an event id,
+    * a file offset, a timestamp). */
+  def salt(ordinal: Column, salts: Int): Column =
+    pmod(xxhash64(ordinal), lit(salts.toLong))
+
   /** Keep-last (max-ordinal row per key) with salted two-phase
     * windows. Equivalent to [[Upsert.keepLast]] when `ordinal` is a
     * total order per key; the hot key's rows spread over `salts`
@@ -31,7 +41,7 @@ object Skew {
       ordinal: Column,
       salts: Int = 16,
   ): DataFrame = {
-    val salted = df.withColumn("_graft_salt", pmod(xxhash64(ordinal), lit(salts.toLong)))
+    val salted = df.withColumn("_graft_salt", salt(ordinal, salts))
     val phase1 = Window
       .partitionBy((keys.map(col) :+ col("_graft_salt")): _*)
       .orderBy(ordinal.desc)
@@ -48,20 +58,21 @@ object Skew {
     * per (key, salt), phase 2 merge per key. `aggs` maps output name →
     * (valueColumn, "sum" | "count" | "min" | "max"). The phase-1
     * shuffle spreads a hot key across `salts` reducers; phase 2 only
-    * sees ≤ salts rows per key. (For non-skewed data Spark's own
-    * partial aggregation already does this map-side — use this ONLY
-    * when one key overwhelms a single reducer.) */
+    * sees ≤ salts rows per key. `ordinal` is any per-row-distinct-ish
+    * column (event id, offset) the salt is derived from — see [[salt]]
+    * for why it must not be an aggregated value column. (For
+    * non-skewed data Spark's own partial aggregation already does this
+    * map-side — use this ONLY when one key overwhelms a single
+    * reducer.) */
   def saltedAgg(
       df: DataFrame,
       keys: Seq[String],
+      ordinal: Column,
       aggs: Map[String, (Column, String)],
       salts: Int = 16,
   ): DataFrame = {
     require(aggs.nonEmpty, "at least one aggregate required")
-    val salted = df.withColumn(
-      "_graft_salt",
-      pmod(xxhash64(aggs.head._2._1), lit(salts.toLong)),
-    )
+    val salted = df.withColumn("_graft_salt", salt(ordinal, salts))
     val partial = aggs.toSeq.map { case (name, (c, kind)) =>
       (kind match {
         case "sum"   => sum(c)

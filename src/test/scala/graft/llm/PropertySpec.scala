@@ -77,7 +77,7 @@ class PropertySpec extends SparkSpec {
       .agg(sum($"v").as("s"), min($"v").as("mn"), max($"v").as("mx"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     val salted = graft.ops.Skew.saltedAgg(
-      df, Seq("key"),
+      df, Seq("key"), $"v",
       Map("s" -> ($"v", "sum"), "mn" -> ($"v", "min"), "mx" -> ($"v", "max")),
       salts = 5)
       .select("key", "s", "mn", "mx")

@@ -33,7 +33,7 @@ class SkewSpec extends SparkSpec {
         min($"value").as("mn"), max($"value").as("mx"))
       .orderBy("key").collect()
     val salted = Skew.saltedAgg(
-      df, Seq("key"),
+      df, Seq("key"), $"ord",
       Map("s" -> ($"value", "sum"), "c" -> ($"value", "count"),
         "mn" -> ($"value", "min"), "mx" -> ($"value", "max")),
       salts = 8)
@@ -50,9 +50,32 @@ class SkewSpec extends SparkSpec {
   test("phase-1 spread: hot key occupies multiple salt groups") {
     val df = skewed()
     val groups = df
-      .withColumn("salt", pmod(xxhash64($"ord"), lit(8L)))
+      .withColumn("salt", Skew.salt($"ord", 8))
       .filter($"key" === "hot")
       .select("salt").distinct().count()
     assert(groups == 8L)
+  }
+
+  // The canonical skew case: one hot key whose VALUE column is constant
+  // (millions of identical measurements). A value-derived salt would
+  // collapse to ONE phase-1 group; the ordinal-derived salt must still
+  // fan out across all `salts` buckets — and the merged result must
+  // equal the plain aggregation.
+  test("saltedAgg fans out a constant-valued hot key") {
+    val df = ((0 until 4000).map(i => ("hot", i.toLong, 1.0)) ++
+      (0 until 20).map(i => ("cold", (4000 + i).toLong, 2.0)))
+      .toDF("key", "ord", "value")
+    val phase1Groups = df
+      .filter($"key" === "hot")
+      .select(Skew.salt($"ord", 8).as("s"))
+      .distinct().count()
+    assert(phase1Groups == 8L, "constant-valued hot key must still spread")
+    val out = Skew.saltedAgg(
+      df, Seq("key"), $"ord",
+      Map("s" -> ($"value", "sum"), "c" -> ($"value", "count")),
+      salts = 8)
+      .orderBy("key").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("cold", 40.0, 20L), ("hot", 4000.0, 4000L)))
   }
 }
