@@ -444,21 +444,67 @@ object Catalog {
     """.trim),
   )
 
-  /** Learned-centroid IVF ANN (graft.llm.Ivf): k-means trained inline,
-    * nprobe=2 of 8 cells searched. No SQL oracle (mirroring Lloyd's
-    * iterations in DuckDB is out of scope) → rows-only check; recall
-    * and exactness properties are pinned in IvfSpec instead. */
+  /** Learned-centroid IVF ANN (graft.llm.Ivf): assign + nprobe=2-of-8
+    * search against the FROZEN quantizer in [[graft.llm.IvfModel]] —
+    * a checked-in model artifact, the way a production ANN index ships
+    * its trained centroids. Fixing the centroids is what makes the
+    * query cross-engine exact: training's float averaging is not
+    * bit-reproducible (and mirroring Lloyd's in DuckDB is out of
+    * scope — IvfSpec pins training properties instead), but search is
+    * pure sequential-IEEE arithmetic both engines compute identically.
+    * The oracle mirrors every step: double-cast, the |a|²−2ab+|b|²
+    * argmin with cell tiebreak, the nprobe window, the cell equi-join,
+    * and cosine as dot/(qn·nrm). */
   val ivfTopK = GraftQuery(
     "q21_ivf_topk",
     (s, d) => {
       val emb = graft.Tables.embeddings(s, d)
-      val cents = graft.llm.Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 2)
-      graft.llm.Ivf.search(emb, "vec_id", "embedding", cents,
+      graft.llm.Ivf.search(emb, "vec_id", "embedding", graft.llm.IvfModel.df(s),
           topK = 5, nprobe = 2, queryPred = col("vec_id") % 50 === 0)
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
-    None,
+    Some(s"""
+      WITH cents(cell, c) AS (
+        VALUES ${graft.llm.IvfModel.valuesSql}
+      ),
+      v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+      ),
+      assigned AS (
+        SELECT id, e, nrm, cell FROM (
+          SELECT v.id, v.e, v.nrm, cents.cell,
+                 ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+                   list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cents.c)
+                     + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+          FROM v CROSS JOIN cents)
+        WHERE rn = 1
+      ),
+      probes AS (
+        SELECT id AS query_id, e AS qe, nrm AS qn, cell FROM (
+          SELECT v.id, v.e, v.nrm, cents.cell,
+                 ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+                   list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cents.c)
+                     + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+          FROM v CROSS JOIN cents WHERE v.id % 50 = 0)
+        WHERE rn <= 2
+      ),
+      cand AS (
+        SELECT p.query_id, a.id AS neighbor_id,
+               list_dot_product(p.qe, a.e) / (p.qn * a.nrm) AS sim
+        FROM probes p JOIN assigned a USING (cell)
+        WHERE p.query_id <> a.id
+      )
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        FROM cand)
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim),
   )
 
   /** §2.8 extended: full CUBE — all 2^n grouping combinations in one
