@@ -540,9 +540,14 @@ object Catalog {
 
   /** Multimodal surface through the driver contract: deterministic
     * synthetic media (the testdata ships no binary tables) → stub
-    * decode → per-kind metadata rollup. Rows-only check (the decode
-    * path is exercised exactly in MultimodalSpec; binary columns are
-    * not DuckDB-comparable). */
+    * decode → per-kind metadata rollup. The full Spark path runs for
+    * real — byte-array generation, header encode, mapPartitions
+    * decode, typed Dataset, aggregate — and because the stub codec is
+    * a pure function of the row index, the ORACLE RECOMPUTES the same
+    * header math from first principles over generate_series: width
+    * 64+(i%8)·16, height 48+(i%5)·16, body 256+(i%7)·64 bytes behind
+    * an 8-byte (image) / 12-byte (video) header, frames 4+(i%3).
+    * Any drift in the encode→decode round trip breaks the hash. */
   val mediaStats = GraftQuery(
     "q23_media_stats",
     (s, _) => {
@@ -560,7 +565,26 @@ object Catalog {
         )
         .orderBy(col("kind"))
     },
-    None,
+    Some("""
+      SELECT kind, COUNT(*) AS n,
+             CAST(MAX(w) AS INT) AS max_w,
+             CAST(MAX(h) AS INT) AS max_h,
+             CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+             CAST(MAX(n_frames) AS INT) AS max_frames
+      FROM (
+        SELECT 'image' AS kind,
+               64 + (i % 8) * 16 AS w, 48 + (i % 5) * 16 AS h,
+               8 + 256 + (i % 7) * 64 AS byte_len, 1 AS n_frames
+        FROM generate_series(0, 199) t(i)
+        UNION ALL
+        SELECT 'video',
+               64 + (i % 8) * 16, 48 + (i % 5) * 16,
+               12 + 256 + (i % 7) * 64, 4 + (i % 3)
+        FROM generate_series(0, 99) t(i)
+      )
+      GROUP BY kind
+      ORDER BY kind
+    """.trim),
   )
 
   /** Gap-based sessionization in relational form (lag → flag →
