@@ -184,10 +184,78 @@ object Dedup {
   /** Near-dup KEEP set: from the verified pairs, drop every doc that
     * is near-duplicate of a lower-id doc (greedy min-id survivor —
     * one groupBy over pair edges, no connected-components iteration;
-    * at 100 TB a full CC would need an iterative join loop, while this
-    * single-pass rule is the standard practical choice). */
+    * the standard practical choice when one pass must suffice). For
+    * transitive clusters (A~B~C with no A~C edge) greedy min-id keeps
+    * C where full components would drop it — use
+    * [[connectedComponents]] + keep-the-component-min when cluster
+    * semantics matter. */
   def nearDupDrops(pairs: DataFrame): DataFrame =
     pairs.select(col("id_b").as("drop_id")).distinct()
+
+  /** Connected components over undirected (id_a, id_b) pair edges by
+    * FIXED-ITERATION min-label propagation: every node starts as its
+    * own label; each round every node takes the min over its own and
+    * its neighbors' labels. After t rounds lbl(v) = min id within
+    * graph distance t, so `iters` ≥ the largest component diameter
+    * yields exact components — and the fixed bound is what makes the
+    * operator cross-engine checkable (the q35 oracle unrolls the same
+    * rounds in SQL; a converge-until-fixpoint loop has data-dependent
+    * round counts no oracle can mirror).
+    *
+    * Scale: each round is one equi-join of the edge list against the
+    * node-sized label table plus one min-aggregate — both shuffle on
+    * high-cardinality ids, no driver involvement, edges never fan out.
+    * Near-dup/boilerplate clusters are hub-shaped with tiny diameters,
+    * so small `iters` (3-5) is exact in practice; for adversarial
+    * long-chain graphs the O(log n)-round large-star/small-star
+    * variant wins, at the cost of data-dependent convergence. For
+    * large `iters`, checkpoint every ~5 rounds to cut the growing
+    * plan lineage.
+    *
+    * Returns (id, component) for every node incident to an edge. */
+  def connectedComponents(pairs: DataFrame, iters: Int): DataFrame = {
+    val adj = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = adj.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 0 until iters) {
+      val fromNeighbors = adj
+        .join(labels.withColumnsRenamed(Map("id" -> "dst", "lbl" -> "l")), "dst")
+        .select(col("src").as("id"), col("l"))
+      labels = labels.select(col("id"), col("lbl").as("l"))
+        .union(fromNeighbors)
+        .groupBy(col("id"))
+        .agg(min(col("l")).as("lbl"))
+    }
+    labels.withColumnRenamed("lbl", "component")
+  }
+
+  /** Star edges of the passage-sharing graph: for every passage window
+    * repeated across docs ([[repeatedPassages]] semantics), an edge
+    * from the passage's min doc to each other doc containing it.
+    * Star form keeps |edges| = Σ(n_docs−1) per passage — linear in
+    * occurrences, never the quadratic all-pairs clique. Feeding these
+    * into [[connectedComponents]] groups documents linked by shared
+    * boilerplate even when no single passage spans the whole cluster
+    * (A shares p1 with B, B shares p2 with C → one component). */
+  def passageEdges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+  ): DataFrame = {
+    val expl = df.select(
+      col(idCol).as("id"),
+      explode(shingleHashes(col(textCol), windowTokens)).as("passage_hash"))
+    val rep = expl.groupBy(col("passage_hash"))
+      .agg(min(col("id")).as("first_doc"), countDistinct(col("id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("passage_hash"), col("first_doc"))
+    expl.join(rep, "passage_hash")
+      .filter(col("id") > col("first_doc"))
+      .select(col("first_doc").as("id_a"), col("id").as("id_b"))
+      .distinct()
+  }
 
   /** 64-bit SimHash of a shingle array: per bit position, majority vote
     * of shingle-hash bits. Implemented as 64 shifted-bit sums over an

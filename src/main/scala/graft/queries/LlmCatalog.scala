@@ -400,22 +400,16 @@ object LlmCatalog {
     """.trim),
   )
 
-  /** Repeated-passage mining: 10-token windows occurring in ≥2 docs
-    * (the boilerplate detector; document-grain counts). Oracle
-    * generated from the same extended coefficient family. */
-  val repeatedPassages = GraftQuery(
-    "q33_repeated_passages",
-    (s, d) =>
-      Dedup.repeatedPassages(documents(s, d), "doc_id", "text", windowTokens = 10)
-        .orderBy(col("passage_hash")),
-    Some {
-      val w = 10
-      val m = TextOps.ShingleM
-      val comb = (0 until w)
-        .map(k => s"th[i+$k]*${TextOps.ShingleC(k)}")
-        .mkString("(", " + ", s") % $m")
-      s"""
-      WITH docs AS (
+  /** Shared DuckDB mirror of the passage-window hash chain (used by
+    * q33 and q35): per-token md5 hashes, w-token arithmetic window
+    * combination from the same extended coefficient family, per-doc
+    * distinct, exploded to (doc_id, passage_hash). */
+  private def passageCtes(w: Int): String = {
+    val m = TextOps.ShingleM
+    val comb = (0 until w)
+      .map(k => s"th[i+$k]*${TextOps.ShingleC(k)}")
+      .mkString("(", " + ", s") % $m")
+    s"""docs AS (
         SELECT doc_id, string_split(text, ' ') AS wtok FROM documents
       ),
       tokh AS (
@@ -433,7 +427,20 @@ object LlmCatalog {
       ),
       expl AS (
         SELECT doc_id, unnest(sh) AS passage_hash FROM sh
-      )
+      )"""
+  }
+
+  /** Repeated-passage mining: 10-token windows occurring in ≥2 docs
+    * (the boilerplate detector; document-grain counts). Oracle
+    * generated from the same extended coefficient family. */
+  val repeatedPassages = GraftQuery(
+    "q33_repeated_passages",
+    (s, d) =>
+      Dedup.repeatedPassages(documents(s, d), "doc_id", "text", windowTokens = 10)
+        .orderBy(col("passage_hash")),
+    Some(
+      s"""
+      WITH ${passageCtes(10)}
       SELECT passage_hash,
              COUNT(DISTINCT doc_id) AS n_docs,
              MIN(doc_id) AS first_doc
@@ -441,6 +448,68 @@ object LlmCatalog {
       GROUP BY passage_hash
       HAVING COUNT(DISTINCT doc_id) >= 2
       ORDER BY passage_hash
+      """.trim
+    ),
+  )
+
+  /** Boilerplate-cluster grouping: connected components over the
+    * passage-sharing star graph (Dedup.passageEdges →
+    * Dedup.connectedComponents, 3 rounds of min-label propagation).
+    * This is the transitive-closure complement to greedy min-id
+    * dedup — documents chained through DIFFERENT shared passages
+    * (A~B via p1, B~C via p2, no passage spanning A and C) land in
+    * one cluster, which the testdata exercises (it contains such a
+    * diameter-2 chain). The oracle unrolls the same three
+    * propagation rounds in SQL — exact integer label arithmetic,
+    * bit-matched. */
+  val passageClusters = GraftQuery(
+    "q35_passage_clusters",
+    (s, d) => {
+      val edges = Dedup.passageEdges(documents(s, d), "doc_id", "text", windowTokens = 10)
+      val cc = Dedup.connectedComponents(edges, iters = 3)
+      cc.withColumn(
+          "cluster_size",
+          count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("component")))
+            .cast("int"))
+        .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val rounds = (1 to 3).map { t =>
+        s"""l$t AS (
+        SELECT id, MIN(l) AS lbl FROM (
+          SELECT id, lbl AS l FROM l${t - 1}
+          UNION ALL
+          SELECT a.src AS id, l.lbl AS l FROM adj a JOIN l${t - 1} l ON l.id = a.dst
+        ) GROUP BY id
+      )"""
+      }.mkString(",\n      ")
+      s"""
+      WITH ${passageCtes(10)},
+      edges AS (
+        SELECT DISTINCT m.first_doc AS id_a, e.doc_id AS id_b
+        FROM (
+          SELECT passage_hash, MIN(doc_id) AS first_doc
+          FROM expl GROUP BY passage_hash
+          HAVING COUNT(DISTINCT doc_id) >= 2
+        ) m
+        JOIN expl e ON e.passage_hash = m.passage_hash
+                   AND e.doc_id > m.first_doc
+      ),
+      adj AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b, id_a FROM edges
+      ),
+      l0 AS (
+        SELECT DISTINCT src AS id, src AS lbl FROM adj
+      ),
+      $rounds
+      SELECT id AS doc_id, lbl AS component,
+             CAST(COUNT(*) OVER (PARTITION BY lbl) AS INT) AS cluster_size
+      FROM l3
+      ORDER BY doc_id
       """.trim
     },
   )
@@ -481,5 +550,6 @@ object LlmCatalog {
     dataSplit,
     repeatedPassages,
     stratifiedSample,
+    passageClusters,
   )
 }

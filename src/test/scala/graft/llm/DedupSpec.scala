@@ -140,4 +140,45 @@ class DedupSpec extends SparkSpec {
     val trueJ = shA.intersect(shB).size.toDouble / shA.union(shB).size
     assert(math.abs(agree - trueJ) < 0.3, s"minhash est $agree vs true $trueJ")
   }
+
+  // The transitive-cluster fixture greedy min-id dedup gets wrong:
+  // A~B and B~C with NO direct A~C edge must still form one component.
+  test("connectedComponents groups a transitive chain") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(edges, iters = 2)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(cc == Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // ...and greedy min-id drops would have KEPT 3 (3 is only ever an
+    // id_b of 2, not of 1) — the exact case CC exists for:
+    assert(Dedup.nearDupDrops(edges).as[Long].collect().toSet == Set(2L, 3L, 11L))
+  }
+
+  test("connectedComponents iteration bound = graph distance") {
+    // path 1-2-3-4-5: after t rounds a node's label is the min id
+    // within distance t, so iters=2 leaves node 5 at label 3 and
+    // iters=4 (the diameter) converges the whole path to 1.
+    val path = (1L to 4L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val under = Dedup.connectedComponents(path, iters = 2)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(under == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 2L), (5L, 3L)))
+    val exact = Dedup.connectedComponents(path, iters = 4)
+      .as[(Long, Long)].collect()
+    assert(exact.forall(_._2 == 1L))
+  }
+
+  test("passageEdges builds min-doc stars over shared windows") {
+    val passage = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val other = (11 to 20).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (5L, s"$passage unique5 filler"),
+      (2L, s"prefix2 $passage"),
+      (9L, s"$passage tail9"),
+      (7L, s"$other seven"),
+      (8L, s"$other eight"),
+    ).toDF("doc_id", "text")
+    val edges = Dedup.passageEdges(df, "doc_id", "text", windowTokens = 10)
+      .as[(Long, Long)].collect().toSet
+    // stars from the min doc per shared passage: 2→{5,9}, 7→8
+    assert(edges == Set((2L, 5L), (2L, 9L), (7L, 8L)))
+  }
 }
