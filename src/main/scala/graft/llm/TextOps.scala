@@ -123,6 +123,43 @@ object TextOps {
       .otherwise(array_distinct(hashed))
   }
 
+  /** Default subword vocabulary for [[subwordCount]]: a hand-written
+    * list of common English affixes, digraphs and function words
+    * (morpheme knowledge, no external model). Single characters are
+    * deliberately absent — the per-char fallback consumes them at the
+    * same cost, so listing them would be pure noise. Frozen: the q37
+    * oracle embeds the same list as a VALUES table. */
+  val SubwordVocab: Seq[String] = Seq(
+    "the", "and", "ing", "ion", "tion", "ation", "able", "ible",
+    "ness", "ment", "ful", "less", "ous", "ive", "ize", "ise",
+    "ate", "ure", "age", "ance", "ence", "ant", "ent", "ism",
+    "ist", "ity", "est", "ly", "ed", "er", "or", "ar", "al",
+    "ic", "un", "re", "in", "ex", "pre", "pro", "con", "com",
+    "de", "dis", "en", "anti", "sub", "inter", "over", "under",
+    "out", "up", "of", "to", "as", "is", "it", "on", "an", "at",
+    "th", "ch", "sh", "qu", "ck", "ph", "wh", "ea", "ou", "ai",
+    "oo", "ee", "st", "tr", "pl",
+  )
+
+  /** Vocab-driven subword token count over a whole text column —
+    * greedy longest-match-first per lowercased word, per-char
+    * fallback (see [[graft.expr.SubwordCount]]). Pure map-side;
+    * compiled loop with codegen. */
+  def subwordCount(text: Column, vocab: Seq[String] = SubwordVocab): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.expr.SubwordCount(
+        org.apache.spark.sql.GraftBridge.toExpr(text),
+        vocab))
+
+  /** Load a vocabulary file (one entry per line, blank lines and
+    * duplicates dropped, longest-entry cap none) for [[subwordCount]] —
+    * the deployment path for real BPE/WordPiece vocab exports. The
+    * file is read ONCE on the driver and shipped inside the expression
+    * (vocabularies are KBs; they ride the task closure, not a join). */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+    spark.read.textFile(path).collect().toSeq
+      .map(_.trim).filter(_.nonEmpty).distinct
+
   /** Production-speed 64-bit hash (no cross-engine mirror). */
   def hash64(s: Column): Column = xxhash64(s)
 

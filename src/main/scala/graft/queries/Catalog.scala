@@ -785,6 +785,51 @@ object Catalog {
     },
   )
 
+  /** §2.8/§2.9 extension: RANGE window frame — the VALUE-based frame
+    * family q17's ROWS frame doesn't cover. Per customer, a trailing
+    * 30-DAY revenue sum/count keyed on the order date's day number:
+    * the frame holds every order whose day is within [od−30, od],
+    * however many rows that is, and peer rows (same day) share one
+    * frame — which is also what makes the result deterministic under
+    * ties without a row tiebreak. Day number is an int (datediff from
+    * epoch); decimal-exact sum cast back to double, as everywhere. */
+  val rangeFrame = GraftQuery(
+    "q36_range_frame",
+    (s, d) => {
+      val base = orders(s, d).select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).as("od"),
+      )
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od"))
+        .rangeBetween(-30, Window.currentRow)
+      base
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          col("od"),
+          sum(col("o_totalprice").cast(dec2)).over(w).cast("double").as("sum_30d"),
+          count(lit(1)).over(w).as("n_30d"),
+        )
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, od,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30d,
+             COUNT(*) OVER w AS n_30d
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS INT) AS od
+        FROM orders
+      )
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY od
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -812,6 +857,7 @@ object Catalog {
     asofAttribution,
     rangeJoinPromos,
     profileLineitem,
+    rangeFrame,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

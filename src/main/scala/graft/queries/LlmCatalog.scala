@@ -537,6 +537,59 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Vocab-driven subword tokenization (graft.expr.SubwordCount):
+    * WordPiece-style greedy longest-match over the frozen
+    * [[TextOps.SubwordVocab]], whitespace words + per-char fallback.
+    * Spark runs the compiled expression map-side over the whole text —
+    * zero shuffle; the oracle replays the identical greedy algorithm
+    * in DuckDB as a recursive CTE over DISTINCT lowercased words
+    * (at every cursor both engines take the max matching entry
+    * length, and equal-length distinct entries can't match the same
+    * substring, so there are no ties). */
+  val subwordTokens = GraftQuery(
+    "q37_subword_tokens",
+    (s, d) =>
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_words"),
+          TextOps.subwordCount(col("text")).as("n_subwords"),
+        )
+        .orderBy(col("doc_id")),
+    Some {
+      val vocabValues = TextOps.SubwordVocab.map(v => s"('$v')").mkString(", ")
+      s"""
+      WITH RECURSIVE vocab(v) AS (
+        VALUES $vocabValues
+      ),
+      wordsx AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ),
+      words(w) AS (
+        SELECT DISTINCT lower(w) FROM wordsx
+      ),
+      seg(w, pos, n) AS (
+        SELECT w, 1, 0 FROM words
+        UNION ALL
+        SELECT s.w,
+               s.pos + COALESCE((SELECT MAX(len(v.v)) FROM vocab v
+                                 WHERE substr(s.w, s.pos, len(v.v)) = v.v), 1),
+               s.n + 1
+        FROM seg s WHERE s.pos <= len(s.w)
+      ),
+      counts AS (
+        SELECT w, MAX(n) AS n_sub FROM seg GROUP BY w
+      )
+      SELECT x.doc_id,
+             CAST(COUNT(*) AS INT) AS n_words,
+             CAST(SUM(c.n_sub) AS INT) AS n_subwords
+      FROM wordsx x JOIN counts c ON lower(x.w) = c.w
+      GROUP BY x.doc_id
+      ORDER BY doc_id
+      """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -551,5 +604,6 @@ object LlmCatalog {
     repeatedPassages,
     stratifiedSample,
     passageClusters,
+    subwordTokens,
   )
 }
