@@ -1,0 +1,101 @@
+package graft.io
+
+import java.io.File
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag, i * 1.5)).toDF("uuid", "val", "m")
+
+  /** Crash-injection store: dies at the protocol's widest window —
+    * after every data dir has landed, just before the manifest
+    * rename that IS the commit. */
+  private final class CrashingStore(root: String, buckets: Int)(implicit s: SparkSession)
+      extends SnapshotBucketedStore(root, buckets) {
+    var crashNext = false
+    override protected def beforeCommit(): Unit =
+      if (crashNext) { crashNext = false; throw new RuntimeException("injected crash") }
+  }
+
+  test("upsert round trip with O(batch) manifest-level pruning") {
+    val root = tmpDir("graft_snap_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 8)
+    store.upsert("tgt", rows(0 until 200, "v1"), "uuid")
+    assert(store.read("tgt").get.count() == 200)
+    store.upsert("tgt", rows(198 until 203, "v2"), "uuid")
+    val table = store.read("tgt").get
+    assert(table.count() == 203)
+    assert(table.filter($"uuid" === 199L).select("val").as[String].head() == "v2")
+    assert(table.filter($"uuid" === 0L).select("val").as[String].head() == "v1")
+    // generation layout: v1 dirs survive for untouched buckets, and the
+    // second manifest reuses them by reference (no copy)
+    val dataDirs = new File(s"$root/tgt/data").listFiles().map(_.getName).toSet
+    assert(dataDirs.exists(_.endsWith("-g0")) && dataDirs.exists(_.endsWith("-g1")))
+    assert(dataDirs.count(_.endsWith("-g1")) < 8, "only touched buckets got a new generation")
+  }
+
+  test("a crash between data landing and commit leaves the OLD snapshot readable") {
+    val root = tmpDir("graft_snap_crash_")
+    implicit val s = spark
+    val store = new CrashingStore(root, 8)
+    store.upsert("tgt", rows(0 until 100, "v1"), "uuid")
+    val before = store.read("tgt").get.orderBy("uuid").collect()
+
+    store.crashNext = true
+    intercept[RuntimeException] {
+      store.upsert("tgt", rows(0 until 100, "v2"), "uuid")
+    }
+    // every row of the old snapshot, not a mix — the manifest never moved
+    val after = store.read("tgt").get.orderBy("uuid").collect()
+    assert(after.toSeq == before.toSeq, "reader must see the pre-crash snapshot")
+    assert(store.read("tgt").get.filter($"val" === "v2").count() == 0)
+
+    // recovery: the writer simply retries; vacuum clears the orphans
+    store.upsert("tgt", rows(0 until 100, "v2"), "uuid")
+    assert(store.read("tgt").get.filter($"val" === "v2").count() == 100)
+    store.vacuum("tgt")
+    val live = new File(s"$root/tgt/data").listFiles().map(_.getName).toSet
+    assert(live.forall(d => !d.startsWith("log-")), s"unexpected: $live")
+    val manifests = new File(s"$root/tgt").listFiles().map(_.getName)
+      .filter(_.startsWith("manifest-"))
+    assert(manifests.length == 1 && manifests.head.endsWith(".txt"))
+  }
+
+  test("append log generations commit atomically and refuse upsert") {
+    val root = tmpDir("graft_snap_log_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.append("raw", rows(0 until 10, "a"))
+    store.append("raw", rows(10 until 25, "b"))
+    assert(store.read("raw").get.count() == 25)
+    val e = intercept[IllegalArgumentException] {
+      store.upsert("raw", rows(0 until 5, "c"), "uuid")
+    }
+    assert(e.getMessage.contains("upsert-only"))
+  }
+
+  test("replace supersedes everything and self-overwrite is layout-safe") {
+    val root = tmpDir("graft_snap_rep_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", rows(0 until 50, "a"), "uuid")
+    // replace with a frame computed FROM the current table contents
+    val halved = store.read("t").get.filter($"uuid" < 25)
+    store.replace("t", halved)
+    assert(store.read("t").get.count() == 25)
+    store.vacuum("t")
+    assert(store.read("t").get.count() == 25)
+  }
+
+  test("missing table reads as None") {
+    val root = tmpDir("graft_snap_none_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    assert(store.read("nope").isEmpty)
+  }
+}
