@@ -39,7 +39,12 @@ object Corpus {
     // overflowed maxBucketWidth (silently dropping their near-dup
     // edges) now collapse to one keeper before LSH ever sees them.
     // The q24 oracle mirrors this order in lockstep.
-    val kept = docs.join(keepers, Seq(idCol), "left_semi")
+    // `kept` feeds the LSH chain, the final anti-join, and the quality
+    // filter; repartitioning on id makes the scan+semi-join subtree a
+    // reusable Exchange (computed once, replayed from shuffle files)
+    // instead of three full recomputations — see the same pattern on
+    // the shingle table in Dedup.nearDupPairs.
+    val kept = docs.join(keepers, Seq(idCol), "left_semi").repartition(col(idCol))
     val nearDrops = Dedup.nearDupDrops(
       Dedup.nearDupPairs(kept, idCol, textCol, n = n, threshold = threshold))
       .withColumnRenamed("drop_id", idCol)

@@ -136,9 +136,19 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // The shingle table feeds THREE consumers (the signature aggregate
+    // and both verification joins); Spark recomputes an unshared
+    // subtree per consumer, so without intervention the md5-per-token
+    // shingling runs three times. Hash-repartitioning on id turns the
+    // subtree into an Exchange that ReuseExchange computes ONCE and
+    // replays from shuffle files for every consumer — the
+    // no-memory-pressure alternative to cache() that also pre-aligns
+    // the partitioning the verify joins need anyway. (The signature
+    // explode re-keys by shingle hash, so it shuffles either way.)
     val sh = df
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .repartition(col("id"))
     val sig = minhashSigAgg(sh, numHashes)
     val bandKeyCols = (0 until bands).map { b =>
       concat_ws("_",
