@@ -12,7 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Hashed word-n-gram shingles of a text column as ONE compiled loop:
   * whitespace-tokenize, 28-bit md5 per token, combine each n-window as
-  * (h_i·C1 + h_{i+1}·C2 + …) mod M, distinct (first-occurrence order).
+  * (h_i·C1 + h_{i+1}·C2 + …) mod M; `distinct` (default) keeps unique
+  * hashes in first-occurrence order (the set form), `distinct = false`
+  * keeps one hash per window position (the segment-mining form).
   *
   * Semantically identical to the column-composition form
   * ([[graft.llm.TextOps.shingleHashesHof]], kept as the reference and
@@ -30,6 +32,7 @@ case class ShingleHashes(
     n: Int,
     coeffs: Seq[Long],
     modulus: Long,
+    distinct: Boolean = true,
 ) extends UnaryExpression {
 
   require(n >= 1 && coeffs.length >= n, "need one coefficient per shingle slot")
@@ -73,7 +76,11 @@ case class ShingleHashes(
         ((d(2) & 0xffL) << 4) | ((d(3) & 0xffL) >> 4))
       i += 1
     }
+    // distinct=false preserves one hash PER WINDOW POSITION (the
+    // segment-mining form); distinct=true keeps first-occurrence-order
+    // unique hashes (the set form minhash/jaccard need)
     val seen = new java.util.LinkedHashSet[Long]()
+    val positional = if (distinct) null else new Array[Long](toks.length - n + 1)
     i = 0
     while (i <= toks.length - n) {
       var acc = 0L
@@ -82,9 +89,11 @@ case class ShingleHashes(
         acc += th(i + k) * cArr(k)
         k += 1
       }
-      seen.add(acc % modulus)
+      val h = acc % modulus
+      if (distinct) seen.add(h) else positional(i) = h
       i += 1
     }
+    if (!distinct) return new GenericArrayData(positional)
     val out = new Array[Long](seen.size)
     val it = seen.iterator()
     var j = 0

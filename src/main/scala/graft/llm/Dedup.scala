@@ -254,9 +254,14 @@ object Dedup {
       textCol: String,
       windowTokens: Int,
   ): DataFrame = {
+    // exploded hashes feed BOTH the repeat aggregate and the join back
+    // — repartition on the hash so the scan+window-hash subtree is one
+    // reused exchange, pre-aligned for both consumers (same pattern as
+    // nearDupPairs' shingle table)
     val expl = df.select(
       col(idCol).as("id"),
       explode(shingleHashes(col(textCol), windowTokens)).as("passage_hash"))
+      .repartition(col("passage_hash"))
     val rep = expl.groupBy(col("passage_hash"))
       .agg(min(col("id")).as("first_doc"), countDistinct(col("id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
@@ -345,6 +350,58 @@ object Dedup {
         min(col("id")).as("first_doc"),
       )
       .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Variable-length repeated-segment mining — the step from
+    * [[repeatedPassages]]' fixed-width windows toward suffix-array-
+    * style substring dedup: per document, maximal RUNS of consecutive
+    * window positions whose w-token window also occurs in another
+    * document. A 300-token boilerplate block shared by two docs is 291
+    * consecutive repeated 10-token windows — this reports it as ONE
+    * segment row (start_pos, n_tokens=300) instead of 291 hash rows.
+    *
+    * Plan shape: position-preserving window hashes (map-side compiled
+    * loop) → one hash-grain aggregate marks cross-doc repeats → join
+    * back → per-doc gap-grouping (pos − row_number is constant within
+    * a consecutive run) → one aggregate per run. Shuffles carry
+    * (hash, id, pos) triples and the doc-grain window lists — no text.
+    * True suffix arrays find arbitrary-length repeats without a fixed
+    * w; runs-of-w recover every repeat of length ≥ w at w-token
+    * resolution, which is the standard scalable approximation.
+    *
+    * Output: (doc_id-named `idCol`, start_pos [1-based token index],
+    * n_tokens, n_windows) per maximal segment. */
+  def repeatedSegments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      minDocs: Int = 2,
+  ): DataFrame = {
+    val win = df
+      .select(
+        col(idCol).as("id"),
+        posexplode(windowHashesPositional(col(textCol), windowTokens))
+          .as(Seq("pos", "h")))
+      // feeds the repeat aggregate AND the join back: one reused
+      // exchange, aligned for both (the nearDupPairs pattern)
+      .repartition(col("h"))
+    val rep = win.groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    val marked = win.join(rep, "h").select(col("id"), col("pos"))
+    val wn = Window.partitionBy(col("id")).orderBy(col("pos"))
+    marked
+      .withColumn("grp", col("pos") - row_number().over(wn))
+      .groupBy(col("id"), col("grp"))
+      .agg(
+        (min(col("pos")) + 1).as("start_pos"), // 1-based token index
+        (max(col("pos")) - min(col("pos")) + windowTokens).as("n_tokens"),
+        count(lit(1)).cast("int").as("n_windows"),
+      )
+      .drop("grp")
+      .withColumnRenamed("id", idCol)
   }
 
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for

@@ -96,6 +96,21 @@ object TextOps {
         ShingleM))
   }
 
+  /** Position-preserving window hashes: element i is the hash of the
+    * w-token window STARTING at token i (0-based), duplicates kept —
+    * the form segment mining needs ([[Dedup.repeatedSegments]]), where
+    * [[shingleHashes]]'s set form would lose run structure. */
+  def windowHashesPositional(text: Column, w: Int): Column = {
+    require(w <= ShingleC.length, s"w <= ${ShingleC.length} supported")
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.expr.ShingleHashes(
+        org.apache.spark.sql.GraftBridge.toExpr(text),
+        w,
+        ShingleC.take(w),
+        ShingleM,
+        distinct = false))
+  }
+
   /** HOF reference form of [[shingleHashes]] (see its doc). The
     * token-hash array is bound ONCE via a single-element `transform`
     * wrapper: Spark does no common-subexpression elimination inside

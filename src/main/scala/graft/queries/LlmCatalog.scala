@@ -404,11 +404,15 @@ object LlmCatalog {
     * q33 and q35): per-token md5 hashes, w-token arithmetic window
     * combination from the same extended coefficient family, per-doc
     * distinct, exploded to (doc_id, passage_hash). */
-  private def passageCtes(w: Int): String = {
-    val m = TextOps.ShingleM
-    val comb = (0 until w)
+  /** The w-token window hash combination over 1-based token-hash list
+    * `th` at window start `i` — shared by every passage-window mirror. */
+  private def windowComb(w: Int): String =
+    (0 until w)
       .map(k => s"th[i+$k]*${TextOps.ShingleC(k)}")
-      .mkString("(", " + ", s") % $m")
+      .mkString("(", " + ", s") % ${TextOps.ShingleM}")
+
+  private def passageCtes(w: Int): String = {
+    val comb = windowComb(w)
     s"""docs AS (
         SELECT doc_id, string_split(text, ' ') AS wtok FROM documents
       ),
@@ -590,6 +594,60 @@ object LlmCatalog {
     },
   )
 
+  /** Variable-length repeated-segment mining (Dedup.repeatedSegments):
+    * maximal consecutive runs of cross-doc-repeated 10-token windows,
+    * reported as one (start_pos, n_tokens) row per segment — the
+    * variable-length step beyond q33's fixed-width hashes. The oracle
+    * mirrors position-preserving window hashes (struct unnest keeps
+    * 1-based positions), the repeat mark, and the pos−row_number
+    * gap-grouping; all-integer output hash-matches exactly. */
+  val repeatedSegmentsQ = GraftQuery(
+    "q38_repeated_segments",
+    (s, d) =>
+      Dedup.repeatedSegments(documents(s, d), "doc_id", "text", windowTokens = 10)
+        .orderBy(col("doc_id"), col("start_pos")),
+    Some(
+      s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS wtok FROM documents
+      ),
+      tokh AS (
+        SELECT doc_id, len(wtok) AS nw,
+               list_transform(wtok, t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM docs
+      ),
+      winl AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, nw-9),
+                              i -> {'pos': i, 'h': ${windowComb(10)}}) AS wl
+        FROM tokh WHERE nw >= 10
+      ),
+      winp AS (
+        SELECT doc_id, u.pos AS pos, u.h AS h
+        FROM (SELECT doc_id, unnest(wl) AS u FROM winl)
+      ),
+      rep AS (
+        SELECT h FROM winp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+      ),
+      marked AS (
+        SELECT w.doc_id, w.pos FROM winp w JOIN rep USING (h)
+      ),
+      runs AS (
+        SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM marked
+      )
+      SELECT doc_id,
+             CAST(MIN(pos) AS INT) AS start_pos,
+             CAST(MAX(pos) - MIN(pos) + 10 AS INT) AS n_tokens,
+             CAST(COUNT(*) AS INT) AS n_windows
+      FROM runs
+      GROUP BY doc_id, grp
+      ORDER BY doc_id, start_pos
+      """.trim
+    ),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -605,5 +663,6 @@ object LlmCatalog {
     stratifiedSample,
     passageClusters,
     subwordTokens,
+    repeatedSegmentsQ,
   )
 }

@@ -166,6 +166,25 @@ class DedupSpec extends SparkSpec {
     assert(exact.forall(_._2 == 1L))
   }
 
+  test("repeatedSegments merges consecutive repeated windows into one run") {
+    val block = (1 to 14).map(i => s"b$i").mkString(" ")  // 14 shared tokens
+    val other = (21 to 32).map(i => s"c$i").mkString(" ") // 12 shared tokens
+    val df = Seq(
+      (1L, s"$block u1 u2 u3 $other"),          // block at pos 1, other at pos 18
+      (2L, s"x1 x2 $block y1 $other z9"),       // block at pos 3, other at pos 18
+      (3L, "totally unrelated words only here alpha beta gamma delta eps zeta"),
+    ).toDF("doc_id", "text")
+    val segs = Dedup.repeatedSegments(df, "doc_id", "text", windowTokens = 10)
+      .orderBy("doc_id", "start_pos")
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    // 14 shared tokens = 5 consecutive 10-token windows = ONE segment
+    // of n_tokens=14; 12 shared = 3 windows, n_tokens=12. Doc 3: none.
+    assert(segs == Seq(
+      (1L, 1, 14, 5), (1L, 18, 12, 3),
+      (2L, 3, 14, 5), (2L, 18, 12, 3),
+    ))
+  }
+
   test("passageEdges builds min-doc stars over shared windows") {
     val passage = (1 to 10).map(i => s"tok$i").mkString(" ")
     val other = (11 to 20).map(i => s"tok$i").mkString(" ")
