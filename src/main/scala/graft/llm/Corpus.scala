@@ -26,6 +26,8 @@ object Corpus {
       textCol: String = "text",
       n: Int = 3,
       threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
   ): DataFrame = {
     val keepers = Dedup.exactKeepers(docs, idCol, textCol)
       .select(col(idCol))
@@ -46,10 +48,46 @@ object Corpus {
     // the shingle table in Dedup.nearDupPairs.
     val kept = docs.join(keepers, Seq(idCol), "left_semi").repartition(col(idCol))
     val nearDrops = Dedup.nearDupDrops(
-      Dedup.nearDupPairs(kept, idCol, textCol, n = n, threshold = threshold))
+      Dedup.nearDupPairs(kept, idCol, textCol, n = n, numHashes = numHashes,
+        bands = bands, threshold = threshold))
       .withColumnRenamed("drop_id", idCol)
     kept
       .join(nearDrops, Seq(idCol), "left_anti")
+      .filter(TextOps.qualityKeep(col(textCol)))
+  }
+
+  /** [[clean]] with TRANSITIVE near-dup semantics: instead of the
+    * greedy drop-every-id_b rule, verified pairs become edges of a
+    * similarity graph, [[Dedup.connectedComponents]] groups them
+    * (fixed `ccIters` rounds), and every doc that is not its
+    * component's min id drops. Differs from [[clean]] exactly on
+    * chains: A~B~C with no A~C edge keeps {A, C} under greedy (C is
+    * never an id_b of A) but only {A} here — the right call when
+    * near-dup means "same underlying content drifting", the wrong one
+    * when similarity is genuinely non-transitive; both semantics stay
+    * available. Costs the CC rounds on the PAIR GRAPH only (pairs are
+    * candidate-verified survivors — vastly smaller than the corpus). */
+  def cleanCC(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      ccIters: Int = 3,
+  ): DataFrame = {
+    val keepers = Dedup.exactKeepers(docs, idCol, textCol)
+      .select(col(idCol))
+    val kept = docs.join(keepers, Seq(idCol), "left_semi").repartition(col(idCol))
+    val pairs = Dedup.nearDupPairs(
+      kept, idCol, textCol, n = n, numHashes = numHashes, bands = bands,
+      threshold = threshold)
+    val drops = Dedup.connectedComponents(pairs, ccIters)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    kept
+      .join(drops, Seq(idCol), "left_anti")
       .filter(TextOps.qualityKeep(col(textCol)))
   }
 }

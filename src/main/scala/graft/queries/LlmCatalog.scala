@@ -281,6 +281,46 @@ object LlmCatalog {
       )"""
   }
 
+  /** Fixed-iteration min-label-propagation rounds `l1..l<iters>` over
+    * CTEs `adj(src, dst)` and `l0(id, lbl)` — the SQL mirror of
+    * [[Dedup.connectedComponents]], shared by q35 and q39. */
+  private def ccRoundsSql(iters: Int): String =
+    (1 to iters).map { t =>
+      s"""l$t AS (
+        SELECT id, MIN(l) AS lbl FROM (
+          SELECT id, lbl AS l FROM l${t - 1}
+          UNION ALL
+          SELECT a.src AS id, l.lbl AS l FROM adj a JOIN l${t - 1} l ON l.id = a.dst
+        ) GROUP BY id
+      )"""
+    }.mkString(",\n      ")
+
+  /** The shared corpus-cleaning oracle frame (q24/q39): exact-dedup
+    * keepers, the LSH chain over them, a caller-supplied `drops` CTE
+    * (greedy vs connected-components — the ONLY difference between the
+    * two queries), and the quality-filter projection. */
+  private def corpusCleanSql(dropsCtes: String): String =
+    s"""
+      WITH kept AS (
+        SELECT d.* FROM documents d
+        JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+          ON d.doc_id = k.doc_id
+      ),
+      ${minhashCtesOver("kept")},
+      $dropsCtes
+      SELECT d.doc_id, d.lang,
+             CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
+      FROM kept d
+      LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+      WHERE dr.doc_id IS NULL
+        AND len(string_split(d.text, ' ')) >= 10
+        AND len(string_split(d.text, ' ')) <= 100000
+        AND CAST(len(regexp_replace(d.text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(d.text, ' ')), 1) AS DOUBLE) >= 2.0
+        AND CAST(len(regexp_replace(d.text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(d.text, ' ')), 1) AS DOUBLE) <= 12.0
+        AND CAST(len(regexp_replace(d.text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(d.text), 1) AS DOUBLE) >= 0.6
+      ORDER BY d.doc_id
+      """.trim
+
   /** The composed corpus-cleaning pipeline (graft.llm.Corpus): exact
     * dedup keepers → near-dup drops (LSH chain over the exact-dedup
     * survivors only, mirroring Corpus.clean's stage order) → quality
@@ -296,30 +336,43 @@ object LlmCatalog {
           TextOps.tokenCount(col("text")).as("n_tokens"),
         )
         .orderBy(col("doc_id")),
-    Some(
-      s"""
-      WITH kept AS (
-        SELECT d.* FROM documents d
-        JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
-          ON d.doc_id = k.doc_id
-      ),
-      ${minhashCtesOver("kept")},
-      drops AS (
+    Some(corpusCleanSql(
+      """drops AS (
         SELECT DISTINCT id_b AS doc_id FROM verified WHERE jaccard >= 0.5
-      )
-      SELECT d.doc_id, d.lang,
-             CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens
-      FROM kept d
-      LEFT JOIN drops dr ON d.doc_id = dr.doc_id
-      WHERE dr.doc_id IS NULL
-        AND len(string_split(d.text, ' ')) >= 10
-        AND len(string_split(d.text, ' ')) <= 100000
-        AND CAST(len(regexp_replace(d.text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(d.text, ' ')), 1) AS DOUBLE) >= 2.0
-        AND CAST(len(regexp_replace(d.text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(d.text, ' ')), 1) AS DOUBLE) <= 12.0
-        AND CAST(len(regexp_replace(d.text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(d.text), 1) AS DOUBLE) >= 0.6
-      ORDER BY d.doc_id
-      """.trim
-    ),
+      )""")),
+  )
+
+  /** q24's transitive twin (graft.llm.Corpus.cleanCC): verified pairs
+    * become similarity-graph edges, three min-label-propagation rounds
+    * group them, and every non-min member of a component drops. Same
+    * oracle frame as q24 with ONLY the drops CTE swapped — the diff
+    * between the two results is exactly the greedy-vs-CC semantics. */
+  val cleanCorpusCC = GraftQuery(
+    "q39_clean_corpus_cc",
+    (s, d) =>
+      graft.llm.Corpus.cleanCC(documents(s, d))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+        )
+        .orderBy(col("doc_id")),
+    Some(corpusCleanSql(
+      s"""edges AS (
+        SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5
+      ),
+      adj AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b, id_a FROM edges
+      ),
+      l0 AS (
+        SELECT DISTINCT src AS id, src AS lbl FROM adj
+      ),
+      ${ccRoundsSql(3)},
+      drops AS (
+        SELECT id AS doc_id FROM l3 WHERE lbl <> id
+      )""")),
   )
 
   /** Embedding-space near-dup mining: cosine ≥ threshold within the
@@ -480,15 +533,7 @@ object LlmCatalog {
         .orderBy(col("doc_id"))
     },
     Some {
-      val rounds = (1 to 3).map { t =>
-        s"""l$t AS (
-        SELECT id, MIN(l) AS lbl FROM (
-          SELECT id, lbl AS l FROM l${t - 1}
-          UNION ALL
-          SELECT a.src AS id, l.lbl AS l FROM adj a JOIN l${t - 1} l ON l.id = a.dst
-        ) GROUP BY id
-      )"""
-      }.mkString(",\n      ")
+      val rounds = ccRoundsSql(3)
       s"""
       WITH ${passageCtes(10)},
       edges AS (
@@ -664,5 +709,6 @@ object LlmCatalog {
     passageClusters,
     subwordTokens,
     repeatedSegmentsQ,
+    cleanCorpusCC,
   )
 }
