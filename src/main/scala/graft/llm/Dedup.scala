@@ -224,8 +224,16 @@ object Dedup {
     *
     * Returns (id, component) for every node incident to an edge. */
   def connectedComponents(pairs: DataFrame, iters: Int): DataFrame = {
+    // `adj` is referenced by every propagation round (and the label
+    // seed); when `pairs` is itself an expensive pipeline (the LSH
+    // chain in cleanCC/q39), an unshared subtree would re-run it once
+    // per round. The repartition makes the whole pair derivation ONE
+    // exchange whose shuffle files every round replays — and `dst` is
+    // the join key each round probes, so the join side arrives
+    // pre-partitioned.
     val adj = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
     var labels = adj.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (_ <- 0 until iters) {

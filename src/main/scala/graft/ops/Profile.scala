@@ -9,32 +9,34 @@ import org.apache.spark.sql.types.DecimalType
   * min/max, and an exact decimal sum (for drift checks between
   * pipeline runs).
   *
-  * Shape: unpivot the measure columns to (col_name, value) pairs, then
-  * aggregate twice. The first aggregate groups by (col_name, value) —
-  * its map-side partial collapses every repeated value BEFORE the one
-  * shuffle, so the shuffle carries at most Σ per-column-distincts rows
-  * regardless of table size. The second (row-per-column) aggregate
-  * derives all five statistics from the (value, count) histogram:
-  * n = Σcnt, nulls = Σcnt over the null group, n_distinct = non-null
-  * group count, min/max over values, sum = Σ value·cnt (decimal-exact).
+  * Shape: one histogram aggregate PER COLUMN on the column's NATIVE
+  * value — `groupBy(c).count` collapses repeats map-side before the
+  * shuffle, then an ungrouped aggregate derives all five statistics
+  * from the (value, count) histogram; the per-column one-row results
+  * union into the profile table. Three properties fall out:
   *
-  * The histogram key is the value cast to DECIMAL(38,18), NOT double:
-  * a double key would silently collapse distinct bigints above 2^53
-  * and round >15-16-significant-digit decimals, corrupting n_distinct
-  * and the "exact" sum. DECIMAL(38,18) holds every int64 (20 integer
-  * digits) and any decimal up to scale 18 exactly; only the min/max
-  * OUTPUT columns are cast to double. Contract limit: values with
-  * |v| ≥ 1e20 or more than 18 fractional digits overflow the key and
-  * profile as null — far past int64/money ranges this engine targets.
+  *   - Exactness for EVERY type with zero casts on the grouping key:
+  *     bigints above 2^53 and high-precision decimals keep their
+  *     distinctness (a double-keyed histogram silently merges them),
+  *     and native doubles group as themselves. Only the OUTPUT min/max
+  *     are cast to double, and the sum goes through DECIMAL(18,2)
+  *     exactly like the oracle.
+  *   - Narrow shuffle keys: a native DECIMAL(≤18,s) is long-backed in
+  *     UnsafeRow — measured ~3x faster than the DECIMAL(38,18)
+  *     common-type key a single unpivoted histogram would need.
+  *   - A row per column even on EMPTY input (n=0, null min/max/sum):
+  *     ungrouped aggregates always emit one row.
   *
-  * This deliberately avoids N×`countDistinct` in a single agg: Spark
-  * plans that via an Expand that replicates every row (N+1)× and
-  * cannot partially aggregate the non-distinct stats until the final
-  * stage — measured 3× slower at sf0.1 and strictly worse at scale.
-  * Exact distinct counting is intrinsically a shuffle of the distinct
-  * sets; this form pays exactly that and nothing more. A 100 TB table
-  * profiles in one scan + one distinct-sized shuffle. (Approx form:
-  * [[Approx]] / q15 uses HLL++ sketches when exactness isn't needed.)
+  * Each column's branch scans ONLY its column (parquet pruning — the
+  * plan shows one `ReadSchema: <c>` scan per branch), so total bytes
+  * read equal one full-width pass; the branches run as independent
+  * stages of one job. This still deliberately avoids N×`countDistinct`
+  * in a single agg: Spark plans that via an Expand that replicates
+  * every row (N+1)× and cannot partially aggregate the non-distinct
+  * stats until the final stage. Exact distinct counting is
+  * intrinsically a shuffle of the distinct sets; this form pays
+  * exactly that and nothing more. (Approx form: [[Approx]] / q15 uses
+  * HLL++ sketches when exactness isn't needed.)
   *
   * Numeric columns only: cross-engine min/max of strings would hinge
   * on collation, and double→string rendering differs between engines;
@@ -43,36 +45,27 @@ import org.apache.spark.sql.types.DecimalType
 object Profile {
 
   private val dec2 = DecimalType(18, 2)
-  private val histKey = DecimalType(38, 18)
 
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val pairs = df.select(explode(array(cols.map { c =>
-      struct(lit(c).as("col_name"), col(c).cast(histKey).as("v"))
-    }: _*)).as("p")).select(col("p.col_name"), col("p.v"))
-    val histogram = pairs
-      .groupBy(col("col_name"), col("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val stats = histogram.groupBy(col("col_name")).agg(
-      sum(col("cnt")).as("n"),
-      sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("nulls"),
-      count(col("v")).as("n_distinct"),
-      min(col("v")).cast("double").as("min_value"),
-      max(col("v")).cast("double").as("max_value"),
-      sum(col("v").cast(dec2) * col("cnt")).cast("double").as("sum_value"),
-    )
-    // An empty input table must still yield one row per requested
-    // column (n=0, null min/max/sum) — the contract a caller diffing
-    // two profile runs relies on. The name table is #cols rows; the
-    // stats side (≤ #cols rows) broadcasts.
-    cols.toDF("col_name").join(stats, Seq("col_name"), "left")
-      .select(
-        col("col_name"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        coalesce(col("nulls"), lit(0L)).as("nulls"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        col("min_value"), col("max_value"), col("sum_value"))
+    cols.map { c =>
+      df.select(col(c).as("v"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(
+          sum(col("cnt")).as("n"),
+          sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("nulls"),
+          count(col("v")).as("n_distinct"),
+          min(col("v")).cast("double").as("min_value"),
+          max(col("v")).cast("double").as("max_value"),
+          sum(col("v").cast(dec2) * col("cnt")).cast("double").as("sum_value"),
+        )
+        .select(
+          lit(c).as("col_name"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          coalesce(col("nulls"), lit(0L)).as("nulls"),
+          col("n_distinct"),
+          col("min_value"), col("max_value"), col("sum_value"))
+    }.reduce(_ unionByName _)
   }
 }

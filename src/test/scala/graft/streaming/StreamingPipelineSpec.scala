@@ -68,6 +68,34 @@ class StreamingPipelineSpec extends SparkSpec {
       .filter(p => p.toString.endsWith("bad.csv")).count() == 1)
   }
 
+  // End-to-end with the manifest-committed sink: the stream's
+  // checkpoint gives at-most-once file intake, the snapshot store's
+  // single-rename commit gives torn-write-free tables — together the
+  // full exactly-once story with a crash-safe warehouse.
+  test("streaming pipeline over the snapshot store: committed, incremental, O(batch)") {
+    val root = tmpDir("graft_stream_snap_")
+    val rawDir = s"$root/raw"
+    Files.createDirectories(Paths.get(rawDir))
+    implicit val s = spark
+    val store = new graft.io.SnapshotBucketedStore(s"$root/warehouse", numBuckets = 8)
+    val pipe = new StreamingSalesPipeline(
+      store, s"$root/lake", s"$root/checkpoint", graft.pipeline.Notifier.Noop)
+    TestSales.writeCsv(s"$rawDir/b1.csv", 8)
+    pipe.drainAvailableNow(spark, rawDir)
+    assert(store.read("sales_tgt").get.count() == 8)
+    TestSales.writeCsv(s"$rawDir/b2.csv", 12) // overlaps 8 uuids, adds 4
+    val run = pipe.drainAvailableNow(spark, rawDir)
+    assert(run.processed.size == 1, run)
+    assert(store.read("sales_tgt").get.count() == 12)
+    assert(store.read("sales").get.count() == 20) // raw log: both appends
+    // target advanced through committed manifest versions, no torn state
+    val manifests = new java.io.File(s"$root/warehouse/sales_tgt").listFiles()
+      .map(_.getName).filter(_.startsWith("manifest-")).sorted
+    assert(manifests.length >= 2 && manifests.forall(_.endsWith(".txt")), manifests.toSeq)
+    store.vacuum("sales_tgt")
+    assert(store.read("sales_tgt").get.count() == 12)
+  }
+
   test("NDJSON stream variant ingests json files") {
     val root = tmpDir("graft_stream_json_")
     val rawDir = s"$root/raw"
