@@ -24,5 +24,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) => graft.expr.DotProduct(exprs(0), exprs(1)),
       )
     )
+    // graft_shingle_hashes(text, n): n must be a literal (it selects
+    // the coefficient family at plan build time)
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_shingle_hashes"),
+        new ExpressionInfo(classOf[graft.expr.ShingleHashes].getName, "graft_shingle_hashes"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2 && exprs(1).foldable,
+            "usage: graft_shingle_hashes(text, <literal n>)")
+          val n = exprs(1).eval().asInstanceOf[Number].intValue()
+          graft.expr.ShingleHashes(
+            exprs(0), n,
+            graft.llm.TextOps.ShingleC.take(n),
+            graft.llm.TextOps.ShingleM)
+        },
+      )
+    )
+    // graft_subword_count(text): greedy longest-match over the frozen
+    // default vocabulary
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_subword_count"),
+        new ExpressionInfo(classOf[graft.expr.SubwordCount].getName, "graft_subword_count"),
+        (exprs: Seq[Expression]) =>
+          graft.expr.SubwordCount(exprs(0), graft.llm.TextOps.SubwordVocab),
+      )
+    )
   }
 }

@@ -369,10 +369,11 @@ object Dedup {
     * segment row (start_pos, n_tokens=300) instead of 291 hash rows.
     *
     * Plan shape: position-preserving window hashes (map-side compiled
-    * loop) → one hash-grain aggregate marks cross-doc repeats → join
-    * back → per-doc gap-grouping (pos − row_number is constant within
-    * a consecutive run) → one aggregate per run. Shuffles carry
-    * (hash, id, pos) triples and the doc-grain window lists — no text.
+    * loop) → cross-doc repeat mark as a window over the hash
+    * (min≠max of doc ids — no aggregate+self-join pass) → per-doc
+    * gap-grouping (pos − row_number is constant within a consecutive
+    * run) → one aggregate per run. Two shuffles total (hash, then
+    * doc), carrying (hash, id, pos) triples — no text.
     * True suffix arrays find arbitrary-length repeats without a fixed
     * w; runs-of-w recover every repeat of length ≥ w at w-token
     * resolution, which is the standard scalable approximation.
@@ -391,14 +392,20 @@ object Dedup {
         col(idCol).as("id"),
         posexplode(windowHashesPositional(col(textCol), windowTokens))
           .as(Seq("pos", "h")))
-      // feeds the repeat aggregate AND the join back: one reused
-      // exchange, aligned for both (the nearDupPairs pattern)
-      .repartition(col("h"))
-    val rep = win.groupBy(col("h"))
-      .agg(countDistinct(col("id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("h"))
-    val marked = win.join(rep, "h").select(col("id"), col("pos"))
+    // The repeat mark is a WINDOW over the hash, not an aggregate +
+    // self-join: "≥2 distinct docs share h" is just min(id) ≠ max(id)
+    // among h's rows (general minDocs falls back to a distinct count
+    // over the same window). One shuffle on h, no join, and no
+    // divergently-pruned second scan of the window-hash subtree —
+    // strictly fewer exchanges than the join form at any scale.
+    val wh = Window.partitionBy(col("h"))
+    val repeated =
+      if (minDocs <= 2) min(col("id")).over(wh) =!= max(col("id")).over(wh)
+      else size(array_distinct(collect_list(col("id")).over(wh))) >= minDocs
+    val marked = win
+      .withColumn("_rep", repeated)
+      .filter(col("_rep"))
+      .select(col("id"), col("pos"))
     val wn = Window.partitionBy(col("id")).orderBy(col("pos"))
     marked
       .withColumn("grp", col("pos") - row_number().over(wn))

@@ -671,11 +671,13 @@ object LlmCatalog {
         SELECT doc_id, u.pos AS pos, u.h AS h
         FROM (SELECT doc_id, unnest(wl) AS u FROM winl)
       ),
-      rep AS (
-        SELECT h FROM winp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
-      ),
       marked AS (
-        SELECT w.doc_id, w.pos FROM winp w JOIN rep USING (h)
+        SELECT doc_id, pos FROM (
+          SELECT doc_id, pos,
+                 MIN(doc_id) OVER (PARTITION BY h) AS mn,
+                 MAX(doc_id) OVER (PARTITION BY h) AS mx
+          FROM winp
+        ) WHERE mn <> mx
       ),
       runs AS (
         SELECT doc_id, pos,

@@ -35,6 +35,15 @@ class SubwordCountSpec extends SparkSpec {
     assert(count("ation", Seq("at")) == 1 + 3)
   }
 
+  test("SQL registration: graft_subword_count / graft_shingle_hashes") {
+    // via GraftExtensions (SparkSpec session enables it)
+    val n = spark.sql("SELECT graft_subword_count('the thing') AS n").head().getInt(0)
+    assert(n == count("the thing")) // same expression, SQL surface
+    val sh = spark.sql("SELECT graft_shingle_hashes('a b c d', 3) AS sh")
+      .head().getSeq[Long](0)
+    assert(sh.length == 2) // two 3-gram windows over four tokens
+  }
+
   test("matches a JVM reference implementation on corpus-like text") {
     val vocab = TextOps.SubwordVocab
     val byFirst = vocab.groupBy(_.head).map { case (c, es) => c -> es.sortBy(-_.length) }

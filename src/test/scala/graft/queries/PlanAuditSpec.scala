@@ -71,4 +71,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") || !p.contains("CartesianProduct"), p.take(500))
     assert(p.contains("HashAggregate"), "signature aggregation should hash-aggregate")
   }
+
+  test("q37 subword counting is pure map-side: compiled expression, no aggregate") {
+    val p = plan(LlmCatalog.subwordTokens)
+    assert(p.contains("graft_subword_count"), "compiled expression should appear in the projection")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      "token counting must not aggregate")
+  }
+
+  // The round-4 exchange-reuse work: multi-consumer subtrees (shingle
+  // tables, kept-frames, CC adjacency) must be computed once and
+  // replayed, not re-executed per consumer. AQE only shows reuse in
+  // the final plan, so execute first.
+  test("corpus/segment/CC queries reuse their shared exchanges") {
+    Seq(LlmCatalog.cleanCorpus, LlmCatalog.cleanCorpusCC)
+      .foreach { q =>
+        val df = q.run(spark, sf)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        // AQE prints reuse either as an explicit Reused node or as the
+        // same materialized query stage id referenced more than once
+        val stageIds = "(?:Shuffle|Broadcast)QueryStage (\\d+)".r
+          .findAllMatchIn(p).map(_.group(1)).toSeq
+        val reused = p.contains("Reused") || stageIds.distinct.size < stageIds.size
+        assert(reused, s"${q.name}: expected reused exchanges\n${p.take(500)}")
+      }
+  }
 }
