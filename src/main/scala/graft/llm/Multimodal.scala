@@ -107,6 +107,67 @@ object Multimodal {
         }
       }
     }
+
+    /** REAL minimal codec — pure-JVM decoders for two actual on-disk
+      * image formats, proving the [[MediaDecoder]] seam against real
+      * bytes without external libraries:
+      *
+      *   - BMP (Windows bitmap): little-endian int32 width/height at
+      *     byte offsets 18/22 of the BITMAPINFOHEADER, bit depth at 28.
+      *   - PGM (netpbm P5): ASCII "P5 <w> <h> <maxval>" header before
+      *     binary payload.
+      *
+      * `features` averages raw payload bytes into `dim` buckets (a
+      * real, if crude, content signature); frame sampling treats a
+      * still image as its own single frame. Anything unrecognized
+      * falls back to header-absent metadata (-1 dims) rather than
+      * throwing — decode errors are data, not crashes, same as the
+      * validation philosophy. */
+    object Minimal extends MediaDecoder {
+      private def le32(b: Array[Byte], off: Int): Int =
+        if (b.length < off + 4) -1
+        else (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+          ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+      private def pgmHeader(b: Array[Byte]): Option[(Int, Int)] = {
+        if (b.length < 2 || b(0) != 'P' || b(1) != '5') return None
+        val s = new String(b, 0, math.min(b.length, 64), java.nio.charset.StandardCharsets.US_ASCII)
+        val nums = "\\d+".r.findAllIn(s.drop(2)).take(2).toSeq
+        if (nums.length == 2) Some((nums(0).toInt, nums(1).toInt)) else None
+      }
+
+      def decode(r: MediaRecord): MediaMeta = {
+        val b = r.bytes
+        if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
+          MediaMeta(r.media_id, "image", le32(b, 18), le32(b, 22),
+            math.max((b(28) & 0xff) / 8, 1), -1, 1, b.length.toLong)
+        else pgmHeader(b) match {
+          case Some((w, h)) =>
+            MediaMeta(r.media_id, "image", w, h, 1, -1, 1, b.length.toLong)
+          case None =>
+            MediaMeta(r.media_id, r.kind, -1, -1, -1, -1, -1, b.length.toLong)
+        }
+      }
+
+      def features(r: MediaRecord, dim: Int): Array[Float] = {
+        val b = r.bytes
+        val out = new Array[Float](dim)
+        val cnt = new Array[Int](dim)
+        var i = 0
+        while (i < b.length) {
+          val k = (i * dim) / math.max(b.length, 1)
+          out(k) += (b(i) & 0xff) / 255.0f
+          cnt(k) += 1
+          i += 1
+        }
+        var j = 0
+        while (j < dim) { if (cnt(j) > 0) out(j) /= cnt(j); j += 1 }
+        out
+      }
+
+      def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] =
+        Iterator.single(Frame(r.media_id, 0, r.bytes))
+    }
   }
 
   /** Decode metadata for every record — per-partition so a real codec

@@ -15,6 +15,36 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.forall(_.byte_len > 0))
   }
 
+  // The Minimal codec decodes REAL formats (bytes we author to spec
+  // here, readable by any image tool): the codec seam is exercised by
+  // an actual decoder, not only the deterministic stub.
+  test("Minimal codec decodes real BMP and PGM bytes through the seam") {
+    import spark.implicits._
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      val size = 54 + rowBytes * h
+      Array[Byte]('B', 'M') ++ le32(size) ++ le32(0) ++ le32(54) ++ // file header
+        le32(40) ++ le32(w) ++ le32(h) ++                            // info header + dims
+        Array[Byte](1, 0, 24, 0) ++ le32(0) ++ le32(rowBytes * h) ++
+        Array.fill(16 + rowBytes * h)(0x7f.toByte)
+    }
+    def pgm(w: Int, h: Int): Array[Byte] =
+      s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ Array.fill(w * h)(0x40.toByte)
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "image", bmp(37, 21), "mem://a.bmp"),
+      MediaRecord(2L, "image", pgm(16, 9), "mem://b.pgm"),
+      MediaRecord(3L, "image", Array[Byte](1, 2, 3), "mem://junk.bin"),
+    ))
+    val meta = decodeMeta(media, MediaDecoder.Minimal).collect().sortBy(_.media_id)
+    assert(meta(0).width == 37 && meta(0).height == 21 && meta(0).channels == 3)
+    assert(meta(1).width == 16 && meta(1).height == 9 && meta(1).channels == 1)
+    assert(meta(2).width == -1 && meta(2).byte_len == 3L, "junk degrades, never throws")
+    // feature extraction over real payloads stays deterministic + bounded
+    val f = extractFeatures(media, dim = 8, MediaDecoder.Minimal).collect()
+    assert(f.length == 3 && f.forall(_.feature.forall(v => v >= 0f && v <= 1f)))
+  }
+
   test("audio kind parses sample_rate, not dims") {
     val meta = decodeMeta(syntheticMedia(spark, 4, "audio")).collect().sortBy(_.media_id)
     assert(meta(0).sample_rate == 16000 && meta(0).width == -1)
