@@ -830,6 +830,57 @@ object Catalog {
     """.trim),
   )
 
+  /** Z-order locality (graft.ops.ZOrder): Morton-interleave customer
+    * and day-number into one curve position and profile each coarse
+    * z-cell's bounding box — the layout primitive behind
+    * multi-dimensional zone-map pruning (each cell's min/max show a
+    * narrow range in BOTH dims at once, which is what lets a writer
+    * clustered this way skip files on either predicate). Pure integer
+    * bit arithmetic; the oracle recomputes the interleave
+    * digit-for-digit. */
+  val zorderCells = GraftQuery(
+    "q40_zorder_cells",
+    (s, d) => {
+      val pts = orders(s, d).select(
+        pmod(col("o_custkey"), lit(1024L)).as("x"),
+        pmod(datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+          .cast("long"), lit(1024L)).as("y"),
+      )
+      pts
+        .withColumn("zv", graft.ops.ZOrder.zValue(Seq(col("x"), col("y")), 10))
+        .select(expr("zv div 4096").as("zcell"), col("x"), col("y"))
+        .groupBy(col("zcell"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"),
+        )
+        .orderBy(col("zcell"))
+    },
+    Some {
+      val zterms = (0 until 10).flatMap(i =>
+        Seq(s"(((x >> $i) & 1) << ${2 * i})", s"(((y >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" + ")
+      s"""
+      WITH pts AS (
+        SELECT o_custkey % 1024 AS x,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) % 1024 AS y
+        FROM orders
+      ),
+      z AS (
+        SELECT x, y, ($zterms) AS zv FROM pts
+      )
+      SELECT zv // 4096 AS zcell,
+             COUNT(*) AS cnt,
+             MIN(x) AS min_x, MAX(x) AS max_x,
+             MIN(y) AS min_y, MAX(y) AS max_y
+      FROM z
+      GROUP BY zcell
+      ORDER BY zcell
+      """.trim
+    },
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -858,6 +909,7 @@ object Catalog {
     rangeJoinPromos,
     profileLineitem,
     rangeFrame,
+    zorderCells,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
