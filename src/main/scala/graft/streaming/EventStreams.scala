@@ -61,6 +61,29 @@ object EventStreams {
         col("sum_value"),
       )
 
+  /** Streaming exact deduplication on `event_id` with watermark-
+    * bounded state — the intake-side dedup an LLM event/data feed
+    * needs when the transport is at-least-once (retried producers,
+    * replayed partitions): the first arrival of an id wins, duplicates
+    * arriving within `watermarkDelay` of the event time are dropped,
+    * and the engine evicts an id's state once the watermark passes it.
+    * That eviction is the contract's honest edge: a duplicate arriving
+    * LATER than the watermark delay is no longer detectable — the
+    * standard bounded-state trade (unbounded streaming dedup is
+    * unbounded state; the batch exact-dedup operators cover full-
+    * history semantics). Uses the engine's own
+    * `dropDuplicatesWithinWatermark` so state bookkeeping rides the
+    * streaming aggregation machinery, one shuffle on the id. */
+  def dedupeStream(
+      events: DataFrame,
+      tsCol: String = "ts",
+      idCols: Seq[String] = Seq("event_id"),
+      watermarkDelay: String = "1 hour",
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Gap-based sessionization via `flatMapGroupsWithState`: one state
     * entry per user holding the open session; events extend it while
     * gaps stay under `gapMs`, otherwise the closed session is emitted

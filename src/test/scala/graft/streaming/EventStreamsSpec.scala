@@ -38,6 +38,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupeStream drops within-watermark duplicates across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val deduped = EventStreams.dedupeStream(
+      input.toDF().withColumn("ts", timestamp_millis($"ts")),
+      watermarkDelay = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, B, 1, "click", 1.0),
+        Event(1, B, 1, "click", 1.0),        // same-batch duplicate
+        Event(2, B + 1000, 2, "view", 2.0))
+      q.processAllAvailable()
+      // cross-batch duplicate of id 1 (at-least-once transport replay)
+      input.addData(
+        Event(1, B + 2000, 1, "click", 1.0),
+        Event(3, B + 3000, 3, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), ids.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionize: gap splits sessions, state flushes on later events") {
     val spark2 = spark
     import spark2.implicits._
