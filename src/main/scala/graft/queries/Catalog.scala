@@ -881,6 +881,39 @@ object Catalog {
     },
   )
 
+  /** §2.8 completion: arbitrary GROUPING SETS — the general form that
+    * cube (q22, all 2^n sets) and rollup (q16, the hierarchy) are
+    * special cases of; here a hand-picked lattice ((prio, status),
+    * (prio), ()) that neither shorthand expresses. Runs through the
+    * engine's SQL surface (spark.sql over a temp view) — one Expand
+    * pass, same decimal-exact money mirroring as q22. */
+  val groupingSets = GraftQuery(
+    "q41_grouping_sets",
+    (s, d) => {
+      orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql("""
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_prio, g_status,
+                 o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+      """)
+    },
+    Some("""
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+             CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_prio, g_status,
+               o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -910,6 +943,7 @@ object Catalog {
     profileLineitem,
     rangeFrame,
     zorderCells,
+    groupingSets,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
