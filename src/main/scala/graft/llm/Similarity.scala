@@ -136,10 +136,12 @@ object Similarity {
   }
 
   /** ANN top-k via multi-probe sign-LSH: candidates share the query's
-    * bucket OR any bucket at Hamming distance ≤ `probes` bit flips
-    * (standard multi-probe LSH — near misses on one hyperplane are the
-    * dominant recall loss, so probing adjacent buckets buys recall for
-    * a (1+numPlanes)× candidate factor instead of more tables).
+    * bucket OR any bucket within `probes` bit flips (standard
+    * multi-probe LSH — near misses on one hyperplane are the dominant
+    * recall loss, so probing adjacent buckets buys recall instead of
+    * more tables). `probes = 1` costs a (1+n)× query fan-out,
+    * `probes = 2` adds the n·(n−1)/2 two-flip buckets for the recall
+    * tail (points near the intersection of two hyperplanes).
     * Only the QUERY side fans out (explode of probe keys); the corpus
     * keeps one row per vector, and the join stays an equi-join on the
     * bucket key — never a cross product. At 100 TB: corpus bucketed
@@ -157,10 +159,15 @@ object Similarity {
   ): DataFrame = {
     val v = withNorm(df, idCol, embCol)
       .withColumn("bucket", lshBuckets(col("e"), dim, numPlanes))
-    // probe keys: own bucket + one-bit flips (hamming ≤ probes·1)
-    val flips: Seq[Column] =
-      lit(0L) +: (if (probes >= 1) (0 until numPlanes).map(p => shiftleft(lit(1L), p): Column)
-                  else Seq.empty[Column])
+    // probe masks: own bucket, one-bit flips, then two-bit flips
+    val oneFlips: Seq[Long] =
+      if (probes >= 1) (0 until numPlanes).map(p => 1L << p) else Nil
+    val twoFlips: Seq[Long] =
+      if (probes >= 2)
+        for { p1 <- 0 until numPlanes; p2 <- (p1 + 1) until numPlanes }
+          yield (1L << p1) | (1L << p2)
+      else Nil
+    val flips: Seq[Column] = (0L +: (oneFlips ++ twoFlips)).map(lit(_): Column)
     val q = v.filter(queryPred)
       .withColumnsRenamed(
         Map("id" -> "query_id", "e" -> "qe", "nrm" -> "qn", "bucket" -> "q_bucket"))

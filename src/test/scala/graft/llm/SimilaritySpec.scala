@@ -52,6 +52,17 @@ class SimilaritySpec extends SparkSpec {
     val recall = (ann & brute).size.toDouble / brute.size
     assert(recall > 0.3, s"ANN recall $recall vs brute ${brute.size} pairs")
     assert(ann.nonEmpty)
+    // hamming-2 probing recovers the two-hyperplane-intersection tail:
+    // recall must be monotone in probes, and with 2 flips over 4 planes
+    // (11/16 of the space probed) it should approach brute force
+    val ann2 = Similarity.annTopK(
+      emb, "vec_id", "embedding", dim = 64, numPlanes = 4, k = k,
+      queryPred = pred, probes = 2)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall2 = (ann2 & brute).size.toDouble / brute.size
+    assert(recall2 >= recall, s"probes=2 recall $recall2 < probes=1 $recall")
+    assert(recall2 > 0.6, s"hamming-2 recall $recall2")
   }
 
   test("ANN plan contains no cartesian product") {
