@@ -33,6 +33,35 @@ object Approx {
       lit(accuracy),
     )
 
+  /** Mergeable distinct-count sketches (Apache DataSketches HLL via
+    * the built-in `hll_*` functions) — the REAGGREGATABLE form
+    * `approx_count_distinct` cannot give you: that one returns a
+    * number, these return the sketch itself as bytes, and sketches
+    * union associatively. The pattern that matters at 100 TB:
+    * materialize ONE fine-grained sketch table (per day × key), then
+    * answer distinct counts over ANY coarser slice — any date range,
+    * any key subset — by unioning the stored sketches instead of
+    * rescanning raw data. A year of daily sketches reaggregates in
+    * milliseconds; the raw-scan alternative is a year-long table
+    * pass per question. */
+  def hllSketch(c: Column, lgK: Int = 12): Column = hll_sketch_agg(c, lgK)
+  def hllMerge(sketch: Column): Column = hll_union_agg(sketch, false)
+  def hllEstimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** The fine-grained sketch table: per `fineKeys`, an HLL sketch of
+    * `c` (binary column `sketch`). Write this once per batch/day. */
+  def preaggDistinct(df: DataFrame, fineKeys: Seq[String], c: String, lgK: Int = 12): DataFrame =
+    df.groupBy(fineKeys.map(col): _*)
+      .agg(hllSketch(col(c), lgK).as("sketch"))
+
+  /** Answer a coarser question from the sketch table: union the
+    * stored sketches per `coarseKeys` and estimate. Input is the
+    * OUTPUT of [[preaggDistinct]] (optionally filtered), never raw
+    * data. */
+  def reaggregateDistinct(sketches: DataFrame, coarseKeys: Seq[String]): DataFrame =
+    sketches.groupBy(coarseKeys.map(col): _*)
+      .agg(hllEstimate(hllMerge(col("sketch"))).as("approx_distinct"))
+
   /** Rollup: per `groupCols`, approx distinct of `distinctCol` and
     * approx percentiles of `valueCol`. One shuffle, sketch-sized. */
   def rollup(

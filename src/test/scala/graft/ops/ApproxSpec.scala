@@ -16,6 +16,28 @@ class ApproxSpec extends SparkSpec {
     assert(err < 0.15, s"approx=$approx exact=$exact err=$err")
   }
 
+  // The reaggregation property that makes sketch tables worth storing:
+  // union of per-day sketches answers the all-time question without
+  // touching raw data, within sketch error of the exact answer.
+  test("stored HLL sketches reaggregate across fine groups") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("day", expr("ts div 86400000000000"))
+    // fine sketch table: per (event_type, day)
+    val sketchTable = Approx.preaggDistinct(events, Seq("event_type", "day"), "user_id")
+    assert(sketchTable.columns.toSeq == Seq("event_type", "day", "sketch"))
+    // coarse question answered from sketches only: per-type all-time
+    val est = Approx.reaggregateDistinct(sketchTable, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(est(k) - ex).toDouble / math.max(ex, 1L)
+      assert(err < 0.1, s"$k: est=${est(k)} exact=$ex err=$err")
+    }
+  }
+
   test("approx percentiles bracket the exact ones") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val Seq(p50a, p95a) = events
