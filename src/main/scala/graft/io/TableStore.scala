@@ -334,6 +334,56 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
       prev.map(_.buckets).getOrElse(Map.empty) ++ newBuckets, Nil))
   }
 
+  /** Keyed row deletion — the right-to-be-forgotten path a 100 TB
+    * training-data warehouse needs: rewrite ONLY the buckets
+    * containing the doomed keys (O(touched), same discipline as
+    * upsert) and commit atomically, so a crash mid-delete leaves the
+    * previous complete snapshot, never a half-deleted table. The
+    * deleted rows physically persist in superseded generation dirs
+    * until [[vacuum]] — run vacuum after delete when the point is
+    * physical erasure, not just logical. `keys` is a one-column frame
+    * of key values (broadcast into the anti-join). */
+  def delete(name: String, keyCol: String, keys: DataFrame)(implicit s: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.col
+    val prev = latestManifest(name)
+    require(prev.forall(_.logs.isEmpty),
+      s"$name has append-log generations; keyed delete targets bucketed tables")
+    if (prev.isEmpty) return
+    val v = prev.get.version + 1
+    val keyFrame = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+    val touched = withBucket(keyFrame, keyCol)
+      .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
+    val touchedDirs = touched.flatMap(b =>
+      prev.get.buckets.get(b).map(b -> _))
+    if (touchedDirs.isEmpty) return
+    val existing = s.read.parquet(
+      touchedDirs.map(d => new Path(tableDir(name), d._2).toString): _*)
+    val remaining = withBucket(
+      existing.join(
+        org.apache.spark.sql.functions.broadcast(keyFrame), Seq(keyCol), "left_anti"),
+      keyCol)
+    val stage = new Path(tableDir(name), s"stage-$v")
+    val f = fs(stage)
+    remaining.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(stage.toString)
+    f.mkdirs(new Path(tableDir(name), "data"))
+    // a touched bucket may become empty (every row deleted): it then
+    // has no staged dir and simply drops out of the manifest
+    val newBuckets = touchedDirs.flatMap { case (b, _) =>
+      val src = new Path(stage, s"$BucketCol=$b")
+      if (f.exists(src)) {
+        val rel = s"data/b$b-g$v"
+        val dst = new Path(tableDir(name), rel)
+        if (f.exists(dst)) f.delete(dst, true)
+        if (!f.rename(src, dst))
+          throw new java.io.IOException(s"bucket move failed: $src -> $dst")
+        Some(b -> rel)
+      } else None
+    }.toMap
+    f.delete(stage, true)
+    commit(name, Manifest(v,
+      prev.get.buckets -- touchedDirs.map(_._1) ++ newBuckets, Nil))
+  }
+
   /** Garbage collection: delete data dirs not referenced by the LATEST
     * manifest, and superseded manifests. Safe to run any time after a
     * crash or a commit (single-writer); long-running readers of older

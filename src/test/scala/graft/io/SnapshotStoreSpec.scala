@@ -92,6 +92,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.read("t").get.count() == 25)
   }
 
+  test("keyed delete rewrites only touched buckets, commits atomically, vacuums away") {
+    val root = tmpDir("graft_snap_del_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 8)
+    store.upsert("t", rows(0 until 200, "a"), "uuid")
+    val doomed = Seq(5L, 17L, 99L).toDF("uuid")
+    store.delete("t", "uuid", doomed)
+    val left = store.read("t").get
+    assert(left.count() == 197)
+    assert(left.filter($"uuid".isin(5L, 17L, 99L)).count() == 0)
+    // untouched buckets kept their g0 generation (no full rewrite)
+    val dataDirs = new File(s"$root/t/data").listFiles().map(_.getName).toSet
+    assert(dataDirs.exists(_.endsWith("-g0")) && dataDirs.exists(_.endsWith("-g1")))
+    assert(dataDirs.count(_.endsWith("-g1")) < 8, s"delete must not rewrite all buckets: $dataDirs")
+    // physical erasure after vacuum: no superseded generation remains
+    store.vacuum("t")
+    val after = new File(s"$root/t/data").listFiles().map(_.getName).toSet
+    assert(after.size == 8, s"one live dir per bucket expected: $after")
+    assert(store.read("t").get.count() == 197)
+    // deleting every row of some bucket drops it from the manifest
+    store.delete("t", "uuid", (0 until 200).map(_.toLong).toDF("uuid"))
+    assert(store.read("t").isEmpty || store.read("t").get.count() == 0)
+  }
+
   test("missing table reads as None") {
     val root = tmpDir("graft_snap_none_")
     implicit val s = spark
