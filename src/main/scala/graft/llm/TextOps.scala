@@ -175,6 +175,31 @@ object TextOps {
     spark.read.textFile(path).collect().toSeq
       .map(_.trim).filter(_.nonEmpty).distinct
 
+  /** PII redaction for training corpora — the standard pre-training
+    * scrub: emails, phone-number-shaped digit runs, and IPv4 literals
+    * are replaced with typed placeholder tokens (so downstream token
+    * statistics stay stable and the redaction is auditable by
+    * counting placeholders). Pure `regexp_replace` chain — map-side,
+    * codegen'd, zero shuffle. Patterns are deliberately conservative
+    * (precision over recall): a corpus scrubber that eats prose is
+    * worse than one that misses an exotic phone format. No DuckDB
+    * oracle — regex dialects differ across engines by design; exact
+    * behavior is pinned in TextOpsSpec instead. */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    // 7+ digits optionally broken by short separator runs (") " after
+    // an area code is two chars), not embedded in a larger word/number
+    // (phone-shaped; plain long digit ids also match — by intent,
+    // ids are PII-adjacent)
+    val phone = "(?<![\\w.])\\+?\\d(?:[\\s().-]{0,2}\\d){6,14}(?![\\w.])"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "[EMAIL]"),
+        ipv4, "[IP]"),
+      phone, "[PHONE]")
+  }
+
   /** Production-speed 64-bit hash (no cross-engine mirror). */
   def hash64(s: Column): Column = xxhash64(s)
 

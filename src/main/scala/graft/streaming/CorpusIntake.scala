@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.llm.TextOps
+
+/** Streaming training-corpus intake — the LLM-side twin of
+  * [[StreamingSalesPipeline]]: documents arrive continuously and each
+  * micro-batch flows through
+  *
+  *   content-fingerprint dedup (watermark-bounded, first arrival
+  *   wins — the at-least-once transport guard at the 60-bit content
+  *   grain, so a re-sent or re-crawled identical document is dropped
+  *   on intake)
+  *     → PII scrub ([[TextOps.redactPii]])
+  *     → quality gate ([[TextOps.qualityKeep]])
+  *     → atomic append to a [[graft.io.TableStore]]
+  *
+  * Everything before the sink is map-side except the dedup's id-state
+  * shuffle; with a [[graft.io.SnapshotBucketedStore]] sink each batch
+  * commit is a single manifest rename, so a crash mid-drain leaves the
+  * previous complete corpus snapshot. Intake dedup is TRANSPORT-level
+  * (exact content, bounded state); the full-history batch operators
+  * ([[graft.llm.Dedup]], [[graft.llm.Corpus]]) remain the periodic
+  * compaction pass that catches near-dups and cross-watermark dups.
+  */
+object CorpusIntake {
+
+  /** The pure streaming transform (source- and sink-agnostic; also
+    * runs on batch frames via Spark's unified API — minus the
+    * within-watermark dedup, which is streaming-only). */
+  def transform(
+      docs: DataFrame,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermarkDelay: String = "1 hour",
+  ): DataFrame =
+    docs
+      .withColumn("_fp", TextOps.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .withColumn(textCol, TextOps.redactPii(col(textCol)))
+      .filter(TextOps.qualityKeep(col(textCol)))
+      .drop("_fp")
+
+  /** Drain everything currently available into `store` table `table`
+    * (AvailableNow — the batch-drain run mode), committing per
+    * micro-batch. Returns when the drain finishes. */
+  def drainTo(
+      docs: DataFrame,
+      store: graft.io.TableStore,
+      table: String,
+      checkpoint: String,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermarkDelay: String = "1 hour",
+  ): Unit = {
+    val q = transform(docs, tsCol, textCol, watermarkDelay).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        store.append(table, batch)
+      }
+      .start()
+    q.awaitTermination()
+  }
+}

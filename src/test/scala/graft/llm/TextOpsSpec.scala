@@ -94,4 +94,20 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet
     assert(entries == Set((1L, "k", "7"), (1L, "m", "x")))
   }
+
+  test("redactPii scrubs emails, phones, IPs; leaves prose and small numbers") {
+    import spark.implicits._
+    def red(t: String): String =
+      Seq(t).toDF("t").select(TextOps.redactPii($"t").as("r")).head().getString(0)
+    assert(red("contact bob.smith+x@corp.example.co for access") ==
+      "contact [EMAIL] for access")
+    assert(red("call +1 (555) 123-4567 today") == "call [PHONE] today")
+    assert(red("node at 192.168.0.17 is down") == "node at [IP] is down")
+    assert(red("order 8274619305 shipped") == "order [PHONE] shipped") // long ids redact by intent
+    assert(red("we sold 42 units in 2024") == "we sold 42 units in 2024")
+    assert(red("version 3.14.15 unchanged") == "version 3.14.15 unchanged")
+    // auditable: placeholder count equals redaction count
+    val mixed = "a@b.io then 10.0.0.1 then +44 20 7946 0958 end"
+    assert(red(mixed) == "[EMAIL] then [IP] then [PHONE] end")
+  }
 }
