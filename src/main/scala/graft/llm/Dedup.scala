@@ -231,12 +231,18 @@ object Dedup {
     // exchange whose shuffle files every round replays — and `dst` is
     // the join key each round probes, so the join side arrives
     // pre-partitioned.
+    require(iters >= 1, "at least one propagation round")
     val adj = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(col("dst"))
-    var labels = adj.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-    for (_ <- 0 until iters) {
+    // Round 1 fuses the identity-label seed with the first
+    // propagation: lbl(v) = min(v, min of v's neighbors) is ONE
+    // aggregate over the adjacency — no separate distinct-nodes pass
+    // or label join for the first round.
+    var labels = adj.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .withColumnRenamed("src", "id")
+    for (_ <- 1 until iters) {
       val fromNeighbors = adj
         .join(labels.withColumnsRenamed(Map("id" -> "dst", "lbl" -> "l")), "dst")
         .select(col("src").as("id"), col("l"))
