@@ -267,7 +267,11 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
   override def read(name: String): Option[DataFrame] =
     latestManifest(name).flatMap { m =>
       val all = dirsOf(name, m, m.buckets.values) ++ dirsOf(name, m, m.logs)
-      if (all.isEmpty) None else Some(spark.read.parquet(all: _*))
+      // generations may differ in schema after a widening upsert —
+      // mergeSchema unions the footers (old-generation rows read null
+      // in later-added columns)
+      if (all.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true").parquet(all: _*))
     }
 
   /** K2 append as a committed log generation: new dir + new manifest. */
@@ -310,7 +314,7 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
     val existing =
       if (existingDirs.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
-      else s.read.parquet(existingDirs: _*)
+      else s.read.option("mergeSchema", "true").parquet(existingDirs: _*)
     val merged = withBucket(graft.ops.Upsert.upsert(existing, incoming, key), key)
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(stage.toString)
     // move each staged bucket dir to its immutable generation home

@@ -36,7 +36,13 @@ object Upsert {
     * the same key; within incoming, `ordinalInBatch` decides (defaults
     * to a constant, i.e. "any incoming row", which is only safe when
     * the batch itself is key-unique — the validator guarantees that).
-    */
+    *
+    * Schema widening is allowed (`allowMissingColumns`): a batch that
+    * ADDS a column upserts cleanly, existing rows carry null in the
+    * new column — the standard lake evolution contract. A batch that
+    * silently DROPS columns also unions (its rows get nulls), which
+    * keepLast then propagates for replaced keys; stores guard against
+    * that where it matters. */
   def upsert(
       existing: DataFrame,
       incoming: DataFrame,
@@ -45,7 +51,9 @@ object Upsert {
   ): DataFrame = {
     val rank = ordinalInBatch.getOrElse(lit(0L))
     val tagged = existing.withColumn("_graft_src", lit(0L)).withColumn("_graft_ord", lit(0L))
-      .unionByName(incoming.withColumn("_graft_src", lit(1L)).withColumn("_graft_ord", rank.cast("long")))
+      .unionByName(
+        incoming.withColumn("_graft_src", lit(1L)).withColumn("_graft_ord", rank.cast("long")),
+        allowMissingColumns = true)
     keepLast(tagged, Seq(key), struct(col("_graft_src"), col("_graft_ord")))
       .drop("_graft_src", "_graft_ord")
   }

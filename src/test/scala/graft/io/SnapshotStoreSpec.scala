@@ -116,6 +116,23 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.read("t").isEmpty || store.read("t").get.count() == 0)
   }
 
+  test("schema widening: a batch adding a column upserts and reads across generations") {
+    val root = tmpDir("graft_snap_evo_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", rows(0 until 50, "a"), "uuid")
+    // widened batch: adds a `src` column, touches a few keys
+    val widened = (48 until 53)
+      .map(i => (i.toLong, "b", i * 1.5, "feed-2")).toDF("uuid", "val", "m", "src")
+    store.upsert("t", widened, "uuid")
+    val table = store.read("t").get
+    assert(table.columns.contains("src"))
+    assert(table.count() == 53)
+    // new rows carry the new column; untouched old-generation rows read null
+    assert(table.filter($"uuid" === 50L).select("src").as[String].head() == "feed-2")
+    assert(table.filter($"uuid" === 0L).select("src").head().isNullAt(0))
+  }
+
   test("missing table reads as None") {
     val root = tmpDir("graft_snap_none_")
     implicit val s = spark
