@@ -914,6 +914,65 @@ object Catalog {
     """.trim),
   )
 
+  /** MERGE INTO semantics (graft.ops.MergeInto): customer balances
+    * merged with per-customer order deltas — matched rows update the
+    * balance (decimal-exact), hyperactive matched customers delete,
+    * source-only keys (odd custkeys shifted out of the target domain,
+    * so all four MERGE paths fire on real data) insert as NEW
+    * segment, untouched customers pass through. One full-outer join +
+    * CASE projection; the oracle is the same relational expansion. */
+  val mergeBalances = GraftQuery(
+    "q42_merge_into",
+    (s, d) => {
+      import graft.ops.MergeInto
+      val tgt = customer(s, d).select(
+        col("c_custkey").as("custkey"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        col("c_mktsegment").as("seg"))
+      val srcDf = orders(s, d)
+        .groupBy(
+          when(col("o_custkey") % 2 === 1, col("o_custkey") + 2000)
+            .otherwise(col("o_custkey")).as("custkey"))
+        .agg(dsum(col("o_totalprice")).as("delta"), count(lit(1)).as("n_orders"))
+      MergeInto.merge(
+        tgt, srcDf, "custkey",
+        updateSet = Map("acctbal" ->
+          (col("acctbal").cast(dec2) + MergeInto.src("delta").cast(dec2)).cast("double")),
+        deleteWhen = Some(MergeInto.src("n_orders") >= 30),
+        insertSet = Map(
+          "custkey" -> MergeInto.src("custkey"),
+          "acctbal" -> MergeInto.src("delta"),
+          "seg" -> lit("NEW")),
+      ).orderBy(col("custkey"))
+    },
+    Some("""
+      WITH tgt AS (
+        SELECT c_custkey AS custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+               c_mktsegment AS seg
+        FROM customer
+      ),
+      src AS (
+        SELECT CASE WHEN o_custkey % 2 = 1 THEN o_custkey + 2000 ELSE o_custkey END AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS delta,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+      ),
+      j AS (
+        SELECT t.custkey AS tk, t.acctbal, t.seg, s.custkey AS sk, s.delta, s.n_orders
+        FROM tgt t FULL JOIN src s ON t.custkey = s.custkey
+      )
+      SELECT COALESCE(tk, sk) AS custkey,
+             CASE WHEN tk IS NOT NULL AND sk IS NOT NULL
+                  THEN CAST(CAST(acctbal AS DECIMAL(18,2)) + CAST(delta AS DECIMAL(18,2)) AS DOUBLE)
+                  WHEN tk IS NULL THEN delta
+                  ELSE acctbal END AS acctbal,
+             CASE WHEN tk IS NULL THEN 'NEW' ELSE seg END AS seg
+      FROM j
+      WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND n_orders >= 30)
+      ORDER BY custkey
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -944,6 +1003,7 @@ object Catalog {
     rangeFrame,
     zorderCells,
     groupingSets,
+    mergeBalances,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
