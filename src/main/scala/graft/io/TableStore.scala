@@ -218,6 +218,22 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
 
   private val ManifestName = "manifest-(\\d+)\\.txt".r
 
+  private def manifestAt(name: String, v: Int): Option[Manifest] = {
+    val dir = tableDir(name)
+    val f = fs(dir)
+    val p = new Path(dir, s"manifest-$v.txt")
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val entries = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    val buckets = entries.collect { case s if s.startsWith("bucket:") =>
+      val Array(b, d) = s.stripPrefix("bucket:").split("=", 2)
+      b.toLong -> d
+    }.toMap
+    val logs = entries.collect { case s if s.startsWith("log:") => s.stripPrefix("log:") }
+    Some(Manifest(v, buckets, logs))
+  }
+
   private def latestManifest(name: String): Option[Manifest] = {
     val dir = tableDir(name)
     val f = fs(dir)
@@ -227,16 +243,7 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
       case _ => None
     })
     if (versions.isEmpty) return None
-    val v = versions.max
-    val in = f.open(new Path(dir, s"manifest-$v.txt"))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val entries = text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    val buckets = entries.collect { case s if s.startsWith("bucket:") =>
-      val Array(b, d) = s.stripPrefix("bucket:").split("=", 2)
-      b.toLong -> d
-    }.toMap
-    val logs = entries.collect { case s if s.startsWith("log:") => s.stripPrefix("log:") }
-    Some(Manifest(v, buckets, logs))
+    manifestAt(name, versions.max)
   }
 
   /** Test seam: crash-injection tests override this to die after data
@@ -388,18 +395,26 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
       prev.get.buckets -- touchedDirs.map(_._1) ++ newBuckets, Nil))
   }
 
-  /** Garbage collection: delete data dirs not referenced by the LATEST
-    * manifest, and superseded manifests. Safe to run any time after a
-    * crash or a commit (single-writer); long-running readers of older
-    * snapshots need a retention delay before vacuuming, as in any
-    * snapshot store. */
-  def vacuum(name: String): Unit = {
+  /** Garbage collection: delete data dirs not referenced by any of the
+    * `retainSnapshots` newest manifests, and older manifests. The
+    * retention window is the concurrency contract: a reader holding a
+    * snapshot no older than `retainSnapshots` commits is never broken
+    * by a vacuum (default 1 = only the current snapshot is protected —
+    * fine for the single-process case, raise it when long scans
+    * overlap commits). Safe to run any time after a crash or a commit
+    * (single-writer). Note keyed [[delete]] only physically erases
+    * once vacuum reclaims the superseded generations. */
+  def vacuum(name: String, retainSnapshots: Int = 1): Unit = {
+    require(retainSnapshots >= 1, "must retain at least the current snapshot")
     latestManifest(name).foreach { m =>
       val dir = tableDir(name)
       val f = fs(dir)
+      val keepFrom = m.version - (retainSnapshots - 1)
+      val retained = (keepFrom to m.version).flatMap(manifestAt(name, _))
       // qualify both sides — listStatus returns scheme-qualified paths
       // (file:/...), a bare string compare would mark everything dead
-      val live = (m.buckets.values ++ m.logs)
+      val live = retained
+        .flatMap(r => r.buckets.values ++ r.logs)
         .map(d => f.makeQualified(new Path(dir, d)).toString).toSet
       val dataDir = new Path(dir, "data")
       if (f.exists(dataDir))
@@ -407,7 +422,7 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
           if (!live.contains(st.getPath.toString)) f.delete(st.getPath, true)
         }
       f.listStatus(dir).foreach(st => st.getPath.getName match {
-        case ManifestName(n) if n.toInt < m.version => f.delete(st.getPath, false)
+        case ManifestName(n) if n.toInt < keepFrom => f.delete(st.getPath, false)
         case n if n.startsWith("stage-") || n.endsWith(".tmp") => f.delete(st.getPath, true)
         case _ => ()
       })

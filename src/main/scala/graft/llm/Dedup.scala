@@ -254,6 +254,49 @@ object Dedup {
     labels.withColumnRenamed("lbl", "component")
   }
 
+  /** Production variant of [[connectedComponents]]: propagate until a
+    * FIXED POINT instead of a fixed round count — exact for any
+    * component diameter, at the price of a data-dependent round count
+    * (so no SQL oracle can mirror it; the fixed-round form remains the
+    * cross-engine-checked one, and ConvergedCcSpec pins their
+    * agreement whenever iters covers the diameter).
+    *
+    * Each round runs one driver-side action anyway (the convergence
+    * count), so labels are `localCheckpoint`ed per round: the action
+    * materializes the round AND truncates the otherwise quadratically
+    * regrowing plan lineage — the standard discipline for iterative
+    * DataFrame algorithms. Still O(diameter) rounds; for adversarial
+    * long chains the O(log n) star-contraction family applies, but
+    * near-dup/boilerplate graphs converge in a handful of rounds. */
+  def connectedComponentsConverged(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val adj = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .repartition(col("dst"))
+    var labels = adj.groupBy(col("src"))
+      .agg(least(col("src"), min(col("dst"))).as("lbl"))
+      .withColumnRenamed("src", "id")
+      .localCheckpoint()
+    var round = 1
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = labels.select(col("id"), col("lbl").as("l"))
+        .union(
+          adj.join(labels.withColumnsRenamed(Map("id" -> "dst", "lbl" -> "l")), "dst")
+            .select(col("src").as("id"), col("l")))
+        .groupBy(col("id"))
+        .agg(min(col("l")).as("lbl"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.id") === col("p.id"))
+        .filter(col("n.lbl") =!= col("p.lbl"))
+        .count()
+      labels = next
+      round += 1
+      converged = changed == 0
+    }
+    labels.withColumnRenamed("lbl", "component")
+  }
+
   /** Star edges of the passage-sharing graph: for every passage window
     * repeated across docs ([[repeatedPassages]] semantics), an edge
     * from the passage's min doc to each other doc containing it.

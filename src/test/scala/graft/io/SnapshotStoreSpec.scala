@@ -133,6 +133,25 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(table.filter($"uuid" === 0L).select("src").head().isNullAt(0))
   }
 
+  test("vacuum retention window protects recent snapshots") {
+    val root = tmpDir("graft_snap_ret_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", rows(0 until 40, "a"), "uuid")   // v0
+    store.upsert("t", rows(0 until 10, "b"), "uuid")   // v1
+    store.upsert("t", rows(10 until 20, "c"), "uuid")  // v2
+    store.vacuum("t", retainSnapshots = 2)
+    val manifests = new File(s"$root/t").listFiles().map(_.getName)
+      .filter(_.startsWith("manifest-")).sorted
+    assert(manifests.toSeq == Seq("manifest-1.txt", "manifest-2.txt"), manifests.toSeq)
+    // v1's generations survive even where v2 superseded them
+    assert(store.read("t").get.count() == 40)
+    store.vacuum("t") // default: current only
+    assert(new File(s"$root/t").listFiles().map(_.getName)
+      .count(_.startsWith("manifest-")) == 1)
+    assert(store.read("t").get.count() == 40)
+  }
+
   test("missing table reads as None") {
     val root = tmpDir("graft_snap_none_")
     implicit val s = spark

@@ -185,6 +185,40 @@ class DedupSpec extends SparkSpec {
     ))
   }
 
+  test("converged CC is exact on a deep chain where fixed rounds truncate") {
+    // path of 30 nodes: diameter 29 — fixed iters=3 must truncate,
+    // the converged variant must collapse everything to label 1
+    val path = (1L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val truncated = Dedup.connectedComponents(path, iters = 3)
+      .as[(Long, Long)].collect()
+    assert(truncated.exists(_._2 != 1L), "iters=3 should truncate a 30-node path")
+    val exact = Dedup.connectedComponentsConverged(path)
+      .as[(Long, Long)].collect()
+    assert(exact.length == 30 && exact.forall(_._2 == 1L))
+  }
+
+  test("converged CC agrees with a JVM union-find on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val want = parent.keys.map(x => x -> {
+      // component label = min member id
+      val root = find(x)
+      parent.keys.filter(find(_) == root).min
+    }).toMap
+    val got = Dedup.connectedComponentsConverged(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want, s"diff: ${got.toSet.diff(want.toSet)}")
+  }
+
   test("passageEdges builds min-doc stars over shared windows") {
     val passage = (1 to 10).map(i => s"tok$i").mkString(" ")
     val other = (11 to 20).map(i => s"tok$i").mkString(" ")
