@@ -973,6 +973,58 @@ object Catalog {
     """.trim),
   )
 
+  /** SCD Type-2 history (graft.ops.Scd): each user's event_type
+    * change stream collapsed to validity intervals — the warehouse
+    * dimension-history pattern, via the gaps-and-islands idiom.
+    * Versions are MICROSECOND epoch values: Spark reads the parquet
+    * TIMESTAMP(NANOS) as full nanoseconds and floors to µs (`div
+    * 1000`), DuckDB's reader already floors to µs and `epoch_ns//1000`
+    * recovers the identical integer — the grain both engines represent
+    * exactly (raw ns would differ: DuckDB zero-fills sub-µs). Open
+    * intervals end at −1, not null. */
+  val scdHistory = GraftQuery(
+    "q43_scd2_history",
+    (s, d) =>
+      graft.ops.Scd.type2(
+          events(s, d).select(
+            col("user_id"),
+            col("event_type"),
+            expr("ts div 1000").as("ts_us"),
+            col("event_id")),
+          key = "user_id", attr = "event_type",
+          version = "ts_us", tiebreak = "event_id")
+        .orderBy(col("user_id"), col("valid_from")),
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_type, epoch_ns(ts)//1000 AS ts_us, event_id
+        FROM events
+      ),
+      f AS (
+        SELECT user_id, event_type, ts_us, event_id,
+               CASE WHEN LAG(event_type) OVER w IS NULL
+                      OR LAG(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      ),
+      r AS (
+        SELECT user_id, event_type, ts_us,
+               SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        FROM f
+      ),
+      runs AS (
+        SELECT user_id, run, MIN(event_type) AS event_type,
+               MIN(ts_us) AS valid_from, COUNT(*) AS n_rows
+        FROM r GROUP BY user_id, run
+      )
+      SELECT user_id, event_type, valid_from,
+             COALESCE(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from), -1) AS valid_to,
+             n_rows
+      FROM runs
+      ORDER BY user_id, valid_from
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1004,6 +1056,7 @@ object Catalog {
     zorderCells,
     groupingSets,
     mergeBalances,
+    scdHistory,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
