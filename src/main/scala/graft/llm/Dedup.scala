@@ -329,25 +329,89 @@ object Dedup {
       .distinct()
   }
 
-  /** 64-bit SimHash of a shingle array: per bit position, majority vote
-    * of shingle-hash bits. Implemented as 64 shifted-bit sums over an
-    * exploded (id, hash) frame — partial aggregation makes the shuffle
-    * carry 64 small longs per doc. `hashCol` should be [[TextOps.hash64]]
-    * (xxhash64) of each shingle; production-speed, not oracle-mirrored. */
-  def simhash64(df: DataFrame, idCol: String, shingleArr: Column): DataFrame = {
+  /** SimHash over an exploded (id, shingle) frame: per bit position,
+    * majority vote of the shingle hashes' bits — `bits` shifted-bit
+    * sums with map-side partial aggregation, so the shuffle carries
+    * `bits` small longs per doc. `hashOf` picks the hash family:
+    * [[TextOps.hash64]] (xxhash64, production speed) or
+    * [[TextOps.hash60]] (md5-based, DuckDB-mirrorable). */
+  def simhashBits(
+      df: DataFrame,
+      idCol: String,
+      shingleArr: Column,
+      hashOf: Column => Column,
+      bits: Int,
+  ): DataFrame = {
+    // 64 is fine: bit 63 lands on the sign — xor/bit_count hamming and
+    // equality joins are sign-agnostic (only arithmetic on the raw
+    // value would care, and none exists here)
+    require(bits >= 1 && bits <= 64, "1..64 bits in a long")
     val exploded = df
       .select(col(idCol).as("id"), explode(shingleArr).as("s"))
-      .select(col("id"), hash64(col("s")).as("h"))
-    val bitSums: Seq[Column] = (0 until 64).map { b =>
+      .select(col("id"), hashOf(col("s")).as("h"))
+    val bitSums: Seq[Column] = (0 until bits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(1)).as(s"b$b")
     }
     val n = count(lit(1)).as("n")
     val agg = exploded.groupBy(col("id")).agg(bitSums.head, (bitSums.tail :+ n): _*)
     // bit b set iff ones outnumber zeros among shingle hashes
-    val sim = (0 until 64)
+    val sim = (0 until bits)
       .map(b => when(col(s"b$b") * 2 > col("n"), shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((a, c) => a.bitwiseOR(c))
     agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** 64-bit xxhash-based SimHash (production-speed form). */
+  def simhash64(df: DataFrame, idCol: String, shingleArr: Column): DataFrame =
+    simhashBits(df, idCol, shingleArr, hash64, 64)
+
+  /** SimHash near-dup pair mining with BLOCK-LSH candidate generation:
+    * the signature's `bits` are cut into `blocks` equal slices, and by
+    * pigeonhole any pair within Hamming distance ≤ blocks−1 agrees
+    * EXACTLY on at least one slice — so candidates come from an
+    * equi-join on (block, slice-value), never an all-pairs scan, and
+    * `maxHamming = blocks−1` loses nothing. Verification is one
+    * bit_count(xor) per candidate. The md5-based [[TextOps.hash60]]
+    * family makes the whole pipeline DuckDB-mirrorable (q44); the
+    * complementary MinHash pipeline ([[nearDupPairs]]) estimates SET
+    * overlap, while SimHash hamming tracks weighted cosine similarity
+    * of the shingle distribution — different notion, same blocking
+    * discipline. Returns (id_a, id_b, hamming). */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bits: Int = 60,
+      blocks: Int = 4,
+      maxHamming: Int = 3,
+  ): DataFrame = {
+    require(bits % blocks == 0, "blocks must divide bits")
+    require(maxHamming <= blocks - 1,
+      "pigeonhole guarantee only holds for maxHamming <= blocks-1")
+    val blockBits = bits / blocks
+    val mask = (1L << blockBits) - 1
+    val shStr = df
+      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sims = simhashBits(shStr, "id", col("sh"), hash60, bits)
+    val blocked = sims
+      .select(col("id"), col("simhash"),
+        posexplode(array((0 until blocks).map(j =>
+          shiftright(col("simhash"), j * blockBits).bitwiseAND(lit(mask))): _*)))
+      .withColumnsRenamed(Map("pos" -> "blk", "col" -> "bkey"))
+    val pairs = blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+      .distinct()
+    pairs
+      .select(col("id_a"), col("id_b"),
+        hamming(col("h_a"), col("h_b")).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 
   /** Hamming distance between two 64-bit simhashes. */

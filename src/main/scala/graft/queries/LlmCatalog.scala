@@ -695,6 +695,68 @@ object LlmCatalog {
     ),
   )
 
+  /** SimHash near-dup mining, fully oracle-checked (the md5-based
+    * 60-bit family — the xxhash production form stays spec-tested):
+    * per-doc majority-vote signature over 3-gram shingle hashes,
+    * block-LSH candidates (4×15-bit slices; pigeonhole covers every
+    * pair at hamming ≤ 3), bit_count(xor) verification. The oracle
+    * recomputes all 60 bit sums, the majority vote, the slices, and
+    * the hamming — pure integer arithmetic end to end. */
+  val simhashPairs = GraftQuery(
+    "q44_simhash_pairs",
+    (s, d) =>
+      Dedup.simhashNearDupPairs(documents(s, d), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val bitSums = (0 until 60)
+        .map(b => s"CAST(SUM((h >> $b) & 1) AS BIGINT) AS b$b")
+        .mkString(",\n               ")
+      val vote = (0 until 60)
+        .map(b => s"(CASE WHEN b$b * 2 > n THEN 1::BIGINT << $b ELSE 0 END)")
+        .mkString(" + ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ),
+      shs AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(w)-2),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+        FROM docs WHERE len(w) >= 3
+      ),
+      ex AS (
+        SELECT doc_id, ('0x'||substr(md5(u),1,15))::BIGINT AS h
+        FROM (SELECT doc_id, unnest(sh) AS u FROM shs)
+      ),
+      bits AS (
+        SELECT doc_id,
+               $bitSums,
+               COUNT(*) AS n
+        FROM ex GROUP BY doc_id
+      ),
+      sims AS (
+        SELECT doc_id, ($vote) AS simhash FROM bits
+      ),
+      blocked AS (
+        SELECT doc_id, simhash, j AS blk, (simhash >> (15*j)) & 32767 AS bkey
+        FROM sims, unnest([0, 1, 2, 3]) t(j)
+      ),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM blocked a
+        JOIN blocked b ON a.blk = b.blk AND a.bkey = b.bkey
+                       AND a.doc_id < b.doc_id
+      )
+      SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+      FROM pairs
+      WHERE bit_count(xor(ha, hb)) <= 3
+      ORDER BY id_a, id_b
+      """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -712,5 +774,6 @@ object LlmCatalog {
     subwordTokens,
     repeatedSegmentsQ,
     cleanCorpusCC,
+    simhashPairs,
   )
 }

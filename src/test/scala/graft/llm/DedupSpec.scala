@@ -219,6 +219,19 @@ class DedupSpec extends SparkSpec {
     assert(got == want, s"diff: ${got.toSet.diff(want.toSet)}")
   }
 
+  test("simhashNearDupPairs finds a near-identical pair via block LSH") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (1L, base),
+      (2L, base.replace("tok30", "changed")),             // near-dup of 1
+      (3L, (100 to 160).map(i => s"other$i").mkString(" ")), // unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(df, "doc_id", "text")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), pairs.toString)
+    assert(pairs.head._3 <= 3)
+  }
+
   test("passageEdges builds min-doc stars over shared windows") {
     val passage = (1 to 10).map(i => s"tok$i").mkString(" ")
     val other = (11 to 20).map(i => s"tok$i").mkString(" ")
