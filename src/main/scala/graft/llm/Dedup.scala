@@ -391,10 +391,13 @@ object Dedup {
       "pigeonhole guarantee only holds for maxHamming <= blocks-1")
     val blockBits = bits / blocks
     val mask = (1L << blockBits) - 1
-    val shStr = df
-      .select(col(idCol).as("id"), shingles(tokens(col(textCol)), n).as("sh"))
+    // pre-hashed distinct shingle strings via the compiled expression
+    // (identical values to transform(shingles(...), hash60), one md5
+    // per shingle instead of an interpreted chain)
+    val shH = df
+      .select(col(idCol).as("id"), shingleHash60s(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    val sims = simhashBits(shStr, "id", col("sh"), hash60, bits)
+    val sims = simhashBits(shH, "id", col("sh"), identity, bits)
     val blocked = sims
       .select(col("id"), col("simhash"),
         posexplode(array((0 until blocks).map(j =>

@@ -111,6 +111,15 @@ object TextOps {
         distinct = false))
   }
 
+  /** 60-bit md5 hashes of the text's distinct n-gram shingle STRINGS
+    * (compiled loop; equals `transform(shingles(tokens(t),n), hash60)`
+    * but one digest per shingle instead of an interpreted expression
+    * chain — the SimHash-pipeline (q44) workhorse). */
+  def shingleHash60s(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.expr.ShingleHash60s(
+        org.apache.spark.sql.GraftBridge.toExpr(text), n))
+
   /** HOF reference form of [[shingleHashes]] (see its doc). The
     * token-hash array is bound ONCE via a single-element `transform`
     * wrapper: Spark does no common-subexpression elimination inside

@@ -110,4 +110,16 @@ class TextOpsSpec extends SparkSpec {
     val mixed = "a@b.io then 10.0.0.1 then +44 20 7946 0958 end"
     assert(red(mixed) == "[EMAIL] then [IP] then [PHONE] end")
   }
+
+  test("compiled ShingleHash60s equals hash60 over string shingles on real docs") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val compiled = docs.select($"doc_id",
+        TextOps.shingleHash60s(col("text"), 3).as("x"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val reference = docs.select($"doc_id",
+        transform(TextOps.shingles(TextOps.tokens(col("text")), 3), s => TextOps.hash60(s)).as("x"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(compiled == reference)
+  }
 }
