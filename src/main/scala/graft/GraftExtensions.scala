@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           require(exprs.length == 2 && exprs(1).foldable,
             "usage: graft_shingle_hashes(text, <literal n>)")
           val n = exprs(1).eval().asInstanceOf[Number].intValue()
+          require(n >= 1 && n <= graft.llm.TextOps.ShingleC.length,
+            s"graft_shingle_hashes: n must be in [1, ${graft.llm.TextOps.ShingleC.length}] " +
+              s"(the frozen coefficient family has ${graft.llm.TextOps.ShingleC.length} slots); got $n")
           graft.expr.ShingleHashes(
             exprs(0), n,
             graft.llm.TextOps.ShingleC.take(n),

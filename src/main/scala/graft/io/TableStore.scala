@@ -24,6 +24,17 @@ trait TableStore {
   /** K2: append (the `sales` raw log). */
   def append(name: String, df: DataFrame): Unit
 
+  /** Idempotent append for exactly-once streaming sinks: `batchId` is
+    * the foreachBatch epoch; a replayed batch (crash after the store
+    * commit but before the streaming checkpoint commit) must be
+    * detected and skipped. Default = plain append (at-least-once);
+    * [[SnapshotBucketedStore]] overrides with a real marker committed
+    * ATOMICALLY with the data (same manifest rename). Returns true if
+    * the batch was applied, false if recognized as a replay. */
+  def appendIfNew(name: String, df: DataFrame, batchId: Long): Boolean = {
+    append(name, df); true
+  }
+
   /** K3/K4: full replace (`sales_tgt`, `sales_summary`). At 100 TB this
     * is the scalability cliff the reference has (O(table) rewrite per
     * batch); production should use a MERGE-capable table format or
@@ -213,8 +224,14 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
         org.apache.spark.sql.functions.lit(numBuckets.toLong)))
 
   /** A committed snapshot: bucket → live data dir (table-relative),
-    * plus append-log dirs. */
-  private final case class Manifest(version: Int, buckets: Map[Long, String], logs: Seq[String])
+    * plus append-log dirs, plus the highest streaming batch id applied
+    * (rides in the same manifest so data + marker commit in ONE
+    * rename — the exactly-once hinge for [[appendIfNew]]). */
+  private final case class Manifest(
+      version: Int,
+      buckets: Map[Long, String],
+      logs: Seq[String],
+      lastBatch: Option[Long] = None)
 
   private val ManifestName = "manifest-(\\d+)\\.txt".r
 
@@ -231,7 +248,9 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
       b.toLong -> d
     }.toMap
     val logs = entries.collect { case s if s.startsWith("log:") => s.stripPrefix("log:") }
-    Some(Manifest(v, buckets, logs))
+    val lastBatch = entries.collectFirst { case s if s.startsWith("batch:") =>
+      s.stripPrefix("batch:").toLong }
+    Some(Manifest(v, buckets, logs, lastBatch))
   }
 
   private def latestManifest(name: String): Option[Manifest] = {
@@ -260,7 +279,8 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
     try {
       val lines =
         m.buckets.toSeq.sortBy(_._1).map { case (b, d) => s"bucket:$b=$d" } ++
-          m.logs.map(l => s"log:$l")
+          m.logs.map(l => s"log:$l") ++
+          m.lastBatch.map(b => s"batch:$b").toSeq
       out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
     beforeCommit()
@@ -281,14 +301,33 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
       else Some(spark.read.option("mergeSchema", "true").parquet(all: _*))
     }
 
-  /** K2 append as a committed log generation: new dir + new manifest. */
-  override def append(name: String, df: DataFrame): Unit = {
+  /** K2 append as a committed log generation: new dir + new manifest.
+    * Mirrors [[upsert]]'s role-split guard in the other direction:
+    * appending log dirs into a bucketed upsert target would brick it
+    * (every later upsert/delete refuses on the logs-present check). */
+  override def append(name: String, df: DataFrame): Unit =
+    appendCommit(name, df, None)
+
+  /** Exactly-once streaming append: the batch id commits in the SAME
+    * manifest rename as the data, so "data landed but marker didn't"
+    * cannot exist. A replayed epoch (batchId ≤ recorded high-water
+    * mark) is skipped — foreachBatch epochs are monotonic per query. */
+  override def appendIfNew(name: String, df: DataFrame, batchId: Long): Boolean = {
+    val applied = latestManifest(name).flatMap(_.lastBatch)
+    if (applied.exists(batchId <= _)) false
+    else { appendCommit(name, df, Some(batchId)); true }
+  }
+
+  private def appendCommit(name: String, df: DataFrame, batchId: Option[Long]): Unit = {
     val prev = latestManifest(name)
+    require(prev.forall(_.buckets.isEmpty),
+      s"$name has bucketed upsert generations; append targets log tables only")
     val v = prev.map(_.version + 1).getOrElse(0)
     val rel = s"data/log-$v"
     df.write.mode(SaveMode.Overwrite).parquet(new Path(tableDir(name), rel).toString)
     commit(name, Manifest(v, prev.map(_.buckets).getOrElse(Map.empty),
-      prev.map(_.logs).getOrElse(Nil) :+ rel))
+      prev.map(_.logs).getOrElse(Nil) :+ rel,
+      batchId.orElse(prev.flatMap(_.lastBatch))))
   }
 
   /** K3/K4 full replace — still one manifest rename; the previous
@@ -367,7 +406,11 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
     val touchedDirs = touched.flatMap(b =>
       prev.get.buckets.get(b).map(b -> _))
     if (touchedDirs.isEmpty) return
-    val existing = s.read.parquet(
+    // mergeSchema like read/upsert: after a widening upsert the touched
+    // buckets span generations with different schemas — a single-footer
+    // inference could pick an OLD generation and rewrite the bucket
+    // without the later-added columns, destroying them in the snapshot
+    val existing = s.read.option("mergeSchema", "true").parquet(
       touchedDirs.map(d => new Path(tableDir(name), d._2).toString): _*)
     val remaining = withBucket(
       existing.join(

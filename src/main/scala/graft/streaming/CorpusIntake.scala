@@ -60,8 +60,13 @@ object CorpusIntake {
     val q = transform(docs, tsCol, textCol, watermarkDelay).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        store.append(table, batch)
+      // appendIfNew: a crash after the store's manifest commit but
+      // before the streaming checkpoint commit replays this epoch —
+      // the store recognizes the batch id and skips, keeping the
+      // intake exactly-once (for SnapshotBucketedStore sinks; plain
+      // stores degrade to at-least-once, caught by compaction dedup)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.appendIfNew(table, batch, batchId): Unit
       }
       .start()
     q.awaitTermination()

@@ -133,6 +133,58 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(table.filter($"uuid" === 0L).select("src").head().isNullAt(0))
   }
 
+  test("delete after a widening upsert preserves the widened column (mergeSchema)") {
+    val root = tmpDir("graft_snap_wdel_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", rows(0 until 50, "a"), "uuid")
+    val widened = (48 until 53)
+      .map(i => (i.toLong, "b", i * 1.5, "feed-2")).toDF("uuid", "val", "m", "src")
+    store.upsert("t", widened, "uuid")
+    // delete keys chosen to touch buckets holding BOTH generations —
+    // with 4 buckets and 53 keys every bucket holds old-gen rows, so
+    // any delete that rewrites a bucket with a widened row exercises
+    // the mixed-schema read
+    store.delete("t", "uuid", Seq(0L, 25L, 49L).toDF("uuid"))
+    val table = store.read("t").get
+    assert(table.count() == 50)
+    assert(table.columns.contains("src"), "delete dropped the widened column")
+    assert(table.filter($"uuid" === 50L).select("src").as[String].head() == "feed-2",
+      "widened value lost by delete's bucket rewrite")
+  }
+
+  test("append refuses a bucketed upsert target (role split, both directions)") {
+    val root = tmpDir("graft_snap_guard_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", rows(0 until 20, "a"), "uuid")
+    val e = intercept[IllegalArgumentException] {
+      store.append("t", rows(20 until 30, "b"))
+    }
+    assert(e.getMessage.contains("log tables only"))
+    // table still works as an upsert target afterwards
+    store.upsert("t", rows(18 until 22, "c"), "uuid")
+    assert(store.read("t").get.count() == 22)
+  }
+
+  test("appendIfNew skips a replayed streaming batch (marker commits with the data)") {
+    val root = tmpDir("graft_snap_once_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    assert(store.appendIfNew("raw", rows(0 until 10, "b0"), 0L))
+    assert(store.appendIfNew("raw", rows(10 until 20, "b1"), 1L))
+    // crash-replay of epoch 1: recognized and skipped
+    assert(!store.appendIfNew("raw", rows(10 until 20, "b1"), 1L))
+    assert(store.read("raw").get.count() == 20)
+    // progress resumes with the next epoch
+    assert(store.appendIfNew("raw", rows(20 until 25, "b2"), 2L))
+    assert(store.read("raw").get.count() == 25)
+    // plain append still works on the same log table and preserves the mark
+    store.append("raw", rows(25 until 30, "x"))
+    assert(!store.appendIfNew("raw", rows(10 until 20, "b1"), 2L))
+    assert(store.read("raw").get.count() == 30)
+  }
+
   test("vacuum retention window protects recent snapshots") {
     val root = tmpDir("graft_snap_ret_")
     implicit val s = spark
