@@ -227,14 +227,20 @@ object Dedup {
     // `adj` is referenced by every propagation round (and the label
     // seed); when `pairs` is itself an expensive pipeline (the LSH
     // chain in cleanCC/q39), an unshared subtree would re-run it once
-    // per round. The repartition makes the whole pair derivation ONE
-    // exchange whose shuffle files every round replays — and `dst` is
-    // the join key each round probes, so the join side arrives
-    // pre-partitioned.
+    // per round. localCheckpoint materializes the pair derivation ONCE
+    // and truncates its lineage, so every round's plan starts from the
+    // cached adjacency blocks instead of re-embedding (and re-codegen-
+    // compiling) the full upstream subtree — the same discipline
+    // [[connectedComponentsConverged]] already applies. Values are
+    // unchanged (only lineage is), so the fixed-round SQL oracle still
+    // mirrors this exactly. The repartition first: `dst` is the join
+    // key each round probes, so the checkpointed blocks arrive
+    // pre-partitioned for every round's join.
     require(iters >= 1, "at least one propagation round")
     val adj = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .repartition(col("dst"))
+      .localCheckpoint()
     // Round 1 fuses the identity-label seed with the first
     // propagation: lbl(v) = min(v, min of v's neighbors) is ONE
     // aggregate over the adjacency — no separate distinct-nodes pass
