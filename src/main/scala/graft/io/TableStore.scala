@@ -519,4 +519,26 @@ final class JdbcStore(
 
   override def replace(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Overwrite).jdbc(url, name, props)
+
+  /** The trait's read-merge-replace default is UNSAFE over JDBC: the
+    * read is lazy, so the overwrite truncates the target while the
+    * merge plan still needs to scan it — the incoming batch would
+    * silently win the whole table. Same self-overwrite hazard the file
+    * stores solve with a staging dir; here the stage is a real table:
+    * merged rows land in `<name>_graft_stage` (materializing the read
+    * of the live target), the target is then rewritten FROM the stage,
+    * and the stage is dropped. */
+  override def upsert(name: String, incoming: DataFrame, key: String)(implicit s: SparkSession): Unit =
+    read(name) match {
+      case None => replace(name, incoming)
+      case Some(existing) =>
+        val stage = name + "_graft_stage"
+        graft.ops.Upsert.upsert(existing, incoming, key)
+          .write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
+        replace(name, spark.read.format("jdbc").options(readOptions(stage)).load())
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try conn.createStatement().execute(s"DROP TABLE $stage")
+        catch { case _: java.sql.SQLException => () } // best-effort cleanup
+        finally conn.close()
+    }
 }

@@ -1,0 +1,92 @@
+package graft.io
+
+import java.util.Properties
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+
+/** [[JdbcStore]] against a REAL database: embedded Derby, which ships
+  * on Spark's own classpath (it backs the Hive metastore), so the
+  * reference's warehouse path (lambda.py:163-190, MySQL) finally
+  * executes actual SQL round-trips with zero new dependencies.
+  * `jdbc:derby:memory:` keeps the database in-heap — nothing lands on
+  * disk and each suite run starts clean. */
+class JdbcStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Derby writes a derby.log in user.dir unless told otherwise; keep
+  // the repo clean.
+  System.setProperty("derby.stream.error.file", "/tmp/graft_derby.log")
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+
+  private def props: Properties = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.iapi.jdbc.AutoloadedDriver")
+    // Spark's DerbyDialect maps StringType to CLOB, which Derby cannot
+    // compare against string literals (so pushed-down filters break) —
+    // the standard production fix is pinning DDL types at write time.
+    p.setProperty("createTableColumnTypes", "name VARCHAR(64)")
+    p
+  }
+
+  private def rows(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag, i * 1.5)).toDF("uuid", "name", "m")
+
+  test("append creates the table and read round-trips through real SQL") {
+    implicit val s: SparkSession = spark
+    val store = new JdbcStore(url, props)
+    store.append("sales_log", rows(0 until 50, "a"))
+    store.append("sales_log", rows(50 until 80, "b"))
+    val back = store.read("sales_log").get
+    assert(back.count() == 80)
+    assert(back.filter($"name" === "b").count() == 30)
+    assert(back.filter($"uuid" === 7L).select("m").as[Double].head() == 10.5)
+  }
+
+  test("missing table reads as None (the reference's catch-and-proceed, lambda.py:177-178)") {
+    implicit val s: SparkSession = spark
+    val store = new JdbcStore(url, props)
+    assert(store.read("no_such_table").isEmpty)
+  }
+
+  test("replace overwrites the whole table") {
+    implicit val s: SparkSession = spark
+    val store = new JdbcStore(url, props)
+    store.append("sales_tgt", rows(0 until 40, "v1"))
+    store.replace("sales_tgt", rows(100 until 110, "v2"))
+    val back = store.read("sales_tgt").get
+    assert(back.count() == 10)
+    assert(back.filter($"name" === "v1").count() == 0)
+  }
+
+  test("trait upsert (read-merge-replace) executes the reference's keep-LAST semantics") {
+    implicit val s: SparkSession = spark
+    val store = new JdbcStore(url, props)
+    store.replace("sales_up", rows(0 until 30, "old"))
+    store.upsert("sales_up", rows(25 until 35, "new"), "uuid")
+    val back = store.read("sales_up").get
+    assert(back.count() == 35)
+    assert(back.filter($"uuid" === 27L).select("name").as[String].head() == "new")
+    assert(back.filter($"uuid" === 3L).select("name").as[String].head() == "old")
+  }
+
+  test("partitioned read slices the scan into numPartitions range queries") {
+    implicit val s: SparkSession = spark
+    val plain = new JdbcStore(url, props)
+    plain.replace("sales_part", rows(0 until 200, "p"))
+    val sliced = new JdbcStore(url, props,
+      Some(JdbcPartitioning("uuid", lowerBound = 0, upperBound = 200, numPartitions = 4)))
+    val df = sliced.read("sales_part").get
+    // the slicing is real: 4 concurrent range-bounded SELECTs, not one
+    // single-connection scan — the difference between a funnel and a
+    // fan at 100 TB
+    assert(df.rdd.getNumPartitions == 4)
+    // and no row is lost or duplicated by the range arithmetic
+    assert(df.count() == 200)
+    assert(df.select("uuid").distinct().count() == 200)
+    // per-partition counts prove every slice carries real work
+    val perPart = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPart.forall(_ > 0), s"empty slice in ${perPart.toSeq}")
+  }
+}
