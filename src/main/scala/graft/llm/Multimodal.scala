@@ -168,6 +168,63 @@ object Multimodal {
       def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] =
         Iterator.single(Frame(r.media_id, 0, r.bytes))
     }
+
+    /** FULL-FORMAT image codec via `javax.imageio` — the JDK's own
+      * decoder registry (PNG, JPEG, GIF, BMP, WBMP out of the box), so
+      * genuine third-party image formats decode with ZERO external
+      * dependencies. Unrecognized payloads fall through to [[Minimal]]
+      * (which adds PGM and the errors-are-data -1 fallback) — decode
+      * failure never throws.
+      *
+      * `ImageIO.read` is threadsafe per call and needs no per-codec
+      * init, but disk-caching of intermediate streams is off
+      * (`setUseCache(false)`) because executor tasks shouldn't touch
+      * local tmp for an in-heap byte array. Features are the mean
+      * LUMINANCE per horizontal pixel bucket — a real content
+      * signature over decoded pixels, not payload bytes, so the same
+      * image re-encoded (PNG vs BMP) lands on nearby vectors. */
+    object ImageIO extends MediaDecoder {
+      javax.imageio.ImageIO.setUseCache(false)
+
+      private def readImage(b: Array[Byte]): Option[java.awt.image.BufferedImage] =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        catch { case _: Exception => None }
+
+      def decode(r: MediaRecord): MediaMeta = readImage(r.bytes) match {
+        case Some(img) =>
+          MediaMeta(r.media_id, "image", img.getWidth, img.getHeight,
+            img.getColorModel.getNumComponents, -1, 1, r.bytes.length.toLong)
+        case None => Minimal.decode(r)
+      }
+
+      def features(r: MediaRecord, dim: Int): Array[Float] = readImage(r.bytes) match {
+        case Some(img) =>
+          val w = img.getWidth; val h = img.getHeight
+          val out = new Array[Float](dim)
+          val cnt = new Array[Int](dim)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              val k = (x * dim) / w
+              out(k) += lum / 255.0f
+              cnt(k) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var j = 0
+          while (j < dim) { if (cnt(j) > 0) out(j) /= cnt(j); j += 1 }
+          out
+        case None => Minimal.features(r, dim)
+      }
+
+      def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] =
+        Iterator.single(Frame(r.media_id, 0, r.bytes))
+    }
   }
 
   /** Decode metadata for every record — per-partition so a real codec

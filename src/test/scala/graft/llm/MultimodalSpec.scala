@@ -45,6 +45,49 @@ class MultimodalSpec extends SparkSpec {
     assert(f.length == 3 && f.forall(_.feature.forall(v => v >= 0f && v <= 1f)))
   }
 
+  // ImageIO codec: a genuine third-party format path — PNG/JPEG bytes
+  // produced by the JDK's own encoder, decoded back through the
+  // distributed seam by the JDK's decoder registry.
+  test("ImageIO codec decodes genuine PNG and JPEG bytes through the seam") {
+    import spark.implicits._
+    def encode(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | 0x40)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val png = encode(33, 17, "png")
+    val jpg = encode(24, 24, "jpg")
+    assert(png.take(4).sameElements(Array[Byte](0x89.toByte, 'P', 'N', 'G')),
+      "the fixture must be a real PNG container")
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "image", png, "mem://a.png"),
+      MediaRecord(2L, "image", jpg, "mem://b.jpg"),
+      MediaRecord(3L, "image", s"P5\n8 4\n255\n".getBytes("US-ASCII") ++
+        Array.fill(32)(0x40.toByte), "mem://c.pgm"), // ImageIO lacks PGM → Minimal fallback
+      MediaRecord(4L, "image", Array[Byte](9, 9, 9), "mem://junk.bin"),
+    ))
+    val meta = decodeMeta(media, MediaDecoder.ImageIO).collect().sortBy(_.media_id)
+    assert(meta(0).width == 33 && meta(0).height == 17 && meta(0).channels == 3)
+    assert(meta(1).width == 24 && meta(1).height == 24 && meta(1).channels == 3)
+    assert(meta(2).width == 8 && meta(2).height == 4, "PGM falls back to Minimal")
+    assert(meta(3).width == -1, "junk degrades, never throws")
+    // pixel-space features: the same image re-encoded lands on the
+    // SAME vector (luminance is computed over decoded pixels, not
+    // container bytes) — the property payload-byte features can't have
+    val bmpTwin = encode(33, 17, "bmp")
+    val pair = spark.createDataset(Seq(
+      MediaRecord(10L, "image", png, "mem://a.png"),
+      MediaRecord(11L, "image", bmpTwin, "mem://a.bmp"),
+    ))
+    val f = extractFeatures(pair, dim = 8, MediaDecoder.ImageIO).collect().sortBy(_.media_id)
+    f(0).feature.zip(f(1).feature).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, "re-encoded image must map to the same pixel signature")
+    }
+  }
+
   test("audio kind parses sample_rate, not dims") {
     val meta = decodeMeta(syntheticMedia(spark, 4, "audio")).collect().sortBy(_.media_id)
     assert(meta(0).sample_rate == 16000 && meta(0).width == -1)
