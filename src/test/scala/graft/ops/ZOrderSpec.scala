@@ -59,6 +59,38 @@ class ZOrderSpec extends SparkSpec {
     assert(zHit * 2 <= xHit, s"z-layout must prune y-slabs: $zHit vs $xHit")
   }
 
+  test("z-layout files actually SKIP at scan time (parquet row-group pruning metric)") {
+    // The missing half of the q40 story: not just that partitions have
+    // small bounding boxes, but that a real parquet scan under a
+    // single-dimension predicate READS fewer rows. Write both layouts
+    // as multi-file parquet (one row group per file at this size), run
+    // the same thin-slab predicate on the NON-sort dimension, and
+    // compare the scan's numOutputRows metric — rows surviving footer
+    // min/max row-group pruning, i.e. rows physically read.
+    val grid = (for { x <- 0 until 256; y <- 0 until 256 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val zDir = tmpDir("graft_zskip_z_")
+    val xDir = tmpDir("graft_zskip_x_")
+    ZOrder.layout(grid, Seq($"x", $"y"), bits = 8, partitions = 64)
+      .write.mode("overwrite").parquet(zDir)
+    grid.repartitionByRange(64, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(xDir)
+
+    def rowsRead(dir: String): Long = {
+      val q = spark.read.parquet(dir).filter($"y" >= 8 && $"y" <= 15)
+      // collect() executes THIS queryExecution, so its scan metrics are
+      // the ones populated (count() would spawn a separate execution)
+      assert(q.collect().length == 8 * 256) // correctness first: same answer both layouts
+      val scans = q.queryExecution.executedPlan.collectLeaves()
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zRead = rowsRead(zDir)
+    val xRead = rowsRead(xDir)
+    assert(xRead == 256L * 256, s"x-sorted layout cannot prune a y predicate: read $xRead")
+    assert(zRead * 4 <= xRead,
+      s"z-layout must skip most row groups on a y-only predicate: z=$zRead x=$xRead")
+  }
+
   test("boundedDim folds into the domain without hashing away locality") {
     val out = Seq(5L, 1029L, -3L).toDF("v")
       .select(ZOrder.boundedDim($"v", 10).as("b")).as[Long].collect().toSeq
