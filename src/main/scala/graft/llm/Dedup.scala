@@ -541,6 +541,62 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Multi-width sweep of [[repeatedSegments]] — the next step toward
+    * suffix-array-grade substring dedup: run the fixed-w miner at
+    * several widths and MERGE the per-width maximal runs into maximal
+    * covered token intervals. Small widths catch short repeats a large
+    * w misses entirely (a 7-token repeat produces zero 10-token
+    * windows); large widths confirm long blocks at coarser resolution;
+    * the union covers every repeat of length ≥ min(widths) at
+    * min(widths)-token resolution.
+    *
+    * The merge is interval gaps-and-islands per doc: a segment opens a
+    * new island only when its start lies strictly beyond every
+    * previously-seen end (running max over the doc's segments ordered
+    * by start) — overlapping AND adjacent intervals coalesce. One
+    * window shuffle on the doc id over the (already tiny) segment
+    * rows; each width's mining keeps its own 2-shuffle plan. Output:
+    * (idCol, start_pos [1-based], n_tokens, n_parts = contributing
+    * per-width segments). */
+  def repeatedSegmentsSweep(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      widths: Seq[Int] = Seq(5, 10, 20),
+      minDocs: Int = 2,
+  ): DataFrame = {
+    require(widths.nonEmpty, "need at least one window width")
+    // Identical intervals can arrive from several widths; collapsing
+    // them first (keeping a count) makes (start, end) a TOTAL order
+    // per doc — without it, tie rows could be ordered differently by
+    // the island-flag and running-sum window passes (engines don't
+    // promise a stable tie order between evaluations), splitting
+    // islands nondeterministically.
+    val segs = widths.map { w =>
+      repeatedSegments(df, idCol, textCol, w, minDocs)
+        .select(col(idCol).as("id"), col("start_pos"),
+          (col("start_pos") + col("n_tokens")).as("end_pos")) // end-exclusive
+    }.reduce(_ unionByName _)
+      .groupBy(col("id"), col("start_pos"), col("end_pos"))
+      .agg(count(lit(1)).as("parts"))
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("start_pos"), col("end_pos"))
+    val prevMax = max(col("end_pos"))
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    segs
+      .withColumn("_new",
+        when(prevMax.isNull || col("start_pos") > prevMax, 1).otherwise(0))
+      .withColumn("_grp",
+        sum(col("_new")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("id"), col("_grp"))
+      .agg(
+        min(col("start_pos")).as("start_pos"),
+        (max(col("end_pos")) - min(col("start_pos"))).as("n_tokens"),
+        sum(col("parts")).cast("int").as("n_parts"),
+      )
+      .drop("_grp")
+      .withColumnRenamed("id", idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
     * pairs in the SAME coarse block (`blockCol` — a cluster/IVF label,
     * or an LSH bucket from [[Similarity.lshBuckets]]) with cosine ≥

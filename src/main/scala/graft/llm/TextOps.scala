@@ -75,7 +75,13 @@ object TextOps {
   val ShingleC: Seq[Long] = Seq(
     1000003L, 999983L, 999979L, 999961L, 999959L, 999953L, 999931L,
     999917L, 999907L, 999883L, 999863L, 999841L, 999809L, 999773L,
-    999769L, 999763L)
+    999769L, 999763L,
+    // extension (r5): 8 more primes so window widths up to 24 are
+    // expressible (the multi-w segment sweep runs w=20). Appending
+    // preserves every existing take(n) prefix, so all frozen hashes
+    // (q13/q33/q38/q44 oracles) are unchanged.
+    999749L, 999727L, 999721L, 999683L, 999671L, 999667L, 999653L,
+    999631L)
   val ShingleM: Long = 2147483647L
 
   /** Hashed word-n-gram shingles: one 28-bit md5 per TOKEN, then each

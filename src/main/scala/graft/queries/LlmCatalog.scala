@@ -695,6 +695,93 @@ object LlmCatalog {
     ),
   )
 
+  /** One width's segment mining as a DuckDB subquery over the shared
+    * `tokh` CTE: positional window hashes → cross-doc repeat mark →
+    * pos−row_number runs → (doc_id, start_pos, end_pos) per maximal
+    * run (end-exclusive; end = max window pos + w). */
+  private def segSweepSql(w: Int): String = {
+    val comb = windowComb(w)
+    s"""SELECT doc_id, CAST(MIN(pos) AS INT) AS start_pos,
+               CAST(MAX(pos) + $w AS INT) AS end_pos
+        FROM (
+          SELECT doc_id, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM (
+            SELECT doc_id, pos FROM (
+              SELECT doc_id, pos,
+                     MIN(doc_id) OVER (PARTITION BY h) AS mn,
+                     MAX(doc_id) OVER (PARTITION BY h) AS mx
+              FROM (
+                SELECT doc_id, u.pos AS pos, u.h AS h FROM (
+                  SELECT doc_id,
+                         unnest(list_transform(generate_series(1, nw-${w - 1}),
+                                               i -> {'pos': i, 'h': $comb})) AS u
+                  FROM tokh WHERE nw >= $w
+                )
+              )
+            ) WHERE mn <> mx
+          )
+        )
+        GROUP BY doc_id, grp"""
+  }
+
+  /** Multi-width repeated-segment sweep (Dedup.repeatedSegmentsSweep):
+    * q38's miner at w ∈ {5,10,20}, per-width maximal runs merged into
+    * maximal covered token intervals (interval gaps-and-islands — a
+    * new island only when a segment starts strictly past every prior
+    * end). All-integer output hash-matches exactly. */
+  val segmentSweep = GraftQuery(
+    "q45_segment_sweep",
+    (s, d) =>
+      Dedup.repeatedSegmentsSweep(documents(s, d), "doc_id", "text",
+          widths = Seq(5, 10, 20))
+        .orderBy(col("doc_id"), col("start_pos")),
+    Some(
+      s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS wtok FROM documents
+      ),
+      tokh AS (
+        SELECT doc_id, len(wtok) AS nw,
+               list_transform(wtok, t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM docs
+      ),
+      seg AS (
+        ${Seq(5, 10, 20).map(segSweepSql).mkString("\n        UNION ALL\n        ")}
+      ),
+      -- collapse identical intervals from different widths so
+      -- (start_pos, end_pos) totally orders each doc's rows: the two
+      -- window passes below must agree on row order, and tie rows have
+      -- no promised stable order between evaluations
+      uniq AS (
+        SELECT doc_id, start_pos, end_pos, COUNT(*) AS parts
+        FROM seg GROUP BY doc_id, start_pos, end_pos
+      ),
+      flag AS (
+        SELECT doc_id, start_pos, end_pos, parts,
+               CASE WHEN start_pos > COALESCE(MAX(end_pos) OVER (
+                      PARTITION BY doc_id ORDER BY start_pos, end_pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                    THEN 1 ELSE 0 END AS newgrp
+        FROM uniq
+      ),
+      grps AS (
+        SELECT doc_id, start_pos, end_pos, parts,
+               SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY start_pos, end_pos
+                                 ROWS UNBOUNDED PRECEDING) AS grp
+        FROM flag
+      )
+      SELECT doc_id,
+             CAST(MIN(start_pos) AS INT) AS start_pos,
+             CAST(MAX(end_pos) - MIN(start_pos) AS INT) AS n_tokens,
+             CAST(SUM(parts) AS INT) AS n_parts
+      FROM grps
+      GROUP BY doc_id, grp
+      ORDER BY doc_id, start_pos
+      """.trim
+    ),
+  )
+
   /** SimHash near-dup mining, fully oracle-checked (the md5-based
     * 60-bit family — the xxhash production form stays spec-tested):
     * per-doc majority-vote signature over 3-gram shingle hashes,
@@ -773,6 +860,7 @@ object LlmCatalog {
     passageClusters,
     subwordTokens,
     repeatedSegmentsQ,
+    segmentSweep,
     cleanCorpusCC,
     simhashPairs,
   )

@@ -185,6 +185,30 @@ class DedupSpec extends SparkSpec {
     ))
   }
 
+  test("repeatedSegmentsSweep catches short repeats w=10 misses and merges across widths") {
+    val short = (1 to 7).map(i => s"s$i").mkString(" ")   // 7 shared tokens: invisible at w=10
+    val long = (1 to 25).map(i => s"L$i").mkString(" ")   // 25 shared tokens
+    val df = Seq(
+      (1L, s"$short f1 f2 f3 f4 f5 $long"),   // short at 1, long at 13
+      (2L, s"g1 $short h1 h2 h3 h4 h5 h6 $long"), // short at 2, long at 15
+      (3L, "nothing in common with anybody else at all whatsoever"),
+    ).toDF("doc_id", "text")
+    // w=10 alone: only the 25-token block (7 < 10 produces no window)
+    val w10 = Dedup.repeatedSegments(df, "doc_id", "text", windowTokens = 10)
+      .as[(Long, Int, Int, Int)].collect().toSeq
+    assert(w10.forall(_._3 == 25), s"w=10 must miss the 7-token repeat: $w10")
+    // the sweep recovers both: the 7-token repeat via w=5, the long
+    // block via all widths, merged into ONE interval per site
+    val sweep = Dedup.repeatedSegmentsSweep(df, "doc_id", "text", widths = Seq(5, 10, 20))
+      .orderBy("doc_id", "start_pos")
+      .select("doc_id", "start_pos", "n_tokens")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(sweep == Seq(
+      (1L, 1, 7), (1L, 13, 25),
+      (2L, 2, 7), (2L, 15, 25),
+    ), s"got $sweep")
+  }
+
   test("converged CC is exact on a deep chain where fixed rounds truncate") {
     // path of 30 nodes: diameter 29 — fixed iters=3 must truncate,
     // the converged variant must collapse everything to label 1
