@@ -1025,6 +1025,49 @@ object Catalog {
     """.trim),
   )
 
+  /** Count-min heavy hitters (Approx.heavyHitters): top-20 customers
+    * by order count, estimated from a RELATIONAL count-min sketch
+    * (depth 4 × width 512 cell table; merge = cell-wise sum, estimate
+    * = min over depth cells) probed with candidates from a
+    * deterministic 1/10 row sample on the order key. Unlike binary
+    * sketch blobs, the relational form is engine-mirrorable: DuckDB
+    * rebuilds every counter from the same md5 hash family, so this is
+    * hash-match oracled — estimates, collisions and all. */
+  val heavyHittersQ = GraftQuery(
+    "q46_heavy_hitters",
+    (s, d) =>
+      graft.ops.Approx.heavyHitters(
+        orders(s, d), "o_custkey", sampleCol = "o_orderkey",
+        k = 20, depth = 4, width = 512, sampleMod = 10),
+    Some("""
+      WITH cells AS (
+        SELECT j, ('0x'||substr(md5(j||':'||o_custkey),1,15))::BIGINT % 512 AS cell,
+               COUNT(*) AS cnt
+        FROM orders, unnest([0,1,2,3]) t(j)
+        GROUP BY j, cell
+      ),
+      cand AS (
+        SELECT DISTINCT o_custkey
+        FROM orders
+        WHERE ('0x'||substr(md5('s:'||o_orderkey),1,15))::BIGINT % 10 = 0
+      ),
+      probes AS (
+        SELECT o_custkey, j,
+               ('0x'||substr(md5(j||':'||o_custkey),1,15))::BIGINT % 512 AS cell
+        FROM cand, unnest([0, 1, 2, 3]) t(j)
+      ),
+      est AS (
+        SELECT p.o_custkey, MIN(COALESCE(c.cnt, 0)) AS est_count
+        FROM probes p LEFT JOIN cells c ON p.j = c.j AND p.cell = c.cell
+        GROUP BY p.o_custkey
+      )
+      SELECT o_custkey, CAST(est_count AS BIGINT) AS est_count
+      FROM est
+      ORDER BY est_count DESC, o_custkey
+      LIMIT 20
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1057,6 +1100,7 @@ object Catalog {
     groupingSets,
     mergeBalances,
     scdHistory,
+    heavyHittersQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

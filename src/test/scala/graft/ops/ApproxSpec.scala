@@ -51,6 +51,57 @@ class ApproxSpec extends SparkSpec {
       s"p95 approx=$p95a exact=$p95e")
   }
 
+  // Count-min: skewed synthetic counts — key i appears ~ 3000/i times
+  // (a genuine zipf head), so heavy hitters are well separated.
+  private def zipfDf = {
+    import spark.implicits._
+    (1 to 60).flatMap(i => Seq.fill(3000 / i)(i.toLong))
+      .zipWithIndex.map { case (k, row) => (k, row.toLong) }
+      .toDF("key", "row_id")
+  }
+
+  test("count-min never undercounts and overcounts within the epsilon-N bound") {
+    val df = zipfDf
+    val n = df.count()
+    val depth = 4; val width = 256
+    val cells = Approx.cmsCells(df, "key", Nil, depth, width)
+    // the sketch table is bounded by depth x width no matter the input
+    assert(cells.count() <= depth.toLong * width)
+    val exact = df.groupBy("key").count().as[(Long, Long)].collect().toMap
+    val keys = exact.keySet.toSeq.toDF("key")
+    val est = Approx.cmsEstimate(cells, keys, depth, width)
+      .as[(Long, Long)].collect().toMap
+    val epsN = math.ceil(math.E / width * n).toLong
+    exact.foreach { case (k, ex) =>
+      assert(est(k) >= ex, s"CMS must never undercount: key=$k est=${est(k)} exact=$ex")
+      assert(est(k) - ex <= 3 * epsN,
+        s"overcount beyond bound: key=$k est=${est(k)} exact=$ex epsN=$epsN")
+    }
+  }
+
+  test("count-min merge of batch sketches is cell-identical to the single-pass sketch") {
+    val df = zipfDf
+    val a = df.filter($"row_id" % 2 === 0)
+    val b = df.filter($"row_id" % 2 =!= 0)
+    val merged = Approx.cmsMerge(
+        Approx.cmsCells(a, "key").unionByName(Approx.cmsCells(b, "key")))
+      .select("j", "cell", "cnt").as[(Int, Long, Long)].collect().toSet
+    val whole = Approx.cmsCells(df, "key")
+      .select("j", "cell", "cnt").as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole, "cell-wise sum must equal the one-shot sketch exactly")
+  }
+
+  test("heavyHitters recovers the true top keys from sample + sketch") {
+    val df = zipfDf
+    val hh = Approx.heavyHitters(df, "key", sampleCol = "row_id", k = 5)
+      .as[(Long, Long)].collect()
+    // keys 1..5 have counts 3000,1500,1000,750,600 — far above both the
+    // CMS error and any sampling miss probability
+    assert(hh.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L), s"got ${hh.toSeq}")
+    // and estimates are ordered like the true counts
+    assert(hh.map(_._2).toSeq == hh.map(_._2).toSeq.sorted.reverse)
+  }
+
   test("rollup emits one sketch row per group") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val r = Approx.rollup(events, Seq("event_type"), "user_id", "value")
