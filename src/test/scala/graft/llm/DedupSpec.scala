@@ -221,6 +221,39 @@ class DedupSpec extends SparkSpec {
     assert(exact.length == 30 && exact.forall(_._2 == 1L))
   }
 
+  test("star-contraction CC collapses a 1000-node chain in logarithmic rounds") {
+    // diameter 999: min-label propagation would need ~999 rounds; the
+    // large-star/small-star alternation must stay in the log regime
+    val chain = (1L until 1000L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.connectedComponentsStarWithRounds(chain)
+    val out = labels.as[(Long, Long)].collect()
+    assert(out.length == 1000 && out.forall(_._2 == 1L),
+      s"all nodes must label 1: ${out.filter(_._2 != 1L).take(5).toSeq}")
+    assert(rounds <= 12, s"expected O(log n) rounds on a 1000-chain, took $rounds")
+  }
+
+  test("star-contraction CC agrees with a JVM union-find on a random graph") {
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = Dedup.connectedComponentsStar(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
+
   test("converged CC agrees with a JVM union-find on a random graph") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
