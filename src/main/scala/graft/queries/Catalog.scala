@@ -1068,6 +1068,42 @@ object Catalog {
     """.trim),
   )
 
+  /** Bloom-pruned fact–dim join (ops/Bloom.prunedEquiJoin): revenue
+    * per NATION_7 supplier. The dim (suppliers of one nation) is tiny
+    * relative to lineitem, so ~96% of fact rows are non-matching; the
+    * Bloom pre-filter drops them BEFORE the join shuffle. The filter
+    * is exact-result (false positives only cost unpruned rows), so
+    * the oracle is simply the PLAIN join SQL — proving the pruned
+    * plan computes the ordinary join's answer on real data. */
+  val bloomPrunedJoin = GraftQuery(
+    "q48_bloom_pruned_join",
+    (s, d) => {
+      val dim = supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+      graft.ops.Bloom.prunedEquiJoin(
+          lineitem(s, d), dim, "l_suppkey", expectedItems = 100000L)
+        .groupBy(col("l_suppkey"), col("s_name"))
+        .agg(
+          dsum(col("l_extendedprice")).as("revenue"),
+          count(lit(1)).as("n_items"),
+        )
+        .orderBy(col("l_suppkey"))
+    },
+    Some("""
+      SELECT l_suppkey, s_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_suppkey, s_name
+      ORDER BY l_suppkey
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1101,6 +1137,7 @@ object Catalog {
     mergeBalances,
     scdHistory,
     heavyHittersQ,
+    bloomPrunedJoin,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

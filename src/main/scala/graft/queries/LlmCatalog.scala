@@ -563,6 +563,31 @@ object LlmCatalog {
     },
   )
 
+  /** q35's clustering re-run through STAR-CONTRACTION CC
+    * (Dedup.connectedComponentsStar) — the O(log n)-round production
+    * variant. Its round count is data-dependent, but its OUTPUT is
+    * not: exact components labeled by min id, so the q35 oracle (3
+    * unrolled propagation rounds, which cover this graph's diameter —
+    * q35's own green row proves that) checks it verbatim. One oracle,
+    * two algorithms: the fixed-round form stays the cross-engine
+    * anchor, and this row proves the log-round form agrees on real
+    * data, not just on spec fixtures. */
+  val passageClustersStar = GraftQuery(
+    "q47_passage_clusters_star",
+    (s, d) => {
+      val edges = Dedup.passageEdges(documents(s, d), "doc_id", "text", windowTokens = 10)
+      val cc = Dedup.connectedComponentsStar(edges)
+      cc.withColumn(
+          "cluster_size",
+          count(lit(1))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("component")))
+            .cast("int"))
+        .select(col("id").as("doc_id"), col("component"), col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+    passageClusters.oracle,
+  )
+
   /** Deterministic stratified sampling: rebalance the corpus by
     * language (downsample dominant 'en' to 20%, keep 80% of the
     * rest) — hash-bucketed, so the DuckDB oracle keeps the exact
@@ -863,5 +888,6 @@ object LlmCatalog {
     segmentSweep,
     cleanCorpusCC,
     simhashPairs,
+    passageClustersStar,
   )
 }
