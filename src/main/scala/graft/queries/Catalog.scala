@@ -1069,7 +1069,7 @@ object Catalog {
   )
 
   /** Bloom-pruned fact–dim join (ops/Bloom.prunedEquiJoin): revenue
-    * per NATION_7 supplier. The dim (suppliers of one nation) is tiny
+    * per NATION_8 supplier. The dim (suppliers of one nation) is tiny
     * relative to lineitem, so ~96% of fact rows are non-matching; the
     * Bloom pre-filter drops them BEFORE the join shuffle. The filter
     * is exact-result (false positives only cost unpruned rows), so
@@ -1079,7 +1079,7 @@ object Catalog {
     "q48_bloom_pruned_join",
     (s, d) => {
       val dim = supplier(s, d)
-        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_7")),
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_8")),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
       graft.ops.Bloom.prunedEquiJoin(
@@ -1098,7 +1098,7 @@ object Catalog {
       FROM lineitem
       JOIN supplier ON l_suppkey = s_suppkey
       JOIN nation ON s_nationkey = n_nationkey
-      WHERE n_name = 'NATION_7'
+      WHERE n_name = 'NATION_8'
       GROUP BY l_suppkey, s_name
       ORDER BY l_suppkey
     """.trim),
