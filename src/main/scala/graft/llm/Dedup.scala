@@ -355,8 +355,20 @@ object Dedup {
           .select(col("v").as("a"), col("m").as("b"))
           .union(ssMin.select(col("u").as("a"), col("m").as("b"))))
         .localCheckpoint()
-      // fixpoint: the canonical edge set stopped moving
-      converged = next.except(edges).union(edges.except(next)).head(1).isEmpty
+      // Fixpoint ⟺ the edge set is a star forest, checked directly
+      // (cheaper than edge-set equality): with canonical u > v
+      // orientation, stars mean every child u carries exactly ONE
+      // edge and no child is also a root. Both LS and SS are identity
+      // on such a set (the center's min IS its root), and any chain
+      // or double-parent violates one of the two conditions. The
+      // canonical orientation also makes each root its component's
+      // min: every leaf exceeds its root by construction.
+      val doubleParent = next.groupBy(col("u")).count()
+        .filter(col("count") > 1).head(1).nonEmpty
+      val chained = !doubleParent && next.as("a")
+        .join(next.select(col("u").as("v")).distinct().as("b"), Seq("v"), "left_semi")
+        .head(1).nonEmpty
+      converged = !doubleParent && !chained
       edges = next
       round += 1
     }

@@ -83,6 +83,29 @@ class PlanAuditSpec extends SparkSpec {
   // tables, kept-frames, CC adjacency) must be computed once and
   // replayed, not re-executed per consumer. AQE only shows reuse in
   // the final plan, so execute first.
+  test("q48's bloom probe filters the fact side BELOW the join") {
+    val p = plan(Catalog.bloomPrunedJoin)
+    assert(p.contains("might_contain"), "bloom probe must survive into the physical plan")
+    // the probe must sit on the lineitem scan side, not above the join:
+    // in the tree string children print below their parent, so the
+    // probe line must come after the OUTER join's line (the first Join)
+    val lines = p.linesIterator.toSeq
+    val joinDepth = lines.indexWhere(l => l.contains("Join"))
+    val probeDepth = lines.indexWhere(_.contains("might_contain"))
+    assert(joinDepth >= 0 && probeDepth > joinDepth,
+      s"bloom probe (line $probeDepth) should be under the outer join (line $joinDepth)")
+  }
+
+  test("q46's sketch build keeps map-side partial aggregation") {
+    val df = Catalog.heavyHittersQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the cell build must be partial-agg shaped: HashAggregate pairs,
+    // never a raw value shuffle of the exploded (j, value) stream
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("corpus/segment/CC queries reuse their shared exchanges") {
     Seq(LlmCatalog.cleanCorpus, LlmCatalog.cleanCorpusCC)
       .foreach { q =>
