@@ -338,8 +338,12 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
     val rel = s"data/log-$v"
     // A replace source may read this very table (self-overwrite);
     // writing to a fresh generation dir makes that safe by layout.
+    // The streaming batch mark survives the replace: compaction
+    // (SketchIntake.compact) rewrites content between streaming
+    // commits, and dropping the mark there would let a crash-replayed
+    // epoch re-apply after a compact.
     df.write.mode(SaveMode.Overwrite).parquet(new Path(tableDir(name), rel).toString)
-    commit(name, Manifest(v, Map.empty, Seq(rel)))
+    commit(name, Manifest(v, Map.empty, Seq(rel), prev.flatMap(_.lastBatch)))
   }
 
   override def upsert(name: String, incoming: DataFrame, key: String)(implicit s: SparkSession): Unit = {
@@ -381,7 +385,8 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
     }.toMap
     f.delete(stage, true)
     commit(name, Manifest(v,
-      prev.map(_.buckets).getOrElse(Map.empty) ++ newBuckets, Nil))
+      prev.map(_.buckets).getOrElse(Map.empty) ++ newBuckets, Nil,
+      prev.flatMap(_.lastBatch)))
   }
 
   /** Keyed row deletion — the right-to-be-forgotten path a 100 TB
@@ -435,7 +440,8 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
     }.toMap
     f.delete(stage, true)
     commit(name, Manifest(v,
-      prev.get.buckets -- touchedDirs.map(_._1) ++ newBuckets, Nil))
+      prev.get.buckets -- touchedDirs.map(_._1) ++ newBuckets, Nil,
+      prev.get.lastBatch))
   }
 
   /** Garbage collection: delete data dirs not referenced by any of the

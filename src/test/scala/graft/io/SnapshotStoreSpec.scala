@@ -183,6 +183,13 @@ class SnapshotStoreSpec extends SparkSpec {
     store.append("raw", rows(25 until 30, "x"))
     assert(!store.appendIfNew("raw", rows(10 until 20, "b1"), 2L))
     assert(store.read("raw").get.count() == 30)
+    // the mark SURVIVES a replace (compaction between streaming
+    // commits): a replayed old epoch must still be recognized
+    store.replace("raw", store.read("raw").get)
+    assert(!store.appendIfNew("raw", rows(10 until 20, "b2"), 2L),
+      "replace must not reset the streaming high-water mark")
+    assert(store.appendIfNew("raw", rows(30 until 35, "b3"), 3L))
+    assert(store.read("raw").get.count() == 35)
   }
 
   test("vacuum retention window protects recent snapshots") {
