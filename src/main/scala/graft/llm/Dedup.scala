@@ -617,6 +617,51 @@ object Dedup {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Benchmark DECONTAMINATION — the training-corpus hygiene step no
+    * serious LLM pipeline ships without: any training document that
+    * shares a full n-gram with the evaluation set is flagged (the
+    * GPT-3-lineage 13-gram rule; `n` is the knob). Exact n-gram
+    * containment, not similarity: eval leakage is a correctness
+    * problem, so the check is deterministic.
+    *
+    * Plan shape: both sides map to their distinct n-gram hashes
+    * (compiled [[graft.llm.TextOps.shingleHashes]] loop — 8-byte
+    * hashes, text never shuffles), the eval set's hashes dedupe, and
+    * a left-semi hash join marks contaminated train docs. The eval
+    * side is benchmark-sized (thousands of docs) → its hash set
+    * broadcasts; the train side streams through map-side. Returns
+    * (idCol, n_shared = distinct shared n-grams). */
+  def contamination(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+  ): DataFrame = {
+    val evalGrams = test
+      .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
+    train
+      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("h"))
+      .join(evalGrams, Seq("h"), "left_semi")
+      // shingleHashes is per-doc distinct, so plain count IS the
+      // distinct shared-gram count
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[contamination]]'s subtractive form: the training corpus with
+    * every flagged document removed. */
+  def decontaminate(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+  ): DataFrame =
+    train.join(
+      contamination(train, test, idCol, textCol, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   /** Multi-width sweep of [[repeatedSegments]] — the next step toward
     * suffix-array-grade substring dedup: run the fixed-w miner at
     * several widths and MERGE the per-width maximal runs into maximal

@@ -869,6 +869,52 @@ object LlmCatalog {
     },
   )
 
+  /** Benchmark decontamination (Dedup.contamination): a held-out
+    * "benchmark" slice (doc_id % 37 = 0) against the remaining
+    * training slice; training docs sharing any full 3-gram with the
+    * benchmark are flagged with their distinct shared-gram count
+    * (3-gram because the synthetic docs are short; production uses
+    * the 13-gram rule). Exact integer output, same arithmetic n-gram
+    * hash family as q13 — hash-match oracled. */
+  val decontamination = GraftQuery(
+    "q49_decontamination",
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.contamination(
+          docs.filter(col("doc_id") % 37 =!= 0),
+          docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val Seq(c1, c2, c3) = TextOps.ShingleC.take(3)
+      val m = TextOps.ShingleM
+      s"""
+      WITH grams AS (
+        SELECT doc_id, unnest(sh) AS h FROM (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                    generate_series(1, len(th)-2),
+                    i -> (th[i]*$c1 + th[i+1]*$c2 + th[i+2]*$c3) % $m)) AS sh
+          FROM (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+            FROM documents
+          )
+          WHERE len(th) >= 3
+        )
+      )
+      SELECT doc_id, COUNT(*) AS n_shared
+      FROM grams
+      WHERE doc_id % 37 <> 0
+        AND h IN (SELECT h FROM grams WHERE doc_id % 37 = 0)
+      GROUP BY doc_id
+      ORDER BY doc_id
+      """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -889,5 +935,6 @@ object LlmCatalog {
     cleanCorpusCC,
     simhashPairs,
     passageClustersStar,
+    decontamination,
   )
 }

@@ -221,6 +221,25 @@ class DedupSpec extends SparkSpec {
     assert(exact.length == 30 && exact.forall(_._2 == 1L))
   }
 
+  test("decontamination flags exactly the train docs sharing a full n-gram with eval") {
+    val evalSet = Seq(
+      (100L, "the capital of france is paris obviously"),
+    ).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "we know the capital of france is paris and it is large"), // contains eval 4-grams
+      (2L, "paris france capital the of is"),       // same words, NO shared 4-gram order
+      (3L, "totally unrelated text about fish and rivers flowing home"),
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contamination(train, evalSet, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.keySet == Set(1L), s"got $flagged")
+    assert(flagged(1L) == 3L, // "the capital of france", "capital of france is", "of france is paris"
+      s"doc 1 shares exactly 3 distinct 4-grams, got ${flagged(1L)}")
+    val kept = Dedup.decontaminate(train, evalSet, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L))
+  }
+
   test("star-contraction CC collapses a 1000-node chain in logarithmic rounds") {
     // diameter 999: min-label propagation would need ~999 rounds; the
     // large-star/small-star alternation must stay in the log regime
