@@ -39,9 +39,12 @@ object Bloom {
   }
 
   /** Membership probe against a built filter — a codegen'd engine
-    * expression, usable anywhere a Column is. */
+    * expression, usable anywhere a Column is. An EMPTY dim side yields
+    * a null filter from the aggregate; membership is then vacuously
+    * false (the join would produce nothing anyway). */
   def mightContain(filter: Array[Byte], key: Column): Column =
-    toColumn(new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+    if (filter == null) lit(false)
+    else toColumn(new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       toExpr(lit(filter)), toExpr(xxhash64(key))))
 
   /** The composed pattern: build the filter from the dim's keys,

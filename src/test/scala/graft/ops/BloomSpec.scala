@@ -34,6 +34,12 @@ class BloomSpec extends SparkSpec {
       s"pruning too weak: $surviving of 40000 rows survived for $matching matches")
   }
 
+  test("an empty dim prunes everything instead of breaking analysis") {
+    val emptyDim = dim.filter($"k" < 0)
+    val out = Bloom.prunedEquiJoin(fact, emptyDim, "k")
+    assert(out.count() == 0)
+  }
+
   test("the probe is a real engine predicate usable in any plan position") {
     val bf = Bloom.buildKeyFilter(dim, "k", expectedItems = 1000L)
     // the filter composes with other predicates and survives codegen
