@@ -53,6 +53,67 @@ object SketchIntake {
   def readSketch(store: graft.io.TableStore, table: String): Option[DataFrame] =
     store.read(table).map(Approx.cmsMerge(_))
 
+  /** Drain that ALSO maintains the candidate-key table the sketch
+    * cannot provide by itself (a CMS estimates counts for keys you
+    * name; heavy-hitter extraction needs names). Per batch, two
+    * exactly-once generations land: the cell deltas in `table` and
+    * the batch's DISTINCT deterministically-sampled keys in
+    * `table_cand`. The sample hashes `sampleCol` — a ROW-unique
+    * column (event id), NEVER the key: a key-hash sample would
+    * deterministically exclude a fixed set of keys forever, however
+    * heavy; a row-hash sample catches any key with count ≥ N/k in
+    * some batch with near-certainty (the [[Approx.heavyHitters]]
+    * argument). Candidate rows dedupe per batch and are bounded by
+    * the sample's key count, not the stream length. */
+  def drainWithCandidatesTo(
+      events: DataFrame,
+      store: graft.io.TableStore,
+      table: String,
+      keyCol: String,
+      sampleCol: String,
+      checkpoint: String,
+      depth: Int = 4,
+      width: Int = 512,
+      sampleMod: Int = 10,
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    val q = events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.localCheckpoint() // two consumers, one source pass
+        store.appendIfNew(table,
+          Approx.cmsCells(b, keyCol, Nil, depth, width), batchId): Unit
+        val cand = b.filter(pmod(graft.llm.TextOps.hash60(
+            concat(lit("s:"), col(sampleCol).cast("string"))), lit(sampleMod.toLong)) === 0)
+          .select(col(keyCol)).distinct()
+        store.appendIfNew(s"${table}_cand", cand, batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Streaming heavy hitters: estimate every candidate seen so far
+    * against the live sketch, take the top k (ties break on the key).
+    * Candidates may repeat across batch generations — deduped here. */
+  def topK(
+      store: graft.io.TableStore,
+      table: String,
+      k: Int,
+      depth: Int = 4,
+      width: Int = 512,
+  ): Option[DataFrame] =
+    for {
+      cells <- readSketch(store, table)
+      cand <- store.read(s"${table}_cand")
+    } yield {
+      import org.apache.spark.sql.functions.col
+      val keyCol = cand.columns.head
+      Approx.cmsEstimate(cells, cand.distinct(), depth, width)
+        .orderBy(col("est_count").desc, col(keyCol))
+        .limit(k)
+    }
+
   /** Fold the generation log back to one generation (bounded read
     * fan-in). Safe any time: summing is what reads do anyway, and
     * replace commits atomically. */

@@ -49,5 +49,33 @@ class SketchIntakeSpec extends SparkSpec {
     SketchIntake.compact(store, "cms")
     assert(cells(SketchIntake.readSketch(store, "cms").get) == oneShot)
   }
+
+  test("streaming heavy hitters: candidates + sketch across batches name the true top keys") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val root = tmpDir("graft_sketch_hh_")
+    val store = new graft.io.SnapshotBucketedStore(s"$root/cms", numBuckets = 4)
+    val input = MemoryStream[SketchEv]
+
+    // zipf head split across two drains: key 1 ~600 rows, key 2 ~300, ...
+    val rows = (1 to 60).flatMap(k => Seq.fill(600 / k)(k.toLong))
+      .zipWithIndex.map { case (k, i) => SketchEv(k, i.toLong) }
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    input.addData(half1: _*)
+    SketchIntake.drainWithCandidatesTo(input.toDF(), store, "cms", "k", "v", s"$root/ckpt")
+    input.addData(half2: _*)
+    SketchIntake.drainWithCandidatesTo(input.toDF(), store, "cms", "k", "v", s"$root/ckpt")
+
+    val hh = SketchIntake.topK(store, "cms", k = 3).get
+      .as[(Long, Long)].collect()
+    assert(hh.map(_._1).toSet == Set(1L, 2L, 3L), s"got ${hh.toSeq}")
+    // estimates cover the true totals (never undercount) even though
+    // each key's rows were split across two independently-built
+    // generations
+    val exact = rows.groupBy(_.k).view.mapValues(_.size.toLong).toMap
+    hh.foreach { case (k, est) => assert(est >= exact(k), s"undercount at $k") }
+  }
 }
 
