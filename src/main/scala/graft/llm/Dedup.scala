@@ -637,11 +637,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 13,
+      normalize: Boolean = false,
   ): DataFrame = {
+    // normalize=true folds case/punctuation/whitespace before
+    // n-gramming (TextOps.normalizeForMatching) so cosmetic edits
+    // can't hide a leak; off by default to keep the oracle mirror
+    // byte-exact on raw text
+    def txt = if (normalize) TextOps.normalizeForMatching(col(textCol)) else col(textCol)
     val evalGrams = test
-      .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
+      .select(explode(shingleHashes(txt, n)).as("h")).distinct()
     train
-      .select(col(idCol), explode(shingleHashes(col(textCol), n)).as("h"))
+      .select(col(idCol), explode(shingleHashes(txt, n)).as("h"))
       .join(evalGrams, Seq("h"), "left_semi")
       // shingleHashes is per-doc distinct, so plain count IS the
       // distinct shared-gram count

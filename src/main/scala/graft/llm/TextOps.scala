@@ -200,6 +200,15 @@ object TextOps {
     * worse than one that misses an exotic phone format. No DuckDB
     * oracle — regex dialects differ across engines by design; exact
     * behavior is pinned in TextOpsSpec instead. */
+  /** Canonical form for exact-match hygiene ops (decontamination):
+    * lowercase, collapse every non-alphanumeric run to one space,
+    * trim. Cosmetic edits — case, punctuation, extra whitespace —
+    * must not hide an n-gram match (leaked eval questions routinely
+    * differ from their source only this way). Map-side regex chain,
+    * zero shuffle. */
+  def normalizeForMatching(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   def redactPii(text: Column): Column = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"

@@ -238,6 +238,18 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.decontaminate(train, evalSet, "doc_id", "text", n = 4)
       .select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq == Seq(2L, 3L))
+
+    // cosmetic edits (case, punctuation) hide the leak from the raw
+    // matcher but not from the normalized one
+    val disguised = Seq(
+      (9L, "well, The CAPITAL of France -- is Paris... everyone knows"),
+    ).toDF("doc_id", "text")
+    assert(Dedup.contamination(disguised, evalSet, "doc_id", "text", n = 4)
+      .count() == 0, "raw matcher should miss the disguised leak")
+    val caught = Dedup.contamination(disguised, evalSet, "doc_id", "text",
+        n = 4, normalize = true)
+      .as[(Long, Long)].collect().toMap
+    assert(caught.keySet == Set(9L) && caught(9L) == 3L, s"got $caught")
   }
 
   test("star-contraction CC collapses a 1000-node chain in logarithmic rounds") {
