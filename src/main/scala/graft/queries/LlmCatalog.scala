@@ -915,6 +915,49 @@ object LlmCatalog {
     },
   )
 
+  /** Suffix-array-family exact repeats (SuffixRank.crossDocRepeats):
+    * 4-token cross-doc windows by PREFIX DOUBLING — dense ranks, no
+    * hashing anywhere, so every value (including the equality-class
+    * id) is engine-reproducible: the oracle mirrors the two doubling
+    * levels with DENSE_RANK over the same sorted keys (ASCII corpus →
+    * identical collation). The hash-free exact twin of q33's
+    * window-hash approach. */
+  val suffixRepeats = GraftQuery(
+    "q50_suffix_repeats",
+    (s, d) =>
+      graft.llm.SuffixRank.crossDocRepeats(documents(s, d), "doc_id", "text",
+          windowTokens = 4)
+        .orderBy(col("doc_id"), col("pos")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, u.pos AS pos, u.t AS t FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w)),
+                                       i -> {'pos': i-1, 't': w[i]})) AS u
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
+      ),
+      r0 AS (SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY t) AS rank FROM tok),
+      p1 AS (SELECT a.doc_id, a.pos, a.rank AS ra, COALESCE(b.rank, 0) AS rb
+             FROM r0 a LEFT JOIN r0 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      r1 AS (SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY ra, rb) AS rank FROM p1),
+      p2 AS (SELECT a.doc_id, a.pos, a.rank AS ra, COALESCE(b.rank, 0) AS rb
+             FROM r1 a LEFT JOIN r1 b ON a.doc_id = b.doc_id AND b.pos = a.pos + 2),
+      r2 AS (SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY ra, rb) AS rank FROM p2),
+      lasts AS (SELECT doc_id, MAX(pos) AS last FROM tok GROUP BY doc_id),
+      fullw AS (
+        SELECT r2.doc_id, r2.pos, r2.rank
+        FROM r2 JOIN lasts ON r2.doc_id = lasts.doc_id
+        WHERE r2.pos + 3 <= lasts.last
+      ),
+      nd AS (SELECT rank, COUNT(DISTINCT doc_id) AS n_docs FROM fullw GROUP BY rank)
+      SELECT f.doc_id, f.pos, f.rank AS window_class, CAST(nd.n_docs AS INT) AS n_docs
+      FROM fullw f JOIN nd ON f.rank = nd.rank
+      WHERE nd.n_docs >= 2
+      ORDER BY f.doc_id, f.pos
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -936,5 +979,6 @@ object LlmCatalog {
     simhashPairs,
     passageClustersStar,
     decontamination,
+    suffixRepeats,
   )
 }
