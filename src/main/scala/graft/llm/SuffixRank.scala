@@ -16,15 +16,26 @@ import org.apache.spark.sql.types._
   * pos) token suffix starts ranked by its first token; each round
   * re-ranks by the pair (rank of first half, rank of second half) of
   * a window twice as long, so after round k equal ranks mean equal
-  * first 2^k tokens — and once all ranks are distinct, rank order IS
-  * lexicographic suffix order (the suffix array). O(log maxDocLen)
-  * rounds; each round is one self-join on the shifted position plus
-  * one dense-rank (sort + zipWithIndex + join back — all distributed,
-  * nothing driver-sized except the round counter).
+  * first 2^k tokens — and once no round refines further, rank order
+  * IS lexicographic suffix order. O(log maxDocLen) rounds; each round
+  * is one self-join on the shifted position plus one dense-rank (sort
+  * + zipWithIndex + join back — all distributed, nothing driver-sized
+  * except the round counter).
   *
   * Out-of-doc positions rank 0 (< every real rank), the standard
   * sentinel convention: a suffix that is a proper prefix of another
   * sorts first. Suffixes never cross document boundaries.
+  *
+  * Termination: the loop stops at a FIXPOINT — when a round's rank
+  * count stops growing (no pair of tied suffixes was split) — or once
+  * the certified window already covers the longest document. Tied
+  * ranks can legitimately survive to the fixpoint: two IDENTICAL
+  * suffixes in different documents (duplicate docs, or just a shared
+  * final token) compare equal at every level and keep one shared
+  * rank; ranks are then dense in [1, #distinct suffix contents].
+  * The rank count comes out of the dense-rank step itself (the
+  * materialized distinct-key table's row count) — no separate
+  * distinct-count job per round.
   *
   * Scale: rows = total corpus tokens. Each round shuffles (id, pos,
   * rank) triples — ~24 bytes a row, text never moves after the one
@@ -33,43 +44,53 @@ import org.apache.spark.sql.types._
   * an exactness no hash family gives. */
 object SuffixRank {
 
-  /** Dense rank of distinct (a, b) long pairs, 1-based: sort the
-    * distinct pairs, number them contiguously, join back. The sort is
-    * range-partitioned and zipWithIndex is per-partition arithmetic —
-    * no single-reducer window anywhere. */
-  private def denseRankPairs(spark: SparkSession, pairs: DataFrame): DataFrame = {
+  /** Dense rank of distinct (a, b) long pairs, 1-based, plus the rank
+    * count: sort the distinct pairs, number them contiguously, join
+    * back. The sort is range-partitioned and zipWithIndex is
+    * per-partition arithmetic — no single-reducer window anywhere.
+    * The sorted distinct table is localCheckpoint-ed so (1) the count
+    * — the caller's convergence signal — is a cheap scan of
+    * materialized partitions, not a second sort, and (2) the
+    * zipWithIndex size pass and the join-back probe reuse the same
+    * materialization instead of re-sorting. */
+  private def denseRankPairs(spark: SparkSession, pairs: DataFrame): (DataFrame, Long) = {
     val distinctSorted = pairs.select(col("a"), col("b")).distinct().orderBy("a", "b")
+      .localCheckpoint()
+    val nRanks = distinctSorted.count()
     val ranked = distinctSorted.rdd.zipWithIndex().map { case (r, i) =>
       Row(r.getLong(0), r.getLong(1), i + 1L)
     }
-    spark.createDataFrame(ranked, StructType(Seq(
+    (spark.createDataFrame(ranked, StructType(Seq(
       StructField("a", LongType), StructField("b", LongType),
-      StructField("rank", LongType))))
+      StructField("rank", LongType)))), nRanks)
   }
 
   /** (id, pos, t) token table → seed ranks from sorted distinct
-    * token strings (exact, 1-based). */
-  private def seedRanks(spark: SparkSession, tok: DataFrame): DataFrame = {
-    val distinctSorted = tok.select(col("t")).distinct().orderBy("t")
+    * token strings (exact, 1-based), plus the distinct-token count. */
+  private def seedRanks(spark: SparkSession, tok: DataFrame): (DataFrame, Long) = {
+    val distinctSorted = tok.select(col("t")).distinct().orderBy("t").localCheckpoint()
+    val nRanks = distinctSorted.count()
     val ranked = distinctSorted.rdd.zipWithIndex().map { case (r, i) =>
       Row(r.getString(0), i + 1L) }
     val tokRank = spark.createDataFrame(ranked, StructType(Seq(
       StructField("t", StringType), StructField("rank", LongType))))
-    tok.join(tokRank, "t").select(col("id"), col("pos"), col("rank"))
+    (tok.join(tokRank, "t").select(col("id"), col("pos"), col("rank")), nRanks)
   }
 
   /** One doubling step: re-rank every position by (its rank, the rank
     * `off` positions later, 0 past the doc end). After the step equal
-    * ranks ⟺ equal first 2·off tokens (sentinel-padded). */
-  private def doubleOnce(spark: SparkSession, cur: DataFrame, off: Long): DataFrame = {
+    * ranks ⟺ equal first 2·off tokens (sentinel-padded). Returns the
+    * re-ranked table and the new rank count. */
+  private def doubleOnce(spark: SparkSession, cur: DataFrame, off: Long): (DataFrame, Long) = {
     val right = cur.select(col("id"), (col("pos") - off.toInt).as("pos"),
       col("rank").as("rank2"))
     val paired = cur.join(right, Seq("id", "pos"), "left")
       .select(col("id"), col("pos"), col("rank").as("a"),
         coalesce(col("rank2"), lit(0L)).as("b"))
-    paired.join(denseRankPairs(spark, paired.select(col("a"), col("b"))), Seq("a", "b"))
+    val (rankTab, nRanks) = denseRankPairs(spark, paired.select(col("a"), col("b")))
+    (paired.join(rankTab, Seq("a", "b"))
       .select(col("id"), col("pos"), col("rank"))
-      .localCheckpoint()
+      .localCheckpoint(), nRanks)
   }
 
   private def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -78,9 +99,13 @@ object SuffixRank {
       .localCheckpoint()
 
   /** (idCol, pos [0-based token index], rank) for every token suffix;
-    * rank order == lexicographic suffix order over whitespace tokens,
-    * ranks dense in [1, #suffixes] across the whole corpus. Doubling
-    * stops as soon as all ranks are distinct. */
+    * rank order == lexicographic suffix order over whitespace tokens.
+    * Identical suffixes in DIFFERENT documents (duplicate docs, or a
+    * shared tail as short as one token) share a rank — ranks are
+    * dense in [1, #distinct suffix contents], which is < #suffixes
+    * exactly when such cross-doc ties exist. Doubling stops at the
+    * refinement fixpoint (or once the window covers the longest doc),
+    * so tied corpora terminate in O(log maxDocLen) rounds too. */
   def suffixRanks(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = df.sparkSession
     val tok = tokenize(df, idCol, textCol)
@@ -89,10 +114,16 @@ object SuffixRank {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
         StructField(idCol, LongType), StructField("pos", IntegerType),
         StructField("rank", LongType))))
-    var cur = seedRanks(spark, tok).localCheckpoint()
-    var off = 1L
-    while (cur.select(col("rank")).distinct().count() < total) {
-      cur = doubleOnce(spark, cur, off)
+    val maxLen = tok.agg(max(col("pos"))).head.getInt(0) + 1L
+    var (cur0, nRanks) = seedRanks(spark, tok)
+    var cur = cur0.localCheckpoint()
+    var off = 1L // certified window length of the current ranks
+    var prev = 0L
+    while (nRanks < total && nRanks > prev && off < maxLen) {
+      prev = nRanks
+      val (next, n) = doubleOnce(spark, cur, off)
+      cur = next
+      nRanks = n
       off *= 2
     }
     cur.withColumnRenamed("id", idCol)
@@ -109,7 +140,10 @@ object SuffixRank {
     *
     * Output: one row per (doc, pos) window occurrence that some OTHER
     * doc shares, with its equality class id and the class's distinct
-    * doc count. */
+    * doc count. The doc count is a per-class aggregate joined back on
+    * the class id — never a per-row window function materializing the
+    * occurrence list, so a boilerplate window shared by millions of
+    * docs costs O(occurrences), not O(occurrences²). */
   def crossDocRepeats(
       df: DataFrame,
       idCol: String,
@@ -120,10 +154,10 @@ object SuffixRank {
       s"windowTokens must be a power of two, got $windowTokens")
     val spark = df.sparkSession
     val tok = tokenize(df, idCol, textCol)
-    var cur = seedRanks(spark, tok).localCheckpoint()
+    var cur = seedRanks(spark, tok)._1.localCheckpoint()
     var off = 1L
     while (off < windowTokens) {
-      cur = doubleOnce(spark, cur, off)
+      cur = doubleOnce(spark, cur, off)._1
       off *= 2
     }
     // only FULL windows: a short tail's sentinel-padded rank may only
@@ -132,11 +166,10 @@ object SuffixRank {
     val full = cur.join(
         tok.groupBy(col("id")).agg(max(col("pos")).as("last")), "id")
       .filter(col("pos") + windowTokens - 1 <= col("last"))
-    val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("rank"))
-    full
-      .withColumn("n_docs",
-        size(array_distinct(collect_list(col("id")).over(wh))))
+    val classDocs = full.groupBy(col("rank"))
+      .agg(countDistinct(col("id")).cast("int").as("n_docs"))
       .filter(col("n_docs") >= 2)
+    full.join(classDocs, "rank")
       .select(col("id").as(idCol), col("pos"),
         col("rank").as("window_class"), col("n_docs"))
   }

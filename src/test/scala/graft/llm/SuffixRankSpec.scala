@@ -46,6 +46,49 @@ class SuffixRankSpec extends SparkSpec {
     assert(bySuffixRank.toSeq == reference.toSeq)
   }
 
+  test("suffixRanks terminates on identical cross-doc suffixes and shares their rank") {
+    // doc 1 and doc 2 are byte-identical; doc 3 merely shares the
+    // final token. Pre-fix this spun forever: tied suffixes can never
+    // reach #ranks == #suffixes, so the loop must stop at the
+    // refinement fixpoint instead.
+    val docs = Seq(
+      (1L, "a b a"),
+      (2L, "a b a"),
+      (3L, "c a"),
+    ).toDF("doc_id", "text")
+    val got = SuffixRank.suffixRanks(docs, "doc_id", "text")
+      .as[(Long, Int, Long)].collect()
+    assert(got.length == 8)
+    val toks = Map(
+      1L -> Seq("a", "b", "a"), 2L -> Seq("a", "b", "a"), 3L -> Seq("c", "a"))
+    val rankOf = got.map { case (id, p, r) => (toks(id).drop(p), r) }
+    // identical suffix content ⟺ identical rank (both directions)
+    rankOf.groupBy(_._1).foreach { case (s, rs) =>
+      assert(rs.map(_._2).distinct.length == 1, s"suffix $s got ranks ${rs.map(_._2).toSeq}")
+    }
+    val distinctContents = rankOf.map(_._1).distinct
+    val ranks = rankOf.map(_._2).distinct.sorted
+    // dense over distinct CONTENTS, ordered lexicographically
+    assert(ranks.toSeq == (1L to distinctContents.length).toSeq)
+    val contentByRank = rankOf.distinct.sortBy(_._2).map(_._1)
+    assert(contentByRank.toSeq == distinctContents.sorted(suffixOrdering).toSeq)
+  }
+
+  test("crossDocRepeats survives one window class shared by every doc (skew fixture)") {
+    // 200 docs all containing the same hot 4-token boilerplate window:
+    // the per-class doc count must be an aggregate joined back on the
+    // class id, never a per-row occurrence list — O(M²) on this shape.
+    val n = 200
+    val docs = (1 to n).map(i => (i.toLong, s"u$i v$i hot1 hot2 hot3 hot4 w$i"))
+      .toDF("doc_id", "text")
+    val out = SuffixRank.crossDocRepeats(docs, "doc_id", "text", windowTokens = 4)
+      .select("doc_id", "pos", "n_docs")
+      .as[(Long, Int, Int)].collect()
+    assert(out.length == n, s"expected one hot-window row per doc, got ${out.length}")
+    assert(out.forall { case (_, pos, nd) => pos == 2 && nd == n }, s"got ${out.take(5).toSeq}")
+    assert(out.map(_._1).distinct.length == n)
+  }
+
   test("crossDocRepeats finds exactly the planted shared window, hash-free") {
     // docs 1 and 2 share the 4-token window "w x y z" once each;
     // doc 3 repeats a window internally but shares nothing cross-doc
