@@ -98,6 +98,29 @@ object SuffixRank {
         posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
       .localCheckpoint()
 
+  /** Fully-doubled rank tables, one per level: `levels(k)` is (id,
+    * pos, rank) where rank equality certifies equal 2^k-token
+    * (sentinel-padded) windows. Runs to the refinement fixpoint (or
+    * until the window covers the longest document); each level is
+    * localCheckpoint-ed, so keeping all of them costs O(log maxLen)
+    * copies of the ~24-byte-row rank table — the price of exact LCP
+    * descent later, not of the ranking itself. */
+  private def allLevels(spark: SparkSession, tok: DataFrame, total: Long): Seq[DataFrame] = {
+    val maxLen = tok.agg(max(col("pos"))).head.getInt(0) + 1L
+    var (cur0, nRanks) = seedRanks(spark, tok)
+    val levels = scala.collection.mutable.ArrayBuffer(cur0.localCheckpoint())
+    var off = 1L // certified window length of the current ranks
+    var prev = 0L
+    while (nRanks < total && nRanks > prev && off < maxLen) {
+      prev = nRanks
+      val (next, n) = doubleOnce(spark, levels.last, off)
+      levels += next
+      nRanks = n
+      off *= 2
+    }
+    levels.toSeq
+  }
+
   /** (idCol, pos [0-based token index], rank) for every token suffix;
     * rank order == lexicographic suffix order over whitespace tokens.
     * Identical suffixes in DIFFERENT documents (duplicate docs, or a
@@ -114,19 +137,110 @@ object SuffixRank {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
         StructField(idCol, LongType), StructField("pos", IntegerType),
         StructField("rank", LongType))))
-    val maxLen = tok.agg(max(col("pos"))).head.getInt(0) + 1L
-    var (cur0, nRanks) = seedRanks(spark, tok)
-    var cur = cur0.localCheckpoint()
-    var off = 1L // certified window length of the current ranks
-    var prev = 0L
-    while (nRanks < total && nRanks > prev && off < maxLen) {
-      prev = nRanks
-      val (next, n) = doubleOnce(spark, cur, off)
-      cur = next
-      nRanks = n
-      off *= 2
+    allLevels(spark, tok, total).last.withColumnRenamed("id", idCol)
+  }
+
+  /** Arbitrary-length EXACT maximal cross-document repeats — the top
+    * of the substring-dedup ladder. For every pair of suffixes that
+    * are ADJACENT in generalized suffix order (ties broken by (doc,
+    * pos)) and come from different documents, emits the length of
+    * their longest common prefix, keeping only matches that are
+    * left-maximal (the preceding tokens differ, or a side starts at
+    * pos 0) and at least `minTokens` long. Right-maximality is the
+    * LCP definition itself. The longest substring shared by any two
+    * documents always surfaces: every cross-doc shared prefix spans
+    * an interval of the suffix order that contains an adjacent
+    * cross-doc pair with at least that LCP.
+    *
+    * LCP is computed by binary descent over the doubling levels the
+    * ranking already materialized — per level one keyed lookup join
+    * per side, never a token-by-token comparison, so a pair's cost is
+    * O(log maxDocLen) regardless of how long the repeat is. All
+    * shuffles carry (id, pos, rank/acc) rows; text never moves after
+    * tokenization. Output: (idCol, pos, match_doc, match_pos,
+    * lcp). */
+  def maximalCrossDocRepeats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int,
+  ): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val spark = df.sparkSession
+    val tok = tokenize(df, idCol, textCol)
+    val total = tok.count()
+    if (total == 0)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField(idCol, LongType), StructField("pos", IntegerType),
+        StructField("match_doc", LongType), StructField("match_pos", IntegerType),
+        StructField("lcp", IntegerType))))
+    val levels = allLevels(spark, tok, total)
+
+    // global suffix order (rank, id, pos) → contiguous index, by the
+    // same range-partitioned sort + zipWithIndex the ranking uses
+    val ordered = levels.last.orderBy("rank", "id", "pos").localCheckpoint()
+    val indexed = spark.createDataFrame(
+      ordered.rdd.zipWithIndex().map { case (r, i) =>
+        Row(r.getLong(0), r.getInt(1), i)
+      },
+      StructType(Seq(StructField("id", LongType), StructField("pos", IntegerType),
+        StructField("idx", LongType))))
+
+    // adjacent cross-doc pairs only — the candidate set shrinks before
+    // any LCP work happens
+    val a = indexed.select(col("id").as("ida"), col("pos").as("posa"), col("idx"))
+    val b = indexed.select(col("id").as("idb"), col("pos").as("posb"),
+      (col("idx") - 1).as("idx"))
+    var pairs = a.join(b, "idx").filter(col("ida") =!= col("idb")).drop("idx")
+      .withColumn("acc", lit(0))
+
+    // binary LCP descent, highest level first: if the 2^k-window ranks
+    // at the current match offset agree, the match extends by 2^k.
+    // Checkpoint every third level, not every level — enough to keep
+    // the plan from re-deriving the whole descent chain, without
+    // paying a materialization job per level.
+    var sinceCheckpoint = 0
+    for (k <- levels.indices.reverse) {
+      val la = levels(k).select(col("id").as("ida"), col("pos").as("qa"),
+        col("rank").as("ra"))
+      val lb = levels(k).select(col("id").as("idb"), col("pos").as("qb"),
+        col("rank").as("rb"))
+      pairs = pairs
+        .withColumn("qa", col("posa") + col("acc"))
+        .withColumn("qb", col("posb") + col("acc"))
+        .join(la, Seq("ida", "qa"), "left")
+        .join(lb, Seq("idb", "qb"), "left")
+        .withColumn("acc", when(col("ra").isNotNull && col("ra") === col("rb"),
+          col("acc") + lit(1 << k)).otherwise(col("acc")))
+        .drop("qa", "qb", "ra", "rb")
+      sinceCheckpoint += 1
+      if (sinceCheckpoint == 3 || k == 0) {
+        pairs = pairs.localCheckpoint()
+        sinceCheckpoint = 0
+      }
     }
-    cur.withColumnRenamed("id", idCol)
+
+    // sentinel-padded level equality can certify identical TAILS past
+    // the doc end — cap at both remaining lengths (where it bites, the
+    // suffixes are identical to their ends, so the cap IS the LCP)
+    val lens = tok.groupBy(col("id")).agg((max(col("pos")) + 1).as("len"))
+    val prevA = tok.select(col("id").as("ida"), (col("pos") + 1).as("posa"),
+      col("t").as("ta"))
+    val prevB = tok.select(col("id").as("idb"), (col("pos") + 1).as("posb"),
+      col("t").as("tb"))
+    pairs
+      .join(lens.select(col("id").as("ida"), col("len").as("lena")), "ida")
+      .join(lens.select(col("id").as("idb"), col("len").as("lenb")), "idb")
+      .withColumn("lcp",
+        least(col("acc"), col("lena") - col("posa"), col("lenb") - col("posb"))
+          .cast("int"))
+      .filter(col("lcp") >= minTokens)
+      // left-maximal: no common token immediately before the match
+      .join(prevA, Seq("ida", "posa"), "left")
+      .join(prevB, Seq("idb", "posb"), "left")
+      .filter(col("ta").isNull || col("tb").isNull || col("ta") =!= col("tb"))
+      .select(col("ida").as(idCol), col("posa").as("pos"),
+        col("idb").as("match_doc"), col("posb").as("match_pos"), col("lcp"))
   }
 
   /** EXACT cross-document repeated windows of `windowTokens` tokens

@@ -958,6 +958,67 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Arbitrary-length EXACT maximal cross-doc repeats
+    * (SuffixRank.maximalCrossDocRepeats): FULL prefix doubling to the
+    * refinement fixpoint, then LCP-by-level descent over adjacent
+    * suffix pairs — the top of the exact-substring ladder (q33 fixed-w
+    * hashes → q45 multi-w sweep → q50 fixed-w exact → arbitrary-w
+    * exact). Hash-free, so the oracle mirrors the RESULT, not the
+    * algorithm: DuckDB sorts the suffixes directly (ASCII corpus →
+    * identical collation, list compare = sentinel convention) and
+    * walks tokens for the LCP. Runs on a deterministic 20% slice —
+    * exactness over cost, the documented SuffixRank trade
+    * (SCALE.md §5). */
+  val maximalRepeats = GraftQuery(
+    "q51_maximal_repeats",
+    (s, d) =>
+      graft.llm.SuffixRank.maximalCrossDocRepeats(
+          documents(s, d).filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", minTokens = 4)
+        .orderBy(col("doc_id"), col("pos"), col("match_doc"), col("match_pos")),
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 5 = 0
+      ),
+      sfx AS (
+        SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w)),
+                                       i -> {'pos': i-1, 's': w[i:]})) AS u
+          FROM docs
+        )
+      ),
+      ordered AS (
+        SELECT doc_id, pos, s,
+               ROW_NUMBER() OVER (ORDER BY s, doc_id, pos) AS rn
+        FROM sfx
+      ),
+      pairs AS (
+        SELECT a.doc_id AS ida, a.pos AS posa, a.s AS sa,
+               b.doc_id AS idb, b.pos AS posb, b.s AS sb
+        FROM ordered a JOIN ordered b ON b.rn = a.rn + 1
+        WHERE a.doc_id <> b.doc_id
+      ),
+      lcps AS (
+        SELECT ida, posa, idb, posb,
+               CAST(COALESCE(
+                 list_filter(generate_series(1, least(len(sa), len(sb))),
+                             i -> sa[i] <> sb[i])[1] - 1,
+                 least(len(sa), len(sb))) AS INT) AS lcp
+        FROM pairs
+      )
+      SELECT l.ida AS doc_id, l.posa AS pos,
+             l.idb AS match_doc, l.posb AS match_pos, l.lcp AS lcp
+      FROM lcps l
+      JOIN docs da ON da.doc_id = l.ida
+      JOIN docs db ON db.doc_id = l.idb
+      WHERE l.lcp >= 4
+        AND (l.posa = 0 OR l.posb = 0 OR da.w[l.posa] <> db.w[l.posb])
+      ORDER BY doc_id, pos, match_doc, match_pos
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -980,5 +1041,6 @@ object LlmCatalog {
     passageClustersStar,
     decontamination,
     suffixRepeats,
+    maximalRepeats,
   )
 }

@@ -103,6 +103,38 @@ class SuffixRankSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 2, 2), (2L, 0, 2)), s"got ${out.toSeq}")
   }
 
+  test("maximalCrossDocRepeats matches a JVM brute-force reference") {
+    val toks = Map(
+      1L -> "the quick brown fox jumps over the lazy dog".split(" ").toSeq,
+      2L -> "a quick brown fox jumps over a fence".split(" ").toSeq,
+      3L -> "the lazy dog sleeps now".split(" ").toSeq,
+      4L -> "the lazy dog sleeps now".split(" ").toSeq, // identical doc → full-length tie
+    )
+    val docs = toks.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = SuffixRank.maximalCrossDocRepeats(docs, "doc_id", "text", minTokens = 2)
+      .as[(Long, Int, Long, Int, Int)].collect().toSet
+    // brute force: sort all suffixes by (content, doc, pos); adjacent
+    // cross-doc pairs; LCP by token walk; left-maximality filter
+    val sorted = toks.toSeq
+      .flatMap { case (id, ts) => ts.indices.map(p => (id, p, ts.drop(p))) }
+      .sortBy { case (id, p, s) => (s, id, p) }(
+        Ordering.Tuple3(suffixOrdering, implicitly[Ordering[Long]], implicitly[Ordering[Int]]))
+    val expected = sorted.sliding(2).collect {
+      case Seq((ia, pa, sa), (ib, pb, sb)) if ia != ib =>
+        val lcp = sa.zip(sb).takeWhile { case (x, y) => x == y }.size
+        (ia, pa, ib, pb, lcp)
+    }.filter(_._5 >= 2)
+      .filter { case (ia, pa, ib, pb, _) =>
+        pa == 0 || pb == 0 || toks(ia)(pa - 1) != toks(ib)(pb - 1)
+      }.toSet
+    assert(got == expected, s"\ngot      ${got.toSeq.sorted}\nexpected ${expected.toSeq.sorted}")
+    // the planted repeats surface at full length
+    assert(expected.exists { case (_, _, _, _, l) => l == 5 }) // "quick brown fox jumps over"
+    assert(got.exists { case (ia, _, ib, _, l) =>
+      Set(ia, ib) == Set(3L, 4L) && l == 5 }) // identical docs, whole text
+  }
+
   test("windowTokens must be a power of two") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
