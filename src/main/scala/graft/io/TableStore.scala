@@ -3,6 +3,15 @@ package graft.io
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+/** Thrown when a commit finds its target manifest version already
+  * committed by another writer — either a violation of the store's
+  * single-writer-per-table contract, or (for maintenance commits like
+  * [[SnapshotBucketedStore.compactLogs]]) a lost CAS race to be
+  * retried against the new snapshot. Always loud, never silent data
+  * loss: the competing commit's data is intact, only THIS commit is
+  * rejected. */
+final class ConcurrentCommitException(msg: String) extends java.io.IOException(msg)
+
 /** Warehouse abstraction over the reference's three MySQL tables
   * (/root/reference/lambda.py:171-190). The reference talks JDBC; the
   * test environment has no database, so the store is a trait with a
@@ -270,7 +279,14 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
     * protocol must survive. */
   protected def beforeCommit(): Unit = ()
 
-  /** The commit point: stage the manifest text, then ONE rename. */
+  /** The commit point: stage the manifest text, then ONE rename.
+    * A manifest for this version already on disk means another writer
+    * won the version — refuse loudly ([[ConcurrentCommitException]])
+    * instead of letting a platform-dependent rename-over-existing
+    * silently replace their commit. (On HDFS the rename itself also
+    * fails on an existing target, making the check a true CAS; on a
+    * posix local FS the exists-check narrows the window to
+    * check-to-rename, which the single-writer contract covers.) */
   private def commit(name: String, m: Manifest): Unit = {
     val dir = tableDir(name)
     val f = fs(dir)
@@ -284,7 +300,11 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
       out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
     beforeCommit()
-    if (!f.rename(tmp, new Path(dir, s"manifest-${m.version}.txt")))
+    val dst = new Path(dir, s"manifest-${m.version}.txt")
+    if (f.exists(dst))
+      throw new ConcurrentCommitException(
+        s"$name v${m.version} was committed by another writer")
+    if (!f.rename(tmp, dst))
       throw new java.io.IOException(s"manifest commit rename failed for $name v${m.version}")
   }
 
@@ -328,6 +348,54 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
     commit(name, Manifest(v, prev.map(_.buckets).getOrElse(Map.empty),
       prev.map(_.logs).getOrElse(Nil) :+ rel,
       batchId.orElse(prev.flatMap(_.lastBatch))))
+  }
+
+  /** Log-structured compaction for append-mode tables: fold the
+    * current snapshot's N log generations into ONE (optionally
+    * `transform`ed — e.g. a sketch table's cell-wise sum, a candidate
+    * table's distinct), committed with a compare-and-swap against the
+    * snapshot that was read. An append (e.g. a streaming drain's
+    * [[appendIfNew]]) landing between the read and the commit makes
+    * the CAS fail — the compaction RETRIES against the fresh snapshot
+    * instead of silently dropping the new generation while its batch
+    * mark survives, which a blind read-then-replace would do. The
+    * batch mark carries the base snapshot's value, which the CAS
+    * proves complete. Superseded generation dirs (and any lost-race
+    * staging) become unreferenced garbage for [[vacuum]].
+    *
+    * Returns true when the log is compact (≤ 1 generation), false if
+    * every attempt lost its race. A real streaming user needs this —
+    * one dir per micro-batch forever is unbounded read fan-in. */
+  def compactLogs(
+      name: String,
+      transform: DataFrame => DataFrame = identity,
+      maxAttempts: Int = 5): Boolean = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = latestManifest(name) match {
+        case None => return true
+        case Some(m) => m
+      }
+      require(base.buckets.isEmpty,
+        s"$name has bucketed upsert generations; compactLogs targets append-log tables")
+      if (base.logs.size <= 1) return true
+      val v = base.version + 1
+      val rel = s"data/log-$v"
+      val merged = transform(
+        spark.read.option("mergeSchema", "true")
+          .parquet(dirsOf(name, base, base.logs): _*))
+      merged.write.mode(SaveMode.Overwrite)
+        .parquet(new Path(tableDir(name), rel).toString)
+      // CAS: commit only if nothing advanced the table while we wrote
+      if (latestManifest(name).exists(_.version == base.version)) {
+        try {
+          commit(name, Manifest(v, Map.empty, Seq(rel), base.lastBatch))
+          return true
+        } catch { case _: ConcurrentCommitException => () } // lost the race
+      }
+    }
+    false
   }
 
   /** K3/K4 full replace — still one manifest rename; the previous

@@ -22,8 +22,9 @@ import graft.ops.Approx
   * design could not promise (a replayed merge double-counts).
   *
   * The generation log grows by one tiny file per batch; compact it
-  * whenever convenient with [[compact]] (one atomic replace of the
-  * summed cells — idempotent, so it needs no batch-id fencing). */
+  * whenever convenient with [[compact]] (one atomic commit of the
+  * summed cells, CAS-fenced against a concurrent drain on snapshot
+  * stores — idempotent, so it needs no batch-id fencing). */
 object SketchIntake {
 
   /** Drain everything currently available (AvailableNow), appending
@@ -115,8 +116,19 @@ object SketchIntake {
     }
 
   /** Fold the generation log back to one generation (bounded read
-    * fan-in). Safe any time: summing is what reads do anyway, and
-    * replace commits atomically. */
+    * fan-in); the compacted content is the cell-wise sum reads compute
+    * anyway, so it is read-equivalent. On a [[graft.io.
+    * SnapshotBucketedStore]] this is SAFE CONCURRENTLY with a drain:
+    * the commit is a compare-and-swap on the snapshot the sum read,
+    * retried on conflict — a generation appended mid-compact can never
+    * be dropped while its batch mark survives. On other stores the
+    * fallback is read-then-replace, which requires the table's
+    * single-writer contract (don't run it while a drain is active). */
   def compact(store: graft.io.TableStore, table: String): Unit =
-    readSketch(store, table).foreach(store.replace(table, _))
+    store match {
+      case s: graft.io.SnapshotBucketedStore =>
+        s.compactLogs(table, Approx.cmsMerge(_)): Unit
+      case _ =>
+        readSketch(store, table).foreach(store.replace(table, _))
+    }
 }

@@ -192,6 +192,73 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(store.read("raw").get.count() == 35)
   }
 
+  test("compactLogs folds append generations into one, read-equivalent, mark preserved") {
+    val root = tmpDir("graft_snap_cpt_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    assert(store.appendIfNew("raw", rows(0 until 10, "b0"), 0L))
+    assert(store.appendIfNew("raw", rows(10 until 20, "b1"), 1L))
+    assert(store.appendIfNew("raw", rows(20 until 30, "b2"), 2L))
+    val before = store.read("raw").get.orderBy("uuid").collect().toSeq
+    assert(store.compactLogs("raw"))
+    assert(store.read("raw").get.orderBy("uuid").collect().toSeq == before,
+      "compaction must be read-equivalent")
+    store.vacuum("raw")
+    val live = new File(s"$root/raw/data").listFiles().map(_.getName).filter(_.startsWith("log-"))
+    assert(live.length == 1, s"expected one live log dir after compact+vacuum: ${live.toSeq}")
+    // exactly-once survives compact-then-replay: epoch 2 is still fenced
+    assert(!store.appendIfNew("raw", rows(20 until 30, "b2"), 2L),
+      "compaction must not reset the streaming high-water mark")
+    assert(store.appendIfNew("raw", rows(30 until 35, "b3"), 3L))
+    assert(store.read("raw").get.count() == 35)
+    // idempotent / already-compact fast path
+    assert(store.compactLogs("missing"))
+  }
+
+  test("compactLogs refuses a bucketed upsert target") {
+    val root = tmpDir("graft_snap_cptg_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", rows(0 until 20, "a"), "uuid")
+    val e = intercept[IllegalArgumentException] { store.compactLogs("t") }
+    assert(e.getMessage.contains("append-log tables"))
+  }
+
+  /** Race-injection store: the first commit after arming performs a
+    * competing streaming append through a plain handle on the same
+    * table — landing BETWEEN compactLogs' read and its commit rename,
+    * the exact window the CAS must cover. */
+  private final class RacingStore(root: String, buckets: Int)(implicit s: SparkSession)
+      extends SnapshotBucketedStore(root, buckets) {
+    var raceNext: Option[() => Unit] = None
+    override protected def beforeCommit(): Unit =
+      raceNext match {
+        case Some(r) => raceNext = None; r()
+        case None => ()
+      }
+  }
+
+  test("a drain landing mid-compact is never dropped: CAS fails, retry folds it in") {
+    val root = tmpDir("graft_snap_race_")
+    implicit val s = spark
+    val store = new RacingStore(root, 4)
+    val plain = new SnapshotBucketedStore(root, 4)
+    assert(store.appendIfNew("raw", rows(0 until 10, "b0"), 0L))
+    assert(store.appendIfNew("raw", rows(10 until 20, "b1"), 1L))
+    store.raceNext = Some(() =>
+      assert(plain.appendIfNew("raw", rows(90 until 95, "raced"), 7L)))
+    assert(store.compactLogs("raw"), "compaction should succeed on retry")
+    val table = store.read("raw").get
+    assert(table.count() == 25, "the raced generation must survive compaction")
+    assert(table.filter($"val" === "raced").count() == 5)
+    // the raced batch's mark survived too: its replay is fenced
+    assert(!store.appendIfNew("raw", rows(90 until 95, "raced"), 7L))
+    store.vacuum("raw")
+    val live = new File(s"$root/raw/data").listFiles().map(_.getName).filter(_.startsWith("log-"))
+    assert(live.length == 1, s"retry should still fully fold: ${live.toSeq}")
+    assert(store.read("raw").get.count() == 25)
+  }
+
   test("vacuum retention window protects recent snapshots") {
     val root = tmpDir("graft_snap_ret_")
     implicit val s = spark
