@@ -655,18 +655,56 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** NEAR-MISS contamination — the evasion case the exact rule is
+    * blind to: a leaked eval passage with a token inserted (or
+    * dropped, or swapped) every few words shares NO exact n-gram with
+    * the eval set once its clean runs are shorter than n, yet it is
+    * still a leak. Both sides therefore join on the ONE-DELETION
+    * neighborhood of their n-grams ([[graft.llm.TextOps.
+    * shingleDeletionHashes]], symmetric-delete style): any single
+    * token edit inside a window leaves a shared (n−1)-token variant,
+    * so one edit per window cannot evade. Plan shape is identical to
+    * [[contamination]] — 8-byte variant hashes, eval side broadcasts,
+    * train side map-side — the neighborhood just multiplies the
+    * per-doc hash count by ~n. Returns (idCol, n_shared = distinct
+    * shared variant hashes); filter n_shared for a stricter k-of-n
+    * overlap policy. */
+  def contaminationFuzzy(
+      train: DataFrame,
+      test: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 13,
+      normalize: Boolean = false,
+  ): DataFrame = {
+    def txt = if (normalize) TextOps.normalizeForMatching(col(textCol)) else col(textCol)
+    val evalGrams = test
+      .select(explode(TextOps.shingleDeletionHashes(txt, n)).as("h")).distinct()
+    train
+      .select(col(idCol), explode(TextOps.shingleDeletionHashes(txt, n)).as("h"))
+      .join(evalGrams, Seq("h"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** [[contamination]]'s subtractive form: the training corpus with
-    * every flagged document removed. */
+    * every flagged document removed. `fuzzy = true` subtracts on the
+    * one-deletion neighborhood ([[contaminationFuzzy]]) instead of
+    * exact n-grams. */
   def decontaminate(
       train: DataFrame,
       test: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 13,
-  ): DataFrame =
-    train.join(
-      contamination(train, test, idCol, textCol, n).select(col(idCol)),
-      Seq(idCol), "left_anti")
+      normalize: Boolean = false,
+      fuzzy: Boolean = false,
+  ): DataFrame = {
+    val flagged =
+      if (fuzzy) contaminationFuzzy(train, test, idCol, textCol, n, normalize)
+      else contamination(train, test, idCol, textCol, n, normalize)
+    train.join(flagged.select(col(idCol)), Seq(idCol), "left_anti")
+  }
 
   /** Multi-width sweep of [[repeatedSegments]] — the next step toward
     * suffix-array-grade substring dedup: run the fixed-w miner at

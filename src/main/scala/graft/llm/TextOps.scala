@@ -117,6 +117,25 @@ object TextOps {
         distinct = false))
   }
 
+  /** Hashes of the ONE-DELETION neighborhood of the text's n-gram
+    * shingles (each window's n (n−1)-token deletion variants, affine
+    * family, distinct) — the join key for near-miss decontamination:
+    * windows that differ by a single inserted/dropped/substituted
+    * token still collide. Compiled loop ([[graft.expr.
+    * ShingleDeletionHashes]]); coefficient k multiplies the k-th
+    * surviving token, so the DuckDB mirror is the same arithmetic
+    * unrolled per deletion position. */
+  def shingleDeletionHashes(text: Column, n: Int): Column = {
+    require(n >= 2 && n - 1 <= ShingleC.length,
+      s"2 <= n <= ${ShingleC.length + 1} supported, got $n")
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.expr.ShingleDeletionHashes(
+        org.apache.spark.sql.GraftBridge.toExpr(text),
+        n,
+        ShingleC.take(n - 1),
+        ShingleM))
+  }
+
   /** 60-bit md5 hashes of the text's distinct n-gram shingle STRINGS
     * (compiled loop; equals `transform(shingles(tokens(t),n), hash60)`
     * but one digest per shingle instead of an interpreted expression

@@ -915,6 +915,59 @@ object LlmCatalog {
     },
   )
 
+  /** NEAR-MISS decontamination (Dedup.contaminationFuzzy): same
+    * benchmark split as q49, but the sides join on the ONE-DELETION
+    * neighborhood of their 4-grams (symmetric-delete), so a leak with
+    * a token inserted/dropped/swapped inside a window — which breaks
+    * every exact n-gram it touches — still collides. The variant
+    * hashes are the q13 affine family over the surviving tokens; the
+    * oracle unrolls the four deletion positions as four static sum
+    * expressions. */
+  val decontaminationFuzzy = GraftQuery(
+    "q52_decontamination_fuzzy",
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.contaminationFuzzy(
+          docs.filter(col("doc_id") % 37 =!= 0),
+          docs.filter(col("doc_id") % 37 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val c = TextOps.ShingleC.take(3)
+      val m = TextOps.ShingleM
+      val variants = (0 until 4).map { del =>
+        val terms = (0 until 3).map { k =>
+          val off = k + (if (k >= del) 1 else 0)
+          s"th[i+$off]*${c(k)}"
+        }.mkString(" + ")
+        s"list_transform(generate_series(1, len(th)-3), i -> ($terms) % $m)"
+      }.mkString(",\n                 ")
+      s"""
+      WITH grams AS (
+        SELECT doc_id, unnest(sh) AS h FROM (
+          SELECT doc_id,
+                 list_distinct(flatten([
+                 $variants])) AS sh
+          FROM (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                                  t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+            FROM documents
+          )
+          WHERE len(th) >= 4
+        )
+      )
+      SELECT doc_id, COUNT(*) AS n_shared
+      FROM grams
+      WHERE doc_id % 37 <> 0
+        AND h IN (SELECT h FROM grams WHERE doc_id % 37 = 0)
+      GROUP BY doc_id
+      ORDER BY doc_id
+      """.trim
+    },
+  )
+
   /** Suffix-array-family exact repeats (SuffixRank.crossDocRepeats):
     * 4-token cross-doc windows by PREFIX DOUBLING — dense ranks, no
     * hashing anywhere, so every value (including the equality-class
@@ -1042,5 +1095,6 @@ object LlmCatalog {
     decontamination,
     suffixRepeats,
     maximalRepeats,
+    decontaminationFuzzy,
   )
 }

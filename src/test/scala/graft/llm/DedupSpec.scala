@@ -252,6 +252,40 @@ class DedupSpec extends SparkSpec {
     assert(caught.keySet == Set(9L) && caught(9L) == 3L, s"got $caught")
   }
 
+  test("fuzzy decontamination catches inserted-token evasion the exact rule provably misses") {
+    val evalSet = Seq(
+      (100L, "the capital of france is paris obviously everyone agrees today"),
+    ).toDF("doc_id", "text")
+    // the leak re-inserts a junk token every 3 words: every clean run
+    // is 3 < n = 4 tokens, so NO exact 4-gram of the eval set survives
+    // — but each 4-window holding exactly one junk token shares its
+    // delete-the-junk variant with the eval set's deletion family
+    val evaded = Seq(
+      (1L, "the capital of x1 france is paris x2 obviously everyone agrees x3 today"),
+      (2L, "totally unrelated text about fish and rivers flowing home tonight"),
+    ).toDF("doc_id", "text")
+    assert(Dedup.contamination(evaded, evalSet, "doc_id", "text", n = 4).count() == 0,
+      "the exact rule must be blind to this evasion (that is the point)")
+    val caught = Dedup.contaminationFuzzy(evaded, evalSet, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(caught.keySet == Set(1L), s"got $caught")
+    val kept = Dedup.decontaminate(evaded, evalSet, "doc_id", "text", n = 4, fuzzy = true)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L))
+    // and the exact subtractive form keeps both (documents the gap)
+    assert(Dedup.decontaminate(evaded, evalSet, "doc_id", "text", n = 4).count() == 2)
+    // normalize composes with fuzzy: case/punct noise on top of the
+    // insertions still gets caught
+    // at least one cosmetically-disguised token in EVERY clean run, so
+    // no deletion variant survives on raw text
+    val noisy = Seq(
+      (9L, "The CAPITAL of x1 France, is Paris x2 Obviously! everyone AGREES x3 today?"),
+    ).toDF("doc_id", "text")
+    assert(Dedup.contaminationFuzzy(noisy, evalSet, "doc_id", "text", n = 4).count() == 0)
+    assert(Dedup.contaminationFuzzy(noisy, evalSet, "doc_id", "text", n = 4,
+      normalize = true).count() == 1)
+  }
+
   test("star-contraction CC collapses a 1000-node chain in logarithmic rounds") {
     // diameter 999: min-label propagation would need ~999 rounds; the
     // large-star/small-star alternation must stay in the log regime
