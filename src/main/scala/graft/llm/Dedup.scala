@@ -372,6 +372,13 @@ object Dedup {
       edges = next
       round += 1
     }
+    // labels derived from a NON-star edge set would be wrong (multiple
+    // or non-minimal components) — an exhausted budget must fail loud,
+    // not return garbage; the O(log n) bound makes the default budget
+    // generous for any real graph
+    require(converged,
+      s"star-contraction did not converge within $maxRounds rounds; " +
+        "raise maxRounds (rounds grow ~log of the largest component)")
     // stars: u -> component v; roots label themselves
     val labels = edges.select(col("u").as("id"), col("v").as("component"))
       .union(edges.select(col("v").as("id"), col("v").as("component")))

@@ -286,6 +286,14 @@ class DedupSpec extends SparkSpec {
       normalize = true).count() == 1)
   }
 
+  test("star-contraction CC fails loudly when the round budget is exhausted") {
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsStarWithRounds(chain, maxRounds = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("star-contraction CC collapses a 1000-node chain in logarithmic rounds") {
     // diameter 999: min-label propagation would need ~999 rounds; the
     // large-star/small-star alternation must stay in the log regime
