@@ -218,10 +218,18 @@ final class BucketedParquetDirStore(root: String, numBuckets: Int = 64)(implicit
   * table is EITHER an append log (K2) or a keyed upsert target
   * (K3/K4/W1) — [[upsert]] on a table with log dirs refuses rather
   * than silently miss log rows during its bucket-pruned merge. */
-class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: SparkSession)
+class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "parquet")(
+    implicit spark: SparkSession)
     extends TableStore {
 
   import org.apache.hadoop.fs.Path
+  // every generation read goes through the same format seam as
+  // FileDirStore, so the atomic-commit/GDPR-delete machinery is
+  // format-agnostic (both bundled columnar formats honor mergeSchema)
+  private def readDirs(dirs: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").format(fmt).load(dirs: _*)
+  private def writeDir(df: DataFrame, dest: String): Unit =
+    df.write.mode(SaveMode.Overwrite).format(fmt).save(dest)
   private val BucketCol = "graft_bucket"
   private def tableDir(name: String) = new Path(s"$root/$name")
   private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -318,7 +326,7 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
       // mergeSchema unions the footers (old-generation rows read null
       // in later-added columns)
       if (all.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true").parquet(all: _*))
+      else Some(readDirs(all))
     }
 
   /** K2 append as a committed log generation: new dir + new manifest.
@@ -344,7 +352,7 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
       s"$name has bucketed upsert generations; append targets log tables only")
     val v = prev.map(_.version + 1).getOrElse(0)
     val rel = s"data/log-$v"
-    df.write.mode(SaveMode.Overwrite).parquet(new Path(tableDir(name), rel).toString)
+    writeDir(df, new Path(tableDir(name), rel).toString)
     commit(name, Manifest(v, prev.map(_.buckets).getOrElse(Map.empty),
       prev.map(_.logs).getOrElse(Nil) :+ rel,
       batchId.orElse(prev.flatMap(_.lastBatch))))
@@ -382,11 +390,8 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
       if (base.logs.size <= 1) return true
       val v = base.version + 1
       val rel = s"data/log-$v"
-      val merged = transform(
-        spark.read.option("mergeSchema", "true")
-          .parquet(dirsOf(name, base, base.logs): _*))
-      merged.write.mode(SaveMode.Overwrite)
-        .parquet(new Path(tableDir(name), rel).toString)
+      val merged = transform(readDirs(dirsOf(name, base, base.logs)))
+      writeDir(merged, new Path(tableDir(name), rel).toString)
       // CAS: commit only if nothing advanced the table while we wrote
       if (latestManifest(name).exists(_.version == base.version)) {
         try {
@@ -410,7 +415,7 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
     // (SketchIntake.compact) rewrites content between streaming
     // commits, and dropping the mark there would let a crash-replayed
     // epoch re-apply after a compact.
-    df.write.mode(SaveMode.Overwrite).parquet(new Path(tableDir(name), rel).toString)
+    writeDir(df, new Path(tableDir(name), rel).toString)
     commit(name, Manifest(v, Map.empty, Seq(rel), prev.flatMap(_.lastBatch)))
   }
 
@@ -432,9 +437,9 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
     val existing =
       if (existingDirs.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
-      else s.read.option("mergeSchema", "true").parquet(existingDirs: _*)
+      else readDirs(existingDirs)
     val merged = withBucket(graft.ops.Upsert.upsert(existing, incoming, key), key)
-    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(stage.toString)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
     // move each staged bucket dir to its immutable generation home
     f.mkdirs(new Path(tableDir(name), "data"))
     val newBuckets = touched.flatMap { b =>
@@ -483,15 +488,15 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64)(implicit spark: 
     // buckets span generations with different schemas — a single-footer
     // inference could pick an OLD generation and rewrite the bucket
     // without the later-added columns, destroying them in the snapshot
-    val existing = s.read.option("mergeSchema", "true").parquet(
-      touchedDirs.map(d => new Path(tableDir(name), d._2).toString): _*)
+    val existing = readDirs(
+      touchedDirs.map(d => new Path(tableDir(name), d._2).toString))
     val remaining = withBucket(
       existing.join(
         org.apache.spark.sql.functions.broadcast(keyFrame), Seq(keyCol), "left_anti"),
       keyCol)
     val stage = new Path(tableDir(name), s"stage-$v")
     val f = fs(stage)
-    remaining.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(stage.toString)
+    remaining.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
     f.mkdirs(new Path(tableDir(name), "data"))
     // a touched bucket may become empty (every row deleted): it then
     // has no staged dir and simply drops out of the manifest

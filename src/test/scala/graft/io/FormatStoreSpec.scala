@@ -27,6 +27,40 @@ class FormatStoreSpec extends SparkSpec {
     assert(files.endsWith(".orc"), files)
   }
 
+  test("snapshot protocol runs unchanged on ORC: commit, widen, delete, vacuum, compact") {
+    implicit val s = spark
+    val root = tmpDir("graft_orc_snap_")
+    val store = new SnapshotBucketedStore(root, numBuckets = 4, fmt = "orc")
+    val rows = (0 until 50).map(i => (i.toLong, s"v$i", i * 1.5)).toDF("uuid", "v", "m")
+    store.upsert("t", rows, "uuid")
+    assert(store.read("t").get.count() == 50)
+    assert(store.read("t").get.inputFiles.head.endsWith(".orc"),
+      "generation files must be ORC")
+    // widening upsert + mergeSchema read across mixed-schema generations
+    val widened = (48 until 53)
+      .map(i => (i.toLong, "w", i * 1.5, "feed")).toDF("uuid", "v", "m", "src")
+    store.upsert("t", widened, "uuid")
+    val table = store.read("t").get
+    assert(table.count() == 53 && table.columns.contains("src"))
+    assert(table.filter($"uuid" === 50L).select("src").as[String].head() == "feed")
+    assert(table.filter($"uuid" === 0L).select("src").head().isNullAt(0))
+    // keyed delete + vacuum (the GDPR path) stays available to ORC
+    store.delete("t", "uuid", Seq(5L, 17L).toDF("uuid"))
+    assert(store.read("t").get.count() == 51)
+    store.vacuum("t")
+    assert(store.read("t").get.count() == 51)
+    assert(store.read("t").get.filter($"uuid".isin(5L, 17L)).count() == 0)
+    // append-log role: exactly-once marks + CAS compaction
+    val log = rows.select($"uuid", $"v")
+    assert(store.appendIfNew("raw", log, 0L))
+    assert(store.appendIfNew("raw", log, 1L))
+    assert(!store.appendIfNew("raw", log, 1L))
+    assert(store.compactLogs("raw"))
+    assert(store.read("raw").get.count() == 100)
+    assert(!store.appendIfNew("raw", log, 1L),
+      "compaction must preserve the streaming high-water mark")
+  }
+
   test("pipeline runs unchanged on an ORC warehouse") {
     implicit val s = spark
     val root = tmpDir("graft_orc_pipe_")
