@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+// top-level so Spark can generate its encoder outside the suite scope
+case class AnnDoc(doc_id: Long, text: String)
+
+class AnnIntakeSpec extends SparkSpec {
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the riverbank today"
+
+  test("streaming ANN state recovers planted near-dups ACROSS drains, exactly-once") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val root = tmpDir("graft_ann_")
+    val store = new graft.io.SnapshotBucketedStore(s"$root/ann", numBuckets = 4)
+    val input = MemoryStream[AnnDoc]
+
+    // drain 1: the original + unrelated chaff
+    input.addData(
+      AnnDoc(1L, base),
+      AnnDoc(2L, "completely different words about ships and harbors and tides rolling in"),
+      AnnDoc(3L, "yet another unrelated document mentioning mountains valleys and glaciers melting"))
+    AnnIntake.drainTo(input.toDF(), store, "ann", s"$root/ckpt")
+
+    // drain 2: a near-copy of doc 1 (one token changed) — the pair
+    // SPANS drains, so no within-batch dedup could have seen it
+    input.addData(
+      AnnDoc(102L, base.replace("lazy", "sleepy")),
+      AnnDoc(103L, "more chaff text regarding different topics entirely like cooking pasta"))
+    AnnIntake.drainTo(input.toDF(), store, "ann", s"$root/ckpt")
+
+    val pairs = AnnIntake.nearDupPairsEstimated(store, "ann", threshold = 0.5).get
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 102L)),
+      s"expected exactly the cross-drain planted pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 > 0.5 && pairs.head._3 <= 1.0)
+
+    // exactly-once: a crash-replay of the last epoch must not change
+    // the state (same batch id → both appends recognized and skipped)
+    val sigsBefore = store.read("ann").get.count()
+    val bucketsBefore = store.read("ann_buckets").get.count()
+    assert(!store.appendIfNew("ann",
+      AnnIntake.signatures(Seq(AnnDoc(102L, base)).toDF(), "doc_id", "text", 3, 32), 1L))
+    assert(store.read("ann").get.count() == sigsBefore)
+    assert(store.read("ann_buckets").get.count() == bucketsBefore)
+
+    // identical doc re-sent in a LATER epoch (at-least-once transport):
+    // memberships dedupe on read, so it cannot self-pair into noise
+    input.addData(AnnDoc(1L, base))
+    AnnIntake.drainTo(input.toDF(), store, "ann", s"$root/ckpt")
+    val again = AnnIntake.nearDupPairsEstimated(store, "ann", threshold = 0.5).get
+      .as[(Long, Long, Double)].collect()
+    assert(again.map(p => (p._1, p._2)).toSet == Set((1L, 102L)), s"got ${again.toSeq}")
+
+    // compaction applies to both tables and changes nothing
+    assert(store.compactLogs("ann"))
+    assert(store.compactLogs("ann_buckets"))
+    val afterCompact = AnnIntake.nearDupPairsEstimated(store, "ann", threshold = 0.5).get
+      .as[(Long, Long, Double)].collect()
+    assert(afterCompact.map(p => (p._1, p._2)).toSet == Set((1L, 102L)))
+  }
+
+  test("estimated verification agrees with the batch miner's exact verdict on the same corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val root = tmpDir("graft_ann_eq_")
+    val store = new graft.io.SnapshotBucketedStore(s"$root/ann", numBuckets = 4)
+    val input = MemoryStream[AnnDoc]
+    val docs = Seq(
+      AnnDoc(1L, base),
+      AnnDoc(2L, base.replace("quick", "rapid")),
+      AnnDoc(3L, "entirely different content about astronomy telescopes and distant galaxies tonight"),
+    )
+    input.addData(docs: _*)
+    AnnIntake.drainTo(input.toDF(), store, "ann", s"$root/ckpt")
+    val streamed = AnnIntake.nearDupPairsEstimated(store, "ann", threshold = 0.5).get
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = graft.llm.Dedup.nearDupPairs(docs.toDF(), "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(streamed == exact, s"streamed $streamed vs exact $exact")
+  }
+}
