@@ -1104,6 +1104,54 @@ object Catalog {
     """.trim),
   )
 
+  /** The multi-join optimization showcase (TPC-H Q5 shape): six
+    * tables, two selective filters (region name, order-date year),
+    * and the local-supplier correlation (c_nationkey = s_nationkey)
+    * that ties the customer and supplier legs together. The plan the
+    * 100 TB story wants — and PlanAuditSpec asserts — is: every dim
+    * leg (supplier / nation / region, and customer at this SF)
+    * broadcasts, so the ONLY shuffle join is lineitem⋈orders on the
+    * orderkey; the date filter pushes into the orders scan and prunes
+    * before that shuffle; the region filter collapses the broadcast
+    * side before it ships. Catalyst derives the join order from the
+    * declared graph — nothing here hand-schedules. */
+  val localSupplierVolume = GraftQuery(
+    "q53_local_supplier_volume",
+    (s, d) => {
+      lineitem(s, d)
+        .join(orders(s, d).filter(
+          col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsumProduct(col("l_extendedprice"),
+          lit(1).cast(dec2) - col("l_discount").cast(dec2)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1138,6 +1186,7 @@ object Catalog {
     scdHistory,
     heavyHittersQ,
     bloomPrunedJoin,
+    localSupplierVolume,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -66,6 +66,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(pf.contains("graft_bucket"), p.take(800))
   }
 
+  test("q53 six-table join: one shuffle join only, dims broadcast, date filter pushed") {
+    val df = Catalog.localSupplierVolume.run(spark, sf)
+    df.collect() // final adaptive plan (runtime broadcast decisions included)
+    val p = df.queryExecution.executedPlan.toString
+    val broadcasts = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(broadcasts >= 4, s"supplier/nation/region/customer should broadcast:\n${p.take(900)}")
+    assert(shuffles <= 1, s"only lineitem⋈orders may shuffle, found $shuffles")
+    val pushed = p.linesIterator.find(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(o_orderdate"),
+      "date range must reach the orders scan")
+  }
+
   test("q13 candidate generation is hash-join shaped (no nested-loop blowup)") {
     val p = plan(LlmCatalog.nearDupPairs)
     assert(!p.contains("BroadcastNestedLoopJoin") || !p.contains("CartesianProduct"), p.take(500))
