@@ -225,6 +225,102 @@ object Multimodal {
       def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] =
         Iterator.single(Frame(r.media_id, 0, r.bytes))
     }
+
+    /** REAL audio codec via the JDK's `javax.sound.sampled` — the
+      * audio twin of [[ImageIO]], closing the "audio is metadata-only"
+      * gap without external libraries: WAV/AU/AIFF containers parse to
+      * their true format (channels, sample rate, frame count) and the
+      * PCM payload decodes to actual samples. Features are the mean
+      * ABSOLUTE AMPLITUDE per time bucket over decoded samples
+      * (normalized to [0, 1]) — a real envelope signature, so the same
+      * signal re-encoded at a different bit depth or endianness lands
+      * on nearby vectors, exactly like the luminance buckets do for
+      * PNG-vs-BMP. Frames are 1-second PCM windows (every Nth kept).
+      * Non-audio / unparseable bytes fall back to [[Stub]] semantics,
+      * keeping the decoder total. */
+    object Audio extends MediaDecoder {
+      private def stream(b: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] =
+        try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b)))
+        catch { case _: Exception => None }
+
+      private def readAll(in: javax.sound.sampled.AudioInputStream): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        out.toByteArray
+      }
+
+      /** Decoded samples in [-1, 1]: 16-bit signed (either endianness)
+        * or 8-bit signed/unsigned PCM — the WAV encodings in the wild. */
+      private def samples(
+          bytes: Array[Byte], f: javax.sound.sampled.AudioFormat): Array[Float] = {
+        val enc = f.getEncoding
+        if (f.getSampleSizeInBits == 16) {
+          val n = bytes.length / 2
+          val out = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            val (hi, lo) = if (f.isBigEndian) (bytes(2 * i), bytes(2 * i + 1))
+              else (bytes(2 * i + 1), bytes(2 * i))
+            out(i) = ((hi << 8) | (lo & 0xff)).toShort / 32768.0f
+            i += 1
+          }
+          out
+        } else {
+          val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          bytes.map(b => if (signed) b / 128.0f else ((b & 0xff) - 128) / 128.0f)
+        }
+      }
+
+      def decode(r: MediaRecord): MediaMeta = stream(r.bytes) match {
+        case Some(in) =>
+          try {
+            val f = in.getFormat
+            MediaMeta(r.media_id, "audio", -1, -1, f.getChannels,
+              f.getSampleRate.toInt, in.getFrameLength.toInt, r.bytes.length.toLong)
+          } finally in.close()
+        case None => Stub.decode(r)
+      }
+
+      def features(r: MediaRecord, dim: Int): Array[Float] = stream(r.bytes) match {
+        case Some(in) =>
+          try {
+            val f = in.getFormat
+            val s = samples(readAll(in), f)
+            val frames = math.max(s.length / math.max(f.getChannels, 1), 1)
+            val out = new Array[Float](dim)
+            val cnt = new Array[Int](dim)
+            var i = 0
+            while (i < s.length) {
+              val k = math.min((i / math.max(f.getChannels, 1)) * dim / frames, dim - 1)
+              out(k) += math.abs(s(i))
+              cnt(k) += 1
+              i += 1
+            }
+            var j = 0
+            while (j < dim) { if (cnt(j) > 0) out(j) /= cnt(j); j += 1 }
+            out
+          } finally in.close()
+        case None => Stub.features(r, dim)
+      }
+
+      def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] = stream(r.bytes) match {
+        case Some(in) =>
+          try {
+            val f = in.getFormat
+            val bytes = readAll(in)
+            val windowBytes = math.max(f.getSampleRate.toInt, 1) * math.max(f.getFrameSize, 1)
+            val n = math.max((bytes.length + windowBytes - 1) / windowBytes, 0)
+            (0 until n by math.max(everyNth, 1)).iterator.map { i =>
+              Frame(r.media_id, i,
+                bytes.slice(i * windowBytes, math.min((i + 1) * windowBytes, bytes.length)))
+            }
+          } finally in.close()
+        case None => Stub.sampleFrames(r, everyNth)
+      }
+    }
   }
 
   /** Decode metadata for every record — per-partition so a real codec

@@ -88,6 +88,68 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // Audio codec: genuine WAV containers produced by the JDK's own
+  // encoder, decoded back through the distributed seam.
+  test("Audio codec decodes genuine WAV bytes: header, envelope features, frame windows") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // 2 seconds at 8 kHz mono 16-bit: first second silent, second a
+    // loud 440 Hz tone — a shaped envelope the features must recover
+    def wav(bits: Int): Array[Byte] = {
+      val rate = 8000
+      val n = rate * 2
+      val fmt = new AudioFormat(rate.toFloat, bits, 1, bits == 16, false)
+      val frameBytes = bits / 8
+      val pcm = new Array[Byte](n * frameBytes)
+      for (i <- rate until n) {
+        val s = math.sin(2 * math.Pi * 440 * (i - rate) / rate) * 0.8
+        if (bits == 16) {
+          val v = (s * 32767).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        } else pcm(i) = ((s * 127).toInt + 128).toByte // 8-bit WAV is unsigned
+      }
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val w16 = wav(16)
+    assert(new String(w16.take(4), "US-ASCII") == "RIFF",
+      "the fixture must be a real WAV container")
+    val media = spark.createDataset(Seq(
+      MediaRecord(1L, "audio", w16, "mem://a.wav"),
+      MediaRecord(2L, "audio", Array[Byte](9, 9, 9), "mem://junk.bin"),
+    ))
+    val meta = decodeMeta(media, MediaDecoder.Audio).collect().sortBy(_.media_id)
+    assert(meta(0).sample_rate == 8000 && meta(0).channels == 1 && meta(0).n_frames == 16000,
+      s"got ${meta(0)}")
+    assert(meta(1).sample_rate == MediaDecoder.Stub.decode(
+      MediaRecord(2L, "audio", Array[Byte](9, 9, 9), "")).sample_rate,
+      "junk degrades to Stub semantics, never throws")
+    // envelope: first half of the buckets silent, second half loud
+    val feats = extractFeatures(
+      spark.createDataset(Seq(MediaRecord(1L, "audio", w16, "mem://a.wav"))),
+      dim = 8, MediaDecoder.Audio).collect().head.feature
+    assert(feats.take(4).forall(_ < 0.01), s"silent half must be ~0: ${feats.toSeq}")
+    // mean |sin| of a 0.8-amplitude tone ≈ 0.8 · 2/π ≈ 0.51
+    assert(feats.drop(4).forall(v => v > 0.4 && v < 0.6), s"tone half: ${feats.toSeq}")
+    // bit-depth invariance: the same signal at 8-bit lands on nearly
+    // the same envelope (features are over decoded samples, not bytes)
+    val feats8 = extractFeatures(
+      spark.createDataset(Seq(MediaRecord(3L, "audio", wav(8), "mem://a8.wav"))),
+      dim = 8, MediaDecoder.Audio).collect().head.feature
+    feats.zip(feats8).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.02, s"${feats.toSeq} vs ${feats8.toSeq}")
+    }
+    // frame sampling: 2 seconds → 2 one-second PCM windows, stride 1
+    val frames = sampleFrames(
+      spark.createDataset(Seq(MediaRecord(1L, "audio", w16, "mem://a.wav"))),
+      everyNth = 1, MediaDecoder.Audio).collect().sortBy(_.frame_idx)
+    assert(frames.length == 2, s"got ${frames.length}")
+    assert(frames(0).bytes.length == 16000, "one second of 16-bit 8 kHz mono")
+  }
+
   test("audio kind parses sample_rate, not dims") {
     val meta = decodeMeta(syntheticMedia(spark, 4, "audio")).collect().sortBy(_.media_id)
     assert(meta(0).sample_rate == 16000 && meta(0).width == -1)
