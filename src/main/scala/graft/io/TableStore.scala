@@ -287,18 +287,27 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     * protocol must survive. */
   protected def beforeCommit(): Unit = ()
 
-  /** The commit point: stage the manifest text, then ONE rename.
-    * A manifest for this version already on disk means another writer
-    * won the version — refuse loudly ([[ConcurrentCommitException]])
-    * instead of letting a platform-dependent rename-over-existing
-    * silently replace their commit. (On HDFS the rename itself also
-    * fails on an existing target, making the check a true CAS; on a
-    * posix local FS the exists-check narrows the window to
-    * check-to-rename, which the single-writer contract covers.) */
+  /** The commit point: stage the manifest text fully, then publish it
+    * with a true compare-and-set on the versioned name. A manifest for
+    * this version already on disk means another writer won — refuse
+    * loudly ([[ConcurrentCommitException]]), never replace.
+    *
+    * On HDFS-like filesystems rename refuses an existing target, so
+    * stage-then-rename IS the CAS. On a posix local FS rename(2)
+    * silently REPLACES the target — exists-then-rename has a window
+    * where two writers racing to the same version (e.g. a streaming
+    * drain vs [[SnapshotBucketedStore.compactLogs]]) would silently
+    * drop the first commit. There the publish is a hard link instead:
+    * link(2) fails EEXIST atomically, and the target appears fully
+    * written because it aliases the completed staged file — both the
+    * CAS and the all-or-nothing visibility survive. */
   private def commit(name: String, m: Manifest): Unit = {
     val dir = tableDir(name)
     val f = fs(dir)
-    val tmp = new Path(dir, s"manifest-${m.version}.tmp")
+    // writer-unique staging name: two writers racing to the same
+    // version must not clobber each other's staged text either
+    val tmp = new Path(dir,
+      s"manifest-${m.version}-${java.util.UUID.randomUUID}.tmp")
     val out = f.create(tmp, true)
     try {
       val lines =
@@ -309,11 +318,26 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     } finally out.close()
     beforeCommit()
     val dst = new Path(dir, s"manifest-${m.version}.txt")
-    if (f.exists(dst))
-      throw new ConcurrentCommitException(
-        s"$name v${m.version} was committed by another writer")
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"manifest commit rename failed for $name v${m.version}")
+    if (f.getScheme == "file") {
+      val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+      val dstNio = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
+      try java.nio.file.Files.createLink(dstNio, tmpNio)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false)
+          throw new ConcurrentCommitException(
+            s"$name v${m.version} was committed by another writer")
+      }
+      f.delete(tmp, false) // FileSystem delete also removes the .crc sidecar
+    } else {
+      if (f.exists(dst)) {
+        f.delete(tmp, false)
+        throw new ConcurrentCommitException(
+          s"$name v${m.version} was committed by another writer")
+      }
+      if (!f.rename(tmp, dst))
+        throw new java.io.IOException(s"manifest commit rename failed for $name v${m.version}")
+    }
   }
 
   private def dirsOf(name: String, m: Manifest, dirs: Iterable[String]): Seq[String] =

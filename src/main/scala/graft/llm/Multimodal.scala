@@ -244,6 +244,27 @@ object Multimodal {
           new java.io.ByteArrayInputStream(b)))
         catch { case _: Exception => None }
 
+      /** [[samples]] understands linear PCM only; AU files commonly
+        * carry ULAW/ALAW (8-bit, NON-linear — decoding them as linear
+        * PCM yields silently wrong envelopes). Convert any non-PCM
+        * encoding to 16-bit signed PCM through the JVM's own codec
+        * chain; None if no conversion path exists (→ Stub fallback). */
+      private def toPcm(
+          in: javax.sound.sampled.AudioInputStream
+      ): Option[javax.sound.sampled.AudioInputStream] = {
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val enc = in.getFormat.getEncoding
+        if (enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED) Some(in)
+        else try {
+          val f = in.getFormat
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
+            f.getSampleRate, false)
+          Some(AudioSystem.getAudioInputStream(target, in))
+        } catch { case _: Exception => None }
+      }
+
       private def readAll(in: javax.sound.sampled.AudioInputStream): Array[Byte] = {
         val out = new java.io.ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
@@ -284,7 +305,7 @@ object Multimodal {
         case None => Stub.decode(r)
       }
 
-      def features(r: MediaRecord, dim: Int): Array[Float] = stream(r.bytes) match {
+      def features(r: MediaRecord, dim: Int): Array[Float] = stream(r.bytes).flatMap(toPcm) match {
         case Some(in) =>
           try {
             val f = in.getFormat
@@ -306,7 +327,7 @@ object Multimodal {
         case None => Stub.features(r, dim)
       }
 
-      def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] = stream(r.bytes) match {
+      def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] = stream(r.bytes).flatMap(toPcm) match {
         case Some(in) =>
           try {
             val f = in.getFormat

@@ -196,22 +196,31 @@ object SuffixRank {
 
     // binary LCP descent, highest level first: if the 2^k-window ranks
     // at the current match offset agree, the match extends by 2^k.
+    // The TOP level is special: doubling stopped at the refinement
+    // fixpoint (or with the window covering the longest doc), where
+    // equal ranks provably mean suffixes identical all the way to
+    // their ends — so a top-level match saturates `acc` past any doc
+    // length and the final least(len−pos) cap yields the true LCP.
+    // Without the saturation, acc could never exceed 2^(K+1)−1 and
+    // identical docs longer than that would underreport.
     // Checkpoint every third level, not every level — enough to keep
     // the plan from re-deriving the whole descent chain, without
     // paying a materialization job per level.
+    val topK = levels.indices.last
     var sinceCheckpoint = 0
     for (k <- levels.indices.reverse) {
       val la = levels(k).select(col("id").as("ida"), col("pos").as("qa"),
         col("rank").as("ra"))
       val lb = levels(k).select(col("id").as("idb"), col("pos").as("qb"),
         col("rank").as("rb"))
+      val gain = if (k == topK) lit(1 << 30) else lit(1 << k)
       pairs = pairs
         .withColumn("qa", col("posa") + col("acc"))
         .withColumn("qb", col("posb") + col("acc"))
         .join(la, Seq("ida", "qa"), "left")
         .join(lb, Seq("idb", "qb"), "left")
         .withColumn("acc", when(col("ra").isNotNull && col("ra") === col("rb"),
-          col("acc") + lit(1 << k)).otherwise(col("acc")))
+          col("acc") + gain).otherwise(col("acc")))
         .drop("qa", "qb", "ra", "rb")
       sinceCheckpoint += 1
       if (sinceCheckpoint == 3 || k == 0) {

@@ -1109,7 +1109,8 @@ object Catalog {
     * and the local-supplier correlation (c_nationkey = s_nationkey)
     * that ties the customer and supplier legs together. The plan the
     * 100 TB story wants — and PlanAuditSpec asserts — is: every dim
-    * leg (supplier / nation / region, and customer at this SF)
+    * leg (customer / supplier / nation / region, each by explicit
+    * hint so the audit doesn't ride on size estimates)
     * broadcasts, so the ONLY shuffle join is lineitem⋈orders on the
     * orderkey; the date filter pushes into the orders scan and prunes
     * before that shuffle; the region filter collapses the broadcast
@@ -1123,7 +1124,10 @@ object Catalog {
           col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
             col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
           col("l_orderkey") === col("o_orderkey"))
-        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        // explicit hint, not estimator size: keeps the audited plan
+        // stable across SFs/stats (at warehouse scale customer stops
+        // being broadcastable — drop the hint there and AQE decides)
+        .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(supplier(s, d)),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))

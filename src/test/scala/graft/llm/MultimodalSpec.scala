@@ -101,6 +101,9 @@ class MultimodalSpec extends SparkSpec {
       val fmt = new AudioFormat(rate.toFloat, bits, 1, bits == 16, false)
       val frameBytes = bits / 8
       val pcm = new Array[Byte](n * frameBytes)
+      // 8-bit WAV is UNSIGNED: silence is 128, not byte 0 (which is
+      // full-scale negative). 16-bit signed silence is the zero fill.
+      if (bits == 8) java.util.Arrays.fill(pcm, 0, rate, 128.toByte)
       for (i <- rate until n) {
         val s = math.sin(2 * math.Pi * 440 * (i - rate) / rate) * 0.8
         if (bits == 16) {
@@ -141,6 +144,22 @@ class MultimodalSpec extends SparkSpec {
       dim = 8, MediaDecoder.Audio).collect().head.feature
     feats.zip(feats8).foreach { case (a, b) =>
       assert(math.abs(a - b) < 0.02, s"${feats.toSeq} vs ${feats8.toSeq}")
+    }
+    // encoding invariance: the same signal as ULAW AU — 8-bit but
+    // NON-linear — must route through the JVM's codec conversion, not
+    // decode as linear PCM (which would distort the envelope)
+    val ulaw = {
+      val src = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(w16))
+      val u = AudioSystem.getAudioInputStream(AudioFormat.Encoding.ULAW, src)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(u, AudioFileFormat.Type.AU, out)
+      out.toByteArray
+    }
+    val featsU = extractFeatures(
+      spark.createDataset(Seq(MediaRecord(4L, "audio", ulaw, "mem://a.au"))),
+      dim = 8, MediaDecoder.Audio).collect().head.feature
+    feats.zip(featsU).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.03, s"${feats.toSeq} vs ${featsU.toSeq}")
     }
     // frame sampling: 2 seconds → 2 one-second PCM windows, stride 1
     val frames = sampleFrames(

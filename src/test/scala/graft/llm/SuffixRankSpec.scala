@@ -135,6 +135,37 @@ class SuffixRankSpec extends SparkSpec {
       Set(ia, ib) == Set(3L, 4L) && l == 5 }) // identical docs, whole text
   }
 
+  test("maximalCrossDocRepeats reports full LCP for identical docs with no chaff") {
+    // Two byte-identical docs of 12 distinct tokens and NOTHING else:
+    // seed ranks already separate every within-doc suffix, so doubling
+    // hits its refinement fixpoint after ONE round (levels 0 and 1
+    // only). Pre-fix the LCP descent could accumulate at most
+    // 2^0 + 2^1 = 3 tokens and the full-length duplicate was dropped
+    // by minTokens=4; the fixpoint property (equal top-level ranks ⟹
+    // suffixes identical to their ends) must saturate acc instead.
+    val ts = "t01 t02 t03 t04 t05 t06 t07 t08 t09 t10 t11 t12".split(" ").toSeq
+    val docs = Seq((1L, ts.mkString(" ")), (2L, ts.mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = SuffixRank.maximalCrossDocRepeats(docs, "doc_id", "text", minTokens = 4)
+      .as[(Long, Int, Long, Int, Int)].collect().toSet
+    val toks = Map(1L -> ts, 2L -> ts)
+    val sorted = toks.toSeq
+      .flatMap { case (id, t) => t.indices.map(p => (id, p, t.drop(p))) }
+      .sortBy { case (id, p, s) => (s, id, p) }(
+        Ordering.Tuple3(suffixOrdering, implicitly[Ordering[Long]], implicitly[Ordering[Int]]))
+    val expected = sorted.sliding(2).collect {
+      case Seq((ia, pa, sa), (ib, pb, sb)) if ia != ib =>
+        val lcp = sa.zip(sb).takeWhile { case (x, y) => x == y }.size
+        (ia, pa, ib, pb, lcp)
+    }.filter(_._5 >= 4)
+      .filter { case (ia, pa, ib, pb, _) =>
+        pa == 0 || pb == 0 || toks(ia)(pa - 1) != toks(ib)(pb - 1)
+      }.toSet
+    assert(got == expected, s"\ngot      ${got.toSeq.sorted}\nexpected ${expected.toSeq.sorted}")
+    // the whole-document duplicate surfaces at its true length
+    assert(got.exists(_._5 == 12), s"full-length LCP missing from ${got.toSeq.sorted}")
+  }
+
   test("windowTokens must be a power of two") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
