@@ -44,22 +44,34 @@ import org.apache.spark.sql.types._
   * an exactness no hash family gives. */
 object SuffixRank {
 
+  /** Contiguous 0-based index over an already-sorted, materialized
+    * DataFrame: one small partition-sizes job (the only driver hop —
+    * #partitions longs), then per-partition offset arithmetic. Does
+    * the work of `count()` + `zipWithIndex` in a single pass over the
+    * materialized partitions; returns (row, index) plus the total. */
+  private def indexSorted(df: DataFrame): (org.apache.spark.rdd.RDD[(Row, Long)], Long) = {
+    val rdd = df.rdd
+    val sizes = rdd.mapPartitions(it => Iterator(it.size.toLong), true).collect()
+    val offsets = sizes.scanLeft(0L)(_ + _)
+    val indexed = rdd.mapPartitionsWithIndex { case (p, it) =>
+      var k = offsets(p)
+      it.map { r => val out = (r, k); k += 1L; out }
+    }
+    (indexed, offsets.last)
+  }
+
   /** Dense rank of distinct (a, b) long pairs, 1-based, plus the rank
     * count: sort the distinct pairs, number them contiguously, join
-    * back. The sort is range-partitioned and zipWithIndex is
-    * per-partition arithmetic — no single-reducer window anywhere.
-    * The sorted distinct table is localCheckpoint-ed so (1) the count
-    * — the caller's convergence signal — is a cheap scan of
-    * materialized partitions, not a second sort, and (2) the
-    * zipWithIndex size pass and the join-back probe reuse the same
+    * back. The sort is range-partitioned and the numbering is
+    * per-partition arithmetic ([[indexSorted]]) — no single-reducer
+    * window anywhere. The sorted distinct table is localCheckpoint-ed
+    * so the sizes pass and the join-back probe reuse one
     * materialization instead of re-sorting. */
   private def denseRankPairs(spark: SparkSession, pairs: DataFrame): (DataFrame, Long) = {
     val distinctSorted = pairs.select(col("a"), col("b")).distinct().orderBy("a", "b")
       .localCheckpoint()
-    val nRanks = distinctSorted.count()
-    val ranked = distinctSorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row(r.getLong(0), r.getLong(1), i + 1L)
-    }
+    val (indexed, nRanks) = indexSorted(distinctSorted)
+    val ranked = indexed.map { case (r, i) => Row(r.getLong(0), r.getLong(1), i + 1L) }
     (spark.createDataFrame(ranked, StructType(Seq(
       StructField("a", LongType), StructField("b", LongType),
       StructField("rank", LongType)))), nRanks)
@@ -69,9 +81,8 @@ object SuffixRank {
     * token strings (exact, 1-based), plus the distinct-token count. */
   private def seedRanks(spark: SparkSession, tok: DataFrame): (DataFrame, Long) = {
     val distinctSorted = tok.select(col("t")).distinct().orderBy("t").localCheckpoint()
-    val nRanks = distinctSorted.count()
-    val ranked = distinctSorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row(r.getString(0), i + 1L) }
+    val (indexed, nRanks) = indexSorted(distinctSorted)
+    val ranked = indexed.map { case (r, i) => Row(r.getString(0), i + 1L) }
     val tokRank = spark.createDataFrame(ranked, StructType(Seq(
       StructField("t", StringType), StructField("rank", LongType))))
     (tok.join(tokRank, "t").select(col("id"), col("pos"), col("rank")), nRanks)
@@ -80,13 +91,21 @@ object SuffixRank {
   /** One doubling step: re-rank every position by (its rank, the rank
     * `off` positions later, 0 past the doc end). After the step equal
     * ranks ⟺ equal first 2·off tokens (sentinel-padded). Returns the
-    * re-ranked table and the new rank count. */
+    * re-ranked table and the new rank count.
+    *
+    * The shifted-rank lookup is `lead(rank, off)` over a per-doc
+    * window — positions are contiguous 0..len−1 within a doc and
+    * suffixes never cross doc boundaries, so the row `off` places
+    * later IS pos+off. One keyed exchange on the doc id (per-doc
+    * state, never global) instead of the two-sided self-join on
+    * (id, pos) the classic formulation writes. */
   private def doubleOnce(spark: SparkSession, cur: DataFrame, off: Long): (DataFrame, Long) = {
-    val right = cur.select(col("id"), (col("pos") - off.toInt).as("pos"),
-      col("rank").as("rank2"))
-    val paired = cur.join(right, Seq("id", "pos"), "left")
-      .select(col("id"), col("pos"), col("rank").as("a"),
-        coalesce(col("rank2"), lit(0L)).as("b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    // checkpointed because three consumers walk it (the range sampler,
+    // the distinct+sort, the join-back) — one window pass, not three
+    val paired = cur.select(col("id"), col("pos"), col("rank").as("a"),
+      coalesce(lead(col("rank"), off.toInt).over(w), lit(0L)).as("b"))
+      .localCheckpoint()
     val (rankTab, nRanks) = denseRankPairs(spark, paired.select(col("a"), col("b")))
     (paired.join(rankTab, Seq("a", "b"))
       .select(col("id"), col("pos"), col("rank"))
@@ -118,7 +137,16 @@ object SuffixRank {
       nRanks = n
       off *= 2
     }
-    levels.toSeq
+    // A fixpoint stop means the last round refined NOTHING: the top
+    // level partitions suffixes exactly like the level before it (its
+    // dense ranks are even numerically identical — same order, same
+    // classes). It is redundant both as the final ranking and as a
+    // descent level (a top match ⟺ a pre-top match), so drop it —
+    // one fewer materialized level and two fewer descent joins. The
+    // fixpoint property transfers: equal ranks at the NEW top still
+    // mean suffixes identical to their ends.
+    if (levels.length >= 2 && nRanks == prev) levels.dropRight(1).toSeq
+    else levels.toSeq
   }
 
   /** (idCol, pos [0-based token index], rank) for every token suffix;
@@ -180,7 +208,7 @@ object SuffixRank {
     // same range-partitioned sort + zipWithIndex the ranking uses
     val ordered = levels.last.orderBy("rank", "id", "pos").localCheckpoint()
     val indexed = spark.createDataFrame(
-      ordered.rdd.zipWithIndex().map { case (r, i) =>
+      indexSorted(ordered)._1.map { case (r, i) =>
         Row(r.getLong(0), r.getInt(1), i)
       },
       StructType(Seq(StructField("id", LongType), StructField("pos", IntegerType),
@@ -277,8 +305,26 @@ object SuffixRank {
       s"windowTokens must be a power of two, got $windowTokens")
     val spark = df.sparkSession
     val tok = tokenize(df, idCol, textCol)
-    var cur = seedRanks(spark, tok)._1.localCheckpoint()
-    var off = 1L
+    // Seed at width min(w, 4) instead of 1: the seed key is the
+    // s-token window content itself (per-doc lead()s, joined with a
+    // NUL separator — lower than every corpus byte, so the concat
+    // order IS token-wise lexicographic order, and concat_ws skipping
+    // the null leads past the doc end IS the shorter-prefix-first
+    // sentinel convention). Same dense ranks the doubling would
+    // reach, minus log2(s) rounds; the trade is a seed shuffle
+    // carrying s× token text (capped at 4×) instead of 24-byte
+    // rank triples — the documented exactness-ladder trade.
+    val s = math.min(windowTokens, 4)
+    val seeded =
+      if (s == 1) tok
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+        tok.select(col("id"), col("pos"),
+          concat_ws("\u0000",
+            col("t") +: (1 until s).map(i => lead(col("t"), i).over(w)): _*).as("t"))
+      }
+    var cur = seedRanks(spark, seeded)._1.localCheckpoint()
+    var off = s.toLong
     while (off < windowTokens) {
       cur = doubleOnce(spark, cur, off)._1
       off *= 2
