@@ -318,18 +318,14 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     } finally out.close()
     beforeCommit()
     val dst = new Path(dir, s"manifest-${m.version}.txt")
-    if (f.getScheme == "file") {
-      val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
-      val dstNio = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
-      try java.nio.file.Files.createLink(dstNio, tmpNio)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          f.delete(tmp, false)
-          throw new ConcurrentCommitException(
-            s"$name v${m.version} was committed by another writer")
-      }
-      f.delete(tmp, false) // FileSystem delete also removes the .crc sidecar
-    } else {
+    // HDFS-style publish: rename refuses an existing target, so
+    // exists-then-rename IS the CAS there. Also the degraded path for
+    // file-scheme mounts that refuse hard links (some network FS) —
+    // the EEXIST atomicity narrows to the exists/rename window, but
+    // the commit still lands. A crash between create and publish
+    // leaves the staged .tmp; [[vacuum]] sweeps it with the rest of
+    // the crash debris (stage dirs, orphaned generations).
+    def renameCas(): Unit = {
       if (f.exists(dst)) {
         f.delete(tmp, false)
         throw new ConcurrentCommitException(
@@ -338,6 +334,24 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
       if (!f.rename(tmp, dst))
         throw new java.io.IOException(s"manifest commit rename failed for $name v${m.version}")
     }
+    if (f.getScheme == "file") {
+      val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
+      val dstNio = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(dstNio, tmpNio)
+        f.delete(tmp, false) // FileSystem delete also removes the .crc sidecar
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false)
+          throw new ConcurrentCommitException(
+            s"$name v${m.version} was committed by another writer")
+        // order matters: FileAlreadyExistsException IS a
+        // FileSystemException — the true-CAS refusal above must match
+        // first; anything else link-related degrades to rename
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          renameCas()
+      }
+    } else renameCas()
   }
 
   private def dirsOf(name: String, m: Manifest, dirs: Iterable[String]): Seq[String] =

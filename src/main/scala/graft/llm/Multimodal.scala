@@ -248,14 +248,18 @@ object Multimodal {
         * carry ULAW/ALAW (8-bit, NON-linear — decoding them as linear
         * PCM yields silently wrong envelopes). Convert any non-PCM
         * encoding to 16-bit signed PCM through the JVM's own codec
-        * chain; None if no conversion path exists (→ Stub fallback). */
+        * chain; None if no conversion path exists (→ Stub fallback).
+        * PCM_UNSIGNED passes through at 8-bit only — [[samples]]
+        * decodes all 16-bit payloads as signed, so 16-bit unsigned
+        * routes through the same signed-conversion path. */
       private def toPcm(
           in: javax.sound.sampled.AudioInputStream
       ): Option[javax.sound.sampled.AudioInputStream] = {
         import javax.sound.sampled.{AudioFormat, AudioSystem}
         val enc = in.getFormat.getEncoding
         if (enc == AudioFormat.Encoding.PCM_SIGNED ||
-          enc == AudioFormat.Encoding.PCM_UNSIGNED) Some(in)
+          (enc == AudioFormat.Encoding.PCM_UNSIGNED &&
+            in.getFormat.getSampleSizeInBits == 8)) Some(in)
         else try {
           val f = in.getFormat
           val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,

@@ -88,6 +88,13 @@ object SuffixRank {
     (tok.join(tokRank, "t").select(col("id"), col("pos"), col("rank")), nRanks)
   }
 
+  /** Above this many tokens in ONE document, [[doubleOnce]] trades its
+    * per-doc window for the shifted self-join: the window serializes a
+    * doc into a single task per round — fine for web-page-sized docs,
+    * a straggler once a single doc approaches a partition's worth of
+    * tokens (book-length concatenations, log dumps). */
+  private val LongDocThreshold = 1L << 22
+
   /** One doubling step: re-rank every position by (its rank, the rank
     * `off` positions later, 0 past the doc end). After the step equal
     * ranks ⟺ equal first 2·off tokens (sentinel-padded). Returns the
@@ -98,14 +105,28 @@ object SuffixRank {
     * suffixes never cross doc boundaries, so the row `off` places
     * later IS pos+off. One keyed exchange on the doc id (per-doc
     * state, never global) instead of the two-sided self-join on
-    * (id, pos) the classic formulation writes. */
-  private def doubleOnce(spark: SparkSession, cur: DataFrame, off: Long): (DataFrame, Long) = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    * (id, pos) the classic formulation writes. The window puts a whole
+    * doc in one task, so above [[LongDocThreshold]] tokens-per-doc the
+    * caller sets `viaJoin` and the step runs the classic self-join
+    * instead — two-sided shuffle on (id, pos) hash, which spreads even
+    * a single enormous doc across the cluster. */
+  private def doubleOnce(
+      spark: SparkSession, cur: DataFrame, off: Long,
+      viaJoin: Boolean = false): (DataFrame, Long) = {
     // checkpointed because three consumers walk it (the range sampler,
-    // the distinct+sort, the join-back) — one window pass, not three
-    val paired = cur.select(col("id"), col("pos"), col("rank").as("a"),
-      coalesce(lead(col("rank"), off.toInt).over(w), lit(0L)).as("b"))
-      .localCheckpoint()
+    // the distinct+sort, the join-back) — one pass, not three
+    val paired = (if (viaJoin) {
+      val shifted = cur.select(col("id"), (col("pos") - off.toInt).as("pos"),
+        col("rank").as("b"))
+      cur.select(col("id"), col("pos"), col("rank").as("a"))
+        .join(shifted, Seq("id", "pos"), "left")
+        .select(col("id"), col("pos"), col("a"),
+          coalesce(col("b"), lit(0L)).as("b"))
+    } else {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+      cur.select(col("id"), col("pos"), col("rank").as("a"),
+        coalesce(lead(col("rank"), off.toInt).over(w), lit(0L)).as("b"))
+    }).localCheckpoint()
     val (rankTab, nRanks) = denseRankPairs(spark, paired.select(col("a"), col("b")))
     (paired.join(rankTab, Seq("a", "b"))
       .select(col("id"), col("pos"), col("rank"))
@@ -126,13 +147,14 @@ object SuffixRank {
     * descent later, not of the ranking itself. */
   private def allLevels(spark: SparkSession, tok: DataFrame, total: Long): Seq[DataFrame] = {
     val maxLen = tok.agg(max(col("pos"))).head.getInt(0) + 1L
+    val viaJoin = maxLen > LongDocThreshold
     var (cur0, nRanks) = seedRanks(spark, tok)
     val levels = scala.collection.mutable.ArrayBuffer(cur0.localCheckpoint())
     var off = 1L // certified window length of the current ranks
     var prev = 0L
     while (nRanks < total && nRanks > prev && off < maxLen) {
       prev = nRanks
-      val (next, n) = doubleOnce(spark, levels.last, off)
+      val (next, n) = doubleOnce(spark, levels.last, off, viaJoin)
       levels += next
       nRanks = n
       off *= 2
@@ -222,6 +244,35 @@ object SuffixRank {
     var pairs = a.join(b, "idx").filter(col("ida") =!= col("idb")).drop("idx")
       .withColumn("acc", lit(0))
 
+    // Gate BEFORE the descent: lcp >= minTokens requires EQUAL ranks at
+    // offset 0 on level g, the highest level whose certified window
+    // 2^g <= minTokens. Sound at every stop condition of the doubling
+    // loop — when g < topK it is the definition of level-g ranks, and
+    // when g == topK (minTokens beyond the top window) equal top ranks
+    // ⟺ identical suffixes while NON-identical adjacent suffixes
+    // provably diverge inside the certified window. One keyed join
+    // kills the vast majority of adjacent pairs (neighbors in a
+    // natural corpus's suffix order rarely share minTokens tokens);
+    // the SURVIVORS' doc set then semi-join-prunes every level table
+    // the descent touches, so the 2·log(maxLen) descent joins shuffle
+    // candidate docs' rank rows only, never the corpus — what makes
+    // FULL-corpus runs viable (SCALE.md §5). Dropped pairs could never
+    // pass the final lcp >= minTokens filter, so output is unchanged.
+    val topK = levels.indices.last
+    val g = math.min(
+      63 - java.lang.Long.numberOfLeadingZeros(minTokens.toLong), topK.toLong).toInt
+    pairs = pairs
+      .join(levels(g).select(col("id").as("ida"), col("pos").as("posa"),
+        col("rank").as("ra")), Seq("ida", "posa"))
+      .join(levels(g).select(col("id").as("idb"), col("pos").as("posb"),
+        col("rank").as("rb")), Seq("idb", "posb"))
+      .filter(col("ra") === col("rb")).drop("ra", "rb")
+      .localCheckpoint()
+    val candDocs = pairs.select(col("ida").as("id"))
+      .union(pairs.select(col("idb").as("id"))).distinct().localCheckpoint()
+    val pruned = levels.map(
+      _.join(candDocs, Seq("id"), "left_semi").localCheckpoint())
+
     // binary LCP descent, highest level first: if the 2^k-window ranks
     // at the current match offset agree, the match extends by 2^k.
     // The TOP level is special: doubling stopped at the refinement
@@ -234,12 +285,11 @@ object SuffixRank {
     // Checkpoint every third level, not every level — enough to keep
     // the plan from re-deriving the whole descent chain, without
     // paying a materialization job per level.
-    val topK = levels.indices.last
     var sinceCheckpoint = 0
     for (k <- levels.indices.reverse) {
-      val la = levels(k).select(col("id").as("ida"), col("pos").as("qa"),
+      val la = pruned(k).select(col("id").as("ida"), col("pos").as("qa"),
         col("rank").as("ra"))
-      val lb = levels(k).select(col("id").as("idb"), col("pos").as("qb"),
+      val lb = pruned(k).select(col("id").as("idb"), col("pos").as("qb"),
         col("rank").as("rb"))
       val gain = if (k == topK) lit(1 << 30) else lit(1 << k)
       pairs = pairs
@@ -259,11 +309,14 @@ object SuffixRank {
 
     // sentinel-padded level equality can certify identical TAILS past
     // the doc end — cap at both remaining lengths (where it bites, the
-    // suffixes are identical to their ends, so the cap IS the LCP)
-    val lens = tok.groupBy(col("id")).agg((max(col("pos")) + 1).as("len"))
-    val prevA = tok.select(col("id").as("ida"), (col("pos") + 1).as("posa"),
+    // suffixes are identical to their ends, so the cap IS the LCP).
+    // Same candidate-doc pruning as the descent: the cap and the
+    // left-maximality probes only ever look up surviving pairs' docs.
+    val candTok = tok.join(candDocs, Seq("id"), "left_semi").localCheckpoint()
+    val lens = candTok.groupBy(col("id")).agg((max(col("pos")) + 1).as("len"))
+    val prevA = candTok.select(col("id").as("ida"), (col("pos") + 1).as("posa"),
       col("t").as("ta"))
-    val prevB = tok.select(col("id").as("idb"), (col("pos") + 1).as("posb"),
+    val prevB = candTok.select(col("id").as("idb"), (col("pos") + 1).as("posb"),
       col("t").as("tb"))
     pairs
       .join(lens.select(col("id").as("ida"), col("len").as("lena")), "ida")
@@ -307,21 +360,32 @@ object SuffixRank {
     val tok = tokenize(df, idCol, textCol)
     // Seed at width min(w, 4) instead of 1: the seed key is the
     // s-token window content itself (per-doc lead()s, joined with a
-    // NUL separator — lower than every corpus byte, so the concat
-    // order IS token-wise lexicographic order, and concat_ws skipping
-    // the null leads past the doc end IS the shorter-prefix-first
-    // sentinel convention). Same dense ranks the doubling would
-    // reach, minus log2(s) rounds; the trade is a seed shuffle
-    // carrying s× token text (capped at 4×) instead of 24-byte
-    // rank triples — the documented exactness-ladder trade.
+    // NUL separator). Tokens are NUL-ESCAPED first — U+0001 becomes
+    // U+0001 U+0002, then U+0000 becomes U+0001 U+0001, in that order
+    // so introduced bytes are never re-escaped. The code is injective
+    // and order-preserving and its images contain no NUL, so (a) a
+    // token that itself embeds NUL can no longer collide with a token
+    // boundary — the key stays injective over token SEQUENCES — and
+    // (b) the separator stays strictly below every escaped byte, so
+    // the concat order IS token-wise lexicographic order and
+    // concat_ws skipping the null leads past the doc end IS the
+    // shorter-prefix-first sentinel convention. ASCII corpora escape
+    // to themselves (the q50 oracle's DENSE_RANK mirror is
+    // untouched). Same dense ranks the doubling would reach, minus
+    // log2(s) rounds; the trade is a seed shuffle carrying s× token
+    // text (capped at 4×) instead of 24-byte rank triples — the
+    // documented exactness-ladder trade.
     val s = math.min(windowTokens, 4)
     val seeded =
       if (s == 1) tok
       else {
+        def esc(c: org.apache.spark.sql.Column) =
+          replace(replace(c, lit("\u0001"), lit("\u0001\u0002")),
+            lit("\u0000"), lit("\u0001\u0001"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
         tok.select(col("id"), col("pos"),
           concat_ws("\u0000",
-            col("t") +: (1 until s).map(i => lead(col("t"), i).over(w)): _*).as("t"))
+            esc(col("t")) +: (1 until s).map(i => lead(esc(col("t")), i).over(w)): _*).as("t"))
       }
     var cur = seedRanks(spark, seeded)._1.localCheckpoint()
     var off = s.toLong
