@@ -90,4 +90,83 @@ object Corpus {
       .join(drops, Seq(idCol), "left_anti")
       .filter(TextOps.qualityKeep(col(textCol)))
   }
+
+  /** Span-level corpus REWRITE — the operation the suffix machinery
+    * exists for. Whole-doc dedup ([[clean]]/[[cleanCC]]) drops
+    * documents; boilerplate shared across otherwise-distinct documents
+    * (license headers, navigation chrome, templated footers) survives
+    * it in every copy. This operator excises the repeated SPANS and
+    * keeps the documents:
+    *
+    *   [[SuffixRank.maximalCrossDocRepeats]] finds every left-maximal
+    *   cross-doc exact repeat of >= minTokens tokens; for each repeat
+    *   pair the occurrence in the LARGER doc id is marked for removal
+    *   (keep-first-occurrence: the smallest doc id carrying a span
+    *   keeps it — pairs are cross-doc by construction, so the tie is
+    *   total). Marked spans expand to covered token positions, overlaps
+    *   union away in one distinct, and each document's surviving tokens
+    *   rebuild in position order.
+    *
+    * Adjacent-pair chains cover multi-occurrence spans: k occurrences
+    * of a shared span sit contiguously in suffix order, so k−1 pairs
+    * chain through them and every occurrence except a minimal one is
+    * some pair's larger side. Docs that lose every token rewrite to
+    * the empty string rather than vanishing — dropping documents is
+    * [[clean]]'s job, not this one's.
+    *
+    * Scale: the repeat table is the expensive part and is already
+    * gated + candidate-doc-pruned (SCALE.md §5); everything here is
+    * proportional to covered positions (bounded by corpus tokens), an
+    * explode + distinct + anti-join + per-doc rebuild. The rebuild's
+    * collect_list groups one DOC's tokens — the operator's intrinsic
+    * unit, same per-doc locality every windowed text op in the repo
+    * has. Output: (idCol, textCol) — one row per input document. */
+  def dedupSpans(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 8,
+  ): DataFrame =
+    removeSpans(docs,
+      SuffixRank.maximalCrossDocRepeats(docs, idCol, textCol, minTokens),
+      idCol, textCol)
+
+  /** The rewrite half of [[dedupSpans]], decoupled so a user who
+    * already materialized the repeat table (or filtered it — e.g. only
+    * repeats seen in >= k docs) rewrites without recomputing it.
+    * `repeats` must have the [[SuffixRank.maximalCrossDocRepeats]]
+    * schema: (idCol, pos, match_doc, match_pos, lcp). */
+  def removeSpans(
+      docs: DataFrame,
+      repeats: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    // keep-first: the larger doc id of each pair loses its occurrence
+    val spans = repeats.select(
+      when(col(idCol) > col("match_doc"), col(idCol))
+        .otherwise(col("match_doc")).as("id"),
+      when(col(idCol) > col("match_doc"), col("pos"))
+        .otherwise(col("match_pos")).as("start"),
+      col("lcp"))
+    // covered positions; DISTINCT unions overlapping spans. Cost is
+    // sum of span lengths — bounded by (pairs × repeat length), and
+    // repeat pairs are adjacent-only (O(corpus tokens) of them).
+    val covered = spans
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + col("lcp") - 1)).as("pos"))
+      .distinct()
+    val tok = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
+    val rebuilt = tok
+      .join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t")), " ").as("rewritten"))
+    // every input doc survives — a fully-excised doc reads as ""
+    docs.select(col(idCol))
+      .join(rebuilt.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("rewritten"), lit("")).as(textCol))
+  }
 }

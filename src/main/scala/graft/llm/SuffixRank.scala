@@ -92,8 +92,13 @@ object SuffixRank {
     * per-doc window for the shifted self-join: the window serializes a
     * doc into a single task per round — fine for web-page-sized docs,
     * a straggler once a single doc approaches a partition's worth of
-    * tokens (book-length concatenations, log dumps). */
-  private val LongDocThreshold = 1L << 22
+    * tokens (book-length concatenations, log dumps). Both entry points
+    * ([[allLevels]] and [[crossDocRepeats]], including its seed) make
+    * the SAME decision from the same corpus-wide max-doc-length probe.
+    * `private[graft] var` is a test seam only: the equivalence spec
+    * lowers it to force the join path onto small fixtures and restores
+    * it — production code never writes it. */
+  private[graft] var LongDocThreshold = 1L << 22
 
   /** One doubling step: re-rank every position by (its rank, the rank
     * `off` positions later, 0 past the doc end). After the step equal
@@ -270,8 +275,16 @@ object SuffixRank {
       .localCheckpoint()
     val candDocs = pairs.select(col("ida").as("id"))
       .union(pairs.select(col("idb").as("id"))).distinct().localCheckpoint()
+    // LAZY checkpoints: each pruned level is probed twice by one
+    // descent round (the la/lb sides), so caching pays — but an EAGER
+    // checkpoint here costs O(log maxLen) up-front materialization
+    // jobs whether or not the descent ever reaches that level's rows
+    // (measured: the eager version regressed the benched query 24% on
+    // a fixture whose candidate-doc set is large). Lazy materializes
+    // on first probe and reuses on the second — same plan-cut, no
+    // speculative jobs.
     val pruned = levels.map(
-      _.join(candDocs, Seq("id"), "left_semi").localCheckpoint())
+      _.join(candDocs, Seq("id"), "left_semi").localCheckpoint(false))
 
     // binary LCP descent, highest level first: if the 2^k-window ranks
     // at the current match offset agree, the match extends by 2^k.
@@ -312,7 +325,7 @@ object SuffixRank {
     // suffixes are identical to their ends, so the cap IS the LCP).
     // Same candidate-doc pruning as the descent: the cap and the
     // left-maximality probes only ever look up surviving pairs' docs.
-    val candTok = tok.join(candDocs, Seq("id"), "left_semi").localCheckpoint()
+    val candTok = tok.join(candDocs, Seq("id"), "left_semi").localCheckpoint(false)
     val lens = candTok.groupBy(col("id")).agg((max(col("pos")) + 1).as("len"))
     val prevA = candTok.select(col("id").as("ida"), (col("pos") + 1).as("posa"),
       col("t").as("ta"))
@@ -358,6 +371,13 @@ object SuffixRank {
       s"windowTokens must be a power of two, got $windowTokens")
     val spark = df.sparkSession
     val tok = tokenize(df, idCol, textCol)
+    // Same long-doc decision allLevels makes, from the same probe: a
+    // book-length doc would otherwise serialize the seed window AND
+    // every doubling round here into one task each (the seed is the
+    // heaviest case — its rows carry s× token TEXT, not 24-byte rank
+    // triples).
+    val maxLen = tok.agg(max(col("pos"))).head.getInt(0) + 1L
+    val viaJoin = maxLen > LongDocThreshold
     // Seed at width min(w, 4) instead of 1: the seed key is the
     // s-token window content itself (per-doc lead()s, joined with a
     // NUL separator). Tokens are NUL-ESCAPED first — U+0001 becomes
@@ -375,13 +395,29 @@ object SuffixRank {
     // log2(s) rounds; the trade is a seed shuffle carrying s× token
     // text (capped at 4×) instead of 24-byte rank triples — the
     // documented exactness-ladder trade.
+    // Above LongDocThreshold the per-doc lead() seed window becomes
+    // s−1 LEFT self-joins on (id, pos+i): hash-partitioned on
+    // (id, pos), so even one enormous doc spreads across the cluster.
+    // A missing join row past the doc end is a null — and concat_ws
+    // skips nulls exactly like it skips null leads, so the two seeds
+    // build byte-identical keys (the equivalence spec pins this).
     val s = math.min(windowTokens, 4)
+    def esc(c: org.apache.spark.sql.Column) =
+      replace(replace(c, lit("\u0001"), lit("\u0001\u0002")),
+        lit("\u0000"), lit("\u0001\u0001"))
     val seeded =
       if (s == 1) tok
-      else {
-        def esc(c: org.apache.spark.sql.Column) =
-          replace(replace(c, lit("\u0001"), lit("\u0001\u0002")),
-            lit("\u0000"), lit("\u0001\u0001"))
+      else if (viaJoin) {
+        val escaped = tok.select(col("id"), col("pos"), esc(col("t")).as("e"))
+          .localCheckpoint()
+        (1 until s).foldLeft(
+          escaped.select(col("id"), col("pos"), col("e").as("e0"))) { (acc, i) =>
+          acc.join(
+            escaped.select(col("id"), (col("pos") - i).as("pos"), col("e").as(s"e$i")),
+            Seq("id", "pos"), "left")
+        }.select(col("id"), col("pos"),
+          concat_ws("\u0000", (0 until s).map(i => col(s"e$i")): _*).as("t"))
+      } else {
         val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
         tok.select(col("id"), col("pos"),
           concat_ws("\u0000",
@@ -390,7 +426,7 @@ object SuffixRank {
     var cur = seedRanks(spark, seeded)._1.localCheckpoint()
     var off = s.toLong
     while (off < windowTokens) {
-      cur = doubleOnce(spark, cur, off)._1
+      cur = doubleOnce(spark, cur, off, viaJoin)._1
       off *= 2
     }
     // only FULL windows: a short tail's sentinel-padded rank may only

@@ -1019,20 +1019,21 @@ object LlmCatalog {
     * exact). Hash-free, so the oracle mirrors the RESULT, not the
     * algorithm: DuckDB sorts the suffixes directly (ASCII corpus →
     * identical collation, list compare = sentinel convention) and
-    * walks tokens for the LCP. Runs on a deterministic 20% slice —
-    * exactness over cost, the documented SuffixRank trade
-    * (SCALE.md §5). */
+    * walks tokens for the LCP. Runs on the FULL corpus — viable
+    * because the minTokens gate kills non-sharing adjacent pairs
+    * before any descent work and the surviving pairs' doc set
+    * semi-join-prunes every level the descent probes (SCALE.md §5). */
   val maximalRepeats = GraftQuery(
     "q51_maximal_repeats",
     (s, d) =>
       graft.llm.SuffixRank.maximalCrossDocRepeats(
-          documents(s, d).filter(col("doc_id") % 5 === 0),
+          documents(s, d),
           "doc_id", "text", minTokens = 4)
         .orderBy(col("doc_id"), col("pos"), col("match_doc"), col("match_pos")),
     Some("""
       WITH docs AS (
         SELECT doc_id, string_split(text, ' ') AS w
-        FROM documents WHERE doc_id % 5 = 0
+        FROM documents
       ),
       sfx AS (
         SELECT doc_id, u.pos AS pos, u.s AS s FROM (
@@ -1072,6 +1073,100 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Span-removal corpus REWRITE (Corpus.dedupSpans): the
+    * maximalCrossDocRepeats output consumed — duplicated spans excised
+    * keep-first-occurrence (smallest doc id keeps its copy), documents
+    * kept. The operation whole-doc dedup can't do: boilerplate shared
+    * by otherwise-distinct docs survives q24/q39 in every copy and is
+    * excised here. minTokens=6 exercises the gate at a non-power-of-two
+    * level boundary in the oracled path. The oracle mirrors the RESULT
+    * the same way q51's does (direct suffix sort + token-walk LCP),
+    * then replays the span policy relationally: larger-id side of each
+    * pair loses its occurrence, spans explode to covered positions,
+    * DISTINCT unions overlaps, surviving tokens re-join in position
+    * order. Deterministic 1/3 slice bounds the doubled suffix-family
+    * bench cost (q51 already runs the full corpus). */
+  val spanRemoval = GraftQuery(
+    "q54_span_removal",
+    (s, d) =>
+      graft.llm.Corpus.dedupSpans(
+          documents(s, d).filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", minTokens = 6)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 3 = 0
+      ),
+      tok AS (
+        SELECT doc_id, u.pos AS pos, u.t AS t FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w)),
+                                       i -> {'pos': i-1, 't': w[i]})) AS u
+          FROM docs
+        )
+      ),
+      sfx AS (
+        SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w)),
+                                       i -> {'pos': i-1, 's': w[i:]})) AS u
+          FROM docs
+        )
+      ),
+      ordered AS (
+        SELECT doc_id, pos, s,
+               ROW_NUMBER() OVER (ORDER BY s, doc_id, pos) AS rn
+        FROM sfx
+      ),
+      pairs AS (
+        SELECT a.doc_id AS ida, a.pos AS posa, a.s AS sa,
+               b.doc_id AS idb, b.pos AS posb, b.s AS sb
+        FROM ordered a JOIN ordered b ON b.rn = a.rn + 1
+        WHERE a.doc_id <> b.doc_id
+      ),
+      lcps AS (
+        SELECT ida, posa, idb, posb,
+               CAST(COALESCE(
+                 list_filter(generate_series(1, least(len(sa), len(sb))),
+                             i -> sa[i] <> sb[i])[1] - 1,
+                 least(len(sa), len(sb))) AS INT) AS lcp
+        FROM pairs
+      ),
+      repeats AS (
+        SELECT l.ida, l.posa, l.idb, l.posb, l.lcp
+        FROM lcps l
+        JOIN docs da ON da.doc_id = l.ida
+        JOIN docs db ON db.doc_id = l.idb
+        WHERE l.lcp >= 6
+          AND (l.posa = 0 OR l.posb = 0 OR da.w[l.posa] <> db.w[l.posb])
+      ),
+      spans AS (
+        SELECT CASE WHEN ida > idb THEN ida ELSE idb END AS doc_id,
+               CASE WHEN ida > idb THEN posa ELSE posb END AS start,
+               lcp
+        FROM repeats
+      ),
+      covered AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT doc_id,
+                 unnest(generate_series(start, start + lcp - 1)) AS pos
+          FROM spans
+        )
+      ),
+      rebuilt AS (
+        SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.pos) AS t2
+        FROM tok t
+        LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.pos IS NULL
+        GROUP BY t.doc_id
+      )
+      SELECT d.doc_id, COALESCE(r.t2, '') AS text
+      FROM docs d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+      ORDER BY d.doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1096,5 +1191,6 @@ object LlmCatalog {
     suffixRepeats,
     maximalRepeats,
     decontaminationFuzzy,
+    spanRemoval,
   )
 }

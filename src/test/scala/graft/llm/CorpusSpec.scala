@@ -58,4 +58,64 @@ class CorpusSpec extends SparkSpec {
     assert(kept <= total - drops)
     assert(kept > total / 2, s"cleaning should not gut the corpus: $kept of $total")
   }
+
+  // --- span removal -------------------------------------------------
+
+  /** 11-token boilerplate planted in three otherwise-distinct docs —
+    * the fixture the operator exists for: whole-doc dedup must KEEP
+    * the boilerplate (the docs are not near-dups), span removal must
+    * EXCISE it from every doc but the first. */
+  private val boiler =
+    "this content is licensed under the creative commons attribution share license"
+  private val planted = Seq(
+    (1L, s"alpha beta gamma delta epsilon zeta eta theta $boiler end one"),
+    (2L, s"iota kappa lambda mu nu xi omicron pi rho $boiler fin two"),
+    (3L, s"$boiler sigma tau upsilon phi chi psi omega digamma koppa sampi"),
+  )
+
+  test("whole-doc dedup keeps planted boilerplate; dedupSpans excises it keep-first") {
+    val df = planted.toDF("doc_id", "text")
+    // the docs are distinct and below the near-dup threshold: clean
+    // keeps all three, boilerplate intact in every copy
+    val cleaned = Corpus.clean(df).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned.keySet == Set(1L, 2L, 3L), s"clean dropped docs: ${cleaned.keySet}")
+    assert(cleaned.values.forall(_.contains(boiler)),
+      "whole-doc dedup must leave shared spans in place — that's the gap")
+
+    val rewritten = Corpus.dedupSpans(df, minTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // keep-first: doc 1 keeps its copy, docs 2 and 3 lose theirs
+    assert(rewritten(1L) == planted(0)._2, "smallest doc id must keep the span")
+    assert(rewritten(2L) == "iota kappa lambda mu nu xi omicron pi rho fin two")
+    assert(rewritten(3L) == "sigma tau upsilon phi chi psi omega digamma koppa sampi")
+    // nothing else was touched: removing the boilerplate tokens is the
+    // ONLY delta on every rewritten doc
+    assert(!rewritten(2L).contains("licensed") && !rewritten(3L).contains("licensed"))
+  }
+
+  test("removeSpans unions overlapping spans and keeps fully-excised docs as empty rows") {
+    val df = Seq((1L, "a b c d e f"), (2L, "x y z")).toDF("doc_id", "text")
+    // synthetic repeat table: doc 1 loses [1,4) and the overlapping
+    // [3,6) — the union is [1,6); doc 2 loses everything
+    val repeats = Seq(
+      (1L, 1, 0L, 0, 3),
+      (1L, 3, 0L, 0, 3),
+      (2L, 0, 0L, 0, 3),
+    ).toDF("doc_id", "pos", "match_doc", "match_pos", "lcp")
+    val out = Corpus.removeSpans(df, repeats)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a", s"overlap union failed: '${out(1L)}'")
+    assert(out(2L) == "", "fully-excised doc must survive as an empty row")
+    assert(out.size == 2)
+  }
+
+  test("dedupSpans leaves a repeat-free corpus byte-identical") {
+    val df = Seq(
+      (1L, "completely unrelated first document content"),
+      (2L, "another text sharing nothing with anything"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupSpans(df, minTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> df.collect()(0).getString(1), 2L -> df.collect()(1).getString(1)))
+  }
 }
