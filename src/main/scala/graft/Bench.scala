@@ -52,7 +52,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/nation.parquet")
       .groupBy("n_regionkey").count()
       .write.mode("overwrite").parquet(s"$sinkRoot/_warmup")
+    // dev-only: SPARK_GRAFT_ONLY=q50,q51 times just those queries while
+    // iterating on one family (unset → all, which is what the driver runs)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
     val samples = (1 to Passes).flatMap { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()

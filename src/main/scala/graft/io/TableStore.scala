@@ -287,6 +287,14 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     * protocol must survive. */
   protected def beforeCommit(): Unit = ()
 
+  /** Test seam: the hard-link publish call. Fallback tests override
+    * this to refuse links the way some network mounts do, forcing the
+    * degraded exists+rename path without faking a filesystem. */
+  protected def createLink(dst: java.nio.file.Path, src: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createLink(dst, src)
+    ()
+  }
+
   /** The commit point: stage the manifest text fully, then publish it
     * with a true compare-and-set on the versioned name. A manifest for
     * this version already on disk means another writer won — refuse
@@ -337,20 +345,25 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     if (f.getScheme == "file") {
       val tmpNio = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
       val dstNio = java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath)
-      try {
-        java.nio.file.Files.createLink(dstNio, tmpNio)
-        f.delete(tmp, false) // FileSystem delete also removes the .crc sidecar
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          f.delete(tmp, false)
-          throw new ConcurrentCommitException(
-            s"$name v${m.version} was committed by another writer")
-        // order matters: FileAlreadyExistsException IS a
-        // FileSystemException — the true-CAS refusal above must match
-        // first; anything else link-related degrades to rename
-        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
-          renameCas()
-      }
+      // the catch scopes the LINK CALL ONLY: if the post-link tmp
+      // cleanup threw inside it, the degraded renameCas would see dst
+      // existing and raise a false ConcurrentCommitException for a
+      // commit that actually landed
+      val linked =
+        try { createLink(dstNio, tmpNio); true }
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            f.delete(tmp, false)
+            throw new ConcurrentCommitException(
+              s"$name v${m.version} was committed by another writer")
+          // order matters: FileAlreadyExistsException IS a
+          // FileSystemException — the true-CAS refusal above must match
+          // first; anything else link-related degrades to rename
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            false
+        }
+      if (linked) f.delete(tmp, false) // also removes the .crc sidecar
+      else renameCas()
     } else renameCas()
   }
 
@@ -358,14 +371,57 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     dirs.map(d => new Path(tableDir(name), d).toString).toSeq
 
   override def read(name: String): Option[DataFrame] =
-    latestManifest(name).flatMap { m =>
-      val all = dirsOf(name, m, m.buckets.values) ++ dirsOf(name, m, m.logs)
-      // generations may differ in schema after a widening upsert —
-      // mergeSchema unions the footers (old-generation rows read null
-      // in later-added columns)
-      if (all.isEmpty) None
-      else Some(readDirs(all))
-    }
+    latestManifest(name).flatMap(readManifest(name, _))
+
+  private def readManifest(name: String, m: Manifest): Option[DataFrame] = {
+    val all = dirsOf(name, m, m.buckets.values) ++ dirsOf(name, m, m.logs)
+    // generations may differ in schema after a widening upsert —
+    // mergeSchema unions the footers (old-generation rows read null
+    // in later-added columns)
+    if (all.isEmpty) None
+    else Some(readDirs(all))
+  }
+
+  /** Committed snapshot versions still on disk, ascending. What's
+    * listable is what [[vacuum]]'s retention window kept — retention
+    * IS the time-travel horizon. */
+  def snapshots(name: String): Seq[Int] = {
+    val dir = tableDir(name)
+    val f = fs(dir)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case ManifestName(n) => Some(n.toInt)
+      case _ => None
+    }).sorted
+  }
+
+  /** TIME-TRAVEL read: the table exactly as committed at `version`.
+    * Retained snapshots are useless write-only weight otherwise — a
+    * user paying [[vacuum]]'s retention cost gets to read, diff
+    * (`readAt(v2).exceptAll(readAt(v1))`), and audit them. None when
+    * the version was never committed or vacuum already reclaimed its
+    * manifest; a version inside the retention window always resolves
+    * (vacuum keeps every dir its retained manifests reference). */
+  def readAt(name: String, version: Int): Option[DataFrame] =
+    manifestAt(name, version).flatMap(readManifest(name, _))
+
+  /** Roll the table back (or forward) to `version` — AS A NEW COMMIT,
+    * never in place: the new manifest re-references the old version's
+    * generation dirs byte-for-byte (no data copied, same trick as
+    * untouched buckets in [[upsert]]), so the restore is itself
+    * O(manifest), atomic, and revertible by another restore. The
+    * streaming batch high-water mark is carried from the CURRENT
+    * snapshot, not the restored one — epochs are monotonic, and
+    * resurrecting an old mark would let a crash-replayed batch
+    * re-apply after the restore. */
+  def restore(name: String, version: Int): Unit = {
+    val target = manifestAt(name, version).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"$name has no snapshot v$version (vacuumed, or never committed)"))
+    val cur = latestManifest(name).get // target existing ⇒ table exists
+    commit(name, Manifest(cur.version + 1, target.buckets, target.logs,
+      cur.lastBatch))
+  }
 
   /** K2 append as a committed log generation: new dir + new manifest.
     * Mirrors [[upsert]]'s role-split guard in the other direction:

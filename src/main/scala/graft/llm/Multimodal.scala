@@ -190,10 +190,32 @@ object Multimodal {
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
         catch { case _: Exception => None }
 
+      /** Run `use` with the registry reader for these bytes (None when
+        * no installed reader recognizes the format). The reader/stream
+        * pair is disposed either way — ImageReaders hold native-ish
+        * buffers a long-lived executor must not leak. */
+      private def withReader[A](b: Array[Byte])(
+          use: javax.imageio.ImageReader => A): Option[A] = {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); return None }
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          Some(use(reader))
+        } catch { case _: Exception => None }
+        finally { reader.dispose(); iis.close() }
+      }
+
       def decode(r: MediaRecord): MediaMeta = readImage(r.bytes) match {
         case Some(img) =>
+          // animated containers (GIF) report their true frame count —
+          // allowSearch=true is fine on an in-heap stream
+          val frames = withReader(r.bytes)(_.getNumImages(true)).getOrElse(1)
           MediaMeta(r.media_id, "image", img.getWidth, img.getHeight,
-            img.getColorModel.getNumComponents, -1, 1, r.bytes.length.toLong)
+            img.getColorModel.getNumComponents, -1, math.max(frames, 1),
+            r.bytes.length.toLong)
         case None => Minimal.decode(r)
       }
 
@@ -222,8 +244,32 @@ object Multimodal {
         case None => Minimal.features(r, dim)
       }
 
-      def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] =
-        Iterator.single(Frame(r.media_id, 0, r.bytes))
+      /** Multi-frame decode for animated containers (GIF is the one
+        * the JDK registry reads): every Nth frame re-encoded as a
+        * standalone PNG — downstream consumers get self-contained
+        * image payloads, not raw rasters with out-of-band metadata.
+        * Still images (or unrecognized bytes) degrade to the
+        * single-frame identity the interface always had. The frame
+        * LIST is an eager per-record decode (a GIF's frames live in
+        * one payload — there is no partition-spanning video here;
+        * genuinely huge media would arrive pre-chunked), and the
+        * flatMap fan-out to rows happens in [[Multimodal.sampleFrames]]
+        * exactly as before. */
+      def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] = {
+        val frames = withReader(r.bytes) { reader =>
+          val n = reader.getNumImages(true)
+          (0 until n by math.max(everyNth, 1)).map { i =>
+            val img = reader.read(i)
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", out)
+            Frame(r.media_id, i, out.toByteArray)
+          }
+        }
+        frames match {
+          case Some(fs) if fs.nonEmpty => fs.iterator
+          case _ => Iterator.single(Frame(r.media_id, 0, r.bytes))
+        }
+      }
     }
 
     /** REAL audio codec via the JDK's `javax.sound.sampled` — the
@@ -244,27 +290,45 @@ object Multimodal {
           new java.io.ByteArrayInputStream(b)))
         catch { case _: Exception => None }
 
-      /** [[samples]] understands linear PCM only; AU files commonly
-        * carry ULAW/ALAW (8-bit, NON-linear — decoding them as linear
-        * PCM yields silently wrong envelopes). Convert any non-PCM
-        * encoding to 16-bit signed PCM through the JVM's own codec
-        * chain; None if no conversion path exists (→ Stub fallback).
-        * PCM_UNSIGNED passes through at 8-bit only — [[samples]]
-        * decodes all 16-bit payloads as signed, so 16-bit unsigned
-        * routes through the same signed-conversion path. */
-      private def toPcm(
+      /** [[samples]] understands linear PCM only — signed at
+        * 8/16/24/32 bits, unsigned at 8 — so everything else routes
+        * through the JVM's codec chain to 16-bit signed; None if no
+        * conversion path exists (→ Stub fallback, deterministic
+        * rather than silently wrong). AU files commonly carry
+        * ULAW/ALAW (8-bit, NON-linear — decoding them as linear PCM
+        * yields silently wrong envelopes); those convert fine.
+        *
+        * 16-bit UNSIGNED is special-cased to an ENDIAN-FLIPPED signed
+        * target: OpenJDK's PCMtoPCMCodec silently passes bytes
+        * through unchanged on a same-endianness 16-bit sign switch
+        * (verified empirically on JDK 17 — `isConversionSupported`
+        * says true, the returned stream converts nothing), while the
+        * sign+endian-swap combination actually converts. samples()
+        * reads either endianness, so the flipped output costs
+        * nothing. Without this, a 16-bit unsigned payload decodes
+        * every sample off by full scale — the exact silent-corruption
+        * class this router exists to prevent.
+        *
+        * `private[llm]` so the spec can pin the routing table
+        * directly — synthesizing a container that PARSES to e.g.
+        * 16-bit unsigned is format-dependent, the routing contract is
+        * not. */
+      private[llm] def toPcm(
           in: javax.sound.sampled.AudioInputStream
       ): Option[javax.sound.sampled.AudioInputStream] = {
         import javax.sound.sampled.{AudioFormat, AudioSystem}
-        val enc = in.getFormat.getEncoding
-        if (enc == AudioFormat.Encoding.PCM_SIGNED ||
-          (enc == AudioFormat.Encoding.PCM_UNSIGNED &&
-            in.getFormat.getSampleSizeInBits == 8)) Some(in)
+        val f = in.getFormat
+        val enc = f.getEncoding
+        val bits = f.getSampleSizeInBits
+        if ((enc == AudioFormat.Encoding.PCM_SIGNED &&
+            (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
+          (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)) Some(in)
         else try {
-          val f = in.getFormat
+          val flipEndian =
+            enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 16
           val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
             f.getSampleRate, 16, f.getChannels, 2 * f.getChannels,
-            f.getSampleRate, false)
+            f.getSampleRate, if (flipEndian) !f.isBigEndian else false)
           Some(AudioSystem.getAudioInputStream(target, in))
         } catch { case _: Exception => None }
       }
@@ -277,19 +341,30 @@ object Multimodal {
         out.toByteArray
       }
 
-      /** Decoded samples in [-1, 1]: 16-bit signed (either endianness)
-        * or 8-bit signed/unsigned PCM — the WAV encodings in the wild. */
+      /** Decoded samples in [-1, 1]: signed PCM at 16/24/32 bits
+        * (either endianness) or 8-bit signed/unsigned — the WAV/AIFF
+        * encodings in the wild, studio depths included. [[toPcm]]
+        * guarantees nothing else reaches here. */
       private def samples(
           bytes: Array[Byte], f: javax.sound.sampled.AudioFormat): Array[Float] = {
         val enc = f.getEncoding
-        if (f.getSampleSizeInBits == 16) {
-          val n = bytes.length / 2
+        val bits = f.getSampleSizeInBits
+        if (bits == 16 || bits == 24 || bits == 32) {
+          val w = bits / 8
+          val n = bytes.length / w
           val out = new Array[Float](n)
+          val scale = (1L << (bits - 1)).toFloat
           var i = 0
           while (i < n) {
-            val (hi, lo) = if (f.isBigEndian) (bytes(2 * i), bytes(2 * i + 1))
-              else (bytes(2 * i + 1), bytes(2 * i))
-            out(i) = ((hi << 8) | (lo & 0xff)).toShort / 32768.0f
+            // sign-extend from the MSB, then fold in the lower bytes
+            var v = 0
+            var j = 0
+            while (j < w) {
+              val b = bytes(i * w + (if (f.isBigEndian) j else w - 1 - j))
+              v = if (j == 0) b.toInt else (v << 8) | (b & 0xff)
+              j += 1
+            }
+            out(i) = v / scale
             i += 1
           }
           out

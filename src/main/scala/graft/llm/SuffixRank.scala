@@ -69,7 +69,7 @@ object SuffixRank {
     * materialization instead of re-sorting. */
   private def denseRankPairs(spark: SparkSession, pairs: DataFrame): (DataFrame, Long) = {
     val distinctSorted = pairs.select(col("a"), col("b")).distinct().orderBy("a", "b")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val (indexed, nRanks) = indexSorted(distinctSorted)
     val ranked = indexed.map { case (r, i) => Row(r.getLong(0), r.getLong(1), i + 1L) }
     (spark.createDataFrame(ranked, StructType(Seq(
@@ -80,7 +80,7 @@ object SuffixRank {
   /** (id, pos, t) token table → seed ranks from sorted distinct
     * token strings (exact, 1-based), plus the distinct-token count. */
   private def seedRanks(spark: SparkSession, tok: DataFrame): (DataFrame, Long) = {
-    val distinctSorted = tok.select(col("t")).distinct().orderBy("t").localCheckpoint()
+    val distinctSorted = tok.select(col("t")).distinct().orderBy("t").localCheckpoint(false)
     val (indexed, nRanks) = indexSorted(distinctSorted)
     val ranked = indexed.map { case (r, i) => Row(r.getString(0), i + 1L) }
     val tokRank = spark.createDataFrame(ranked, StructType(Seq(
@@ -131,17 +131,17 @@ object SuffixRank {
       val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
       cur.select(col("id"), col("pos"), col("rank").as("a"),
         coalesce(lead(col("rank"), off.toInt).over(w), lit(0L)).as("b"))
-    }).localCheckpoint()
+    }).localCheckpoint(false)
     val (rankTab, nRanks) = denseRankPairs(spark, paired.select(col("a"), col("b")))
     (paired.join(rankTab, Seq("a", "b"))
       .select(col("id"), col("pos"), col("rank"))
-      .localCheckpoint(), nRanks)
+      .localCheckpoint(false), nRanks)
   }
 
   private def tokenize(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
-      .localCheckpoint()
+      .localCheckpoint(false)
 
   /** Fully-doubled rank tables, one per level: `levels(k)` is (id,
     * pos, rank) where rank equality certifies equal 2^k-token
@@ -154,7 +154,7 @@ object SuffixRank {
     val maxLen = tok.agg(max(col("pos"))).head.getInt(0) + 1L
     val viaJoin = maxLen > LongDocThreshold
     var (cur0, nRanks) = seedRanks(spark, tok)
-    val levels = scala.collection.mutable.ArrayBuffer(cur0.localCheckpoint())
+    val levels = scala.collection.mutable.ArrayBuffer(cur0.localCheckpoint(false))
     var off = 1L // certified window length of the current ranks
     var prev = 0L
     while (nRanks < total && nRanks > prev && off < maxLen) {
@@ -233,7 +233,7 @@ object SuffixRank {
 
     // global suffix order (rank, id, pos) → contiguous index, by the
     // same range-partitioned sort + zipWithIndex the ranking uses
-    val ordered = levels.last.orderBy("rank", "id", "pos").localCheckpoint()
+    val ordered = levels.last.orderBy("rank", "id", "pos").localCheckpoint(false)
     val indexed = spark.createDataFrame(
       indexSorted(ordered)._1.map { case (r, i) =>
         Row(r.getLong(0), r.getInt(1), i)

@@ -284,4 +284,104 @@ class SnapshotStoreSpec extends SparkSpec {
     val store = new SnapshotBucketedStore(root, numBuckets = 4)
     assert(store.read("nope").isEmpty)
   }
+
+  /** Link-refusing store: every hard-link publish fails the way some
+    * network mounts fail (FileSystemException), so every commit runs
+    * the degraded exists+rename path — the branch a local test FS
+    * never exercises on its own because local links always work. */
+  private final class LinkRefusingStore(root: String, buckets: Int)(implicit s: SparkSession)
+      extends SnapshotBucketedStore(root, buckets) {
+    var raceNext: Option[() => Unit] = None
+    override protected def createLink(
+        dst: java.nio.file.Path, src: java.nio.file.Path): Unit =
+      throw new java.nio.file.FileSystemException(
+        dst.toString, src.toString, "Operation not permitted")
+    override protected def beforeCommit(): Unit =
+      raceNext match {
+        case Some(r) => raceNext = None; r()
+        case None => ()
+      }
+  }
+
+  test("rename-CAS fallback: commits land when hard links are refused") {
+    val root = tmpDir("graft_snap_fb_")
+    implicit val s = spark
+    val store = new LinkRefusingStore(root, 4)
+    store.upsert("tgt", rows(0 until 50, "v1"), "uuid")
+    store.upsert("tgt", rows(48 until 55, "v2"), "uuid")
+    val table = store.read("tgt").get
+    assert(table.count() == 55)
+    assert(table.filter($"uuid" === 49L).select("val").as[String].head() == "v2")
+    // no staged .tmp leaked: the fallback renames the staged text away
+    val leftover = new File(s"$root/tgt").listFiles().map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftover.isEmpty, s"staged manifests leaked: ${leftover.toSeq}")
+  }
+
+  test("rename-CAS fallback still refuses a lost same-version race loudly") {
+    val root = tmpDir("graft_snap_fbrace_")
+    implicit val s = spark
+    val store = new LinkRefusingStore(root, 4)
+    val plain = new SnapshotBucketedStore(root, 4)
+    store.append("raw", rows(0 until 10, "a"))
+    // a competing writer lands the SAME next version between our data
+    // write and our publish — the exists probe must catch it
+    store.raceNext = Some(() => plain.append("raw", rows(90 until 95, "raced")))
+    intercept[ConcurrentCommitException] {
+      store.append("raw", rows(10 until 20, "lost"))
+    }
+    // the winner's commit is intact; the loser's rows never surfaced
+    val table = store.read("raw").get
+    assert(table.filter($"val" === "raced").count() == 5)
+    assert(table.filter($"val" === "lost").count() == 0)
+  }
+
+  test("time travel: snapshots list, readAt, diff, and restore-as-new-commit") {
+    val root = tmpDir("graft_snap_tt_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", rows(0 until 30, "a"), "uuid")  // v0
+    store.upsert("t", rows(28 until 35, "b"), "uuid") // v1
+    store.delete("t", "uuid", Seq(3L, 4L).toDF("uuid")) // v2
+    assert(store.snapshots("t") == Seq(0, 1, 2))
+
+    // superseded snapshots read exactly as committed
+    assert(store.readAt("t", 0).get.count() == 30)
+    assert(store.readAt("t", 1).get.count() == 35)
+    assert(store.readAt("t", 0).get.filter($"val" === "b").count() == 0)
+    assert(store.read("t").get.count() == 33)
+    assert(store.readAt("t", 9).isEmpty)
+
+    // diff two versions relationally
+    val added = store.readAt("t", 1).get.exceptAll(store.readAt("t", 0).get)
+    assert(added.count() == 7, "v1 upserted rows 28-34 (28/29 rewritten)")
+
+    // restore v0: a NEW commit referencing v0's dirs — never in place
+    store.restore("t", 0)
+    assert(store.snapshots("t") == Seq(0, 1, 2, 3))
+    val restored = store.read("t").get
+    assert(restored.count() == 30)
+    assert(restored.filter($"val" === "b").count() == 0)
+    // the restore survives vacuum: the dirs it references are live in
+    // the NEWEST manifest even though they were committed at v0
+    store.vacuum("t")
+    assert(store.read("t").get.count() == 30)
+    // and it is itself revertible
+    intercept[java.util.NoSuchElementException] { store.restore("t", 1) } // vacuumed away
+  }
+
+  test("restore keeps the streaming high-water mark of the CURRENT snapshot") {
+    val root = tmpDir("graft_snap_ttm_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    assert(store.appendIfNew("raw", rows(0 until 10, "b0"), 0L)) // v0
+    assert(store.appendIfNew("raw", rows(10 until 20, "b1"), 1L)) // v1
+    store.restore("raw", 0) // v2: data of v0
+    assert(store.read("raw").get.count() == 10)
+    // epoch 1's data was rolled away, but its MARK survives: a replay
+    // of epoch 1 after the restore must stay fenced (monotonic epochs)
+    assert(!store.appendIfNew("raw", rows(10 until 20, "b1"), 1L),
+      "restore must not resurrect pre-restore epochs")
+    assert(store.appendIfNew("raw", rows(20 until 25, "b2"), 2L))
+    assert(store.read("raw").get.count() == 15)
+  }
 }

@@ -210,4 +210,151 @@ class MultimodalSpec extends SparkSpec {
     assert(one.rdd.getNumPartitions == 1)
     assert(small.count() == 50)
   }
+
+  test("toPcm routing: only encodings samples() decodes pass through") {
+    import javax.sound.sampled._
+    def stream(fmt: AudioFormat, raw: Array[Byte]) =
+      new AudioInputStream(new java.io.ByteArrayInputStream(raw),
+        fmt, raw.length.toLong / fmt.getFrameSize)
+    def fmt(enc: AudioFormat.Encoding, bits: Int) =
+      new AudioFormat(enc, 8000f, bits, 1, bits / 8, 8000f, false)
+    def readAll(in: AudioInputStream): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    }
+    // a short 16-bit signed ramp and its unsigned twin (sample+32768)
+    val n = 64
+    val signed = new Array[Byte](2 * n)
+    val unsigned = new Array[Byte](2 * n)
+    for (i <- 0 until n) {
+      val v = (i - 32) * 1000
+      signed(2 * i) = (v & 0xff).toByte
+      signed(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      val u = v + 32768
+      unsigned(2 * i) = (u & 0xff).toByte
+      unsigned(2 * i + 1) = ((u >> 8) & 0xff).toByte
+    }
+    // pass-throughs: everything samples() decodes natively
+    for ((e, b) <- Seq(
+        (AudioFormat.Encoding.PCM_SIGNED, 16),
+        (AudioFormat.Encoding.PCM_SIGNED, 24),
+        (AudioFormat.Encoding.PCM_SIGNED, 32),
+        (AudioFormat.Encoding.PCM_SIGNED, 8),
+        (AudioFormat.Encoding.PCM_UNSIGNED, 8))) {
+      val raw = new Array[Byte](b / 8 * n)
+      val in = stream(fmt(e, b), raw)
+      assert(MediaDecoder.Audio.toPcm(in).exists(_ eq in), s"$e/$b must pass through")
+    }
+    // 16-bit UNSIGNED converts — and the converted stream must carry
+    // the TRUE sample values. (OpenJDK's PCMtoPCMCodec silently
+    // no-ops a same-endianness 16-bit sign switch; the router works
+    // around it with an endian-flipped target, so decode by the
+    // RETURNED format, whatever it is, and compare values.)
+    val conv = MediaDecoder.Audio.toPcm(
+      stream(fmt(AudioFormat.Encoding.PCM_UNSIGNED, 16), unsigned))
+    assert(conv.isDefined, "the JVM PCM codec converts 16-bit unsigned")
+    val cf = conv.get.getFormat
+    assert(cf.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+      cf.getSampleSizeInBits == 16)
+    val cb = readAll(conv.get)
+    val decoded = (0 until n).map { i =>
+      val (hi, lo) = if (cf.isBigEndian) (cb(2 * i), cb(2 * i + 1))
+        else (cb(2 * i + 1), cb(2 * i))
+      ((hi << 8) | (lo & 0xff)).toShort.toInt
+    }
+    assert(decoded == (0 until n).map(i => (i - 32) * 1000),
+      "unsigned->signed conversion must recover the exact sample values")
+  }
+
+  test("24-bit studio WAV lands on the same envelope as its 16-bit twin") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // the same shaped signal (1s silence, 1s 440 Hz tone) at 16- and
+    // 24-bit depth; pre-fix the 24-bit payload fell through samples()'s
+    // 8-bit branch and produced a garbage envelope
+    def wav(bits: Int): Array[Byte] = {
+      val rate = 8000
+      val n = rate * 2
+      val w = bits / 8
+      val fmt = new AudioFormat(rate.toFloat, bits, 1, true, false)
+      val pcm = new Array[Byte](n * w)
+      for (i <- rate until n) {
+        val s = math.sin(2 * math.Pi * 440 * (i - rate) / rate) * 0.8
+        val v = (s * ((1L << (bits - 1)) - 1)).toLong
+        for (j <- 0 until w) pcm(w * i + j) = ((v >> (8 * j)) & 0xff).toByte
+      }
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    def envelope(b: Array[Byte]): Array[Float] = extractFeatures(
+      spark.createDataset(Seq(MediaRecord(1L, "audio", b, "mem://x.wav"))),
+      dim = 8, MediaDecoder.Audio).collect().head.feature
+    val f16 = envelope(wav(16))
+    val f24 = envelope(wav(24))
+    assert(f24.take(4).forall(_ < 0.01), s"silent half must be ~0: ${f24.toSeq}")
+    assert(f24.drop(4).forall(v => v > 0.4 && v < 0.6), s"tone half: ${f24.toSeq}")
+    f16.zip(f24).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 0.02, s"${f16.toSeq} vs ${f24.toSeq}")
+    }
+  }
+
+  test("ImageIO codec decodes animated GIF frames as standalone images") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // a real 5-frame animated GIF, each frame a distinct uniform gray
+    def grayOf(i: Int) = { val g = i * 50; (0xff << 24) | (g << 16) | (g << 8) | g }
+    val gif = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (i <- 0 until 5) {
+        val img = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(grayOf(i)))
+        g.fillRect(0, 0, 16, 12)
+        g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      out.toByteArray
+    }
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF"),
+      "fixture must be a real GIF container")
+    val rec = MediaRecord(7L, "video", gif, "mem://anim.gif")
+    // metadata reports the true frame count
+    val meta = decodeMeta(spark.createDataset(Seq(rec)), MediaDecoder.ImageIO)
+      .collect().head
+    assert(meta.width == 16 && meta.height == 12 && meta.n_frames == 5, s"got $meta")
+    // stride-2 sampling through the distributed path: frames 0, 2, 4,
+    // each a self-contained decodable image with the right pixels
+    val frames = sampleFrames(spark.createDataset(Seq(rec)), everyNth = 2,
+      MediaDecoder.ImageIO).collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.bytes))
+      assert(img.getWidth == 16 && img.getHeight == 12)
+      assert(img.getRGB(3, 3) == grayOf(f.frame_idx),
+        s"frame ${f.frame_idx} carries the wrong raster")
+    }
+    // a still PNG keeps the single-frame contract
+    val png = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val still = sampleFrames(
+      spark.createDataset(Seq(MediaRecord(8L, "image", png, "mem://s.png"))),
+      everyNth = 1, MediaDecoder.ImageIO).collect()
+    assert(still.length == 1 && still.head.frame_idx == 0)
+  }
 }

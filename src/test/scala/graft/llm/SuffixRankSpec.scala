@@ -172,4 +172,110 @@ class SuffixRankSpec extends SparkSpec {
       SuffixRank.crossDocRepeats(docs, "doc_id", "text", windowTokens = 5)
     }
   }
+
+  /** JVM brute force for maximalCrossDocRepeats: sort all suffixes by
+    * (content, doc, pos), take adjacent cross-doc pairs, LCP by token
+    * walk, then the minTokens and left-maximality filters. */
+  private def bruteForce(
+      toks: Map[Long, Seq[String]], minTokens: Int): Set[(Long, Int, Long, Int, Int)] = {
+    val sorted = toks.toSeq
+      .flatMap { case (id, ts) => ts.indices.map(p => (id, p, ts.drop(p))) }
+      .sortBy { case (id, p, s) => (s, id, p) }(
+        Ordering.Tuple3(suffixOrdering, implicitly[Ordering[Long]], implicitly[Ordering[Int]]))
+    sorted.sliding(2).collect {
+      case Seq((ia, pa, sa), (ib, pb, sb)) if ia != ib =>
+        val lcp = sa.zip(sb).takeWhile { case (x, y) => x == y }.size
+        (ia, pa, ib, pb, lcp)
+    }.filter(_._5 >= minTokens)
+      .filter { case (ia, pa, ib, pb, _) =>
+        pa == 0 || pb == 0 || toks(ia)(pa - 1) != toks(ib)(pb - 1)
+      }.toSet
+  }
+
+  test("the long-doc join path is pointwise equivalent to the window path") {
+    // LongDocThreshold is the only switch between the per-doc window
+    // and the shifted self-join formulations (seed included). Force
+    // the join path by lowering it below the fixture's doc lengths and
+    // assert every entry point returns EXACTLY the window path's
+    // output — same ranks, same repeats, same classes.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox jumps over a fence"),
+      (3L, "the lazy dog sleeps now"),
+    ).toDF("doc_id", "text")
+    val ranksW = SuffixRank.suffixRanks(docs, "doc_id", "text")
+      .as[(Long, Int, Long)].collect().toSet
+    val repeatsW = SuffixRank.maximalCrossDocRepeats(docs, "doc_id", "text", 2)
+      .as[(Long, Int, Long, Int, Int)].collect().toSet
+    val windowsW = SuffixRank.crossDocRepeats(docs, "doc_id", "text", 4)
+      .as[(Long, Int, Long, Int)].collect().toSet
+    val saved = SuffixRank.LongDocThreshold
+    try {
+      SuffixRank.LongDocThreshold = 2L // every doc is now "long"
+      val ranksJ = SuffixRank.suffixRanks(docs, "doc_id", "text")
+        .as[(Long, Int, Long)].collect().toSet
+      val repeatsJ = SuffixRank.maximalCrossDocRepeats(docs, "doc_id", "text", 2)
+        .as[(Long, Int, Long, Int, Int)].collect().toSet
+      val windowsJ = SuffixRank.crossDocRepeats(docs, "doc_id", "text", 4)
+        .as[(Long, Int, Long, Int)].collect().toSet
+      assert(ranksJ == ranksW, "join-path suffix ranks diverged")
+      assert(repeatsJ == repeatsW, "join-path maximal repeats diverged")
+      assert(windowsJ == windowsW, "join-path window classes diverged")
+    } finally SuffixRank.LongDocThreshold = saved
+  }
+
+  test("NUL-embedding tokens never collide with window boundaries in the seed") {
+    // Doc 1's first token embeds a NUL ("a<NUL>b"); doc 2 splits the
+    // same bytes at a different token boundary ("a", "b<NUL>c").
+    // Unescaped, both docs' 2-token seed keys concatenate to IDENTICAL
+    // bytes (the separator is NUL too) — a false shared window. The
+    // escape must keep them distinct while still matching doc 3's
+    // GENUINE shared window ("a<NUL>b", "c").
+    val docs = Seq(
+      (1L, "a\u0000b c p q"),
+      (2L, "a b\u0000c r s"),
+      (3L, "a\u0000b c x y"),
+    ).toDF("doc_id", "text")
+    val out = SuffixRank.crossDocRepeats(docs, "doc_id", "text", windowTokens = 2)
+      .select("doc_id", "pos", "n_docs")
+      .as[(Long, Int, Int)].collect().sortBy(r => (r._1, r._2))
+    // only docs 1 and 3 share a window, at pos 0; doc 2 matches nothing
+    assert(out.toSeq == Seq((1L, 0, 2), (3L, 0, 2)), s"got ${out.toSeq}")
+  }
+
+  test("gate boundary: non-power-of-two minTokens matches brute force") {
+    // minTokens=3 gates on level g=1 (2^1 <= 3 < 2^2): repeats of
+    // exactly 3 tokens must survive the gate, 2-token repeats must not
+    // reach output
+    val toks = Map(
+      1L -> "one two three alpha beta gamma end".split(" ").toSeq,
+      2L -> "x alpha beta gamma y one two z".split(" ").toSeq,
+    )
+    val docs = toks.toSeq.map { case (id, ts) => (id, ts.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = SuffixRank.maximalCrossDocRepeats(docs, "doc_id", "text", minTokens = 3)
+      .as[(Long, Int, Long, Int, Int)].collect().toSet
+    assert(got == bruteForce(toks, 3), s"got ${got.toSeq.sorted}")
+    // the planted 3-token repeat is there; the 2-token one is not
+    assert(got.exists(_._5 == 3))
+    assert(got.forall(_._5 >= 3))
+  }
+
+  test("gate boundary: minTokens at and beyond the top window on identical docs") {
+    // two identical 6-token docs: doubling fixpoints early, so
+    // minTokens=6 lands g == topK — equal TOP ranks must still gate
+    // correctly (identical suffixes pass, everything else diverges
+    // inside the certified window)
+    val ts = "s1 s2 s3 s4 s5 s6"
+    val docs = Seq((1L, ts), (2L, ts)).toDF("doc_id", "text")
+    val atLen = SuffixRank.maximalCrossDocRepeats(docs, "doc_id", "text", minTokens = 6)
+      .as[(Long, Int, Long, Int, Int)].collect().toSet
+    assert(atLen == Set((1L, 0, 2L, 0, 6), (2L, 0, 1L, 0, 6)).filter(atLen.contains) &&
+      atLen.nonEmpty && atLen.forall(_._5 == 6),
+      s"whole-doc duplicate must survive a minTokens at doc length: ${atLen.toSeq}")
+    // beyond any possible repeat: empty, not an error
+    val beyond = SuffixRank.maximalCrossDocRepeats(docs, "doc_id", "text", minTokens = 7)
+      .as[(Long, Int, Long, Int, Int)].collect()
+    assert(beyond.isEmpty, s"got ${beyond.toSeq}")
+  }
 }
