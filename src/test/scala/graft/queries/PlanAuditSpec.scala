@@ -135,4 +135,19 @@ class PlanAuditSpec extends SparkSpec {
         assert(reused, s"${q.name}: expected reused exchanges\n${p.take(500)}")
       }
   }
+
+  test("q54 span removal: anti-join rebuild, explode-shaped expansion, no occurrence blowup") {
+    // The suffix machinery's own joins (incl. the LeftSemi candidate
+    // pruning) sit behind localCheckpoint lineage cuts and print as
+    // Scan ExistingRDD here — their shapes are pinned by the SuffixRank
+    // specs. This audits what the FINAL plan owns: the rewrite itself.
+    val p = plan(LlmCatalog.spanRemoval)
+    // covered-position removal is an anti-join, never a nested loop
+    assert(p.contains("LeftAnti"), "covered-position removal should be an anti-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "span removal must stay equi-join shaped")
+    // covered positions come from one explode (Generate), deduped by
+    // aggregate — not a per-pair occurrence list
+    assert(p.contains("Generate"), "span expansion should be a Generate (explode)")
+  }
 }
