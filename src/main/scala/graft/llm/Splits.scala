@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Deterministic dataset splitting for training pipelines:
   * train/val/test assignment as a PURE FUNCTION of the row key and a
@@ -75,4 +76,66 @@ object Splits {
       salt: String = "split",
   ): DataFrame =
     df.withColumn("split", assign(col(idCol), weights, salt))
+
+  /** SEQUENCE PACKING layout for pre-training — the concat-and-chunk
+    * step every LLM data pipeline runs last: documents (ordered by
+    * `idCol`) are conceptually concatenated into one token stream and
+    * cut into fixed `seqLen`-token training sequences; a document may
+    * span a cut. This computes where every document lands WITHOUT
+    * materializing the stream: per doc its token count, its global
+    * token offset, and the first/last sequence ids it touches —
+    * everything a writer needs to emit packed sequences (group by
+    * seq id, slice by offset), and everything an auditor needs to
+    * prove no token was dropped or duplicated.
+    *
+    * The global offset is an order-preserving PREFIX SUM, computed the
+    * scale-safe way: range-repartition on the id, per-partition token
+    * totals (one driver hop of #partitions longs — the
+    * [[graft.llm.SuffixRank]] indexing pattern, weighted), then
+    * per-partition running sums. No single-partition window, no
+    * driver-side stream; determinism comes from the total order on
+    * `idCol`, so re-runs and other engines lay out identical
+    * sequences (q55 replays it in DuckDB with one window SUM).
+    *
+    * Output: (idCol, n_tokens, offset, first_seq, last_seq), one row
+    * per input document, id-ordered semantics. */
+  def packSequences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int,
+  ): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val spark = docs.sparkSession
+    // two passes walk the same sorted partitions (sizes, then running
+    // sums) — lazy checkpoint shares one materialization
+    val counts = docs
+      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      .repartitionByRange(col(idCol))
+      .sortWithinPartitions(idCol)
+      .localCheckpoint(false)
+    val rdd = counts.rdd
+    val sums = rdd.mapPartitions(
+      it => Iterator(it.map(_.getLong(1)).sum), preservesPartitioning = true).collect()
+    val starts = sums.scanLeft(0L)(_ + _)
+    val rows = rdd.mapPartitionsWithIndex { case (p, it) =>
+      var acc = starts(p)
+      it.map { r =>
+        val n = r.getLong(1)
+        val off = acc
+        acc += n
+        Row(r.get(0), n, off)
+      }
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+        counts.schema.head,
+        StructField("n_tokens", LongType, nullable = false),
+        StructField("offset", LongType, nullable = false))))
+      // integral `div`, not `/`: Column./ is DOUBLE division, which
+      // silently loses precision past 2^53 — a real offset at 100 TB
+      .withColumn("first_seq", expr(s"offset div $seqLen"))
+      .withColumn("last_seq",
+        greatest(expr(s"(offset + n_tokens - 1) div $seqLen"),
+          expr(s"offset div $seqLen")))
+  }
 }

@@ -1167,6 +1167,41 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Sequence-packing layout (Splits.packSequences): the
+    * concat-and-chunk step a pre-training pipeline runs last —
+    * documents in doc_id order concatenate into one token stream cut
+    * into 512-token training sequences; each doc reports its token
+    * count, global stream offset, and first/last sequence touched.
+    * The Spark side computes the prefix sum distributively
+    * (range-repartition + per-partition totals + running sums, no
+    * single-partition window); the oracle IS the single-window
+    * definition — one SUM OVER (ORDER BY doc_id) — so the hash match
+    * proves the distributed layout equals the sequential one
+    * token-for-token. */
+  val sequencePacking = GraftQuery(
+    "q55_sequence_packing",
+    (s, d) =>
+      graft.llm.Splits.packSequences(documents(s, d), "doc_id", "text", seqLen = 512)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH c AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ),
+      s AS (
+        SELECT doc_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM c
+      )
+      SELECT doc_id, n_tokens, off AS "offset",
+             CAST(off // 512 AS BIGINT) AS first_seq,
+             CAST(GREATEST((off + n_tokens - 1) // 512, off // 512) AS BIGINT) AS last_seq
+      FROM s
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1192,5 +1227,6 @@ object LlmCatalog {
     maximalRepeats,
     decontaminationFuzzy,
     spanRemoval,
+    sequencePacking,
   )
 }

@@ -50,4 +50,40 @@ class SplitsSpec extends SparkSpec {
       .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(math.abs(counts("x") - 3750) < 200, counts.toString)
   }
+
+  test("packSequences: gapless offsets, correct chunk spans, partition-count invariant") {
+    // 1000 docs with varied token counts spread over many input
+    // partitions — the distributed prefix sum must equal the
+    // sequential definition regardless of layout
+    val docs = spark.range(1000)
+      .select($"id".as("doc_id"),
+        concat_ws(" ", (0 until 7).map(i => lit(s"t$i")): _*).as("base"))
+      .withColumn("text",
+        // doc i has 1 + (i % 13) tokens
+        expr("concat_ws(' ', slice(split(concat(base, ' ', base), ' '), 1, 1 + doc_id % 13))"))
+      .drop("base")
+      .repartition(16)
+    val out = Splits.packSequences(docs, "doc_id", "text", seqLen = 64)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "offset", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 1000)
+    // sequential reference
+    var off = 0L
+    out.foreach { case (id, n, o, fs, ls) =>
+      assert(n == 1 + id % 13, s"doc $id token count")
+      assert(o == off, s"doc $id offset $o, expected $off — stream has a gap or overlap")
+      assert(fs == o / 64 && ls == math.max((o + n - 1) / 64, o / 64), s"doc $id spans")
+      off += n
+    }
+    // some doc must straddle a sequence boundary (first_seq < last_seq)
+    assert(out.exists { case (_, _, _, fs, ls) => fs < ls },
+      "fixture should contain boundary-spanning docs")
+    // identical output from a different partitioning
+    val out1 = Splits.packSequences(docs.coalesce(1), "doc_id", "text", seqLen = 64)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "offset", "first_seq", "last_seq")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out1.toSeq == out.toSeq, "layout must not depend on input partitioning")
+  }
 }
