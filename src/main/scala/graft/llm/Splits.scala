@@ -77,6 +77,58 @@ object Splits {
   ): DataFrame =
     df.withColumn("split", assign(col(idCol), weights, salt))
 
+  /** TOKEN-BUDGET mixture sampling — the training-data recipe op:
+    * "take ~5B tokens of web, ~2B of code, ~1B of the rest". Where
+    * [[stratifiedSample]] keeps a RATE per stratum, this fills an
+    * ABSOLUTE token budget per group, deterministically:
+    *
+    * Docs hash into the [[Buckets]] granularity (same md5 family as
+    * every split op — any SQL engine can audit the sample); per
+    * (group, bucket) token totals cumulate IN BUCKET ORDER, and a
+    * group keeps every bucket whose preceding-buckets total is still
+    * under its budget — so each group's kept token count lands in
+    * [budget, budget + one bucket's tokens), i.e. within ~0.01% of
+    * corpus mass of the target. Bucket granularity is what makes the
+    * shape scale-safe: the running sum is a window over ≤ Buckets
+    * rows PER GROUP (bounded state, never a per-doc global window),
+    * the per-group cut table is |groups| rows (broadcast), and the
+    * keep decision is a map-side filter.
+    *
+    * Groups without a budget get `defaultBudget` (0 = dropped).
+    * Budgets larger than a group's corpus keep the whole group. */
+  def tokenBudgetSample(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L,
+      salt: String = "budget",
+  ): DataFrame = {
+    require(budgets.values.forall(_ >= 0) && defaultBudget >= 0, "budgets must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val bucketC = "graft_bucket_"
+    val ntokC = "graft_ntok_"
+    val cutC = "graft_cut_"
+    val withMeta = df
+      .withColumn(bucketC, bucketOf(col(idCol), salt))
+      .withColumn(ntokC, size(split(col(textCol), " ")).cast("long"))
+    val budgetExpr = budgets.foldLeft(lit(defaultBudget): Column) {
+      case (els, (k, v)) => when(col(groupCol) === k, lit(v)).otherwise(els)
+    }
+    val w = Window.partitionBy(groupCol).orderBy(bucketC)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cuts = withMeta
+      .groupBy(col(groupCol), col(bucketC)).agg(sum(ntokC).as("btok"))
+      .withColumn("before", coalesce(sum(col("btok")).over(w), lit(0L)))
+      .filter(col("before") < budgetExpr)
+      .groupBy(col(groupCol)).agg(max(col(bucketC)).as(cutC))
+    withMeta
+      .join(broadcast(cuts), Seq(groupCol))
+      .filter(col(bucketC) <= col(cutC))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** SEQUENCE PACKING layout for pre-training — the concat-and-chunk
     * step every LLM data pipeline runs last: documents (ordered by
     * `idCol`) are conceptually concatenated into one token stream and

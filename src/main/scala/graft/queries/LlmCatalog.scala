@@ -1202,6 +1202,50 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Token-budget mixture sampling (Splits.tokenBudgetSample): fill an
+    * ABSOLUTE per-language token budget (the training-mix recipe op)
+    * instead of a rate. Bucket-granular: docs hash into the 10000
+    * md5 buckets q31 uses, budgets fill in bucket order, the whole
+    * boundary bucket is kept — so the oracle replays the exact keep
+    * set with one bounded window (PARTITION BY lang over ≤10000
+    * bucket rows) and the hash match proves the recipe is
+    * engine-auditable like every other split op. */
+  val tokenBudgetMix = GraftQuery(
+    "q56_token_budget_mix",
+    (s, d) =>
+      graft.llm.Splits.tokenBudgetSample(
+          documents(s, d), "doc_id", "text", "lang",
+          budgets = Map("en" -> 5000L, "zh" -> 1500L), defaultBudget = 800L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+               ('0x'||substr(md5('budget:'||doc_id),1,15))::BIGINT % 10000 AS bucket
+        FROM documents
+      ),
+      bk AS (
+        SELECT lang, bucket, SUM(ntok) AS btok FROM t GROUP BY lang, bucket
+      ),
+      cum AS (
+        SELECT lang, bucket,
+               CAST(COALESCE(SUM(btok) OVER (PARTITION BY lang ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        FROM bk
+      ),
+      cuts AS (
+        SELECT lang, MAX(bucket) AS cut FROM cum
+        WHERE before < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 1500 ELSE 800 END
+        GROUP BY lang
+      )
+      SELECT t.doc_id, t.lang
+      FROM t JOIN cuts ON t.lang = cuts.lang
+      WHERE t.bucket <= cuts.cut
+      ORDER BY t.doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1228,5 +1272,6 @@ object LlmCatalog {
     decontaminationFuzzy,
     spanRemoval,
     sequencePacking,
+    tokenBudgetMix,
   )
 }

@@ -51,6 +51,32 @@ class SplitsSpec extends SparkSpec {
     assert(math.abs(counts("x") - 3750) < 200, counts.toString)
   }
 
+  test("tokenBudgetSample fills each group's budget to bucket granularity") {
+    // 3 langs × 400 docs of 5 tokens each = 2000 tokens per lang
+    val docs = spark.range(1200)
+      .select($"id".as("doc_id"),
+        element_at(array(lit("en"), lit("fr"), lit("xx")), ($"id" % 3 + 1).cast("int")).as("lang"),
+        lit("t1 t2 t3 t4 t5").as("text"))
+    val out = Splits.tokenBudgetSample(docs, "doc_id", "text", "lang",
+      budgets = Map("en" -> 600L, "fr" -> 99999L))
+    val kept = out.groupBy("lang").agg(sum(size(split($"text", " "))).as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en: filled to AT LEAST the budget, within one bucket's overshoot
+    // (5-token docs → the boundary bucket adds a handful of tokens)
+    assert(kept("en") >= 600L && kept("en") < 600L + 100L, kept.toString)
+    // fr: budget exceeds the corpus — whole group kept
+    assert(kept("fr") == 2000L, kept.toString)
+    // xx: no budget, defaultBudget 0 — dropped entirely
+    assert(!kept.contains("xx"), kept.toString)
+    // deterministic: same keep set on a re-run
+    val again = Splits.tokenBudgetSample(docs, "doc_id", "text", "lang",
+      budgets = Map("en" -> 600L, "fr" -> 99999L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // the schema is untouched (internal columns dropped)
+    assert(out.columns.toSeq == docs.columns.toSeq)
+  }
+
   test("packSequences: gapless offsets, correct chunk spans, partition-count invariant") {
     // 1000 docs with varied token counts spread over many input
     // partitions — the distributed prefix sum must equal the
