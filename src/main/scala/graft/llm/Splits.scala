@@ -190,4 +190,39 @@ object Splits {
         greatest(expr(s"(offset + n_tokens - 1) div $seqLen"),
           expr(s"offset div $seqLen")))
   }
+
+  /** MATERIALIZED packed sequences — [[packSequences]] computes where
+    * every document lands; this emits the training rows themselves:
+    * (seq_id, text, n_tokens) with every sequence exactly `seqLen`
+    * tokens except the last. Documents spanning a cut are split across
+    * their sequences, nothing dropped, nothing duplicated (the spec
+    * round-trips the concatenation byte-for-byte).
+    *
+    * Shape: one explode to (global token pos, token) — the offsets
+    * come from the layout join, so positions need no window — then
+    * groupBy the sequence id with an in-group sort. Per-group state is
+    * bounded by `seqLen` TOKENS BY CONSTRUCTION (the whole point of
+    * packing), so the collect_list can never blow up the way an
+    * unbounded per-doc group could; the shuffle carries (gpos, token)
+    * pairs hashed on seq_id — perfectly even by construction too. */
+  def packedSequenceText(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int,
+  ): DataFrame = {
+    val layout = packSequences(docs, idCol, textCol, seqLen)
+      .select(col(idCol), col("offset"))
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
+      .join(layout, idCol)
+      .select((col("offset") + col("pos")).as("gpos"), col("t"))
+      .withColumn("seq_id", expr(s"gpos div $seqLen"))
+      .groupBy(col("seq_id"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("gpos"), col("t")))),
+            x => x.getField("t")), " ").as(textCol),
+        count(lit(1)).as("n_tokens"))
+  }
 }

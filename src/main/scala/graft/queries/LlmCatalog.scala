@@ -1246,6 +1246,50 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Materialized packed sequences (Splits.packedSequenceText): the
+    * training rows themselves — q55's layout joined onto the exploded
+    * token stream, grouped by sequence id, every row exactly 512
+    * tokens except the last. The oracle rebuilds the stream with the
+    * same window-SUM offsets and string_aggs per sequence; a hash
+    * match proves the distributed concat-and-chunk reproduces the
+    * sequential stream token-for-token, splits included. */
+  val packedSequences = GraftQuery(
+    "q57_packed_sequences",
+    (s, d) =>
+      graft.llm.Splits.packedSequenceText(documents(s, d), "doc_id", "text", seqLen = 512)
+        .orderBy(col("seq_id")),
+    Some("""
+      WITH c AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ),
+      s AS (
+        SELECT doc_id,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM c
+      ),
+      tok AS (
+        SELECT doc_id, u.pos AS pos, u.t AS t FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w)),
+                                       i -> {'pos': i-1, 't': w[i]})) AS u
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        )
+      ),
+      g AS (
+        SELECT s.off + tok.pos AS gpos, tok.t AS t
+        FROM tok JOIN s ON tok.doc_id = s.doc_id
+      )
+      SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+             string_agg(t, ' ' ORDER BY gpos) AS text,
+             COUNT(*) AS n_tokens
+      FROM g
+      GROUP BY gpos // 512
+      ORDER BY seq_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1273,5 +1317,6 @@ object LlmCatalog {
     spanRemoval,
     sequencePacking,
     tokenBudgetMix,
+    packedSequences,
   )
 }

@@ -112,4 +112,28 @@ class SplitsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(out1.toSeq == out.toSeq, "layout must not depend on input partitioning")
   }
+
+  test("packedSequenceText round-trips the token stream exactly") {
+    val docs = spark.range(200)
+      .select($"id".as("doc_id"),
+        // doc i: 1 + i%7 copies of its own id-token — recognizable slices
+        expr("concat_ws(' ', transform(sequence(0, id % 7), j -> concat('d', id, '_', j)))")
+          .as("text"))
+      .repartition(8)
+    val seqs = Splits.packedSequenceText(docs, "doc_id", "text", seqLen = 32)
+      .orderBy("seq_id")
+      .select("seq_id", "text", "n_tokens")
+      .as[(Long, String, Long)].collect()
+    // every sequence is exactly seqLen tokens, except possibly the last
+    seqs.dropRight(1).foreach { case (id, _, n) => assert(n == 32, s"seq $id has $n tokens") }
+    assert(seqs.last._3 <= 32 && seqs.last._3 > 0)
+    // seq ids are dense from 0
+    assert(seqs.map(_._1).toSeq == seqs.indices.map(_.toLong))
+    // the concatenation of sequences IS the concatenation of docs:
+    // nothing dropped, nothing duplicated, split docs reassemble
+    val streamFromSeqs = seqs.map(_._2).mkString(" ")
+    val streamFromDocs = docs.orderBy("doc_id").select("text").as[String]
+      .collect().mkString(" ")
+    assert(streamFromSeqs == streamFromDocs, "packed stream must equal the doc stream")
+  }
 }
