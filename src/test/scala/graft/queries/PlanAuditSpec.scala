@@ -150,4 +150,17 @@ class PlanAuditSpec extends SparkSpec {
     // aggregate — not a per-pair occurrence list
     assert(p.contains("Generate"), "span expansion should be a Generate (explode)")
   }
+
+  test("q55/q57 packing computes the global prefix sum without a global window") {
+    // the naive layout is SUM() OVER (ORDER BY id) — a single-partition
+    // window that serializes the whole corpus through one task; the
+    // distributed form must plan NO Window operator and NO
+    // SinglePartition exchange anywhere
+    Seq(LlmCatalog.sequencePacking, LlmCatalog.packedSequences).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"${q.name} fell back to a window:\n${p.take(400)}")
+      assert(!p.contains("SinglePartition"),
+        s"${q.name} serializes through one partition:\n${p.take(400)}")
+    }
+  }
 }
