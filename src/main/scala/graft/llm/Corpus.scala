@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The composed training-corpus cleaning pipeline — what the
@@ -103,9 +104,9 @@ object Corpus {
     *   pair the occurrence in the LARGER doc id is marked for removal
     *   (keep-first-occurrence: the smallest doc id carrying a span
     *   keeps it — pairs are cross-doc by construction, so the tie is
-    *   total). Marked spans expand to covered token positions, overlaps
-    *   union away in one distinct, and each document's surviving tokens
-    *   rebuild in position order.
+    *   total). Marked spans interval-merge per doc, expand to covered
+    *   token positions, and each document's surviving tokens rebuild
+    *   in position order.
     *
     * Adjacent-pair chains cover multi-occurrence spans: k occurrences
     * of a shared span sit contiguously in suffix order, so k−1 pairs
@@ -116,8 +117,9 @@ object Corpus {
     *
     * Scale: the repeat table is the expensive part and is already
     * gated + candidate-doc-pruned (SCALE.md §5); everything here is
-    * proportional to covered positions (bounded by corpus tokens), an
-    * explode + distinct + anti-join + per-doc rebuild. The rebuild's
+    * proportional to covered positions (bounded by corpus tokens) —
+    * interval merge over span rows, one explode of disjoint
+    * intervals, anti-join, per-doc rebuild. The rebuild's
     * collect_list groups one DOC's tokens — the operator's intrinsic
     * unit, same per-doc locality every windowed text op in the repo
     * has. Output: (idCol, textCol) — one row per input document. */
@@ -149,13 +151,27 @@ object Corpus {
       when(col(idCol) > col("match_doc"), col("pos"))
         .otherwise(col("match_pos")).as("start"),
       col("lcp"))
-    // covered positions; DISTINCT unions overlapping spans. Cost is
-    // sum of span lengths — bounded by (pairs × repeat length), and
-    // repeat pairs are adjacent-only (O(corpus tokens) of them).
-    val covered = spans
+    // Merge overlapping spans per doc BEFORE exploding: a span shared
+    // by k docs arrives as k−1 chained pairs, so the naive
+    // explode+distinct pays sum(pair lcps) — k× the covered positions
+    // — plus a corpus-sized distinct shuffle. The merge is the classic
+    // running-max interval union over SPAN rows (a handful per doc,
+    // nothing like token counts), after which intervals are disjoint:
+    // the explode emits each covered position exactly once and no
+    // distinct is needed at all.
+    val w = Window.partitionBy("id").orderBy("start")
+    val merged = spans
+      .select(col("id"), col("start"), (col("start") + col("lcp")).as("end"))
+      .withColumn("gap",
+        when(col("start") > coalesce(
+          max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(Int.MinValue)), 1).otherwise(0))
+      .withColumn("grp", sum(col("gap")).over(w))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("start")).as("start"), max(col("end")).as("end"))
+    val covered = merged
       .select(col("id"),
-        explode(sequence(col("start"), col("start") + col("lcp") - 1)).as("pos"))
-      .distinct()
+        explode(sequence(col("start"), col("end") - 1)).as("pos"))
     val tok = docs.select(col(idCol).as("id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
     val rebuilt = tok
