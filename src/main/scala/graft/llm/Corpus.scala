@@ -101,19 +101,28 @@ object Corpus {
     *
     *   [[SuffixRank.maximalCrossDocRepeats]] finds every left-maximal
     *   cross-doc exact repeat of >= minTokens tokens; for each repeat
-    *   pair the occurrence in the LARGER doc id is marked for removal
-    *   (keep-first-occurrence: the smallest doc id carrying a span
-    *   keeps it — pairs are cross-doc by construction, so the tie is
-    *   total). Marked spans interval-merge per doc, expand to covered
-    *   token positions, and each document's surviving tokens rebuild
-    *   in position order.
+    *   pair the occurrence in the LARGER doc id is marked for removal.
+    *   Marked spans interval-merge per doc, expand to covered token
+    *   positions, and each document's surviving tokens rebuild in
+    *   position order.
     *
-    * Adjacent-pair chains cover multi-occurrence spans: k occurrences
-    * of a shared span sit contiguously in suffix order, so k−1 pairs
-    * chain through them and every occurrence except a minimal one is
-    * some pair's larger side. Docs that lose every token rewrite to
-    * the empty string rather than vanishing — dropping documents is
-    * [[clean]]'s job, not this one's.
+    * The per-pair rule gives a HARD invariant — the smallest doc id
+    * carrying a span is never excised (a pair only ever removes its
+    * larger side) — but one round is a greedy approximation, not full
+    * keep-first: the repeat pairs are ADJACENT in suffix order, and
+    * with k >= 3 occurrences two pairs can mark the same middle
+    * occurrence, leaving a duplicate between the outer two (e.g.
+    * continuations ordering three occurrences (2, 3, 1): both pairs
+    * mark doc 3, docs 1 AND 2 keep their copies). `rounds` re-mines
+    * the rewritten corpus and repeats; every extra round strictly
+    * shrinks the residue and the fixpoint is exact keep-first — only
+    * min-doc-id copies remain. Rounds beyond the first early-exit as
+    * soon as a re-mine comes back empty. Same-doc repeats are out of
+    * scope by construction (pairs are cross-doc).
+    *
+    * Docs that lose every token rewrite to the empty string rather
+    * than vanishing — dropping documents is [[clean]]'s job, not this
+    * one's.
     *
     * Scale: the repeat table is the expensive part and is already
     * gated + candidate-doc-pruned (SCALE.md §5); everything here is
@@ -128,10 +137,28 @@ object Corpus {
       idCol: String = "doc_id",
       textCol: String = "text",
       minTokens: Int = 8,
-  ): DataFrame =
-    removeSpans(docs,
-      SuffixRank.maximalCrossDocRepeats(docs, idCol, textCol, minTokens),
-      idCol, textCol)
+      rounds: Int = 1,
+  ): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var cur = docs.select(col(idCol), col(textCol))
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      val repeats =
+        SuffixRank.maximalCrossDocRepeats(cur, idCol, textCol, minTokens)
+      if (r + 1 < rounds) {
+        // multi-round: probe emptiness to stop early, and checkpoint
+        // the round's output so plans don't nest round over round
+        val rep = repeats.localCheckpoint()
+        if (rep.isEmpty) converged = true
+        else cur = removeSpans(cur, rep, idCol, textCol).localCheckpoint()
+      } else {
+        cur = removeSpans(cur, repeats, idCol, textCol)
+      }
+      r += 1
+    }
+    cur
+  }
 
   /** The rewrite half of [[dedupSpans]], decoupled so a user who
     * already materialized the repeat table (or filtered it — e.g. only
@@ -144,8 +171,12 @@ object Corpus {
       idCol: String = "doc_id",
       textCol: String = "text",
   ): DataFrame = {
-    // keep-first: the larger doc id of each pair loses its occurrence
-    val spans = repeats.select(
+    // guard user-supplied tables: a lcp <= 0 row would make
+    // sequence(start, start + lcp - 1) count DOWN and delete tokens
+    // BEFORE the span start (sequence(5, 4) emits 5 AND 4)
+    val positive = repeats.filter(col("lcp") > 0)
+    // the larger doc id of each pair loses its occurrence
+    val spans = positive.select(
       when(col(idCol) > col("match_doc"), col(idCol))
         .otherwise(col("match_doc")).as("id"),
       when(col(idCol) > col("match_doc"), col("pos"))

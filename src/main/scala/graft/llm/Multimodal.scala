@@ -208,16 +208,67 @@ object Multimodal {
         finally { reader.dispose(); iis.close() }
       }
 
-      def decode(r: MediaRecord): MediaMeta = readImage(r.bytes) match {
-        case Some(img) =>
-          // animated containers (GIF) report their true frame count —
-          // allowSearch=true is fine on an in-heap stream
-          val frames = withReader(r.bytes)(_.getNumImages(true)).getOrElse(1)
-          MediaMeta(r.media_id, "image", img.getWidth, img.getHeight,
-            img.getColorModel.getNumComponents, -1, math.max(frames, 1),
-            r.bytes.length.toLong)
-        case None => Minimal.decode(r)
-      }
+      /** Frame's placement and disposal from the GIF image metadata
+        * tree; (0, 0, "none") for non-GIF formats or absent nodes. */
+      private def frameInfo(
+          reader: javax.imageio.ImageReader, i: Int): (Int, Int, String) =
+        try {
+          val fmt = "javax_imageio_gif_image_1.0"
+          val md = reader.getImageMetadata(i)
+          if (!md.getMetadataFormatNames.contains(fmt)) return (0, 0, "none")
+          val kids = md.getAsTree(fmt).getChildNodes
+          var x = 0; var y = 0; var disp = "none"
+          var j = 0
+          while (j < kids.getLength) {
+            val n = kids.item(j)
+            n.getNodeName match {
+              case "ImageDescriptor" =>
+                val a = n.getAttributes
+                x = a.getNamedItem("imageLeftPosition").getNodeValue.toInt
+                y = a.getNamedItem("imageTopPosition").getNodeValue.toInt
+              case "GraphicControlExtension" =>
+                disp = n.getAttributes.getNamedItem("disposalMethod").getNodeValue
+              case _ => ()
+            }
+            j += 1
+          }
+          (x, y, disp)
+        } catch { case _: Exception => (0, 0, "none") }
+
+      /** Logical screen dims from the GIF stream metadata; None for
+        * other formats (single-frame: the frame IS the screen). */
+      private def logicalScreen(
+          reader: javax.imageio.ImageReader): Option[(Int, Int)] =
+        try {
+          val fmt = "javax_imageio_gif_stream_1.0"
+          val md = reader.getStreamMetadata
+          if (md == null || !md.getMetadataFormatNames.contains(fmt)) return None
+          val kids = md.getAsTree(fmt).getChildNodes
+          var j = 0
+          while (j < kids.getLength) {
+            val n = kids.item(j)
+            if (n.getNodeName == "LogicalScreenDescriptor") {
+              val a = n.getAttributes
+              return Some((
+                a.getNamedItem("logicalScreenWidth").getNodeValue.toInt,
+                a.getNamedItem("logicalScreenHeight").getNodeValue.toInt))
+            }
+            j += 1
+          }
+          None
+        } catch { case _: Exception => None }
+
+      def decode(r: MediaRecord): MediaMeta = withReader(r.bytes) { reader =>
+        // ONE reader pass: dims and frame count come from the headers
+        // (no raster decode — metadata is the hot path at corpus
+        // scale), channels from the reader's image type
+        val it = reader.getImageTypes(0)
+        val channels =
+          if (it.hasNext) it.next().getColorModel.getNumComponents else 3
+        MediaMeta(r.media_id, "image", reader.getWidth(0), reader.getHeight(0),
+          channels, -1, math.max(reader.getNumImages(true), 1),
+          r.bytes.length.toLong)
+      }.getOrElse(Minimal.decode(r))
 
       def features(r: MediaRecord, dim: Int): Array[Float] = readImage(r.bytes) match {
         case Some(img) =>
@@ -245,25 +296,71 @@ object Multimodal {
       }
 
       /** Multi-frame decode for animated containers (GIF is the one
-        * the JDK registry reads): every Nth frame re-encoded as a
-        * standalone PNG — downstream consumers get self-contained
-        * image payloads, not raw rasters with out-of-band metadata.
+        * the JDK registry reads): every Nth frame emitted as a
+        * standalone PNG of the full logical screen — downstream
+        * consumers get self-contained image payloads, not raw rasters
+        * with out-of-band metadata. Real-world optimized GIFs store
+        * frames after the first as DELTA RECTANGLES with an offset and
+        * a disposal method, so frames COMPOSITE onto a persistent
+        * canvas (cumulative draw; restore-to-background clears the
+        * frame's rect; restore-to-previous rolls the canvas back) —
+        * emitting `reader.read(i)` raw would hand consumers
+        * wrong-sized partial images. Every frame composites even when
+        * strided, because frame i's pixels depend on 0..i−1.
+        *
         * Still images (or unrecognized bytes) degrade to the
         * single-frame identity the interface always had. The frame
         * LIST is an eager per-record decode (a GIF's frames live in
-        * one payload — there is no partition-spanning video here;
-        * genuinely huge media would arrive pre-chunked), and the
-        * flatMap fan-out to rows happens in [[Multimodal.sampleFrames]]
-        * exactly as before. */
+        * one payload — there is no partition-spanning video here);
+        * the flatMap fan-out to rows happens in
+        * [[Multimodal.sampleFrames]] exactly as before. */
       def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] = {
+        import java.awt.image.BufferedImage
+        def png(img: BufferedImage): Array[Byte] = {
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          out.toByteArray
+        }
+        def copyOf(img: BufferedImage): BufferedImage = {
+          val c = new BufferedImage(img.getWidth, img.getHeight, img.getType)
+          val g = c.createGraphics()
+          g.drawImage(img, 0, 0, null)
+          g.dispose()
+          c
+        }
         val frames = withReader(r.bytes) { reader =>
           val n = reader.getNumImages(true)
-          (0 until n by math.max(everyNth, 1)).map { i =>
+          val (cw, ch) = logicalScreen(reader)
+            .getOrElse((reader.getWidth(0), reader.getHeight(0)))
+          val canvas = new BufferedImage(
+            math.max(cw, 1), math.max(ch, 1), BufferedImage.TYPE_INT_ARGB)
+          val g = canvas.createGraphics()
+          val stride = math.max(everyNth, 1)
+          val out = Seq.newBuilder[Frame]
+          var i = 0
+          while (i < n) {
             val img = reader.read(i)
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, "png", out)
-            Frame(r.media_id, i, out.toByteArray)
+            val (x, y, disp) = frameInfo(reader, i)
+            val saved = if (disp == "restoreToPrevious") copyOf(canvas) else null
+            g.drawImage(img, x, y, null)
+            if (i % stride == 0) out += Frame(r.media_id, i, png(canvas))
+            disp match {
+              case "restoreToBackgroundColor" =>
+                val c = g.getComposite
+                g.setComposite(java.awt.AlphaComposite.Clear)
+                g.fillRect(x, y, img.getWidth, img.getHeight)
+                g.setComposite(c)
+              case "restoreToPrevious" =>
+                val c = g.getComposite
+                g.setComposite(java.awt.AlphaComposite.Src)
+                g.drawImage(saved, 0, 0, null)
+                g.setComposite(c)
+              case _ => ()
+            }
+            i += 1
           }
+          g.dispose()
+          out.result()
         }
         frames match {
           case Some(fs) if fs.nonEmpty => fs.iterator

@@ -112,7 +112,9 @@ object Splits {
     val cutC = "graft_cut_"
     val withMeta = df
       .withColumn(bucketC, bucketOf(col(idCol), salt))
-      .withColumn(ntokC, size(split(col(textCol), " ")).cast("long"))
+      // null text counts like the empty string (one empty token) —
+      // size(split(NULL)) would poison the sums with -1
+      .withColumn(ntokC, size(split(coalesce(col(textCol), lit("")), " ")).cast("long"))
     val budgetExpr = budgets.foldLeft(lit(defaultBudget): Column) {
       case (els, (k, v)) => when(col(groupCol) === k, lit(v)).otherwise(els)
     }
@@ -123,8 +125,12 @@ object Splits {
       .withColumn("before", coalesce(sum(col("btok")).over(w), lit(0L)))
       .filter(col("before") < budgetExpr)
       .groupBy(col(groupCol)).agg(max(col(bucketC)).as(cutC))
+      .withColumnRenamed(groupCol, "graft_group_")
     withMeta
-      .join(broadcast(cuts), Seq(groupCol))
+      // null-SAFE equality: a NULL group is a real stratum (it gets
+      // defaultBudget like any unbudgeted group); a plain equi-join
+      // would silently drop every null-group row
+      .join(broadcast(cuts), col(groupCol) <=> col("graft_group_"))
       .filter(col(bucketC) <= col(cutC))
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
@@ -162,7 +168,10 @@ object Splits {
     // two passes walk the same sorted partitions (sizes, then running
     // sums) — lazy checkpoint shares one materialization
     val counts = docs
-      .select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      // null text counts like the empty string — size(split(NULL)) is
+      // -1, which would shift every later offset and scramble sequences
+      .select(col(idCol),
+        size(split(coalesce(col(textCol), lit("")), " ")).cast("long").as("n_tokens"))
       .repartitionByRange(col(idCol))
       .sortWithinPartitions(idCol)
       .localCheckpoint(false)
@@ -214,7 +223,10 @@ object Splits {
     val layout = packSequences(docs, idCol, textCol, seqLen)
       .select(col(idCol), col("offset"))
     docs
-      .select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "t")))
+      // coalesce mirrors packSequences' token counting: a null text is
+      // one empty token, so the stream and the layout stay aligned
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), " ")).as(Seq("pos", "t")))
       .join(layout, idCol)
       .select((col("offset") + col("pos")).as("gpos"), col("t"))
       .withColumn("seq_id", expr(s"gpos div $seqLen"))

@@ -375,8 +375,14 @@ object SuffixRank {
     // book-length doc would otherwise serialize the seed window AND
     // every doubling round here into one task each (the seed is the
     // heaviest case — its rows carry s× token TEXT, not 24-byte rank
-    // triples).
-    val maxLen = tok.agg(max(col("pos"))).head.getInt(0) + 1L
+    // triples). Empty corpus → the aggregate row is NULL — return the
+    // empty frame before probing it.
+    val maxRow = tok.agg(max(col("pos"))).head
+    if (maxRow.isNullAt(0))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
+        StructField(idCol, LongType), StructField("pos", IntegerType),
+        StructField("window_class", LongType), StructField("n_docs", IntegerType))))
+    val maxLen = maxRow.getInt(0) + 1L
     val viaJoin = maxLen > LongDocThreshold
     // Seed at width min(w, 4) instead of 1: the seed key is the
     // s-token window content itself (per-doc lead()s, joined with a

@@ -109,6 +109,44 @@ class CorpusSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
+  test("dedupSpans: one round is greedy per-pair; rounds=2 reaches exact keep-first") {
+    // 8-token boilerplate whose CONTINUATIONS order the three
+    // occurrences (2, 3, 1) in suffix order: BOTH adjacent pairs mark
+    // doc 3, so a single round leaves docs 1 and 2 each holding a copy
+    // — the documented greedy residue. A second round re-mines the
+    // rewritten corpus and finishes the job; min doc id never loses.
+    val b = "c1 c2 c3 c4 c5 c6 c7 c8"
+    val df = Seq(
+      (1L, s"$b zz"),
+      (2L, s"$b aa"),
+      (3L, s"$b mm"),
+    ).toDF("doc_id", "text")
+    val one = Corpus.dedupSpans(df, minTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(one == Map(1L -> s"$b zz", 2L -> s"$b aa", 3L -> "mm"),
+      s"single-round per-pair semantics: $one")
+    val two = Corpus.dedupSpans(df, minTokens = 8, rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(two == Map(1L -> s"$b zz", 2L -> "aa", 3L -> "mm"),
+      s"fixpoint must keep ONLY the min-doc-id copy: $two")
+    // extra rounds early-exit once the re-mine comes back empty
+    val three = Corpus.dedupSpans(df, minTokens = 8, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(three == two)
+  }
+
+  test("removeSpans ignores non-positive lcp rows instead of deleting backwards") {
+    // sequence(start, start + lcp - 1) counts DOWN for lcp <= 0 —
+    // a zero-lcp row in a user-filtered repeat table must be a no-op,
+    // not a deletion of the two tokens at start and start-1
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val repeats = Seq((1L, 2, 0L, 0, 0), (1L, 2, 0L, 0, -3))
+      .toDF("doc_id", "pos", "match_doc", "match_pos", "lcp")
+    val out = Corpus.removeSpans(df, repeats)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d", s"non-positive lcp must not excise: $out")
+  }
+
   test("dedupSpans leaves a repeat-free corpus byte-identical") {
     val df = Seq(
       (1L, "completely unrelated first document content"),

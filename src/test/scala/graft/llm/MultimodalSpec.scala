@@ -357,4 +357,62 @@ class MultimodalSpec extends SparkSpec {
       everyNth = 1, MediaDecoder.ImageIO).collect()
     assert(still.length == 1 && still.head.frame_idx == 0)
   }
+
+  test("optimized GIF delta frames composite onto the full logical screen") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // frame 0: full 16x12 dark base; frame 1: a 4x4 white PATCH whose
+    // ImageDescriptor places it at (6, 3) — the optimized-GIF layout
+    // where frames after the first encode only the changed rect.
+    // Emitting reader.read(1) raw would hand consumers a 4x4 image;
+    // the composited frame must be the full screen with the patch in
+    // place and the base preserved around it.
+    val gif = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      def writeFrame(img: BufferedImage, x: Int, y: Int): Unit = {
+        val spec = javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+        val md = writer.getDefaultImageMetadata(spec, null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = md.getAsTree(fmt)
+        val kids = tree.getChildNodes
+        var j = 0
+        while (j < kids.getLength) {
+          val n = kids.item(j)
+          if (n.getNodeName == "ImageDescriptor") {
+            n.getAttributes.getNamedItem("imageLeftPosition").setNodeValue(x.toString)
+            n.getAttributes.getNamedItem("imageTopPosition").setNodeValue(y.toString)
+          }
+          j += 1
+        }
+        md.setFromTree(fmt, tree)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), null)
+      }
+      val base = new BufferedImage(16, 12, BufferedImage.TYPE_INT_RGB)
+      val g0 = base.createGraphics()
+      g0.setColor(new java.awt.Color(40, 40, 40)); g0.fillRect(0, 0, 16, 12)
+      g0.dispose()
+      val patch = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      val g1 = patch.createGraphics()
+      g1.setColor(java.awt.Color.WHITE); g1.fillRect(0, 0, 4, 4)
+      g1.dispose()
+      writeFrame(base, 0, 0)
+      writeFrame(patch, 6, 3)
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      out.toByteArray
+    }
+    val frames = sampleFrames(
+      spark.createDataset(Seq(MediaRecord(9L, "video", gif, "mem://delta.gif"))),
+      everyNth = 1, MediaDecoder.ImageIO).collect().sortBy(_.frame_idx)
+    assert(frames.length == 2)
+    val f1 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(frames(1).bytes))
+    assert(f1.getWidth == 16 && f1.getHeight == 12,
+      s"delta frame must composite to the logical screen, got ${f1.getWidth}x${f1.getHeight}")
+    def lum(rgb: Int) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    assert(lum(f1.getRGB(7, 4)) > 600, "patch pixels must be white")
+    assert(lum(f1.getRGB(1, 1)) < 200, "base pixels outside the patch must survive")
+  }
 }

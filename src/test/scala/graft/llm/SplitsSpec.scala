@@ -77,6 +77,23 @@ class SplitsSpec extends SparkSpec {
     assert(out.columns.toSeq == docs.columns.toSeq)
   }
 
+  test("tokenBudgetSample treats a NULL group as a real stratum with defaultBudget") {
+    val docs = spark.range(300)
+      .select($"id".as("doc_id"),
+        when($"id" % 3 === 0, lit(null).cast("string")).otherwise(lit("en")).as("lang"),
+        lit("t1 t2 t3 t4 t5").as("text"))
+    val out = Splits.tokenBudgetSample(docs, "doc_id", "text", "lang",
+      budgets = Map("en" -> 99999L), defaultBudget = 100L)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // en: whole group (1000 tokens < budget); NULL group: ~100 tokens
+    // at 5/doc → around 20 docs, never zero, never the whole group
+    assert(kept(Some("en")) == 200L, kept.toString)
+    val nulls = kept.getOrElse(None, 0L)
+    assert(nulls > 0L && nulls < 100L,
+      s"null stratum must fill defaultBudget, got $nulls docs")
+  }
+
   test("packSequences: gapless offsets, correct chunk spans, partition-count invariant") {
     // 1000 docs with varied token counts spread over many input
     // partitions — the distributed prefix sum must equal the

@@ -173,6 +173,14 @@ class SuffixRankSpec extends SparkSpec {
     }
   }
 
+  test("every suffix entry point returns empty on an empty corpus, no NPE") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text").filter($"doc_id" < 0)
+    assert(SuffixRank.suffixRanks(docs, "doc_id", "text").collect().isEmpty)
+    assert(SuffixRank.crossDocRepeats(docs, "doc_id", "text", 4).collect().isEmpty)
+    assert(SuffixRank.maximalCrossDocRepeats(docs, "doc_id", "text", 2)
+      .collect().isEmpty)
+  }
+
   /** JVM brute force for maximalCrossDocRepeats: sort all suffixes by
     * (content, doc, pos), take adjacent cross-doc pairs, LCP by token
     * walk, then the minTokens and left-maximality filters. */
