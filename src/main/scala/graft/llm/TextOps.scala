@@ -308,6 +308,53 @@ object TextOps {
   /** Gopher-style keep/drop flag: token-count window, mean-word-length
     * window, and alpha-ratio floor. Pure boolean algebra over exact
     * counts → bit-stable across engines. */
+  /** Sliding-window DOCUMENT CHUNKING — the long-doc splitting op
+    * (RAG indexing, context-length-bounded training rows): each doc
+    * yields chunks of up to `chunkTokens` whitespace tokens starting
+    * every `strideTokens` (stride < chunk ⟹ overlapping chunks).
+    * Chunk starts run 0, stride, 2·stride, … until the remaining
+    * tail fits in one chunk — every token lands in at least one
+    * chunk, short docs yield exactly one.
+    *
+    * Shape: the token array never explodes to rows — chunk starts
+    * come from one `sequence` per doc (#chunks values, not #tokens)
+    * and each chunk is a `slice` + `array_join` on the doc's own
+    * array. Map-side only: no shuffle, no window, no join; at 100 TB
+    * this is a pure projection pipelined into whatever reads it.
+    * Output: (idCol, chunk_id [0-based], chunk_pos [start token],
+    * textCol, n_tokens). */
+  def chunkDocs(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      strideTokens: Int,
+  ): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(strideTokens >= 1 && strideTokens <= chunkTokens,
+      s"strideTokens must be in [1, chunkTokens], got $strideTokens")
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    // last start K·stride: smallest K with K·stride + chunk >= n,
+    // i.e. K = ceil(max(n - chunk, 0) / stride)
+    val lastK = ceil(
+      greatest(size(toks) - chunkTokens, lit(0)).cast("double") / strideTokens)
+      .cast("int")
+    docs
+      .select(col(idCol), toks.as("graft_toks_"), lastK.as("graft_lastk_"))
+      .select(col(idCol), col("graft_toks_"),
+        explode(sequence(lit(0), col("graft_lastk_"))).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        (col("chunk_id") * strideTokens).as("chunk_pos"),
+        array_join(
+          slice(col("graft_toks_"), col("chunk_id") * strideTokens + 1,
+            lit(chunkTokens)), " ").as(textCol),
+        least(
+          size(col("graft_toks_")) - col("chunk_id") * strideTokens,
+          lit(chunkTokens)).as("n_tokens"))
+  }
+
   def qualityKeep(
       text: Column,
       minTokens: Int = 10,

@@ -1290,6 +1290,40 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Sliding-window document chunking (TextOps.chunkDocs): overlapping
+    * 24-token chunks every 8 tokens — the RAG-indexing / context-bound
+    * splitting op. Pure map-side projection (chunk starts from one
+    * sequence per doc, chunks by array slice — the token array never
+    * explodes to rows); the oracle replays the slicing with DuckDB
+    * list slices. */
+  val docChunks = GraftQuery(
+    "q58_doc_chunks",
+    (s, d) =>
+      graft.llm.TextOps.chunkDocs(documents(s, d), "doc_id", "text",
+          chunkTokens = 24, strideTokens = 8)
+        .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ),
+      k AS (
+        SELECT doc_id, w,
+               CAST(ceil(greatest(len(w) - 24, 0) / 8.0) AS INT) AS lastk
+        FROM d
+      ),
+      c AS (
+        SELECT doc_id, w, unnest(generate_series(0, lastk)) AS chunk_id FROM k
+      )
+      SELECT doc_id,
+             CAST(chunk_id AS INT) AS chunk_id,
+             CAST(chunk_id * 8 AS INT) AS chunk_pos,
+             array_to_string(w[chunk_id*8+1 : chunk_id*8+24], ' ') AS text,
+             CAST(least(len(w) - chunk_id*8, 24) AS INT) AS n_tokens
+      FROM c
+      ORDER BY doc_id, chunk_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1318,5 +1352,6 @@ object LlmCatalog {
     sequencePacking,
     tokenBudgetMix,
     packedSequences,
+    docChunks,
   )
 }

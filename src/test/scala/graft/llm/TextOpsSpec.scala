@@ -122,4 +122,35 @@ class TextOpsSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(compiled == reference)
   }
+
+  test("chunkDocs: overlapping windows cover every token, tails included") {
+    import org.apache.spark.sql.functions.col
+    // 10-token doc, chunk 4 / stride 2 → starts 0,2,4,6 (6+4 covers
+    // the tail); 3-token doc → one short chunk; chunk==stride → a
+    // disjoint partition of the tokens
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(docs, "doc_id", "text", chunkTokens = 4, strideTokens = 2)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .as[(Long, Int, Int, String, Int)].collect()
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3)).toSeq == Seq((0, 0), (1, 2), (2, 4), (3, 6)))
+    assert(d1.map(_._4).toSeq == Seq(
+      "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9"))
+    assert(d1.forall(_._5 == 4))
+    val d2 = got.filter(_._1 == 2L)
+    assert(d2.toSeq == Seq((2L, 0, 0, "a b c", 3)), s"short doc: ${d2.toSeq}")
+    // overlap invariant: consecutive chunks share chunk−stride tokens
+    d1.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4.split(" ").drop(2).toSeq == b._4.split(" ").take(2).toSeq)
+    }
+    // disjoint mode reassembles the doc exactly
+    val flat = TextOps.chunkDocs(docs, "doc_id", "text", chunkTokens = 4, strideTokens = 4)
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .as[(Long, Int, Int, String, Int)].collect()
+    assert(flat.filter(_._1 == 1L).map(_._4).mkString(" ") ==
+      (0 until 10).map(i => s"t$i").mkString(" "))
+  }
 }
