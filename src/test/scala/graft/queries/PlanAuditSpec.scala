@@ -163,4 +163,12 @@ class PlanAuditSpec extends SparkSpec {
         s"${q.name} serializes through one partition:\n${p.take(400)}")
     }
   }
+
+  test("q58 chunking is map-side: the only exchange is the output order") {
+    val p = plan(LlmCatalog.docChunks)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"chunking must not shuffle (1 output sort expected):\n${p.take(600)}")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "chunking is a projection — no window, no join")
+  }
 }
