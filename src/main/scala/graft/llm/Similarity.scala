@@ -184,4 +184,31 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Symmetric per-vector INT8 quantization — the 4× embedding
+    * compression a 100 TB vector store runs before anything else:
+    * scale = max |component| (1.0 for the all-zero vector, so the
+    * division is total), q_i = round-half-up(x_i / scale · 127) ∈
+    * [−127, 127]. Round-half-up is spelled `floor(v + 0.5)` so the
+    * rounding mode is an explicit mirrored expression, not an
+    * engine-dependent `round()` (Spark HALF_UP vs DuckDB HALF_EVEN
+    * would drift on exact .5 boundaries). Reconstruction error is
+    * bounded by scale/254 per component (half a quantization step) —
+    * the spec asserts the bound and the search-recall consequence.
+    * Map-side projection; output (idCol, scale, qvec). */
+  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val e = transform(col(embCol), x => x.cast("double"))
+    val s0 = array_max(transform(e, x => abs(x)))
+    val scale = when(s0 === 0.0, lit(1.0)).otherwise(s0)
+    df.select(
+      col(idCol),
+      scale.as("scale"),
+      transform(e, x => floor(x / scale * 127 + lit(0.5)).cast("int")).as("qvec"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: q_i · scale / 127, left-to-right
+    * IEEE — feeds straight back into [[topKWithinLabel]] /
+    * [[cosine]] for search over the compressed table. */
+  def dequantizeInt8(qvec: Column, scale: Column): Column =
+    transform(qvec, x => x.cast("double") * scale / 127)
 }

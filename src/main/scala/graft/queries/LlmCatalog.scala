@@ -1324,6 +1324,58 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** INT8 embedding quantization digest (Similarity.quantizeInt8):
+    * per-vector scale, a position-weighted checksum of the quantized
+    * components (any single-element drift changes it), and the max
+    * reconstruction error. Scale and error are single mirrored IEEE
+    * expression chains; the checksum is exact-integer — so the digest
+    * hash-matches while sidestepping array-literal formatting
+    * differences between engines. Round-half-up is spelled
+    * floor(v + 0.5) on BOTH sides (engine round() rounding modes
+    * differ on .5 boundaries). */
+  val quantizeEmbeddings = GraftQuery(
+    "q59_int8_quantization",
+    (s, d) => {
+      val q = graft.llm.Similarity.quantizeInt8(embeddings(s, d), "vec_id", "embedding")
+      val e = transform(col("embedding"), x => x.cast("double"))
+      q.join(embeddings(s, d), "vec_id")
+        .select(
+          col("vec_id"),
+          col("scale"),
+          aggregate(
+            zip_with(col("qvec"), sequence(lit(1), size(col("qvec"))),
+              (qi, i) => qi.cast("long") * i.cast("long")),
+            lit(0L), (acc, x) => acc + x).as("qsum"),
+          array_max(zip_with(
+            graft.llm.Similarity.dequantizeInt8(col("qvec"), col("scale")), e,
+            (a, b) => abs(a - b))).as("max_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+               CASE WHEN s = 0 THEN 1.0 ELSE s END AS scale, e
+        FROM (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+          FROM embeddings
+        )
+      ),
+      qq AS (
+        SELECT vec_id, scale, e,
+               list_transform(e, x -> CAST(floor(x / scale * 127 + 0.5) AS INT)) AS qvec
+        FROM q
+      )
+      SELECT vec_id, scale,
+             CAST(list_sum(list_transform(generate_series(1, len(qvec)),
+               i -> CAST(qvec[i] AS BIGINT) * i)) AS BIGINT) AS qsum,
+             list_max(list_transform(generate_series(1, len(e)),
+               i -> abs(CAST(qvec[i] AS DOUBLE) * scale / 127 - e[i]))) AS max_err
+      FROM qq
+      ORDER BY vec_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1353,5 +1405,6 @@ object LlmCatalog {
     tokenBudgetMix,
     packedSequences,
     docChunks,
+    quantizeEmbeddings,
   )
 }

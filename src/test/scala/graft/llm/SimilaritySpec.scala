@@ -105,4 +105,37 @@ class SimilaritySpec extends SparkSpec {
       .as[Double].head()
     assert(math.abs(sim - 1.0) < 1e-12)
   }
+
+  test("int8 quantization: per-component error bound and search recall") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    // range: every quantized component in [-127, 127]
+    val outOfRange = q.select(explode(col("qvec")).as("c"))
+      .filter(abs(col("c")) > 127).count()
+    assert(outOfRange == 0)
+    // reconstruction error <= half a quantization step (scale/254)
+    val viol = q.join(emb, "vec_id")
+      .select(col("scale"),
+        array_max(zip_with(
+          Similarity.dequantizeInt8(col("qvec"), col("scale")),
+          transform(col("embedding"), x => x.cast("double")),
+          (a, b) => abs(a - b))).as("err"))
+      .filter(col("err") > col("scale") / 254 + 1e-9).count()
+    assert(viol == 0, "reconstruction error must stay within half a quant step")
+    // search consequence: exact top-5 within cells over DEQUANTIZED
+    // vectors recovers almost all of the float top-5 — int8 is a
+    // storage format, not a recall trade at 64 dims
+    val deq = q.join(emb.select("vec_id", "label"), "vec_id")
+      .select(col("vec_id"),
+        Similarity.dequantizeInt8(col("qvec"), col("scale")).as("embedding"),
+        col("label"))
+    val pred = col("vec_id") % 10 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Similarity.topKWithinLabel(df, "vec_id", "embedding", "label", 5, pred)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = pairs(emb)
+    val approx = pairs(deq)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.9, s"int8 recall too low: $recall")
+  }
 }
