@@ -196,15 +196,25 @@ object Similarity {
     * bounded by scale/254 per component (half a quantization step) —
     * the spec asserts the bound and the search-recall consequence.
     * Map-side projection; output (idCol, scale, qvec). */
-  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-    val e = transform(col(embCol), x => x.cast("double"))
-    val s0 = array_max(transform(e, x => abs(x)))
-    val scale = when(s0 === 0.0, lit(1.0)).otherwise(s0)
-    df.select(
-      col(idCol),
-      scale.as("scale"),
-      transform(e, x => floor(x / scale * 127 + lit(0.5)).cast("int")).as("qvec"))
+  def quantizeInt8(df: DataFrame, idCol: String, embCol: String): DataFrame =
+    df.select(col(idCol),
+      int8Scale(col(embCol)).as("scale"),
+      int8Quantize(col(embCol), int8Scale(col(embCol))).as("qvec"))
+
+  /** Column form of the [[quantizeInt8]] scale: max |component|, 1.0
+    * for the all-zero vector (total division). Exposed so a caller
+    * can quantize in the SAME projection that still holds the float
+    * column (digest/error queries need both without a self-join). */
+  def int8Scale(emb: Column): Column = {
+    val s0 = array_max(transform(emb, x => abs(x.cast("double"))))
+    when(s0 === 0.0, lit(1.0)).otherwise(s0)
   }
+
+  /** Column form of the [[quantizeInt8]] codes for a precomputed
+    * scale. */
+  def int8Quantize(emb: Column, scale: Column): Column =
+    transform(emb, x =>
+      floor(x.cast("double") / scale * 127 + lit(0.5)).cast("int"))
 
   /** Inverse of [[quantizeInt8]]: q_i · scale / 127, left-to-right
     * IEEE — feeds straight back into [[topKWithinLabel]] /

@@ -1336,9 +1336,15 @@ object LlmCatalog {
   val quantizeEmbeddings = GraftQuery(
     "q59_int8_quantization",
     (s, d) => {
-      val q = graft.llm.Similarity.quantizeInt8(embeddings(s, d), "vec_id", "embedding")
+      import graft.llm.Similarity.{dequantizeInt8, int8Quantize, int8Scale}
+      // ONE projection pass: the column-form helpers keep the float
+      // vector in scope, so the digest needs no self-join back to the
+      // embeddings table
       val e = transform(col("embedding"), x => x.cast("double"))
-      q.join(embeddings(s, d), "vec_id")
+      embeddings(s, d)
+        .select(col("vec_id"), e.as("e"), int8Scale(col("embedding")).as("scale"))
+        .select(col("vec_id"), col("e"), col("scale"),
+          int8Quantize(col("e"), col("scale")).as("qvec"))
         .select(
           col("vec_id"),
           col("scale"),
@@ -1347,7 +1353,7 @@ object LlmCatalog {
               (qi, i) => qi.cast("long") * i.cast("long")),
             lit(0L), (acc, x) => acc + x).as("qsum"),
           array_max(zip_with(
-            graft.llm.Similarity.dequantizeInt8(col("qvec"), col("scale")), e,
+            dequantizeInt8(col("qvec"), col("scale")), col("e"),
             (a, b) => abs(a - b))).as("max_err"))
         .orderBy(col("vec_id"))
     },
