@@ -160,6 +160,69 @@ object Corpus {
     cur
   }
 
+  /** LINE-level boilerplate removal (the CCNet/C4 move): a line whose
+    * exact content appears in >= `minDocs` DISTINCT documents is
+    * navigation chrome / templated footer / cookie banner, and every
+    * occurrence is removed — unlike [[dedupSpans]]' keep-first policy,
+    * boilerplate is wanted in NO copy. Lines shorter than
+    * `minLineChars` are never candidates (empty lines and one-word
+    * bullets are legitimately common; dropping them would collapse
+    * paragraph structure corpus-wide).
+    *
+    * Scale shape — document text never shuffles:
+    *   1. count: lines explode ONCE, each reduced map-side to its
+    *      60-bit content hash; the distinct-doc count groups 8-byte
+    *      keys only.
+    *   2. mark: the (tiny) boilerplate hash set semi-joins the same
+    *      hashed line table; drop POSITIONS (ints) aggregate per doc.
+    *   3. rewrite: one hash join of the drop-position sets back onto
+    *      the documents table, then a pure map-side filter of the
+    *      split array by index — no token or line text ever enters an
+    *      exchange, and untouched docs pass their text through
+    *      unsplit.
+    *
+    * Output: (idCol, textCol rewritten, n_dropped). One row per input
+    * document; a doc whose every line was boilerplate reads as "". */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sep: String = "\n",
+      minDocs: Int = 2,
+      minLineChars: Int = 10,
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(sep.nonEmpty, "sep must be non-empty")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    // (id, pos, hash) — line text reduced to its hash before any
+    // shuffle; sub-minimum lines leave the pipeline here
+    val cand = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
+      .filter(length(col("line")) >= minLineChars)
+      .select(col("id"), col("pos"), TextOps.hash60(col("line")).as("h"))
+    val boiler = cand
+      .groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("h"))
+    val dropPos = cand
+      .join(boiler, Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(collect_set(col("pos")).as("graft_drop_"))
+    val joined = docs.join(
+      dropPos.withColumnRenamed("id", idCol), Seq(idCol), "left")
+    val lns = split(col(textCol), sepRe)
+    joined.select(
+      col(idCol),
+      when(col("graft_drop_").isNull, coalesce(col(textCol), lit("")))
+        .otherwise(array_join(
+          filter(lns, (_, i) => !array_contains(col("graft_drop_"), i)),
+          sep))
+        .as(textCol),
+      coalesce(size(col("graft_drop_")), lit(0)).as("n_dropped"))
+  }
+
   /** The rewrite half of [[dedupSpans]], decoupled so a user who
     * already materialized the repeat table (or filtered it — e.g. only
     * repeats seen in >= k docs) rewrites without recomputing it.

@@ -1,0 +1,161 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistical operators for training-data curation:
+  * per-document repetition profiles (the Gopher-style "is this doc
+  * degenerate" signals), salient-term extraction (corpus-relative
+  * keyword scoring), and tokenizer-induction pair statistics.
+  *
+  * Everything here shuffles HASHES or short terms, never document
+  * text, and every aggregation is map-side combinable — the shapes
+  * that survive a 100 TB corpus. Output doubles are single IEEE
+  * divisions of exact integers (bit-stable across engines), so every
+  * query over these operators hash-matches its DuckDB oracle.
+  */
+object CorpusStats {
+
+  /** Per-document repetition profile — the within-doc degeneracy
+    * signals quality filtering keys on (a looping generation or a
+    * keyword-stuffed page has low distinct fractions and a dominant
+    * top n-gram; see the Gopher/MassiveText repetition rules):
+    *
+    *   n_tokens, n_distinct, top_token_cnt — token multiset stats
+    *   n_bigrams, n_distinct_bigrams, top_bigram_cnt — 2-gram stats
+    *   dup_token_frac  = (n_tokens − n_distinct) / n_tokens
+    *   top_token_frac  = top_token_cnt / n_tokens
+    *   dup_bigram_frac = (n_bigrams − n_distinct_bigrams) / max(n_bigrams, 1)
+    *   top_bigram_frac = top_bigram_cnt / max(n_bigrams, 1)
+    *
+    * Shape: tokens and bigrams each explode once and are reduced
+    * map-side to 60-bit / affine hashes BEFORE their groupBy — the
+    * two count shuffles carry (id, 8-byte hash) rows only, both with
+    * partial aggregation, then collapse to one row per doc and join
+    * on id. Unlike a per-row `array_distinct` HOF profile this never
+    * does O(len²) work on a long document, and unlike grouping on
+    * n-gram STRINGS the exchange payload is fixed-width. Docs with
+    * < 2 tokens have zero bigrams (left join + zero-coalesce). */
+  def repetitionProfile(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .select(col("id"), TextOps.hash60(col("t")).as("h"))
+      .groupBy(col("id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).cast("long").as("top_token_cnt"))
+    val big = docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.windowHashesPositional(col(textCol), 2)).as("h"))
+      .groupBy(col("id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).cast("long").as("top_bigram_cnt"))
+    tok
+      .join(big, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        col("n_distinct"),
+        col("top_token_cnt"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"))
+      .withColumn("dup_token_frac",
+        (col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+      .withColumn("top_token_frac",
+        col("top_token_cnt").cast("double") / col("n_tokens"))
+      .withColumn("dup_bigram_frac",
+        (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") /
+          greatest(col("n_bigrams"), lit(1L)))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_cnt").cast("double") /
+          greatest(col("n_bigrams"), lit(1L)))
+  }
+
+  /** Top-k SALIENT terms per document, scored tf/df — term frequency
+    * in the doc over the term's corpus document frequency. The
+    * corpus-relative keyword op (search indexing, topic labeling):
+    * "the" has huge tf but corpus-wide df, a doc's distinctive terms
+    * have df near 1. The score is the classic tf·idf ranking with the
+    * monotone df-transform chosen so the VALUE is one exact integer
+    * division (idf's log makes ranks depend on libm rounding; tf/df
+    * orders every pair the same way ln(N/df)-weighting does whenever
+    * df differs and is bit-identical across engines).
+    *
+    * Shape: three map-side-combinable shuffles, none carrying more
+    * than (id, one short term) — tf groups (id, term), df reduces the
+    * tf table by term, the rank window re-groups by id. Ties break on
+    * term asc → fully deterministic top-k. */
+  def salientTerms(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf rows are distinct (id, term) pairs, so a plain count per
+    // term IS the distinct-doc count — no countDistinct shuffle
+    val df = tf
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf
+      .join(df, Seq("term"))
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
+        (col("tf").cast("double") / col("df")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Adjacent character-pair frequencies over whitespace tokens — the
+    * statistic one round of BPE tokenizer induction maximizes (the
+    * first merge is the top pair; re-running after merging yields the
+    * next). Returns the top-k pairs by (count desc, pair asc).
+    *
+    * Shape: each doc flattens to its pair list in ONE map-side
+    * projection (nested transform over the token array — tokens never
+    * become rows), then a single explode feeds a groupBy on the
+    * 2-char pair with partial aggregation; the exchange carries
+    * 2-character keys with pre-combined counts, and the top-k is a
+    * TakeOrdered, not a global sort. Pairs never cross token
+    * boundaries (BPE merges within words). */
+  def bpePairCounts(
+      docs: DataFrame,
+      textCol: String = "text",
+      k: Int = 20,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = split(col(textCol), " ")
+    // guard: Spark's sequence(1, 0) counts DOWN — a 1-char token must
+    // map to an explicitly empty pair list, not sequence(1, 0)
+    val pairs = flatten(transform(toks, t =>
+      when(length(t) >= 2,
+        transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))))
+    docs
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+}

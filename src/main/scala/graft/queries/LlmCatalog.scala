@@ -1382,6 +1382,188 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Line-level boilerplate removal (Corpus.dedupLines — the CCNet/C4
+    * move): the corpus first re-lines on a fixed 12-token grid (this
+    * corpus has no newlines; the grid split is expressed identically
+    * on both engines), then any line >= 10 chars appearing in >= 2
+    * DISTINCT docs is removed from EVERY doc — unlike q54's
+    * keep-first span policy, boilerplate is wanted in no copy. Line
+    * matching is on the 60-bit md5 content hash in BOTH engines, so
+    * even a hash collision hash-matches. Document text never
+    * shuffles: counting groups 8-byte hashes, drop positions are
+    * ints, the rewrite is a map-side filter-by-index. */
+  val lineDedup = GraftQuery(
+    "q60_line_dedup",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val nLines = ceil(size(toks).cast("double") / 12).cast("int")
+      val relined = array_join(
+        transform(sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * 12 + 1, lit(12)), " ")), "\n")
+      graft.llm.Corpus.dedupLines(
+        documents(s, d).select(col("doc_id"), relined.as("text")),
+        "doc_id", "text", sep = "\n", minDocs = 2, minLineChars = 10)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ),
+      lined AS (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(0, CAST(ceil(len(w) / 12.0) AS INT) - 1),
+                 i -> array_to_string(w[i*12+1 : i*12+12], ' ')) AS lines
+        FROM d
+      ),
+      l AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(lines)),
+                 i -> {'pos': i - 1, 'line': lines[i]})) AS u
+        FROM lined
+      ),
+      h AS (
+        SELECT doc_id, u.pos AS pos, u.line AS line,
+               ('0x'||substr(md5(u.line),1,15))::BIGINT AS lh,
+               length(u.line) >= 10 AS cand
+        FROM l
+      ),
+      b AS (
+        SELECT lh FROM h WHERE cand GROUP BY lh
+        HAVING COUNT(DISTINCT doc_id) >= 2
+      ),
+      drops AS (
+        SELECT doc_id, pos FROM h WHERE cand AND lh IN (SELECT lh FROM b)
+      ),
+      nd AS (
+        SELECT doc_id, COUNT(*) AS n_dropped FROM drops GROUP BY doc_id
+      ),
+      rebuilt AS (
+        SELECT h.doc_id, string_agg(h.line, chr(10) ORDER BY h.pos) AS text
+        FROM h ANTI JOIN drops USING (doc_id, pos)
+        GROUP BY h.doc_id
+      )
+      SELECT d.doc_id,
+             COALESCE(r.text, '') AS text,
+             CAST(COALESCE(nd.n_dropped, 0) AS INT) AS n_dropped
+      FROM d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN nd USING (doc_id)
+      ORDER BY doc_id
+    """.trim),
+  )
+
+  /** Per-document repetition profile (CorpusStats.repetitionProfile)
+    * — the Gopher-style within-doc degeneracy signals: token and
+    * bigram multiset stats plus duplicate/top fractions. Counts
+    * shuffle (id, 8-byte hash) only; the bigram hash is the affine
+    * window family the segment miners use, mirrored coefficient for
+    * coefficient. Fractions are single IEEE divisions of exact ints. */
+  val repetitionProfileQ = GraftQuery(
+    "q61_repetition_profile",
+    (s, d) =>
+      graft.llm.CorpusStats.repetitionProfile(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some(
+      s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS wtok FROM documents
+      ),
+      tokh AS (
+        SELECT doc_id, len(wtok) AS nw,
+               list_transform(wtok, t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS th60,
+               list_transform(wtok, t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM docs
+      ),
+      tok AS (
+        SELECT doc_id, h, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(th60) AS h FROM tokh
+        ) GROUP BY doc_id, h
+      ),
+      toka AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_tokens, COUNT(*) AS n_distinct,
+               MAX(c)::BIGINT AS top_token_cnt
+        FROM tok GROUP BY doc_id
+      ),
+      big AS (
+        SELECT doc_id, h, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, nw - 1),
+                   i -> ${windowComb(2)})) AS h
+          FROM tokh WHERE nw >= 2
+        ) GROUP BY doc_id, h
+      ),
+      biga AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_bigrams, COUNT(*) AS n_distinct_bigrams,
+               MAX(c)::BIGINT AS top_bigram_cnt
+        FROM big GROUP BY doc_id
+      )
+      SELECT t.doc_id, n_tokens, n_distinct, top_token_cnt,
+             COALESCE(n_bigrams, 0) AS n_bigrams,
+             COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+             COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+             CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+             CAST(top_token_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+             CAST(COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bigrams, 0) AS DOUBLE)
+               / greatest(COALESCE(n_bigrams, 0), 1) AS dup_bigram_frac,
+             CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE)
+               / greatest(COALESCE(n_bigrams, 0), 1) AS top_bigram_frac
+      FROM toka t LEFT JOIN biga USING (doc_id)
+      ORDER BY doc_id
+    """.trim),
+  )
+
+  /** Top-3 salient terms per doc scored tf/df
+    * (CorpusStats.salientTerms) — corpus-relative keyword extraction.
+    * score = tf/df is ONE exact-integer IEEE division (an idf log
+    * would rank identically where df differs but hash-split on libm
+    * rounding); ties break on term asc. */
+  val salientTermsQ = GraftQuery(
+    "q62_salient_terms",
+    (s, d) =>
+      graft.llm.CorpusStats.salientTerms(documents(s, d), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank")),
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ) GROUP BY doc_id, term
+      ),
+      df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      )
+      SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank FROM (
+        SELECT doc_id, term, tf, df,
+               CAST(tf AS DOUBLE) / df AS score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY CAST(tf AS DOUBLE) / df DESC, term) AS rank
+        FROM tf JOIN df USING (term)
+      )
+      WHERE rank <= 3
+      ORDER BY doc_id, rank
+    """.trim),
+  )
+
+  /** Adjacent character-pair frequencies (CorpusStats.bpePairCounts)
+    * — the statistic a BPE tokenizer-induction round maximizes; top
+    * 20 by (count desc, pair asc). One map-side flatten per doc, one
+    * groupBy on 2-char keys with partial agg, TakeOrdered top-k. */
+  val bpePairsQ = GraftQuery(
+    "q63_bpe_pairs",
+    (s, d) =>
+      graft.llm.CorpusStats.bpePairCounts(documents(s, d), "text", k = 20),
+    Some("""
+      WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      ),
+      p AS (
+        SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                 i -> tok[i : i+1])) AS pair
+        FROM t WHERE length(tok) >= 2
+      )
+      SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+      ORDER BY cnt DESC, pair LIMIT 20
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1412,5 +1594,9 @@ object LlmCatalog {
     packedSequences,
     docChunks,
     quantizeEmbeddings,
+    lineDedup,
+    repetitionProfileQ,
+    salientTermsQ,
+    bpePairsQ,
   )
 }

@@ -1,0 +1,205 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CorpusStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------
+  // Corpus.dedupLines
+  // ---------------------------------------------------------------
+
+  private val boiler = "this cookie banner repeats everywhere"
+
+  test("dedupLines removes a cross-doc line from EVERY doc, keeps unique lines") {
+    val docs = Seq(
+      (1L, s"unique first line\n$boiler\nclosing thoughts one"),
+      (2L, s"$boiler\nanother distinct body"),
+      (3L, "totally unrelated document text"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs, minDocs = 2, minLineChars = 10)
+      .orderBy("doc_id")
+      .as[(Long, String, Int)].collect()
+    assert(out(0) == ((1L, "unique first line\nclosing thoughts one", 1)))
+    assert(out(1) == ((2L, "another distinct body", 1)))
+    assert(out(2) == ((3L, "totally unrelated document text", 0)))
+  }
+
+  test("dedupLines: doc made entirely of boilerplate rewrites to empty, not dropped") {
+    val docs = Seq(
+      (1L, s"$boiler\nkeep me around"),
+      (2L, boiler),
+      (3L, boiler),
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs, minDocs = 2, minLineChars = 10)
+      .orderBy("doc_id")
+      .as[(Long, String, Int)].collect()
+    assert(out.length == 3, "every input doc survives")
+    assert(out(1) == ((2L, "", 1)))
+    assert(out(2) == ((3L, "", 1)))
+  }
+
+  test("dedupLines: lines under minLineChars are never candidates") {
+    val docs = Seq(
+      (1L, "short\nlong enough body line one"),
+      (2L, "short\nlong enough body line two"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs, minDocs = 2, minLineChars = 10)
+      .orderBy("doc_id")
+      .as[(Long, String, Int)].collect()
+    // "short" repeats across docs but is < 10 chars → kept everywhere
+    assert(out(0) == ((1L, "short\nlong enough body line one", 0)))
+    assert(out(1) == ((2L, "short\nlong enough body line two", 0)))
+  }
+
+  test("dedupLines: within-doc repetition does not make a line boilerplate") {
+    val docs = Seq(
+      (1L, s"$boiler\n$boiler"), // twice in ONE doc: df = 1
+      (2L, "something else entirely here"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs, minDocs = 2, minLineChars = 10)
+      .orderBy("doc_id")
+      .as[(Long, String, Int)].collect()
+    assert(out(0) == ((1L, s"$boiler\n$boiler", 0)),
+      "distinct-doc count, not occurrence count, gates removal")
+  }
+
+  test("dedupLines: minDocs threshold and custom separator") {
+    val docs = Seq(
+      (1L, s"$boiler|only in two docs not three"),
+      (2L, s"$boiler|second doc distinct tail"),
+      (3L, s"$boiler|third doc distinct tail"),
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs, sep = "|", minDocs = 3, minLineChars = 10)
+      .orderBy("doc_id")
+      .as[(Long, String, Int)].collect()
+    // boiler is in 3 docs (>= 3) → dropped; the pairwise-shared nothing
+    assert(out(0) == ((1L, "only in two docs not three", 1)))
+    assert(out(1) == ((2L, "second doc distinct tail", 1)))
+    assert(out(2) == ((3L, "third doc distinct tail", 1)))
+  }
+
+  test("dedupLines: two distinct boilerplate lines in one doc both drop (set of positions)") {
+    val b2 = "a second boilerplate line appears often"
+    val docs = Seq(
+      (1L, s"$boiler\nmiddle content stays put\n$b2"),
+      (2L, boiler),
+      (3L, b2),
+      (4L, boiler),
+      (5L, b2),
+    ).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs, minDocs = 2, minLineChars = 10)
+      .orderBy("doc_id")
+      .as[(Long, String, Int)].collect()
+    assert(out(0) == ((1L, "middle content stays put", 2)))
+  }
+
+  // ---------------------------------------------------------------
+  // CorpusStats.repetitionProfile
+  // ---------------------------------------------------------------
+
+  test("repetitionProfile: hand-computed token and bigram stats") {
+    val docs = Seq((1L, "a a b a")).toDF("doc_id", "text")
+    val r = CorpusStats.repetitionProfile(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") == 4)
+    assert(r.getAs[Long]("n_distinct") == 2)
+    assert(r.getAs[Long]("top_token_cnt") == 3)
+    // bigrams: (a a), (a b), (b a) — all distinct
+    assert(r.getAs[Long]("n_bigrams") == 3)
+    assert(r.getAs[Long]("n_distinct_bigrams") == 3)
+    assert(r.getAs[Long]("top_bigram_cnt") == 1)
+    assert(r.getAs[Double]("dup_token_frac") == 0.5)
+    assert(r.getAs[Double]("top_token_frac") == 0.75)
+    assert(r.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r.getAs[Double]("top_bigram_frac") == 1.0 / 3)
+  }
+
+  test("repetitionProfile: degenerate looping doc scores high on every signal") {
+    val docs = Seq(
+      (1L, "x x x x x"),
+      (2L, "v w x y z"),
+    ).toDF("doc_id", "text")
+    val rows = CorpusStats.repetitionProfile(docs)
+      .orderBy("doc_id").collect()
+    val loop = rows(0)
+    assert(loop.getAs[Double]("dup_token_frac") == 0.8)
+    assert(loop.getAs[Double]("top_token_frac") == 1.0)
+    assert(loop.getAs[Long]("top_bigram_cnt") == 4) // (x x) four times
+    assert(loop.getAs[Double]("dup_bigram_frac") == 0.75)
+    val clean = rows(1)
+    assert(clean.getAs[Double]("dup_token_frac") == 0.0)
+    assert(clean.getAs[Double]("top_token_frac") == 0.2)
+    assert(clean.getAs[Double]("dup_bigram_frac") == 0.0)
+  }
+
+  test("repetitionProfile: single-token doc has zero bigrams, zero bigram fracs") {
+    val docs = Seq((1L, "solo")).toDF("doc_id", "text")
+    val r = CorpusStats.repetitionProfile(docs).collect().head
+    assert(r.getAs[Long]("n_tokens") == 1)
+    assert(r.getAs[Long]("n_bigrams") == 0)
+    assert(r.getAs[Long]("top_bigram_cnt") == 0)
+    assert(r.getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(r.getAs[Double]("top_bigram_frac") == 0.0)
+  }
+
+  // ---------------------------------------------------------------
+  // CorpusStats.salientTerms
+  // ---------------------------------------------------------------
+
+  test("salientTerms ranks corpus-rare high-tf terms first") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana banana"),
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.salientTerms(docs, k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "term", "tf", "df", "rank")
+      .as[(Long, String, Long, Long, Int)].collect()
+    // df: apple 1, banana 3, cherry 1
+    // doc 1: apple 2/1 = 2.0 beats banana 1/3
+    assert(out(0) == ((1L, "apple", 2L, 1L, 1)))
+    assert(out(1) == ((1L, "banana", 1L, 3L, 2)))
+    // doc 2: cherry 1/1 beats banana 1/3
+    assert(out(2) == ((2L, "cherry", 1L, 1L, 1)))
+    assert(out(3) == ((2L, "banana", 1L, 3L, 2)))
+    // doc 3: only banana, 3/3 = 1.0
+    assert(out(4) == ((3L, "banana", 3L, 3L, 1)))
+    assert(out.length == 5)
+  }
+
+  test("salientTerms breaks score ties on term asc") {
+    val docs = Seq((1L, "zed axe")).toDF("doc_id", "text")
+    val out = CorpusStats.salientTerms(docs, k = 2)
+      .orderBy("rank").select("term").as[String].collect()
+    assert(out.toSeq == Seq("axe", "zed")) // both score 1/1
+  }
+
+  // ---------------------------------------------------------------
+  // CorpusStats.bpePairCounts
+  // ---------------------------------------------------------------
+
+  test("bpePairCounts counts adjacent char pairs within tokens only") {
+    val docs = Seq((1L, "abc ab"), (2L, "bc")).toDF("doc_id", "text")
+    val out = CorpusStats.bpePairCounts(docs, k = 10)
+      .as[(String, Long)].collect()
+    // abc → ab, bc; ab → ab; bc → bc  ⇒ ab:2, bc:2 (no "c a" across the space)
+    assert(out.toSeq == Seq(("ab", 2L), ("bc", 2L)), "ties order by pair asc")
+  }
+
+  test("bpePairCounts: 1-char tokens and empty docs contribute nothing") {
+    val docs = Seq((1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    assert(CorpusStats.bpePairCounts(docs, k = 5).count() == 0)
+  }
+
+  test("bpePairCounts top-k is (count desc, pair asc) and respects k") {
+    val docs = Seq((1L, "aaaa bb cc")).toDF("doc_id", "text")
+    // aaaa → aa×3; bb → bb; cc → cc
+    val out = CorpusStats.bpePairCounts(docs, k = 2)
+      .as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("aa", 3L), ("bb", 1L)))
+  }
+}

@@ -171,4 +171,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"),
       "chunking is a projection — no window, no join")
   }
+
+  test("q60 line dedup: equi-joins only, hash-keyed counting, no line text in exchanges") {
+    val p = plan(LlmCatalog.lineDedup)
+    assert(p.contains("LeftSemi"), "boilerplate marking should be a semi-join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "line dedup must stay equi-join shaped")
+    // the distinct-doc count groups the 60-bit hash — its exchange
+    // partitions on h, never on the line string
+    assert(p.contains("hashpartitioning(h#"),
+      s"counting should shuffle on the line hash:\n${p.take(600)}")
+    assert(!p.contains("hashpartitioning(line#"),
+      "no exchange may carry line text as its key")
+  }
+
+  test("q61 repetition profile: no window, no single-partition bottleneck") {
+    val p = plan(LlmCatalog.repetitionProfileQ)
+    assert(!p.contains("Window"), "profile is groupBy-shaped, not windowed")
+    assert(!p.contains("SinglePartition"),
+      s"profile must not serialize through one partition:\n${p.take(400)}")
+    // both count shuffles key on (id, hash)
+    assert(p.contains("hashpartitioning(id#"),
+      "per-doc aggregation should partition on id")
+  }
+
+  test("q62 salient terms: hash joins only; q63 pair counts plan TakeOrdered top-k") {
+    val p62 = plan(LlmCatalog.salientTermsQ)
+    assert(!p62.contains("BroadcastNestedLoopJoin") && !p62.contains("CartesianProduct"),
+      "tf⋈df must be an equi-join")
+    val p63 = plan(LlmCatalog.bpePairsQ)
+    assert(p63.contains("TakeOrderedAndProject"),
+      s"top-k pairs should be TakeOrdered, not a global sort:\n${p63.take(400)}")
+    assert(!p63.contains("Join"), "pair counting needs no join")
+  }
 }
