@@ -1,0 +1,183 @@
+package graft.expr
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Bounded per-group TOP-K aggregate: keeps the `k` payloads with the
+  * highest scores (score DESC, payload ASC on ties), evaluated as the
+  * sorted payload array.
+  *
+  * Why an aggregate and not the idiomatic window: Spark's only native
+  * per-group top-k is `row_number() OVER (PARTITION BY g ORDER BY s)
+  * <= k` — which SORTS every group in full and cannot combine
+  * map-side, so the exchange carries every input row. This aggregate
+  * is a TypedImperativeAggregate over a bounded heap: each map task
+  * reduces its slice of a group to <= k entries BEFORE the shuffle
+  * (partial mode), merges are heap-unions, and per-group state is
+  * O(k) BY CONSTRUCTION regardless of group size. At 100 TB the
+  * difference is shuffling k rows per (mapper, group) vs shuffling
+  * the corpus.
+  *
+  * Determinism: the kept set and its order depend only on the total
+  * order (score DESC, payload ASC — payload ties broken by the
+  * interpreted ordering of its type), never on arrival order, so the
+  * result is stable under any partitioning; an equivalence spec pins
+  * it pointwise equal to the window formulation, and q62's DuckDB
+  * oracle replays the window form against this aggregate's output.
+  * Null scores are skipped (SQL aggregate convention); NaN ranks
+  * above every finite score, matching Spark's DESC sort order.
+  *
+  * The buffer serializes through an UnsafeProjection of
+  * (score, payload) rows — the same storage-format technique Spark's
+  * own percentile/collect aggregates use; payload type is anything
+  * RowOrdering can sort (atomics, structs, arrays of those). */
+case class TopKAgg(
+    score: Expression,
+    payload: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any)]] {
+
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(score, payload)
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = ArrayType(payload.dataType, containsNull = false)
+
+  override def prettyName: String = "graft_top_k"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"score must be double, got ${score.dataType}")
+    else TypeUtils.checkForOrderingExpr(payload.dataType, prettyName)
+
+  @transient private lazy val payloadOrd: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(payload.dataType)
+      .asInstanceOf[Ordering[Any]]
+
+  /** Heap order: the WORST entry at the head (lowest score; ties →
+    * LARGEST payload), so eviction is one dequeue. */
+  @transient private lazy val worstFirst: Ordering[(Double, Any)] =
+    new Ordering[(Double, Any)] {
+      override def compare(a: (Double, Any), b: (Double, Any)): Int = {
+        val c = java.lang.Double.compare(b._1, a._1)
+        if (c != 0) c else payloadOrd.compare(a._2, b._2)
+      }
+    }
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Any)] =
+    mutable.PriorityQueue.empty(worstFirst)
+
+  private def insert(
+      buf: mutable.PriorityQueue[(Double, Any)],
+      entry: (Double, Any)): Unit = {
+    if (buf.size < k) buf.enqueue(entry)
+    else if (worstFirst.compare(entry, buf.head) < 0) {
+      buf.dequeue()
+      buf.enqueue(entry)
+    }
+  }
+
+  override def update(
+      buf: mutable.PriorityQueue[(Double, Any)],
+      input: InternalRow): mutable.PriorityQueue[(Double, Any)] = {
+    val s = score.eval(input)
+    if (s != null) {
+      val sv = s.asInstanceOf[Double]
+      // skip the payload copy entirely when the score alone already
+      // loses to the current worst (the common case on big groups)
+      if (buf.size < k || java.lang.Double.compare(sv, buf.head._1) >= 0) {
+        val p = payload.eval(input)
+        if (p != null) insert(buf, (sv, InternalRow.copyValue(p)))
+      }
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[(Double, Any)],
+      other: mutable.PriorityQueue[(Double, Any)]): mutable.PriorityQueue[(Double, Any)] = {
+    other.foreach(insert(buf, _))
+    buf
+  }
+
+  // sorted() puts the ordering-MINIMAL element first, and worstFirst's
+  // minimum is the BEST entry — so ascending worstFirst IS best-first
+  override def eval(buf: mutable.PriorityQueue[(Double, Any)]): Any =
+    new GenericArrayData(
+      buf.toSeq.sorted(worstFirst).map(_._2).toArray)
+
+  @transient private lazy val entryProj =
+    UnsafeProjection.create(Array(DoubleType, payload.dataType))
+
+  override def serialize(buf: mutable.PriorityQueue[(Double, Any)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    val row = new GenericInternalRow(2)
+    buf.foreach { case (s, p) =>
+      row.update(0, s)
+      row.update(1, p)
+      val u = entryProj(row)
+      out.writeInt(u.getSizeInBytes)
+      out.write(u.getBytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Any)] = {
+    val buf = createAggregationBuffer()
+    val in = ByteBuffer.wrap(bytes)
+    val n = in.getInt
+    var i = 0
+    while (i < n) {
+      val len = in.getInt
+      val arr = new Array[Byte](len)
+      in.get(arr)
+      val row = new UnsafeRow(2)
+      row.pointTo(arr, len)
+      buf.enqueue(
+        (row.getDouble(0),
+          InternalRow.copyValue(row.get(1, payload.dataType))))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKAgg =
+    copy(score = newChildren(0), payload = newChildren(1))
+}
+
+object TopKAgg {
+
+  /** Column form: `topK(score, payload, k)` aggregates to the
+    * array<payload-type> of the k best payloads, score DESC then
+    * payload ASC. */
+  def topK(score: org.apache.spark.sql.Column,
+      payload: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpr}
+    toColumn(TopKAgg(toExpr(score), toExpr(payload), k).toAggregateExpression())
+  }
+}

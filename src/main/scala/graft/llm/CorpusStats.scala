@@ -97,8 +97,12 @@ object CorpusStats {
     *
     * Shape: three map-side-combinable shuffles, none carrying more
     * than (id, one short term) — tf groups (id, term), df reduces the
-    * tf table by term, the rank window re-groups by id. Ties break on
-    * term asc → fully deterministic top-k. */
+    * tf table by term, and the top-k is [[graft.expr.TopKAgg]]: a
+    * bounded-heap aggregate whose partial mode reduces each map
+    * task's slice of a doc to <= k entries BEFORE the shuffle, where
+    * the window formulation ([[salientTermsViaWindow]]) sorts whole
+    * groups and ships every row. Ties break on term asc → fully
+    * deterministic top-k, pointwise equal to the window form (spec). */
   def salientTerms(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -106,6 +110,40 @@ object CorpusStats {
       k: Int = 3,
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    val scored = scoredTerms(docs, idCol, textCol)
+    // payload field order (term first) IS the tie-break: the heap
+    // compares payload structs ascending on score ties
+    val payload = struct(col("term"), col("tf"), col("df"), col("score"))
+    scored
+      .groupBy(col(idCol))
+      .agg(graft.expr.TopKAgg.topK(col("score"), payload, k).as("graft_top_"))
+      .select(col(idCol), posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
+      .select(col(idCol), col("e.term").as("term"), col("e.tf").as("tf"),
+        col("e.df").as("df"), col("e.score").as("score"),
+        (col("graft_r_") + 1).cast("int").as("rank"))
+  }
+
+  /** The idiomatic-Spark reference formulation of [[salientTerms]]
+    * (row_number window over the scored table) — semantically
+    * identical, kept as the equivalence-spec oracle for the heap
+    * aggregate and as documentation of what TopKAgg replaces. */
+  def salientTermsViaWindow(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scoredTerms(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Shared tf/df scoring table: (idCol, term, tf, df, score). */
+  private def scoredTerms(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = docs
       .select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("term"))
@@ -116,14 +154,10 @@ object CorpusStats {
     val df = tf
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("score").desc, col("term"))
     tf
       .join(df, Seq("term"))
       .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
         (col("tf").cast("double") / col("df")).as("score"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
 
   /** Adjacent character-pair frequencies over whitespace tokens — the

@@ -199,6 +199,11 @@ class PlanAuditSpec extends SparkSpec {
     val p62 = plan(LlmCatalog.salientTermsQ)
     assert(!p62.contains("BroadcastNestedLoopJoin") && !p62.contains("CartesianProduct"),
       "tf⋈df must be an equi-join")
+    // the top-k is the bounded-heap aggregate with a map-side partial
+    // stage — NOT a row_number window (which sorts whole groups and
+    // ships every row through the exchange)
+    assert(p62.contains("partial_graft_top_k") && !p62.contains("Window"),
+      s"top-k must be the partial-aggregating heap, not a window:\n${p62.take(600)}")
     val p63 = plan(LlmCatalog.bpePairsQ)
     assert(p63.contains("TakeOrderedAndProject"),
       s"top-k pairs should be TakeOrdered, not a global sort:\n${p63.take(400)}")
