@@ -160,6 +160,104 @@ object CorpusStats {
         (col("tf").cast("double") / col("df")).as("score"))
   }
 
+  /** Cross-SOURCE duplication matrix — the corpus-governance view of
+    * exact dedup: for every unordered source pair (a <= b), how many
+    * duplicate document PAIRS span them (a == b counts within-source
+    * pairs). "Source X is 40% mirrored in source Y" decides which
+    * feed to cut, dedup's per-doc output doesn't.
+    *
+    * Shape: pair counts come from per-fingerprint SOURCE COUNT
+    * vectors, never from materialized pairs — groupBy (60-bit fp,
+    * source) with map-side partial, then a self-join on fp whose fan
+    * per key is the number of sources sharing that content (bounded
+    * by the source catalog, not by dup-cluster size: a 1M-copy
+    * cluster is one row per source here, where a pair-explode would
+    * be 10^12 rows). n_a·n_b / n·(n−1)/2 arithmetic on the counts. */
+  def sourceOverlapMatrix(
+      docs: DataFrame,
+      textCol: String = "text",
+      srcCol: String = "source",
+  ): DataFrame = {
+    val fpc = docs
+      .select(TextOps.hash60(col(textCol)).as("fp"), col(srcCol).as("src"))
+      .groupBy(col("fp"), col("src"))
+      .agg(count(lit(1)).as("n"))
+    val a = fpc.select(col("fp"), col("src").as("src_a"), col("n").as("n_a"))
+    val b = fpc.select(col("fp"), col("src").as("src_b"), col("n").as("n_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("src_a") <= col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        when(col("src_a") === col("src_b"),
+          col("n_a") * (col("n_a") - 1) / 2)
+          .otherwise(col("n_a") * col("n_b")).as("pairs"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("pairs")).cast("long").as("dup_pairs"))
+      .filter(col("dup_pairs") > 0)
+  }
+
+  /** [[sourceOverlapMatrix]] over an ALREADY-MINED duplicate-pair
+    * table (near-dup pairs from the LSH miner, embedding dups, span
+    * repeats — anything shaped (aCol, bCol)): each pair attributes to
+    * its unordered source pair. The exact-dup matrix sees only
+    * identical content; feeding this the verified near-dup pairs
+    * answers the real governance question — which feeds PARAPHRASE
+    * each other. Two hash joins projecting (id, source) off the
+    * corpus, then a count over the tiny source×source key space. */
+  def sourceOverlapFromPairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      srcCol: String = "source",
+      aCol: String = "id_a",
+      bCol: String = "id_b",
+  ): DataFrame = {
+    val src = docs.select(col(idCol).as("graft_id_"), col(srcCol).as("graft_src_"))
+    pairs
+      .join(src.withColumnRenamed("graft_id_", aCol)
+        .withColumnRenamed("graft_src_", "graft_sa_"), Seq(aCol))
+      .join(src.withColumnRenamed("graft_id_", bCol)
+        .withColumnRenamed("graft_src_", "graft_sb_"), Seq(bCol))
+      .select(
+        least(col("graft_sa_"), col("graft_sb_")).as("src_a"),
+        greatest(col("graft_sa_"), col("graft_sb_")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("dup_pairs"))
+  }
+
+  /** Top-k salient terms per SOURCE (tf over source-document-frequency
+    * — how many sources carry the term): "what characterizes this
+    * feed" for mix design. The shape where [[graft.expr.TopKAgg]]
+    * matters most: group count is the SOURCE CATALOG (tiny) while the
+    * scored table is the full vocabulary per source — the window form
+    * would shuffle and sort every (source, term) row into a handful
+    * of partitions; the heap reduces each map task to k rows per
+    * source before the exchange. */
+  def sourceSalientTerms(
+      docs: DataFrame,
+      textCol: String = "text",
+      srcCol: String = "source",
+      k: Int = 5,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs
+      .select(col(srcCol).as("src"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("src"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val sf = tf.groupBy(col("term")).agg(count(lit(1)).as("sf"))
+    val payload = struct(col("term"), col("tf"), col("sf"), col("score"))
+    tf.join(sf, Seq("term"))
+      .select(col("src"), col("term"), col("tf"), col("sf"),
+        (col("tf").cast("double") / col("sf")).as("score"))
+      .groupBy(col("src"))
+      .agg(graft.expr.TopKAgg.topK(col("score"), payload, k).as("graft_top_"))
+      .select(col("src").as(srcCol),
+        posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
+      .select(col(srcCol), col("e.term").as("term"), col("e.tf").as("tf"),
+        col("e.sf").as("sf"), col("e.score").as("score"),
+        (col("graft_r_") + 1).cast("int").as("rank"))
+  }
+
   /** Adjacent character-pair frequencies over whitespace tokens — the
     * statistic one round of BPE tokenizer induction maximizes (the
     * first merge is the top pair; re-running after merging yields the

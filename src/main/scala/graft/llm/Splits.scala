@@ -48,6 +48,31 @@ object Splits {
     }
   }
 
+  /** Deterministic GLOBAL corpus shuffle — the pre-training
+    * decorrelation pass (data arrives grouped by crawl/source/time;
+    * training wants it order-free). Each row gets a pseudorandom but
+    * fully reproducible sort key, `hash60(seed ":" id)`, and the
+    * corpus totally orders by (key, id) — same order on every run,
+    * every cluster, every engine (the DuckDB oracle replays it); a
+    * new seed is a fresh independent permutation.
+    *
+    * Shape: the added key is a projection; the ordering is ONE
+    * range exchange + per-partition sort (Spark's orderBy — sampled
+    * range boundaries, so output partitions are balanced regardless
+    * of input clustering). Tie-break on id makes the order total:
+    * 60-bit collisions cannot make it run-dependent. Writing the
+    * result yields files in shuffled order whose READERS need no
+    * further randomization. */
+  def deterministicShuffle(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      seed: String = "shuffle",
+  ): DataFrame =
+    docs
+      .withColumn("shuffle_key",
+        TextOps.hash60(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .orderBy(col("shuffle_key"), col(idCol))
+
   /** Deterministic stratified sampling: keep each row with a
     * per-stratum rate — the corpus-rebalancing op (downsample the
     * over-represented language, keep the rare ones). Same hash-bucket

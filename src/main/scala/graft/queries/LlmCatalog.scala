@@ -1564,6 +1564,91 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Cross-source duplication matrix over the verified near-dup pair
+    * table (CorpusStats.sourceOverlapFromPairs ∘ Dedup.nearDupPairs):
+    * which feeds paraphrase each other, as unordered source-pair
+    * counts — the governance view that decides which feed to cut.
+    * Pair mining is q13's exact chain (bit-for-bit mirrored); the
+    * attribution adds two (id, source) hash joins and a count over
+    * the source×source key space. */
+  val sourceOverlapQ = GraftQuery(
+    "q64_source_overlap",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      graft.llm.CorpusStats.sourceOverlapFromPairs(pairs, docs)
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(
+      s"""
+      WITH $minhashCtes,
+      vp AS (
+        SELECT id_a, id_b FROM verified WHERE jaccard >= 0.5
+      ),
+      sp AS (
+        SELECT least(da.source, db.source) AS src_a,
+               greatest(da.source, db.source) AS src_b
+        FROM vp
+        JOIN documents da ON vp.id_a = da.doc_id
+        JOIN documents db ON vp.id_b = db.doc_id
+      )
+      SELECT src_a, src_b, COUNT(*) AS dup_pairs
+      FROM sp GROUP BY src_a, src_b
+      ORDER BY src_a, src_b
+    """.trim),
+  )
+
+  /** Top-5 salient terms per SOURCE (CorpusStats.sourceSalientTerms):
+    * the TopKAgg shape where the heap matters most — a handful of
+    * groups, full-vocabulary scored input; the window form would sort
+    * everything into |sources| partitions. Oracle replays the window
+    * form: the hash match proves heap == window at source scale too. */
+  val sourceSalientTermsQ = GraftQuery(
+    "q65_source_salient_terms",
+    (s, d) =>
+      graft.llm.CorpusStats.sourceSalientTerms(documents(s, d), k = 5)
+        .orderBy(col("source"), col("rank")),
+    Some("""
+      WITH tf AS (
+        SELECT src, term, COUNT(*) AS tf FROM (
+          SELECT source AS src, unnest(string_split(text, ' ')) AS term
+          FROM documents
+        ) GROUP BY src, term
+      ),
+      sf AS (
+        SELECT term, COUNT(*) AS sf FROM tf GROUP BY term
+      )
+      SELECT src AS source, term, tf, sf, score, CAST(rank AS INT) AS rank FROM (
+        SELECT src, term, tf, sf,
+               CAST(tf AS DOUBLE) / sf AS score,
+               ROW_NUMBER() OVER (PARTITION BY src
+                 ORDER BY CAST(tf AS DOUBLE) / sf DESC, term) AS rank
+        FROM tf JOIN sf USING (term)
+      )
+      WHERE rank <= 5
+      ORDER BY source, rank
+    """.trim),
+  )
+
+  /** Deterministic global corpus shuffle (Splits.deterministicShuffle)
+    * — the pre-training decorrelation pass: seed-keyed md5 sort key,
+    * total order (key, id), reproducible on any engine/cluster. One
+    * range exchange; a new seed is a fresh permutation. */
+  val deterministicShuffleQ = GraftQuery(
+    "q66_deterministic_shuffle",
+    (s, d) =>
+      graft.llm.Splits.deterministicShuffle(documents(s, d), "doc_id", "seed42")
+        .select(col("doc_id"), col("shuffle_key")),
+    Some("""
+      SELECT doc_id,
+             ('0x'||substr(md5('seed42:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+               AS shuffle_key
+      FROM documents
+      ORDER BY shuffle_key, doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1598,5 +1683,8 @@ object LlmCatalog {
     repetitionProfileQ,
     salientTermsQ,
     bpePairsQ,
+    sourceOverlapQ,
+    sourceSalientTermsQ,
+    deterministicShuffleQ,
   )
 }

@@ -202,4 +202,77 @@ class CorpusStatsSpec extends SparkSpec {
       .as[(String, Long)].collect()
     assert(out.toSeq == Seq(("aa", 3L), ("bb", 1L)))
   }
+
+  // ---------------------------------------------------------------
+  // CorpusStats.sourceOverlapMatrix / sourceOverlapFromPairs
+  // ---------------------------------------------------------------
+
+  test("sourceOverlapMatrix counts exact-dup pairs per unordered source pair") {
+    val docs = Seq(
+      (1L, "shared content one", "web"),
+      (2L, "shared content one", "web"),   // within-web pair
+      (3L, "shared content one", "books"), // web×books: 2×1 pairs
+      (4L, "shared content two", "books"),
+      (5L, "shared content two", "wiki"),  // books×wiki pair
+      (6L, "unique text here", "web"),     // no pair
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.sourceOverlapMatrix(docs)
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("books", "web", 2L),  // doc3 × {doc1, doc2}
+      ("books", "wiki", 1L), // doc4 × doc5
+      ("web", "web", 1L),    // C(2,2) within web
+    ))
+  }
+
+  test("sourceOverlapMatrix never materializes pairs: a k-copy cluster is counted arithmetically") {
+    // 100 identical docs in one source → C(100,2) pairs from ONE
+    // (fp, src) row — the count, not 4950 rows
+    val docs = (1 to 100).map(i => (i.toLong, "the same doc", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = CorpusStats.sourceOverlapMatrix(docs)
+      .as[(String, String, Long)].collect()
+    assert(out.toSeq == Seq(("web", "web", 4950L)))
+  }
+
+  test("sourceOverlapFromPairs attributes mined pairs to unordered source pairs") {
+    val docs = Seq(
+      (1L, "a", "web"), (2L, "b", "books"), (3L, "c", "web"), (4L, "d", "wiki"),
+    ).toDF("doc_id", "text", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val out = CorpusStats.sourceOverlapFromPairs(pairs, docs)
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long)].collect()
+    // (web,books) twice — once as a→b, once as b→a order: both normalize
+    assert(out.toSeq == Seq(
+      ("books", "web", 2L),
+      ("web", "web", 1L),
+      ("web", "wiki", 1L),
+    ))
+  }
+
+  // ---------------------------------------------------------------
+  // CorpusStats.sourceSalientTerms
+  // ---------------------------------------------------------------
+
+  test("sourceSalientTerms ranks feed-characteristic terms by tf/sf") {
+    val docs = Seq(
+      (1L, "scala spark scala", "code"),
+      (2L, "the spark the", "web"),
+      (3L, "the the the", "web"),
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusStats.sourceSalientTerms(docs, k = 2)
+      .orderBy("source", "rank")
+      .select("source", "term", "tf", "sf", "rank")
+      .as[(String, String, Long, Long, Int)].collect()
+    // sf: scala→1 source, spark→2, the→1 (web only)
+    // code: scala 2/1=2.0 then spark 1/2=0.5
+    assert(out(0) == (("code", "scala", 2L, 1L, 1)))
+    assert(out(1) == (("code", "spark", 1L, 2L, 2)))
+    // web: the 5/1=5.0 then spark 1/2=0.5
+    assert(out(2) == (("web", "the", 5L, 1L, 1)))
+    assert(out(3) == (("web", "spark", 1L, 2L, 2)))
+  }
 }

@@ -153,4 +153,22 @@ class SplitsSpec extends SparkSpec {
       .collect().mkString(" ")
     assert(streamFromSeqs == streamFromDocs, "packed stream must equal the doc stream")
   }
+
+  test("deterministicShuffle: a reproducible permutation, seed-keyed, partition-invariant") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val once = Splits.deterministicShuffle(docs, seed = "s1")
+      .select("doc_id").as[Long].collect().toSeq
+    // permutation: same rows, decorrelated order
+    assert(once.sorted == (1L to 200L))
+    assert(once != (1L to 200L), "seeded order must not be the input order")
+    // identical on re-run and under a different input partitioning
+    val again = Splits.deterministicShuffle(docs.repartition(13), seed = "s1")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(once == again, "same seed must give the same global order")
+    // a new seed is an independent permutation
+    val other = Splits.deterministicShuffle(docs, seed = "s2")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(other.sorted == (1L to 200L))
+    assert(other != once, "different seeds must permute differently")
+  }
 }
