@@ -122,8 +122,18 @@ object Ivf {
         col("query_id"),
         col("id").as("neighbor_id"),
         Similarity.cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("sim"))
-    val rank = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(rank)).filter(col("rank") <= topK)
+    // bounded-heap top-k (graft.expr.TopKAgg): map-side partials
+    // reduce each task's slice of a query's candidate list to topK
+    // rows before the shuffle — the window form sorts and ships the
+    // whole |queries|·nprobe·cell_size candidate table. Same
+    // (sim DESC, id ASC) total order; the q21 oracle replays the
+    // window form, so the hash match pins the equivalence.
+    val payload = struct(col("neighbor_id"), col("sim"))
+    joined
+      .groupBy(col("query_id"))
+      .agg(graft.expr.TopKAgg.topK(col("sim"), payload, topK).as("graft_top_"))
+      .select(col("query_id"), posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
+      .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.sim").as("sim"), (col("graft_r_") + 1).cast("int").as("rank"))
   }
 }

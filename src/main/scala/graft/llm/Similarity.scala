@@ -57,8 +57,15 @@ object Similarity {
 
   /** Exact top-k cosine neighbors within each coarse cell (`labelCol`),
     * for query rows selected by `queryPred`. Equi-join on the cell id →
-    * hash join; rank via window partitioned by query id with a
-    * deterministic (sim DESC, id ASC) order. */
+    * hash join; top-k via [[graft.expr.TopKAgg]] — each map task
+    * reduces its slice of a query's candidates to k entries BEFORE the
+    * shuffle, so the exchange after the pair join carries O(k) rows
+    * per (mapper, query) instead of every scored candidate (at scale
+    * the candidate table is |queries|·cell_size — the shuffle the
+    * window formulation pays and this one doesn't). Deterministic
+    * (sim DESC, id ASC) order, pointwise equal to
+    * [[topKWithinLabelViaWindow]] (spec + the q07 oracle, which
+    * replays the window form). */
   def topKWithinLabel(
       df: DataFrame,
       idCol: String,
@@ -67,22 +74,53 @@ object Similarity {
       k: Int,
       queryPred: Column,
   ): DataFrame = {
+    val payload = struct(col("neighbor_id"), col("sim"))
+    scoredCandidates(df, idCol, embCol, labelCol, queryPred)
+      .groupBy(col("query_id"))
+      .agg(graft.expr.TopKAgg.topK(col("sim"), payload, k).as("graft_top_"))
+      .select(col("query_id"), posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
+      .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.sim").as("sim"), (col("graft_r_") + 1).cast("int").as("rank"))
+  }
+
+  /** The row_number-window reference formulation of [[topKWithinLabel]]
+    * — semantically identical; kept as the equivalence-spec oracle for
+    * the heap aggregate. */
+  def topKWithinLabelViaWindow(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int,
+      queryPred: Column,
+  ): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scoredCandidates(df, idCol, embCol, labelCol, queryPred)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Shared candidate scoring: cell equi-join + cosine, one row per
+    * (query, same-cell neighbor). */
+  private def scoredCandidates(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      queryPred: Column,
+  ): DataFrame = {
     val v = withNorm(df, idCol, embCol, Seq(labelCol))
     val q = v.filter(queryPred)
       .withColumnsRenamed(
         Map("id" -> "query_id", "e" -> "qe", "nrm" -> "qn", labelCol -> "q_label"))
-    val joined = q
+    q
       .join(v, col("q_label") === col(labelCol) && col("query_id") =!= col("id"))
       .select(
         col("query_id"),
         col("id").as("neighbor_id"),
         cosine(col("qe"), col("e"), col("qn"), col("nrm")).as("sim"),
       )
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
   }
 
   /** Brute-force exact top-k of a (small) query set against the full

@@ -79,6 +79,24 @@ class SimilaritySpec extends SparkSpec {
       emb, "vec_id", "embedding", "label", 5, col("vec_id") % 10 === 0)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
+    // the top-k is the bounded heap with a map-side partial stage, not
+    // a window sort over every scored candidate
+    assert(plan.contains("partial_graft_top_k") && !plan.contains("Window"), plan)
+  }
+
+  test("heap top-k is pointwise equal to the window formulation on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pred = col("vec_id") % 7 === 0
+    val viaAgg = Similarity.topKWithinLabel(
+      emb, "vec_id", "embedding", "label", 5, pred)
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val viaWin = Similarity.topKWithinLabelViaWindow(
+      emb, "vec_id", "embedding", "label", 5, pred)
+      .select("query_id", "neighbor_id", "sim", "rank")
+      .orderBy("query_id", "rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(viaAgg.nonEmpty && viaAgg == viaWin)
   }
 
   test("codegen DotProduct is bit-identical to the interpreted fold") {
