@@ -160,6 +160,52 @@ object CorpusStats {
         (col("tf").cast("double") / col("df")).as("score"))
   }
 
+  /** Per-document BOILERPLATE DENSITY: the fraction of a doc's
+    * w-token windows whose exact content also appears in >= minDocs
+    * OTHER distinct documents — the cheap per-doc triage signal for
+    * the heavyweight span machinery (a doc at 0.9 is templated
+    * chrome; run [[Corpus.dedupSpans]] where it pays, skip the clean
+    * tail). Complements [[repetitionProfile]]: that scores WITHIN-doc
+    * degeneracy, this scores CROSS-doc sharing.
+    *
+    * Shape: window hashes explode once, hash-partitioned and REUSED
+    * by both consumers (the distinct-doc frequency count and the
+    * shared-occurrence count — one exchange, two aggregations);
+    * n_windows comes from `size()` map-side, never a third pass. The
+    * exchange carries (id, 8-byte hash); text never shuffles. */
+  def boilerplateDensity(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 8,
+      minDocs: Int = 2,
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val occ = docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.windowHashesPositional(col(textCol), w)).as("h"))
+      .repartition(col("h"))
+    val shared = occ
+      .groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("wdf"))
+      .filter(col("wdf") >= minDocs)
+      .select(col("h"))
+    val sharedCounts = occ
+      .join(shared, Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+    docs
+      .select(col(idCol),
+        size(TextOps.windowHashesPositional(col(textCol), w)).as("n_windows"))
+      .join(sharedCounts.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          greatest(col("n_windows"), lit(1))).as("shared_frac"))
+  }
+
   /** Cross-SOURCE duplication matrix — the corpus-governance view of
     * exact dedup: for every unordered source pair (a <= b), how many
     * duplicate document PAIRS span them (a == b counts within-source

@@ -795,4 +795,34 @@ object Dedup {
       )
       .filter(col("cosine") >= threshold)
   }
+
+  /** SEMANTIC dedup keepers (the SemDeDup move): near-identical
+    * EMBEDDINGS group into components and only the min-id
+    * representative keeps — the dedup tier that catches paraphrases
+    * and re-encodings the lexical miners (MinHash/SimHash) are blind
+    * to, because it compares meaning-space, not token-space.
+    * Composition of two proven pieces: [[embeddingNearDupPairs]]
+    * (blocked equi-join, N²/blocks) edges into
+    * [[connectedComponents]] (fixed label-propagation rounds), then
+    * every vector joins its component — vectors in no pair are their
+    * own component. Output: (idCol, component, keep); `keep` is
+    * component == id, so downstream is one map-side filter (or an
+    * anti-join to drop). Costs the CC rounds on the PAIR graph only. */
+  def semanticKeepers(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      blockCol: String,
+      threshold: Double,
+      ccIters: Int = 3,
+  ): DataFrame = {
+    val pairs = embeddingNearDupPairs(df, idCol, embCol, blockCol, threshold)
+    val cc = connectedComponents(pairs, ccIters)
+    df.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("component"), col(idCol)).as("component"),
+        (coalesce(col("component"), col(idCol)) === col(idCol)).as("keep"))
+  }
 }

@@ -1649,6 +1649,95 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Per-doc boilerplate density (CorpusStats.boilerplateDensity):
+    * fraction of each doc's 8-token windows shared verbatim with >= 2
+    * distinct docs — the cheap triage signal that decides where the
+    * expensive span machinery (q54) pays. One hash-partitioned window
+    * explode reused by both counts; n_windows is map-side `size`. */
+  val boilerplateDensityQ = GraftQuery(
+    "q67_boilerplate_density",
+    (s, d) =>
+      graft.llm.CorpusStats.boilerplateDensity(documents(s, d), "doc_id", "text",
+          w = 8, minDocs = 2)
+        .orderBy(col("doc_id")),
+    Some(
+      s"""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS wtok FROM documents
+      ),
+      tokh AS (
+        SELECT doc_id, len(wtok) AS nw,
+               list_transform(wtok, t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM docs
+      ),
+      winp AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, nw - 7),
+                 i -> ${windowComb(8)})) AS h
+        FROM tokh WHERE nw >= 8
+      ),
+      shared AS (
+        SELECT h FROM winp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+      ),
+      sh AS (
+        SELECT doc_id, COUNT(*) AS n_shared FROM winp
+        WHERE h IN (SELECT h FROM shared) GROUP BY doc_id
+      )
+      SELECT t.doc_id,
+             CAST(GREATEST(nw - 7, 0) AS INT) AS n_windows,
+             CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+             CAST(COALESCE(n_shared, 0) AS DOUBLE)
+               / GREATEST(CAST(GREATEST(nw - 7, 0) AS INT), 1) AS shared_frac
+      FROM tokh t LEFT JOIN sh USING (doc_id)
+      ORDER BY t.doc_id
+    """.trim),
+  )
+
+  /** Semantic dedup keepers (Dedup.semanticKeepers — the SemDeDup
+    * move): embedding near-dup pairs (q14's blocked equi-join) edge
+    * into fixed-round CC; each vector reports its component and
+    * whether it is the min-id keeper. Catches paraphrase/re-encoding
+    * duplicates lexical mining cannot see. */
+  val semanticKeepersQ = GraftQuery(
+    "q68_semantic_keepers",
+    (s, d) =>
+      graft.llm.Dedup.semanticKeepers(embeddings(s, d), "vec_id", "embedding",
+          "label", threshold = 0.35, ccIters = 3)
+        .orderBy(col("vec_id")),
+    Some {
+      val rounds = ccRoundsSql(3)
+      s"""
+      WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+      ),
+      edges AS (
+        SELECT id_a, id_b FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 list_dot_product(a.e, b.e) / (a.nrm * b.nrm) AS cosine
+          FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        WHERE cosine >= 0.35
+      ),
+      adj AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b, id_a FROM edges
+      ),
+      l0 AS (
+        SELECT DISTINCT src AS id, src AS lbl FROM adj
+      ),
+      $rounds
+      SELECT v.vec_id,
+             COALESCE(l.lbl, v.vec_id) AS component,
+             COALESCE(l.lbl, v.vec_id) = v.vec_id AS keep
+      FROM v LEFT JOIN l3 l ON l.id = v.vec_id
+      ORDER BY v.vec_id
+      """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1686,5 +1775,7 @@ object LlmCatalog {
     sourceOverlapQ,
     sourceSalientTermsQ,
     deterministicShuffleQ,
+    boilerplateDensityQ,
+    semanticKeepersQ,
   )
 }

@@ -254,6 +254,39 @@ class CorpusStatsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // CorpusStats.boilerplateDensity
+  // ---------------------------------------------------------------
+
+  test("boilerplateDensity: planted shared run scores, clean docs score 0") {
+    val boiler = "one two three four five six seven eight" // exactly 8 tokens
+    val docs = Seq(
+      (1L, s"$boiler alpha beta"),   // 3 windows, 1 shared
+      (2L, s"pre1 pre2 $boiler"),    // 3 windows, 1 shared
+      (3L, "a b c d e f g h i j"),   // 3 windows, 0 shared
+      (4L, "too short"),             // < 8 tokens: 0 windows
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.boilerplateDensity(docs, w = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out(0) == ((1L, 3, 1L, 1.0 / 3)))
+    assert(out(1) == ((2L, 3, 1L, 1.0 / 3)))
+    assert(out(2) == ((3L, 3, 0L, 0.0)))
+    assert(out(3) == ((4L, 0, 0L, 0.0)))
+  }
+
+  test("boilerplateDensity: within-doc repetition is not cross-doc sharing") {
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val docs = Seq(
+      (1L, s"$run $run"), // the run repeats in ONE doc only
+      (2L, "completely different words here making nine ten"),
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.boilerplateDensity(docs, w = 8, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out(0)._3 == 0L, "distinct-doc frequency gates sharing, not occurrences")
+  }
+
+  // ---------------------------------------------------------------
   // CorpusStats.sourceSalientTerms
   // ---------------------------------------------------------------
 

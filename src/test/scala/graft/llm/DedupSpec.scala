@@ -377,4 +377,24 @@ class DedupSpec extends SparkSpec {
     // stars from the min doc per shared passage: 2→{5,9}, 7→8
     assert(edges == Set((2L, 5L), (2L, 9L), (7L, 8L)))
   }
+
+  test("semanticKeepers: transitive embedding clusters keep the min id; isolates keep themselves") {
+    // block 0: 1≈2 and 2≈3 (chain — 1~3 only transitively); 4 orthogonal
+    // block 1: 5 alone
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.14f, 0.0f), 0),
+      (3L, Array(0.93f, 0.37f, 0.0f), 0),
+      (4L, Array(0.0f, 0.0f, 1.0f), 0),
+      (5L, Array(0.0f, 1.0f, 0.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.semanticKeepers(df, "vec_id", "embedding", "label",
+        threshold = 0.95, ccIters = 3)
+      .orderBy("vec_id")
+      .as[(Long, Long, Boolean)].collect()
+    // cos(1,2)≈0.99, cos(2,3)≈0.97, cos(1,3)≈0.93 < 0.95: chain only
+    assert(out.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true)))
+  }
 }
