@@ -1156,6 +1156,79 @@ object Catalog {
     """.trim),
   )
 
+  /** Funnel conversion (Funnel.funnel): the earliest strictly-ordered
+    * view → click → purchase walk per user, with nulls monotone by
+    * construction. One conditional min-aggregate per stage, joins on
+    * user_id only. The query runs at MICROSECOND grain on both
+    * engines (`ts div 1000` / `epoch_us`): DuckDB 1.0 truncates
+    * parquet TIMESTAMP(NANOS) to µs at scan, so comparing at ns
+    * would give the oracle a coarser clock than the engine — the
+    * operator itself is grain-agnostic exact-integer arithmetic. */
+  val funnelQ = GraftQuery(
+    "q69_funnel",
+    (s, d) =>
+      graft.ops.Funnel.funnel(
+          events(s, d).withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS ts_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+      ),
+      c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS ts_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.ts_view
+        GROUP BY e.user_id
+      ),
+      p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS ts_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.ts_click
+        GROUP BY e.user_id
+      )
+      SELECT u.user_id, v.ts_view, c.ts_click, p.ts_purchase,
+             CASE WHEN v.ts_view IS NULL THEN 0
+                  WHEN c.ts_click IS NULL THEN 1
+                  WHEN p.ts_purchase IS NULL THEN 2
+                  ELSE 3 END AS stage_reached
+      FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+             LEFT JOIN p USING (user_id)
+      ORDER BY u.user_id
+    """.trim),
+  )
+
+  /** Daily cohort retention triangle (Funnel.retentionCohorts):
+    * cohort = first active day, offset = later active day − cohort,
+    * counting distinct users. Integral `div` on epoch-ns (a double
+    * division would round above 2^53); actives dedup to
+    * (user, period) before the cohort join. */
+  val retentionQ = GraftQuery(
+    "q70_retention_cohorts",
+    (s, d) =>
+      graft.ops.Funnel.retentionCohorts(events(s, d), "user_id", "ts",
+          periodNs = 86400000000000L)
+        .withColumnRenamed("offset", "period_offset")
+        .orderBy(col("cohort_period"), col("period_offset")),
+    Some("""
+      WITH pe AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS period
+        FROM events
+      ),
+      f AS (
+        SELECT user_id, MIN(period) AS cohort_period FROM pe GROUP BY user_id
+      )
+      SELECT cohort_period, period - cohort_period AS period_offset,
+             COUNT(DISTINCT pe.user_id) AS active_users
+      FROM pe JOIN f USING (user_id)
+      GROUP BY cohort_period, period_offset
+      ORDER BY cohort_period, period_offset
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1191,6 +1264,8 @@ object Catalog {
     heavyHittersQ,
     bloomPrunedJoin,
     localSupplierVolume,
+    funnelQ,
+    retentionQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

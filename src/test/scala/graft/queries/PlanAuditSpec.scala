@@ -209,4 +209,20 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k pairs should be TakeOrdered, not a global sort:\n${p63.take(400)}")
     assert(!p63.contains("Join"), "pair counting needs no join")
   }
+
+  test("q64/q67/q68 stay equi-join shaped; q66 is one range exchange") {
+    Seq(LlmCatalog.sourceOverlapQ, LlmCatalog.boilerplateDensityQ,
+        LlmCatalog.semanticKeepersQ).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"${q.name} must not plan a product join:\n${p.take(400)}")
+    }
+    // the deterministic shuffle is a projection + ONE range exchange
+    // (the orderBy) — no hash exchange, no join, no aggregate
+    val p66 = plan(LlmCatalog.deterministicShuffleQ)
+    assert("Exchange rangepartitioning".r.findAllIn(p66).size == 1 &&
+      !p66.contains("hashpartitioning"),
+      s"q66 must be exactly one range exchange:\n${p66.take(400)}")
+    assert(!p66.contains("Join") && !p66.contains("HashAggregate"))
+  }
 }
