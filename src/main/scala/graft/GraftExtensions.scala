@@ -54,5 +54,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.expr.SubwordCount(exprs(0), graft.llm.TextOps.SubwordVocab),
       )
     )
+    // graft_top_k(score, payload, k): bounded per-group top-k
+    // aggregate; k must be a literal (it sizes the heap at plan build
+    // time). The registry receives the bare AggregateFunction — the
+    // analyzer wraps it in an AggregateExpression like any built-in
+    // aggregate, so GROUP BY / window / partial modes all apply.
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_top_k"),
+        new ExpressionInfo(classOf[graft.expr.TopKAgg].getName, "graft_top_k"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 3 && exprs(2).foldable,
+            "usage: graft_top_k(score, payload, <literal k>)")
+          graft.expr.TopKAgg(
+            exprs(0), exprs(1),
+            exprs(2).eval().asInstanceOf[Number].intValue())
+        },
+      )
+    )
   }
 }

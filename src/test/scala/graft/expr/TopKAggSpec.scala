@@ -70,6 +70,15 @@ class TopKAggSpec extends SparkSpec {
     assert(viaAgg == viaWin)
   }
 
+  test("graft_top_k is SQL-callable via SparkSessionExtensions") {
+    Seq(("a", 1.0, "x"), ("a", 3.0, "y"), ("a", 2.0, "z"))
+      .toDF("g", "s", "p").createOrReplaceTempView("graft_topk_t")
+    val r = spark.sql(
+      "SELECT graft_top_k(s, p, 2) AS top FROM graft_topk_t GROUP BY g")
+      .as[Seq[String]].head()
+    assert(r == Seq("y", "z"))
+  }
+
   test("the aggregate plans as ObjectHashAggregate with a partial stage, no Window") {
     val df = Seq((1, 1.0, "a")).toDF("g", "s", "p")
     val p = df.groupBy("g")
