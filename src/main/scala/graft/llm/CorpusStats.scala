@@ -206,6 +206,51 @@ object CorpusStats {
           greatest(col("n_windows"), lit(1))).as("shared_frac"))
   }
 
+  /** Per-document token SURPRISAL profile — the rare-token quality
+    * signal (CCNet-style: a doc dominated by tokens the corpus has
+    * barely seen is noise or gold, either way triage-worthy; a doc of
+    * only ubiquitous tokens is boilerplate-ish). The per-token
+    * "frequency bits" statistic is `length(bin(count))` =
+    * floor(log2(count)) + 1 — a PURE INTEGER stand-in for -log p
+    * (monotone in count, exact in both engines) chosen deliberately
+    * over libm log: a float log sum is reduction-order dependent and
+    * hash-splits engines; an integer bit-length sum cannot.
+    *
+    *   n_tokens, sum_freq_bits, mean_freq_bits (low = rare-heavy),
+    *   n_rare (corpus count <= rareMax), rare_frac
+    *
+    * Shape: one token-hash explode hash-partitioned and REUSED (the
+    * corpus count aggregate and the count join — same exchange), then
+    * one groupBy id; shuffles carry (id, 8-byte hash) only. */
+  def surprisalProfile(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      rareMax: Long = 2L,
+  ): DataFrame = {
+    require(rareMax >= 1, s"rareMax must be >= 1, got $rareMax")
+    val tok = docs
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .select(col("id"), TextOps.hash60(col("t")).as("h"))
+      .repartition(col("h"))
+    val counts = tok.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    tok
+      .join(counts, Seq("h"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(length(bin(col("cnt")))).cast("long").as("sum_freq_bits"),
+        sum(when(col("cnt") <= rareMax, 1).otherwise(0)).cast("long").as("n_rare"))
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        col("sum_freq_bits"),
+        (col("sum_freq_bits").cast("double") / col("n_tokens")).as("mean_freq_bits"),
+        col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_frac"))
+  }
+
   /** Cross-SOURCE duplication matrix — the corpus-governance view of
     * exact dedup: for every unordered source pair (a <= b), how many
     * duplicate document PAIRS span them (a == b counts within-source

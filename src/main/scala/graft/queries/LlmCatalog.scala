@@ -1738,6 +1738,39 @@ object LlmCatalog {
     },
   )
 
+  /** Token surprisal profile (CorpusStats.surprisalProfile): per-doc
+    * rare-token signal with `length(bin(count))` as the pure-integer
+    * -log p stand-in — exact in both engines where a libm log sum
+    * would be reduction-order dependent. One reused hash-partitioned
+    * token explode; (id, 8-byte hash) exchanges only. */
+  val surprisalProfileQ = GraftQuery(
+    "q71_surprisal_profile",
+    (s, d) =>
+      graft.llm.CorpusStats.surprisalProfile(documents(s, d), "doc_id", "text",
+          rareMax = 2L)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        )
+      ),
+      counts AS (
+        SELECT h, COUNT(*) AS cnt FROM tok GROUP BY h
+      )
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             CAST(SUM(length(bin(cnt))) AS BIGINT) AS sum_freq_bits,
+             CAST(SUM(length(bin(cnt))) AS DOUBLE) / COUNT(*) AS mean_freq_bits,
+             CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+             CAST(SUM(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS rare_frac
+      FROM tok JOIN counts USING (h)
+      GROUP BY doc_id
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1777,5 +1810,6 @@ object LlmCatalog {
     deterministicShuffleQ,
     boilerplateDensityQ,
     semanticKeepersQ,
+    surprisalProfileQ,
   )
 }

@@ -204,6 +204,38 @@ class CorpusStatsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // CorpusStats.surprisalProfile
+  // ---------------------------------------------------------------
+
+  test("surprisalProfile: bit-length frequency stats, hand-computed") {
+    val docs = Seq(
+      (1L, "common common common common rare"), // common cnt=4+2=6? see doc 2
+      (2L, "common common unique"),
+    ).toDF("doc_id", "text")
+    // corpus counts: common=6 (bits 3: bin(6)=110), rare=1 (bits 1),
+    // unique=1 (bits 1)
+    val out = CorpusStats.surprisalProfile(docs, rareMax = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+    // doc 1: 4 commons (4*3 bits) + rare (1 bit) = 13; n_rare=1
+    assert(out(0) == ((1L, 5L, 13L, 13.0 / 5, 1L, 0.2)))
+    // doc 2: 2 commons (6) + unique (1) = 7; n_rare=1
+    assert(out(1) == ((2L, 3L, 7L, 7.0 / 3, 1L, 1.0 / 3)))
+  }
+
+  test("surprisalProfile: a rare-heavy doc scores lower mean_freq_bits than a common-heavy one") {
+    val docs = Seq(
+      (1L, "w w w w w w w w"),          // all cnt=8 → bits 4
+      (2L, "a b c d e f g h"),          // all cnt=1 → bits 1
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.surprisalProfile(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Long, Double)].collect()
+    assert(out(0)._4 == 4.0 && out(0)._6 == 0.0)
+    assert(out(1)._4 == 1.0 && out(1)._6 == 1.0)
+  }
+
+  // ---------------------------------------------------------------
   // CorpusStats.sourceOverlapMatrix / sourceOverlapFromPairs
   // ---------------------------------------------------------------
 
