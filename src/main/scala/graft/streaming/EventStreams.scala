@@ -140,4 +140,82 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** One stage advance of one user's funnel walk (`stage` 1-based). */
+  final case class FunnelProgress(user_id: Long, stage: Int, stage_name: String, ts: Long)
+
+  /** Streaming funnel — the live twin of [[graft.ops.Funnel.funnel]]:
+    * per-user state walks `stages` strictly in event-time order and
+    * emits a [[FunnelProgress]] row the moment a stage is reached
+    * (append mode — the conversion dashboard updates per micro-batch,
+    * not per nightly batch job).
+    *
+    * Semantics vs the batch operator: identical on in-order input
+    * (each batch is sorted by (ts, event_id) before folding, so
+    * within-batch disorder is absorbed; the agreement spec pins
+    * equality). The PROGRESSIVE trade: a stage-enabling event that
+    * arrives in a LATER micro-batch than an event it would have
+    * unlocked cannot rewrite already-emitted progress — the streaming
+    * answer converges to the batch answer as ordering holds, which is
+    * the standard watermark contract.
+    *
+    * State is bounded three ways: completing the walk removes the
+    * state immediately; idle users are evicted by event-time timeout
+    * once the watermark passes last activity + `idleMs` (funnel
+    * abandonment — a returning user restarts from stage one, and the
+    * eviction is therefore OBSERVABLE and tested); and per-user state
+    * is just the reached-stage timestamps (<= |stages| longs). */
+  def funnelStream(
+      events: Dataset[Event],
+      stages: Seq[String],
+      watermarkDelay: String = "10 minutes",
+      idleMs: Long = 3600L * 1000,
+  ): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "need at least one stage")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    require(idleMs > 0, s"idleMs must be positive, got $idleMs")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    def update(
+        userId: Long,
+        batch: Iterator[Event],
+        state: GroupState[Seq[Long]],
+    ): Iterator[FunnelProgress] = {
+      if (state.hasTimedOut) {
+        // abandonment: forget the partial walk; a comeback restarts
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = batch.toSeq.sortBy(e => (e.ts, e.event_id))
+        var times = state.getOption.getOrElse(Seq.empty)
+        var out = List.empty[FunnelProgress]
+        sorted.foreach { e =>
+          val next = times.size
+          if (next < stages.size && e.event_type == stages(next) &&
+              (next == 0 || e.ts > times(next - 1))) {
+            times = times :+ e.ts
+            out = FunnelProgress(userId, next + 1, stages(next), e.ts) :: out
+          }
+        }
+        if (times.size == stages.size) {
+          // journey complete — no further state to hold
+          state.remove()
+        } else if (times.nonEmpty && sorted.nonEmpty) {
+          // users who never reached stage one hold NO state at all;
+          // any activity refreshes a partial walk's abandonment clock
+          state.update(times)
+          state.setTimeoutTimestamp(sorted.map(_.ts).max + idleMs)
+        }
+        out.reverseIterator
+      }
+    }
+
+    events
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
 }

@@ -120,4 +120,94 @@ class EventStreamsSpec extends SparkSpec {
     val out = hourlyCounts(batch).orderBy("window_start").collect()
     assert(out.length == 2 && out(0).getLong(2) == 1L)
   }
+
+  private val funnelStages = Seq("view", "click", "purchase")
+
+  test("funnelStream agrees with the batch funnel on in-order input") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      // user 1 completes; an early purchase (before click) must not count
+      Event(1, B + 10, 1, "view", 0), Event(2, B + 15, 1, "purchase", 0),
+      Event(3, B + 20, 1, "click", 0), Event(4, B + 40, 1, "purchase", 0),
+      // user 2 views only; user 3 clicks without viewing
+      Event(5, B + 10, 2, "view", 0),
+      Event(6, B + 10, 3, "click", 0),
+    )
+    val input = MemoryStream[Event]
+    val q = funnelStream(input.toDS(), funnelStages)
+      .writeStream.format("memory").queryName("funnel_agree")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT user_id, stage, stage_name, ts FROM funnel_agree")
+        .as[(Long, Int, String, Long)].collect().toSet
+      assert(streamed == Set(
+        (1L, 1, "view", B + 10), (1L, 2, "click", B + 20), (1L, 3, "purchase", B + 40),
+        (2L, 1, "view", B + 10)))
+      // the batch operator sees the same journeys
+      val batchOut = graft.ops.Funnel.funnel(
+          events.toDF().select($"user_id", $"ts", $"event_type"),
+          "user_id", "ts", "event_type", funnelStages)
+        .select("user_id", "stage_reached").as[(Long, Int)].collect().toMap
+      val streamedMax = streamed.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      assert(batchOut == Map(1L -> 3, 2L -> 1, 3L -> 0))
+      assert(streamedMax == batchOut.filter(_._2 > 0))
+    } finally q.stop()
+  }
+
+  test("funnelStream advances across micro-batches and completes without residual emissions") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = funnelStream(input.toDS(), funnelStages)
+      .writeStream.format("memory").queryName("funnel_steps")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, B + 10, 1, "view", 0))
+      q.processAllAvailable()
+      input.addData(Event(2, B + 20, 1, "click", 0))
+      q.processAllAvailable()
+      // purchase at a ts equal to the click: strict order rejects it
+      input.addData(Event(3, B + 20, 1, "purchase", 0))
+      q.processAllAvailable()
+      input.addData(Event(4, B + 30, 1, "purchase", 0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT stage, ts FROM funnel_steps WHERE user_id = 1")
+        .as[(Int, Long)].collect().sorted
+      assert(rows.toSeq == Seq((1, B + 10), (2, B + 20), (3, B + 30)))
+    } finally q.stop()
+  }
+
+  test("funnelStream evicts abandoned walks: a comeback restarts from stage one") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = funnelStream(input.toDS(), funnelStages,
+        watermarkDelay = "1 second", idleMs = 1000L)
+      .writeStream.format("memory").queryName("funnel_evict")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, B, 1, "view", 0))
+      q.processAllAvailable()
+      // another user's much-later event advances the watermark far past
+      // user 1's abandonment deadline (B + 1s)
+      input.addData(Event(2, B + H, 9, "view", 0))
+      q.processAllAvailable()
+      // user 1 returns: with the walk evicted, a click cannot convert...
+      input.addData(Event(3, B + H + 10, 1, "click", 0))
+      q.processAllAvailable()
+      // ...and a fresh view re-emits stage 1
+      input.addData(Event(4, B + H + 20, 1, "view", 0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT stage, ts FROM funnel_evict WHERE user_id = 1")
+        .as[(Int, Long)].collect().sorted
+      assert(rows.toSeq == Seq((1, B), (1, B + H + 20)),
+        "evicted walk must not convert on the click and must restart on the view")
+    } finally q.stop()
+  }
 }
