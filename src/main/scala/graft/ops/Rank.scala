@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed GLOBAL ranking — the single-partition-window killer.
+  *
+  * The idiomatic `row_number() OVER (ORDER BY ...)` with no PARTITION
+  * BY plans a SinglePartition exchange: the entire dataset serializes
+  * through one task — the canonical 100 TB cliff, and the same hazard
+  * `NTILE`, global `percent_rank`, and "add a row id" hide. This
+  * computes the identical 1-based rank the scale-safe way (the
+  * [[graft.llm.Splits.packSequences]] prefix-sum pattern, weight = 1):
+  *
+  *   1. range-repartition on the order columns (sampled boundaries →
+  *      balanced partitions whatever the input layout);
+  *   2. per-partition row counts — ONE driver hop of #partitions longs;
+  *   3. per-partition running offsets assign each row its rank.
+  *
+  * `orderCols` must be a TOTAL order (tie-break on a key column, same
+  * rule every catalog query follows); given that, ranks are unique,
+  * dense, reproducible on any cluster, and a SQL engine's ROW_NUMBER
+  * replays them exactly (the q72 oracle).
+  */
+object Rank {
+
+  /** Appends 1-based `rank` under the total order `orderCols`. */
+  def globalRank(df: DataFrame, orderCols: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val spark = df.sparkSession
+    // two passes walk the same sorted partitions (counts, then rank
+    // assignment) — lazy checkpoint shares one materialization
+    val sorted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .localCheckpoint(false)
+    val rdd = sorted.rdd
+    val sizes = rdd
+      .mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
+      .collect()
+    val starts = sizes.scanLeft(0L)(_ + _)
+    val rows = rdd.mapPartitionsWithIndex { case (p, it) =>
+      var acc = starts(p)
+      it.map { r => acc += 1; Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(rows,
+      StructType(sorted.schema :+ StructField("rank", LongType, nullable = false)))
+  }
+
+  /** Curriculum phase assignment on top of [[globalRank]]: rows split
+    * into `phases` contiguous rank ranges (floor distribution —
+    * phase = (rank−1)·phases div N), the "train on short docs first"
+    * schedule when ordered by length. The row count is one 1-row
+    * aggregate (a constant-size driver hop, like the partition-count
+    * collect above); the phase itself is a map-side integral
+    * expression — `div`, not `/`, so ranks past 2^53 stay exact. */
+  def curriculum(df: DataFrame, orderCols: Seq[String], phases: Int): DataFrame = {
+    require(phases >= 1, s"phases must be >= 1, got $phases")
+    val ranked = globalRank(df, orderCols)
+    val n = math.max(ranked.count(), 1L)
+    ranked.withColumn("phase",
+      expr(s"((rank - 1) * $phases) div ${n}L").cast("int"))
+  }
+}

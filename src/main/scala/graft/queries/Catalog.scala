@@ -1229,6 +1229,29 @@ object Catalog {
     """.trim),
   )
 
+  /** Distributed global rank + curriculum phases (Rank.curriculum):
+    * ROW_NUMBER semantics WITHOUT the single-partition window — range
+    * repartition + per-partition counts + running offsets (the
+    * prefix-sum pattern; plan-audited to contain no Window and no
+    * SinglePartition). Ordered by (n_chars, doc_id) — the "short docs
+    * first" training schedule — split into 4 phases. */
+  val globalRankQ = GraftQuery(
+    "q72_global_rank",
+    (s, d) =>
+      graft.ops.Rank.curriculum(
+          documents(s, d).select(col("doc_id"), col("n_chars")),
+          Seq("n_chars", "doc_id"), phases = 4)
+        .orderBy(col("rank")),
+    Some("""
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank,
+             CAST(((ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1) * 4)
+               // COUNT(*) OVER () AS INT) AS phase
+      FROM documents
+      ORDER BY rank
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1266,6 +1289,7 @@ object Catalog {
     localSupplierVolume,
     funnelQ,
     retentionQ,
+    globalRankQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
