@@ -1252,6 +1252,39 @@ object Catalog {
     """.trim),
   )
 
+  /** Daily per-user series with LOCF gap-fill (TimeSeries.gapFillLocf):
+    * irregular events resample to each user's own first..last active
+    * day, missing days carry the last exact-decimal daily total
+    * forward. Partitioned windows only; grid bounded per key. */
+  val gapFillQ = GraftQuery(
+    "q73_gap_fill_locf",
+    (s, d) =>
+      graft.ops.TimeSeries.gapFillLocf(events(s, d), "user_id", "ts", "value",
+          periodNs = 86400000000000L)
+        .orderBy(col("user_id"), col("period")),
+    Some("""
+      WITH pe AS (
+        SELECT user_id, epoch_ns(ts) // 86400000000000 AS period,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+        FROM events GROUP BY user_id, period
+      ),
+      spans AS (
+        SELECT user_id, MIN(period) AS d0, MAX(period) AS d1
+        FROM pe GROUP BY user_id
+      ),
+      grid AS (
+        SELECT user_id, unnest(generate_series(d0, d1)) AS period FROM spans
+      )
+      SELECT g.user_id, g.period,
+             last_value(pe.v IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.period
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+             pe.v IS NOT NULL AS observed
+      FROM grid g LEFT JOIN pe ON g.user_id = pe.user_id AND g.period = pe.period
+      ORDER BY g.user_id, g.period
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1290,6 +1323,7 @@ object Catalog {
     funnelQ,
     retentionQ,
     globalRankQ,
+    gapFillQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
