@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistical outlier detection over grouped measures: per-group
+  * z-scores from exact-decimal moment sums, ranked by |z|.
+  *
+  * Cross-engine determinism is engineered the same way as every
+  * money aggregate in the catalog: the two data-dependent reductions
+  * (Σv, Σv²) ride exact DECIMAL sums — order-independent — and
+  * everything after is a FIXED chain of correctly-rounded IEEE ops
+  * (divide, multiply, subtract, sqrt) evaluated in the same shape on
+  * both engines, so z-scores are bit-identical to the DuckDB replay.
+  * A float-sum variance would be reduction-order dependent and could
+  * not be oracled.
+  */
+object Anomaly {
+
+  /** Top-k rows by |z| where z = (v − mean_g) / std_g against the
+    * row's own group (population std from the moment identity
+    * var = Σv²/n − mean²). One groupBy over the tiny group space, a
+    * broadcast-friendly stats join back, a map-side z projection, and
+    * a TakeOrdered top-k — no global sort, no second pass over the
+    * data. `idCol` breaks |z| ties deterministically.
+    *
+    * Zero-variance groups are filtered BEFORE the division: every
+    * member equals the mean, so no member is an outlier — and under
+    * ANSI mode (Spark 4 default) the division would throw
+    * DIVIDE_BY_ZERO rather than produce an Inf to rank. */
+  def zScoreOutliers(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def d2(c: Column) = c.cast("decimal(18,2)")
+    val stats = df
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d2(col(valCol))).cast("double").as("s"),
+        sum(d2(col(valCol)) * d2(col(valCol))).cast("double").as("sq"))
+    val mean = col("s") / col("n")
+    df
+      .join(stats, Seq(groupCol))
+      .withColumn("graft_var_", col("sq") / col("n") - mean * mean)
+      .filter(col("graft_var_") > 0)
+      .select(col(idCol), col(groupCol), col(valCol),
+        ((col(valCol) - mean) / sqrt(col("graft_var_"))).as("z"))
+      .orderBy(abs(col("z")).desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-event analytics over the events stream: funnel conversion
@@ -64,6 +65,34 @@ object Funnel {
     acc
       .withColumn("stage_reached", reached)
       .withColumnRenamed("user", userCol)
+  }
+
+  /** Event-type TRANSITION MATRIX (path analysis / first-order Markov
+    * counts): for each user's event sequence in time order, count
+    * every adjacent (from_type → to_type) step, aggregated over all
+    * users. The "what do users do next" table that funnels are the
+    * directed special case of.
+    *
+    * Shape: one `lead` window per user (partitioned — never global),
+    * then a groupBy on the tiny type×type key space with map-side
+    * partial agg. The caller supplies the tie column making
+    * (tsCol, tieCol) a total order per user — same determinism rule
+    * as every catalog query. */
+  def transitionMatrix(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      tieCol: String,
+  ): DataFrame = {
+    val w = Window.partitionBy(col("user")).orderBy(col("tsv"), col("tie"))
+    events
+      .select(col(userCol).as("user"), col(tsCol).as("tsv"),
+        col(tieCol).as("tie"), col(typeCol).as("et"))
+      .withColumn("next_et", lead(col("et"), 1).over(w))
+      .filter(col("next_et").isNotNull)
+      .groupBy(col("et").as("from_type"), col("next_et").as("to_type"))
+      .agg(count(lit(1)).as("transitions"))
   }
 
   /** Cohort retention: users cohort by the PERIOD of their first

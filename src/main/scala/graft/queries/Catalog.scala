@@ -1285,6 +1285,60 @@ object Catalog {
     """.trim),
   )
 
+  /** Event-type transition matrix (Funnel.transitionMatrix): adjacent
+    * (from → to) step counts over each user's time-ordered sequence —
+    * first-order Markov path analysis. Runs at µs grain on both
+    * engines (the q69 rule: DuckDB truncates ns timestamps at scan,
+    * so ordering must use the same clock); ties break on event_id. */
+  val transitionsQ = GraftQuery(
+    "q74_event_transitions",
+    (s, d) =>
+      graft.ops.Funnel.transitionMatrix(
+          events(s, d).withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", "event_type", "event_id")
+        .orderBy(col("from_type"), col("to_type")),
+    Some("""
+      SELECT from_type, to_type, COUNT(*) AS transitions FROM (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS to_type
+        FROM events
+      )
+      WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+      ORDER BY from_type, to_type
+    """.trim),
+  )
+
+  /** Per-type z-score outliers (Anomaly.zScoreOutliers): top-50 events
+    * by |z| against their own event_type's distribution. Moments ride
+    * exact DECIMAL sums (order-independent); the z chain is the same
+    * fixed IEEE expression shape on both engines → bit-identical. */
+  val anomaliesQ = GraftQuery(
+    "q75_value_anomalies",
+    (s, d) =>
+      graft.ops.Anomaly.zScoreOutliers(events(s, d), "event_id", "event_type",
+          "value", k = 50)
+        .orderBy(abs(col("z")).desc, col("event_id")),
+    Some("""
+      WITH st AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
+        FROM events GROUP BY event_type
+      )
+      SELECT event_id, event_type, value, z FROM (
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - s / n) / sqrt(sq / n - (s / n) * (s / n)) AS z
+        FROM events e JOIN st USING (event_type)
+        WHERE sq / n - (s / n) * (s / n) > 0
+      )
+      ORDER BY abs(z) DESC, event_id
+      LIMIT 50
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1324,6 +1378,8 @@ object Catalog {
     retentionQ,
     globalRankQ,
     gapFillQ,
+    transitionsQ,
+    anomaliesQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

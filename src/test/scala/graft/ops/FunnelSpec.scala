@@ -74,6 +74,32 @@ class FunnelSpec extends SparkSpec {
     ))
   }
 
+  test("transitionMatrix counts adjacent steps per user in time order") {
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "view"),
+      (2L, 10L, 4L, "view"), (2L, 20L, 5L, "click"),
+      (3L, 10L, 6L, "error"), // single event: no transition
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Funnel.transitionMatrix(ev, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long)].collect()
+    assert(out.toSeq == Seq(
+      ("click", "view", 1L), // user 1: click→view
+      ("view", "click", 2L), // users 1 and 2
+    ))
+  }
+
+  test("transitionMatrix breaks timestamp ties on the tie column, not arrival order") {
+    val ev = Seq(
+      (1L, 10L, 2L, "b"), (1L, 10L, 1L, "a"), (1L, 20L, 3L, "c"),
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Funnel.transitionMatrix(ev, "user_id", "ts", "event_type", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long)].collect()
+    // order is a (id 1) → b (id 2) → c: transitions a→b, b→c
+    assert(out.toSeq == Seq(("a", "b", 1L), ("b", "c", 1L)))
+  }
+
   test("retentionCohorts survives epoch-ns magnitudes (integral div, not double)") {
     // two ns timestamps in the same day whose double-rounded quotients
     // would straddle a boundary if `/` were used
