@@ -48,6 +48,47 @@ object Splits {
     }
   }
 
+  /** Deterministic EXACT-k per-group sample — the balanced-mix
+    * companion to [[stratifiedSample]] (which keeps a RATE and
+    * cannot promise counts): every group contributes exactly
+    * min(k, |group|) rows, chosen by hashed priority, so re-runs and
+    * other engines pick the SAME rows (salt-keyed, like every
+    * sampler here).
+    *
+    * The priority is the 28-bit md5 ([[TextOps.hash28]]) — deliberately
+    * 28 and not 60 bits, because the selection ranks priorities as
+    * DOUBLES and 2^28 < 2^53 keeps them exact (a 60-bit hash would
+    * round and could flip ranks between engines); priority ties (P ≈
+    * |group|²/2^28) break on the id via the payload ordering.
+    *
+    * Shape: ONE [[graft.expr.TopKAgg]] pass — each map task reduces
+    * its slice of a group to k candidates before the shuffle; no
+    * window, no per-group sort, no second pass. Output: (groupCol,
+    * idCol, rank 1..k in priority order). */
+  def sampleKPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      k: Int,
+      salt: String = "sample",
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // TopKAgg keeps the HIGHEST scores; negating the hash selects the
+    // smallest-priority rows
+    val pr = TextOps.hash28(
+      org.apache.spark.sql.functions.concat(lit(salt), lit(":"),
+        col(idCol).cast("string"))).cast("double")
+    df
+      .select(col(groupCol).as("g"), col(idCol), (-pr).as("graft_pr_"))
+      .groupBy(col("g"))
+      .agg(graft.expr.TopKAgg.topK(col("graft_pr_"),
+        org.apache.spark.sql.functions.struct(col(idCol)), k).as("graft_top_"))
+      .select(col("g").as(groupCol),
+        posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
+      .select(col(groupCol), col("e").getField(idCol).as(idCol),
+        (col("graft_r_") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic GLOBAL corpus shuffle — the pre-training
     * decorrelation pass (data arrives grouped by crawl/source/time;
     * training wants it order-free). Each row gets a pseudorandom but

@@ -1771,6 +1771,30 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Deterministic exact-k per-source sample (Splits.sampleKPerGroup):
+    * every source contributes exactly min(5, |source|) docs by hashed
+    * priority — the balanced-mix sampler rate-based stratification
+    * cannot express. One TopKAgg pass; 28-bit priorities stay exact
+    * as doubles (2^28 < 2^53), oracle replays with ROW_NUMBER. */
+  val groupSampleQ = GraftQuery(
+    "q76_group_sample",
+    (s, d) =>
+      graft.llm.Splits.sampleKPerGroup(documents(s, d), "doc_id", "source",
+          k = 5, salt = "s76")
+        .orderBy(col("source"), col("rank")),
+    Some("""
+      SELECT source, doc_id, CAST(rank AS INT) AS rank FROM (
+        SELECT source, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY ('0x'||substr(md5('s76:'||CAST(doc_id AS VARCHAR)),1,7))::BIGINT,
+                          doc_id) AS rank
+        FROM documents
+      )
+      WHERE rank <= 5
+      ORDER BY source, rank
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1811,5 +1835,6 @@ object LlmCatalog {
     boilerplateDensityQ,
     semanticKeepersQ,
     surprisalProfileQ,
+    groupSampleQ,
   )
 }

@@ -154,6 +154,24 @@ class SplitsSpec extends SparkSpec {
     assert(streamFromSeqs == streamFromDocs, "packed stream must equal the doc stream")
   }
 
+  test("sampleKPerGroup takes exactly min(k, |group|) rows, deterministically") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++ Seq((200L, "tiny"), (201L, "tiny")))
+      .toDF("doc_id", "source")
+    val out = Splits.sampleKPerGroup(df, "doc_id", "source", k = 5, salt = "t")
+    val counts = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("big" -> 5L, "tiny" -> 2L))
+    // same salt, different partitioning → identical selection
+    val again = Splits.sampleKPerGroup(df.repartition(13), "doc_id", "source", k = 5, salt = "t")
+      .orderBy("source", "rank").as[(String, Long, Int)].collect().toSeq
+    val first = out.orderBy("source", "rank").as[(String, Long, Int)].collect().toSeq
+    assert(first == again)
+    // a different salt draws a different sample from the big group
+    val other = Splits.sampleKPerGroup(df, "doc_id", "source", k = 5, salt = "u")
+      .filter($"source" === "big").select("doc_id").as[Long].collect().toSet
+    assert(other != first.filter(_._1 == "big").map(_._2).toSet)
+  }
+
   test("deterministicShuffle: a reproducible permutation, seed-keyed, partition-invariant") {
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val once = Splits.deterministicShuffle(docs, seed = "s1")
