@@ -20,10 +20,16 @@ object Funnel {
   /** Earliest strictly-increasing walk through `stages` per user:
     * stage i+1 counts only when its event is strictly AFTER the
     * user's stage-i time (the funnel semantics — a purchase logged
-    * before the first view is a different journey, not a conversion).
-    * Output: (userCol, ts_<stage>... [epoch ns, null = never
-    * reached], stage_reached). Nulls are monotone by construction:
-    * once a stage is null every later stage is null.
+    * before the first view is a different journey, not a conversion),
+    * and — when `maxGap` is set — within `maxGap` time units of it
+    * (the conversion-deadline variant: a purchase a month after the
+    * click is organic, not attributed). The walk stays anchored at
+    * the EARLIEST stage times (strict-funnel policy: a later
+    * re-view does not open a fresh window — that's a new journey,
+    * [[graft.streaming.EventStreams.funnelStream]]'s restart models
+    * it). Output: (userCol, ts_<stage>... [null = never reached],
+    * stage_reached). Nulls are monotone by construction: once a
+    * stage is null every later stage is null.
     *
     * Shape: one conditional min-aggregate per stage over the
     * (user, ts) projection — stage i's aggregate filters on the
@@ -37,9 +43,11 @@ object Funnel {
       tsCol: String,
       typeCol: String,
       stages: Seq[String],
+      maxGap: Option[Long] = None,
   ): DataFrame = {
     require(stages.nonEmpty, "need at least one stage")
     require(stages.distinct.size == stages.size, "stages must be distinct")
+    require(maxGap.forall(_ > 0), s"maxGap must be positive, got $maxGap")
     val base = events.select(
       col(userCol).as("user"), col(tsCol).as("ts"), col(typeCol).as("et"))
     var acc = base.select(col("user")).distinct()
@@ -51,9 +59,13 @@ object Funnel {
           base.filter(col("et") === s)
             .groupBy(col("user")).agg(min(col("ts")).as(c))
         case Some(p) =>
+          val within = maxGap match {
+            case Some(g) => col("ts") > col(p) && col("ts") <= col(p) + g
+            case None => col("ts") > col(p)
+          }
           base.filter(col("et") === s)
             .join(acc.select(col("user"), col(p)), Seq("user"))
-            .filter(col("ts") > col(p))
+            .filter(within)
             .groupBy(col("user")).agg(min(col("ts")).as(c))
       }
       acc = acc.join(stageMin, Seq("user"), "left")

@@ -1339,6 +1339,50 @@ object Catalog {
     """.trim),
   )
 
+  /** Conversion-deadline funnel (Funnel.funnel with maxGap): each
+    * stage must land within ONE HOUR of the previous one — the
+    * attribution-window variant of q69 (a purchase a month after the
+    * click is organic, not attributed). Same µs grain and strict
+    * earliest-walk policy. */
+  val funnelWindowedQ = GraftQuery(
+    "q77_funnel_windowed",
+    (s, d) =>
+      graft.ops.Funnel.funnel(
+          events(s, d).withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"), maxGap = Some(3600000000L))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH u AS (SELECT DISTINCT user_id FROM events),
+      v AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS ts_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+      ),
+      c AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS ts_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.ts_view
+          AND epoch_us(e.ts) <= v.ts_view + 3600000000
+        GROUP BY e.user_id
+      ),
+      p AS (
+        SELECT e.user_id, MIN(epoch_us(e.ts)) AS ts_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.ts_click
+          AND epoch_us(e.ts) <= c.ts_click + 3600000000
+        GROUP BY e.user_id
+      )
+      SELECT u.user_id, v.ts_view, c.ts_click, p.ts_purchase,
+             CASE WHEN v.ts_view IS NULL THEN 0
+                  WHEN c.ts_click IS NULL THEN 1
+                  WHEN p.ts_purchase IS NULL THEN 2
+                  ELSE 3 END AS stage_reached
+      FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+             LEFT JOIN p USING (user_id)
+      ORDER BY u.user_id
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1380,6 +1424,7 @@ object Catalog {
     gapFillQ,
     transitionsQ,
     anomaliesQ,
+    funnelWindowedQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -44,6 +44,25 @@ class FunnelSpec extends SparkSpec {
     assert(out(1) == ((2L, 2)))
   }
 
+  test("funnel with maxGap only converts within the deadline, anchored at first stage") {
+    val ev = Seq(
+      // user 1: click 5 after view (inside gap 10), purchase 50 after click (outside)
+      (1L, 10L, "view"), (1L, 15L, "click"), (1L, 65L, "purchase"),
+      // user 2: click 30 after view — outside the gap entirely
+      (2L, 10L, "view"), (2L, 40L, "click"),
+      // user 3: all inside
+      (3L, 10L, "view"), (3L, 15L, "click"), (3L, 20L, "purchase"),
+      // user 4: a LATER re-view would open a window, but the walk
+      // anchors at the FIRST view (strict policy) — no conversion
+      (4L, 10L, "view"), (4L, 100L, "view"), (4L, 105L, "click"),
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(ev, "user_id", "ts", "event_type", stages,
+        maxGap = Some(10L))
+      .orderBy("user_id")
+      .select("user_id", "stage_reached").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 2), (2L, 1), (3L, 3), (4L, 1)))
+  }
+
   test("funnel picks the EARLIEST valid event per stage") {
     val ev = Seq(
       (1L, 10L, "view"), (1L, 30L, "click"), (1L, 20L, "click"), (1L, 50L, "purchase"),
