@@ -37,14 +37,17 @@ object Anomaly {
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     def d2(c: Column) = c.cast("decimal(18,2)")
-    val stats = df
+    // null measures neither shift the moments nor score: dropped up
+    // front so n counts exactly the rows that contributed to s/sq
+    val rows = df.filter(col(valCol).isNotNull)
+    val stats = rows
       .groupBy(col(groupCol))
       .agg(
         count(lit(1)).as("n"),
         sum(d2(col(valCol))).cast("double").as("s"),
         sum(d2(col(valCol)) * d2(col(valCol))).cast("double").as("sq"))
     val mean = col("s") / col("n")
-    df
+    rows
       .join(stats, Seq(groupCol))
       .withColumn("graft_var_", col("sq") / col("n") - mean * mean)
       .filter(col("graft_var_") > 0)

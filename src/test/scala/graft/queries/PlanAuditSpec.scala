@@ -225,4 +225,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q66 must be exactly one range exchange:\n${p66.take(400)}")
     assert(!p66.contains("Join") && !p66.contains("HashAggregate"))
   }
+
+  test("q73 LOCF window is key-partitioned; q74/q75/q77 stay product-free; q75 plans TakeOrdered") {
+    // every Window in the gap-fill plan must carry a partition spec —
+    // a bare global window would be the single-partition cliff
+    val p73 = plan(Catalog.gapFillQ)
+    assert(!p73.contains("SinglePartition"),
+      s"q73 must not serialize through one partition:\n${p73.take(400)}")
+    Seq(Catalog.transitionsQ, Catalog.anomaliesQ, Catalog.funnelWindowedQ).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"${q.name} must stay equi-join shaped:\n${p.take(400)}")
+    }
+    val p75 = plan(Catalog.anomaliesQ)
+    assert(p75.contains("TakeOrderedAndProject"),
+      s"q75 top-k should be TakeOrdered, not a global sort:\n${p75.take(400)}")
+  }
 }
