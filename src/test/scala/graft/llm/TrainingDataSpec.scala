@@ -1,0 +1,58 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrainingDataSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("prepare emits dense fixed-length sequences that round-trip the shuffled corpus") {
+    val cfg = TrainingData.Config(seqLen = 64)
+    val seqs = TrainingData.prepare(docs, cfg = cfg)
+      .orderBy("seq_id")
+      .select("seq_id", "text", "n_tokens")
+      .as[(Long, String, Long)].collect()
+    assert(seqs.nonEmpty)
+    // dense ids from 0, every sequence exactly seqLen except the tail
+    assert(seqs.map(_._1).toSeq == seqs.indices.map(_.toLong))
+    seqs.dropRight(1).foreach { case (id, _, n) => assert(n == 64, s"seq $id") }
+    assert(seqs.last._3 > 0 && seqs.last._3 <= 64)
+    // the packed stream IS the cleaned corpus in shuffled rank order —
+    // rebuild the pre-pack corpus through the same stages and compare
+    val cleaned = Corpus.clean(docs)
+    val spanned = Corpus.dedupSpans(cleaned.select($"doc_id", $"text"),
+        minTokens = cfg.spanMinTokens)
+      .filter(length($"text") > 0)
+    val expectedStream = Splits.deterministicShuffle(spanned, seed = cfg.shuffleSeed)
+      .select("text").as[String].collect().mkString(" ")
+    val packedStream = seqs.map(_._2).mkString(" ")
+    assert(packedStream == expectedStream, "no token dropped, duplicated, or reordered")
+  }
+
+  test("prepare is partitioning-invariant end to end") {
+    val cfg = TrainingData.Config(seqLen = 48)
+    val a = TrainingData.prepare(docs.coalesce(1), cfg = cfg)
+      .orderBy("seq_id").select("text").as[String].collect().toSeq
+    val b = TrainingData.prepare(docs.repartition(13), cfg = cfg)
+      .orderBy("seq_id").select("text").as[String].collect().toSeq
+    assert(a == b, "same corpus + config must produce identical training rows")
+  }
+
+  test("prepare honors token budgets with the documented overshoot bound") {
+    val budget = 2000L
+    val cfg = TrainingData.Config(seqLen = 64,
+      budgets = Some(("source", Map.empty[String, Long], budget)))
+    val seqs = TrainingData.prepare(docs, cfg = cfg)
+    val total = seqs.agg(sum("n_tokens")).as[Long].head()
+    // every source fills to at most its budget plus one bucket of docs;
+    // with ~20 sources the ceiling is sources × (budget + slack)
+    val nSources = docs.select("source").distinct().count()
+    assert(total > 0)
+    assert(total <= nSources * (budget + 600),
+      s"total $total exceeds the budgeted ceiling")
+  }
+}
