@@ -34,8 +34,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * result is stable under any partitioning; an equivalence spec pins
   * it pointwise equal to the window formulation, and q62's DuckDB
   * oracle replays the window form against this aggregate's output.
-  * Null scores are skipped (SQL aggregate convention); NaN ranks
-  * above every finite score, matching Spark's DESC sort order.
+  * Null scores are skipped (SQL aggregate convention), and so are
+  * null PAYLOADS (the output array is containsNull = false; a window
+  * formulation would rank such rows, so the pointwise-equivalence
+  * contract holds only for payload expressions that never evaluate
+  * to null — every in-repo caller passes a struct(...), which is
+  * non-null by construction). NaN ranks above every finite score,
+  * matching Spark's DESC sort order.
   *
   * The buffer serializes through an UnsafeProjection of
   * (score, payload) rows — the same storage-format technique Spark's

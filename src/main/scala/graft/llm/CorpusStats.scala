@@ -278,8 +278,11 @@ object CorpusStats {
     a.join(b, Seq("fp"))
       .filter(col("src_a") <= col("src_b"))
       .select(col("src_a"), col("src_b"),
+        // integral throughout: n(n−1) is always even, so `div 2` is
+        // exact and both branches stay LongType — Column `/` would
+        // route through double and lose exactness past 2^53
         when(col("src_a") === col("src_b"),
-          col("n_a") * (col("n_a") - 1) / 2)
+          expr("n_a * (n_a - 1) div 2"))
           .otherwise(col("n_a") * col("n_b")).as("pairs"))
       .groupBy(col("src_a"), col("src_b"))
       .agg(sum(col("pairs")).cast("long").as("dup_pairs"))

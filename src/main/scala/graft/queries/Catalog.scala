@@ -1326,13 +1326,14 @@ object Catalog {
                COUNT(*) AS n,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
                CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sq
-        FROM events GROUP BY event_type
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
       )
       SELECT event_id, event_type, value, z FROM (
         SELECT e.event_id, e.event_type, e.value,
                (e.value - s / n) / sqrt(sq / n - (s / n) * (s / n)) AS z
         FROM events e JOIN st USING (event_type)
-        WHERE sq / n - (s / n) * (s / n) > 0
+        WHERE e.value IS NOT NULL
+          AND sq / n - (s / n) * (s / n) > 0
       )
       ORDER BY abs(z) DESC, event_id
       LIMIT 50

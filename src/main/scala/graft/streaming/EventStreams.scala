@@ -128,7 +128,12 @@ object EventStreams {
           }
         }
         state.update(cur)
-        state.setTimeoutTimestamp(cur.end_ts + gapMs)
+        // clamped above the current watermark — a batch of events all
+        // older than watermark − gap would otherwise compute a timeout
+        // the API rejects (it must exceed the watermark)
+        state.setTimeoutTimestamp(math.max(
+          cur.end_ts + gapMs,
+          state.getCurrentWatermarkMs() + 1))
       }
       closed.reverseIterator
     }
@@ -203,9 +208,14 @@ object EventStreams {
           state.remove()
         } else if (times.nonEmpty && sorted.nonEmpty) {
           // users who never reached stage one hold NO state at all;
-          // any activity refreshes a partial walk's abandonment clock
+          // any activity refreshes a partial walk's abandonment clock.
+          // Clamped above the current watermark: a batch whose events
+          // all predate watermark − idleMs would otherwise compute a
+          // timeout the API rejects (it must exceed the watermark)
           state.update(times)
-          state.setTimeoutTimestamp(sorted.map(_.ts).max + idleMs)
+          state.setTimeoutTimestamp(math.max(
+            sorted.map(_.ts).max + idleMs,
+            state.getCurrentWatermarkMs() + 1))
         }
         out.reverseIterator
       }
