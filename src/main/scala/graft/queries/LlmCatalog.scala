@@ -1795,6 +1795,188 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** The composed end-to-end pre-training pipeline
+    * (TrainingData.prepare) as ONE oracle-checked query — the flagship
+    * path itself, not just its stages: exact dedup → LSH near-dup drop
+    * → quality filter (the q24 frame) → cross-doc span excision (the
+    * q54 frame at minTokens=8) → empty-doc drop → per-language token
+    * budgets (the q56 frame) → seed-keyed deterministic shuffle (q66)
+    * → global rank (q72) → 256-token sequence packing (q57). The
+    * oracle replays every seam in sequence, so a hash match pins the
+    * WIRING — stage order, the empty-doc filter between spans and
+    * packing, and rank-ties-on-(key, id) — not just each operator.
+    * Deterministic 1/3 slice (complementing q54's) bounds the third
+    * suffix-family pass per bench run; the machinery is proven
+    * full-corpus by q51. */
+  val trainingPipelineQ = GraftQuery(
+    "q78_training_pipeline",
+    (s, d) =>
+      graft.llm.TrainingData.prepare(
+          documents(s, d).filter(col("doc_id") % 3 === 1),
+          cfg = graft.llm.TrainingData.Config(
+            budgets = Some(("lang", Map("en" -> 4000L, "zh" -> 1500L), 800L))))
+        .orderBy(col("seq_id")),
+    Some(
+      s"""
+      WITH src AS (
+        SELECT * FROM documents WHERE doc_id % 3 = 1
+      ),
+      kept AS (
+        SELECT d.* FROM src d
+        JOIN (SELECT MIN(doc_id) AS doc_id FROM src GROUP BY md5(text)) k
+          ON d.doc_id = k.doc_id
+      ),
+      ${minhashCtesOver("kept")},
+      drops AS (
+        SELECT DISTINCT id_b AS doc_id FROM verified WHERE jaccard >= 0.5
+      ),
+      cleaned AS (
+        SELECT d.doc_id, d.text
+        FROM kept d
+        LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+        WHERE dr.doc_id IS NULL
+          AND len(string_split(d.text, ' ')) >= 10
+          AND len(string_split(d.text, ' ')) <= 100000
+          AND CAST(len(regexp_replace(d.text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(d.text, ' ')), 1) AS DOUBLE) >= 2.0
+          AND CAST(len(regexp_replace(d.text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(d.text, ' ')), 1) AS DOUBLE) <= 12.0
+          AND CAST(len(regexp_replace(d.text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(d.text), 1) AS DOUBLE) >= 0.6
+      ),
+      sdocs AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM cleaned
+      ),
+      stok AS (
+        SELECT doc_id, u.pos AS pos, u.t AS t FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w)),
+                                       i -> {'pos': i-1, 't': w[i]})) AS u
+          FROM sdocs
+        )
+      ),
+      ssfx AS (
+        SELECT doc_id, u.pos AS pos, u.s AS s FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w)),
+                                       i -> {'pos': i-1, 's': w[i:]})) AS u
+          FROM sdocs
+        )
+      ),
+      sordered AS (
+        SELECT doc_id, pos, s,
+               ROW_NUMBER() OVER (ORDER BY s, doc_id, pos) AS rn
+        FROM ssfx
+      ),
+      spairs AS (
+        SELECT a.doc_id AS ida, a.pos AS posa, a.s AS sa,
+               b.doc_id AS idb, b.pos AS posb, b.s AS sb
+        FROM sordered a JOIN sordered b ON b.rn = a.rn + 1
+        WHERE a.doc_id <> b.doc_id
+      ),
+      slcps AS (
+        SELECT ida, posa, idb, posb,
+               CAST(COALESCE(
+                 list_filter(generate_series(1, least(len(sa), len(sb))),
+                             i -> sa[i] <> sb[i])[1] - 1,
+                 least(len(sa), len(sb))) AS INT) AS lcp
+        FROM spairs
+      ),
+      srepeats AS (
+        SELECT l.ida, l.posa, l.idb, l.posb, l.lcp
+        FROM slcps l
+        JOIN sdocs da ON da.doc_id = l.ida
+        JOIN sdocs db ON db.doc_id = l.idb
+        WHERE l.lcp >= 8
+          AND (l.posa = 0 OR l.posb = 0 OR da.w[l.posa] <> db.w[l.posb])
+      ),
+      sspans AS (
+        SELECT CASE WHEN ida > idb THEN ida ELSE idb END AS doc_id,
+               CASE WHEN ida > idb THEN posa ELSE posb END AS start,
+               lcp
+        FROM srepeats
+      ),
+      scovered AS (
+        SELECT DISTINCT doc_id, pos FROM (
+          SELECT doc_id,
+                 unnest(generate_series(start, start + lcp - 1)) AS pos
+          FROM sspans
+        )
+      ),
+      srebuilt AS (
+        SELECT t.doc_id, string_agg(t.t, ' ' ORDER BY t.pos) AS t2
+        FROM stok t
+        LEFT JOIN scovered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.pos IS NULL
+        GROUP BY t.doc_id
+      ),
+      spanned AS (
+        SELECT d.doc_id, COALESCE(r.t2, '') AS text
+        FROM sdocs d LEFT JOIN srebuilt r ON d.doc_id = r.doc_id
+      ),
+      ne AS (
+        SELECT doc_id, text FROM spanned WHERE len(text) > 0
+      ),
+      bt AS (
+        SELECT ne.doc_id, s.lang, ne.text,
+               CAST(len(string_split(ne.text, ' ')) AS BIGINT) AS ntok,
+               ('0x'||substr(md5('budget:'||ne.doc_id),1,15))::BIGINT % 10000 AS bucket
+        FROM ne JOIN src s ON ne.doc_id = s.doc_id
+      ),
+      bbk AS (
+        SELECT lang, bucket, SUM(ntok) AS btok FROM bt GROUP BY lang, bucket
+      ),
+      bcum AS (
+        SELECT lang, bucket,
+               CAST(COALESCE(SUM(btok) OVER (PARTITION BY lang ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before_tok
+        FROM bbk
+      ),
+      bcuts AS (
+        SELECT lang, MAX(bucket) AS cut FROM bcum
+        WHERE before_tok < CASE lang WHEN 'en' THEN 4000 WHEN 'zh' THEN 1500 ELSE 800 END
+        GROUP BY lang
+      ),
+      mixed AS (
+        SELECT bt.doc_id, bt.text
+        FROM bt JOIN bcuts ON bt.lang = bcuts.lang
+        WHERE bt.bucket <= bcuts.cut
+      ),
+      shf AS (
+        SELECT doc_id, text,
+               ('0x'||substr(md5('train:'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT AS skey
+        FROM mixed
+      ),
+      rk AS (
+        SELECT text, ROW_NUMBER() OVER (ORDER BY skey, doc_id) AS rnk FROM shf
+      ),
+      pc AS (
+        SELECT rnk, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM rk
+      ),
+      po AS (
+        SELECT rnk,
+               CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY rnk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM pc
+      ),
+      ptok AS (
+        SELECT rnk, u.pos AS pos, u.t AS t FROM (
+          SELECT rnk,
+                 unnest(list_transform(generate_series(1, len(w)),
+                                       i -> {'pos': i-1, 't': w[i]})) AS u
+          FROM (SELECT rnk, string_split(text, ' ') AS w FROM rk)
+        )
+      ),
+      pg AS (
+        SELECT po.off + ptok.pos AS gpos, ptok.t AS t
+        FROM ptok JOIN po ON ptok.rnk = po.rnk
+      )
+      SELECT CAST(gpos // 256 AS BIGINT) AS seq_id,
+             string_agg(t, ' ' ORDER BY gpos) AS text,
+             COUNT(*) AS n_tokens
+      FROM pg
+      GROUP BY gpos // 256
+      ORDER BY seq_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -1836,5 +2018,6 @@ object LlmCatalog {
     semanticKeepersQ,
     surprisalProfileQ,
     groupSampleQ,
+    trainingPipelineQ,
   )
 }
