@@ -32,10 +32,14 @@ object Funnel {
     * stage is null every later stage is null.
     *
     * Shape: one conditional min-aggregate per stage over the
-    * (user, ts) projection — stage i's aggregate filters on the
+    * (user, ts, type) projection — stage i's aggregate filters on the
     * JOINED stage-(i−1) time, so each round is a groupBy + hash join
-    * on user_id; the event log itself is read once per stage with
-    * only (user, ts, type) columns surviving the scan. No windows,
+    * on user_id. The projection is hash-repartitioned on user ONCE
+    * and every stage subtree hangs off that same exchange: N stages
+    * replay one shuffle's files (ReusedExchange — the
+    * [[graft.llm.Corpus]] `kept` pattern) instead of planning N full
+    * scans of the event log, and each stage's groupBy/join is already
+    * co-located on user so no further shuffle follows. No windows,
     * no ordering pass over raw events. */
   def funnel(
       events: DataFrame,
@@ -49,7 +53,8 @@ object Funnel {
     require(stages.distinct.size == stages.size, "stages must be distinct")
     require(maxGap.forall(_ > 0), s"maxGap must be positive, got $maxGap")
     val base = events.select(
-      col(userCol).as("user"), col(tsCol).as("ts"), col(typeCol).as("et"))
+        col(userCol).as("user"), col(tsCol).as("ts"), col(typeCol).as("et"))
+      .repartition(col("user"))
     var acc = base.select(col("user")).distinct()
     var prevCol: Option[String] = None
     stages.foreach { s =>

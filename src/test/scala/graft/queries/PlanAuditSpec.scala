@@ -226,6 +226,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p66.contains("Join") && !p66.contains("HashAggregate"))
   }
 
+  test("q69 funnel: all stages replay ONE repartitioned event projection") {
+    // the N-stage funnel hangs every stage aggregate/join off one
+    // hash exchange of (user, ts, et) — without the reuse each stage
+    // plans its own full scan of the event log
+    val df = Catalog.funnelQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val stageIds = "(?:Shuffle|Broadcast)QueryStage (\\d+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    val reused = p.contains("Reused") || stageIds.distinct.size < stageIds.size
+    assert(reused, s"q69: expected reused exchanges\n${p.take(600)}")
+  }
+
   test("q73 LOCF window is key-partitioned; q74/q75/q77 stay product-free; q75 plans TakeOrdered") {
     // every Window in the gap-fill plan must carry a partition spec —
     // a bare global window would be the single-partition cliff
