@@ -1,0 +1,160 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE tokenizer INDUCTION — the merge loop that closes the
+  * tokenizer story: [[CorpusStats.bpePairCounts]] computes the
+  * statistic ONE merge round maximizes; this object runs the loop —
+  * count pairs, take the argmax merge, rewrite, repeat — and emits
+  * the induced vocabulary [[TextOps.subwordCount]] consumes, so a
+  * pipeline no longer needs an external vocab file
+  * ([[TextOps.loadVocab]] remains the deployment path for real
+  * exports).
+  *
+  * Semantics (Sennrich et al. 2016, the standard algorithm):
+  * words start as character sequences; each round counts ADJACENT
+  * symbol pairs over the corpus (overlapping — "aaa" holds (a,a)
+  * twice) weighted by word frequency, merges the most frequent pair
+  * everywhere it occurs left-to-right non-overlapping ("aaaa" →
+  * (aa)(aa), "aaa" → (aa)(a)), and repeats. Ties break (count DESC,
+  * left ASC, right ASC) — fully deterministic, so re-runs, other
+  * clusters, and the DuckDB oracle (q79) produce the identical merge
+  * sequence.
+  *
+  * Scale shape — the loop never touches corpus-sized data after the
+  * first aggregate:
+  *   - ONE corpus pass builds the DISTINCT-WORD frequency table;
+  *     every round thereafter works on that table (Heaps' law: the
+  *     vocabulary grows ~sqrt of corpus size — at 100 TB the word
+  *     table is GBs, and it only shrinks as merges fuse symbols).
+  *   - each round is one partial-aggregated groupBy over exploded
+  *     symbol pairs plus a 1-ROW argmax collect (the same bounded
+  *     driver-hop contract as the IVF centroid table) and a pure
+  *     map-side rewrite of the symbol arrays.
+  *   - rounds localCheckpoint the (small) word table so round r's
+  *     plan does not nest r lambda rewrites deep.
+  */
+object Bpe {
+
+  /** One induced merge: `left`+`right` fused into `merged` at round
+    * `round` (1-based) because the pair occurred `cnt` times
+    * (word-frequency-weighted) in the round's corpus. */
+  final case class Merge(round: Int, lhs: String, rhs: String, merged: String, cnt: Long)
+
+  /** The (word, freq, symbol-array) working table: one corpus pass. */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame = {
+    val w = col("w")
+    docs
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .groupBy(w)
+      .agg(count(lit(1)).as("freq"))
+      // chars via explicit substr, NOT split(w, "") — Java's split
+      // keeps a trailing empty string under Spark's limit=-1
+      .withColumn("syms",
+        transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+      .filter(length(w) > 0)
+  }
+
+  /** Adjacent-pair counts (overlapping, frequency-weighted) of the
+    * current symbol table — the [[CorpusStats.bpePairCounts]]
+    * statistic lifted to arbitrary symbol sequences. */
+  private def pairCounts(words: DataFrame): DataFrame = {
+    val syms = col("syms")
+    val pairs = when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("lhs"),
+          element_at(syms, i + 1).as("rhs"))))
+      .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+    words
+      .select(col("freq"), explode(pairs).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("freq")).as("cnt"))
+  }
+
+  /** Left-to-right non-overlapping merge of adjacent (a, b) in a
+    * symbol array: a matched pair consumes both symbols, and the scan
+    * resumes after them — so an odd run of equal symbols keeps its
+    * last one unmerged. One `aggregate` walk over the indices,
+    * carrying (rebuilt array, skip-next flag); the `i < n` guard is
+    * evaluated before the lookahead so the walk never indexes past
+    * the array (ANSI mode throws on out-of-bounds element_at). */
+  private def applyMerge(syms: Column, a: String, b: String): Column = {
+    val n = size(syms)
+    val walked = aggregate(
+      sequence(lit(1), n),
+      struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+      (acc, i) => {
+        val out = acc.getField("out")
+        val skip = acc.getField("skip")
+        val cur = element_at(syms, i)
+        val isMatch = !skip && (i < n) && (cur === lit(a)) &&
+          (element_at(syms, i + 1) === lit(b))
+        struct(
+          when(skip, out)
+            .when(isMatch, concat(out, array(lit(a + b))))
+            .otherwise(concat(out, array(cur)))
+            .as("out"),
+          (!skip && isMatch).as("skip"))
+      },
+      acc => acc.getField("out"))
+    when(n < 2, syms).otherwise(walked)
+  }
+
+  /** Run `rounds` merge rounds over the corpus; returns the merge
+    * sequence in order. Stops early when no pair reaches `minCount`
+    * (a fully-fused or empty corpus has nothing left to merge). */
+  def induceMerges(
+      docs: DataFrame,
+      textCol: String = "text",
+      rounds: Int,
+      minCount: Long = 1L,
+  ): Seq[Merge] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    var words = wordTable(docs, textCol).localCheckpoint(false)
+    val out = Seq.newBuilder[Merge]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      // 1-row driver hop: the argmax pair of this round
+      val best = pairCounts(words)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty || best(0).getLong(2) < minCount) {
+        dry = true
+      } else {
+        val (a, bSym, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        out += Merge(r, a, bSym, a + bSym, cnt)
+        words = words
+          .withColumn("syms", applyMerge(col("syms"), a, bSym))
+          .localCheckpoint(false)
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  /** [[induceMerges]] as a catalog-friendly DataFrame:
+    * (round, lhs, rhs, merged, cnt), round ascending. */
+  def induce(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String = "text",
+      rounds: Int,
+      minCount: Long = 1L,
+  ): DataFrame = {
+    import spark.implicits._
+    induceMerges(docs, textCol, rounds, minCount).toDF()
+  }
+
+  /** The vocabulary the merge sequence induces, ready for
+    * [[TextOps.subwordCount]]: every merged symbol, longest first so
+    * greedy longest-match-first consumes full merges before their
+    * halves (single characters are the tokenizer's built-in
+    * fallback, exactly as with the hand-written default vocab). */
+  def vocabFromMerges(merges: Seq[Merge]): Seq[String] =
+    merges.map(_.merged).distinct.sortBy(m => (-m.length, m))
+}

@@ -1795,6 +1795,88 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** The m-round DuckDB mirror of [[graft.llm.Bpe]]'s merge loop
+    * (generated like [[ccRoundsSql]]): each round counts adjacent
+    * symbol pairs over the word-frequency table (p_r), picks the
+    * deterministic argmax (b_r), and rewrites the symbol lists (s_r)
+    * with the SAME left-to-right non-overlapping policy — candidate
+    * positions overlap only inside equal-symbol runs, where
+    * left-to-right keeps every other candidate: a candidate stays iff
+    * its chain of immediately-consecutive predecessors has EVEN
+    * length (the q51 first-break COALESCE idiom computes the chain
+    * depth). */
+  private def bpeRoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""p$r AS (
+        SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq, s, unnest(generate_series(1, len(s)-1)) AS i
+          FROM s${r - 1} WHERE len(s) >= 2
+        ) GROUP BY lhs, rhs
+      ),
+      b$r AS (
+        SELECT $r AS merge_round, lhs, rhs, lhs||rhs AS merged, cnt
+        FROM p$r ORDER BY cnt DESC, lhs, rhs LIMIT 1
+      ),
+      s$r AS (
+        SELECT w, freq,
+          CASE WHEN len(sel) = 0 THEN s
+          ELSE list_transform(
+            list_filter(generate_series(1, len(s)),
+              i -> NOT list_contains(list_transform(sel, x -> x + 1), i)),
+            i -> CASE WHEN list_contains(sel, i) THEN s[i]||s[i+1] ELSE s[i] END)
+          END AS s
+        FROM (
+          SELECT w, freq, s,
+            list_transform(
+              list_filter(generate_series(1, len(cand)),
+                j -> COALESCE(list_filter(generate_series(1, j-1),
+                       e -> cand[j-e] <> cand[j]-e)[1] - 1, j-1) % 2 = 0),
+              j -> cand[j]) AS sel
+          FROM (
+            SELECT w, freq, s,
+              list_filter(generate_series(1, len(s)-1),
+                i -> s[i] = b.lhs AND s[i+1] = b.rhs) AS cand
+            FROM s${r - 1}, b$r b
+          )
+        )
+      )"""
+    }.mkString(",\n      ")
+
+  /** Iterative BPE tokenizer induction (Bpe.induceMerges): 6 merge
+    * rounds over the corpus, emitting the merge table — the loop that
+    * closes the q63 story (q63 computes the statistic ONE round
+    * maximizes; this runs the loop and yields the vocab q37's
+    * tokenizer consumes). The oracle replays all 6 rounds: pair
+    * counting over the word-frequency table, deterministic argmax
+    * (count DESC, pair ASC), and the left-to-right non-overlapping
+    * rewrite — a hash match pins the whole induction, including
+    * equal-symbol-run overlap resolution, cross-engine. */
+  val bpeInductionQ = GraftQuery(
+    "q79_bpe_induction",
+    (s, d) =>
+      graft.llm.Bpe.induce(s, documents(s, d), "text", rounds = 6)
+        .select(col("round").as("merge_round"), col("lhs"), col("rhs"),
+          col("merged"), col("cnt"))
+        .orderBy(col("merge_round")),
+    Some(
+      s"""
+      WITH s0 AS (
+        SELECT w, freq,
+               list_transform(generate_series(1, len(w)), i -> substr(w, i, 1)) AS s
+        FROM (
+          SELECT t AS w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+          ) WHERE len(t) > 0 GROUP BY t
+        )
+      ),
+      ${bpeRoundsSql(6)}
+      SELECT CAST(merge_round AS INT) AS merge_round, lhs, rhs, merged, cnt FROM (
+        ${(1 to 6).map(r => s"SELECT * FROM b$r").mkString("\n        UNION ALL ")}
+      )
+      ORDER BY merge_round
+    """.trim),
+  )
+
   /** The composed end-to-end pre-training pipeline
     * (TrainingData.prepare) as ONE oracle-checked query — the flagship
     * path itself, not just its stages: exact dedup → LSH near-dup drop
@@ -2019,5 +2101,6 @@ object LlmCatalog {
     surprisalProfileQ,
     groupSampleQ,
     trainingPipelineQ,
+    bpeInductionQ,
   )
 }

@@ -1,0 +1,80 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  private def docs(texts: String*) = {
+    val s = spark
+    import s.implicits._
+    texts.toDF("text")
+  }
+
+  test("induceMerges replays the textbook example deterministically") {
+    // corpus: "aaab" ×3, "ab" ×2 — freq-weighted pair counts round 1:
+    //   (a,a): 2 per "aaab" × 3 = 6   (overlapping count)
+    //   (a,b): 1×3 + 1×2 = 5
+    // round 1 merges (a,a) → "aa"; "aaab" → [aa, a, b], "ab" → [a, b]
+    // round 2 counts: (aa,a)=3, (a,b)=5 → merges (a,b) → "ab"
+    // round 3: "aaab" → [aa, ab], "ab" → [ab]; (aa,ab)=3 → "aaab"
+    val m = Bpe.induceMerges(
+      docs("aaab aaab aaab ab ab"), "text", rounds = 3)
+    assert(m.map(x => (x.round, x.lhs, x.rhs, x.merged, x.cnt)) === Seq(
+      (1, "a", "a", "aa", 6L),
+      (2, "a", "b", "ab", 5L),
+      (3, "aa", "ab", "aaab", 3L)))
+  }
+
+  test("merge application is left-to-right non-overlapping on equal-symbol runs") {
+    // "aaaa": (a,a) counts 3 overlapping; the merge rewrites to
+    // (aa)(aa) — NOT (aa)(a)(a) or one greedy (aa) — and "aaa" keeps
+    // its odd trailing a. Round 2's top pair is then (aa,aa) from
+    // "aaaa" (freq 2) vs (aa,a) from "aaa" (freq 1).
+    val m = Bpe.induceMerges(docs("aaaa aaaa aaa"), "text", rounds = 2)
+    assert(m(0).merged === "aa" && m(0).cnt === 2 * 3 + 2)
+    assert(m(1).lhs === "aa" && m(1).rhs === "aa" && m(1).cnt === 2L)
+  }
+
+  test("induction stops early when the corpus fuses completely") {
+    // "ab" alone: round 1 merges (a,b); nothing is left to count
+    val m = Bpe.induceMerges(docs("ab ab"), "text", rounds = 10)
+    assert(m.size === 1 && m.head.merged === "ab")
+  }
+
+  test("minCount gates rare merges") {
+    val m = Bpe.induceMerges(docs("ab cd cd"), "text", rounds = 10, minCount = 2L)
+    // (c,d) appears twice, (a,b) once — only the former survives the gate
+    assert(m.map(_.merged) === Seq("cd"))
+  }
+
+  test("merge sequence is invariant to input partitioning") {
+    val d = docs(Seq.fill(7)("the theme thesis").mkString(" ")).repartition(5)
+    val a = Bpe.induceMerges(d, "text", rounds = 4)
+    val b = Bpe.induceMerges(d.coalesce(1), "text", rounds = 4)
+    assert(a === b)
+    // (t,h) and (h,e) both ride every word (21 each); the tie breaks
+    // lexicographically on the LEFT symbol — h < t picks (h,e)
+    assert(a.head.merged === "he")
+  }
+
+  test("induced vocab round-trips through the subword tokenizer") {
+    val corpus = docs(Seq.fill(5)("banana bandana cabana").mkString(" "))
+    val merges = Bpe.induceMerges(corpus, "text", rounds = 6)
+    val vocab = Bpe.vocabFromMerges(merges)
+    // longest-first so greedy longest-match consumes whole merges
+    assert(vocab === vocab.sortBy(v => (-v.length, v)))
+    // the induced vocab drives TextOps.subwordCount (the q37
+    // tokenizer): counts must be <= the char count and >= the
+    // whitespace token count, and a vocab covering more text tokenizes
+    // to FEWER pieces than the empty (per-char fallback) vocab
+    val counted = corpus
+      .select(
+        TextOps.subwordCount(col("text"), vocab).as("n_sub"),
+        TextOps.subwordCount(col("text"), Seq("graft_never_matches_")).as("n_char"),
+        TextOps.tokenCount(col("text")).as("n_ws"))
+      .head()
+    assert(counted.getInt(0) < counted.getInt(1))
+    assert(counted.getInt(0) >= counted.getInt(2))
+  }
+}
