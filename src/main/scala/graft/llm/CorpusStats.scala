@@ -36,13 +36,23 @@ object CorpusStats {
     * on id. Unlike a per-row `array_distinct` HOF profile this never
     * does O(len²) work on a long document, and unlike grouping on
     * n-gram STRINGS the exchange payload is fixed-width. Docs with
-    * < 2 tokens have zero bigrams (left join + zero-coalesce). */
+    * < 2 tokens have zero bigrams (left join + zero-coalesce).
+    *
+    * `mode` = [[TextOps.Codepoint]] profiles character/char-bigram
+    * repetition instead — the non-degenerate form for CJK/Thai text,
+    * where whitespace tokens collapse to one per line (q80; the
+    * [[TextOps.segment]] preprocessor pattern). */
   def repetitionProfile(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
+      mode: TextOps.TokenMode = TextOps.Whitespace,
   ): DataFrame = {
-    val tok = docs
+    val src = mode match {
+      case TextOps.Whitespace => docs
+      case m => docs.withColumn(textCol, TextOps.segment(col(textCol), m))
+    }
+    val tok = src
       .select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("t"))
       .select(col("id"), TextOps.hash60(col("t")).as("h"))
@@ -53,7 +63,7 @@ object CorpusStats {
         sum(col("c")).cast("long").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).cast("long").as("top_token_cnt"))
-    val big = docs
+    val big = src
       .select(col(idCol).as("id"),
         explode(TextOps.windowHashesPositional(col(textCol), 2)).as("h"))
       .groupBy(col("id"), col("h"))

@@ -123,6 +123,12 @@ object Dedup {
     * Plan shape: map (shingle+sign) → explode bands → self-join on
     * (band, key) → distinct pairs → verify via two hash joins back to
     * the shingle table. No cross product anywhere.
+    *
+    * `mode` = [[TextOps.Codepoint]] mines over character n-grams —
+    * the near-dup form that stays meaningful on CJK/Thai corpora
+    * (whitespace shingles of an unsegmented doc are whole LINES: a
+    * one-character edit breaks every shingle). One [[TextOps.segment]]
+    * projection in front; the LSH machinery is untouched.
     */
   def nearDupPairs(
       df: DataFrame,
@@ -133,8 +139,13 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucketWidth: Int = 100,
+      mode: TextOps.TokenMode = TextOps.Whitespace,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val df0 = mode match {
+      case TextOps.Whitespace => df
+      case m => df.withColumn(textCol, TextOps.segment(col(textCol), m))
+    }
     val rowsPerBand = numHashes / bands
     // The shingle table feeds THREE consumers (the signature aggregate
     // and both verification joins); Spark recomputes an unshared
@@ -145,7 +156,7 @@ object Dedup {
     // no-memory-pressure alternative to cache() that also pre-aligns
     // the partitioning the verify joins need anyway. (The signature
     // explode re-keys by shingle hash, so it shuffles either way.)
-    val sh = df
+    val sh = df0
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .repartition(col("id"))

@@ -22,9 +22,55 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Tokenization mode for scripts the whitespace convention
+    * under-serves. Every text op in the repo tokenizes on `' '` —
+    * correct for space-separated corpora, but a CJK/Thai document has
+    * no spaces and degenerates to ONE token per line, silently
+    * weakening dedup, repetition, and surprisal signals.
+    * [[Codepoint]] mode treats each non-whitespace codepoint as a
+    * token — the standard character-grain fallback when no segmenter
+    * model is available (char n-grams are what CJK dedup pipelines
+    * ship with). */
+  sealed trait TokenMode
+  /** Tokens are maximal runs between whitespace (the default). */
+  case object Whitespace extends TokenMode
+  /** Each non-whitespace codepoint is one token. */
+  case object Codepoint extends TokenMode
+
+  /** SEGMENTATION PREPROCESSOR — re-expresses `text` so the
+    * whitespace pipeline applies unchanged: [[Codepoint]] mode joins
+    * the non-whitespace codepoints with single spaces (a segmenter
+    * emitting space-separated units, exactly how production CJK
+    * pipelines front a whitespace-tokenized stack), [[Whitespace]] is
+    * the identity. Running ANY downstream op — shingles, minhash,
+    * suffix repeats, chunking, packing — in codepoint mode is
+    * `op(segment(text))`; operators with a `mode` parameter just do
+    * this internally. Pure map-side projection (substr walk, no
+    * regex-dialect dependence — the DuckDB mirror is the same
+    * generate_series/substr walk). */
+  def segment(text: Column, mode: TokenMode): Column = mode match {
+    case Whitespace => text
+    case Codepoint =>
+      val compact = regexp_replace(coalesce(text, lit("")), "\\s+", "")
+      array_join(
+        when(length(compact) === 0, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(compact)),
+            i => compact.substr(i, lit(1)))),
+        " ")
+  }
+
   /** Whitespace tokenization (the reference corpus is space-separated;
     * `\s+` keeps it robust to runs of whitespace). */
   def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Mode-switched tokenization: [[Whitespace]] is [[tokens]],
+    * [[Codepoint]] tokenizes the [[segment]]ed text — so
+    * `shingles(tokens(t, mode), n)` builds character n-grams under
+    * codepoint mode with no other change. */
+  def tokens(text: Column, mode: TokenMode): Column = mode match {
+    case Whitespace => tokens(text)
+    case Codepoint => tokens(segment(text, Codepoint))
+  }
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))

@@ -1511,6 +1511,74 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** q61's CODEPOINT-mode twin (CorpusStats.repetitionProfile with
+    * TextOps.Codepoint): the repetition signals computed at character
+    * grain — the non-degenerate form for scripts without whitespace
+    * segmentation (an unsegmented CJK document is ONE whitespace
+    * token per line, which silently zeroes every dup fraction). The
+    * segment() preprocessor is a substr walk, not a regex split, and
+    * the oracle mirrors it with the same generate_series/substr walk
+    * — no regex-dialect dependence; all-whitespace docs mirror
+    * Spark's one-empty-token convention. */
+  val repetitionCodepointQ = GraftQuery(
+    "q80_repetition_codepoint",
+    (s, d) =>
+      graft.llm.CorpusStats.repetitionProfile(documents(s, d), "doc_id", "text",
+          mode = graft.llm.TextOps.Codepoint)
+        .orderBy(col("doc_id")),
+    Some(
+      s"""
+      WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN len(c) = 0 THEN ['']
+               ELSE list_transform(generate_series(1, len(c)), i -> substr(c, i, 1))
+               END AS wtok
+        FROM (SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS c FROM documents)
+      ),
+      tokh AS (
+        SELECT doc_id, len(wtok) AS nw,
+               list_transform(wtok, t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS th60,
+               list_transform(wtok, t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM docs
+      ),
+      tok AS (
+        SELECT doc_id, h, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(th60) AS h FROM tokh
+        ) GROUP BY doc_id, h
+      ),
+      toka AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_tokens, COUNT(*) AS n_distinct,
+               MAX(c)::BIGINT AS top_token_cnt
+        FROM tok GROUP BY doc_id
+      ),
+      big AS (
+        SELECT doc_id, h, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, nw - 1),
+                   i -> ${windowComb(2)})) AS h
+          FROM tokh WHERE nw >= 2
+        ) GROUP BY doc_id, h
+      ),
+      biga AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_bigrams, COUNT(*) AS n_distinct_bigrams,
+               MAX(c)::BIGINT AS top_bigram_cnt
+        FROM big GROUP BY doc_id
+      )
+      SELECT t.doc_id, n_tokens, n_distinct, top_token_cnt,
+             COALESCE(n_bigrams, 0) AS n_bigrams,
+             COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+             COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+             CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+             CAST(top_token_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+             CAST(COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bigrams, 0) AS DOUBLE)
+               / greatest(COALESCE(n_bigrams, 0), 1) AS dup_bigram_frac,
+             CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE)
+               / greatest(COALESCE(n_bigrams, 0), 1) AS top_bigram_frac
+      FROM toka t LEFT JOIN biga USING (doc_id)
+      ORDER BY doc_id
+    """.trim),
+  )
+
   /** Top-3 salient terms per doc scored tf/df
     * (CorpusStats.salientTerms) — corpus-relative keyword extraction.
     * score = tf/df is ONE exact-integer IEEE division (an idf log
@@ -2102,5 +2170,6 @@ object LlmCatalog {
     groupSampleQ,
     trainingPipelineQ,
     bpeInductionQ,
+    repetitionCodepointQ,
   )
 }
