@@ -201,6 +201,52 @@ object Splits {
       .select(df.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** EPOCHS-PER-GROUP mixture — the standard training-mix knob
+    * [[tokenBudgetSample]] cannot express: budgets only SUBSAMPLE
+    * (keep at most what exists), while a mix recipe routinely says
+    * "2.5 epochs of wikipedia, 0.3 of web". Each group's factor f
+    * gives every doc floor(f) full copies, and the FRACTIONAL epoch
+    * keeps one extra copy for exactly the docs whose hash bucket
+    * falls under frac(f)·[[Buckets]] — the same md5 machinery as
+    * every sampler here, so the chosen docs are identical on every
+    * run, cluster, and engine (f < 1 degenerates to deterministic
+    * subsampling; f = 0 drops the group).
+    *
+    * Output: the input columns plus `epoch` (0-based copy index) —
+    * the DETERMINISTIC replica id downstream keying needs: packing
+    * keyed on (id, epoch) is byte-stable, where a nondeterministic
+    * replicate (explode×rand) would reshuffle between runs. Pure
+    * map-side projection + explode of a bounded sequence; no
+    * shuffle, no state. Fractions quantize to 1/[[Buckets]] steps
+    * (0.01% — the shared sampler granularity). */
+  def repeatFactorSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      factors: Map[String, Double],
+      defaultFactor: Double = 1.0,
+      salt: String = "repeat",
+  ): DataFrame = {
+    require(factors.values.forall(_ >= 0) && defaultFactor >= 0,
+      "factors must be >= 0")
+    def fullOf(f: Double) = math.floor(f).toLong
+    def cutOf(f: Double) = math.round((f - math.floor(f)) * Buckets)
+    val full = factors.foldLeft(lit(fullOf(defaultFactor)): Column) {
+      case (els, (k, f)) => when(col(groupCol) === k, lit(fullOf(f))).otherwise(els)
+    }
+    val cut = factors.foldLeft(lit(cutOf(defaultFactor)): Column) {
+      case (els, (k, f)) => when(col(groupCol) === k, lit(cutOf(f))).otherwise(els)
+    }
+    val copies = full +
+      when(bucketOf(col(idCol), salt) < cut, lit(1L)).otherwise(lit(0L))
+    df
+      .withColumn("graft_copies_", copies)
+      // the filter guards the sequence: sequence(0, -1) counts DOWN
+      .filter(col("graft_copies_") > 0)
+      .select(df.columns.map(col).toIndexedSeq :+
+        explode(sequence(lit(0L), col("graft_copies_") - 1)).as("epoch"): _*)
+  }
+
   /** SEQUENCE PACKING layout for pre-training — the concat-and-chunk
     * step every LLM data pipeline runs last: documents (ordered by
     * `idCol`) are conceptually concatenated into one token stream and

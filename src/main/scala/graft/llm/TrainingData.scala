@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   *                              (boilerplate removal that keeps docs)
   *   [[Splits.tokenBudgetSample]] optional absolute per-group token
   *                              budgets (the training-mix recipe)
+  *   [[Splits.repeatFactorSample]] optional epochs-per-group
+  *                              upsampling (replicas carry a
+  *                              deterministic epoch id and shuffle
+  *                              independently via a composite
+  *                              replica key)
   *   [[Splits.deterministicShuffle]] seed-keyed global decorrelation
   *   [[graft.ops.Rank.globalRank]] dense packing ids in shuffled
   *                              order — no single-partition window
@@ -38,6 +43,7 @@ object TrainingData {
       spanMinTokens: Int = 8,
       spanRounds: Int = 1,
       budgets: Option[(String, Map[String, Long], Long)] = None, // (groupCol, budgets, default)
+      repeats: Option[(String, Map[String, Double], Double)] = None, // (groupCol, factors, default)
       shuffleSeed: String = "train",
       seqLen: Int = 256,
   )
@@ -67,11 +73,33 @@ object TrainingData {
           .select(col(idCol), col(textCol))
       case None => spanned
     }
-    val ordered = Splits.deterministicShuffle(mixed, idCol, cfg.shuffleSeed)
-    // dense pack ids in shuffled order; rank ties on (key, id) make
-    // the order total even under 60-bit hash collisions
-    val ranked = graft.ops.Rank.globalRank(ordered, Seq("shuffle_key", idCol))
-      .select(col("rank").as("graft_pack_id_"), col(textCol))
-    Splits.packedSequenceText(ranked, "graft_pack_id_", textCol, cfg.seqLen)
+    cfg.repeats match {
+      case None =>
+        val ordered = Splits.deterministicShuffle(mixed, idCol, cfg.shuffleSeed)
+        // dense pack ids in shuffled order; rank ties on (key, id) make
+        // the order total even under 60-bit hash collisions
+        val ranked = graft.ops.Rank.globalRank(ordered, Seq("shuffle_key", idCol))
+          .select(col("rank").as("graft_pack_id_"), col(textCol))
+        Splits.packedSequenceText(ranked, "graft_pack_id_", textCol, cfg.seqLen)
+      case Some((groupCol, factors, default)) =>
+        // epochs-per-group upsampling: replicas get a composite
+        // REPLICA id (id "#" epoch) so each copy shuffles to its own
+        // independent position — keying the shuffle on the bare id
+        // would leave a doc's epochs adjacent in the stream, exactly
+        // the correlation the shuffle exists to destroy
+        val repeated = Splits.repeatFactorSample(
+          mixed.join(docs.select(col(idCol), col(groupCol)), Seq(idCol)),
+          idCol, groupCol, factors, default)
+          .select(col(idCol), col(textCol), col("epoch"))
+          .withColumn("graft_rid_",
+            concat(col(idCol).cast("string"), lit("#"),
+              col("epoch").cast("string")))
+        val ordered =
+          Splits.deterministicShuffle(repeated, "graft_rid_", cfg.shuffleSeed)
+        val ranked = graft.ops.Rank
+          .globalRank(ordered, Seq("shuffle_key", "graft_rid_"))
+          .select(col("rank").as("graft_pack_id_"), col(textCol))
+        Splits.packedSequenceText(ranked, "graft_pack_id_", textCol, cfg.seqLen)
+    }
   }
 }

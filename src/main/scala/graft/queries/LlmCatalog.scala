@@ -1511,6 +1511,37 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Epochs-per-group mixture (Splits.repeatFactorSample): the
+    * upsampling knob budgets can't express — en runs 2.5 epochs
+    * (2 full copies + the deterministic half), zh subsamples to 0.3,
+    * de drops, everything else keeps 1 epoch. The oracle replays the
+    * copy arithmetic and the replication itself via generate_series;
+    * the hash match pins both the fractional-epoch doc choice and the
+    * deterministic epoch ids downstream packing keys on. */
+  val repeatFactorMixQ = GraftQuery(
+    "q81_repeat_factor_mix",
+    (s, d) =>
+      graft.llm.Splits.repeatFactorSample(
+          documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang",
+          factors = Map("en" -> 2.5, "zh" -> 0.3, "de" -> 0.0),
+          defaultFactor = 1.0)
+        .orderBy(col("doc_id"), col("epoch")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 0 WHEN 'de' THEN 0 ELSE 1 END
+                 + CASE WHEN ('0x'||substr(md5('repeat:'||doc_id),1,15))::BIGINT % 10000
+                          < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 3000 ELSE 0 END
+                   THEN 1 ELSE 0 END AS copies
+        FROM documents
+      )
+      SELECT doc_id, lang, unnest(generate_series(0, copies - 1)) AS epoch
+      FROM t WHERE copies > 0
+      ORDER BY doc_id, epoch
+    """.trim),
+  )
+
   /** q61's CODEPOINT-mode twin (CorpusStats.repetitionProfile with
     * TextOps.Codepoint): the repetition signals computed at character
     * grain — the non-degenerate form for scripts without whitespace
@@ -2171,5 +2202,6 @@ object LlmCatalog {
     trainingPipelineQ,
     bpeInductionQ,
     repetitionCodepointQ,
+    repeatFactorMixQ,
   )
 }

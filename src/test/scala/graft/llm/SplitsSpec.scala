@@ -172,6 +172,33 @@ class SplitsSpec extends SparkSpec {
     assert(other != first.filter(_._1 == "big").map(_._2).toSet)
   }
 
+  test("repeatFactorSample: floor copies + deterministic fractional epoch, 0 drops") {
+    val df = spark.range(10000).toDF("id")
+      .withColumn("g", when(col("id") % 3 === 0, "up")
+        .when(col("id") % 3 === 1, "down").otherwise("drop"))
+    val out = Splits.repeatFactorSample(df, "id", "g",
+      Map("up" -> 2.5, "down" -> 0.3, "drop" -> 0.0), defaultFactor = 1.0)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // up: ~3334 docs × (2 + ~half) ≈ 8335; down: ~30% of 3333; drop: none
+    assert(!byG.contains("drop"))
+    assert(math.abs(byG("up") - 3334 * 2.5) < 300, byG.toString)
+    assert(math.abs(byG("down") - 3333 * 0.3) < 150, byG.toString)
+    // epochs are dense per kept doc: 0..copies-1
+    val eps = out.filter(col("g") === "up").groupBy("id")
+      .agg(sort_array(collect_list(col("epoch"))).as("eps"),
+        max(col("epoch")).as("mx"), count(lit(1)).as("n"))
+    assert(eps.filter(col("mx") =!= col("n") - 1).count() === 0)
+    // integer factors replicate every doc exactly; determinism
+    val twice = Splits.repeatFactorSample(df, "id", "g", Map.empty, 2.0)
+    assert(twice.count() === 20000L)
+    val a = out.orderBy("id", "epoch").collect().toSeq
+    val b = Splits.repeatFactorSample(df.repartition(11), "id", "g",
+      Map("up" -> 2.5, "down" -> 0.3, "drop" -> 0.0), 1.0)
+      .orderBy("id", "epoch").collect().toSeq
+    assert(a === b)
+  }
+
   test("deterministicShuffle: a reproducible permutation, seed-keyed, partition-invariant") {
     val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     val once = Splits.deterministicShuffle(docs, seed = "s1")

@@ -42,6 +42,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(a == b, "same corpus + config must produce identical training rows")
   }
 
+  test("prepare with repeat factors replicates tokens and stays deterministic") {
+    val base = TrainingData.Config(seqLen = 64)
+    val up = TrainingData.Config(seqLen = 64,
+      repeats = Some(("lang", Map.empty[String, Double], 2.0)))
+    val one = TrainingData.prepare(docs, cfg = base)
+      .agg(sum("n_tokens")).as[Long].head()
+    val two = TrainingData.prepare(docs, cfg = up)
+      .agg(sum("n_tokens")).as[Long].head()
+    // integer factor 2.0 for every group doubles the token stream exactly
+    assert(two === 2 * one)
+    // replicas shuffle independently (composite replica key): the two
+    // copies of a doc must not sit adjacent as a rule — count adjacent
+    // duplicate sequences as a proxy and require decorrelation
+    val texts = TrainingData.prepare(docs, cfg = up)
+      .orderBy("seq_id").select("text").as[String].collect()
+    val adjacentDup = texts.sliding(2).count(w => w.length == 2 && w(0) == w(1))
+    assert(adjacentDup < texts.length / 4,
+      s"$adjacentDup adjacent duplicate sequences of ${texts.length}")
+    // and the whole path is reproducible
+    val again = TrainingData.prepare(docs.repartition(7), cfg = up)
+      .orderBy("seq_id").select("text").as[String].collect()
+    assert(texts.toSeq === again.toSeq)
+  }
+
   test("prepare honors token budgets with the documented overshoot bound") {
     val budget = 2000L
     val cfg = TrainingData.Config(seqLen = 64,
