@@ -228,4 +228,127 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
   }
+
+  /** One finalized point of a user's dense period series. */
+  final case class LocfPoint(user_id: Long, period: Long, value_filled: Double, observed: Boolean)
+
+  /** [[locfStream]] state: the last FINALIZED period and its total
+    * (what gap rows carry forward), plus the per-period running sums
+    * the watermark has not yet finalized. Sums are exact integer
+    * CENTS — the streaming stand-in for the batch operator's
+    * DECIMAL(18,2) discipline: merge order cannot perturb them. */
+  final case class LocfState(lastPeriod: Long, lastCents: Long, pending: Map[Long, Long])
+
+  /** Streaming LOCF gap-fill — the live twin of
+    * [[graft.ops.TimeSeries.gapFillLocf]]: per-user per-period exact
+    * totals emitted AS THE WATERMARK FINALIZES THEM, with missing
+    * periods between observed ones carried forward (append mode — the
+    * dense series a live dashboard or feature store consumes point by
+    * point, not per nightly batch).
+    *
+    * A period emits once the watermark passes its end (total fixed —
+    * late events within the delay still land in their period because
+    * it is still pending). Gap rows only ever sit BETWEEN finalized
+    * observed periods, exactly like the batch grid (first..last
+    * active: the series never speculates past the last observation).
+    *
+    * State is bounded two ways: pending periods span at most the
+    * watermark lag (finalized ones leave state immediately), and an
+    * idle user — no activity for `idleMs` past the watermark — is
+    * evicted wholesale. Eviction is the documented divergence from
+    * batch: a comeback after eviction starts a FRESH series (no gap
+    * rows bridge the absence), the same contract as
+    * [[funnelStream]]'s restart; within `idleMs` the two agree
+    * point-for-point (spec-pinned). */
+  def locfStream(
+      events: Dataset[Event],
+      periodMs: Long,
+      watermarkDelay: String = "10 minutes",
+      idleMs: Long = 24L * 3600 * 1000,
+  ): Dataset[LocfPoint] = {
+    require(periodMs > 0, s"periodMs must be positive, got $periodMs")
+    require(idleMs > 0, s"idleMs must be positive, got $idleMs")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val NoLast = Long.MinValue
+
+    // finalize every pending period the watermark has passed: gap
+    // rows from the last finalized period, then the observed row
+    def flush(
+        userId: Long,
+        st: LocfState,
+        wmPeriod: Long,
+    ): (List[LocfPoint], LocfState) = {
+      val ready = st.pending.keys.filter(_ < wmPeriod).toSeq.sorted
+      if (ready.isEmpty) (Nil, st)
+      else {
+        var last = st.lastPeriod
+        var lastC = st.lastCents
+        val out = List.newBuilder[LocfPoint]
+        ready.foreach { p =>
+          if (last != NoLast) {
+            var g = last + 1
+            while (g < p) {
+              out += LocfPoint(userId, g, lastC / 100.0, observed = false)
+              g += 1
+            }
+          }
+          lastC = st.pending(p)
+          last = p
+          out += LocfPoint(userId, p, lastC / 100.0, observed = true)
+        }
+        (out.result(), LocfState(last, lastC, st.pending -- ready))
+      }
+    }
+
+    def update(
+        userId: Long,
+        batch: Iterator[Event],
+        state: GroupState[LocfState],
+    ): Iterator[LocfPoint] = {
+      val wm = state.getCurrentWatermarkMs()
+      val wmPeriod = Math.floorDiv(wm, periodMs)
+      val st0 = state.getOption.getOrElse(LocfState(NoLast, 0L, Map.empty))
+      // merge the batch: periods at/before the last finalized one are
+      // late beyond repair (their row already emitted) and drop —
+      // flatMapGroupsWithState does not filter late input itself
+      var pending = st0.pending
+      batch.foreach { e =>
+        val p = Math.floorDiv(e.ts, periodMs)
+        if (st0.lastPeriod == NoLast || p > st0.lastPeriod) {
+          val cents = Math.round(e.value * 100)
+          pending = pending.updated(p, pending.getOrElse(p, 0L) + cents)
+        }
+      }
+      val (out, st1) = flush(userId, st0.copy(pending = pending), wmPeriod)
+      if (st1.pending.isEmpty && st1.lastPeriod == NoLast) {
+        // nothing observed and nothing pending — hold no state at all
+        state.remove()
+      } else if (state.hasTimedOut && st1.pending.isEmpty && out.isEmpty) {
+        // the IDLE timer fired (a finalization wake-up would have
+        // flushed something): evict — the carried value is gone, and
+        // a comeback starts a fresh series (observable — no gap rows
+        // bridge the absence)
+        state.remove()
+      } else {
+        state.update(st1)
+        // wake when the earliest pending period becomes finalizable,
+        // or — fully flushed — after the idle horizon; clamped above
+        // the watermark (the API rejects timeouts at or before it)
+        val wake =
+          if (st1.pending.nonEmpty) (st1.pending.keys.min + 1) * periodMs
+          else wm + idleMs
+        state.setTimeoutTimestamp(math.max(wake, wm + 1))
+      }
+      out.iterator
+    }
+
+    events
+      .withColumn("event_time", timestamp_millis(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
 }

@@ -210,4 +210,100 @@ class EventStreamsSpec extends SparkSpec {
         "evicted walk must not convert on the click and must restart on the view")
     } finally q.stop()
   }
+
+  test("locfStream agrees with the batch gap-fill point-for-point") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1 active in periods 0, 3 (gap 1-2); user 2 in periods 1, 2;
+    // two events in one period must sum exactly
+    val events = Seq(
+      Event(1, B + 10, 1, "m", 1.25), Event(2, B + 20, 1, "m", 2.25),
+      Event(3, B + 3 * H + 10, 1, "m", 7.0),
+      Event(4, B + H + 5, 2, "m", 4.5), Event(5, B + 2 * H + 5, 2, "m", 0.5),
+    )
+    val input = MemoryStream[Event]
+    val q = locfStream(input.toDS(), periodMs = H, watermarkDelay = "1 second")
+      .writeStream.format("memory").queryName("locf_agree")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // a far-future event from an unrelated user advances the
+      // watermark past every fixture period, finalizing them
+      input.addData(Event(9, B + 100 * H, 9, "m", 0.0))
+      q.processAllAvailable()
+      val streamed = spark
+        .sql("SELECT user_id, period, value_filled, observed FROM locf_agree WHERE user_id < 9")
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      // the batch operator over the same events, at ms grain
+      val batchOut = graft.ops.TimeSeries.gapFillLocf(
+          events.toDF(), "user_id", "ts", "value", periodNs = H)
+        .as[(Long, Long, Double, Boolean)].collect().toSet
+      assert(streamed == batchOut, s"streamed $streamed vs batch $batchOut")
+      // the gap rows really carry the last observed sum forward
+      val gap = streamed.filter(r => r._1 == 1L && !r._4).map(r => (r._2, r._3))
+      val p0 = Math.floorDiv(B, H)
+      assert(gap == Set((p0 + 1, 3.5), (p0 + 2, 3.5)))
+    } finally q.stop()
+  }
+
+  test("locfStream finalizes periods incrementally and absorbs within-delay late events") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = locfStream(input.toDS(), periodMs = H, watermarkDelay = "30 minutes")
+      .writeStream.format("memory").queryName("locf_steps")
+      .outputMode("append").start()
+    try {
+      val p0 = Math.floorDiv(B, H)
+      input.addData(Event(1, B + 10, 1, "m", 1.0))
+      q.processAllAvailable()
+      // period p0 is still open (watermark B+10 − 30min < period end)
+      assert(spark.sql("SELECT * FROM locf_steps").count() == 0)
+      // a late event for p0 arrives in batch 2 while a fresh event
+      // pushes the watermark past p0's end: the total must include BOTH
+      input.addData(
+        Event(2, B + 20, 1, "m", 2.0),
+        Event(3, B + 2 * H, 1, "m", 5.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT period, value_filled, observed FROM locf_steps")
+        .as[(Long, Double, Boolean)].collect().toSet
+      assert(rows == Set((p0, 3.0, true)), rows.toString)
+    } finally q.stop()
+  }
+
+  test("locfStream evicts idle users: a comeback starts a fresh series, no bridge rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = locfStream(input.toDS(), periodMs = H,
+        watermarkDelay = "1 second", idleMs = H)
+      .writeStream.format("memory").queryName("locf_evict")
+      .outputMode("append").start()
+    try {
+      val p0 = Math.floorDiv(B, H)
+      input.addData(Event(1, B + 10, 1, "m", 2.0))
+      q.processAllAvailable()
+      // advance the watermark: finalizes p0, then (next batch) fires
+      // the idle timer far past idleMs
+      input.addData(Event(2, B + 2 * H, 9, "m", 0.0))
+      q.processAllAvailable()
+      input.addData(Event(3, B + 50 * H, 9, "m", 0.0))
+      q.processAllAvailable()
+      // user 1 returns 50 periods later; then a flusher finalizes it
+      input.addData(Event(4, B + 51 * H + 10, 1, "m", 9.0))
+      q.processAllAvailable()
+      input.addData(Event(5, B + 100 * H, 9, "m", 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT period, value_filled, observed FROM locf_evict WHERE user_id = 1")
+        .as[(Long, Double, Boolean)].collect().toSet
+      // NO gap rows bridge p0+1..p0+50 — the idle eviction dropped the
+      // carried value; the comeback is a fresh one-point series
+      assert(rows == Set((p0, 2.0, true), (p0 + 51, 9.0, true)), rows.toString)
+    } finally q.stop()
+  }
 }
