@@ -1,6 +1,9 @@
 package org.apache.spark.sql
 
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types.StructType
 
 /** Column ⇄ Expression bridge for graft's custom Catalyst expressions.
   * Spark 4 backs `Column` by ColumnNode and scopes the converters
@@ -10,4 +13,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def toExpr(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** DataFrame over an RDD of INTERNAL rows — what
+    * `createDataFrame(RDD[Row], schema)` is, minus the interpreted
+    * external→Catalyst converter it threads through every row. Used
+    * by the per-partition operators ([[graft.ops.Rank.globalRank]])
+    * whose map work is already in InternalRow terms, so their output
+    * feeds downstream whole-stage codegen without a decode/encode
+    * round-trip. */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rows: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rows, schema)
 }

@@ -239,6 +239,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(reused, s"q69: expected reused exchanges\n${p.take(600)}")
   }
 
+  test("q72 ranked frame feeds whole-stage codegen (internal rows, no Row round-trip)") {
+    // globalRank's output re-enters SQL as InternalRows: the phase
+    // projection and output sort above the rank scan must carry the
+    // "*(n)" codegen markers — a Row-based re-entry would interpose an
+    // interpreted converter and fall out of codegen
+    val df = Catalog.globalRankQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scanLine = p.linesIterator.indexWhere(_.contains("Scan ExistingRDD"))
+    val codegenAbove = p.linesIterator.take(math.max(scanLine, 0))
+      .exists(_.contains("*("))
+    assert(scanLine >= 0 && codegenAbove,
+      s"consumers of the ranked frame must stay codegen'd:\n${p.take(800)}")
+  }
+
   test("q73 LOCF window is key-partitioned; q74/q75/q77 stay product-free; q75 plans TakeOrdered") {
     // every Window in the gap-fill plan must carry a partition spec —
     // a bare global window would be the single-partition cliff
