@@ -20,11 +20,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * state is one small Session per active (user) group, evicted by
   * event-time timeout. Both shuffle once on the group key.
   */
-object EventStreams {
+// Serializable: the stateful update closures call the shared
+// watermark helper below, so they capture the module reference
+object EventStreams extends Serializable {
 
   /** Typed event for the stateful operators. `ts` in epoch millis —
     * milliseconds because GroupState timeouts speak millis. */
   final case class Event(event_id: Long, ts: Long, user_id: Long, event_type: String, value: Double)
+
+  /** The current event-time watermark, or None on a BATCH run: the
+    * unified API runs these operators on batch frames too, where no
+    * watermark exists and the getter throws. */
+  private def watermarkMs(state: GroupState[_]): Option[Long] =
+    try Some(state.getCurrentWatermarkMs())
+    catch { case _: UnsupportedOperationException => None }
 
   /** A closed activity session: maximal run of one user's events with
     * no gap exceeding `gapMs`. */
@@ -130,10 +139,11 @@ object EventStreams {
         state.update(cur)
         // clamped above the current watermark — a batch of events all
         // older than watermark − gap would otherwise compute a timeout
-        // the API rejects (it must exceed the watermark)
+        // the API rejects (it must exceed the watermark); batch runs
+        // have no watermark and need no clamp
         state.setTimeoutTimestamp(math.max(
           cur.end_ts + gapMs,
-          state.getCurrentWatermarkMs() + 1))
+          watermarkMs(state).getOrElse(Long.MinValue) + 1))
       }
       closed.reverseIterator
     }
@@ -211,11 +221,12 @@ object EventStreams {
           // any activity refreshes a partial walk's abandonment clock.
           // Clamped above the current watermark: a batch whose events
           // all predate watermark − idleMs would otherwise compute a
-          // timeout the API rejects (it must exceed the watermark)
+          // timeout the API rejects (it must exceed the watermark);
+          // batch runs have no watermark and need no clamp
           state.update(times)
           state.setTimeoutTimestamp(math.max(
             sorted.map(_.ts).max + idleMs,
-            state.getCurrentWatermarkMs() + 1))
+            watermarkMs(state).getOrElse(Long.MinValue) + 1))
         }
         out.reverseIterator
       }
@@ -307,8 +318,12 @@ object EventStreams {
         batch: Iterator[Event],
         state: GroupState[LocfState],
     ): Iterator[LocfPoint] = {
-      val wm = state.getCurrentWatermarkMs()
-      val wmPeriod = Math.floorDiv(wm, periodMs)
+      // batch run (unified API): no watermark exists — ALL data is
+      // present, so every period finalizes and the output equals the
+      // batch operator's (spec-pinned agreement)
+      val wmOpt = watermarkMs(state)
+      val wmPeriod =
+        wmOpt.map(Math.floorDiv(_, periodMs)).getOrElse(Long.MaxValue)
       val st0 = state.getOption.getOrElse(LocfState(NoLast, 0L, Map.empty))
       // merge the batch: periods at/before the last finalized one are
       // late beyond repair (their row already emitted) and drop —
@@ -322,24 +337,30 @@ object EventStreams {
         }
       }
       val (out, st1) = flush(userId, st0.copy(pending = pending), wmPeriod)
-      if (st1.pending.isEmpty && st1.lastPeriod == NoLast) {
-        // nothing observed and nothing pending — hold no state at all
-        state.remove()
-      } else if (state.hasTimedOut && st1.pending.isEmpty && out.isEmpty) {
-        // the IDLE timer fired (a finalization wake-up would have
-        // flushed something): evict — the carried value is gone, and
-        // a comeback starts a fresh series (observable — no gap rows
-        // bridge the absence)
-        state.remove()
-      } else {
-        state.update(st1)
-        // wake when the earliest pending period becomes finalizable,
-        // or — fully flushed — after the idle horizon; clamped above
-        // the watermark (the API rejects timeouts at or before it)
-        val wake =
-          if (st1.pending.nonEmpty) (st1.pending.keys.min + 1) * periodMs
-          else wm + idleMs
-        state.setTimeoutTimestamp(math.max(wake, wm + 1))
+      wmOpt match {
+        case None =>
+          // batch: everything flushed above, nothing can arrive later
+          state.remove()
+        case Some(wm) =>
+          if (st1.pending.isEmpty && st1.lastPeriod == NoLast) {
+            // nothing observed and nothing pending — hold no state at all
+            state.remove()
+          } else if (state.hasTimedOut && st1.pending.isEmpty && out.isEmpty) {
+            // the IDLE timer fired (a finalization wake-up would have
+            // flushed something): evict — the carried value is gone, and
+            // a comeback starts a fresh series (observable — no gap rows
+            // bridge the absence)
+            state.remove()
+          } else {
+            state.update(st1)
+            // wake when the earliest pending period becomes finalizable,
+            // or — fully flushed — after the idle horizon; clamped above
+            // the watermark (the API rejects timeouts at or before it)
+            val wake =
+              if (st1.pending.nonEmpty) (st1.pending.keys.min + 1) * periodMs
+              else wm + idleMs
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          }
       }
       out.iterator
     }

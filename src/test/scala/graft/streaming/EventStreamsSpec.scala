@@ -248,6 +248,24 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("locfStream runs on a batch frame (unified API) and equals the batch operator exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    // batch run: no watermark → every period finalizes; the streaming
+    // operator IS the batch gap-fill on a complete dataset
+    val events = Seq(
+      Event(1, B + 10, 1, "m", 1.25), Event(2, B + 20, 1, "m", 2.25),
+      Event(3, B + 3 * H + 10, 1, "m", 7.0),
+      Event(4, B + H + 5, 2, "m", 4.5))
+    val streamedOnBatch = locfStream(events.toDS(), periodMs = H)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    val batchOut = graft.ops.TimeSeries.gapFillLocf(
+        events.toDF(), "user_id", "ts", "value", periodNs = H)
+      .as[(Long, Long, Double, Boolean)].collect().toSet
+    assert(streamedOnBatch == batchOut)
+    assert(streamedOnBatch.exists(!_._4), "the fixture has gap rows")
+  }
+
   test("locfStream finalizes periods incrementally and absorbs within-delay late events") {
     val spark2 = spark
     import spark2.implicits._
