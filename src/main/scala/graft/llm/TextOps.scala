@@ -51,11 +51,19 @@ object TextOps {
   def segment(text: Column, mode: TokenMode): Column = mode match {
     case Whitespace => text
     case Codepoint =>
+      // bind the whitespace-stripped text ONCE as a lambda variable
+      // (the shingleHashesHof trick): Spark does no common-
+      // subexpression elimination inside lambdas, so referencing the
+      // regexp_replace subtree from the per-character substr would
+      // re-run it PER CHARACTER — O(len²) per document
       val compact = regexp_replace(coalesce(text, lit("")), "\\s+", "")
       array_join(
-        when(length(compact) === 0, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), length(compact)),
-            i => compact.substr(i, lit(1)))),
+        element_at(
+          transform(array(compact), c =>
+            when(length(c) === 0, array().cast("array<string>"))
+              .otherwise(transform(sequence(lit(1), length(c)),
+                i => c.substr(i, lit(1))))),
+          1),
         " ")
   }
 
