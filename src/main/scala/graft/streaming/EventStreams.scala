@@ -326,8 +326,10 @@ object EventStreams extends Serializable {
         wmOpt.map(Math.floorDiv(_, periodMs)).getOrElse(Long.MaxValue)
       val st0 = state.getOption.getOrElse(LocfState(NoLast, 0L, Map.empty))
       // merge the batch: periods at/before the last finalized one are
-      // late beyond repair (their row already emitted) and drop —
-      // flatMapGroupsWithState does not filter late input itself
+      // late beyond repair (their row already emitted) and drop.
+      // Defensive — the engine already filters sub-watermark rows
+      // before an EventTimeTimeout state function (spec-pinned), and
+      // every already-finalized period lies below the watermark
       var pending = st0.pending
       batch.foreach { e =>
         val p = Math.floorDiv(e.ts, periodMs)

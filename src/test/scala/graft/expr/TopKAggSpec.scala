@@ -46,6 +46,20 @@ class TopKAggSpec extends SparkSpec {
     assert(out == Seq("a", "b"))
   }
 
+  test("topK skips null PAYLOADS (the documented determinism-contract edge)") {
+    // a null payload cannot be heap-ordered and is skipped like a null
+    // score — the scaladoc's stated divergence from the window form,
+    // which would rank such rows; every in-repo caller passes struct()
+    // payloads, which are non-null by construction
+    val df = Seq(
+      (1, 3.0, Some("a")), (1, 2.0, None), (1, 1.0, Some("b")),
+    ).toDF("g", "s", "p")
+    val out = df.groupBy("g")
+      .agg(TopKAgg.topK(col("s"), col("p"), 10).as("top"))
+      .select("top").as[Seq[String]].head()
+    assert(out == Seq("a", "b"))
+  }
+
   test("topK with struct payloads orders ties by full struct") {
     val df = Seq(
       (1, 1.0, "b", 10L), (1, 1.0, "a", 20L), (1, 1.0, "a", 5L),

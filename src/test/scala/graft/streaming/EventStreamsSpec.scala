@@ -211,6 +211,36 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sub-watermark rows are dropped by the engine before the state function") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // pins the engine contract the stateful operators lean on: with
+    // EventTimeTimeout, a row whose event time sits below the current
+    // watermark never reaches the state function — it can neither
+    // corrupt state nor compute a below-watermark timeout (the
+    // operators' wm+1 clamps stay purely defensive), and the query
+    // must not fail
+    val input = MemoryStream[Event]
+    val q = sessionize(input.toDS(), gapMs = 1000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("clamp_sess")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1, B + 10 * H, 9, "click", 1.0))
+      q.processAllAvailable()
+      // user 1's event predates the watermark by hours
+      input.addData(Event(2, B, 1, "click", 1.0))
+      q.processAllAvailable() // must not throw STREAM_FAILED
+      input.addData(Event(3, B + 20 * H, 9, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, B + 30 * H, 9, "click", 1.0))
+      q.processAllAvailable()
+      val users = spark.sql("SELECT user_id FROM clamp_sess").as[Long].collect().toSet
+      assert(users === Set(9L),
+        "the sub-watermark event must be dropped whole — no session, no crash")
+    } finally q.stop()
+  }
+
   test("locfStream agrees with the batch gap-fill point-for-point") {
     val spark2 = spark
     import spark2.implicits._
