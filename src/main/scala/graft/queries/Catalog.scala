@@ -1384,6 +1384,37 @@ object Catalog {
     """.trim),
   )
 
+  /** Exact distributed quantiles (Quantiles.exact) — the audited twin
+    * of q15's GK sketch: inverse-ECDF (type-1) doc-length quantiles
+    * via the global-rank machinery, no global sort, no
+    * SinglePartition. The rank pick ⌈p·N⌉ is one double product of
+    * exact small terms — the same fixed IEEE expression both engines
+    * evaluate — so unlike the sketch this form hash-matches. */
+  val exactQuantilesQ = GraftQuery(
+    "q82_exact_quantiles",
+    (s, d) =>
+      graft.ops.Quantiles.exact(
+          documents(s, d), "n_chars", "doc_id",
+          probs = Seq(0.5, 0.9, 0.99, 1.0))
+        .orderBy(col("p")),
+    Some("""
+      WITH r AS (
+        SELECT n_chars, doc_id,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk
+        FROM documents
+      ),
+      n AS (SELECT COUNT(*) AS n FROM documents),
+      picks AS (
+        SELECT p.p AS p,
+               greatest(1, CAST(ceil(p.p * n.n) AS BIGINT)) AS rank
+        FROM (VALUES (0.5), (0.9), (0.99), (1.0)) AS p(p), n
+      )
+      SELECT picks.p AS p, picks.rank AS rank, r.n_chars AS value
+      FROM picks JOIN r ON r.rnk = picks.rank
+      ORDER BY p
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1426,6 +1457,7 @@ object Catalog {
     transitionsQ,
     anomaliesQ,
     funnelWindowedQ,
+    exactQuantilesQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact quantiles are the inverse-ECDF elements, hand-checked") {
+    // values 10, 20, ..., 100 (N = 10): p=0.5 → rank 5 → 50;
+    // p=0.91 → ceil(9.1) = 10 → 100; p=0.05 → rank max(1, 1) → 10
+    val df = (1 to 10).map(i => (i * 10, i.toLong)).toDF("v", "id")
+    val out = Quantiles.exact(df, "v", "id", Seq(0.05, 0.5, 0.91, 1.0))
+      .orderBy("p").select("p", "rank", "value")
+      .as[(Double, Long, Int)].collect().toSeq
+    assert(out === Seq((0.05, 1L, 10), (0.5, 5L, 50), (0.91, 10L, 100), (1.0, 10L, 100)))
+  }
+
+  test("duplicate values keep the picked value unambiguous and runs match percentile math") {
+    val df = (Seq.fill(50)(1) ++ Seq.fill(30)(2) ++ Seq.fill(20)(3))
+      .zipWithIndex.map { case (v, i) => (v, i.toLong) }.toDF("v", "id")
+    val out = Quantiles.exact(df, "v", "id", Seq(0.5, 0.8, 0.81))
+      .orderBy("p").select("p", "value").as[(Double, Int)].collect().toSeq
+    // CDF: 1 ≤ 50%, 2 ≤ 80%, 3 ≤ 100%
+    assert(out === Seq((0.5, 1), (0.8, 2), (0.81, 3)))
+  }
+
+  test("the quantile plan has no global sort and no single partition") {
+    val df = (1 to 1000).map(i => (i % 97, i.toLong)).toDF("v", "id")
+    val q = Quantiles.exact(df, "v", "id", Seq(0.5, 0.99))
+    q.collect()
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"quantile pick must not serialize through one task:\n${p.take(500)}")
+    assert(p.contains("BroadcastHashJoin"),
+      "the (p, rank) pick table should broadcast")
+  }
+}
