@@ -50,4 +50,42 @@ object Quantiles {
       .join(broadcast(picks), Seq("rank"))
       .select(col("p"), col("rank"), col(valCol).as("value"))
   }
+
+  /** Per-GROUP exact quantiles — the form mix design actually asks
+    * for ("p99 doc length per source"): the same inverse-ECDF pick,
+    * ranked by a window PARTITIONED on the group (bounded per-group
+    * state, never the global-window cliff [[Rank.globalRank]] exists
+    * to avoid — here the partitioning makes the window itself the
+    * scale-safe shape). Group counts are a tiny aggregate; the
+    * (group, p, rank) pick table broadcasts. Output:
+    * (groupCol, p, rank, value). */
+  def exactPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      tieCol: String,
+      probs: Seq[Double],
+  ): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valCol), col(tieCol))
+    val ranked = df
+      .select(col(groupCol), col(valCol), col(tieCol))
+      .withColumn("graft_rnk_", row_number().over(w))
+    val picks = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("graft_n_"))
+      .crossJoin(probs.toDF("p"))
+      // ceil of one double product of exact terms — the identical
+      // fixed IEEE expression the oracle evaluates
+      .select(col(groupCol), col("p"),
+        greatest(lit(1L), ceil(col("graft_n_") * col("p"))).as("graft_rnk_"))
+    ranked
+      .join(broadcast(picks), Seq(groupCol, "graft_rnk_"))
+      .select(col(groupCol), col("p"), col("graft_rnk_").as("rank"),
+        col(valCol).as("value"))
+  }
 }

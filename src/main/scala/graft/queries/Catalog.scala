@@ -1415,6 +1415,38 @@ object Catalog {
     """.trim),
   )
 
+  /** Per-source exact doc-length quantiles (Quantiles.exactPerGroup)
+    * — the group-wise inverse-ECDF the mix recipe keys on. The rank
+    * window partitions on source (bounded per-group, the scale-safe
+    * window shape) and the (source, p, rank) pick table broadcasts;
+    * ⌈p·n⌉ is the same fixed IEEE product on both engines. */
+  val groupQuantilesQ = GraftQuery(
+    "q83_group_quantiles",
+    (s, d) =>
+      graft.ops.Quantiles.exactPerGroup(
+          documents(s, d), "source", "n_chars", "doc_id",
+          probs = Seq(0.5, 0.99))
+        .orderBy(col("source"), col("p")),
+    Some("""
+      WITH r AS (
+        SELECT source, n_chars, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY n_chars, doc_id) AS rnk
+        FROM documents
+      ),
+      n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      picks AS (
+        SELECT n.source, p.p,
+               greatest(1, CAST(ceil(p.p * n.n) AS BIGINT)) AS rank
+        FROM (VALUES (0.5), (0.99)) AS p(p), n
+      )
+      SELECT picks.source AS source, picks.p AS p, picks.rank AS rank,
+             r.n_chars AS value
+      FROM picks JOIN r ON r.source = picks.source AND r.rnk = picks.rank
+      ORDER BY picks.source, p
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1458,6 +1490,7 @@ object Catalog {
     anomaliesQ,
     funnelWindowedQ,
     exactQuantilesQ,
+    groupQuantilesQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

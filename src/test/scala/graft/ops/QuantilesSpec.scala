@@ -25,6 +25,16 @@ class QuantilesSpec extends SparkSpec {
     assert(out === Seq((0.5, 1), (0.8, 2), (0.81, 3)))
   }
 
+  test("per-group quantiles rank within each group independently") {
+    // group a: 10,20,...,100 → p50 = 50; group b: 1,2,3 → p50 = 2
+    val df = ((1 to 10).map(i => ("a", i * 10, i.toLong)) ++
+      (1 to 3).map(i => ("b", i, (100 + i).toLong))).toDF("g", "v", "id")
+    val out = Quantiles.exactPerGroup(df, "g", "v", "id", Seq(0.5, 1.0))
+      .orderBy("g", "p").select("g", "p", "value")
+      .as[(String, Double, Int)].collect().toSeq
+    assert(out === Seq(("a", 0.5, 50), ("a", 1.0, 100), ("b", 0.5, 2), ("b", 1.0, 3)))
+  }
+
   test("the quantile plan has no global sort and no single partition") {
     val df = (1 to 1000).map(i => (i % 97, i.toLong)).toDF("v", "id")
     val q = Quantiles.exact(df, "v", "id", Seq(0.5, 0.99))
