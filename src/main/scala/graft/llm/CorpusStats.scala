@@ -261,6 +261,107 @@ object CorpusStats {
         (col("n_rare").cast("double") / col("n_tokens")).as("rare_frac"))
   }
 
+  /** The assembled per-document QUALITY-SIGNAL TABLE — the feature
+    * matrix a filter model (or a hand-tuned keep rule) trains on:
+    * every signal the stats family computes, one row per document.
+    * Columns: the [[repetitionProfile]] token+bigram stats and
+    * fractions, the [[surprisalProfile]] frequency-bits signals, the
+    * [[boilerplateDensity]] shared-window signals, and the map-side
+    * quality flags (alpha ratio, mean token length, Gopher keep).
+    *
+    * Why an operator and not four separate runs: the token-grain
+    * signals (repetition AND surprisal) now ride ONE shared
+    * (id, hash, count) table — one explode+md5 pass and one exchange
+    * where the standalone operators pay two each; surprisal's
+    * per-occurrence sums become count-weighted sums over that table
+    * (identical values, spec-pinned against the standalone ops).
+    * Bigram and shared-window signals are separate compiled window
+    * explodes by necessity (different grains), each in its own
+    * already-audited shape; the final assembly is id-keyed joins of
+    * id-partitioned aggregates. Text never shuffles anywhere. */
+  def docSignals(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 8,
+      minDocs: Int = 2,
+      rareMax: Long = 2L,
+  ): DataFrame = {
+    // the shared token-grain table: (id, 60-bit hash, in-doc count)
+    val tokc = docs
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .select(col("id"), TextOps.hash60(col("t")).as("h"))
+      .repartition(col("id"))
+      .groupBy(col("id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+    val rep = tokc.groupBy(col("id")).agg(
+      sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).cast("long").as("top_token_cnt"))
+    val corpus = tokc.groupBy(col("h")).agg(sum(col("c")).cast("long").as("cnt"))
+    // per-occurrence sums as count-weighted sums over the shared table
+    val sur = tokc
+      .join(corpus, Seq("h"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c") * length(bin(col("cnt")))).cast("long").as("sum_freq_bits"),
+        sum(when(col("cnt") <= rareMax, col("c")).otherwise(0L))
+          .cast("long").as("n_rare"))
+    val big = docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.windowHashesPositional(col(textCol), 2)).as("h"))
+      .repartition(col("id"))
+      .groupBy(col("id"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).cast("long").as("top_bigram_cnt"))
+    val boiler = boilerplateDensity(docs, idCol, textCol, w, minDocs)
+      .withColumnRenamed(idCol, "id")
+    val flags = docs.select(
+      col(idCol).as("id"),
+      TextOps.alphaRatio(col(textCol)).as("alpha_ratio"),
+      TextOps.meanTokenLen(col(textCol)).as("mean_tok_len"),
+      TextOps.qualityKeep(col(textCol)).as("keep"))
+    rep
+      .join(sur, Seq("id"))
+      .join(big, Seq("id"), "left")
+      .join(boiler, Seq("id"))
+      .join(flags, Seq("id"))
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        col("n_distinct"),
+        col("top_token_cnt"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens")).as("dup_token_frac"),
+        (col("top_token_cnt").cast("double") / col("n_tokens"))
+          .as("top_token_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        ((coalesce(col("n_bigrams"), lit(0L)) -
+          coalesce(col("n_distinct_bigrams"), lit(0L))).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .as("dup_bigram_frac"),
+        (coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .as("top_bigram_frac"),
+        col("sum_freq_bits"),
+        (col("sum_freq_bits").cast("double") / col("n_tokens"))
+          .as("mean_freq_bits"),
+        col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_frac"),
+        col("n_windows"),
+        col("n_shared"),
+        col("shared_frac"),
+        col("alpha_ratio"),
+        col("mean_tok_len"),
+        col("keep"))
+  }
+
   /** Cross-SOURCE duplication matrix — the corpus-governance view of
     * exact dedup: for every unordered source pair (a <= b), how many
     * duplicate document PAIRS span them (a == b counts within-source

@@ -1610,6 +1610,114 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** The assembled per-doc quality-signal table
+    * (CorpusStats.docSignals): repetition + surprisal + boilerplate
+    * + map-side flags in one frame — the feature matrix a filter
+    * model trains on. The fused token-grain path (ONE explode+md5
+    * pass shared by repetition and surprisal, surprisal's
+    * per-occurrence sums re-expressed count-weighted) must equal the
+    * standalone operators' values exactly — the oracle replays each
+    * signal family's already-proven CTE chain and joins, so the hash
+    * match pins the fusion, not just the signals. */
+  val docSignalsQ = GraftQuery(
+    "q84_doc_signals",
+    (s, d) =>
+      graft.llm.CorpusStats.docSignals(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some(
+      s"""
+      WITH tokc AS (
+        SELECT doc_id, h, COUNT(*) AS c FROM (
+          SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+          )
+        ) GROUP BY doc_id, h
+      ),
+      rep AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_tokens, COUNT(*) AS n_distinct,
+               MAX(c)::BIGINT AS top_token_cnt
+        FROM tokc GROUP BY doc_id
+      ),
+      corpus AS (SELECT h, SUM(c)::BIGINT AS cnt FROM tokc GROUP BY h),
+      sur AS (
+        SELECT doc_id,
+               CAST(SUM(c * length(bin(cnt))) AS BIGINT) AS sum_freq_bits,
+               CAST(SUM(CASE WHEN cnt <= 2 THEN c ELSE 0 END) AS BIGINT) AS n_rare
+        FROM tokc JOIN corpus USING (h) GROUP BY doc_id
+      ),
+      th28 AS (
+        SELECT doc_id, len(wtok) AS nw,
+               list_transform(wtok, t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM (SELECT doc_id, string_split(text, ' ') AS wtok FROM documents)
+      ),
+      bigc AS (
+        SELECT doc_id, h, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, nw - 1),
+                   i -> ${windowComb(2)})) AS h
+          FROM th28 WHERE nw >= 2
+        ) GROUP BY doc_id, h
+      ),
+      biga AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_bigrams,
+               COUNT(*) AS n_distinct_bigrams,
+               MAX(c)::BIGINT AS top_bigram_cnt
+        FROM bigc GROUP BY doc_id
+      ),
+      winp AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, nw - 7),
+                 i -> ${windowComb(8)})) AS h
+        FROM th28 WHERE nw >= 8
+      ),
+      wshared AS (
+        SELECT h FROM winp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+      ),
+      wsh AS (
+        SELECT doc_id, COUNT(*) AS n_shared FROM winp
+        WHERE h IN (SELECT h FROM wshared) GROUP BY doc_id
+      ),
+      boiler AS (
+        SELECT t.doc_id,
+               CAST(GREATEST(nw - 7, 0) AS INT) AS n_windows,
+               CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+               CAST(COALESCE(n_shared, 0) AS DOUBLE)
+                 / GREATEST(CAST(GREATEST(nw - 7, 0) AS INT), 1) AS shared_frac
+        FROM th28 t LEFT JOIN wsh USING (doc_id)
+      ),
+      flags AS (
+        SELECT doc_id,
+               CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) AS alpha_ratio,
+               CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS mean_tok_len,
+               (len(string_split(text, ' ')) >= 10 AND len(string_split(text, ' ')) <= 100000
+                AND CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) >= 2.0
+                AND CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) <= 12.0
+                AND CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) >= 0.6) AS keep
+        FROM documents
+      )
+      SELECT rep.doc_id, n_tokens, n_distinct, top_token_cnt,
+             CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+             CAST(top_token_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+             COALESCE(n_bigrams, 0) AS n_bigrams,
+             COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+             COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+             CAST(COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bigrams, 0) AS DOUBLE)
+               / greatest(COALESCE(n_bigrams, 0), 1) AS dup_bigram_frac,
+             CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE)
+               / greatest(COALESCE(n_bigrams, 0), 1) AS top_bigram_frac,
+             sum_freq_bits,
+             CAST(sum_freq_bits AS DOUBLE) / n_tokens AS mean_freq_bits,
+             n_rare,
+             CAST(n_rare AS DOUBLE) / n_tokens AS rare_frac,
+             n_windows, boiler.n_shared AS n_shared, shared_frac,
+             alpha_ratio, mean_tok_len, keep
+      FROM rep JOIN sur USING (doc_id) LEFT JOIN biga USING (doc_id)
+           JOIN boiler ON boiler.doc_id = rep.doc_id
+           JOIN flags ON flags.doc_id = rep.doc_id
+      ORDER BY rep.doc_id
+    """.trim),
+  )
+
   /** Top-3 salient terms per doc scored tf/df
     * (CorpusStats.salientTerms) — corpus-relative keyword extraction.
     * score = tf/df is ONE exact-integer IEEE division (an idf log
@@ -2203,5 +2311,6 @@ object LlmCatalog {
     bpeInductionQ,
     repetitionCodepointQ,
     repeatFactorMixQ,
+    docSignalsQ,
   )
 }

@@ -236,6 +236,31 @@ class CorpusStatsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  test("docSignals equals the standalone operators signal-for-signal (fusion agreement)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fused = CorpusStats.docSignals(docs).orderBy("doc_id").collect()
+    val rep = CorpusStats.repetitionProfile(docs).orderBy("doc_id").collect()
+    val sur = CorpusStats.surprisalProfile(docs).orderBy("doc_id").collect()
+    val boi = CorpusStats.boilerplateDensity(docs).orderBy("doc_id").collect()
+    assert(fused.length === rep.length && fused.length === sur.length)
+    fused.indices.foreach { i =>
+      val f = fused(i)
+      // repetition family (incl. the exact double fractions)
+      Seq("n_tokens", "n_distinct", "top_token_cnt", "n_bigrams",
+        "n_distinct_bigrams", "top_bigram_cnt", "dup_token_frac",
+        "top_token_frac", "dup_bigram_frac", "top_bigram_frac").foreach { c =>
+        assert(f.getAs[Any](c) === rep(i).getAs[Any](c), s"row $i col $c")
+      }
+      // surprisal family: the count-weighted re-expression must be exact
+      Seq("sum_freq_bits", "mean_freq_bits", "n_rare", "rare_frac").foreach { c =>
+        assert(f.getAs[Any](c) === sur(i).getAs[Any](c), s"row $i col $c")
+      }
+      Seq("n_windows", "n_shared", "shared_frac").foreach { c =>
+        assert(f.getAs[Any](c) === boi(i).getAs[Any](c), s"row $i col $c")
+      }
+    }
+  }
+
   // CorpusStats.sourceOverlapMatrix / sourceOverlapFromPairs
   // ---------------------------------------------------------------
 
