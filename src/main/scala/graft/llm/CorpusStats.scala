@@ -270,15 +270,21 @@ object CorpusStats {
     * quality flags (alpha ratio, mean token length, Gopher keep).
     *
     * Why an operator and not four separate runs: the token-grain
-    * signals (repetition AND surprisal) now ride ONE shared
-    * (id, hash, count) table — one explode+md5 pass and one exchange
-    * where the standalone operators pay two each; surprisal's
-    * per-occurrence sums become count-weighted sums over that table
-    * (identical values, spec-pinned against the standalone ops).
-    * Bigram and shared-window signals are separate compiled window
-    * explodes by necessity (different grains), each in its own
-    * already-audited shape; the final assembly is id-keyed joins of
-    * id-partitioned aggregates. Text never shuffles anywhere. */
+    * signals (repetition AND surprisal) ride ONE shared
+    * (id, hash, count) table — one explode+md5 pass where the
+    * standalone operators pay two. The table is lazily
+    * localCheckpoint'ed: its three consumers form self-joins, whose
+    * relation deduplication re-aliases the subtree so ReuseExchange
+    * no longer sees identical plans — without the lineage cut the
+    * "shared" table silently re-explodes the corpus per consumer
+    * (plan-audited: the final plan scans the checkpointed rows, and
+    * only the bigram grain plans its own token-table exchange).
+    * Surprisal's per-occurrence sums become count-weighted sums over
+    * the shared table (identical values, spec-pinned against the
+    * standalone ops). Bigram and shared-window signals are separate
+    * compiled window explodes by necessity (different grains), each
+    * in its own already-audited shape; the final assembly is id-keyed
+    * joins of id-partitioned aggregates. Text never shuffles. */
   def docSignals(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -287,7 +293,8 @@ object CorpusStats {
       minDocs: Int = 2,
       rareMax: Long = 2L,
   ): DataFrame = {
-    // the shared token-grain table: (id, 60-bit hash, in-doc count)
+    // the shared token-grain table: (id, 60-bit hash, in-doc count),
+    // materialized ONCE behind a lazy lineage cut (see scaladoc)
     val tokc = docs
       .select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("t"))
@@ -295,6 +302,7 @@ object CorpusStats {
       .repartition(col("id"))
       .groupBy(col("id"), col("h"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val rep = tokc.groupBy(col("id")).agg(
       sum(col("c")).cast("long").as("n_tokens"),
       count(lit(1)).as("n_distinct"),

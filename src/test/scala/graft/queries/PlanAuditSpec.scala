@@ -239,6 +239,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(reused, s"q69: expected reused exchanges\n${p.take(600)}")
   }
 
+  test("q84 signal fusion materializes the shared token table once; no text in exchange keys") {
+    val p = plan(LlmCatalog.docSignalsQ)
+    // the (id, hash, count) table feeds repetition, the corpus count,
+    // and surprisal: those consumers are self-joins whose relation
+    // dedup defeats ReuseExchange, so the table sits behind a lineage
+    // cut — the plan must read the checkpointed rows, and the only
+    // id-keyed REPARTITION exchange left is the bigram grain's own
+    // token table (boilerplate's is h-keyed by design)
+    assert(p.contains("Scan ExistingRDD"),
+      s"the shared token table must be checkpointed, not re-derived:\n${p.take(600)}")
+    val idRepartitions =
+      "hashpartitioning\\(id#\\d+L?, \\d+\\), REPARTITION_BY_COL".r.findAllIn(p).size
+    assert(idRepartitions <= 1,
+      s"only the bigram table may plan its own id-keyed token exchange, found $idRepartitions:\n${p.take(600)}")
+    assert(!p.contains("hashpartitioning(text#") && !p.contains("hashpartitioning(t#"),
+      "no exchange may key on token or document text")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q72 ranked frame feeds whole-stage codegen (internal rows, no Row round-trip)") {
     // globalRank's output re-enters SQL as InternalRows: the phase
     // projection and output sort above the rank scan must carry the
