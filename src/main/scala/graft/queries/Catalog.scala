@@ -1447,6 +1447,43 @@ object Catalog {
     """.trim),
   )
 
+  /** Per-type Pearson correlation of value vs the props.k JSON field
+    * (Stats.pearsonByGroup): the bivariate stat Spark's own `corr`
+    * cannot oracle — its float sums are reduction-order dependent.
+    * Six exact-DECIMAL moments, one |groups|-row shuffle, fixed IEEE
+    * r chain mirrored expression-for-expression; null pairs drop
+    * up front on BOTH engines, zero-variance groups filtered before
+    * the division (ANSI). */
+  val correlationQ = GraftQuery(
+    "q85_value_correlation",
+    (s, d) => {
+      val k = graft.llm.JsonOps.extractPath(col("props"), "$.k").cast("long")
+      graft.ops.Stats.pearsonByGroup(
+          events(s, d).select(col("event_type"), col("value"), k.as("k")),
+          "event_type", "value", "k")
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2)) * CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM events
+        WHERE value IS NOT NULL AND (props->>'$.k') IS NOT NULL
+        GROUP BY event_type
+      )
+      SELECT event_type, n,
+             (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
+      FROM st
+      WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      ORDER BY event_type
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1491,6 +1528,7 @@ object Catalog {
     funnelWindowedQ,
     exactQuantilesQ,
     groupQuantilesQ,
+    correlationQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
