@@ -54,4 +54,75 @@ object Stats {
         ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(vx) * sqrt(vy))).as("r"))
   }
+
+  /** Per-group least-squares line y = slope·x + intercept from the
+    * SAME six exact moments as [[pearsonByGroup]]:
+    * slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+    * intercept = (Σy − slope·Σx) / n. The trend-per-segment op
+    * (value drift per event type, tokens-vs-chars slope per source)
+    * with the same null/zero-variance discipline; x must vary,
+    * y need not. One |groups|-row shuffle. */
+  def fitLineByGroup(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String,
+  ): DataFrame = {
+    def d2(c: Column) = c.cast("decimal(18,2)")
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val m = rows
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(d2(col(xCol))).cast("double").as("sx"),
+        sum(d2(col(yCol))).cast("double").as("sy"),
+        sum(d2(col(xCol)) * d2(col(yCol))).cast("double").as("sxy"),
+        sum(d2(col(xCol)) * d2(col(xCol))).cast("double").as("sxx"))
+    val vx = col("n") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / vx
+    m
+      .filter(vx > 0)
+      .select(col(groupCol), col("n"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / col("n")).as("intercept"))
+  }
+
+  /** Fixed-bin histogram of a measure over explicit [lo, hi) bounds:
+    * bin i covers [lo + i·w, lo + (i+1)·w) with w = (hi−lo)/bins;
+    * values below `lo` clamp into bin 0, at/above `hi` into the last
+    * bin (closed ends — a histogram that silently drops out-of-range
+    * rows misreports the distribution). Bounds are EXPLICIT by
+    * design: deriving min/max would cost an extra pass and make the
+    * binning data-dependent (two corpora, two meanings per bin).
+    *
+    * One map-side integral bin projection + a groupBy over at most
+    * `bins` keys with partial agg; empty bins emit as zero rows via
+    * a broadcast grid join, so downstream plotting never invents
+    * gaps. Bin edges are the same fixed IEEE arithmetic on both
+    * engines. Output: (bin, lo_edge, cnt). */
+  def histogram(
+      df: DataFrame,
+      valCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+  ): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = (hi - lo) / bins
+    val raw = floor((col(valCol) - lit(lo)) / lit(w)).cast("long")
+    val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
+    val counts = df
+      .filter(col(valCol).isNotNull)
+      .select(bin.as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = (0 until bins).map(i => (i.toLong, lo + i * w)).toDF("bin", "lo_edge")
+    broadcast(grid)
+      .join(counts, Seq("bin"), "left")
+      .select(col("bin"), col("lo_edge"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
 }

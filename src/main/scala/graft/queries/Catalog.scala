@@ -1484,6 +1484,71 @@ object Catalog {
     """.trim),
   )
 
+  /** Per-type least-squares trend of value against props.k
+    * (Stats.fitLineByGroup): q85's moment table re-used for the
+    * regression line — slope and intercept are the same fixed IEEE
+    * chains over the same five exact-decimal sums, so the fit is as
+    * replayable as the correlation. */
+  val trendQ = GraftQuery(
+    "q86_value_trend",
+    (s, d) => {
+      val k = graft.llm.JsonOps.extractPath(col("props"), "$.k").cast("long")
+      graft.ops.Stats.fitLineByGroup(
+          events(s, d).select(col("event_type"), col("value"), k.as("k")),
+          "event_type", "k", "value")
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH st AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2)) * CAST(CAST(props->>'$.k' AS BIGINT) AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        FROM events
+        WHERE (props->>'$.k') IS NOT NULL AND value IS NOT NULL
+        GROUP BY event_type
+      )
+      SELECT event_type, n,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+      FROM st
+      WHERE n * sxx - sx * sx > 0
+      ORDER BY event_type
+    """.trim),
+  )
+
+  /** Fixed-bin doc-length histogram (Stats.histogram): 20 bins over
+    * [0, 1000), out-of-range clamped into the edge bins, empty bins
+    * emitted as zeros via a broadcast grid. Explicit bounds keep the
+    * binning data-independent (one pass, stable bin meaning); edges
+    * and bin arithmetic are the same fixed IEEE expressions on both
+    * engines. */
+  val histogramQ = GraftQuery(
+    "q87_doclen_histogram",
+    (s, d) =>
+      graft.ops.Stats.histogram(documents(s, d), "n_chars",
+          lo = 0.0, hi = 1000.0, bins = 20)
+        .orderBy(col("bin")),
+    Some("""
+      WITH c AS (
+        SELECT least(greatest(
+                 CAST(floor((n_chars - 0.0) / ((1000.0 - 0.0) / 20)) AS BIGINT),
+                 0), 19) AS bin
+        FROM documents WHERE n_chars IS NOT NULL
+      ),
+      counts AS (SELECT bin, COUNT(*) AS cnt FROM c GROUP BY bin),
+      grid AS (
+        SELECT i AS bin, 0.0 + i * ((1000.0 - 0.0) / 20) AS lo_edge
+        FROM (SELECT unnest(generate_series(0, 19)) AS i)
+      )
+      SELECT grid.bin AS bin, grid.lo_edge AS lo_edge,
+             COALESCE(cnt, 0) AS cnt
+      FROM grid LEFT JOIN counts USING (bin)
+      ORDER BY bin
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1529,6 +1594,8 @@ object Catalog {
     exactQuantilesQ,
     groupQuantilesQ,
     correlationQ,
+    trendQ,
+    histogramQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

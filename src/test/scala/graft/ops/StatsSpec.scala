@@ -32,6 +32,38 @@ class StatsSpec extends SparkSpec {
     assert(out === Seq(("a", 2L, 1.0)))
   }
 
+  test("fitLineByGroup recovers an exact line and tolerates constant y") {
+    // y = 3x + 2 exactly; with integral inputs the moment chain is exact
+    val df = (1 to 5).map(i => ("a", i.toDouble, (3 * i + 2).toDouble))
+      .toDF("g", "x", "y")
+    val out = Stats.fitLineByGroup(df, "g", "x", "y")
+      .as[(String, Long, Double, Double)].head()
+    assert(out._2 === 5L)
+    assert(math.abs(out._3 - 3.0) < 1e-12 && math.abs(out._4 - 2.0) < 1e-12)
+    // constant y is a valid fit (slope 0); constant x is not
+    val flat = Seq(("b", 1.0, 7.0), ("b", 2.0, 7.0)).toDF("g", "x", "y")
+    val f = Stats.fitLineByGroup(flat, "g", "x", "y")
+      .as[(String, Long, Double, Double)].head()
+    assert(f._3 === 0.0 && f._4 === 7.0)
+    val const = Seq(("c", 5.0, 1.0), ("c", 5.0, 2.0)).toDF("g", "x", "y")
+    assert(Stats.fitLineByGroup(const, "g", "x", "y").count() === 0L)
+  }
+
+  test("histogram clamps out-of-range values and emits empty bins as zeros") {
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 100.0, 250.0).toDF("v")
+    val out = Stats.histogram(df, "v", lo = 0.0, hi = 100.0, bins = 10)
+      .orderBy("bin").as[(Long, Double, Long)].collect().toSeq
+    assert(out.size === 10) // every bin present, even empty ones
+    assert(out.map(_._1) === (0L until 10L))
+    val cnt = out.map(r => r._1 -> r._3).toMap
+    assert(cnt(0L) === 3L) // -5 clamps in, 0.0 and 9.9 belong
+    assert(cnt(1L) === 1L) // 10.0
+    assert(cnt(5L) === 1L) // 55
+    assert(cnt(9L) === 3L) // 99.9 + clamped 100.0 and 250.0
+    assert(out.map(_._3).sum === 8L)
+    assert(out(3)._2 === 30.0) // lo_edge arithmetic
+  }
+
   test("r is partitioning-invariant bit-for-bit (exact moments)") {
     val df = (1 to 1000)
       .map(i => ("t", (i % 83).toDouble, ((i * 7) % 101).toDouble))
