@@ -471,6 +471,85 @@ object CorpusStats {
         (col("graft_r_") + 1).cast("int").as("rank"))
   }
 
+  /** COLLOCATION mining — adjacent word pairs that co-occur far more
+    * than their parts predict (multi-word expressions: "San
+    * Francisco", "machine learning") ranked by LIFT, the exact-ratio
+    * form of PMI: lift = p(ab) / (p(a)·p(b)) =
+    * (c_ab·N_uni·N_uni) / (N_big·c_a·c_b). PMI itself is
+    * log(lift) — monotone in it — and the log is EXACTLY what makes
+    * PMI un-oracleable (libm rounding); ranking by the raw ratio
+    * keeps the whole statistic a fixed chain of double products and
+    * one division over exact integer counts, bit-identical across
+    * engines. `minCount` floors rare pairs (a 1-occurrence pair has
+    * huge lift and zero evidence — the standard PMI pathology).
+    *
+    * Shape: one token explode reduced to unigram counts, one pair
+    * explode reduced to bigram counts (both partial-aggregated;
+    * term/pair strings bound the key space at vocabulary scale, the
+    * [[salientTerms]] discipline), corpus totals as two 1-row
+    * aggregates crossed in (broadcast), top-k by TakeOrdered — no
+    * global sort. Output: (term_a, term_b, pair_cnt, cnt_a, cnt_b,
+    * lift), ties (lift desc, pair asc). */
+  def collocations(
+      docs: DataFrame,
+      textCol: String = "text",
+      minCount: Long = 5L,
+      k: Int = 20,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = split(col(textCol), " ")
+    val pairsArr = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("a"), element_at(toks, i + 1).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))
+    val uni = docs
+      .select(explode(toks).as("t"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("c"))
+    val big = docs
+      .select(explode(pairsArr).as("p"))
+      .select(col("p.a").as("term_a"), col("p.b").as("term_b"))
+      .groupBy(col("term_a"), col("term_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .filter(col("pair_cnt") >= minCount)
+    val totals = uni.agg(sum(col("c")).cast("long").as("n_uni"))
+      .crossJoin(docs.select(
+        (greatest(size(toks) - 1, lit(0))).as("nb"))
+        .agg(sum(col("nb")).cast("long").as("n_big")))
+    big
+      .join(uni.select(col("t").as("term_a"), col("c").as("cnt_a")), Seq("term_a"))
+      .join(uni.select(col("t").as("term_b"), col("c").as("cnt_b")), Seq("term_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("term_a"), col("term_b"), col("pair_cnt"),
+        col("cnt_a"), col("cnt_b"),
+        // fixed left-to-right chain: both engines parse a*b*c/(d*e*f)
+        // into the identical tree over exact-integer-valued doubles
+        ((col("pair_cnt").cast("double") * col("n_uni") * col("n_uni")) /
+          (col("n_big").cast("double") * col("cnt_a") * col("cnt_b")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+      .limit(k)
+  }
+
+  /** Token FREQUENCY SPECTRUM — how many distinct token types occur
+    * exactly c times (the Zipf/Heaps audit: a healthy natural corpus
+    * has a long 1-occurrence tail; a templated or looping one piles
+    * types at high counts). Two partial-aggregated reductions — token
+    * hash → count, count → type tally — both over 8-byte keys; the
+    * output is at most |distinct counts| rows. */
+  def frequencySpectrum(
+      docs: DataFrame,
+      textCol: String = "text",
+  ): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("t"))
+      .select(TextOps.hash60(col("t")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("c").as("occurrences"))
+      .agg(count(lit(1)).as("n_types"))
+
   /** Adjacent character-pair frequencies over whitespace tokens — the
     * statistic one round of BPE tokenizer induction maximizes (the
     * first merge is the top pair; re-running after merging yields the

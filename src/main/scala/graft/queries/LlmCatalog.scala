@@ -1718,6 +1718,70 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Collocation mining by exact lift (CorpusStats.collocations):
+    * top-20 adjacent word pairs co-occurring above independence, with
+    * a 5-occurrence evidence floor. PMI's log is what makes PMI
+    * un-oracleable; the raw ratio is monotone in it and stays one
+    * fixed double chain over exact counts — hash-matched. */
+  val collocationsQ = GraftQuery(
+    "q88_collocations",
+    (s, d) =>
+      graft.llm.CorpusStats.collocations(documents(s, d), "text",
+          minCount = 5L, k = 20),
+    Some("""
+      WITH uni AS (
+        SELECT t, COUNT(*) AS c FROM (
+          SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ) GROUP BY t
+      ),
+      big AS (
+        SELECT a AS term_a, b AS term_b, COUNT(*) AS pair_cnt FROM (
+          SELECT w[i] AS a, w[i+1] AS b FROM (
+            SELECT w, unnest(generate_series(1, len(w)-1)) AS i
+            FROM (SELECT string_split(text, ' ') AS w FROM documents)
+            WHERE len(w) >= 2
+          )
+        ) GROUP BY a, b
+        HAVING COUNT(*) >= 5
+      ),
+      tot AS (
+        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS n_uni,
+               (SELECT CAST(SUM(greatest(len(string_split(text, ' ')) - 1, 0)) AS BIGINT)
+                FROM documents) AS n_big
+      )
+      SELECT term_a, term_b, pair_cnt, cnt_a, cnt_b, lift FROM (
+        SELECT big.term_a, big.term_b, big.pair_cnt,
+               ua.c AS cnt_a, ub.c AS cnt_b,
+               (CAST(big.pair_cnt AS DOUBLE) * n_uni * n_uni) /
+               (CAST(n_big AS DOUBLE) * ua.c * ub.c) AS lift
+        FROM big JOIN uni ua ON big.term_a = ua.t
+             JOIN uni ub ON big.term_b = ub.t, tot
+      )
+      ORDER BY lift DESC, term_a, term_b
+      LIMIT 20
+    """.trim),
+  )
+
+  /** Token frequency spectrum (CorpusStats.frequencySpectrum): how
+    * many types occur exactly c times — the Zipf/Heaps corpus-health
+    * audit. Two 8-byte-key reductions; exact integers only. */
+  val frequencySpectrumQ = GraftQuery(
+    "q89_frequency_spectrum",
+    (s, d) =>
+      graft.llm.CorpusStats.frequencySpectrum(documents(s, d), "text")
+        .orderBy(col("occurrences")),
+    Some("""
+      SELECT c AS occurrences, COUNT(*) AS n_types FROM (
+        SELECT h, COUNT(*) AS c FROM (
+          SELECT ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+          )
+        ) GROUP BY h
+      ) GROUP BY c
+      ORDER BY occurrences
+    """.trim),
+  )
+
   /** Top-3 salient terms per doc scored tf/df
     * (CorpusStats.salientTerms) — corpus-relative keyword extraction.
     * score = tf/df is ONE exact-integer IEEE division (an idf log
@@ -2312,5 +2376,7 @@ object LlmCatalog {
     repetitionCodepointQ,
     repeatFactorMixQ,
     docSignalsQ,
+    collocationsQ,
+    frequencySpectrumQ,
   )
 }

@@ -236,6 +236,36 @@ class CorpusStatsSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  test("collocations rank glued pairs above loose ones; the floor kills rare pairs") {
+    val s = spark
+    import s.implicits._
+    // "new york" only ever together; "the" pairs with many neighbors
+    // (a loose, high-frequency word); "rare gem" appears once —
+    // floored out despite its perfect lift
+    val docs = (Seq.fill(5)("new york") ++ Seq(
+      "the cat sat on the mat",
+      "the dog sat on the rug",
+      "the cat ran to the dog",
+      "rare gem")).toDF("text")
+    val out = CorpusStats.collocations(docs, "text", minCount = 2L, k = 10)
+      .select("term_a", "term_b").as[(String, String)].collect().toSeq
+    assert(out.contains(("new", "york")))
+    assert(!out.contains(("rare", "gem")), "1-occurrence pair must be floored")
+    // the glued pair outranks the loose high-frequency pair:
+    // lift(new,york) = 9.0 vs lift(the,cat) = 7.5 on this corpus
+    assert(out.indexOf(("new", "york")) < out.indexOf(("the", "cat")))
+  }
+
+  test("frequencySpectrum tallies types by occurrence count exactly") {
+    val s = spark
+    import s.implicits._
+    // a×4, b×2, c×2, d,e,f ×1 → spectrum: 1→3 types, 2→2, 4→1
+    val docs = Seq("a a b c d", "a a b c e f").toDF("text")
+    val out = CorpusStats.frequencySpectrum(docs, "text")
+      .orderBy("occurrences").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 3L), (2L, 2L), (4L, 1L)))
+  }
+
   test("docSignals equals the standalone operators signal-for-signal (fusion agreement)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fused = CorpusStats.docSignals(docs).orderBy("doc_id").collect()
