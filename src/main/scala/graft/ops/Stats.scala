@@ -115,7 +115,10 @@ object Stats {
     val raw = floor((col(valCol) - lit(lo)) / lit(w)).cast("long")
     val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
     val counts = df
-      .filter(col(valCol).isNotNull)
+      // NaN is droppable like null (no bin is right for it) — and
+      // under ANSI mode the long cast of floor(NaN) would THROW
+      // rather than misbin
+      .filter(col(valCol).isNotNull && !isnan(col(valCol).cast("double")))
       .select(bin.as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("cnt"))

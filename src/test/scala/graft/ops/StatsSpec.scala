@@ -50,7 +50,8 @@ class StatsSpec extends SparkSpec {
   }
 
   test("histogram clamps out-of-range values and emits empty bins as zeros") {
-    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 100.0, 250.0).toDF("v")
+    // the NaN row must DROP (under ANSI the long cast would throw)
+    val df = Seq(-5.0, 0.0, 9.9, 10.0, 55.0, 99.9, 100.0, 250.0, Double.NaN).toDF("v")
     val out = Stats.histogram(df, "v", lo = 0.0, hi = 100.0, bins = 10)
       .orderBy("bin").as[(Long, Double, Long)].collect().toSeq
     assert(out.size === 10) // every bin present, even empty ones
