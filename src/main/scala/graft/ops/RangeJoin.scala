@@ -49,4 +49,48 @@ object RangeJoin {
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("_bin")
   }
+
+  /** INTERVAL × INTERVAL overlap join — both sides are half-open
+    * ranges, matched when they intersect: lS < rE && rS < lE. The
+    * naive form is again a nested-loop; both sides explode to their
+    * covered bins and hash-join on the bin id instead.
+    *
+    * The subtlety point-in-interval doesn't have: two overlapping
+    * intervals can share MANY bins, and the bin join would emit the
+    * pair once per shared bin — the classic duplicate blowup that a
+    * corpus-sized DISTINCT would have to mop up. Instead each pair is
+    * kept ONLY in the first bin both sides cover, which for
+    * overlapping intervals is exactly max(lStartBin, rStartBin) —
+    * a map-side predicate, so every overlapping pair emits exactly
+    * once and NO distinct pass (and no wide shuffle of the payload)
+    * exists anywhere in the plan. Empty intervals (end <= start)
+    * overlap nothing and are dropped up front — their bin sequence
+    * would otherwise count DOWN (the Spark sequence() footgun).
+    *
+    * Column names must be disjoint across the two sides (the output
+    * is left row ++ right row, inner semantics). Same binWidth
+    * tradeoff as [[pointInInterval]]. */
+  def intervalOverlap(
+      left: DataFrame,
+      lStart: String,
+      lEnd: String,
+      right: DataFrame,
+      rStart: String,
+      rEnd: String,
+      binWidth: Long,
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binOf(c: Column) = floor(c / binWidth).cast("long")
+    def explodeBins(df: DataFrame, s: String, e: String) =
+      df
+        .filter(col(e) > col(s))
+        .withColumn("_bin",
+          explode(sequence(binOf(col(s)), binOf(col(e)))))
+    explodeBins(left, lStart, lEnd)
+      .join(explodeBins(right, rStart, rEnd), Seq("_bin"))
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      // first-shared-bin rule: emit each overlapping pair exactly once
+      .filter(col("_bin") === greatest(binOf(col(lStart)), binOf(col(rStart))))
+      .drop("_bin")
+  }
 }

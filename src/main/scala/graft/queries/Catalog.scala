@@ -761,6 +761,56 @@ object Catalog {
     """.trim),
   )
 
+  /** Interval OVERLAP join (RangeJoin.intervalOverlap): each line
+    * item's shipping window [ship, receipt] against q29's 7-day promo
+    * windows — interval×interval with no equi-key, restored to a hash
+    * join by bin explosion with the first-shared-bin uniqueness rule
+    * (no DISTINCT anywhere). The oracle is DuckDB's plain inequality
+    * join — two different algorithms, identical rows. */
+  val intervalOverlapQ = GraftQuery(
+    "q90_interval_overlap",
+    (s, d) => {
+      val days = (c: org.apache.spark.sql.Column) =>
+        datediff(c, to_date(lit("1970-01-01")))
+      val li = lineitem(s, d).select(
+        col("l_orderkey"), col("l_quantity"),
+        days(col("l_shipdate")).as("ship_d"),
+        // the synthetic lineitem has no receipt date; a deterministic
+        // 1..10-day transit derived from the line number gives the
+        // varying-width intervals the overlap semantics need
+        (days(col("l_shipdate")) + col("l_linenumber") % 10 + 1).as("recv_x"))
+      val o = orders(s, d).withColumn("od", days(col("o_orderdate")))
+      val windows = o.filter(col("o_orderkey") % 500 === 0)
+        .select(col("o_orderkey").as("promo_key"),
+          col("od").as("w_start"), (col("od") + 7).as("w_end"))
+      graft.ops.RangeJoin.intervalOverlap(
+          li, "ship_d", "recv_x", windows, "w_start", "w_end", binWidth = 7L)
+        .groupBy(col("promo_key"))
+        .agg(count(lit(1)).as("overlapping_items"),
+          dsum(col("l_quantity")).as("total_qty"))
+        .orderBy(col("promo_key"))
+    },
+    Some("""
+      SELECT w.promo_key,
+             COUNT(*) AS overlapping_items,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+      FROM (
+        SELECT o_orderkey AS promo_key,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS w_start,
+               date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 7 AS w_end
+        FROM orders WHERE o_orderkey % 500 = 0
+      ) w
+      JOIN (
+        SELECT l_orderkey, l_quantity,
+               date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS ship_d,
+               date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) + l_linenumber % 10 + 1 AS recv_x
+        FROM lineitem
+      ) l ON l.ship_d < w.w_end AND w.w_start < l.recv_x
+      GROUP BY w.promo_key
+      ORDER BY promo_key
+    """.trim),
+  )
+
   /** Single-pass column profiler (graft.ops.Profile) over lineitem's
     * measures: null counts, exact distincts, min/max, exact sums —
     * one scan for all columns, unpivoted to a row per column. */
@@ -1596,6 +1646,7 @@ object Catalog {
     correlationQ,
     trendQ,
     histogramQ,
+    intervalOverlapQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
