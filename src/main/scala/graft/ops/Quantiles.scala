@@ -51,6 +51,51 @@ object Quantiles {
       .select(col("p"), col("rank"), col(valCol).as("value"))
   }
 
+  /** WEIGHTED exact quantiles — quantiles of MASS, not of rows: the
+    * smallest value v such that rows with value <= v carry at least
+    * p of the total weight. The design question row quantiles can't
+    * answer: "what sequence length covers 95% of the corpus TOKENS"
+    * weights each document by its token count, and a few long docs
+    * move the answer far from the row-p95 (q91).
+    *
+    * Shape: one [[Rank.prefixSumWithTotal]] walk under
+    * (valCol, tieCol) — range exchange + internal-row cumulative
+    * weight, no global sort — then ONE aggregate whose per-p pick is
+    * min(struct(cum, value)) over rows with cum >= p·W: map-side
+    * combinable, and cum is strictly increasing (non-positive
+    * weights are dropped up front — they carry no mass and their
+    * cum ties would make min_by ambiguous on BOTH engines), so the
+    * pick is unique. p·W is one double product of exact longs —
+    * identical IEEE cross-engine. Output: (p, value, cum_weight). */
+  def weighted(
+      df: DataFrame,
+      valCol: String,
+      tieCol: String,
+      weightCol: String,
+      probs: Seq[Double],
+  ): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val rows = df
+      .filter(col(weightCol) > 0)
+      .select(col(valCol), col(tieCol), col(weightCol).cast("long").as("graft_w_"))
+    val (cum, total) =
+      Rank.prefixSumWithTotal(rows, Seq(valCol, tieCol), "graft_w_")
+    val picks = probs.zipWithIndex.map { case (p, i) =>
+      min(when(col("cum") >= lit(p * total),
+        struct(col("cum"), col(valCol)))).as(s"graft_p${i}_")
+    }
+    val one = cum.agg(picks.head, picks.tail: _*)
+    val out = one.select(explode(array(probs.zipWithIndex.map { case (p, i) =>
+      struct(lit(p).as("p"),
+        col(s"graft_p${i}_").getField(valCol).as("value"),
+        col(s"graft_p${i}_").getField("cum").as("cum_weight"))
+    }: _*)).as("r"))
+      .select(col("r.p"), col("r.value"), col("r.cum_weight"))
+    // an all-zero-weight (or empty) input has no mass to cover: no rows
+    if (total == 0L) out.filter(lit(false)) else out
+  }
+
   /** Per-GROUP exact quantiles — the form mix design actually asks
     * for ("p99 doc length per source"): the same inverse-ECDF pick,
     * ranked by a window PARTITIONED on the group (bounded per-group

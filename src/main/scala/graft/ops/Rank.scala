@@ -76,6 +76,52 @@ object Rank {
       sizes.sum)
   }
 
+  /** Order-preserving global PREFIX SUM of a long weight column —
+    * [[globalRank]] is this at weight 1 (and
+    * [[graft.llm.Splits.packSequences]] is this at weight = token
+    * count, specialized): appends `cum`, the INCLUSIVE running sum of
+    * `weightCol` under the total order `orderCols`, plus returns the
+    * grand total (already in hand from the partition-sizes hop).
+    * Same shape as the rank walk: range repartition, one
+    * #partitions-longs driver hop, internal-row append — consumers
+    * stay codegen'd. */
+  def prefixSumWithTotal(
+      df: DataFrame,
+      orderCols: Seq[String],
+      weightCol: String,
+  ): (DataFrame, Long) = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val spark = df.sparkSession
+    val sorted = df
+      .repartitionByRange(orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .localCheckpoint(false)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    require(sorted.schema(wIdx).dataType == LongType,
+      s"$weightCol must be LongType (cast up front), got ${sorted.schema(wIdx).dataType}")
+    val internal = sorted.queryExecution.toRdd
+    val sums = internal
+      .mapPartitions(it => Iterator(it.map(_.getLong(wIdx)).sum),
+        preservesPartitioning = true)
+      .collect()
+    val starts = sums.scanLeft(0L)(_ + _)
+    val outSchema =
+      StructType(sorted.schema :+ StructField("cum", LongType, nullable = false))
+    val rows = internal.mapPartitionsWithIndex { case (p, it) =>
+      val proj = UnsafeProjection.create(outSchema)
+      val joined = new JoinedRow
+      val cumRow = new SpecificInternalRow(Seq(LongType))
+      var acc = starts(p)
+      it.map { r =>
+        acc += r.getLong(wIdx)
+        cumRow.setLong(0, acc)
+        proj(joined(r, cumRow)): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    (org.apache.spark.sql.GraftBridge.internalCreateDataFrame(spark, rows, outSchema),
+      sums.sum)
+  }
+
   /** Curriculum phase assignment on top of [[globalRank]]: rows split
     * into `phases` contiguous rank ranges (floor distribution —
     * phase = (rank−1)·phases div N), the "train on short docs first"

@@ -1599,6 +1599,45 @@ object Catalog {
     """.trim),
   )
 
+  /** Token-WEIGHTED doc-length quantiles (Quantiles.weighted): the
+    * seqLen design question — the doc length below which p of the
+    * corpus TOKENS (not docs) live. Long docs carry more mass, so
+    * the answers sit far above the row quantiles (q82). Prefix-sum
+    * walk + one map-side-combinable pick aggregate; the oracle
+    * replays with a window SUM and min_by. */
+  val weightedQuantilesQ = GraftQuery(
+    "q91_token_weighted_quantiles",
+    (s, d) =>
+      graft.ops.Quantiles.weighted(
+          documents(s, d).select(
+            graft.llm.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+            col("doc_id")),
+          "n_tokens", "doc_id", "n_tokens",
+          probs = Seq(0.5, 0.9, 0.95, 0.99))
+        .orderBy(col("p")),
+    Some("""
+      WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS v, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        FROM documents
+      ),
+      tp AS (SELECT * FROM t WHERE w > 0),
+      c AS (
+        SELECT v, SUM(w) OVER (ORDER BY v, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM tp
+      ),
+      tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wt FROM tp)
+      SELECT pr.p AS p, min_by(c.v, c.cum) AS value,
+             CAST(MIN(c.cum) AS BIGINT) AS cum_weight
+      FROM (VALUES (0.5), (0.9), (0.95), (0.99)) AS pr(p)
+      CROSS JOIN tot
+      JOIN c ON c.cum >= pr.p * tot.wt
+      GROUP BY pr.p
+      ORDER BY p
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1647,6 +1686,7 @@ object Catalog {
     trendQ,
     histogramQ,
     intervalOverlapQ,
+    weightedQuantilesQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -35,6 +35,26 @@ class QuantilesSpec extends SparkSpec {
     assert(out === Seq(("a", 0.5, 50), ("a", 1.0, 100), ("b", 0.5, 2), ("b", 1.0, 3)))
   }
 
+  test("weighted quantiles answer in mass, not rows") {
+    // 9 docs of length 10 (90 tokens) + 1 doc of length 910: total
+    // 1000 tokens. Row-p50 is 10; but HALF THE MASS sits in the long
+    // doc — weighted p50 = 910, while p <= 0.09 still answers 10.
+    val df = ((1 to 9).map(i => (10L, i.toLong)) :+ (910L, 10L))
+      .toDF("len", "id")
+    val out = Quantiles.weighted(df, "len", "id", "len", Seq(0.09, 0.5, 1.0))
+      .orderBy("p").as[(Double, Long, Long)].collect().toSeq
+    assert(out === Seq((0.09, 10L, 90L), (0.5, 910L, 1000L), (1.0, 910L, 1000L)))
+  }
+
+  test("weighted quantiles drop non-positive weights and empty input yields no rows") {
+    val df = Seq((5L, 1L, 0L), (7L, 2L, -3L)).toDF("v", "id", "w")
+    assert(Quantiles.weighted(df, "v", "id", "w", Seq(0.5)).count() === 0L)
+    val mixed = Seq((5L, 1L, 0L), (7L, 2L, 4L)).toDF("v", "id", "w")
+    val out = Quantiles.weighted(mixed, "v", "id", "w", Seq(0.5))
+      .as[(Double, Long, Long)].head()
+    assert(out === ((0.5, 7L, 4L))) // the zero-weight row carries no mass
+  }
+
   test("the quantile plan has no global sort and no single partition") {
     val df = (1 to 1000).map(i => (i % 97, i.toLong)).toDF("v", "id")
     val q = Quantiles.exact(df, "v", "id", Seq(0.5, 0.99))
