@@ -96,6 +96,50 @@ object Quantiles {
     if (total == 0L) out.filter(lit(false)) else out
   }
 
+  /** Per-GROUP weighted quantiles — [[weighted]] computed within each
+    * group ("the length covering 95% of EACH SOURCE's tokens", the
+    * per-source seqLen/mix question). The cumulative runs in a
+    * GROUP-partitioned window (bounded per group — the scale-safe
+    * window shape, same as [[exactPerGroup]]), group totals are a
+    * tiny aggregate joined back broadcast, and the per-(group, p)
+    * pick is the same map-side-combinable min(struct(cum, value))
+    * aggregate. Non-positive weights drop for the same
+    * pick-uniqueness reason. Output: (groupCol, p, value,
+    * cum_weight). */
+  def weightedPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      tieCol: String,
+      weightCol: String,
+      probs: Seq[Double],
+  ): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = df
+      .filter(col(weightCol) > 0)
+      .select(col(groupCol), col(valCol), col(tieCol),
+        col(weightCol).cast("long").as("graft_w_"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(valCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = rows.withColumn("graft_cum_", sum(col("graft_w_")).over(w))
+    val totals = rows.groupBy(col(groupCol))
+      .agg(sum(col("graft_w_")).cast("long").as("graft_tot_"))
+      .crossJoin(probs.toDF("p"))
+    cum
+      .join(broadcast(totals), Seq(groupCol))
+      .filter(col("graft_cum_").cast("double") >= col("p") * col("graft_tot_"))
+      .groupBy(col(groupCol), col("p"))
+      .agg(min(struct(col("graft_cum_"), col(valCol))).as("graft_pick_"))
+      .select(col(groupCol), col("p"),
+        col("graft_pick_").getField(valCol).as("value"),
+        col("graft_pick_").getField("graft_cum_").as("cum_weight"))
+  }
+
   /** Per-GROUP exact quantiles — the form mix design actually asks
     * for ("p99 doc length per source"): the same inverse-ECDF pick,
     * ranked by a window PARTITIONED on the group (bounded per-group

@@ -1638,6 +1638,45 @@ object Catalog {
     """.trim),
   )
 
+  /** Per-SOURCE token-weighted length quantiles
+    * (Quantiles.weightedPerGroup): q91's mass quantiles within each
+    * source — the per-feed seqLen/mix answer. Group-partitioned
+    * cumulative window (bounded per group), broadcast totals, one
+    * map-side-combinable pick aggregate. */
+  val weightedGroupQuantilesQ = GraftQuery(
+    "q92_source_weighted_quantiles",
+    (s, d) =>
+      graft.ops.Quantiles.weightedPerGroup(
+          documents(s, d).select(col("source"),
+            graft.llm.TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+            col("doc_id")),
+          "source", "n_tokens", "doc_id", "n_tokens",
+          probs = Seq(0.5, 0.95))
+        .orderBy(col("source"), col("p")),
+    Some("""
+      WITH t AS (
+        SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        FROM documents
+      ),
+      tp AS (SELECT * FROM t WHERE w > 0),
+      c AS (
+        SELECT source, v,
+               SUM(w) OVER (PARTITION BY source ORDER BY v, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM tp
+      ),
+      tot AS (SELECT source, CAST(SUM(w) AS BIGINT) AS wt FROM tp GROUP BY source)
+      SELECT c.source AS source, pr.p AS p, min_by(c.v, c.cum) AS value,
+             CAST(MIN(c.cum) AS BIGINT) AS cum_weight
+      FROM (VALUES (0.5), (0.95)) AS pr(p)
+      CROSS JOIN tot
+      JOIN c ON c.source = tot.source AND c.cum >= pr.p * tot.wt
+      GROUP BY c.source, pr.p
+      ORDER BY source, p
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1687,6 +1726,7 @@ object Catalog {
     histogramQ,
     intervalOverlapQ,
     weightedQuantilesQ,
+    weightedGroupQuantilesQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -55,6 +55,22 @@ class QuantilesSpec extends SparkSpec {
     assert(out === ((0.5, 7L, 4L))) // the zero-weight row carries no mass
   }
 
+  test("weightedPerGroup answers per group independently, windows stay partitioned") {
+    // group a = the q91 fixture (half the mass in one long doc);
+    // group b = uniform
+    val df = (((1 to 9).map(i => ("a", 10L, i.toLong)) :+ (("a", 910L, 10L))) ++
+      (1 to 4).map(i => ("b", 50L, (100 + i).toLong))).toDF("g", "len", "id")
+    val q = Quantiles.weightedPerGroup(df, "g", "len", "id", "len", Seq(0.09, 0.5))
+    val out = q.orderBy("g", "p")
+      .as[(String, Double, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", 0.09, 10L, 90L), ("a", 0.5, 910L, 1000L),
+      ("b", 0.09, 50L, 50L), ("b", 0.5, 50L, 100L)))
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"the cumulative window must stay group-partitioned:\n${p.take(400)}")
+  }
+
   test("the quantile plan has no global sort and no single partition") {
     val df = (1 to 1000).map(i => (i % 97, i.toLong)).toDF("v", "id")
     val q = Quantiles.exact(df, "v", "id", Seq(0.5, 0.99))
