@@ -66,6 +66,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(texts.toSeq === again.toSeq)
   }
 
+  test("prepare composes budgets AND repeats: budget first, then epochs over the kept set") {
+    val budget = 1500L
+    val budgeted = TrainingData.Config(seqLen = 64,
+      budgets = Some(("source", Map.empty[String, Long], budget)))
+    val both = TrainingData.Config(seqLen = 64,
+      budgets = Some(("source", Map.empty[String, Long], budget)),
+      repeats = Some(("lang", Map.empty[String, Double], 3.0)))
+    val base = TrainingData.prepare(docs, cfg = budgeted)
+      .agg(sum("n_tokens")).as[Long].head()
+    val tripled = TrainingData.prepare(docs, cfg = both)
+      .agg(sum("n_tokens")).as[Long].head()
+    // the repeat stage runs on the BUDGETED survivors — an integral
+    // factor multiplies the budgeted stream exactly, proving the
+    // stage order (repeating before budgeting would re-fill budgets
+    // and break the identity)
+    assert(tripled === 3 * base)
+    // and the combined path stays reproducible under repartitioning
+    val a = TrainingData.prepare(docs.repartition(5), cfg = both)
+      .orderBy("seq_id").select("text").as[String].collect().toSeq
+    val b = TrainingData.prepare(docs.coalesce(1), cfg = both)
+      .orderBy("seq_id").select("text").as[String].collect().toSeq
+    assert(a === b)
+  }
+
   test("prepare honors token budgets with the documented overshoot bound") {
     val budget = 2000L
     val cfg = TrainingData.Config(seqLen = 64,
