@@ -32,6 +32,21 @@ class CodepointModeSpec extends SparkSpec {
     assert(rows(1).getString(1) === "" && rows(2).getString(1) === "")
   }
 
+  test("segment counts supplementary-plane codepoints as single tokens") {
+    val s = spark
+    import s.implicits._
+    // 😀 (U+1F600) and 𝕏 (U+1D54F) are surrogate PAIRS in UTF-16; a
+    // code-unit walk would split them in half — Spark's length/substr
+    // are codepoint-based, so each stays one token
+    val df = Seq("😀a𝕏 b").toDF("t")
+    val seg = df.select(TextOps.segment(col("t"), TextOps.Codepoint).as("s"))
+      .head().getString(0)
+    assert(seg === "😀 a 𝕏 b")
+    val n = df.select(size(TextOps.tokens(col("t"), TextOps.Codepoint)))
+      .head().getInt(0)
+    assert(n === 4)
+  }
+
   test("tokens(mode) yields one token per codepoint on unsegmented text") {
     val n = cjkDocs
       .select(col("doc_id"),

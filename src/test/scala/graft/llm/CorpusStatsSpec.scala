@@ -266,6 +266,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(out === Seq((1L, 3L), (2L, 2L), (4L, 1L)))
   }
 
+  test("docSignals survives one-token and fully-duplicated docs (zero-bigram path)") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "word"), (2L, "spam spam spam spam")).toDF("doc_id", "text")
+    val out = CorpusStats.docSignals(docs).orderBy("doc_id").collect()
+    val one = out(0)
+    assert(one.getAs[Long]("n_tokens") === 1L)
+    assert(one.getAs[Long]("n_bigrams") === 0L) // left join + coalesce, no null
+    assert(one.getAs[Double]("dup_bigram_frac") === 0.0)
+    val spam = out(1)
+    assert(spam.getAs[Long]("n_distinct") === 1L)
+    assert(spam.getAs[Double]("dup_token_frac") === 0.75)
+    assert(spam.getAs[Double]("top_bigram_frac") === 1.0)
+  }
+
   test("docSignals equals the standalone operators signal-for-signal (fusion agreement)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fused = CorpusStats.docSignals(docs).orderBy("doc_id").collect()
