@@ -229,6 +229,14 @@ object Splits {
   ): DataFrame = {
     require(factors.values.forall(_ >= 0) && defaultFactor >= 0,
       "factors must be >= 0")
+    // the output column and the transient are APPENDED — an input that
+    // already carries either name would yield a duplicate/ambiguous
+    // column with no error until far downstream (defensive style of
+    // the other samplers)
+    require(!df.columns.contains("epoch"),
+      "input already has an 'epoch' column — rename it before repeatFactorSample")
+    require(!df.columns.contains("graft_copies_"),
+      "input must not carry the reserved 'graft_copies_' column")
     def fullOf(f: Double) = math.floor(f).toLong
     def cutOf(f: Double) = math.round((f - math.floor(f)) * Buckets)
     val full = factors.foldLeft(lit(fullOf(defaultFactor)): Column) {

@@ -47,7 +47,16 @@ object TextOps {
     * `op(segment(text))`; operators with a `mode` parameter just do
     * this internally. Pure map-side projection (substr walk, no
     * regex-dialect dependence — the DuckDB mirror is the same
-    * generate_series/substr walk). */
+    * generate_series/substr walk).
+    *
+    * Whitespace here is Java-regex `\s` (ASCII) PLUS U+3000
+    * IDEOGRAPHIC SPACE — the space character CJK text (this mode's
+    * whole audience) actually uses; without it the ideographic space
+    * would survive as a content codepoint and pollute char-gram
+    * dedup/repetition signals. The q80 oracle strips the identical
+    * class (`[\s\x{3000}]` in RE2). Other exotic Unicode spaces are
+    * the [[normalize]] preprocessor's job (NFKC folds most of them
+    * to U+0020), not the segmenter's. */
   def segment(text: Column, mode: TokenMode): Column = mode match {
     case Whitespace => text
     case Codepoint =>
@@ -56,7 +65,7 @@ object TextOps {
       // subexpression elimination inside lambdas, so referencing the
       // regexp_replace subtree from the per-character substr would
       // re-run it PER CHARACTER — O(len²) per document
-      val compact = regexp_replace(coalesce(text, lit("")), "\\s+", "")
+      val compact = regexp_replace(coalesce(text, lit("")), "[\\s\u3000]+", "")
       array_join(
         element_at(
           transform(array(compact), c =>

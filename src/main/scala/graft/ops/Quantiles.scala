@@ -76,9 +76,12 @@ object Quantiles {
   ): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
       s"probs must be in (0, 1], got $probs")
+    // cast FIRST, then filter the casted value: a fractional weight in
+    // (0, 1) would pass a pre-cast `> 0` filter and truncate to 0 mass,
+    // producing tied cum values that break the unique-pick invariant
     val rows = df
-      .filter(col(weightCol) > 0)
       .select(col(valCol), col(tieCol), col(weightCol).cast("long").as("graft_w_"))
+      .filter(col("graft_w_") > 0)
     val (cum, total) =
       Rank.prefixSumWithTotal(rows, Seq(valCol, tieCol), "graft_w_")
     val picks = probs.zipWithIndex.map { case (p, i) =>
@@ -119,10 +122,11 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // cast-then-filter for the same unique-pick reason as [[weighted]]
     val rows = df
-      .filter(col(weightCol) > 0)
       .select(col(groupCol), col(valCol), col(tieCol),
         col(weightCol).cast("long").as("graft_w_"))
+      .filter(col("graft_w_") > 0)
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col(valCol), col(tieCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -28,14 +28,25 @@ object Stats {
     * Shape: one partial-aggregated groupBy over the (tiny) group key
     * space — six decimal sums, map-side combinable; the r projection
     * is map-side arithmetic on the aggregate row. One shuffle of
-    * |groups| rows. Output: (groupCol, n, r). */
+    * |groups| rows. Output: (groupCol, n, r).
+    *
+    * INPUT QUANTIZATION: both measures are cast to decimal(18,
+    * `scale`) BEFORE the moment sums — with the default scale 2 the
+    * inputs are rounded to 0.01 (money-grain; exactly what makes the
+    * sums order-independent and cross-engine replayable), and under
+    * ANSI mode a value with |x| >= 10^(18-scale) overflows the cast
+    * and THROWS rather than silently wrapping. For finer-grain
+    * measures raise `scale` (the 18-digit precision budget then
+    * shrinks the representable range accordingly); the oracle must
+    * mirror the same DECIMAL(18, scale) cast. */
   def pearsonByGroup(
       df: DataFrame,
       groupCol: String,
       xCol: String,
       yCol: String,
+      scale: Int = 2,
   ): DataFrame = {
-    def d2(c: Column) = c.cast("decimal(18,2)")
+    def d2(c: Column) = c.cast(s"decimal(18,$scale)")
     val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val m = rows
       .groupBy(col(groupCol))
@@ -61,14 +72,17 @@ object Stats {
     * intercept = (Σy − slope·Σx) / n. The trend-per-segment op
     * (value drift per event type, tokens-vs-chars slope per source)
     * with the same null/zero-variance discipline; x must vary,
-    * y need not. One |groups|-row shuffle. */
+    * y need not. One |groups|-row shuffle. Inputs quantize to
+    * decimal(18, `scale`) exactly as in [[pearsonByGroup]] — 0.01
+    * grain and a 10^(18-scale) ANSI range limit at the default. */
   def fitLineByGroup(
       df: DataFrame,
       groupCol: String,
       xCol: String,
       yCol: String,
+      scale: Int = 2,
   ): DataFrame = {
-    def d2(c: Column) = c.cast("decimal(18,2)")
+    def d2(c: Column) = c.cast(s"decimal(18,$scale)")
     val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
     val m = rows
       .groupBy(col(groupCol))

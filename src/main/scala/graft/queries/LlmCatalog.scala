@@ -1564,7 +1564,7 @@ object LlmCatalog {
                CASE WHEN len(c) = 0 THEN ['']
                ELSE list_transform(generate_series(1, len(c)), i -> substr(c, i, 1))
                END AS wtok
-        FROM (SELECT doc_id, regexp_replace(text, '\\s+', '', 'g') AS c FROM documents)
+        FROM (SELECT doc_id, regexp_replace(text, '[\\s\\x{3000}]+', '', 'g') AS c FROM documents)
       ),
       tokh AS (
         SELECT doc_id, len(wtok) AS nw,

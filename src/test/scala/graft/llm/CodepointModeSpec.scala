@@ -32,6 +32,20 @@ class CodepointModeSpec extends SparkSpec {
     assert(rows(1).getString(1) === "" && rows(2).getString(1) === "")
   }
 
+  test("segment strips U+3000 ideographic space like ASCII whitespace") {
+    val s = spark
+    import s.implicits._
+    // the CJK space must not survive as a content codepoint — it
+    // would pollute char-gram dedup/repetition signals (and the q80
+    // oracle strips the identical RE2 class)
+    val df = Seq("深度　学习", "　", "a　　 b").toDF("t")
+    val segs = df.select(TextOps.segment(col("t"), TextOps.Codepoint))
+      .collect().map(_.getString(0))
+    assert(segs(0) === "深 度 学 习")
+    assert(segs(1) === "")
+    assert(segs(2) === "a b")
+  }
+
   test("segment counts supplementary-plane codepoints as single tokens") {
     val s = spark
     import s.implicits._

@@ -197,6 +197,13 @@ class SplitsSpec extends SparkSpec {
       Map("up" -> 2.5, "down" -> 0.3, "drop" -> 0.0), 1.0)
       .orderBy("id", "epoch").collect().toSeq
     assert(a === b)
+    // the appended output column must not silently shadow an existing
+    // one: an input already carrying `epoch` is rejected at call time
+    val clash = df.withColumn("epoch", lit(0))
+    val e = intercept[IllegalArgumentException] {
+      Splits.repeatFactorSample(clash, "id", "g", Map.empty, 1.0)
+    }
+    assert(e.getMessage.contains("epoch"))
   }
 
   test("deterministicShuffle: a reproducible permutation, seed-keyed, partition-invariant") {

@@ -55,6 +55,23 @@ class QuantilesSpec extends SparkSpec {
     assert(out === ((0.5, 7L, 4L))) // the zero-weight row carries no mass
   }
 
+  test("fractional weights in (0,1) truncate to zero mass and are dropped, not kept") {
+    // a 0.4 weight passes `weight > 0` but truncates to 0 on the long
+    // cast — if it survived, its zero mass would tie cum values and
+    // break the unique-pick invariant; the cast-then-filter order
+    // must drop it entirely (per-group form exercised identically)
+    val df = Seq((1L, 1L, 0.4), (2L, 2L, 3.0), (3L, 3L, 1.0))
+      .toDF("v", "id", "w")
+    val out = Quantiles.weighted(df, "v", "id", "w", Seq(0.5, 1.0))
+      .orderBy("p").as[(Double, Long, Long)].collect().toSeq
+    // mass: v=2 carries 3, v=3 carries 1 (total 4); v=1 contributes none
+    assert(out === Seq((0.5, 2L, 3L), (1.0, 3L, 4L)))
+    val g = Quantiles.weightedPerGroup(
+        df.withColumn("g", lit("x")), "g", "v", "id", "w", Seq(1.0))
+      .as[(String, Double, Long, Long)].collect().toSeq
+    assert(g === Seq(("x", 1.0, 3L, 4L)))
+  }
+
   test("weightedPerGroup answers per group independently, windows stay partitioned") {
     // group a = the q91 fixture (half the mass in one long doc);
     // group b = uniform
