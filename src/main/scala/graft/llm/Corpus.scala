@@ -190,17 +190,24 @@ object Corpus {
       sep: String = "\n",
       minDocs: Int = 2,
       minLineChars: Int = 10,
+      norm: TextOps.NormMode = TextOps.NormNone,
   ): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     require(sep.nonEmpty, "sep must be non-empty")
     val sepRe = java.util.regex.Pattern.quote(sep)
     // (id, pos, hash) — line text reduced to its hash before any
-    // shuffle; sub-minimum lines leave the pipeline here
+    // shuffle; sub-minimum lines leave the pipeline here. `norm`
+    // hashes the NORMALIZED line (a width/case variant of a
+    // boilerplate line still matches) while the rewrite below keeps
+    // every surviving line byte-identical to the input; the
+    // minLineChars gate stays on the raw line so the length contract
+    // is independent of the norm mode.
     val cand = docs
       .select(col(idCol).as("id"),
         posexplode(split(col(textCol), sepRe)).as(Seq("pos", "line")))
       .filter(length(col("line")) >= minLineChars)
-      .select(col("id"), col("pos"), TextOps.hash60(col("line")).as("h"))
+      .select(col("id"), col("pos"),
+        TextOps.hash60(TextOps.normalize(col("line"), norm)).as("h"))
     val boiler = cand
       .groupBy(col("h"))
       .agg(countDistinct(col("id")).as("df"))

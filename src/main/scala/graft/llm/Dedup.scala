@@ -28,9 +28,22 @@ object Dedup {
     * Group on the 60-bit content hash (not the full text) so the
     * shuffle key is 8 bytes, not kilobytes of document — at 100 TB the
     * shuffle moves hashes + ids only. Collisions at 2^-60 are accepted
-    * (standard practice; use a 128-bit hash to tighten). */
-  def exactKeepers(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), fingerprint(col(textCol)).as("fp"))
+    * (standard practice; use a 128-bit hash to tighten).
+    *
+    * `norm` fingerprints the [[TextOps.normalize]]d text instead of
+    * raw codepoints — the CCNet/C4 hygiene step without which a
+    * full-width/ligature/NBSP variant of a document survives exact
+    * dedup (q93 demonstrates the catch/miss pair). Normalization is
+    * part of the map-side fingerprint projection: nothing about the
+    * shuffle changes. */
+  def exactKeepers(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      norm: TextOps.NormMode = TextOps.NormNone,
+  ): DataFrame =
+    df.select(col(idCol),
+        fingerprint(TextOps.normalize(col(textCol), norm)).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("dup_count"))
 
@@ -140,11 +153,19 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketWidth: Int = 100,
       mode: TextOps.TokenMode = TextOps.Whitespace,
+      norm: TextOps.NormMode = TextOps.NormNone,
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // normalization precedes segmentation (NFKC folds full-width
+    // codepoints BEFORE they become char-gram tokens) — both are
+    // map-side projections fused into the shingle scan
+    val dfN = norm match {
+      case TextOps.NormNone => df
+      case nm => df.withColumn(textCol, TextOps.normalize(col(textCol), nm))
+    }
     val df0 = mode match {
-      case TextOps.Whitespace => df
-      case m => df.withColumn(textCol, TextOps.segment(col(textCol), m))
+      case TextOps.Whitespace => dfN
+      case m => dfN.withColumn(textCol, TextOps.segment(col(textCol), m))
     }
     val rowsPerBand = numHashes / bands
     // The shingle table feeds THREE consumers (the signature aggregate

@@ -76,6 +76,63 @@ object TextOps {
         " ")
   }
 
+  /** UNICODE NORMALIZATION PREPROCESSOR — the CCNet/C4
+    * normalize-before-dedup step the hash family otherwise lacks:
+    * every dedup/fingerprint op keys on raw codepoints, so a
+    * full-width, ligature, combining-mark, or NBSP variant of a
+    * document defeats exact dedup, MinHash, and line dedup while
+    * reading identically to a human. Threads exactly like [[segment]]
+    * threads [[TokenMode]]: running any op normalized is
+    * `op(normalize(text, norm))`, and the dedup entry points
+    * ([[Dedup.exactKeepers]], [[Dedup.nearDupPairs]],
+    * [[Corpus.dedupLines]]) take a `norm` parameter that does this
+    * internally. */
+  sealed trait NormMode
+  /** Raw codepoints (the default — every frozen oracle hash keys on
+    * this). */
+  case object NormNone extends NormMode
+  /** Unicode-normalize (`form` ∈ NFC/NFKC/NFD/NFKD), then optionally
+    * lowercase, then optionally collapse every Unicode-whitespace run
+    * to one space and trim. NFC is the oracle-checkable form (DuckDB
+    * `nfc_normalize` implements the same published algorithm — q93);
+    * NFKC additionally folds compatibility variants (full-width
+    * `Ａ`→`A`, ligature `ﬁ`→`fi`, NBSP→space) and is the production
+    * corpus-hygiene default, pinned by NormalizeSpec. */
+  final case class Normalize(
+      form: String = "NFKC",
+      caseFold: Boolean = true,
+      collapseWs: Boolean = true,
+  ) extends NormMode
+
+  /** The Unicode whitespace class the collapse step folds to one
+    * space: Java-regex `\s` (ASCII) plus NBSP, OGHAM SPACE MARK, the
+    * U+2000–200A space family, LINE/PARAGRAPH SEPARATOR, NARROW
+    * NBSP, MATH SPACE, and IDEOGRAPHIC SPACE. The DuckDB mirror is
+    * the same class in RE2 spelling
+    * (`[\s\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]`). */
+  val UnicodeWsClass: String =
+    "[\\s\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]"
+
+  /** Apply a [[NormMode]] to a text column. [[NormNone]] is the
+    * identity; [[Normalize]] runs the compiled
+    * [[graft.expr.UnicodeNormalize]] node (codegen'd, map-side, ASCII
+    * fast path), then `lower`, then the whitespace collapse — in that
+    * fixed order, which the q93 oracle mirrors step for step
+    * (`nfc_normalize` → `lower` → `regexp_replace` → `trim`).
+    * Case-folding is the engines' simple lowercase; exotic one-to-many
+    * foldings (Turkish dotted İ, ß) can differ across engines and are
+    * deliberately outside the oracled surface. */
+  def normalize(text: Column, norm: NormMode): Column = norm match {
+    case NormNone => text
+    case Normalize(form, caseFold, collapseWs) =>
+      val unicode = org.apache.spark.sql.GraftBridge.toColumn(
+        graft.expr.UnicodeNormalize(
+          org.apache.spark.sql.GraftBridge.toExpr(text), form))
+      val folded = if (caseFold) lower(unicode) else unicode
+      if (collapseWs) trim(regexp_replace(folded, UnicodeWsClass + "+", " "))
+      else folded
+  }
+
   /** Whitespace tokenization (the reference corpus is space-separated;
     * `\s+` keeps it robust to runs of whitespace). */
   def tokens(text: Column): Column = split(text, "\\s+")

@@ -2330,6 +2330,86 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Normalize-before-dedup (TextOps.normalize threaded through
+    * Dedup.exactKeepers): the planted catch/miss pair. For every
+    * 50th doc the query builds two variants that read identically to
+    * a human — A appends a composed " café" to the original text; B
+    * is the SAME content upper-cased, space→NBSP, with the café
+    * spelled as a decomposed uppercase "CAFE"+COMBINING ACUTE — and
+    * runs exact dedup over corpus ∪ A ∪ B twice. Under
+    * Normalize(NFC, caseFold, collapseWs) the pair collapses to one
+    * fingerprint (norm_dups = 2); on raw codepoints each variant
+    * survives alone (raw_dups = 1) — exactly the hole NFC/case/ws
+    * normalization exists to close. The oracle replays the planting,
+    * DuckDB's nfc_normalize (the same published algorithm as
+    * java.text.Normalizer's NFC), lower, and the identical RE2
+    * whitespace class, grouping on the same 60-bit md5 — so the hash
+    * match pins the whole normalize→fingerprint chain cross-engine.
+    * NFKC (full-width/ligature folding) has no DuckDB mirror and is
+    * pinned by NormalizeSpec instead. */
+  val normalizedDedupQ = GraftQuery(
+    "q93_normalized_dedup",
+    (s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"))
+      val sel = docs.filter(col("doc_id") % 50 === 0)
+      val varA = sel.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" caf\u00e9")).as("text"))
+      val varB = sel.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(translate(upper(col("text")), " ", "\u00a0"),
+          lit("\u00a0CAFE\u0301")).as("text"))
+      val corpus = docs.unionByName(varA).unionByName(varB)
+      val normed = Dedup.exactKeepers(corpus, "doc_id", "text",
+          norm = TextOps.Normalize(form = "NFC"))
+        .select(col("doc_id").as("keeper"), col("dup_count").as("norm_dups"))
+      val raw = Dedup.exactKeepers(corpus, "doc_id", "text")
+        .select(col("doc_id").as("keeper"), col("dup_count").as("raw_dups"))
+      sel.select(col("doc_id"))
+        .join(normed, col("keeper") === col("doc_id") + 1000000L)
+        .drop("keeper")
+        .join(raw, col("keeper") === col("doc_id") + 1000000L)
+        .drop("keeper")
+        .select(col("doc_id"), col("norm_dups"), col("raw_dups"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH src AS (SELECT doc_id, text FROM documents),
+      sel AS (SELECT doc_id, text FROM src WHERE doc_id % 50 = 0),
+      corpus AS (
+        SELECT doc_id, text FROM src
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' caf' || chr(233) FROM sel
+        UNION ALL
+        SELECT doc_id + 2000000,
+               translate(upper(text), ' ', chr(160)) || chr(160) || 'CAFE' || chr(769)
+        FROM sel
+      ),
+      normk AS (
+        SELECT MIN(doc_id) AS keeper, COUNT(*) AS norm_dups
+        FROM (
+          SELECT doc_id,
+                 ('0x'||substr(md5(
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                     '[\s\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+                     ' ', 'g'))
+                 ),1,15))::BIGINT AS fp
+          FROM corpus
+        ) GROUP BY fp
+      ),
+      rawk AS (
+        SELECT MIN(doc_id) AS keeper, COUNT(*) AS raw_dups
+        FROM (
+          SELECT doc_id, ('0x'||substr(md5(text),1,15))::BIGINT AS fp
+          FROM corpus
+        ) GROUP BY fp
+      )
+      SELECT s.doc_id, n.norm_dups, r.raw_dups
+      FROM sel s
+      JOIN normk n ON n.keeper = s.doc_id + 1000000
+      JOIN rawk r ON r.keeper = s.doc_id + 1000000
+      ORDER BY s.doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -2378,5 +2458,6 @@ object LlmCatalog {
     docSignalsQ,
     collocationsQ,
     frequencySpectrumQ,
+    normalizedDedupQ,
   )
 }
