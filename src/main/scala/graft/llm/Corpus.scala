@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
+  /** `minScore`: when set, a FOURTH stage — the model-based quality
+    * filter ([[CorpusStats.scoreFilter]], fixed-weight linear score
+    * over the doc-signals matrix) applied to the survivors. Runs
+    * AFTER dedup (the CCNet order: signals like shared_frac are only
+    * meaningful once identical copies are gone) and in addition to
+    * the rule-based Gopher windows, which stay unconditional. */
   def clean(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -29,6 +35,7 @@ object Corpus {
       threshold: Double = 0.5,
       numHashes: Int = 32,
       bands: Int = 8,
+      minScore: Option[Double] = None,
   ): DataFrame = {
     val keepers = Dedup.exactKeepers(docs, idCol, textCol)
       .select(col(idCol))
@@ -52,9 +59,11 @@ object Corpus {
       Dedup.nearDupPairs(kept, idCol, textCol, n = n, numHashes = numHashes,
         bands = bands, threshold = threshold))
       .withColumnRenamed("drop_id", idCol)
-    kept
+    val ruled = kept
       .join(nearDrops, Seq(idCol), "left_anti")
       .filter(TextOps.qualityKeep(col(textCol)))
+    minScore.fold(ruled)(t =>
+      CorpusStats.scoreFilter(ruled, idCol, textCol, minScore = t))
   }
 
   /** [[clean]] with TRANSITIVE near-dup semantics: instead of the

@@ -370,6 +370,84 @@ object CorpusStats {
         col("keep"))
   }
 
+  /** Fixed weights for [[qualityScore]] over the [[docSignals]]
+    * matrix — the public Gopher/CCNet filtering move: a hand-set
+    * linear model on the BOUNDED ratio signals (each in [0, 1], so
+    * weights are directly interpretable as "full-scale impact on the
+    * score"). Repetition and boilerplate push down, letter-ness
+    * pushes up; the unbounded count columns are deliberately absent
+    * (a weight on n_tokens would make the score scale-dependent).
+    * Frozen: the q94 oracle replays this exact IEEE chain. */
+  val DefaultQualityWeights: Seq[(String, Double)] = Seq(
+    "dup_token_frac" -> -3.0,
+    "top_token_frac" -> -2.0,
+    "dup_bigram_frac" -> -2.0,
+    "top_bigram_frac" -> -1.0,
+    "shared_frac" -> -2.0,
+    "rare_frac" -> -1.0,
+    "alpha_ratio" -> 1.5,
+  )
+  val DefaultQualityBias: Double = 1.0
+
+  /** Score threshold for [[scoreFilter]]/[[Corpus.clean]]'s hook:
+    * 0.0 sits just under the observed p10 of the default-weight score
+    * on the test corpus (median 0.53) — a ~10% drop rate, the usual
+    * quality-filter posture of keeping most of the corpus and cutting
+    * the repetitive/boilerplate tail. */
+  val DefaultQualityThreshold: Double = 0.0
+
+  /** LINEAR quality score over a [[docSignals]] frame: one map-side
+    * projection appending `score` = bias + Σ wᵢ·xᵢ, folded in the
+    * DECLARED weight order so the double chain is a fixed IEEE
+    * expression both engines evaluate identically (left-associated
+    * adds of products — oracle-checkable, q94). The sigmoid is NOT
+    * applied here: exp() is libm (not bit-portable), and sigmoid is
+    * monotone, so every keep/rank decision on sigmoid(score) is the
+    * same decision on `score` — [[sigmoid]] exists for the cases
+    * that genuinely want a probability shape. Broadcast-free: the
+    * weight vector is compiled into the projection (a dozen
+    * constants ride the plan, not a join). */
+  def qualityScore(
+      signals: DataFrame,
+      weights: Seq[(String, Double)] = DefaultQualityWeights,
+      bias: Double = DefaultQualityBias,
+      scoreCol: String = "score",
+  ): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(!signals.columns.contains(scoreCol),
+      s"input already has a '$scoreCol' column")
+    val z = weights.foldLeft(lit(bias)) { case (acc, (c, w)) =>
+      acc + col(c) * lit(w)
+    }
+    signals.withColumn(scoreCol, z)
+  }
+
+  /** Logistic squash of a linear score — monotone, so thresholding
+    * sigmoid(z) ≡ thresholding z (which is why the oracled surface
+    * stays linear; see [[qualityScore]]). */
+  def sigmoid(z: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Model-based quality FILTER: keep the docs whose [[qualityScore]]
+    * over [[docSignals]] reaches `minScore` — the step that makes the
+    * q84 feature matrix actionable. Shape: the signal pipeline's own
+    * aggregates (id-partitioned, §docSignals), then ONE left-semi
+    * join of the corpus against the (id)-only keeper projection —
+    * document text crosses no new shuffle. */
+  def scoreFilter(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      weights: Seq[(String, Double)] = DefaultQualityWeights,
+      bias: Double = DefaultQualityBias,
+      minScore: Double = DefaultQualityThreshold,
+  ): DataFrame = {
+    val keepers = qualityScore(docSignals(docs, idCol, textCol), weights, bias)
+      .filter(col("score") >= minScore)
+      .select(col(idCol))
+    docs.join(keepers, Seq(idCol), "left_semi")
+  }
+
   /** Cross-SOURCE duplication matrix — the corpus-governance view of
     * exact dedup: for every unordered source pair (a <= b), how many
     * duplicate document PAIRS span them (a == b counts within-source

@@ -1619,14 +1619,12 @@ object LlmCatalog {
     * standalone operators' values exactly — the oracle replays each
     * signal family's already-proven CTE chain and joins, so the hash
     * match pins the fusion, not just the signals. */
-  val docSignalsQ = GraftQuery(
-    "q84_doc_signals",
-    (s, d) =>
-      graft.llm.CorpusStats.docSignals(documents(s, d), "doc_id", "text")
-        .orderBy(col("doc_id")),
-    Some(
-      s"""
-      WITH tokc AS (
+  /** The q84 signal chain as a reusable CTE block ending in `sig`
+    * (the full 21-column doc-signals table, no ORDER BY) — shared by
+    * q84 itself and the q94 scorer so the scorer's oracle provably
+    * runs over the very same replayed signals. */
+  private lazy val docSignalsCtes: String =
+    s"""tokc AS (
         SELECT doc_id, h, COUNT(*) AS c FROM (
           SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM (
             SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
@@ -1694,7 +1692,8 @@ object LlmCatalog {
                 AND CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) <= 12.0
                 AND CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) >= 0.6) AS keep
         FROM documents
-      )
+      ),
+      sig AS (
       SELECT rep.doc_id, n_tokens, n_distinct, top_token_cnt,
              CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
              CAST(top_token_cnt AS DOUBLE) / n_tokens AS top_token_frac,
@@ -1714,7 +1713,55 @@ object LlmCatalog {
       FROM rep JOIN sur USING (doc_id) LEFT JOIN biga USING (doc_id)
            JOIN boiler ON boiler.doc_id = rep.doc_id
            JOIN flags ON flags.doc_id = rep.doc_id
-      ORDER BY rep.doc_id
+      )"""
+
+  val docSignalsQ = GraftQuery(
+    "q84_doc_signals",
+    (s, d) =>
+      graft.llm.CorpusStats.docSignals(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id")),
+    Some(s"""
+      WITH $docSignalsCtes
+      SELECT * FROM sig ORDER BY doc_id
+    """.trim),
+  )
+
+  /** The default-weight score chain in SQL, generated from the SAME
+    * frozen (column, weight) sequence the Spark projection folds —
+    * one source of truth for both engines' IEEE expression shape
+    * (left-associated adds of products, bias first). */
+  private lazy val scoreSql: String =
+    graft.llm.CorpusStats.DefaultQualityWeights
+      .foldLeft(graft.llm.CorpusStats.DefaultQualityBias.toString) {
+        case (acc, (c, w)) => s"$acc + $c * ($w)"
+      }
+
+  /** Fixed-weight quality scorer over the doc-signals matrix
+    * (CorpusStats.qualityScore): score = bias + Σ wᵢ·signalᵢ folded
+    * in frozen order — the step that makes q84's feature table
+    * actionable for filtering (Corpus.clean's minScore hook). The
+    * score is kept LINEAR in the oracled surface: sigmoid's exp() is
+    * libm (not bit-portable across engines) and monotone, so the
+    * keep decision is identical either way. The oracle replays the
+    * full q84 CTE chain (shared block) plus the generated score
+    * expression, so the hash match pins weights, fold order, and
+    * threshold at once. */
+  val qualityScoresQ = GraftQuery(
+    "q94_quality_scores",
+    (s, d) => {
+      import graft.llm.CorpusStats
+      CorpusStats.qualityScore(
+          CorpusStats.docSignals(documents(s, d), "doc_id", "text"))
+        .select(col("doc_id"), col("score"),
+          (col("score") >= CorpusStats.DefaultQualityThreshold)
+            .as("keep_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $docSignalsCtes,
+      scored AS (SELECT doc_id, $scoreSql AS score FROM sig)
+      SELECT doc_id, score, score >= 0.0 AS keep_score
+      FROM scored ORDER BY doc_id
     """.trim),
   )
 
@@ -2459,5 +2506,6 @@ object LlmCatalog {
     collocationsQ,
     frequencySpectrumQ,
     normalizedDedupQ,
+    qualityScoresQ,
   )
 }
