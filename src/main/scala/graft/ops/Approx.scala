@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * stays map-side and the shuffle carries sketches, not values — the
   * only form that survives a 1000-executor scan of a 100 TB table.
   *
-  * Not DuckDB-oracle-checkable (sketch implementations differ across
-  * engines by design); correctness is bounded-error vs exact on small
-  * data in ApproxSpec.
+  * Sketch ESTIMATES are engine-specific (implementations differ by
+  * design), so they never enter a hash-compared output directly;
+  * the q15 catalog query instead emits exact keys/counts plus
+  * error-bound booleans the DuckDB oracle asserts — a sketch
+  * drifting outside its published budget breaks the hash match —
+  * and ApproxSpec pins bounded error vs exact on small data.
   */
 object Approx {
 

@@ -261,11 +261,29 @@ object Catalog {
     * ApproxSpec). HLL++ distinct users + GK percentile sketch of value
     * per event_type — the shapes that replace exact countDistinct /
     * sort-percentiles at 100 TB. */
+  /** A6 approx: the sketch rollup, made HASH-CHECKABLE. Sketch
+    * estimates themselves are engine-specific (HLL++/GK internals),
+    * so the query emits what IS deterministic: the exact group keys
+    * and counts, plus ERROR-BOUND BOOLEANS — |approx−exact|/exact
+    * within the published budget for the distinct count (HLL++ rsd
+    * 0.05, 3σ budget 0.15; register-max makes the estimate
+    * insertion-order independent, so the flag is data-deterministic),
+    * and each approx percentile's VALUE lying between the exact
+    * inverse-ECDF values at ranks (p±0.01)·N (GK guarantees rank
+    * error ≤ N/accuracy = 1e-4·N under ANY merge order — two decades
+    * inside the checked margin, so the flag cannot flap with
+    * partial-agg order). The oracle computes the exact columns and
+    * asserts the bounds (TRUE): a sketch drifting outside its budget
+    * breaks the hash match. Shapes: the sketch path is unchanged
+    * (one sketch-sized shuffle); the exact audit columns ride one
+    * countDistinct and one group-partitioned rank window — the
+    * audit's cost, not the production path's. */
   val approxRollups = GraftQuery(
     "q15_approx_rollups",
-    (s, d) =>
-      graft.ops.Approx.rollup(
-          events(s, d),
+    (s, d) => {
+      val ev = events(s, d).filter(col("value").isNotNull)
+      val roll = graft.ops.Approx.rollup(
+          ev,
           groupCols = Seq("event_type"),
           distinctCol = "user_id",
           valueCol = "value")
@@ -273,8 +291,45 @@ object Catalog {
         .withColumn("p95", col("approx_percentiles").getItem(1))
         .withColumn("p99", col("approx_percentiles").getItem(2))
         .drop("approx_percentiles")
-        .orderBy(col("event_type")),
-    None,
+      val exactD = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_distinct"))
+      // exact value bounds at ranks (p ± 0.01)·N per group
+      val bounds = graft.ops.Quantiles.exactPerGroup(
+          ev.select(col("event_type"), col("value"), col("user_id")),
+          "event_type", "value", "user_id",
+          probs = Seq(0.49, 0.51, 0.94, 0.96, 0.98, 1.0))
+        .groupBy(col("event_type"))
+        .agg(
+          min(when(col("p") === 0.49, col("value"))).as("p50_lo"),
+          min(when(col("p") === 0.51, col("value"))).as("p50_hi"),
+          min(when(col("p") === 0.94, col("value"))).as("p95_lo"),
+          min(when(col("p") === 0.96, col("value"))).as("p95_hi"),
+          min(when(col("p") === 0.98, col("value"))).as("p99_lo"),
+          min(when(col("p") === 1.0, col("value"))).as("p99_hi"))
+      roll
+        .join(exactD, Seq("event_type"))
+        .join(bounds, Seq("event_type"))
+        .select(
+          col("event_type"), col("cnt"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct"))
+            .cast("double") <= lit(0.15) * col("exact_distinct"))
+            .as("distinct_ok"),
+          (col("p50") >= col("p50_lo") && col("p50") <= col("p50_hi"))
+            .as("p50_ok"),
+          (col("p95") >= col("p95_lo") && col("p95") <= col("p95_hi"))
+            .as("p95_ok"),
+          (col("p99") >= col("p99_lo") && col("p99") <= col("p99_hi"))
+            .as("p99_ok"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      SELECT event_type, COUNT(*) AS cnt,
+             COUNT(DISTINCT user_id) AS exact_distinct,
+             TRUE AS distinct_ok, TRUE AS p50_ok, TRUE AS p95_ok,
+             TRUE AS p99_ok
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type ORDER BY event_type
+    """.trim),
   )
 
   /** §2.8 extended: hierarchical ROLLUP aggregation with GROUPING
