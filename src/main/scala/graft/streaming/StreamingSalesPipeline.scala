@@ -10,11 +10,15 @@ import graft.pipeline.{Notifier, PipelineResult, SalesPipeline}
 import graft.schema.SalesSchema
 
 /** Outcome of one drain: which files were processed / quarantined /
-  * failed, in discovery order. */
+  * failed, in discovery order, plus the number of files each
+  * micro-batch carried (`batchFileCounts`, batch order) — the
+  * observable that pins the driver-hop bound: every entry is ≤ the
+  * pipeline's `maxFilesPerTrigger`. */
 final case class StreamRunSummary(
     processed: Seq[String],
     quarantined: Seq[String],
     failed: Seq[String],
+    batchFileCounts: Seq[Int] = Nil,
 ) {
   def total: Int = processed.size + quarantined.size + failed.size
 }
@@ -41,9 +45,17 @@ final case class StreamRunSummary(
   *
   * Scale notes: `maxFilesPerTrigger = 1` preserves the reference's
   * file-grain validation/quarantine semantics. At 100 TB-scale intake
-  * you would raise it (or drop it) and validate at file grain via the
+  * you would raise it (not drop it) and validate at file grain via the
   * `_metadata.file_path` grouping this class already does per batch —
   * the micro-batch then fans out over the cluster like any batch job.
+  *
+  * DRIVER-HOP CONTRACT: the per-batch distinct file list collected in
+  * `foreachBatch` is bounded by `maxFilesPerTrigger` — the option is
+  * ALWAYS set (required >= 1, no unbounded mode), so a 10,000-file
+  * backlog drains as ⌈10000/maxFilesPerTrigger⌉ micro-batches, each
+  * collecting at most `maxFilesPerTrigger` path strings, never one
+  * batch collecting the whole backlog. Pinned per run by
+  * [[StreamRunSummary.batchFileCounts]] and the bounded-drain spec.
   */
 final class StreamingSalesPipeline(
     store: graft.io.TableStore,
@@ -54,6 +66,8 @@ final class StreamingSalesPipeline(
     maxFilesPerTrigger: Int = 1,
     summaryFromTarget: Boolean = false,
 ) {
+  require(maxFilesPerTrigger >= 1,
+    s"maxFilesPerTrigger must be >= 1 (the per-batch driver hop bound), got $maxFilesPerTrigger")
 
   private def source(spark: SparkSession, rawDir: String): DataFrame = {
     val base = spark.readStream
@@ -74,27 +88,45 @@ final class StreamingSalesPipeline(
     val processed = mutable.ArrayBuffer.empty[String]
     val quarantined = mutable.ArrayBuffer.empty[String]
     val failed = mutable.ArrayBuffer.empty[String]
+    val batchSizes = mutable.ArrayBuffer.empty[Int]
 
     val query = source(spark, rawDir).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // file grain restored from the micro-batch: with
-        // maxFilesPerTrigger=1 this loop has a single iteration
-        val files = batch.select(col("_src")).distinct()
-          .collect().map(_.getString(0)).sorted
-        val pipeline = new SalesPipeline(store, lake, notifier, summaryFromTarget)
-        files.foreach { path =>
-          val raw = batch.filter(col("_src") === path).drop("_src")
-          pipeline.process(spark, raw, path) match {
-            case _: PipelineResult.Success     => processed += path
-            case _: PipelineResult.Quarantined => quarantined += path
-            case _: PipelineResult.Failed      => failed += path
+        // MATERIALIZE the micro-batch before the per-file loop: the
+        // pipeline deletes each raw file after a successful process
+        // (K6), and a lazy `batch` would re-scan the source CSVs for
+        // every later file in the same batch — hitting FILE_NOT_EXIST
+        // for the ones already consumed (latent until
+        // maxFilesPerTrigger > 1). The cache is bounded by the batch
+        // itself (≤ maxFilesPerTrigger files).
+        val pinned = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // file grain restored from the micro-batch; the distinct
+          // list is <= maxFilesPerTrigger paths BY SOURCE CONTRACT
+          // (the option is always set — see class doc), so this
+          // collect is O(maxFilesPerTrigger) strings per batch, not
+          // O(backlog) — and it also populates the cache above
+          // before any raw file can be deleted
+          val files = pinned.select(col("_src")).distinct()
+            .collect().map(_.getString(0)).sorted
+          batchSizes += files.length
+          val pipeline = new SalesPipeline(store, lake, notifier, summaryFromTarget)
+          files.foreach { path =>
+            val raw = pinned.filter(col("_src") === path).drop("_src")
+            pipeline.process(spark, raw, path) match {
+              case _: PipelineResult.Success     => processed += path
+              case _: PipelineResult.Quarantined => quarantined += path
+              case _: PipelineResult.Failed      => failed += path
+            }
           }
-        }
+        } finally pinned.unpersist()
       }
       .start()
     query.awaitTermination()
-    StreamRunSummary(processed.toSeq, quarantined.toSeq, failed.toSeq)
+    StreamRunSummary(processed.toSeq, quarantined.toSeq, failed.toSeq,
+      batchSizes.toSeq)
   }
 }

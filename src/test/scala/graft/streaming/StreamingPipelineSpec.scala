@@ -36,6 +36,38 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(store.read("sales").get.count() == 15)
   }
 
+  test("a many-file drop drains in bounded batches (driver-hop contract)") {
+    val root = tmpDir("graft_stream_")
+    val rawDir = s"$root/raw"
+    Files.createDirectories(Paths.get(rawDir))
+    implicit val s = spark
+    val store = new ParquetDirStore(s"$root/warehouse")
+    val cap = 7
+    val pipe = new StreamingSalesPipeline(
+      store, s"$root/lake", s"$root/checkpoint",
+      graft.pipeline.Notifier.Noop, maxFilesPerTrigger = cap)
+    val nFiles = 60
+    (0 until nFiles).foreach { i =>
+      // disjoint uuid blocks per file so the upsert keeps all rows
+      TestSales.writeCsv(f"$rawDir/drop_$i%03d.csv", 2,
+        _.replaceFirst("^1000000", s"${3000000 + i * 10}"))
+    }
+    val run = pipe.drainAvailableNow(spark, rawDir)
+    assert(run.processed.size == nFiles, run.batchFileCounts)
+    // every micro-batch carried at most `cap` files — the per-batch
+    // file-list collect is O(cap), never O(backlog) — and the batch
+    // count is the ceiling division, not one mega-batch
+    assert(run.batchFileCounts.nonEmpty &&
+      run.batchFileCounts.forall(_ <= cap), run.batchFileCounts)
+    assert(run.batchFileCounts.sum == nFiles, run.batchFileCounts)
+    assert(run.batchFileCounts.size >= nFiles / cap, run.batchFileCounts)
+    // the unbounded mode cannot be constructed
+    intercept[IllegalArgumentException] {
+      new StreamingSalesPipeline(store, s"$root/lake2", s"$root/cp2",
+        graft.pipeline.Notifier.Noop, maxFilesPerTrigger = 0)
+    }
+  }
+
   test("new files after a drain are picked up incrementally; upsert keeps last") {
     val (_, rawDir, store, pipe) = setup()
     TestSales.writeCsv(s"$rawDir/b1.csv", 8)
