@@ -137,6 +137,97 @@ object Bpe {
     out.result()
   }
 
+  /** BATCHED-ARGMAX variant of [[induceMerges]] — same merge
+    * sequence, ~`batch`× fewer driver round-trips. One pair-count
+    * aggregate per ROUND takes the top-M merges that are provably
+    * safe to apply together, by the standard frequency-gap argument:
+    *
+    * walking pairs in (cnt DESC, lhs, rhs) order, accept while the
+    * pair shares no symbol with any already-accepted merge (its lhs,
+    * rhs, or fused symbol). At the FIRST interacting pair — count B —
+    * stop and keep only accepted pairs with cnt STRICTLY > B (plus
+    * the head, which is the exact sequential argmax): applying an
+    * accepted merge (a,b) leaves every disjoint pair's count
+    * untouched (adjacency changes only at the merge site), and any
+    * NEW pair it creates — (x,ab) or (ab,y) — is a subset of the old
+    * interacting pair (x,a)/(b,y), so its count is ≤ B; with every
+    * kept count > B, the sequential loop would have picked exactly
+    * these pairs in exactly this order before any interacting or
+    * newly-created pair could surface. Ties at B stay sequential
+    * (only the head survives a tie). When the fetched top-K list
+    * ends without an interactor, the last fetched count bounds the
+    * unseen tail the same way; a fully-exhausted list accepts
+    * everything.
+    *
+    * Each round then applies the accepted merges as one chained
+    * map-side rewrite and ONE localCheckpoint — the driver exchange
+    * drops from one 1-row hop per merge to one ≤`fetch`-row hop per
+    * batch. [[induceMerges]] remains the oracle reference; the
+    * equivalence is spec-pinned including adversarial interaction/tie
+    * fixtures. */
+  def induceMergesBatched(
+      docs: DataFrame,
+      textCol: String = "text",
+      rounds: Int,
+      minCount: Long = 1L,
+      batch: Int = 8,
+  ): Seq[Merge] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(batch >= 1, s"batch must be >= 1, got $batch")
+    val fetch = math.max(batch * 4, 16)
+    var words = wordTable(docs, textCol).localCheckpoint(false)
+    val out = Seq.newBuilder[Merge]
+    var r = 1
+    var dry = false
+    while (r <= rounds && !dry) {
+      val top = pairCounts(words)
+        .filter(col("cnt") >= minCount)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(fetch)
+        .collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      if (top.isEmpty) dry = true
+      else {
+        val sawAll = top.length < fetch
+        // greedy non-interacting prefix (symbol-disjoint from every
+        // accepted lhs/rhs/fused), bounded by the remaining round
+        // budget; B = the first interactor's (or list tail's) count
+        val budget = math.min(batch, rounds - r + 1)
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        val seen = scala.collection.mutable.Set.empty[String]
+        var bound = Long.MinValue
+        var bounded = !sawAll // unseen tail bounds by the last fetched cnt
+        var taken = 0
+        var i = 0
+        var stop = false
+        while (i < top.length && !stop) {
+          val (a, b, c) = top(i)
+          if (taken == budget) { bound = c; bounded = true; stop = true }
+          else if (seen(a) || seen(b) || seen(a + b)) {
+            bound = c; bounded = true; stop = true
+          } else {
+            accepted += ((a, b, c)); taken += 1
+            seen += a; seen += b; seen += (a + b)
+          }
+          i += 1
+        }
+        if (!stop && !sawAll) bound = top.last._3
+        val safe0 = accepted.result()
+        val safe =
+          if (!bounded && sawAll && !stop) safe0
+          else safe0.head +: safe0.tail.filter(_._3 > bound)
+        safe.foreach { case (a, b, c) => out += Merge(r, a, b, a + b, c); r += 1 }
+        words = safe
+          .foldLeft(words) { case (w, (a, b, _)) =>
+            w.withColumn("syms", applyMerge(col("syms"), a, b))
+          }
+          .localCheckpoint(false)
+      }
+    }
+    out.result()
+  }
+
   /** [[induceMerges]] as a catalog-friendly DataFrame:
     * (round, lhs, rhs, merged, cnt), round ascending. */
   def induce(

@@ -58,6 +58,53 @@ class BpeSpec extends SparkSpec {
     assert(a.head.merged === "he")
   }
 
+  test("batched argmax equals the sequential merge sequence at every batch size") {
+    // mixed corpus with fused-symbol reuse, equal-run overlap cases,
+    // and real-word structure — the surfaces where an unsafe batch
+    // would diverge
+    val corpus = docs(
+      "aaab aaab aaab ab ab aaaa aaa",
+      Seq.fill(4)("banana bandana cabana").mkString(" "),
+      "low lower lowest newest newest widest")
+    val seq = Bpe.induceMerges(corpus, "text", rounds = 12)
+    for (b <- Seq(1, 3, 8, 32)) {
+      val bat = Bpe.induceMergesBatched(corpus, "text", rounds = 12, batch = b)
+      assert(bat === seq, s"batch=$b diverged")
+    }
+  }
+
+  test("batched argmax survives adversarial interaction ties") {
+    // round-1 counts: (a,b)=4, (b,c)=4, (x,y)=4, (c,d)=3 — the top
+    // three tie, (b,c) interacts with (a,b), and a naive batch that
+    // applied {(a,b),(x,y)} would have to prove no new pair outranks
+    // (b,c) at the tie; the safe rule keeps only the head at a tie
+    // with the first interactor's count, so the sequence must equal
+    // sequential exactly
+    val corpus = docs(
+      Seq.fill(4)("abc").mkString(" "),
+      Seq.fill(4)("xy").mkString(" "),
+      Seq.fill(3)("cd").mkString(" "))
+    val seq = Bpe.induceMerges(corpus, "text", rounds = 6)
+    for (b <- Seq(2, 4, 16)) {
+      val bat = Bpe.induceMergesBatched(corpus, "text", rounds = 6, batch = b)
+      assert(bat === seq, s"batch=$b diverged")
+    }
+    // minCount gates identically
+    val seqMin = Bpe.induceMerges(corpus, "text", rounds = 6, minCount = 4L)
+    val batMin = Bpe.induceMergesBatched(corpus, "text", rounds = 6,
+      minCount = 4L, batch = 4)
+    assert(batMin === seqMin)
+  }
+
+  test("batched argmax respects the rounds budget across one batch") {
+    // plenty of disjoint mergeable pairs; rounds=2 must stop at 2
+    // merges even when the batch could safely take more
+    val corpus = docs("ab ab cd cd ef ef gh gh")
+    val bat = Bpe.induceMergesBatched(corpus, "text", rounds = 2, batch = 8)
+    val seq = Bpe.induceMerges(corpus, "text", rounds = 2)
+    assert(bat === seq && bat.length === 2)
+  }
+
   test("induced vocab round-trips through the subword tokenizer") {
     val corpus = docs(Seq.fill(5)("banana bandana cabana").mkString(" "))
     val merges = Bpe.induceMerges(corpus, "text", rounds = 6)
