@@ -259,4 +259,82 @@ object Similarity {
     * [[cosine]] for search over the compressed table. */
   def dequantizeInt8(qvec: Column, scale: Column): Column =
     transform(qvec, x => x.cast("double") * scale / 127)
+
+  // -----------------------------------------------------------------
+  // Product quantization (PqModel codebooks — the 32× memory tier
+  // above int8's 4×)
+  // -----------------------------------------------------------------
+
+  /** PQ-encode an embedding against the frozen [[PqModel]] codebooks:
+    * array of [[PqModel.m]] centroid indices (argmin squared L2 per
+    * contiguous subvector, ascending-component sum, lowest index on
+    * ties — the exact arithmetic the q95 oracle replays). Compiled
+    * map-side expression; zero shuffle. */
+  def pqEncode(emb: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.expr.PqEncode(
+        org.apache.spark.sql.GraftBridge.toExpr(
+          transform(emb, x => x.cast("double"))),
+        PqModel.asSeq))
+
+  /** Reconstruct the codeword vector from PQ codes (the asymmetric-
+    * distance search ranks exact queries against THIS). */
+  def pqDecode(codes: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.expr.PqDecode(
+        org.apache.spark.sql.GraftBridge.toExpr(codes),
+        PqModel.asSeq))
+
+  /** Pack the [[PqModel.m]] 4-bit codes into ONE BIGINT (code_m ·
+    * 16^m, exact integer arithmetic) — the 8-byte storage form: 32×
+    * under float32 components, the standard PQ memory budget. */
+  def pqPack(codes: Column): Column =
+    aggregate(
+      codes,
+      struct(lit(0L).as("v"), lit(1L).as("b")),
+      (acc, c) => struct(
+        (acc.getField("v") + c.cast("long") * acc.getField("b")).as("v"),
+        (acc.getField("b") * 16L).as("b")),
+      acc => acc.getField("v"))
+
+  /** ASYMMETRIC-DISTANCE top-k within a coarse label: queries stay
+    * exact floats, the corpus side is PQ codes — sim(q, c) =
+    * cosine(q, decode(codes)) (by linearity equal to the per-subvector
+    * ADC sum; evaluated through one [[pqDecode]] + the codegen'd
+    * [[dot]] so the whole rank is one mirrored expression chain).
+    * Same join/window shape as [[topKWithinLabel]]: equi-join on the
+    * label (never N²), rank window (sim DESC, id). At scale the
+    * corpus side carries 8-byte packed codes instead of 256-byte
+    * vectors — the point of PQ: the candidate scan is memory-bound,
+    * and decode-on-the-fly trades 64 mults for 32× less traffic.
+    * (A per-query 256-entry LUT would cut the mults further; left as
+    * the documented next step — the shuffle/memory shape, which is
+    * what scales, is already the PQ one.) */
+  def pqTopKWithinLabel(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int,
+      queryPred: Column,
+  ): DataFrame = {
+    val codes = df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+      pqEncode(col(embCol)).as("codes"))
+    val rec = codes.select(col("id"), col("lbl"),
+        pqDecode(col("codes")).as("de"))
+      .withColumn("dnrm", sqrt(dot(col("de"), col("de"))))
+      .filter(col("dnrm") > 0.0)
+    val qq = df.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(labelCol).as("lbl"),
+        transform(col(embCol), x => x.cast("double")).as("qe"))
+      .withColumn("qn", sqrt(dot(col("qe"), col("qe"))))
+      .filter(col("qn") > 0.0)
+    val joined = qq
+      .join(rec, qq("lbl") === rec("lbl") && col("query_id") =!= rec("id"))
+      .select(col("query_id"), rec("id").as("neighbor_id"),
+        (dot(col("qe"), col("de")) / (col("qn") * col("dnrm"))).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

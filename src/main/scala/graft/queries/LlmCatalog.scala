@@ -2457,6 +2457,74 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Product-quantization digest (Similarity.pqEncode/pqDecode/pqPack
+    * against the frozen PqModel codebooks — the 32× memory tier above
+    * q59's int8 4×): per vector, the 8 four-bit codes packed into one
+    * BIGINT and the max reconstruction error. The oracle replays
+    * encode EXACTLY — cross-join against the codebook VALUES table,
+    * the same ascending-component squared-distance chain, argmin with
+    * the same lowest-index tie rule — then decodes through the same
+    * table, so the hash match pins codebooks, distance arithmetic,
+    * tie-breaking, packing, and reconstruction at once. Search
+    * quality (ADC recall vs brute force) is PqSpec's half. */
+  val pqQuantization = GraftQuery(
+    "q95_pq_quantization",
+    (s, d) => {
+      import graft.llm.Similarity.{pqDecode, pqEncode, pqPack}
+      val e = transform(col("embedding"), x => x.cast("double"))
+      embeddings(s, d)
+        .select(col("vec_id"), e.as("e"))
+        .select(col("vec_id"), col("e"), pqEncode(col("e")).as("codes"))
+        .select(
+          col("vec_id"),
+          pqPack(col("codes")).as("packed_code"),
+          array_max(zip_with(pqDecode(col("codes")), col("e"),
+            (a, b) => abs(a - b))).as("max_err"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val sub = graft.llm.PqModel.sub
+      val distSql = (0 until sub).map { j =>
+        s"(e[m*$sub+${j + 1}]-c[${j + 1}])*(e[m*$sub+${j + 1}]-c[${j + 1}])"
+      }.mkString(" + ")
+      val absSql = (0 until sub).map { j =>
+        s"abs(c[${j + 1}]-e[m*$sub+${j + 1}])"
+      }.mkString(", ")
+      s"""
+      WITH cb(m, cell, c) AS (VALUES
+             ${graft.llm.PqModel.valuesSql}),
+      v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+      d AS (
+        SELECT vec_id, m, cell, $distSql AS dist
+        FROM v CROSS JOIN cb
+      ),
+      codes AS (
+        SELECT vec_id, m, cell FROM (
+          SELECT vec_id, m, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                    ORDER BY dist, cell) AS rn
+          FROM d
+        ) WHERE rn = 1
+      ),
+      packed AS (
+        SELECT vec_id,
+               CAST(SUM(cell * CAST(power(16, m) AS BIGINT)) AS BIGINT)
+                 AS packed_code
+        FROM codes GROUP BY vec_id
+      ),
+      errs AS (
+        SELECT codes.vec_id, MAX(GREATEST($absSql)) AS max_err
+        FROM codes JOIN cb USING (m, cell)
+             JOIN v ON v.vec_id = codes.vec_id
+        GROUP BY codes.vec_id
+      )
+      SELECT vec_id, packed_code, max_err
+      FROM packed JOIN errs USING (vec_id)
+      ORDER BY vec_id
+    """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -2507,5 +2575,6 @@ object LlmCatalog {
     frequencySpectrumQ,
     normalizedDedupQ,
     qualityScoresQ,
+    pqQuantization,
   )
 }

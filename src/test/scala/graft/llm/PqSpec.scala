@@ -1,0 +1,100 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PqModel + Similarity.pqEncode/pqDecode/
+  * pqPack/pqTopKWithinLabel). Encode/decode/pack arithmetic is
+  * oracle-checked bit-for-bit by q95; this spec pins the model
+  * invariants, a Scala-reference encode, and the search-quality half
+  * (ADC recall against exact brute force) the oracle cannot express. */
+class PqSpec extends SparkSpec {
+
+  private def emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+
+  test("codebook shape and code range invariants") {
+    assert(PqModel.codebooks.length === PqModel.m)
+    assert(PqModel.codebooks.forall(_.length === PqModel.k))
+    assert(PqModel.codebooks.forall(_.forall(_.length === PqModel.sub)))
+    val codes = emb.select(Similarity.pqEncode(col("embedding")).as("c"))
+    val bad = codes.filter(
+      size(col("c")) =!= PqModel.m ||
+        exists(col("c"), x => x < 0 || x >= PqModel.k)).count()
+    assert(bad === 0L)
+  }
+
+  test("encode matches an independent Scala reference on real vectors") {
+    val rows = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"),
+        Similarity.pqEncode(col("embedding")).as("codes"))
+      .orderBy("vec_id").limit(25).collect()
+    rows.foreach { r =>
+      val e = r.getSeq[Double](1)
+      val got = r.getSeq[Int](2)
+      val want = (0 until PqModel.m).map { mm =>
+        var best = 0; var bestD = Double.MaxValue
+        for (kk <- 0 until PqModel.k) {
+          var d = 0.0
+          for (j <- 0 until PqModel.sub) {
+            val diff = e(mm * PqModel.sub + j) - PqModel.codebooks(mm)(kk)(j)
+            d += diff * diff
+          }
+          if (d < bestD) { bestD = d; best = kk }
+        }
+        best
+      }
+      assert(got === want, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("pack is the base-16 positional encoding, within 16^M, unpackable") {
+    val rows = emb.select(
+        Similarity.pqEncode(col("embedding")).as("codes"))
+      .select(col("codes"), Similarity.pqPack(col("codes")).as("p"))
+      .limit(50).collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      val p = r.getLong(1)
+      assert(p === codes.zipWithIndex.map { case (c, i) =>
+        c.toLong * math.pow(16, i).toLong }.sum)
+      assert(p >= 0 && p < math.pow(16, PqModel.m).toLong)
+      // unpack round-trips
+      val un = (0 until PqModel.m).map(i => ((p >> (4 * i)) & 0xf).toInt)
+      assert(un === codes)
+    }
+  }
+
+  test("reconstruction error is bounded on the training distribution") {
+    val err = emb.select(
+      array_max(zip_with(
+        Similarity.pqDecode(Similarity.pqEncode(col("embedding"))),
+        transform(col("embedding"), x => x.cast("double")),
+        (a, b) => abs(a - b))).as("e"))
+    val mx = err.agg(max(col("e"))).head().getDouble(0)
+    // measured 0.43 max on sf0.01; a drifted codebook or a broken
+    // argmin shows up as a multiple of this
+    assert(mx < 0.6, s"max reconstruction error $mx")
+  }
+
+  test("ADC search recalls most exact-cosine neighbors at 32x compression") {
+    val k = 5
+    val exact = Similarity.topKWithinLabel(emb, "vec_id", "embedding",
+        "label", k = k, queryPred = col("vec_id") % 10 === 0)
+      .select(col("query_id"), col("neighbor_id"))
+    val adc = Similarity.pqTopKWithinLabel(emb, "vec_id", "embedding",
+        "label", k = k, queryPred = col("vec_id") % 10 === 0)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val hit = exact.intersect(adc).count()
+    val recall = hit.toDouble / nExact
+    // 4-bit-per-subvector codes on 64-dim synthetic vectors: measured
+    // recall@5 ~0.5+; a broken decode/rank collapses it toward the
+    // random baseline (k / label-population ≈ 0.08)
+    assert(recall >= 0.35, s"recall@5 = $recall ($hit / $nExact)")
+    // and the ADC ranking is deterministic
+    val again = Similarity.pqTopKWithinLabel(emb, "vec_id", "embedding",
+      "label", k = k, queryPred = col("vec_id") % 10 === 0)
+      .select(col("query_id"), col("neighbor_id"))
+    assert(adc.exceptAll(again).count() === 0L)
+  }
+}
