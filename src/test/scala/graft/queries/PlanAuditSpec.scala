@@ -288,4 +288,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(p75.contains("TakeOrderedAndProject"),
       s"q75 top-k should be TakeOrdered, not a global sort:\n${p75.take(400)}")
   }
+
+  test("q93 normalized dedup: normalization stays in the map-side fingerprint projection") {
+    val p = plan(LlmCatalog.normalizedDedupQ)
+    // the normalize→md5 chain must be fused into the scan-side
+    // projection: the only exchanges are the two fp-keyed aggregates
+    // and the join shuffles — never an exchange keyed on text
+    assert(p.contains("graft_unicode_normalize"),
+      s"the compiled normalize node must appear in the plan:\n${p.take(600)}")
+    assert(!p.contains("hashpartitioning(text#"),
+      "document text must not be an exchange key")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q94 quality score is one map-side projection over the signal aggregates") {
+    // after collect() the adaptive plan string appends a duplicate
+    // "== Initial Plan ==" dump — count exchanges in the final
+    // section only, on both sides, so the comparison is like-for-like
+    def finalSection(s: String) = s.split("== Initial Plan ==").head
+    def exchanges(s: String) =
+      finalSection(s).linesIterator.count(_.contains("Exchange"))
+    def executed(q: GraftQuery): String = {
+      val df = q.run(spark, sf); df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val p = executed(LlmCatalog.qualityScoresQ)
+    // no extra exchange beyond q84's own: the score adds a Project,
+    // nothing partition-shaped, and no join against a weight table
+    val p84 = executed(LlmCatalog.docSignalsQ)
+    assert(exchanges(p) <= exchanges(p84) + 1, // +1: the final ORDER BY range exchange
+      s"score must not add partitioning work: ${exchanges(p)} vs ${exchanges(p84)}")
+    assert(!finalSection(p).contains("SinglePartition"), p.take(400))
+  }
+
+  test("q95 PQ digest: compiled encode in a codegen'd scan projection, no joins at all") {
+    val df = LlmCatalog.pqQuantization.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_pq_encode"),
+      s"the compiled encoder must appear in the plan:\n${p.take(600)}")
+    // the digest is scan → project → output sort: no join, no
+    // aggregate exchange (the codebook rides the expression, not a
+    // broadcast), and the projection stays inside codegen
+    assert(!p.contains("Join"), s"no join expected:\n${p.take(600)}")
+    assert(p.contains("*("), "projection must stay codegen'd")
+  }
 }
