@@ -181,4 +181,83 @@ object Quantiles {
       .select(col(groupCol), col("p"), col("graft_rnk_").as("rank"),
         col(valCol).as("value"))
   }
+
+  /** APPROXIMATE quantiles from a single-pass fixed-bin histogram —
+    * the constant-memory tier below [[exact]], and unlike the GK
+    * sketch (q15) fully DETERMINISTIC: the histogram is exact counts
+    * over data-independent bins ([[Stats.histogram]] semantics:
+    * [lo, hi), out-of-range clamps into edge bins, null/NaN
+    * dropped), and the estimate is a fixed arithmetic chain over
+    * those counts, so the result is merge-order-free and another
+    * engine can replay it bit-for-bit — an approx quantile that
+    * hash-matches its oracle.
+    *
+    * Estimate: with target rank t = max(1, ⌈p·N⌉), find the first
+    * non-empty bin whose cumulative count reaches t, then
+    * interpolate by rank fraction inside it:
+    * est = lo_edge + w·(t − cum_before)/cnt. For data inside
+    * [lo, hi) the error is bounded by the bin width w = (hi−lo)/bins
+    * — the returned `err_bound` column; clamped out-of-range mass
+    * voids the bound for the edge bins (the caller chose the range).
+    *
+    * Scale shape: ONE pass — the histogram's map-side integral bin
+    * projection + partial-agg groupBy over ≤ `bins` keys is the only
+    * data-sized work; everything after (cumulative counts via a
+    * bins×bins triangular broadcast join, the per-p pick as a
+    * map-side-combinable min(struct)) runs on ≤ `bins` rows.
+    * O(bins) reduce state makes it exactly the mergeable-sketch
+    * shape: per-split histograms add cell-wise, so this is also the
+    * streaming/partitioned form ([[graft.streaming.SketchIntake]]'s
+    * cell-sum compaction applies as-is). Where [[exact]] pays a
+    * range exchange + rank walk over all N rows, this touches N only
+    * in one combiner pass — at 100 TB that is the difference between
+    * a quantile you schedule and a quantile you get for free with
+    * the scan. Output: (p, bin, est, err_bound), empty for an empty
+    * input (no rank 1 exists). */
+  def fromHistogram(
+      df: DataFrame,
+      valCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      probs: Seq[Double],
+  ): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = (hi - lo) / bins
+    // the histogram is ≤ bins rows but its lineage scans the data —
+    // cut it (localCheckpoint) so the self-join + totals below reuse
+    // the tiny materialized result instead of re-scanning the source
+    val h = Stats.histogram(df, valCol, lo, hi, bins)
+      .filter(col("cnt") > 0L)
+      .localCheckpoint()
+    // cumulative counts over ≤ bins rows: triangular join, both sides
+    // tiny (bounded by `bins` by construction — never data-sized)
+    val cum = h.as("a")
+      .join(broadcast(h.as("b")), col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.bin").as("bin"))
+      .agg(
+        first(col("a.lo_edge")).as("lo_edge"),
+        first(col("a.cnt")).as("cnt"),
+        sum(col("b.cnt")).as("cum"))
+    val totals = h.agg(sum(col("cnt")).as("graft_n_"))
+    val picks = probs.toDF("p")
+      .crossJoin(broadcast(totals))
+      .select(col("p"),
+        greatest(lit(1L), ceil(col("p") * col("graft_n_"))).as("target"))
+    // first bin reaching the target: cum is strictly increasing over
+    // the non-empty bins, so min(struct(cum, …)) picks uniquely
+    picks
+      .join(broadcast(cum), col("cum") >= col("target"))
+      .groupBy(col("p"))
+      .agg(min(struct(col("cum"), col("bin"), col("lo_edge"),
+        col("cnt"), col("target"))).as("pick"))
+      .select(col("p"), col("pick.bin").as("bin"),
+        (col("pick.lo_edge") + lit(w) *
+          ((col("pick.target") - (col("pick.cum") - col("pick.cnt")))
+            .cast("double") / col("pick.cnt").cast("double"))).as("est"),
+        lit(w).as("err_bound"))
+  }
 }

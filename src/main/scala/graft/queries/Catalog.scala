@@ -1732,6 +1732,113 @@ object Catalog {
     """.trim),
   )
 
+  /** Keyed snapshot diff (ops/Diff.keyed — the change-audit view the
+    * versioned store's diffVersions runs after bucket pruning): two
+    * deterministic "versions" derived from orders (v_old drops
+    * keys ≡ 0 mod 5; v_new drops keys ≡ 0 mod 7, bumps o_totalprice
+    * by 1.00 for keys ≡ 0 mod 3 and rewrites o_orderpriority for
+    * keys ≡ 0 mod 11), diffed into added/removed/changed plus the
+    * changed-column list — one full-outer hash join on the key, the
+    * comparison and the column-list fold both map-side. The oracle
+    * replays the join with IS NOT DISTINCT FROM per column, so the
+    * hash pins the classification AND the null-safe compare rule. */
+  val snapshotDiffQ = GraftQuery(
+    "q96_snapshot_diff",
+    (s, d) => {
+      val base = orders(s, d)
+      val vOld = base.filter(col("o_orderkey") % 5 =!= 0)
+      val vNew = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 11 === 0, lit("X-DIFF"))
+            .otherwise(col("o_orderpriority")))
+      graft.ops.Diff.keyed(vOld, vNew, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      WITH v_old AS (SELECT * FROM orders WHERE o_orderkey % 5 <> 0),
+      v_new AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate,
+               CASE WHEN o_orderkey % 11 = 0 THEN 'X-DIFF'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change,
+             CASE WHEN o.o_orderkey IS NULL OR n.o_orderkey IS NULL THEN NULL
+                  ELSE rtrim(concat(
+                    CASE WHEN o.o_custkey IS NOT DISTINCT FROM n.o_custkey THEN '' ELSE 'o_custkey,' END,
+                    CASE WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus THEN '' ELSE 'o_orderstatus,' END,
+                    CASE WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice THEN '' ELSE 'o_totalprice,' END,
+                    CASE WHEN o.o_orderdate IS NOT DISTINCT FROM n.o_orderdate THEN '' ELSE 'o_orderdate,' END,
+                    CASE WHEN o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority THEN '' ELSE 'o_orderpriority,' END
+                  ), ',') END AS changed_cols
+      FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         OR o.o_custkey IS DISTINCT FROM n.o_custkey
+         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+         OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
+  /** Histogram-sketch quantiles (Quantiles.fromHistogram): order-price
+    * quantiles estimated from one 60-bin pass — the constant-memory,
+    * merge-order-free approx tier below q82's exact walk, and unlike
+    * the GK sketch (q15) fully hash-matchable: exact counts over
+    * fixed bins + a fixed interpolation chain. The oracle replays
+    * bin → cumulative → ⌈p·N⌉ pick → interpolate with every division
+    * cast to double, so the hash pins the whole estimator, error
+    * bound included. */
+  val sketchQuantilesQ = GraftQuery(
+    "q97_sketch_quantiles",
+    (s, d) =>
+      graft.ops.Quantiles.fromHistogram(orders(s, d), "o_totalprice",
+          lo = 0.0, hi = 600000.0, bins = 60,
+          probs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .orderBy(col("p")),
+    Some("""
+      WITH c0 AS (
+        SELECT least(greatest(
+                 CAST(floor((o_totalprice - 0.0) / 10000.0) AS BIGINT),
+                 0), 59) AS bin
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND NOT isnan(o_totalprice)
+      ),
+      counts AS (SELECT bin, COUNT(*) AS cnt FROM c0 GROUP BY bin),
+      cum AS (
+        SELECT a.bin AS bin, MIN(a.cnt) AS cnt, SUM(b.cnt) AS cum
+        FROM counts a JOIN counts b ON b.bin <= a.bin
+        GROUP BY a.bin
+      ),
+      tot AS (SELECT SUM(cnt) AS n FROM counts),
+      picks AS (
+        SELECT CAST(pr.p AS DOUBLE) AS p,
+               GREATEST(1, CAST(CEIL(CAST(pr.p AS DOUBLE) * tot.n) AS BIGINT)) AS target
+        FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) AS pr(p)
+        CROSS JOIN tot
+      )
+      SELECT p,
+             min_by(cum.bin, cum.cum) AS bin,
+             min_by(0.0 + cum.bin * 10000.0 + 10000.0 *
+                      (CAST(picks.target - (cum.cum - cum.cnt) AS DOUBLE) /
+                       CAST(cum.cnt AS DOUBLE)),
+                    cum.cum) AS est,
+             10000.0 AS err_bound
+      FROM picks JOIN cum ON cum.cum >= picks.target
+      GROUP BY p
+      ORDER BY p
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1782,6 +1889,8 @@ object Catalog {
     intervalOverlapQ,
     weightedQuantilesQ,
     weightedGroupQuantilesQ,
+    snapshotDiffQ,
+    sketchQuantilesQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
