@@ -1839,6 +1839,80 @@ object Catalog {
     """.trim),
   )
 
+  /** The q98 oracle unrolls the SAME integral recurrence the operator
+    * runs, one CTE per iteration — generated from one Scala loop so
+    * the two engines share a single source of truth for the
+    * arithmetic (the q94 weight-chain pattern applied to a fixpoint
+    * recurrence). `//` is DuckDB floor division = Spark `div` on the
+    * positive operands here. */
+  private def pageRankOracle(iterations: Int): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node AS node,
+         |         CAST(150000000 + (85 * COALESCE(s.inb, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst AS node, CAST(SUM((r.pr * ew.w) // ew.outw) AS BIGINT) AS inb
+         |    FROM ew JOIN r${i - 1} r ON ew.src = r.node
+         |    GROUP BY ew.dst
+         |  ) s ON n.node = s.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""
+      WITH e0 AS (
+        SELECT concat('C', CAST(o_custkey AS VARCHAR)) AS src,
+               concat('S', CAST(l_suppkey AS VARCHAR)) AS dst,
+               COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+      ),
+      e AS (
+        SELECT src, dst, w FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM e0
+      ),
+      outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+      ew AS (
+        SELECT e.src AS src, e.dst AS dst, e.w AS w, outw.outw AS outw
+        FROM e JOIN outw ON e.src = outw.src
+      ),
+      nodes AS (
+        SELECT DISTINCT src AS node FROM e
+        UNION
+        SELECT DISTINCT dst AS node FROM e
+      ),
+      r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
+      $steps
+      SELECT node, pr FROM r$iterations ORDER BY node
+    """.trim
+  }
+
+  /** Integer-arithmetic weighted PageRank (ops/Graph.pageRank) over
+    * the customer↔supplier interaction graph (edge weight = lineitem
+    * count, symmetrized): which entities sit central in the order
+    * flow. Scaled-long ranks make the fixpoint iteration order-free —
+    * the one centrality form another engine can replay bit-for-bit;
+    * a float PageRank's reduction-order sums could never hash-match.
+    * Three iterations, each one ranks⋈edges join + one dst groupBy —
+    * the textbook distributed shape, edges exchange reused across
+    * iterations. */
+  val pageRankQ = GraftQuery(
+    "q98_entity_pagerank",
+    (s, d) => {
+      val e0 = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("src"),
+          concat(lit("S"), col("l_suppkey")).as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      val sym = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      graft.ops.Graph.pageRank(sym, "src", "dst", "w", iterations = 3)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy(col("node"))
+    },
+    Some(pageRankOracle(3)),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1891,6 +1965,7 @@ object Catalog {
     weightedGroupQuantilesQ,
     snapshotDiffQ,
     sketchQuantilesQ,
+    pageRankQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,79 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Scale = 1000000000L
+
+  private def ranksOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("symmetric 2-cycle is a fixpoint at the uniform rank") {
+    val e = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("s", "d", "w")
+    val r = ranksOf(Graph.pageRank(e, "s", "d", "w", iterations = 4))
+    assert(r == Map("A" -> Scale, "B" -> Scale))
+  }
+
+  test("symmetrized star: hand-computed integral recurrence, two iterations") {
+    // A↔B, A↔C with unit weights: out(A)=2, out(B)=out(C)=1
+    val e = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "A", 1L), ("C", "A", 1L))
+      .toDF("s", "d", "w")
+    val r1 = ranksOf(Graph.pageRank(e, "s", "d", "w", iterations = 1))
+    // in(A) = 1e9 + 1e9; in(B) = in(C) = (1e9·1) div 2
+    assert(r1 == Map(
+      "A" -> (150000000L + 85L * 2000000000L / 100L),
+      "B" -> (150000000L + 85L * 500000000L / 100L),
+      "C" -> (150000000L + 85L * 500000000L / 100L)))
+    val r2 = ranksOf(Graph.pageRank(e, "s", "d", "w", iterations = 2))
+    assert(r2 == Map(
+      "A" -> 1127500000L, // 15e7 + 85·(575e6 + 575e6) div 100
+      "B" -> 936250000L,  // 15e7 + 85·(1850000000 div 2) div 100
+      "C" -> 936250000L))
+  }
+
+  test("dangling node keeps only the teleport base; its mass decays, never crashes") {
+    val e = Seq(("A", "B", 1L)).toDF("s", "d", "w") // B has no out-edges
+    val r1 = ranksOf(Graph.pageRank(e, "s", "d", "w", iterations = 1))
+    assert(r1 == Map("A" -> 150000000L, "B" -> 1000000000L))
+    val r2 = ranksOf(Graph.pageRank(e, "s", "d", "w", iterations = 2))
+    assert(r2 == Map("A" -> 150000000L, "B" -> 277500000L))
+  }
+
+  test("weights steer mass and total mass stays within the floor-loss budget") {
+    // B is 9× more attractive to A than C is
+    val e = Seq(("A", "B", 9L), ("A", "C", 1L), ("B", "A", 1L), ("C", "A", 1L))
+      .toDF("s", "d", "w")
+    val r = ranksOf(Graph.pageRank(e, "s", "d", "w", iterations = 5))
+    assert(r("B") > r("C"))
+    // every contribution floors away < 1 unit per edge per iteration,
+    // plus one div-100 floor per node per iteration
+    val total = r.values.sum
+    val n = 3L; val edges = 4L; val iters = 5L
+    assert(total <= n * Scale)
+    assert(total >= n * Scale - iters * (edges + n + n),
+      s"mass leak too large: $total vs ${n * Scale}")
+  }
+
+  test("order-free: repartitioned input yields bit-identical ranks") {
+    val e = (1 to 400).map { i =>
+      (s"n${i % 40}", s"n${(i * 7) % 40}", (i % 5 + 1).toLong)
+    }.toDF("s", "d", "w")
+      .groupBy("s", "d").agg(sum("w").as("w"))
+    val a = ranksOf(Graph.pageRank(e.repartition(1), "s", "d", "w", 3))
+    val b = ranksOf(Graph.pageRank(e.repartition(13, col("d")), "s", "d", "w", 3))
+    assert(a == b, "integral arithmetic must be reduction-order-free")
+  }
+
+  test("parameter guards") {
+    val e = Seq(("A", "B", 1L)).toDF("s", "d", "w")
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "s", "d", "w", iterations = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(e, "s", "d", "w", dampingNum = 100L)
+    }
+  }
+}

@@ -321,6 +321,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalSection(p).contains("SinglePartition"), p.take(400))
   }
 
+  test("q98 pagerank: the edges exchange plans once and is reused across iterations") {
+    val df = Catalog.pageRankQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // 3 iterations each join the same edges subplan — it must not
+    // re-shuffle per iteration (the q69 funnel pattern)
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"edges exchange should be reused:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q95 PQ digest: compiled encode in a codegen'd scan projection, no joins at all") {
     val df = LlmCatalog.pqQuantization.run(spark, sf)
     df.collect()
