@@ -221,16 +221,41 @@ object Quantiles {
       hi: Double,
       bins: Int,
       probs: Seq[Double],
+  ): DataFrame =
+    fromCells(
+      Stats.histogram(df, valCol, lo, hi, bins).select(col("bin"), col("cnt")),
+      lo, hi, bins, probs)
+
+  /** [[fromHistogram]] over an ALREADY-BINNED cell table (bin, cnt) —
+    * the read side of a maintained histogram: cells are exact
+    * integers and add cell-wise, so generations appended by a
+    * streaming drain ([[graft.streaming.SketchIntake
+    * .drainHistogramTo]]), per-partition partials, or per-day
+    * snapshots merge here by a plain groupBy-sum and the estimate is
+    * BIT-IDENTICAL to a one-shot batch run over the union of the
+    * data — the property no float sketch can offer. Multiple rows
+    * per bin are expected (one generation each); `lo`/`hi`/`bins`
+    * must be the ones the cells were binned with. */
+  def fromCells(
+      cells: DataFrame,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      probs: Seq[Double],
   ): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
       s"probs must be in (0, 1], got $probs")
-    val spark = df.sparkSession
+    val spark = cells.sparkSession
     import spark.implicits._
     val w = (hi - lo) / bins
-    // the histogram is ≤ bins rows but its lineage scans the data —
-    // cut it (localCheckpoint) so the self-join + totals below reuse
-    // the tiny materialized result instead of re-scanning the source
-    val h = Stats.histogram(df, valCol, lo, hi, bins)
+    // the merged histogram is ≤ bins rows but its lineage may scan
+    // the data — cut it (localCheckpoint) so the self-join + totals
+    // below reuse the tiny materialized result, not the source
+    val h = cells
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") > 0L)
       .localCheckpoint()
     // cumulative counts over ≤ bins rows: triangular join, both sides
@@ -239,7 +264,6 @@ object Quantiles {
       .join(broadcast(h.as("b")), col("b.bin") <= col("a.bin"))
       .groupBy(col("a.bin").as("bin"))
       .agg(
-        first(col("a.lo_edge")).as("lo_edge"),
         first(col("a.cnt")).as("cnt"),
         sum(col("b.cnt")).as("cum"))
     val totals = h.agg(sum(col("cnt")).as("graft_n_"))
@@ -252,10 +276,69 @@ object Quantiles {
     picks
       .join(broadcast(cum), col("cum") >= col("target"))
       .groupBy(col("p"))
-      .agg(min(struct(col("cum"), col("bin"), col("lo_edge"),
+      .agg(min(struct(col("cum"), col("bin"),
         col("cnt"), col("target"))).as("pick"))
       .select(col("p"), col("pick.bin").as("bin"),
-        (col("pick.lo_edge") + lit(w) *
+        (lit(lo) + col("pick.bin") * lit(w) + lit(w) *
+          ((col("pick.target") - (col("pick.cum") - col("pick.cnt")))
+            .cast("double") / col("pick.cnt").cast("double"))).as("est"),
+        lit(w).as("err_bound"))
+  }
+
+  /** Per-GROUP histogram-sketch quantiles — [[fromHistogram]] inside
+    * each group (the per-feed/per-source p99 without any sort): the
+    * one data-sized pass is a groupBy over (group, bin) — ≤
+    * |groups|·bins keys, map-side partials — and everything after
+    * (cumulative counts via a group-equi + bin-range self-join, the
+    * per-(group, p) pick) runs on that bounded table. Groups are
+    * feed-grain (a column you'd also GROUP BY in a report), so
+    * |groups|·bins stays sketch-sized; per-group N rides the same
+    * table, no extra pass. Same estimator, bound, and edge rules as
+    * [[fromHistogram]]; groups whose data is all null/NaN emit
+    * nothing. Output: (groupCol, p, bin, est, err_bound). */
+  def fromHistogramPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      probs: Seq[Double],
+  ): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = (hi - lo) / bins
+    val raw = floor((col(valCol) - lit(lo)) / lit(w)).cast("long")
+    val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
+    val h = df
+      .filter(col(valCol).isNotNull && !isnan(col(valCol).cast("double")))
+      .select(col(groupCol).as("g"), bin.as("bin"))
+      .groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val cum = h.as("a")
+      .join(h.as("b"),
+        col("a.g") === col("b.g") && col("b.bin") <= col("a.bin"))
+      .groupBy(col("a.g").as("g"), col("a.bin").as("bin"))
+      .agg(first(col("a.cnt")).as("cnt"), sum(col("b.cnt")).as("cum"))
+    val totals = h.groupBy(col("g")).agg(sum(col("cnt")).as("graft_n_"))
+    val picks = totals
+      .crossJoin(probs.toDF("p"))
+      .select(col("g"), col("p"),
+        greatest(lit(1L), ceil(col("p") * col("graft_n_"))).as("target"))
+    picks.as("pk")
+      .join(cum.as("c"),
+        col("pk.g") === col("c.g") && col("cum") >= col("target"))
+      .groupBy(col("pk.g").as("g"), col("p"))
+      .agg(min(struct(col("cum"), col("bin"), col("cnt"),
+        col("target"))).as("pick"))
+      .select(col("g").as(groupCol), col("p"),
+        col("pick.bin").as("bin"),
+        (lit(lo) + col("pick.bin") * lit(w) + lit(w) *
           ((col("pick.target") - (col("pick.cum") - col("pick.cnt")))
             .cast("double") / col("pick.cnt").cast("double"))).as("est"),
         lit(w).as("err_bound"))

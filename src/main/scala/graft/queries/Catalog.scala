@@ -1913,6 +1913,51 @@ object Catalog {
     Some(pageRankOracle(3)),
   )
 
+  /** Per-source histogram-sketch quantiles
+    * (Quantiles.fromHistogramPerGroup): q97's one-pass estimator
+    * inside each source — the per-feed length p50/p90 without a sort
+    * or a per-group window. One (source, bin) groupBy is the only
+    * data-sized work. */
+  val groupSketchQuantilesQ = GraftQuery(
+    "q99_group_sketch_quantiles",
+    (s, d) =>
+      graft.ops.Quantiles.fromHistogramPerGroup(documents(s, d), "source",
+          "n_chars", lo = 0.0, hi = 1000.0, bins = 20, probs = Seq(0.5, 0.9))
+        .orderBy(col("source"), col("p")),
+    Some("""
+      WITH c0 AS (
+        SELECT source AS g, least(greatest(
+                 CAST(floor((n_chars - 0.0) / 50.0) AS BIGINT),
+                 0), 19) AS bin
+        FROM documents WHERE n_chars IS NOT NULL
+      ),
+      counts AS (SELECT g, bin, COUNT(*) AS cnt FROM c0 GROUP BY g, bin),
+      cum AS (
+        SELECT a.g AS g, a.bin AS bin, MIN(a.cnt) AS cnt,
+               CAST(SUM(b.cnt) AS BIGINT) AS cum
+        FROM counts a JOIN counts b ON a.g = b.g AND b.bin <= a.bin
+        GROUP BY a.g, a.bin
+      ),
+      tot AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM counts GROUP BY g),
+      picks AS (
+        SELECT tot.g AS g, CAST(pr.p AS DOUBLE) AS p,
+               GREATEST(1, CAST(CEIL(CAST(pr.p AS DOUBLE) * tot.n) AS BIGINT)) AS target
+        FROM (VALUES (0.5), (0.9)) AS pr(p)
+        CROSS JOIN tot
+      )
+      SELECT picks.g AS source, p,
+             min_by(cum.bin, cum.cum) AS bin,
+             min_by(0.0 + cum.bin * 50.0 + 50.0 *
+                      (CAST(picks.target - (cum.cum - cum.cnt) AS DOUBLE) /
+                       CAST(cum.cnt AS DOUBLE)),
+                    cum.cum) AS est,
+             50.0 AS err_bound
+      FROM picks JOIN cum ON picks.g = cum.g AND cum.cum >= picks.target
+      GROUP BY picks.g, p
+      ORDER BY source, p
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -1966,6 +2011,7 @@ object Catalog {
     snapshotDiffQ,
     sketchQuantilesQ,
     pageRankQ,
+    groupSketchQuantilesQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

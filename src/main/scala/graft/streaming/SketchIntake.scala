@@ -131,4 +131,74 @@ object SketchIntake {
       case _ =>
         readSketch(store, table).foreach(store.replace(table, _))
     }
+
+  // -----------------------------------------------------------------
+  // Streaming histogram maintenance — the quantile twin of the CMS
+  // path. Same generation-log discipline, but the cells are EXACT
+  // integer (bin, cnt) counts over fixed bins, so the maintained
+  // state answers quantiles ([[graft.ops.Quantiles.fromCells]]) that
+  // are BIT-IDENTICAL to a one-shot batch run over everything the
+  // stream ever drained — a float quantile sketch (t-digest/KLL)
+  // merges lossily and order-dependently; this one doesn't.
+  // -----------------------------------------------------------------
+
+  /** Drain everything currently available (AvailableNow), appending
+    * one exactly-once ≤ `bins`-row cell-delta generation per
+    * micro-batch ([[graft.ops.Stats.histogram]] bin semantics:
+    * [lo, hi) fixed bins, out-of-range clamps to the edges, null/NaN
+    * dropped). State per batch is bins-bounded regardless of batch
+    * size — map-side partials do the collapsing. */
+  def drainHistogramTo(
+      events: DataFrame,
+      store: graft.io.TableStore,
+      table: String,
+      valCol: String,
+      checkpoint: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+  ): Unit = {
+    import org.apache.spark.sql.functions.col
+    val q = events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.appendIfNew(table,
+          graft.ops.Stats.histogram(batch, valCol, lo, hi, bins)
+            .filter(col("cnt") > 0L)
+            .select(col("bin"), col("cnt")),
+          batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Quantiles over the maintained histogram: merge the generation
+    * log cell-wise and run the [[graft.ops.Quantiles.fromCells]]
+    * estimator. `lo`/`hi`/`bins`/`probs` as in `fromHistogram`; must
+    * match what the drain binned with. */
+  def readQuantiles(
+      store: graft.io.TableStore,
+      table: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      probs: Seq[Double],
+  ): Option[DataFrame] =
+    store.read(table).map(
+      graft.ops.Quantiles.fromCells(_, lo, hi, bins, probs))
+
+  /** [[compact]] for a histogram table: the cell-wise bin sum. Same
+    * CAS-vs-replace split and the same read-equivalence argument. */
+  def compactHistogram(store: graft.io.TableStore, table: String): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    def merge(df: DataFrame): DataFrame =
+      df.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+    store match {
+      case s: graft.io.SnapshotBucketedStore =>
+        s.compactLogs(table, merge(_)): Unit
+      case _ =>
+        store.read(table).foreach(df => store.replace(table, merge(df)))
+    }
+  }
 }

@@ -141,6 +141,27 @@ class QuantilesSpec extends SparkSpec {
     assert(got.toSeq == Seq(2L), "only the 0.5 value (bin 2) survives")
   }
 
+  test("per-group sketch answers each group independently within the bound") {
+    // group a: uniform 0..99; group b: concentrated near 500
+    val df = ((1 to 100).map(i => ("a", i.toDouble - 0.5, i.toLong)) ++
+      (1 to 50).map(i => ("b", 500.0 + i % 5, 1000L + i)))
+      .toDF("g", "v", "id")
+    val w = 1000.0 / 50
+    val est = Quantiles.fromHistogramPerGroup(df, "g", "v", 0.0, 1000.0, 50,
+        Seq(0.5, 0.9))
+      .select("g", "p", "est").as[(String, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val exact = Quantiles.exactPerGroup(df, "g", "v", "id", Seq(0.5, 0.9))
+      .select("g", "p", "value").as[(String, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    for (g <- Seq("a", "b"); p <- Seq(0.5, 0.9)) {
+      assert(math.abs(est((g, p)) - exact((g, p))) <= w,
+        s"($g, $p): est=${est((g, p))} exact=${exact((g, p))}")
+    }
+    // group b's answers must reflect only its own mass
+    assert(est(("b", 0.5)) >= 500.0 - w && est(("b", 0.5)) <= 505.0 + w)
+  }
+
   test("the sketch touches the data once: one scan, everything after is bin-sized") {
     val df = (1 to 500).map(i => (i.toDouble, i.toLong)).toDF("v", "id")
     val q = Quantiles.fromHistogram(df, "v", 0.0, 500.0, 10, Seq(0.5, 0.9))

@@ -77,5 +77,50 @@ class SketchIntakeSpec extends SparkSpec {
     val exact = rows.groupBy(_.k).view.mapValues(_.size.toLong).toMap
     hh.foreach { case (k, est) => assert(est >= exact(k), s"undercount at $k") }
   }
+
+  test("stream-maintained histogram answers quantiles bit-identical to the one-shot batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val root = tmpDir("graft_hist_")
+    val store = new graft.io.SnapshotBucketedStore(s"$root/h", numBuckets = 4)
+    val input = MemoryStream[SketchEv]
+    val (lo, hi, bins) = (0.0, 1000.0, 25)
+    val probs = Seq(0.5, 0.9, 0.99)
+
+    // skewed values split across two drains; v is the measure here
+    val rows = (1 to 900).map(i => SketchEv(i.toLong, (i * i % 997).toLong))
+    val (half1, half2) = rows.splitAt(400)
+    input.addData(half1: _*)
+    SketchIntake.drainHistogramTo(input.toDF(), store, "h", "v", s"$root/ckpt",
+      lo, hi, bins)
+    input.addData(half2: _*)
+    SketchIntake.drainHistogramTo(input.toDF(), store, "h", "v", s"$root/ckpt",
+      lo, hi, bins)
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("p", "bin", "est", "err_bound")
+        .as[(Double, Long, Double, Double)].collect().sortBy(_._1).toSeq
+
+    val streamed = rowsOf(
+      SketchIntake.readQuantiles(store, "h", lo, hi, bins, probs).get)
+    val oneShot = rowsOf(
+      graft.ops.Quantiles.fromHistogram(rows.toDF(), "v", lo, hi, bins, probs))
+    // EXACT integer cells merge losslessly → the maintained sketch is
+    // not approximately but BIT-identically the batch answer
+    assert(streamed == oneShot, s"$streamed vs $oneShot")
+
+    // compaction folds generations without changing any answer
+    SketchIntake.compactHistogram(store, "h")
+    assert(rowsOf(
+      SketchIntake.readQuantiles(store, "h", lo, hi, bins, probs).get) == oneShot)
+
+    // exactly-once: a crash-replayed epoch (stale batch id) is a no-op
+    val before = store.read("h").get.count()
+    assert(!store.appendIfNew("h",
+      Seq((0L, 99L)).toDF("bin", "cnt"), batchId = 0L))
+    assert(store.read("h").get.count() == before)
+  }
 }
 
