@@ -370,6 +370,164 @@ object CorpusStats {
         col("keep"))
   }
 
+  /** FIT the corpus-level statistics [[docSignals]] derives
+    * internally, as two frozen artifact frames — the train step of
+    * the train/serve split ([[docSignalsFrozen]] is the serve step):
+    *
+    *   token frequencies (h, cnt) — total occurrences per 60-bit
+    *     token hash, the [[surprisalProfile]] reference measure;
+    *   shared windows (h) — the w-token window hashes appearing in
+    *     ≥ `minDocs` reference documents, the [[boilerplateDensity]]
+    *     reference set.
+    *
+    * Persist both through a [[graft.io.TableStore]] like any model
+    * artifact (the X49 IVF recipe): fit once on the governed
+    * reference corpus, then score arriving data against it — scoring
+    * a batch against its OWN statistics would let one junk-heavy
+    * drop redefine "rare" and "boilerplate" for itself. */
+  def fitCorpusStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 8,
+      minDocs: Int = 2,
+  ): (DataFrame, DataFrame) = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val freq = docs
+      .select(explode(split(col(textCol), " ")).as("t"))
+      .select(TextOps.hash60(col("t")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+    val shared = docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.windowHashesPositional(col(textCol), w)).as("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("id")).as("wdf"))
+      .filter(col("wdf") >= minDocs)
+      .select(col("h"))
+    (freq, shared)
+  }
+
+  /** [[docSignals]] scored against FROZEN reference statistics — the
+    * serve step: per-document signals (repetition, bigrams, flags)
+    * come from the document alone exactly as in [[docSignals]];
+    * the corpus-relative signals read the [[fitCorpusStats]]
+    * artifacts instead of the scored batch itself. A token the
+    * reference never saw reads cnt = 0: rare by definition
+    * (0 ≤ rareMax) and freq_bits = length(bin(0)) = 1, the same bits
+    * as a count-1 token — unseen ≈ rarest-possible, the conservative
+    * rule. A window outside the frozen shared set is not shared.
+    *
+    * Two invariants the specs pin: (1) fed statistics fit on the
+    * very corpus being scored, this reproduces [[docSignals]]
+    * COLUMN-FOR-COLUMN exactly; (2) each document's row depends only
+    * on that document + the artifacts, so scoring in micro-batches
+    * ([[graft.streaming.CorpusIntake]]'s scored drain) equals the
+    * one-shot batch run bit-for-bit — the agreement that makes the
+    * streaming quality gate sound.
+    *
+    * Scale shape: same as [[docSignals]] (the shared token table,
+    * one explode+md5 pass, id-keyed assembly; text never shuffles)
+    * plus two hash joins against the artifacts — freq on the 8-byte
+    * token hash, shared membership as a left-semi; both
+    * broadcastable when the reference vocabulary is (the usual
+    * case), shuffle joins otherwise. */
+  def docSignalsFrozen(
+      docs: DataFrame,
+      refFreq: DataFrame,
+      refShared: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      w: Int = 8,
+      rareMax: Long = 2L,
+  ): DataFrame = {
+    val tokc = docs
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("t"))
+      .select(col("id"), TextOps.hash60(col("t")).as("h"))
+      .repartition(col("id"))
+      .groupBy(col("id"), col("h"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val rep = tokc.groupBy(col("id")).agg(
+      sum(col("c")).cast("long").as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).cast("long").as("top_token_cnt"))
+    val ref = refFreq.select(col("h"), col("cnt").cast("long").as("cnt"))
+    val sur = tokc
+      .join(ref, Seq("h"), "left")
+      .select(col("id"), col("c"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c") * length(bin(col("cnt")))).cast("long").as("sum_freq_bits"),
+        sum(when(col("cnt") <= rareMax, col("c")).otherwise(0L))
+          .cast("long").as("n_rare"))
+    val big = docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.windowHashesPositional(col(textCol), 2)).as("h"))
+      .repartition(col("id"))
+      .groupBy(col("id"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(
+        sum(col("c")).cast("long").as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).cast("long").as("top_bigram_cnt"))
+    val sharedCounts = docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.windowHashesPositional(col(textCol), w)).as("h"))
+      .join(refShared.select(col("h")), Seq("h"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val boiler = docs
+      .select(col(idCol).as("id"),
+        size(TextOps.windowHashesPositional(col(textCol), w)).as("n_windows"))
+      .join(sharedCounts, Seq("id"), "left")
+      .select(col("id"), col("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          greatest(col("n_windows"), lit(1))).as("shared_frac"))
+    val flags = docs.select(
+      col(idCol).as("id"),
+      TextOps.alphaRatio(col(textCol)).as("alpha_ratio"),
+      TextOps.meanTokenLen(col(textCol)).as("mean_tok_len"),
+      TextOps.qualityKeep(col(textCol)).as("keep"))
+    rep
+      .join(sur, Seq("id"))
+      .join(big, Seq("id"), "left")
+      .join(boiler, Seq("id"))
+      .join(flags, Seq("id"))
+      .select(
+        col("id").as(idCol),
+        col("n_tokens"),
+        col("n_distinct"),
+        col("top_token_cnt"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          col("n_tokens")).as("dup_token_frac"),
+        (col("top_token_cnt").cast("double") / col("n_tokens"))
+          .as("top_token_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("top_bigram_cnt"), lit(0L)).as("top_bigram_cnt"),
+        ((coalesce(col("n_bigrams"), lit(0L)) -
+          coalesce(col("n_distinct_bigrams"), lit(0L))).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .as("dup_bigram_frac"),
+        (coalesce(col("top_bigram_cnt"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)))
+          .as("top_bigram_frac"),
+        col("sum_freq_bits"),
+        (col("sum_freq_bits").cast("double") / col("n_tokens"))
+          .as("mean_freq_bits"),
+        col("n_rare"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_frac"),
+        col("n_windows"),
+        col("n_shared"),
+        col("shared_frac"),
+        col("alpha_ratio"),
+        col("mean_tok_len"),
+        col("keep"))
+  }
+
   /** Fixed weights for [[qualityScore]] over the [[docSignals]]
     * matrix — the public Gopher/CCNet filtering move: a hand-set
     * linear model on the BOUNDED ratio signals (each in [0, 1], so

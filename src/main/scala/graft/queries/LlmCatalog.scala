@@ -1736,6 +1736,119 @@ object LlmCatalog {
         case (acc, (c, w)) => s"$acc + $c * ($w)"
       }
 
+  /** The q100 frozen-statistics signal chain: the q84 block with the
+    * two corpus-relative sources swapped for REFERENCE-slice
+    * artifacts (`refPred` picks the reference documents) — token
+    * counts read the reference vocabulary LEFT-joined with unseen →
+    * cnt 0, shared windows read the reference shared set. Everything
+    * per-document is byte-identical to [[docSignalsCtes]]. */
+  private def frozenSignalsCtes(refPred: String): String =
+    s"""tokc AS (
+        SELECT doc_id, h, COUNT(*) AS c FROM (
+          SELECT doc_id, ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+          )
+        ) GROUP BY doc_id, h
+      ),
+      rep AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_tokens, COUNT(*) AS n_distinct,
+               MAX(c)::BIGINT AS top_token_cnt
+        FROM tokc GROUP BY doc_id
+      ),
+      refcorpus AS (
+        SELECT h, COUNT(*)::BIGINT AS cnt FROM (
+          SELECT ('0x'||substr(md5(t),1,15))::BIGINT AS h FROM (
+            SELECT unnest(string_split(text, ' ')) AS t
+            FROM documents WHERE $refPred
+          )
+        ) GROUP BY h
+      ),
+      sur AS (
+        SELECT doc_id,
+               CAST(SUM(c * length(bin(COALESCE(cnt, 0)))) AS BIGINT) AS sum_freq_bits,
+               CAST(SUM(CASE WHEN COALESCE(cnt, 0) <= 2 THEN c ELSE 0 END) AS BIGINT) AS n_rare
+        FROM tokc LEFT JOIN refcorpus USING (h) GROUP BY doc_id
+      ),
+      th28 AS (
+        SELECT doc_id, len(wtok) AS nw,
+               list_transform(wtok, t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM (SELECT doc_id, string_split(text, ' ') AS wtok FROM documents)
+      ),
+      bigc AS (
+        SELECT doc_id, h, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, nw - 1),
+                   i -> ${windowComb(2)})) AS h
+          FROM th28 WHERE nw >= 2
+        ) GROUP BY doc_id, h
+      ),
+      biga AS (
+        SELECT doc_id, SUM(c)::BIGINT AS n_bigrams,
+               COUNT(*) AS n_distinct_bigrams,
+               MAX(c)::BIGINT AS top_bigram_cnt
+        FROM bigc GROUP BY doc_id
+      ),
+      winp AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, nw - 7),
+                 i -> ${windowComb(8)})) AS h
+        FROM th28 WHERE nw >= 8
+      ),
+      rth28 AS (
+        SELECT doc_id, len(wtok) AS nw,
+               list_transform(wtok, t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM (SELECT doc_id, string_split(text, ' ') AS wtok
+              FROM documents WHERE $refPred)
+      ),
+      rwinp AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, nw - 7),
+                 i -> ${windowComb(8)})) AS h
+        FROM rth28 WHERE nw >= 8
+      ),
+      rwshared AS (
+        SELECT h FROM rwinp GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+      ),
+      wsh AS (
+        SELECT doc_id, COUNT(*) AS n_shared FROM winp
+        WHERE h IN (SELECT h FROM rwshared) GROUP BY doc_id
+      ),
+      boiler AS (
+        SELECT t.doc_id,
+               CAST(GREATEST(nw - 7, 0) AS INT) AS n_windows,
+               CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+               CAST(COALESCE(n_shared, 0) AS DOUBLE)
+                 / GREATEST(CAST(GREATEST(nw - 7, 0) AS INT), 1) AS shared_frac
+        FROM th28 t LEFT JOIN wsh USING (doc_id)
+      ),
+      flags AS (
+        SELECT doc_id,
+               CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) AS alpha_ratio,
+               CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) AS mean_tok_len
+        FROM documents
+      ),
+      sig AS (
+      SELECT rep.doc_id, n_tokens, n_distinct, top_token_cnt,
+             CAST(n_tokens - n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+             CAST(top_token_cnt AS DOUBLE) / n_tokens AS top_token_frac,
+             COALESCE(n_bigrams, 0) AS n_bigrams,
+             COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+             COALESCE(top_bigram_cnt, 0) AS top_bigram_cnt,
+             CAST(COALESCE(n_bigrams, 0) - COALESCE(n_distinct_bigrams, 0) AS DOUBLE)
+               / greatest(COALESCE(n_bigrams, 0), 1) AS dup_bigram_frac,
+             CAST(COALESCE(top_bigram_cnt, 0) AS DOUBLE)
+               / greatest(COALESCE(n_bigrams, 0), 1) AS top_bigram_frac,
+             sum_freq_bits,
+             CAST(sum_freq_bits AS DOUBLE) / n_tokens AS mean_freq_bits,
+             n_rare,
+             CAST(n_rare AS DOUBLE) / n_tokens AS rare_frac,
+             n_windows, boiler.n_shared AS n_shared, shared_frac,
+             alpha_ratio, mean_tok_len
+      FROM rep JOIN sur USING (doc_id) LEFT JOIN biga USING (doc_id)
+           JOIN boiler ON boiler.doc_id = rep.doc_id
+           JOIN flags ON flags.doc_id = rep.doc_id
+      )"""
+
   /** Fixed-weight quality scorer over the doc-signals matrix
     * (CorpusStats.qualityScore): score = bias + Σ wᵢ·signalᵢ folded
     * in frozen order — the step that makes q84's feature table
@@ -1759,6 +1872,38 @@ object LlmCatalog {
     },
     Some(s"""
       WITH $docSignalsCtes,
+      scored AS (SELECT doc_id, $scoreSql AS score FROM sig)
+      SELECT doc_id, score, score >= 0.0 AS keep_score
+      FROM scored ORDER BY doc_id
+    """.trim),
+  )
+
+  /** Frozen-statistics quality scoring (CorpusStats.fitCorpusStats →
+    * docSignalsFrozen → qualityScore): the train/serve split — fit
+    * token-frequency and shared-window artifacts on a REFERENCE
+    * slice (here the src0–src9 half, picked by the
+    * `length(source) = 4` predicate both engines express
+    * identically), then score EVERY document against them. Unseen
+    * tokens read cnt 0 (rarest-possible); windows outside the frozen
+    * shared set aren't shared. The oracle replays the whole chain —
+    * fit included — so the hash pins the artifact semantics, the
+    * unseen-token rule, and the score fold at once. */
+  val frozenScoreQ = GraftQuery(
+    "q100_frozen_quality_scores",
+    (s, d) => {
+      import graft.llm.CorpusStats
+      val docs = documents(s, d)
+      val ref = docs.filter(length(col("source")) === 4)
+      val (freq, shared) = CorpusStats.fitCorpusStats(ref, "doc_id", "text")
+      CorpusStats.qualityScore(
+          CorpusStats.docSignalsFrozen(docs, freq, shared, "doc_id", "text"))
+        .select(col("doc_id"), col("score"),
+          (col("score") >= CorpusStats.DefaultQualityThreshold)
+            .as("keep_score"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH ${frozenSignalsCtes("length(source) = 4")},
       scored AS (SELECT doc_id, $scoreSql AS score FROM sig)
       SELECT doc_id, score, score >= 0.0 AS keep_score
       FROM scored ORDER BY doc_id
@@ -2576,5 +2721,6 @@ object LlmCatalog {
     normalizedDedupQ,
     qualityScoresQ,
     pqQuantization,
+    frozenScoreQ,
   )
 }

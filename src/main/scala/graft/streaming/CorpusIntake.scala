@@ -71,4 +71,52 @@ object CorpusIntake {
       .start()
     q.awaitTermination()
   }
+
+  /** [[drainTo]] with the MODEL-BASED quality gate in place of the
+    * heuristic one: each micro-batch is scored against FROZEN
+    * reference-corpus statistics ([[graft.llm.CorpusStats
+    * .fitCorpusStats]] artifacts — fit once on the governed corpus,
+    * served here) and only documents with
+    * score ≥ `minScore` land. Scoring a batch against its own
+    * statistics would let a junk-heavy drop redefine "rare" for
+    * itself — the frozen split is what makes a PER-BATCH gate mean
+    * the same thing as the batch-mode [[graft.llm.CorpusStats
+    * .scoreFilter]]: every signal depends only on the document and
+    * the artifacts, so the streamed corpus equals the one-shot
+    * filtered corpus EXACTLY (spec-pinned), batch boundaries
+    * invisible. Same exactly-once sink discipline as [[drainTo]].
+    *
+    * The artifacts are plain DataFrames (typically
+    * `store.read("corpus_stats_*")`) — read once, reused across
+    * batches; broadcastable when the reference vocabulary is. */
+  def drainScoredTo(
+      docs: DataFrame,
+      store: graft.io.TableStore,
+      table: String,
+      refFreq: DataFrame,
+      refShared: DataFrame,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minScore: Double = graft.llm.CorpusStats.DefaultQualityThreshold,
+      weights: Seq[(String, Double)] = graft.llm.CorpusStats.DefaultQualityWeights,
+      bias: Double = graft.llm.CorpusStats.DefaultQualityBias,
+  ): Unit = {
+    import graft.llm.CorpusStats
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keepers = CorpusStats.qualityScore(
+            CorpusStats.docSignalsFrozen(batch, refFreq, refShared,
+              idCol, textCol),
+            weights, bias)
+          .filter(col("score") >= minScore)
+          .select(col(idCol))
+        store.appendIfNew(table,
+          batch.join(keepers, Seq(idCol), "left_semi"), batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -46,4 +46,58 @@ class CorpusIntakeSpec extends SparkSpec {
       .as[Long].collect().sorted
     assert(ids.toSeq == Seq(1L, 3L, 6L), ids.mkString(","))
   }
+
+  test("scored drain against frozen stats equals the one-shot batch filter exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_intake_scored_")
+    implicit val s = spark
+    import graft.llm.CorpusStats
+    val store = new graft.io.SnapshotBucketedStore(s"$root/corpus", numBuckets = 4)
+
+    // frozen reference: clean prose only — junk scores against IT,
+    // not against whatever batch it arrives in
+    val ref = Seq(
+      (100L, good),
+      (101L, good.replace("fox", "wolf")),
+    ).toDF("doc_id", "text")
+    val (freq, shared) = CorpusStats.fitCorpusStats(ref, "doc_id", "text")
+
+    val all = Seq(
+      Doc(1L, B, good.replace("river", "stone")),
+      Doc(2L, B + 1000, Seq.fill(30)("buy now").mkString(" ")), // junk
+      Doc(3L, B + 2000, good.replace("dog", "cat")),
+      Doc(4L, B + 3000, Seq.fill(40)("zz").mkString(" ")),      // junk
+      // the edit must sit mid-text (position ≥ 12): a head-of-text
+      // edit leaves most 8-windows shared with the reference and the
+      // boilerplate penalty alone sinks the doc — itself correct
+      // gate behavior
+      Doc(5L, B + 4000, good.replace("while", "whilst")),
+    )
+    val (half1, half2) = all.splitAt(2)
+    val input = MemoryStream[Doc]
+    val docs = input.toDF().select(col("doc_id"), col("text"))
+    input.addData(half1: _*)
+    CorpusIntake.drainScoredTo(docs, store, "corpus", freq, shared, s"$root/ckpt")
+    input.addData(half2: _*)
+    CorpusIntake.drainScoredTo(docs, store, "corpus", freq, shared, s"$root/ckpt")
+
+    val streamed = store.read("corpus").get
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    // the batch twin: same frozen artifacts, one shot over everything
+    val batchDf = all.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val keepers = CorpusStats.qualityScore(
+        CorpusStats.docSignalsFrozen(batchDf, freq, shared, "doc_id", "text"))
+      .filter(col("score") >= CorpusStats.DefaultQualityThreshold)
+      .select(col("doc_id"))
+    val batch = batchDf.join(keepers, Seq("doc_id"), "left_semi")
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch,
+      s"batch boundaries must be invisible: $streamed vs $batch")
+    // and the gate actually gated: junk out, prose in
+    val kept = streamed.map(_._1)
+    assert(kept.contains(1L) && kept.contains(3L) && kept.contains(5L), kept)
+    assert(!kept.contains(2L) && !kept.contains(4L), kept)
+  }
 }
