@@ -520,6 +520,8 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
       require(m1.buckets.isEmpty && m2.buckets.isEmpty,
         s"$name has bucketed upsert generations; appendsSince targets " +
           "append-log tables — use diffVersions for keyed tables")
+      require(m2.version >= m1.version,
+        s"backwards capture range: v$since → v${m2.version}")
       val rewritten = m1.logs.filterNot(m2.logs.contains)
       require(rewritten.isEmpty,
         s"$name log history was compacted between v$since and " +

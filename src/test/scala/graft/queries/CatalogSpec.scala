@@ -14,7 +14,7 @@ class CatalogSpec extends SparkSpec {
   test("query names are unique and well-formed") {
     val names = Catalog.all.map(_.name)
     assert(names.distinct.length == names.length)
-    assert(names.forall(_.matches("q\\d{2}_[a-z0-9_]+")), names.mkString(","))
+    assert(names.forall(_.matches("q\\d{2,3}_[a-z0-9_]+")), names.mkString(","))
   }
 
   test("every oracle-checked query has matching name sets in both maps") {
