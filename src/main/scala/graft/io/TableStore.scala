@@ -534,6 +534,32 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
       else readDirs(dirsOf(name, m2, fresh))
     }
 
+  /** The streaming/refresh high-water mark: the highest batch id an
+    * [[appendIfNew]]/[[replaceWithBatch]] committed for this table.
+    * Public because exactly-once CONSUMERS need it too — an
+    * incremental refresher ([[IncrementalAgg]]) stores its source
+    * cursor here, so "what have I applied" survives crashes in the
+    * same manifest rename as the data it describes. */
+  def lastAppliedBatch(name: String): Option[Long] =
+    latestManifest(name).flatMap(_.lastBatch)
+
+  /** [[replace]] that also SETS the batch high-water mark (replace
+    * itself only carries the existing mark forward): the rebuild
+    * path of exactly-once consumers — one manifest rename installs
+    * both the recomputed content and the cursor saying what it
+    * covers. Refuses to move the mark backwards: a lower id would
+    * re-open the door for replays of already-applied epochs. */
+  def replaceWithBatch(name: String, df: DataFrame, batchId: Long): Unit = {
+    val prev = latestManifest(name)
+    require(prev.flatMap(_.lastBatch).forall(_ <= batchId),
+      s"$name batch mark would move backwards: " +
+        s"${prev.flatMap(_.lastBatch)} → $batchId")
+    val v = prev.map(_.version + 1).getOrElse(0)
+    val rel = s"data/log-$v"
+    writeDir(df, new Path(tableDir(name), rel).toString)
+    commit(name, Manifest(v, Map.empty, Seq(rel), Some(batchId)))
+  }
+
   /** K2 append as a committed log generation: new dir + new manifest.
     * Mirrors [[upsert]]'s role-split guard in the other direction:
     * appending log dirs into a bucketed upsert target would brick it
