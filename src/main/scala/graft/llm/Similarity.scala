@@ -337,4 +337,47 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** TWO-STAGE search: PQ asymmetric distance retrieves `candidates`
+    * per query (cheap — 8-byte codes), exact float cosine re-ranks
+    * the survivors and keeps `k` (the standard recall-repair move:
+    * quantization error can misorder near-ties, so retrieve wide and
+    * let the exact metric pick). Output scores are EXACT cosines —
+    * bit-equal to [[bruteForceTopK]]'s for every pair that survives,
+    * so recall@k is monotone in `candidates` and reaches brute force
+    * when `candidates` covers the label (spec-pinned).
+    *
+    * Scale shape: stage 1 is [[pqTopKWithinLabel]]'s label equi-join
+    * over packed codes; stage 2 touches ONLY the |queries|·candidates
+    * pair table — two id-keyed hash joins against the full-precision
+    * vectors (each row fetched for the pairs that need it, never a
+    * second corpus×corpus pass) and a per-query top-k window over
+    * ≤ `candidates` rows. */
+  def pqTopKReranked(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      labelCol: String,
+      k: Int,
+      candidates: Int,
+      queryPred: Column,
+  ): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must cover k ($k)")
+    val cand = pqTopKWithinLabel(df, idCol, embCol, labelCol, candidates,
+        queryPred)
+      .select(col("query_id"), col("neighbor_id"))
+    val ex = withNorm(df, idCol, embCol)
+    val q = ex.select(col("id").as("query_id"),
+      col("e").as("qe"), col("nrm").as("qn"))
+    val n = ex.select(col("id").as("neighbor_id"),
+      col("e").as("ne"), col("nrm").as("nn"))
+    val exact = cand
+      .join(q, Seq("query_id"))
+      .join(n, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

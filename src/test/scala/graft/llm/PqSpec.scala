@@ -97,4 +97,45 @@ class PqSpec extends SparkSpec {
       .select(col("query_id"), col("neighbor_id"))
     assert(adc.exceptAll(again).count() === 0L)
   }
+
+  test("exact re-rank repairs ADC recall monotonically, to brute force at full width") {
+    val k = 5
+    val pred = col("vec_id") % 10 === 0
+    val exact = Similarity.topKWithinLabel(emb, "vec_id", "embedding",
+        "label", k = k, queryPred = pred)
+      .select(col("query_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    def recallAt(cands: Int): Double = {
+      val rr = Similarity.pqTopKReranked(emb, "vec_id", "embedding",
+          "label", k = k, candidates = cands, queryPred = pred)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.intersect(rr).count().toDouble / nExact
+    }
+    val raw = {
+      val adc = Similarity.pqTopKWithinLabel(emb, "vec_id", "embedding",
+          "label", k = k, queryPred = pred)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.intersect(adc).count().toDouble / nExact
+    }
+    val r2 = recallAt(2 * k)
+    val r8 = recallAt(8 * k)
+    assert(r2 >= raw - 1e-9, s"re-rank@${2 * k} ($r2) below raw ADC ($raw)")
+    assert(r8 >= r2 - 1e-9, s"recall must be monotone in width: $r8 < $r2")
+    // candidates >= label population ⇒ stage 1 passes every in-label
+    // pair through and the exact re-rank IS brute force
+    val labelMax = emb.groupBy("label").count()
+      .agg(max("count")).head().getLong(0).toInt
+    assert(recallAt(labelMax + k) == 1.0,
+      "full-width re-rank must recover the exact top-k")
+    // and re-ranked scores are exact cosines: bit-equal to the
+    // brute-force scores on the recovered pairs
+    val full = Similarity.pqTopKReranked(emb, "vec_id", "embedding",
+        "label", k = k, candidates = labelMax + k, queryPred = pred)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    val bf = Similarity.topKWithinLabel(emb, "vec_id", "embedding",
+        "label", k = k, queryPred = pred)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    assert(full.exceptAll(bf).count() === 0L,
+      "exact stage must reproduce brute-force scores bit-for-bit")
+  }
 }
