@@ -285,21 +285,14 @@ object Quantiles {
         lit(w).as("err_bound"))
   }
 
-  /** Per-GROUP histogram-sketch quantiles — [[fromHistogram]] inside
-    * each group (the per-feed/per-source p99 without any sort): the
-    * one data-sized pass is a groupBy over (group, bin) — ≤
-    * |groups|·bins keys, map-side partials — and everything after
-    * (cumulative counts via a group-equi + bin-range self-join, the
-    * per-(group, p) pick) runs on that bounded table. Groups are
-    * feed-grain (a column you'd also GROUP BY in a report), so
-    * |groups|·bins stays sketch-sized; per-group N rides the same
-    * table, no extra pass. Same estimator, bound, and edge rules as
-    * [[fromHistogram]]; groups whose data is all null/NaN emit
-    * nothing. Output: (groupCol, p, bin, est, err_bound). */
-  def fromHistogramPerGroup(
-      df: DataFrame,
+  /** [[fromHistogramPerGroup]] over an already-binned cell table
+    * (groupCol, bin, cnt) — the per-group read side of a maintained
+    * histogram (multiple rows per (group, bin) merge by exact sum,
+    * same losslessness argument as [[fromCells]]). Bounds must match
+    * what the cells were binned with. */
+  def fromCellsPerGroup(
+      cells: DataFrame,
       groupCol: String,
-      valCol: String,
       lo: Double,
       hi: Double,
       bins: Int,
@@ -309,16 +302,14 @@ object Quantiles {
     require(lo < hi, s"need lo < hi, got [$lo, $hi)")
     require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
       s"probs must be in (0, 1], got $probs")
-    val spark = df.sparkSession
+    val spark = cells.sparkSession
     import spark.implicits._
     val w = (hi - lo) / bins
-    val raw = floor((col(valCol) - lit(lo)) / lit(w)).cast("long")
-    val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
-    val h = df
-      .filter(col(valCol).isNotNull && !isnan(col(valCol).cast("double")))
-      .select(col(groupCol).as("g"), bin.as("bin"))
+    val h = cells
+      .select(col(groupCol).as("g"), col("bin"), col("cnt"))
       .groupBy(col("g"), col("bin"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0L)
       .localCheckpoint()
     val cum = h.as("a")
       .join(h.as("b"),
@@ -342,5 +333,38 @@ object Quantiles {
           ((col("pick.target") - (col("pick.cum") - col("pick.cnt")))
             .cast("double") / col("pick.cnt").cast("double"))).as("est"),
         lit(w).as("err_bound"))
+  }
+
+  /** Per-GROUP histogram-sketch quantiles — [[fromHistogram]] inside
+    * each group (the per-feed/per-source p99 without any sort): the
+    * one data-sized pass is a groupBy over (group, bin) — ≤
+    * |groups|·bins keys, map-side partials — and everything after
+    * (cumulative counts via a group-equi + bin-range self-join, the
+    * per-(group, p) pick) runs on that bounded table. Groups are
+    * feed-grain (a column you'd also GROUP BY in a report), so
+    * |groups|·bins stays sketch-sized; per-group N rides the same
+    * table, no extra pass. Same estimator, bound, and edge rules as
+    * [[fromHistogram]]; groups whose data is all null/NaN emit
+    * nothing. Output: (groupCol, p, bin, est, err_bound). */
+  def fromHistogramPerGroup(
+      df: DataFrame,
+      groupCol: String,
+      valCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      probs: Seq[Double],
+  ): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val raw = floor((col(valCol) - lit(lo)) / lit(w)).cast("long")
+    val bin = least(greatest(raw, lit(0L)), lit(bins - 1L))
+    val cells = df
+      .filter(col(valCol).isNotNull && !isnan(col(valCol).cast("double")))
+      .select(col(groupCol), bin.as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    fromCellsPerGroup(cells, groupCol, lo, hi, bins, probs)
   }
 }

@@ -201,4 +201,74 @@ object SketchIntake {
         store.read(table).foreach(df => store.replace(table, merge(df)))
     }
   }
+
+  /** [[drainHistogramTo]] per group — one (group, bin, cnt) cell
+    * table maintains EVERY feed's distribution (per-source latency /
+    * length percentiles, continuously): state per batch is
+    * ≤ |groups|·bins rows, groups at feed grain. Read with
+    * [[readGroupQuantiles]]; the same bit-identity-to-batch argument
+    * holds per group. */
+  def drainGroupHistogramTo(
+      events: DataFrame,
+      store: graft.io.TableStore,
+      table: String,
+      groupCol: String,
+      valCol: String,
+      checkpoint: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+  ): Unit = {
+    import org.apache.spark.sql.functions._
+    require(bins >= 1 && lo < hi, s"bad bounds [$lo, $hi) / $bins")
+    val w = (hi - lo) / bins
+    val q = events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bin = least(greatest(
+          floor((col(valCol) - lit(lo)) / lit(w)).cast("long"), lit(0L)),
+          lit(bins - 1L))
+        store.appendIfNew(table,
+          batch
+            .filter(col(valCol).isNotNull &&
+              !isnan(col(valCol).cast("double")))
+            .select(col(groupCol), bin.as("bin"))
+            .groupBy(col(groupCol), col("bin"))
+            .agg(count(lit(1)).as("cnt")),
+          batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Per-group quantiles over the maintained grouped histogram
+    * ([[graft.ops.Quantiles.fromCellsPerGroup]]). */
+  def readGroupQuantiles(
+      store: graft.io.TableStore,
+      table: String,
+      groupCol: String,
+      lo: Double,
+      hi: Double,
+      bins: Int,
+      probs: Seq[Double],
+  ): Option[DataFrame] =
+    store.read(table).map(
+      graft.ops.Quantiles.fromCellsPerGroup(_, groupCol, lo, hi, bins, probs))
+
+  /** [[compactHistogram]] for the grouped cell table. */
+  def compactGroupHistogram(
+      store: graft.io.TableStore,
+      table: String,
+      groupCol: String): Unit = {
+    import org.apache.spark.sql.functions.{col, sum}
+    def merge(df: DataFrame): DataFrame =
+      df.groupBy(col(groupCol), col("bin")).agg(sum(col("cnt")).as("cnt"))
+    store match {
+      case s: graft.io.SnapshotBucketedStore =>
+        s.compactLogs(table, merge(_)): Unit
+      case _ =>
+        store.read(table).foreach(df => store.replace(table, merge(df)))
+    }
+  }
 }

@@ -122,5 +122,43 @@ class SketchIntakeSpec extends SparkSpec {
       Seq((0L, 99L)).toDF("bin", "cnt"), batchId = 0L))
     assert(store.read("h").get.count() == before)
   }
+
+  test("grouped streaming histogram answers per-feed quantiles bit-identical to batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val root = tmpDir("graft_ghist_")
+    val store = new graft.io.SnapshotBucketedStore(s"$root/h", numBuckets = 4)
+    val input = MemoryStream[SketchEv]
+    val (lo, hi, bins) = (0.0, 100.0, 10)
+    val probs = Seq(0.5, 0.9)
+
+    // k (mod 3) is the feed; distributions differ per feed
+    val rows = (1 to 600).map(i => SketchEv(i.toLong % 3, (i * 13 % 97).toLong))
+    val (h1, h2) = rows.splitAt(250)
+    input.addData(h1: _*)
+    SketchIntake.drainGroupHistogramTo(input.toDF(), store, "h", "k", "v",
+      s"$root/ckpt", lo, hi, bins)
+    input.addData(h2: _*)
+    SketchIntake.drainGroupHistogramTo(input.toDF(), store, "h", "k", "v",
+      s"$root/ckpt", lo, hi, bins)
+
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "p", "bin", "est")
+        .as[(Long, Double, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val streamed = rowsOf(
+      SketchIntake.readGroupQuantiles(store, "h", "k", lo, hi, bins, probs).get)
+    val oneShot = rowsOf(
+      graft.ops.Quantiles.fromHistogramPerGroup(rows.toDF(), "k", "v",
+        lo, hi, bins, probs))
+    assert(streamed == oneShot, s"$streamed vs $oneShot")
+    assert(streamed.map(_._1).distinct.size == 3, "every feed answered")
+
+    SketchIntake.compactGroupHistogram(store, "h", "k")
+    assert(rowsOf(
+      SketchIntake.readGroupQuantiles(store, "h", "k", lo, hi, bins, probs).get)
+      == oneShot)
+  }
 }
 
