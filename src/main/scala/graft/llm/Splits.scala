@@ -277,6 +277,60 @@ object Splits {
     *
     * Output: (idCol, n_tokens, offset, first_seq, last_seq), one row
     * per input document, id-ordered semantics. */
+  /** SYSTEMATIC weighted sampling — exact proportional-to-size
+    * selection with zero randomness: lay a grid of mass points
+    * {offset, offset+step, offset+2·step, …} over the cumulative
+    * weight axis (rows ordered by `orderCols`, each row covering the
+    * mass interval (cum−w, cum]) and keep every row whose interval
+    * contains a grid point; `picks` counts the points it contains
+    * (a row heavier than `step` is picked multiply — the upsampling
+    * reading). The textbook guarantees, here EXACT rather than in
+    * expectation: each row's pick count is within 1 of w/step, the
+    * sample holds ⌊(W−offset)/step⌋+1 picks total, and the whole
+    * thing is a pure function of (data, order, step, offset) — the
+    * caller's `offset` is the seed, varying it rotates the sample.
+    * Feed `orderCols` = the X103 deterministic-shuffle key for a
+    * pseudorandom-but-replayable draw, or a curriculum order for
+    * stratified-by-position sampling.
+    *
+    * Shape: one [[graft.ops.Rank.prefixSumWithTotal]] walk (range
+    * exchange + internal-row running sum — no global sort, no
+    * SinglePartition) and a map-side integral filter; the pick rule
+    * is pure integer arithmetic (div on non-negatives = floor on
+    * both engines), so the q101 oracle replays it bit-for-bit.
+    * Non-positive weights carry no mass and are dropped up front
+    * (the X120 rule — their cum ties would also break the interval
+    * partition). Output: the input columns + `picks` (≥ 1). */
+  def systematicWeightedSample(
+      df: DataFrame,
+      weightCol: String,
+      orderCols: Seq[String],
+      step: Long,
+      offset: Long = 1L,
+  ): DataFrame = {
+    require(step >= 1L, s"step must be >= 1, got $step")
+    require(offset >= 1L && offset <= step,
+      s"offset must be in [1, step], got $offset (step $step)")
+    val positive = df.filter(col(weightCol) > 0L)
+      .withColumn(weightCol, col(weightCol).cast("long"))
+    val (cum, _) = graft.ops.Rank.prefixSumWithTotal(positive, orderCols, weightCol)
+    // grid points ≤ x, via INTEGRAL div (Spark's `/` on longs is true
+    // division; `div` keeps the arithmetic exact past 2⁵³ and = floor
+    // on the non-negative operands here): f(x) = (x−offset) div step
+    // + 1 for x ≥ offset, else 0
+    val picks = cum
+      .withColumn("graft_a_", col("cum") - lit(offset))
+      .withColumn("graft_b_", col("cum") - col(weightCol) - lit(offset))
+      .withColumn("picks",
+        when(col("graft_a_") >= 0L, expr(s"graft_a_ div $step"))
+          .otherwise(lit(-1L)) -
+        when(col("graft_b_") >= 0L, expr(s"graft_b_ div $step"))
+          .otherwise(lit(-1L)))
+    picks
+      .filter(col("picks") >= 1L)
+      .drop("cum", "graft_a_", "graft_b_")
+  }
+
   def packSequences(
       docs: DataFrame,
       idCol: String,

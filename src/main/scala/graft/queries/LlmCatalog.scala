@@ -1910,6 +1910,49 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Systematic weighted sampling (Splits.systematicWeightedSample):
+    * documents drawn proportional to token mass by laying a fixed
+    * grid over the cumulative-weight axis — exact
+    * proportional-to-size selection with zero randomness (offset is
+    * the seed). One prefix-sum walk + a map-side integral pick rule;
+    * the oracle replays cum → grid-count difference with the same
+    * floor division, so the hash pins the interval partition and the
+    * multi-pick (heavy row) rule. */
+  val systematicSampleQ = GraftQuery(
+    "q101_systematic_sample",
+    (s, d) =>
+      graft.llm.Splits.systematicWeightedSample(
+          documents(s, d).select(col("doc_id"),
+            graft.llm.TextOps.tokenCount(col("text")).cast("long")
+              .as("n_tokens")),
+          "n_tokens", Seq("doc_id"), step = 1000L, offset = 500L)
+        .select(col("doc_id"), col("n_tokens"), col("picks"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+      ),
+      tp AS (SELECT * FROM t WHERE n_tokens > 0),
+      c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM tp
+      ),
+      p AS (
+        SELECT doc_id, n_tokens,
+               CAST(CASE WHEN cum - 500 >= 0
+                         THEN (cum - 500) // 1000 ELSE -1 END AS BIGINT)
+             - CAST(CASE WHEN cum - n_tokens - 500 >= 0
+                         THEN (cum - n_tokens - 500) // 1000 ELSE -1 END AS BIGINT)
+               AS picks
+        FROM c
+      )
+      SELECT doc_id, n_tokens, picks FROM p WHERE picks >= 1 ORDER BY doc_id
+    """.trim),
+  )
+
   /** Collocation mining by exact lift (CorpusStats.collocations):
     * top-20 adjacent word pairs co-occurring above independence, with
     * a 5-occurrence evidence floor. PMI's log is what makes PMI
@@ -2722,5 +2765,6 @@ object LlmCatalog {
     qualityScoresQ,
     pqQuantization,
     frozenScoreQ,
+    systematicSampleQ,
   )
 }

@@ -223,4 +223,57 @@ class SplitsSpec extends SparkSpec {
     assert(other.sorted == (1L to 200L))
     assert(other != once, "different seeds must permute differently")
   }
+  test("systematic sample: hand-checked grid picks, heavy rows pick multiply") {
+    // weights 3,4,5 / step 5 / offset 5: grid {5, 10} -> rows 2 and 3
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 5L)).toDF("id", "w")
+    val out = Splits.systematicWeightedSample(df, "w", Seq("id"), step = 5L,
+        offset = 5L)
+      .select("id", "picks").as[(Long, Long)].collect().toMap
+    assert(out == Map(2L -> 1L, 3L -> 1L), out.toString)
+
+    // one row heavier than the step straddles two grid points
+    val heavy = Seq((1L, 12L)).toDF("id", "w")
+    val h = Splits.systematicWeightedSample(heavy, "w", Seq("id"), 5L, 5L)
+      .select("picks").as[Long].collect()
+    assert(h.toSeq == Seq(2L))
+  }
+
+  test("systematic sample: exact totals, per-row proportionality, offset rotation") {
+    val df = (1 to 300).map(i => (i.toLong, (i * 7 % 23 + 1).toLong)).toDF("id", "w")
+    val total = df.agg(sum("w")).head().getLong(0)
+    val step = 50L
+    for (offset <- Seq(1L, 17L, 50L)) {
+      val s = Splits.systematicWeightedSample(df, "w", Seq("id"), step, offset)
+      val picks = s.agg(sum("picks")).head().getLong(0)
+      val expected = if (total >= offset) (total - offset) / step + 1 else 0L
+      assert(picks == expected, s"offset $offset: $picks vs $expected")
+      // each row within 1 of its proportional share
+      s.select("w", "picks").as[(Long, Long)].collect().foreach { case (w, p) =>
+        assert(math.abs(p - w.toDouble / step) <= 1.0, s"w=$w picks=$p")
+      }
+    }
+    // different offsets rotate the selection (not identical sets)
+    val a = Splits.systematicWeightedSample(df, "w", Seq("id"), step, 1L)
+      .select("id").as[Long].collect().toSet
+    val b = Splits.systematicWeightedSample(df, "w", Seq("id"), step, 26L)
+      .select("id").as[Long].collect().toSet
+    assert(a != b, "offset is the seed; rotation must move the grid")
+    // and the draw is a pure function: same args, same rows
+    val a2 = Splits.systematicWeightedSample(df, "w", Seq("id"), step, 1L)
+      .select("id").as[Long].collect().toSet
+    assert(a == a2)
+  }
+
+  test("systematic sample: zero-mass rows drop, guards hold") {
+    val df = Seq((1L, 0L), (2L, -3L), (3L, 10L)).toDF("id", "w")
+    val out = Splits.systematicWeightedSample(df, "w", Seq("id"), 4L, 1L)
+      .select("id").as[Long].collect()
+    assert(out.toSet == Set(3L))
+    intercept[IllegalArgumentException] {
+      Splits.systematicWeightedSample(df, "w", Seq("id"), 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Splits.systematicWeightedSample(df, "w", Seq("id"), 5L, offset = 6L)
+    }
+  }
 }
