@@ -81,6 +81,35 @@ object IncrementalAgg {
     }
   }
 
+  /** Streaming twin of [[refresh]]: maintain the aggregate DIRECTLY
+    * from a stream (AvailableNow drain), one exactly-once
+    * delta-aggregate generation per micro-batch — the
+    * [[graft.streaming.SketchIntake]] discipline with grouped sums
+    * as the mergeable cells. Exact-type sums make the maintained
+    * read bit-identical to a one-shot aggregate over everything
+    * drained, batch boundaries invisible. ONE maintainer per
+    * destination: the stream's epoch ids and [[refresh]]'s version
+    * cursor share the manifest batch mark — mixing both writers on
+    * one table would cross-fence. */
+  def drainTo(
+      events: DataFrame,
+      store: SnapshotBucketedStore,
+      dst: String,
+      keys: Seq[String],
+      sumCols: Seq[String],
+      checkpoint: String,
+  ): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        store.appendIfNew(dst, deltaAgg(batch, keys, sumCols), batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** The maintained aggregate: generations merged by groupBy-sum.
     * Output: keys, the sum columns (same names), `rows`. */
   def read(

@@ -1958,6 +1958,37 @@ object Catalog {
     """.trim),
   )
 
+  /** Order-free per-group table digest (ops/Digest): the
+    * cross-cluster "same content?" check — per-row md5 fingerprints
+    * summed in exact decimal, so the digest ignores row order,
+    * partitioning, and merge order, and the DuckDB replay (this
+    * oracle) proves even another ENGINE reproduces it bit-for-bit.
+    * Engine-stable rendered columns only (ints + strings here). */
+  val tableDigestQ = GraftQuery(
+    "q102_table_digest",
+    (s, d) =>
+      graft.ops.Digest.tableDigestPerGroup(lineitem(s, d), "l_returnflag",
+          Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_returnflag", "l_linestatus"))
+        // digest rendered as STRING: exact at any magnitude, where a
+        // float round-trip would saturate 53 bits around 10¹⁶
+        .withColumn("digest", col("digest").cast("string"))
+        .orderBy(col("l_returnflag")),
+    Some("""
+      SELECT l_returnflag,
+             COUNT(*) AS row_cnt,
+             CAST(CAST(SUM(('0x'||substr(md5(concat_ws(chr(31),
+               coalesce(CAST(l_orderkey AS VARCHAR), '␀'),
+               coalesce(CAST(l_partkey AS VARCHAR), '␀'),
+               coalesce(CAST(l_suppkey AS VARCHAR), '␀'),
+               coalesce(CAST(l_linenumber AS VARCHAR), '␀'),
+               coalesce(l_returnflag, '␀'),
+               coalesce(l_linestatus, '␀'))), 1, 15))::BIGINT)
+               AS DECIMAL(38,0)) AS VARCHAR) AS digest
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -2012,6 +2043,7 @@ object Catalog {
     sketchQuantilesQ,
     pageRankQ,
     groupSketchQuantilesQ,
+    tableDigestQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -82,6 +82,29 @@ class IncrementalAggSpec extends SparkSpec {
       asMap(oneShot(store.read("ev").get)))
   }
 
+  test("streaming drain maintains the aggregate bit-identical to one shot") {
+    val root = tmpDir("graft_iagg_s_")
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val store = new SnapshotBucketedStore(root, numBuckets = 2)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val all = (1 to 400).map(i => (s"g${i % 5}", i.toLong))
+    val (h1, h2) = all.splitAt(150)
+    val ev = input.toDF().toDF("g", "v")
+    input.addData(h1: _*)
+    IncrementalAgg.drainTo(ev, store, "agg", Seq("g"), Seq("v"), s"$root/ckpt")
+    input.addData(h2: _*)
+    IncrementalAgg.drainTo(ev, store, "agg", Seq("g"), Seq("v"), s"$root/ckpt")
+    val maintained = IncrementalAgg.read(store, "agg", Seq("g"), Seq("v")).get
+      .select("g", "v", "rows").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val oneShot = all.toDF("g", "v").groupBy("g")
+      .agg(sum("v").as("v"), count(lit(1)).as("rows"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(maintained == oneShot)
+  }
+
   test("double sum columns are refused; missing source is a quiet no-op") {
     val root = tmpDir("graft_iagg_g_")
     implicit val s = spark
