@@ -338,6 +338,33 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-label vector CENTROIDS in exact arithmetic — the IVF
+    * retraining / embedding-drift input (X49 trains on centroids;
+    * drift monitoring compares them release-over-release): each
+    * component sums as DECIMAL (double components quantized to 9
+    * decimal places — the X122 exact-moment discipline), so the
+    * result is reduction-order-free and another engine replays it
+    * bit-for-bit (q103) — a float mean would drift by partition
+    * count. Shape: one positional explode to (label, dim, x) — the
+    * shuffle carries dims×N scalar rows, not vectors — then a
+    * partial-agg groupBy over |labels|·dims keys. Output:
+    * (label, dim, centroid, n), centroid = exact sum / count as one
+    * fixed double division. */
+  def centroidByLabel(
+      df: DataFrame,
+      labelCol: String,
+      embCol: String,
+  ): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(27, 9)
+    df.select(col(labelCol).as("label"),
+        posexplode(col(embCol)).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(
+        (sum(col("x").cast("double").cast(dec)).cast("double") /
+          count(lit(1))).as("centroid"),
+        count(lit(1)).as("n"))
+  }
+
   /** TWO-STAGE search: PQ asymmetric distance retrieves `candidates`
     * per query (cheap — 8-byte codes), exact float cosine re-ranks
     * the survivors and keeps `k` (the standard recall-repair move:

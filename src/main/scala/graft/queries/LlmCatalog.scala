@@ -1953,6 +1953,31 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Exact-arithmetic per-label vector centroids
+    * (Similarity.centroidByLabel): the IVF-retraining/drift-monitor
+    * aggregate with each component summed in decimal — order-free,
+    * so the oracle replays the mean bit-for-bit where a float mean
+    * would drift by partition count. Positional explode: the dim
+    * index comes from position, mirrored by indexing the list with a
+    * 0..63 grid in DuckDB. */
+  val centroidsQ = GraftQuery(
+    "q103_label_centroids",
+    (s, d) =>
+      graft.llm.Similarity.centroidByLabel(embeddings(s, d), "label",
+          "embedding")
+        .orderBy(col("label"), col("dim")),
+    Some("""
+      SELECT label, i AS dim,
+             CAST(CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE)
+                      AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+               AS centroid,
+             COUNT(*) AS n
+      FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i)
+      GROUP BY label, i
+      ORDER BY label, dim
+    """.trim),
+  )
+
   /** Collocation mining by exact lift (CorpusStats.collocations):
     * top-20 adjacent word pairs co-occurring above independence, with
     * a 5-occurrence evidence floor. PMI's log is what makes PMI
@@ -2766,5 +2791,6 @@ object LlmCatalog {
     pqQuantization,
     frozenScoreQ,
     systematicSampleQ,
+    centroidsQ,
   )
 }

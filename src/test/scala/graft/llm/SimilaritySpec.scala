@@ -156,4 +156,18 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall > 0.9, s"int8 recall too low: $recall")
   }
+  test("centroids are exact means, order- and partition-invariant") {
+    val df = Seq(
+      ("a", Seq(1.0f, 2.0f)), ("a", Seq(3.0f, 6.0f)),
+      ("b", Seq(10.0f, 0.0f))).toDF("label", "embedding")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      Similarity.centroidByLabel(d, "label", "embedding").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    val c = m(df)
+    assert(c(("a", 0)) == ((2.0, 2L)) && c(("a", 1)) == ((4.0, 2L)))
+    assert(c(("b", 0)) == ((10.0, 1L)) && c(("b", 1)) == ((0.0, 1L)))
+    // decimal component sums: bit-identical under any partitioning
+    assert(m(df.repartition(7)) == c)
+    assert(m(df.orderBy(col("label").desc)) == c)
+  }
 }
