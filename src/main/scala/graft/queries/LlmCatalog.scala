@@ -1978,6 +1978,48 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Per-source quality exemplars: the top-3 documents by frozen
+    * score within each source — the curation view ("show me what
+    * good looks like per feed") composing X134 scoring with the
+    * group-partitioned rank. The oracle reuses the q100 CTE block
+    * verbatim plus a ROW_NUMBER replay, so the hash pins the
+    * composition and the (score DESC, doc_id) tie rule. */
+  val qualityExemplarsQ = GraftQuery(
+    "q104_quality_exemplars",
+    (s, d) => {
+      import graft.llm.CorpusStats
+      import org.apache.spark.sql.expressions.Window
+      val docs = documents(s, d)
+      val ref = docs.filter(length(col("source")) === 4)
+      val (freq, shared) = CorpusStats.fitCorpusStats(ref, "doc_id", "text")
+      val scored = CorpusStats.qualityScore(
+          CorpusStats.docSignalsFrozen(docs, freq, shared, "doc_id", "text"))
+        .select(col("doc_id"), col("score"))
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("source"), col("rnk"), col("doc_id"), col("score"))
+        .orderBy(col("source"), col("rnk"))
+    },
+    Some(s"""
+      WITH ${frozenSignalsCtes("length(source) = 4")},
+      scored AS (
+        SELECT sig.doc_id, $scoreSql AS score, d.source
+        FROM sig JOIN documents d ON sig.doc_id = d.doc_id
+      ),
+      ranked AS (
+        SELECT source, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY score DESC, doc_id) AS rnk
+        FROM scored
+      )
+      SELECT source, rnk, doc_id, score FROM ranked
+      WHERE rnk <= 3 ORDER BY source, rnk
+    """.trim),
+  )
+
   /** Collocation mining by exact lift (CorpusStats.collocations):
     * top-20 adjacent word pairs co-occurring above independence, with
     * a 5-occurrence evidence floor. PMI's log is what makes PMI
@@ -2792,5 +2834,6 @@ object LlmCatalog {
     frozenScoreQ,
     systematicSampleQ,
     centroidsQ,
+    qualityExemplarsQ,
   )
 }

@@ -332,6 +332,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q96 diff is one full-outer shuffle join — no product, no row-wide distinct") {
+    val p = plan(Catalog.snapshotDiffQ)
+    assert(p.contains("FullOuter"), s"expected a full-outer join:\n${p.take(400)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("keys=[o_orderkey") && l.contains("o_totalprice")),
+      "no distinct over payload columns")
+  }
+
+  test("q102/q103 digests and centroids: map-side partials, key-only exchanges") {
+    val p102 = plan(Catalog.tableDigestQ)
+    assert(p102.contains("partial_"), "digest must combine map-side")
+    assert(p102.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(l_returnflag")) == 1,
+      s"one key-only exchange expected:\n${p102.take(600)}")
+    val p103 = plan(LlmCatalog.centroidsQ)
+    assert(p103.contains("partial_"), "centroid sums must combine map-side")
+    assert(!p103.contains("SinglePartition"), p103.take(400))
+  }
+
+  test("q101 systematic sample rides the checkpointed prefix-sum walk, no single partition") {
+    val df = LlmCatalog.systematicSampleQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Scan ExistingRDD"),
+      "the walk's checkpoint must feed the pick filter")
+    assert(!p.contains("SinglePartition"), p.take(400))
+  }
+
+  test("q104 exemplar rank window is source-partitioned, never global") {
+    val df = LlmCatalog.qualityExemplarsQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("source")),
+      s"rank window must partition by source:\n${windows.mkString("\n")}")
+    assert(!p.contains("SinglePartition"), p.take(400))
+  }
+
   test("q95 PQ digest: compiled encode in a codegen'd scan projection, no joins at all") {
     val df = LlmCatalog.pqQuantization.run(spark, sf)
     df.collect()
