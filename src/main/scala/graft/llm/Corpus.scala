@@ -101,6 +101,45 @@ object Corpus {
       .filter(TextOps.qualityKeep(col(textCol)))
   }
 
+  /** The cleaning FUNNEL's per-document verdict — the ops report
+    * behind [[clean]]: every input document classified by the FIRST
+    * stage that removes it (`exact_dup` → `near_dup` → `quality`) or
+    * `kept`. Aggregate for the funnel ("this load lost 4% to
+    * near-dups, double last week's"), anti-join a fate against the
+    * corpus for stage-level drill-down — the questions a pipeline
+    * operator actually asks, answered without re-running [[clean]]
+    * once per stage. Stage semantics and order mirror [[clean]]
+    * EXACTLY (same keepers, same LSH-over-survivors, same quality
+    * rule — the q105 oracle replays them in lockstep); one pass, the
+    * fates assemble as id-keyed left joins of the stages' id sets.
+    * Output: (idCol, fate). */
+  def cleanFates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      numHashes: Int = 32,
+      bands: Int = 8,
+  ): DataFrame = {
+    val keepers = Dedup.exactKeepers(docs, idCol, textCol)
+      .select(col(idCol))
+    val kept = docs.join(keepers, Seq(idCol), "left_semi").repartition(col(idCol))
+    val nearDrops = Dedup.nearDupDrops(
+      Dedup.nearDupPairs(kept, idCol, textCol, n = n, numHashes = numHashes,
+        bands = bands, threshold = threshold))
+      .withColumnRenamed("drop_id", idCol)
+    docs
+      .select(col(idCol), TextOps.qualityKeep(col(textCol)).as("graft_q_"))
+      .join(keepers.withColumn("graft_k_", lit(1)), Seq(idCol), "left")
+      .join(nearDrops.withColumn("graft_nd_", lit(1)), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("graft_k_").isNull, lit("exact_dup"))
+          .when(col("graft_nd_").isNotNull, lit("near_dup"))
+          .when(!col("graft_q_"), lit("quality"))
+          .otherwise(lit("kept")).as("fate"))
+  }
+
   /** Span-level corpus REWRITE — the operation the suffix machinery
     * exists for. Whole-doc dedup ([[clean]]/[[cleanCC]]) drops
     * documents; boilerplate shared across otherwise-distinct documents

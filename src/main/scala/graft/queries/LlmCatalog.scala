@@ -2020,6 +2020,48 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** The cleaning funnel (Corpus.cleanFates): every document
+    * classified by the first stage that removes it, aggregated to the
+    * per-stage loss report a pipeline operator reads after each load.
+    * Stage semantics replay q24's oracle blocks verbatim — the hash
+    * pins that the report and the pipeline agree on every verdict. */
+  val cleanFunnelQ = GraftQuery(
+    "q105_clean_funnel",
+    (s, d) =>
+      graft.llm.Corpus.cleanFates(documents(s, d))
+        .groupBy(col("fate"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy(col("fate")),
+    Some(s"""
+      WITH kept AS (
+        SELECT d.* FROM documents d
+        JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+          ON d.doc_id = k.doc_id
+      ),
+      ${minhashCtesOver("kept")},
+      drops AS (
+        SELECT DISTINCT id_b AS doc_id FROM verified WHERE jaccard >= 0.5
+      ),
+      fates AS (
+        SELECT d.doc_id,
+               CASE WHEN k2.doc_id IS NULL THEN 'exact_dup'
+                    WHEN dr.doc_id IS NOT NULL THEN 'near_dup'
+                    WHEN NOT (len(string_split(d.text, ' ')) >= 10
+                      AND len(string_split(d.text, ' ')) <= 100000
+                      AND CAST(len(regexp_replace(d.text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(d.text, ' ')), 1) AS DOUBLE) >= 2.0
+                      AND CAST(len(regexp_replace(d.text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(d.text, ' ')), 1) AS DOUBLE) <= 12.0
+                      AND CAST(len(regexp_replace(d.text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(d.text), 1) AS DOUBLE) >= 0.6)
+                    THEN 'quality'
+                    ELSE 'kept' END AS fate
+        FROM documents d
+        LEFT JOIN (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k2
+          ON d.doc_id = k2.doc_id
+        LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+      )
+      SELECT fate, COUNT(*) AS docs FROM fates GROUP BY fate ORDER BY fate
+    """.trim),
+  )
+
   /** Collocation mining by exact lift (CorpusStats.collocations):
     * top-20 adjacent word pairs co-occurring above independence, with
     * a 5-occurrence evidence floor. PMI's log is what makes PMI
@@ -2835,5 +2877,6 @@ object LlmCatalog {
     systematicSampleQ,
     centroidsQ,
     qualityExemplarsQ,
+    cleanFunnelQ,
   )
 }

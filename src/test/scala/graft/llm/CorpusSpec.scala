@@ -156,4 +156,24 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out == Map(1L -> df.collect()(0).getString(1), 2L -> df.collect()(1).getString(1)))
   }
+  test("cleanFates: every doc gets exactly one fate, and `kept` IS the clean output") {
+    val df = Seq(
+      (1L, good),                           // kept
+      (2L, good),                           // exact_dup of 1
+      (3L, good.replace("lazy", "sleepy")), // near_dup of 1
+      (4L, "too short"),                    // quality
+      (5L, "a completely different long document about query engines " +
+        "with columnar execution shuffles partitions joins and codegen"), // kept
+    ).toDF("doc_id", "text")
+    val fates = Corpus.cleanFates(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fates == Map(
+      1L -> "kept", 2L -> "exact_dup", 3L -> "near_dup",
+      4L -> "quality", 5L -> "kept"), fates.toString)
+    // the report and the pipeline agree doc-for-doc
+    val cleanIds = Corpus.clean(df).select("doc_id").as[Long].collect().toSet
+    assert(fates.filter(_._2 == "kept").keySet == cleanIds)
+    // and the fates partition the corpus
+    assert(fates.size == 5)
+  }
 }
