@@ -1989,6 +1989,55 @@ object Catalog {
     """.trim),
   )
 
+  /** Entity-resolution join (ops/FuzzyJoin): two customer-derived
+    * sides whose keys agree only up to case, whitespace runs, and
+    * token ORDER (side B reverses the words, upcases, and doubles the
+    * space) — the canonical-key equi-join recovers all 1500 pairs
+    * 1:1 while `raw_match` pins that the raw keys match NOWHERE (the
+    * canonicalization, not luck, did the work). Map-side
+    * canonicalization keeps hash-join shape; the oracle replays the
+    * X126 normalize chain + token sort in DuckDB spelling. */
+  val fuzzyJoinQ = GraftQuery(
+    "q106_fuzzy_key_join",
+    (s, d) => {
+      val a = customer(s, d).select(col("c_custkey").as("a_custkey"),
+        concat(col("c_mktsegment"), lit(" "), col("c_name")).as("a_key"))
+      val b = customer(s, d).select(col("c_custkey").as("b_custkey"),
+        concat(upper(col("c_name")), lit("  "), lower(col("c_mktsegment")))
+          .as("b_key"),
+        concat(upper(col("c_name")), lit("  "), lower(col("c_mktsegment")))
+          .as("b_key_raw"))
+      graft.ops.FuzzyJoin.onCanonicalKey(a, b, "a_key", "b_key")
+        .select(col("a_custkey"), col("b_custkey"),
+          (col("a_key") === col("b_key_raw")).as("raw_match"))
+        .orderBy(col("a_custkey"), col("b_custkey"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT c_custkey AS a_custkey,
+               c_mktsegment || ' ' || c_name AS a_key
+        FROM customer
+      ),
+      b AS (
+        SELECT c_custkey AS b_custkey,
+               upper(c_name) || '  ' || lower(c_mktsegment) AS b_key
+        FROM customer
+      )
+      SELECT a_custkey, b_custkey, a_key = b_key AS raw_match
+      FROM a JOIN b ON
+        array_to_string(list_sort(string_split(
+          trim(regexp_replace(lower(nfc_normalize(a_key)),
+            '[\s\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+            ' ', 'g')), ' ')), ' ')
+        =
+        array_to_string(list_sort(string_split(
+          trim(regexp_replace(lower(nfc_normalize(b_key)),
+            '[\s\x{00A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+',
+            ' ', 'g')), ' ')), ' ')
+      ORDER BY a_custkey, b_custkey
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------
@@ -2044,6 +2093,7 @@ object Catalog {
     pageRankQ,
     groupSketchQuantilesQ,
     tableDigestQ,
+    fuzzyJoinQ,
   ) ++ LlmCatalog.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
