@@ -507,11 +507,6 @@ object Dedup {
       blocks: Int = 4,
       maxHamming: Int = 3,
   ): DataFrame = {
-    require(bits % blocks == 0, "blocks must divide bits")
-    require(maxHamming <= blocks - 1,
-      "pigeonhole guarantee only holds for maxHamming <= blocks-1")
-    val blockBits = bits / blocks
-    val mask = (1L << blockBits) - 1
     // pre-hashed distinct shingle strings via the compiled expression
     // (identical values to transform(shingles(...), hash60), one md5
     // per shingle instead of an interpreted chain)
@@ -519,10 +514,38 @@ object Dedup {
       .select(col(idCol).as("id"), shingleHash60s(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sims = simhashBits(shH, "id", col("sh"), identity, bits)
-    val blocked = sims
-      .select(col("id"), col("simhash"),
+      .select(col("id"), col("simhash"))
+    hammingNearDupPairs(sims, "id", "simhash", bits, blocks, maxHamming)
+  }
+
+  /** GENERIC block-LSH hamming pairing over any precomputed ≤64-bit
+    * hash column (the [[simhashNearDupPairs]] tail, factored so other
+    * hash families — e.g. perceptual image hashes,
+    * [[graft.llm.Multimodal.imageNearDupPairs]] — reuse the
+    * pigeonhole discipline): the hash cuts into `blocks` equal
+    * slices; any pair within Hamming distance ≤ blocks−1 agrees on at
+    * least one slice, so the (block, slice) equi-join finds every
+    * such pair with no all-pairs comparison. Returns
+    * (id_a, id_b, hamming), id_a < id_b, exact distances. */
+  def hammingNearDupPairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      bits: Int,
+      blocks: Int = 4,
+      maxHamming: Int = 3,
+  ): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in [1, 64], got $bits")
+    require(bits % blocks == 0, "blocks must divide bits")
+    require(maxHamming <= blocks - 1,
+      "pigeonhole guarantee only holds for maxHamming <= blocks-1")
+    val blockBits = bits / blocks
+    val mask = (1L << blockBits) - 1
+    val blocked = hashes
+      .select(col(idCol).as("id"), col(hashCol).as("graft_h_"))
+      .select(col("id"), col("graft_h_"),
         posexplode(array((0 until blocks).map(j =>
-          shiftright(col("simhash"), j * blockBits).bitwiseAND(lit(mask))): _*)))
+          shiftright(col("graft_h_"), j * blockBits).bitwiseAND(lit(mask))): _*)))
       .withColumnsRenamed(Map("pos" -> "blk", "col" -> "bkey"))
     val pairs = blocked.as("a")
       .join(blocked.as("b"),
@@ -530,7 +553,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(
         col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("h_a"), col("b.simhash").as("h_b"))
+        col("a.graft_h_").as("h_a"), col("b.graft_h_").as("h_b"))
       .distinct()
     pairs
       .select(col("id_a"), col("id_b"),

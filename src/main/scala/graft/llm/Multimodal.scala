@@ -564,6 +564,74 @@ object Multimodal {
     df.repartitionByRange(parts, col("media_id"))
   }
 
+  /** 64-bit AVERAGE-HASH perceptual fingerprint of an image payload —
+    * the image-dedup workhorse (near-identical images after re-encode,
+    * mild resize, or format change hash close in Hamming space; the
+    * text-side analogue is the X67 SimHash): decode via the JDK
+    * registry, box-average luminance onto an 8×8 grid (integer
+    * 299/587/114 luma, the [[MediaDecoder.ImageIO]] formula), then
+    * one bit per cell — set iff the cell mean exceeds the global
+    * mean (strict: a constant image hashes to 0). Deterministic per
+    * input bytes (the decoder-seam contract); None for bytes the
+    * registry can't read. */
+  def averageHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          val k = (y * 8 / h) * 8 + (x * 8 / w)
+          sums(k) += lum
+          cnts(k) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val means = Array.tabulate(64)(k =>
+        if (cnts(k) > 0) sums(k).toDouble / cnts(k) else 0.0)
+      val global = means.sum / 64.0
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (means(k) > global) hash |= (1L << k)
+        k += 1
+      }
+      hash
+    }
+  }
+
+  /** Perceptual-hash table → (media_id, ahash); undecodable payloads
+    * drop (they can't be perceptually compared). Feed to
+    * [[imageNearDupPairs]] or persist next to the media. */
+  def imageHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+        averageHash(r.bytes).map(hh => (r.media_id, hh))))
+      .toDF("media_id", "ahash")
+  }
+
+  /** Image near-dup pairs over a (media_id, ahash) table: the X67
+    * block-LSH pigeonhole discipline on the 64-bit perceptual hash —
+    * pairs within `maxHamming` agree on ≥ 1 of `blocks` hash slices,
+    * so the equi-join on (block, slice) finds every such pair without
+    * an all-pairs comparison. */
+  def imageNearDupPairs(
+      hashes: DataFrame,
+      blocks: Int = 4,
+      maxHamming: Int = 3,
+  ): DataFrame =
+    Dedup.hammingNearDupPairs(hashes, "media_id", "ahash",
+      bits = 64, blocks = blocks, maxHamming = maxHamming)
+
   /** Synthesize a deterministic media table (the testdata ships no
     * binary tables) — header-bearing payloads per the Stub format. */
   def syntheticMedia(spark: SparkSession, n: Int, kind: String = "image"): Dataset[MediaRecord] = {

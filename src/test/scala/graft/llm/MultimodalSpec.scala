@@ -415,4 +415,53 @@ class MultimodalSpec extends SparkSpec {
     assert(lum(f1.getRGB(7, 4)) > 600, "patch pixels must be white")
     assert(lum(f1.getRGB(1, 1)) < 200, "base pixels outside the patch must survive")
   }
+  test("perceptual hash: re-encode-invariant, perturbation-tolerant, block-LSH paired") {
+    import java.awt.image.BufferedImage
+    val spark2 = spark
+    import spark2.implicits._
+    def gradient(seed: Int): BufferedImage = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = (x * 8 + y * (seed % 5 + 1) * 13) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val a = gradient(1)
+    // a near-copy: flip a handful of pixels
+    val b = gradient(1)
+    for (i <- 0 until 4) b.setRGB(i, 0, 0xffffff)
+    val c = gradient(3) // genuinely different structure
+
+    // identical pixels through different containers hash identically
+    val hPng = Multimodal.averageHash(enc(a, "png")).get
+    val hBmp = Multimodal.averageHash(enc(a, "bmp")).get
+    assert(hPng == hBmp, "same raster, different codec must agree")
+    // perturbation stays within a few bits; different content far
+    val hB = Multimodal.averageHash(enc(b, "png")).get
+    val hC = Multimodal.averageHash(enc(c, "png")).get
+    assert(java.lang.Long.bitCount(hPng ^ hB) <= 3,
+      s"near-copy drifted ${java.lang.Long.bitCount(hPng ^ hB)} bits")
+    assert(java.lang.Long.bitCount(hPng ^ hC) > 3,
+      s"different image too close: ${java.lang.Long.bitCount(hPng ^ hC)}")
+    assert(Multimodal.averageHash(Array[Byte](1, 2, 3)).isEmpty)
+
+    // end to end: the block-LSH pairing finds exactly the near pair
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", enc(a, "png"), "mem://1"),
+      Multimodal.MediaRecord(2L, "image", enc(b, "bmp"), "mem://2"),
+      Multimodal.MediaRecord(3L, "image", enc(c, "png"), "mem://3"),
+      Multimodal.MediaRecord(4L, "image", Array[Byte](9, 9), "mem://4"),
+    ).toDS()
+    val hashes = Multimodal.imageHashes(media)
+    assert(hashes.count() == 3L, "undecodable payloads drop")
+    val pairs = Multimodal.imageNearDupPairs(hashes)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
 }
