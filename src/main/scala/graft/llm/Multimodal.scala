@@ -609,6 +609,51 @@ object Multimodal {
     }
   }
 
+  /** 64-bit energy-envelope fingerprint of an audio payload — the
+    * audio analogue of [[averageHash]] (the third modality's near-dup
+    * tier: text X67, image X143, audio here): mean-|amplitude| over
+    * 64 equal time windows ([[MediaDecoder.Audio]]'s envelope,
+    * channel-interleaved like its features), one bit per window —
+    * set iff the window's energy exceeds the global mean (strict:
+    * silence hashes to 0). Robust to gain-preserving re-encodes
+    * (16→24-bit PCM quantizes the same envelope shape); NOT robust
+    * to time-shifts — that needs landmark hashing, a different cost
+    * tier (same division of labor as X142 vs X39). None when the JDK
+    * can't parse the container. */
+  def audioEnvelopeHash(bytes: Array[Byte]): Option[Long] = {
+    val env = MediaDecoder.Audio.features(
+      MediaRecord(-1L, "audio", bytes, ""), 64)
+    // Audio.features degrades to the Stub byte-fold for unparseable
+    // payloads; detect real decode by re-checking the stream seam
+    val parseable =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        in.close(); true
+      } catch { case _: Exception => false }
+    if (!parseable) None
+    else Some {
+      val mean = env.map(_.toDouble).sum / 64.0
+      var hash = 0L
+      var k = 0
+      while (k < 64) {
+        if (env(k) > mean) hash |= (1L << k)
+        k += 1
+      }
+      hash
+    }
+  }
+
+  /** Envelope-hash table → (media_id, ahash) for audio payloads;
+    * unparseable payloads drop. Pairs via [[imageNearDupPairs]]'s
+    * generic discipline ([[graft.llm.Dedup.hammingNearDupPairs]]). */
+  def audioHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+        audioEnvelopeHash(r.bytes).map(hh => (r.media_id, hh))))
+      .toDF("media_id", "ahash")
+  }
+
   /** Perceptual-hash table → (media_id, ahash); undecodable payloads
     * drop (they can't be perceptually compared). Feed to
     * [[imageNearDupPairs]] or persist next to the media. */

@@ -464,4 +464,50 @@ class MultimodalSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
+  test("audio envelope hash: bit-depth invariant shape, tone-position sensitive, paired") {
+    import javax.sound.sampled._
+    val spark2 = spark
+    import spark2.implicits._
+    def toneWav(toneFrom: Double, toneTo: Double, bits: Int = 16): Array[Byte] = {
+      val rate = 8000; val n = rate * 2
+      val fmt = new AudioFormat(rate.toFloat, bits, 1, bits == 16, false)
+      val fb = bits / 8
+      val pcm = new Array[Byte](n * fb)
+      if (bits == 8) java.util.Arrays.fill(pcm, 128.toByte)
+      for (i <- 0 until n) {
+        val t = i.toDouble / n
+        val s = if (t >= toneFrom && t < toneTo)
+          math.sin(2 * math.Pi * 440 * i / rate) * 0.8 else 0.0
+        if (bits == 16) {
+          val v = (s * 32767).toInt
+          pcm(2 * i) = (v & 0xff).toByte
+          pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        } else pcm(i) = ((s * 127).toInt + 128).toByte
+      }
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val h16 = Multimodal.audioEnvelopeHash(toneWav(0.5, 1.0, 16)).get
+    val h8 = Multimodal.audioEnvelopeHash(toneWav(0.5, 1.0, 8)).get
+    // same envelope SHAPE through different bit depths: within a few
+    // windows of quantization wobble at the tone boundary
+    assert(java.lang.Long.bitCount(h16 ^ h8) <= 3,
+      s"bit-depth drift ${java.lang.Long.bitCount(h16 ^ h8)}")
+    // tone in the FIRST half is a different envelope
+    val hEarly = Multimodal.audioEnvelopeHash(toneWav(0.0, 0.5, 16)).get
+    assert(java.lang.Long.bitCount(h16 ^ hEarly) > 3)
+    assert(Multimodal.audioEnvelopeHash(Array[Byte](1, 2, 3)).isEmpty)
+
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", toneWav(0.5, 1.0, 16), "mem://1"),
+      Multimodal.MediaRecord(2L, "audio", toneWav(0.5, 1.0, 8), "mem://2"),
+      Multimodal.MediaRecord(3L, "audio", toneWav(0.0, 0.5, 16), "mem://3"),
+    ).toDS()
+    val pairs = graft.llm.Dedup.hammingNearDupPairs(
+        Multimodal.audioHashes(media), "media_id", "ahash", bits = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
 }
