@@ -677,6 +677,55 @@ object Multimodal {
     Dedup.hammingNearDupPairs(hashes, "media_id", "ahash",
       bits = 64, blocks = blocks, maxHamming = maxHamming)
 
+  /** Per-FRAME perceptual hashes for animated/video containers: the
+    * [[sampleFrames]] fan-out (frames emit as self-contained images)
+    * composed with [[averageHash]] — (media_id, frame_idx, ahash),
+    * undecodable frames dropped. The video near-dup signature is the
+    * SET of frame hashes. */
+  def videoFrameHashes(
+      ds: Dataset[MediaRecord],
+      everyNth: Int = 1,
+      decoder: MediaDecoder = MediaDecoder.ImageIO,
+  ): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+        decoder.sampleFrames(r, everyNth).flatMap(f =>
+          averageHash(f.bytes).map(hh => (f.media_id, f.frame_idx, hh)))))
+      .toDF("media_id", "frame_idx", "ahash")
+  }
+
+  /** Video near-dup pairs by frame-set overlap: two videos are near
+    * dups when the Jaccard of their DISTINCT frame-hash sets reaches
+    * `threshold` — re-encoded/trimmed copies share most frames,
+    * unrelated videos share none. Candidates come from an equi-join
+    * on the frame hash (a shared frame IS the candidate signal —
+    * never an all-pairs video comparison), counts reduce per pair,
+    * and the Jaccard uses the exact |A|, |B|, |A∩B|. The frame sets
+    * ride the same X1-style hash-grouped shapes as text dedup; at
+    * scale the join carries (hash, media_id) pairs only. */
+  def videoNearDupPairs(
+      frameHashes: DataFrame,
+      threshold: Double = 0.5,
+  ): DataFrame = {
+    val sets = frameHashes
+      .select(col("media_id"), col("ahash")).distinct()
+    val sizes = sets.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n"))
+    val shared = sets.as("a")
+      .join(sets.as("b"),
+        col("a.ahash") === col("b.ahash") &&
+          col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.withColumnsRenamed(Map("media_id" -> "id_a", "n" -> "n_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("media_id" -> "id_b", "n" -> "n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Synthesize a deterministic media table (the testdata ships no
     * binary tables) — header-bearing payloads per the Stub format. */
   def syntheticMedia(spark: SparkSession, n: Int, kind: String = "image"): Dataset[MediaRecord] = {

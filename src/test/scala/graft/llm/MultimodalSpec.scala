@@ -510,4 +510,40 @@ class MultimodalSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
+  test("video near-dup: shared-frame jaccard pairs re-cuts, ignores unrelated clips") {
+    import java.awt.image.BufferedImage
+    val spark2 = spark
+    import spark2.implicits._
+    def frame(seed: Int): BufferedImage = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = (x * (seed % 7 + 2) + y * (seed % 5 + 1) * 11) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def gif(frames: Seq[BufferedImage]): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f => writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence(); ios.close(); writer.dispose()
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", gif((1 to 5).map(frame)), "mem://a"),
+      Multimodal.MediaRecord(2L, "video", gif((1 to 4).map(frame) :+ frame(6)), "mem://b"),
+      Multimodal.MediaRecord(3L, "video", gif((7 to 9).map(frame)), "mem://c"),
+    ).toDS()
+    val fh = Multimodal.videoFrameHashes(media)
+    assert(fh.count() == 13L, "5 + 5 + 3 frames must hash")
+    val pairs = Multimodal.videoNearDupPairs(fh, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length == 1 && pairs.head._1 == 1L && pairs.head._2 == 2L,
+      pairs.mkString(","))
+    // 4 shared frames of 6 distinct: jaccard 2/3
+    assert(math.abs(pairs.head._3 - 4.0 / 6.0) < 1e-12, pairs.head._3.toString)
+  }
 }
