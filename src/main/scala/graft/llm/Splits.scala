@@ -311,6 +311,18 @@ object Splits {
     require(step >= 1L, s"step must be >= 1, got $step")
     require(offset >= 1L && offset <= step,
       s"offset must be in [1, step], got $offset (step $step)")
+    // integral weights only: a double weight would TRUNCATE silently
+    // in the long cast below and quietly re-weight the draw (the
+    // X120/X135 exact-type rule)
+    df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"$weightCol is ${other.simpleString}: systematic sampling needs an " +
+          "integral mass column — scale and round explicitly first")
+    }
     val positive = df.filter(col(weightCol) > 0L)
       .withColumn(weightCol, col(weightCol).cast("long"))
     val (cum, _) = graft.ops.Rank.prefixSumWithTotal(positive, orderCols, weightCol)

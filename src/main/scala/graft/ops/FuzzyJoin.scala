@@ -49,6 +49,9 @@ object FuzzyJoin {
       joinType: String = "inner",
       form: String = "NFC",
   ): DataFrame = {
+    require(!left.columns.contains("graft_ck_") &&
+        !right.columns.contains("graft_ck_"),
+      "input already carries the working column graft_ck_")
     val lk = left.withColumn("graft_ck_", canonicalKey(col(leftKey), form))
     val rk = right.withColumn("graft_ck_", canonicalKey(col(rightKey), form))
       .drop(rightKey)

@@ -62,10 +62,17 @@ object Graph {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(dampingNum > 0 && dampingNum < dampingDen,
       s"damping must be in (0,1): $dampingNum/$dampingDen")
-    val e = edges.select(
-      col(srcCol).as("graft_src_"),
-      col(dstCol).as("graft_dst_"),
-      col(weightCol).cast("long").as("graft_w_"))
+    // a null endpoint would form a phantom node (and never join); a
+    // non-positive weight would zero or negate its edge's
+    // contribution — both carry no rank mass, dropped up front (the
+    // X120 non-positive-weight rule)
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(weightCol) > 0L)
+      .select(
+        col(srcCol).as("graft_src_"),
+        col(dstCol).as("graft_dst_"),
+        col(weightCol).cast("long").as("graft_w_"))
     val out = e.groupBy(col("graft_src_"))
       .agg(sum(col("graft_w_")).as("graft_outw_"))
     // weight share of each edge is iteration-invariant — join it once

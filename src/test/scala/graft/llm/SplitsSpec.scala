@@ -275,5 +275,10 @@ class SplitsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Splits.systematicWeightedSample(df, "w", Seq("id"), 5L, offset = 6L)
     }
+    // a double mass column would truncate silently — refused instead
+    val dbl = Seq((1L, 2.5)).toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      Splits.systematicWeightedSample(dbl, "w", Seq("id"), 4L)
+    }
   }
 }

@@ -67,6 +67,18 @@ class GraphSpec extends SparkSpec {
     assert(a == b, "integral arithmetic must be reduction-order-free")
   }
 
+  test("null endpoints and non-positive weights carry no mass") {
+    val clean = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("s", "d", "w")
+    val dirty = Seq(
+      (Option("A"), Option("B"), 1L), (Option("B"), Option("A"), 1L),
+      (None: Option[String], Option("B"), 5L),   // null src
+      (Option("A"), None: Option[String], 5L),   // null dst
+      (Option("A"), Option("B"), 0L),            // zero weight
+    ).toDF("s", "d", "w")
+    assert(ranksOf(Graph.pageRank(dirty, "s", "d", "w", 3)) ==
+      ranksOf(Graph.pageRank(clean, "s", "d", "w", 3)))
+  }
+
   test("parameter guards") {
     val e = Seq(("A", "B", 1L)).toDF("s", "d", "w")
     intercept[IllegalArgumentException] {
