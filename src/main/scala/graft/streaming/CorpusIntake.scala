@@ -72,6 +72,55 @@ object CorpusIntake {
     q.awaitTermination()
   }
 
+  /** [[drainTo]] with HISTORIC dedup: the watermark-bounded intake
+    * dedup catches transport replays inside the delay window — a
+    * re-crawl of the same document arriving DAYS later sails past it
+    * and re-enters the corpus (state for its fingerprint was evicted
+    * with the watermark). This drain additionally anti-joins each
+    * micro-batch's content fingerprints against the fingerprints of
+    * everything ALREADY IN the table — the corpus itself is the dedup
+    * state, so there is no side fingerprint table to drift and the
+    * exactly-once append stays a single atomic commit. Fingerprints
+    * compare post-scrub on both sides (the stored text is the
+    * scrubbed text; scrubbing is deterministic, so identical raw
+    * inputs still collide).
+    *
+    * Scale: the history side projects ONLY the fingerprint — a
+    * columnar scan of one derived 8-byte column per batch, not the
+    * corpus (and on a bucketed store, only live generations). For
+    * hot paths put a [[graft.ops.Bloom]] of stored fingerprints in
+    * front as a map-side prefilter; the exact anti-join stays for
+    * correctness. */
+  def drainDedupedTo(
+      docs: DataFrame,
+      store: graft.io.TableStore,
+      table: String,
+      checkpoint: String,
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermarkDelay: String = "1 hour",
+  ): Unit = {
+    val q = transform(docs, tsCol, textCol, watermarkDelay).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val fresh = store.read(table) match {
+          case Some(existing) =>
+            val seen = existing
+              .select(TextOps.fingerprint(col(textCol)).as("_fp"))
+              .distinct()
+            batch
+              .withColumn("_fp", TextOps.fingerprint(col(textCol)))
+              .join(seen, Seq("_fp"), "left_anti")
+              .drop("_fp")
+          case None => batch
+        }
+        store.appendIfNew(table, fresh, batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** [[drainTo]] with the MODEL-BASED quality gate in place of the
     * heuristic one: each micro-batch is scored against FROZEN
     * reference-corpus statistics ([[graft.llm.CorpusStats

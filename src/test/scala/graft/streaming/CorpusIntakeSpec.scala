@@ -47,6 +47,44 @@ class CorpusIntakeSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 3L, 6L), ids.mkString(","))
   }
 
+  test("historic dedup catches the re-crawl the watermark window must miss") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_intake_hist_")
+    implicit val s = spark
+    val store = new graft.io.SnapshotBucketedStore(s"$root/corpus", numBuckets = 4)
+    val gap = 3L * 24 * 3600 * 1000 // 3 days: far beyond the 1h watermark
+    val filler = good.replace("fox", "stork") // advances the watermark between drains
+
+    // baseline gap: once the watermark passes a fingerprint's window,
+    // its state evicts and the plain drain re-admits the re-crawl
+    val plainStore = new graft.io.SnapshotBucketedStore(s"$root/plain", numBuckets = 4)
+    val p = MemoryStream[Doc]
+    val pDocs = p.toDF().withColumn("ts", timestamp_millis(col("ts")))
+    p.addData(Doc(1L, B, good))
+    CorpusIntake.drainTo(pDocs, plainStore, "c", s"$root/pckpt")
+    p.addData(Doc(2L, B + gap, filler))
+    CorpusIntake.drainTo(pDocs, plainStore, "c", s"$root/pckpt")
+    p.addData(Doc(3L, B + gap + 1000, good)) // same content, days later
+    CorpusIntake.drainTo(pDocs, plainStore, "c", s"$root/pckpt")
+    assert(plainStore.read("c").get.count() == 3L,
+      "watermark dedup alone must miss the late re-crawl (the gap this drain closes)")
+
+    val input = MemoryStream[Doc]
+    val docs = input.toDF().withColumn("ts", timestamp_millis(col("ts")))
+    input.addData(Doc(1L, B, good))
+    CorpusIntake.drainDedupedTo(docs, store, "c", s"$root/ckpt")
+    input.addData(Doc(2L, B + gap, filler))
+    CorpusIntake.drainDedupedTo(docs, store, "c", s"$root/ckpt")
+    input.addData(
+      Doc(3L, B + gap + 1000, good),                          // late re-crawl -> historic drop
+      Doc(4L, B + gap + 2000, good.replace("fox", "lynx")))   // genuinely new
+    CorpusIntake.drainDedupedTo(docs, store, "c", s"$root/ckpt")
+    val ids = store.read("c").get.select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 4L), ids.mkString(","))
+  }
+
   test("scored drain against frozen stats equals the one-shot batch filter exactly") {
     val spark2 = spark
     import spark2.implicits._
