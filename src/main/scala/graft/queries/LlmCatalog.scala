@@ -2062,6 +2062,88 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** The corpus CARD (capstone composition): the one-page dataset
+    * report — volume, length distribution, duplication, language
+    * mix — as a single oracled (metric, value) frame. Each metric
+    * reuses an already-audited shape: counts/means are partial-agg
+    * reductions, the length quantiles ride the X120 exact rank walk,
+    * dup_frac is the X1 keeper count, top_lang_frac one tiny
+    * groupBy. Narrow long format so the card grows without schema
+    * changes. */
+  val corpusCardQ = GraftQuery(
+    "q107_corpus_card",
+    (s, d) => {
+      val docs = documents(s, d)
+      val toks = graft.llm.TextOps.tokenCount(col("text")).cast("long")
+      val base = docs.agg(
+        count(lit(1)).as("docs"),
+        sum(toks).cast("long").as("tokens"),
+        countDistinct(md5(col("text"))).as("uniq"))
+      val counts = base.select(explode(array(
+        struct(lit("n_docs").as("metric"), col("docs").cast("double").as("value")),
+        struct(lit("n_tokens").as("metric"), col("tokens").cast("double").as("value")),
+        struct(lit("mean_doc_tokens").as("metric"),
+          (col("tokens").cast("double") / col("docs")).as("value")),
+        struct(lit("exact_dup_frac").as("metric"),
+          ((col("docs") - col("uniq")).cast("double") / col("docs")).as("value")),
+      ))).select(col("col.metric").as("metric"), col("col.value").as("value"))
+      val quant = graft.ops.Quantiles.exact(docs, "n_chars", "doc_id",
+          Seq(0.5, 0.95))
+        .select(
+          concat(lit("p"), (col("p") * 100).cast("int").cast("string"),
+            lit("_chars")).as("metric"),
+          col("value").cast("double").as("value"))
+      val lang = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("m"), sum(col("c")).as("t"))
+        .select(lit("top_lang_frac").as("metric"),
+          (col("m").cast("double") / col("t")).as("value"))
+      counts.unionByName(quant).unionByName(lang).orderBy(col("metric"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, n_chars, lang, md5(text) AS fp,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+      ),
+      base AS (
+        SELECT COUNT(*) AS docs, CAST(SUM(toks) AS BIGINT) AS tokens,
+               COUNT(DISTINCT fp) AS uniq
+        FROM t
+      ),
+      ranked AS (
+        SELECT n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rnk,
+               COUNT(*) OVER () AS n
+        FROM t
+      ),
+      quant AS (
+        SELECT 'p' || CAST(CAST(pr.p * 100 AS INT) AS VARCHAR) || '_chars' AS metric,
+               CAST(min_by(n_chars, rnk) AS DOUBLE) AS value
+        FROM (VALUES (0.5), (0.95)) AS pr(p)
+        JOIN ranked ON rnk >= GREATEST(1, CAST(CEIL(CAST(pr.p AS DOUBLE) * n) AS BIGINT))
+        GROUP BY pr.p
+      ),
+      langs AS (
+        SELECT CAST(MAX(c) AS DOUBLE) / SUM(c) AS v FROM (
+          SELECT COUNT(*) AS c FROM t GROUP BY lang
+        )
+      )
+      SELECT metric, value FROM (
+        SELECT 'n_docs' AS metric, CAST(docs AS DOUBLE) AS value FROM base
+        UNION ALL
+        SELECT 'n_tokens', CAST(tokens AS DOUBLE) FROM base
+        UNION ALL
+        SELECT 'mean_doc_tokens', CAST(tokens AS DOUBLE) / docs FROM base
+        UNION ALL
+        SELECT 'exact_dup_frac', CAST(docs - uniq AS DOUBLE) / docs FROM base
+        UNION ALL
+        SELECT metric, value FROM quant
+        UNION ALL
+        SELECT 'top_lang_frac', v FROM langs
+      ) ORDER BY metric
+    """.trim),
+  )
+
   /** Collocation mining by exact lift (CorpusStats.collocations):
     * top-20 adjacent word pairs co-occurring above independence, with
     * a 5-occurrence evidence floor. PMI's log is what makes PMI
@@ -2878,5 +2960,6 @@ object LlmCatalog {
     centroidsQ,
     qualityExemplarsQ,
     cleanFunnelQ,
+    corpusCardQ,
   )
 }
