@@ -103,8 +103,9 @@ object Corpus {
 
   /** The cleaning FUNNEL's per-document verdict — the ops report
     * behind [[clean]]: every input document classified by the FIRST
-    * stage that removes it (`exact_dup` → `near_dup` → `quality`) or
-    * `kept`. Aggregate for the funnel ("this load lost 4% to
+    * stage that removes it (`exact_dup` → `near_dup` → `quality` →
+    * `low_score` when `minScore` enables the model gate) or `kept`.
+    * Aggregate for the funnel ("this load lost 4% to
     * near-dups, double last week's"), anti-join a fate against the
     * corpus for stage-level drill-down — the questions a pipeline
     * operator actually asks, answered without re-running [[clean]]
@@ -121,6 +122,7 @@ object Corpus {
       threshold: Double = 0.5,
       numHashes: Int = 32,
       bands: Int = 8,
+      minScore: Option[Double] = None,
   ): DataFrame = {
     val keepers = Dedup.exactKeepers(docs, idCol, textCol)
       .select(col(idCol))
@@ -129,15 +131,32 @@ object Corpus {
       Dedup.nearDupPairs(kept, idCol, textCol, n = n, numHashes = numHashes,
         bands = bands, threshold = threshold))
       .withColumnRenamed("drop_id", idCol)
-    docs
+    val base = docs
       .select(col(idCol), TextOps.qualityKeep(col(textCol)).as("graft_q_"))
       .join(keepers.withColumn("graft_k_", lit(1)), Seq(idCol), "left")
       .join(nearDrops.withColumn("graft_nd_", lit(1)), Seq(idCol), "left")
-      .select(col(idCol),
-        when(col("graft_k_").isNull, lit("exact_dup"))
-          .when(col("graft_nd_").isNotNull, lit("near_dup"))
-          .when(!col("graft_q_"), lit("quality"))
-          .otherwise(lit("kept")).as("fate"))
+    // the optional model gate mirrors clean(minScore=…): scored over
+    // the SURVIVORS of the rule stages — same population the
+    // pipeline's scoreFilter sees, so fates keep matching it
+    // doc-for-doc (a whole-corpus scoring would shift the boilerplate
+    // and rarity signals and misreport low_score fates)
+    val scoreDrop = minScore.map { t =>
+      val survivors = kept
+        .join(nearDrops, Seq(idCol), "left_anti")
+        .filter(TextOps.qualityKeep(col(textCol)))
+      CorpusStats.qualityScore(
+          CorpusStats.docSignals(survivors, idCol, textCol))
+        .filter(col("score") < t)
+        .select(col(idCol))
+    }
+    val withScore = scoreDrop.fold(base.withColumn("graft_s_", lit(null: Integer)))(
+      sd => base.join(sd.withColumn("graft_s_", lit(1)), Seq(idCol), "left"))
+    withScore.select(col(idCol),
+      when(col("graft_k_").isNull, lit("exact_dup"))
+        .when(col("graft_nd_").isNotNull, lit("near_dup"))
+        .when(!col("graft_q_"), lit("quality"))
+        .when(col("graft_s_").isNotNull, lit("low_score"))
+        .otherwise(lit("kept")).as("fate"))
   }
 
   /** Span-level corpus REWRITE — the operation the suffix machinery

@@ -49,6 +49,14 @@ object Graph {
     *
     * Output: (node, rank) — rank in units of 1/scale of a node's
     * fair share. */
+  /** `assumeNoDangling`: when every node is known to have BOTH in-
+    * and out-edges (true of any symmetrized graph by construction),
+    * the per-iteration left join against the node table is pure
+    * overhead — every node appears in the inbound aggregate anyway —
+    * and this flag skips it, saving one join per iteration with
+    * BIT-IDENTICAL results (spec-pinned). With dangling nodes the
+    * flag would silently drop them from the output; leave it false
+    * unless the construction guarantees the property. */
   def pageRank(
       edges: DataFrame,
       srcCol: String,
@@ -58,6 +66,7 @@ object Graph {
       dampingNum: Long = 85L,
       dampingDen: Long = 100L,
       scale: Long = 1000000000L,
+      assumeNoDangling: Boolean = false,
   ): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(dampingNum > 0 && dampingNum < dampingDen,
@@ -92,8 +101,10 @@ object Graph {
           expr("(graft_r_ * graft_w_) div graft_outw_").as("graft_c_"))
         .groupBy(col("node"))
         .agg(sum(col("graft_c_")).as("graft_in_"))
-      ranks = nodes
-        .join(inbound, Seq("node"), "left")
+      val joined =
+        if (assumeNoDangling) inbound
+        else nodes.join(inbound, Seq("node"), "left")
+      ranks = joined
         .select(col("node"),
           (lit(base) +
             expr(s"($dampingNum * coalesce(graft_in_, 0L)) div $dampingDen")

@@ -1906,7 +1906,8 @@ object Catalog {
         .agg(count(lit(1)).as("w"))
       val sym = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-      graft.ops.Graph.pageRank(sym, "src", "dst", "w", iterations = 3)
+      graft.ops.Graph.pageRank(sym, "src", "dst", "w", iterations = 3,
+        assumeNoDangling = true) // symmetrized ⇒ no dangling by construction
         .select(col("node"), col("rank").as("pr"))
         .orderBy(col("node"))
     },

@@ -176,4 +176,21 @@ class CorpusSpec extends SparkSpec {
     // and the fates partition the corpus
     assert(fates.size == 5)
   }
+
+  test("cleanFates with the model gate mirrors clean(minScore) and names low_score") {
+    val df = Seq(
+      (1L, good),
+      (2L, good),                                                 // exact_dup
+      (3L, "a completely different long document about query engines " +
+        "with columnar execution shuffles partitions joins and codegen"),
+      (6L, (Seq.fill(30)("buy now").mkString(" "))),              // passes rules, fails score
+    ).toDF("doc_id", "text")
+    val fates = Corpus.cleanFates(df, minScore = Some(0.0)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fates(2L) == "exact_dup" && fates(6L) == "low_score", fates.toString)
+    val cleanIds = Corpus.clean(df, minScore = Some(0.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fates.filter(_._2 == "kept").keySet == cleanIds,
+      s"$fates vs clean=$cleanIds")
+  }
 }

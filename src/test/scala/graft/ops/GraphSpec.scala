@@ -79,6 +79,19 @@ class GraphSpec extends SparkSpec {
       ranksOf(Graph.pageRank(clean, "s", "d", "w", 3)))
   }
 
+  test("assumeNoDangling fast path is bit-identical on symmetrized graphs") {
+    val e0 = (1 to 200).map { i =>
+      (s"n${i % 25}", s"n${(i * 11) % 25}", (i % 4 + 1).toLong)
+    }.toDF("s", "d", "w").groupBy("s", "d").agg(sum("w").as("w"))
+    val sym = e0.unionByName(
+      e0.select(col("d").as("s"), col("s").as("d"), col("w")))
+      .groupBy("s", "d").agg(sum("w").as("w"))
+    val slow = ranksOf(Graph.pageRank(sym, "s", "d", "w", 4))
+    val fast = ranksOf(Graph.pageRank(sym, "s", "d", "w", 4,
+      assumeNoDangling = true))
+    assert(fast == slow)
+  }
+
   test("parameter guards") {
     val e = Seq(("A", "B", 1L)).toDF("s", "d", "w")
     intercept[IllegalArgumentException] {
