@@ -12,6 +12,10 @@ import org.apache.spark.sql.functions._
   *                              (boilerplate removal that keeps docs)
   *   [[Splits.tokenBudgetSample]] optional absolute per-group token
   *                              budgets (the training-mix recipe)
+  *   [[Splits.systematicWeightedSample]] optional exact
+  *                              proportional downsample by token
+  *                              mass (one doc per `step` tokens,
+  *                              offset-seeded)
   *   [[Splits.repeatFactorSample]] optional epochs-per-group
   *                              upsampling (replicas carry a
   *                              deterministic epoch id and shuffle
@@ -43,6 +47,7 @@ object TrainingData {
       spanMinTokens: Int = 8,
       spanRounds: Int = 1,
       budgets: Option[(String, Map[String, Long], Long)] = None, // (groupCol, budgets, default)
+      sampleEvery: Option[(Long, Long)] = None, // (step, offset): X137 systematic token-mass downsample after the mix
       repeats: Option[(String, Map[String, Double], Double)] = None, // (groupCol, factors, default)
       shuffleSeed: String = "train",
       seqLen: Int = 256,
@@ -73,9 +78,24 @@ object TrainingData {
           .select(col(idCol), col(textCol))
       case None => spanned
     }
+    // optional systematic downsample by token mass (X137): the
+    // relative-fraction companion of the absolute `budgets` — "keep
+    // one doc per `step` tokens", exact and seedable via the offset.
+    // Selection semantics: a doc straddling several grid points still
+    // keeps ONE copy (upsampling is `repeats`' job, with its own
+    // replica-shuffle discipline).
+    val sampled = cfg.sampleEvery match {
+      case Some((step, off)) =>
+        Splits.systematicWeightedSample(
+          mixed.withColumn("graft_tok_",
+            TextOps.tokenCount(col(textCol)).cast("long")),
+          "graft_tok_", Seq(idCol), step, off)
+          .select(col(idCol), col(textCol))
+      case None => mixed
+    }
     cfg.repeats match {
       case None =>
-        val ordered = Splits.deterministicShuffle(mixed, idCol, cfg.shuffleSeed)
+        val ordered = Splits.deterministicShuffle(sampled, idCol, cfg.shuffleSeed)
         // dense pack ids in shuffled order; rank ties on (key, id) make
         // the order total even under 60-bit hash collisions
         val ranked = graft.ops.Rank.globalRank(ordered, Seq("shuffle_key", idCol))
@@ -88,7 +108,7 @@ object TrainingData {
         // would leave a doc's epochs adjacent in the stream, exactly
         // the correlation the shuffle exists to destroy
         val repeated = Splits.repeatFactorSample(
-          mixed.join(docs.select(col(idCol), col(groupCol)), Seq(idCol)),
+          sampled.join(docs.select(col(idCol), col(groupCol)), Seq(idCol)),
           idCol, groupCol, factors, default)
           .select(col(idCol), col(textCol), col("epoch"))
           .withColumn("graft_rid_",

@@ -103,4 +103,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(total <= nSources * (budget + 600),
       s"total $total exceeds the budgeted ceiling")
   }
+  test("sampleEvery hook equals the manual systematic-downsample composition") {
+    import org.apache.spark.sql.functions._
+    val cfg = TrainingData.Config(sampleEvery = Some((2000L, 700L)))
+    val viaHook = TrainingData.prepare(docs, cfg = cfg)
+      .select("seq_id", "text").collect().map(_.toSeq).toSeq
+
+    // the same chain spelled out by hand (the prepare wiring for the
+    // no-budget/no-repeat path, with the sampler in between)
+    val cleaned = Corpus.clean(docs)
+    val spanned = Corpus.dedupSpans(
+        cleaned.select(col("doc_id"), col("text")), "doc_id", "text",
+        minTokens = cfg.spanMinTokens, rounds = cfg.spanRounds)
+      .filter(length(col("text")) > 0)
+    val sampled = Splits.systematicWeightedSample(
+        spanned.withColumn("graft_tok_",
+          TextOps.tokenCount(col("text")).cast("long")),
+        "graft_tok_", Seq("doc_id"), 2000L, 700L)
+      .select(col("doc_id"), col("text"))
+    val ordered = Splits.deterministicShuffle(sampled, "doc_id", cfg.shuffleSeed)
+    val ranked = graft.ops.Rank.globalRank(ordered, Seq("shuffle_key", "doc_id"))
+      .select(col("rank").as("pid"), col("text"))
+    val manual = Splits.packedSequenceText(ranked, "pid", "text", cfg.seqLen)
+      .select("seq_id", "text").collect().map(_.toSeq).toSeq
+    assert(viaHook == manual)
+    // and the sample genuinely thinned the stream
+    val full = TrainingData.prepare(docs).count()
+    val thinned = TrainingData.prepare(docs, cfg = cfg).count()
+    assert(thinned < full, s"$thinned !< $full")
+  }
 }
