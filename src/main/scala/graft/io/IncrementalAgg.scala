@@ -62,15 +62,22 @@ object IncrementalAgg {
       case Some(c) if c >= cur => false
       case Some(c) =>
         // incremental window (c, cur]; a compaction inside it makes
-        // the dir-level capture unsound — rebuild once instead
+        // the dir-level capture unsound, and a vacuumed cursor
+        // manifest makes it impossible (appendsSince → None) —
+        // rebuild once in either case
+        def rebuild(): Boolean = {
+          store.replaceWithBatch(dst,
+            deltaAgg(store.readAt(src, cur).get, keys, sumCols), cur.toLong)
+          true
+        }
         try {
-          val delta = store.appendsSince(src, c.toInt, Some(cur)).get
-          store.appendIfNew(dst, deltaAgg(delta, keys, sumCols), cur.toLong)
+          store.appendsSince(src, c.toInt, Some(cur)) match {
+            case Some(delta) =>
+              store.appendIfNew(dst, deltaAgg(delta, keys, sumCols), cur.toLong)
+            case None => rebuild()
+          }
         } catch {
-          case _: IllegalArgumentException =>
-            store.replaceWithBatch(dst,
-              deltaAgg(store.readAt(src, cur).get, keys, sumCols), cur.toLong)
-            true
+          case _: IllegalArgumentException => rebuild()
         }
       case None =>
         // first refresh (or an unmarked dst): full build at cur,

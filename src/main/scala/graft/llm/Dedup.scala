@@ -540,7 +540,11 @@ object Dedup {
     require(maxHamming <= blocks - 1,
       "pigeonhole guarantee only holds for maxHamming <= blocks-1")
     val blockBits = bits / blocks
-    val mask = (1L << blockBits) - 1
+    // blocks=1 (legal only with maxHamming=0) gives blockBits=64,
+    // where 1L<<64 wraps to 1 and a zero mask would key every row to
+    // bucket 0 — an accidental all-pairs join; -1L keys on the full
+    // hash, making the degenerate case an exact-duplicate equi-join
+    val mask = if (blockBits == 64) -1L else (1L << blockBits) - 1
     val blocked = hashes
       .select(col(idCol).as("id"), col(hashCol).as("graft_h_"))
       .select(col("id"), col("graft_h_"),

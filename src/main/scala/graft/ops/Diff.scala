@@ -58,6 +58,16 @@ object Diff {
       s"schemas differ: ${cols.sorted.mkString(",")} vs " +
         s"${newDf.columns.sorted.mkString(",")}")
     keys.foreach(k => require(cols.contains(k), s"missing key column $k"))
+    // the report columns and the _o_/_n_ working prefixes are
+    // reserved: a payload column named `change` would be silently
+    // overwritten by the classification below
+    val reserved = cols.filter(c =>
+      c == "change" || c == "changed_cols" ||
+        c.startsWith("_o_") || c.startsWith("_n_"))
+    require(reserved.isEmpty,
+      s"reserved column name(s) in input: ${reserved.mkString(",")} — " +
+        "'change'/'changed_cols' are the report columns and '_o_'/'_n_' " +
+        "the join working prefixes; rename before diffing")
     val payload = cols.filterNot(keys.contains)
 
     // presence markers are explicit columns, not payload-null checks:

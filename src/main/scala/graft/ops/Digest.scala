@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
   * discipline: every column renders through an explicit
   * `coalesce(cast(c as string), '␀')` joined with the 0x1F unit
   * separator in DECLARED order — (null,"a") and ("a",null) digest
-  * differently, and so does a column permutation. Callers pick
-  * columns whose STRING RENDERING is engine-stable (integers,
-  * strings, dates; doubles/timestamps format differently across
-  * engines — cast or round them explicitly first).
+  * differently, and so does a column permutation. The 0x1F separator
+  * is out-of-band for real data; the NULL marker is NOT — a genuine
+  * cell whose rendered value is the literal string "␀" (U+2400) is
+  * indistinguishable from NULL in the digest. That marker is printable
+  * (so the canonical string replays verbatim in any oracle engine) at
+  * the cost of this documented ambiguity; callers with U+2400 in data
+  * should pre-map it. Callers pick columns whose STRING RENDERING is
+  * engine-stable (integers, strings, dates; doubles/timestamps format
+  * differently across engines — cast or round them explicitly first).
   *
   * Scale shape: one map-side projection (md5 + sum partials), one
   * single-row reduce. No shuffle of data, no sort anywhere. */

@@ -82,6 +82,26 @@ class IncrementalAggSpec extends SparkSpec {
       asMap(oneShot(store.read("ev").get)))
   }
 
+  test("a vacuumed cursor manifest triggers the rebuild fallback, not a crash") {
+    val root = tmpDir("graft_iagg_v_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 2)
+    store.append("ev", gen(0 until 40, "a"))                          // v0
+    IncrementalAgg.refresh(store, "ev", "agg", Seq("g"), Seq("v", "m")) // cursor=0
+    store.append("ev", gen(40 until 60, "a"))                         // v1
+    store.append("ev", gen(60 until 70, "b"))                         // v2
+    store.vacuum("ev", retainSnapshots = 1) // v0 manifest gone: appendsSince(0,_) → None
+    assert(IncrementalAgg.refresh(store, "ev", "agg", Seq("g"), Seq("v", "m")),
+      "vacuumed-cursor refresh must fall back to a rebuild")
+    val maintained = asMap(IncrementalAgg.read(store, "agg", Seq("g"), Seq("v", "m")).get)
+    assert(maintained == asMap(oneShot(store.read("ev").get)))
+    // and incremental again from the rebuilt cursor
+    store.append("ev", gen(70 until 90, "b"))
+    assert(IncrementalAgg.refresh(store, "ev", "agg", Seq("g"), Seq("v", "m")))
+    assert(asMap(IncrementalAgg.read(store, "agg", Seq("g"), Seq("v", "m")).get) ==
+      asMap(oneShot(store.read("ev").get)))
+  }
+
   test("streaming drain maintains the aggregate bit-identical to one shot") {
     val root = tmpDir("graft_iagg_s_")
     implicit val s = spark

@@ -362,6 +362,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head._3 <= 3)
   }
 
+  test("blocks=1 keys on the full 64-bit hash (mask wrap fixed), finding exact dups only") {
+    // blockBits=64: 1L<<64 wraps to 1, so the old mask was 0 and every
+    // row hashed to bucket 0 (all-pairs join); -1L keys on the full hash
+    val hashes = Seq(
+      (1L, 0x0123456789abcdefL),
+      (2L, 0x0123456789abcdefL), // exact dup of 1
+      (3L, 0x0123456789abcdeeL), // hamming 1 — must NOT pair at maxHamming=0
+      (4L, -42L),                // negative hash: sign bits survive the mask
+      (5L, -42L),
+    ).toDF("id", "h")
+    val pairs = Dedup.hammingNearDupPairs(hashes, "id", "h",
+        bits = 64, blocks = 1, maxHamming = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0), (4L, 5L, 0)), pairs.toString)
+  }
+
   test("passageEdges builds min-doc stars over shared windows") {
     val passage = (1 to 10).map(i => s"tok$i").mkString(" ")
     val other = (11 to 20).map(i => s"tok$i").mkString(" ")

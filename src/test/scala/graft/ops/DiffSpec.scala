@@ -28,6 +28,17 @@ class DiffSpec extends SparkSpec {
     assert(withU.size == 5)
   }
 
+  test("reserved report/working column names are refused, not silently overwritten") {
+    val clash = Seq((1L, "x")).toDF("id", "change")
+    intercept[IllegalArgumentException] {
+      Diff.keyed(clash, clash, Seq("id"))
+    }
+    val prefixed = Seq((1L, "x")).toDF("id", "_o_s")
+    intercept[IllegalArgumentException] {
+      Diff.keyed(prefixed, prefixed, Seq("id"))
+    }
+  }
+
   test("null payloads compare null-safely: null==null unchanged, null vs value changed") {
     val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]), (3L, Some("x")))
       .toDF("id", "s")
