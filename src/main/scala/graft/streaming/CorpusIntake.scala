@@ -72,6 +72,11 @@ object CorpusIntake {
     q.awaitTermination()
   }
 
+  /** The persisted content-fingerprint column [[drainDedupedTo]]
+    * stamps on every stored row. Part of that drain's table contract:
+    * the history side of the dedup reads THIS column, never the text. */
+  val FpCol = "_fp"
+
   /** [[drainTo]] with HISTORIC dedup: the watermark-bounded intake
     * dedup catches transport replays inside the delay window — a
     * re-crawl of the same document arriving DAYS later sails past it
@@ -85,12 +90,32 @@ object CorpusIntake {
     * scrubbed text; scrubbing is deterministic, so identical raw
     * inputs still collide).
     *
-    * Scale: the history side projects ONLY the fingerprint — a
-    * columnar scan of one derived 8-byte column per batch, not the
-    * corpus (and on a bucketed store, only live generations). For
-    * hot paths put a [[graft.ops.Bloom]] of stored fingerprints in
-    * front as a map-side prefilter; the exact anti-join stays for
-    * correctness. */
+    * Scale: the fingerprint is MATERIALIZED as a stored [[FpCol]]
+    * column at append time (one map-side projection on the new rows —
+    * fingerprinting is deterministic, so append-side stamping costs
+    * nothing it wouldn't cost at read), so the history side of every
+    * later batch is a true 8-bytes-per-row columnar scan: parquet
+    * prunes to the one fp column (spec-pinned via ReadSchema) and, on
+    * a bucketed store, to live generations only — never a re-read of
+    * the corpus text. In front of the exact anti-join sits a
+    * [[graft.ops.Bloom]] prefilter built over the BATCH's
+    * fingerprints (constant-size driver hop, like the IVF centroid
+    * hop): history fps are probed MAP-SIDE during that columnar scan,
+    * so the distinct+anti-join shuffle sees only fps that might match
+    * the batch (≈ |batch| × fpp + true dups), not |corpus| rows.
+    * False positives only cost unpruned rows; the anti-join stays
+    * exact. Net per-batch cost: O(batch) compute + one fp-column
+    * scan, versus the full text re-read + corpus-sized shuffle the
+    * naive form pays.
+    *
+    * Schema discipline — a table is either stamped or not, NEVER
+    * mixed (merged-schema reads would fill legacy rows' fp with null
+    * and the anti-join would silently miss their dups): a fresh table
+    * starts stamped; a legacy table (created by a pre-fp version of
+    * this drain) keeps appending UNSTAMPED rows and pays the old
+    * derive-from-text history read — correct, just slow — until a
+    * one-time [[migrateFpColumn]] rewrite flips it to the fast path.
+    * Don't mix this drain with [[drainTo]] on ONE table. */
   def drainDedupedTo(
       docs: DataFrame,
       store: graft.io.TableStore,
@@ -99,27 +124,74 @@ object CorpusIntake {
       tsCol: String = "ts",
       textCol: String = "text",
       watermarkDelay: String = "1 hour",
+      bloomExpectedItems: Long = 1000000L,
   ): Unit = {
     val q = transform(docs, tsCol, textCol, watermarkDelay).writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val fresh = store.read(table) match {
-          case Some(existing) =>
-            val seen = existing
-              .select(TextOps.fingerprint(col(textCol)).as("_fp"))
+        // stamp iff the table is fresh or already stamped — one
+        // schema probe (parquet footer metadata, no column data) per
+        // batch
+        val existingCols = store.read(table).map(_.columns.toSeq)
+        val tableStamped = existingCols.forall(_.contains(FpCol))
+        val stamped = batch.withColumn(FpCol, TextOps.fingerprint(col(textCol)))
+        val deduped = historyFingerprints(store, table, textCol) match {
+          case Some(seen) =>
+            // Bloom over the batch side (the small side): the filter
+            // embeds as a literal in the history scan's filter, so
+            // corpus fps are pruned map-side before they ever reach
+            // the distinct/anti-join shuffle
+            val bf = graft.ops.Bloom.buildKeyFilter(
+              stamped.select(FpCol), FpCol, bloomExpectedItems)
+            val candidates = seen
+              .filter(graft.ops.Bloom.mightContain(bf, col(FpCol)))
               .distinct()
-            batch
-              .withColumn("_fp", TextOps.fingerprint(col(textCol)))
-              .join(seen, Seq("_fp"), "left_anti")
-              .drop("_fp")
-          case None => batch
+            stamped.join(candidates, Seq(FpCol), "left_anti")
+          case None => stamped
         }
+        val fresh = if (tableStamped) deduped else deduped.drop(FpCol)
         store.appendIfNew(table, fresh, batchId): Unit
       }
       .start()
     q.awaitTermination()
   }
+
+  /** The history side of [[drainDedupedTo]]'s anti-join: one [[FpCol]]
+    * column, straight from storage when the table carries it (the
+    * 8-byte columnar scan), derived from the stored text only for
+    * legacy tables written before the column existed. Factored out so
+    * the scan shape is testable — the spec asserts the parquet
+    * ReadSchema is the fp column alone. */
+  def historyFingerprints(
+      store: graft.io.TableStore,
+      table: String,
+      textCol: String,
+  ): Option[DataFrame] =
+    store.read(table).map { existing =>
+      if (existing.columns.contains(FpCol)) existing.select(col(FpCol))
+      else existing.select(TextOps.fingerprint(col(textCol)).as(FpCol))
+    }
+
+  /** One-time legacy-table migration to the stamped fast path: rewrite
+    * the table with [[FpCol]] materialized (one full read + replace —
+    * the cost one history scan of the slow path already pays, spent
+    * once instead of every batch). No-op (false) when the table is
+    * missing or already stamped. The store's replace keeps the
+    * streaming batch mark, so an in-flight drain checkpoint stays
+    * valid across the migration. */
+  def migrateFpColumn(
+      store: graft.io.TableStore,
+      table: String,
+      textCol: String = "text",
+  ): Boolean =
+    store.read(table) match {
+      case Some(df) if !df.columns.contains(FpCol) =>
+        store.replace(table,
+          df.withColumn(FpCol, TextOps.fingerprint(col(textCol))))
+        true
+      case _ => false
+    }
 
   /** [[drainTo]] with the MODEL-BASED quality gate in place of the
     * heuristic one: each micro-batch is scored against FROZEN

@@ -85,6 +85,87 @@ class CorpusIntakeSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 4L), ids.mkString(","))
   }
 
+  test("deduped drain history side is an fp-column-only scan, Bloom-prefiltered") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_intake_fp_")
+    implicit val s = spark
+    val store = new graft.io.SnapshotBucketedStore(s"$root/corpus", numBuckets = 4)
+    val input = MemoryStream[Doc]
+    val docs = input.toDF().withColumn("ts", timestamp_millis(col("ts")))
+    input.addData(Doc(1L, B, good), Doc(2L, B + 1000, good.replace("fox", "wolf")))
+    CorpusIntake.drainDedupedTo(docs, store, "c", s"$root/ckpt")
+
+    // the fingerprint is a persisted column, stamped post-scrub
+    val stored = store.read("c").get
+    assert(stored.columns.contains(CorpusIntake.FpCol), stored.columns.mkString(","))
+    val fpOk = stored
+      .filter(col(CorpusIntake.FpCol) ===
+        graft.llm.TextOps.fingerprint(col("text")))
+      .count()
+    assert(fpOk == 2L, "stored fp must equal fingerprint(stored text)")
+
+    // the history side reads ONLY the fp column: parquet ReadSchema
+    // prunes the text (the 8-bytes-per-row contract)
+    val hist = CorpusIntake.historyFingerprints(store, "c", "text").get
+    assert(hist.columns.toSeq == Seq(CorpusIntake.FpCol))
+    val plan = hist.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReadSchema: struct<_fp:bigint>"), plan)
+
+    // and the dedup semantics hold on the stamped table
+    input.addData(Doc(3L, B + 2000, good), Doc(4L, B + 3000, good.replace("fox", "lynx")))
+    CorpusIntake.drainDedupedTo(docs, store, "c", s"$root/ckpt")
+    val ids = store.read("c").get.select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 4L), ids.mkString(","))
+  }
+
+  test("legacy unstamped tables stay schema-consistent and migrate to the fast path once") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_intake_mig_")
+    implicit val s = spark
+    val store = new graft.io.SnapshotBucketedStore(s"$root/corpus", numBuckets = 4)
+
+    // a pre-fp table: text only, no stored fingerprint
+    store.append("c", Seq((1L, new java.sql.Timestamp(B), good))
+      .toDF("doc_id", "ts", "text"))
+
+    // the fallback derives fps from text — correct, just not pruned
+    val derived = CorpusIntake.historyFingerprints(store, "c", "text").get
+      .as[Long].collect().toSeq
+    assert(derived.nonEmpty)
+
+    // draining onto the legacy table must NOT create a mixed schema:
+    // appended rows stay unstamped, and the historic dedup still drops
+    // the re-crawl via the derive-from-text path
+    val input = MemoryStream[Doc]
+    val docs = input.toDF().withColumn("ts", timestamp_millis(col("ts")))
+    input.addData(Doc(2L, B + 1000, good),                         // historic dup
+      Doc(3L, B + 2000, good.replace("fox", "crow")))
+    CorpusIntake.drainDedupedTo(docs, store, "c", s"$root/ckpt")
+    val afterDrain = store.read("c").get
+    assert(!afterDrain.columns.contains(CorpusIntake.FpCol),
+      s"legacy table must stay unstamped: ${afterDrain.columns.mkString(",")}")
+    assert(afterDrain.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+
+    // one-time migration flips the table to the stamped fast path
+    assert(CorpusIntake.migrateFpColumn(store, "c"))
+    assert(!CorpusIntake.migrateFpColumn(store, "c"), "second migrate must no-op")
+    val migrated = CorpusIntake.historyFingerprints(store, "c", "text").get
+    val plan = migrated.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("ReadSchema: struct<_fp:bigint>"), plan)
+    // post-migration drains append stamped rows and keep dedup exact
+    input.addData(Doc(4L, B + 3000, good),                         // historic dup again
+      Doc(5L, B + 4000, good.replace("fox", "hawk")))
+    CorpusIntake.drainDedupedTo(docs, store, "c", s"$root/ckpt")
+    val ids = store.read("c").get.select("doc_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 3L, 5L), ids.mkString(","))
+  }
+
   test("scored drain against frozen stats equals the one-shot batch filter exactly") {
     val spark2 = spark
     import spark2.implicits._
