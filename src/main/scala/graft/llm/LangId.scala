@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-grade language identification: character-n-gram rank-order
+  * profiles (Cavnar & Trenkle, "N-Gram-Based Text Categorization",
+  * SDAIR 1994 — the public classical method; fastText's char-n-gram
+  * features are the neural descendant). Replaces sole reliance on the
+  * [[TextOps.langGuess]] stopword heuristic, which is blind outside
+  * its five hand-listed languages and ties arbitrarily on shared
+  * function words (es/fr both claim "de la" — spec-pinned fixture).
+  *
+  * The method, kept INTEGER end to end so the fit AND the serve replay
+  * bit-for-bit in the DuckDB oracle (q108):
+  *
+  *  - fit: per language, count character 1..maxN-grams of the
+  *    canonicalized text (lowercase, non-letters collapsed to single
+  *    spaces, one space of padding) and keep the `topK` most frequent,
+  *    each carrying its RANK (1 = most frequent; ties broken by the
+  *    n-gram's binary order — deterministic in both engines). Ranks,
+  *    not probabilities: the profile is scale-free, so unbalanced
+  *    label corpora need no normalization and no floats exist to
+  *    drift.
+  *  - predict: build the same top-`topK` rank profile per DOCUMENT,
+  *    then distance(doc, lang) = Σ over the doc's profile entries of
+  *    |docRank − langRank|, with out-of-profile entries paying the
+  *    maximum penalty `topK`. argmin over languages, ties broken by
+  *    language code; a doc with no letters at all is `und`.
+  *
+  * This is the X134 fit/serve discipline applied to language ID: the
+  * fitted profile is a plain frozen DataFrame (store it in a
+  * [[graft.io.TableStore]] like any other artifact), so a streaming
+  * gate scores against the SAME model as the batch pass.
+  *
+  * Scale shape: fit is one groupBy over (lang, ngram) + a per-lang
+  * top-K window — the profile is `langs × topK` rows, i.e. tiny, and
+  * broadcast from then on. Predict is map-side n-gram explode → one
+  * (doc, ngram) count shuffle → a per-doc window → a BROADCAST join
+  * against the profile → per-doc argmin. Cost per doc is bounded by
+  * `headChars` (language identity lives in the first few hundred
+  * chars; scoring 100 TB of full texts would be pure waste), so the
+  * whole serve path is O(corpus rows), never O(corpus bytes).
+  *
+  * Reference relation: the reference pipeline (lambda.py) has no
+  * language handling at all; this is part of the mandated
+  * training-data surface (corpus card language mix, language gates).
+  */
+object LangId {
+
+  val DefaultTopK = 300
+  val DefaultMaxN = 3
+  val DefaultHeadChars = 240
+
+  /** Canonical text for profiling: lowercased, every non-letter run
+    * collapsed to one space, trimmed. Identical semantics in DuckDB
+    * (`trim(regexp_replace(lower(t), '[^\p{L}]+', ' ', 'g'))`). */
+  def canon(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^\\p{L}]+", " "))
+
+  /** All character n-grams (n = 1..maxN, with multiplicity) of the
+    * canonicalized text padded with one leading/trailing space — the
+    * padding makes word-initial/final shapes (" th", "ng ") first-class
+    * evidence, the Cavnar–Trenkle trick. Empty canonical text yields
+    * an empty array (→ `und` downstream). Pure map-side projection. */
+  def charNgrams(text: Column, maxN: Int = DefaultMaxN): Column = {
+    val t = canon(text)
+    val padded = concat(lit(" "), t, lit(" "))
+    val grams = (1 to maxN).map { n =>
+      // sequence(1, 0) counts DOWN in Spark — guard short texts
+      when(length(t) >= 1 && length(padded) >= n,
+        transform(sequence(lit(1), length(padded) - (n - 1)),
+          i => substr(padded, i, lit(n))))
+        .otherwise(typedlit(Seq.empty[String]))
+    }
+    flatten(array(grams: _*))
+  }
+
+  /** Fit the frozen profile: (lang, ngram, rank), rank 1..topK per
+    * language (fewer when a language's corpus has fewer distinct
+    * n-grams). `labeled` rows carry a language label and text. */
+  def fit(
+      labeled: DataFrame,
+      langCol: String,
+      textCol: String,
+      maxN: Int = DefaultMaxN,
+      topK: Int = DefaultTopK,
+      headChars: Int = DefaultHeadChars,
+  ): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val grams = labeled.select(col(langCol).as("lang"),
+      explode(charNgrams(substring(col(textCol), 1, headChars), maxN))
+        .as("ngram"))
+    val cnt = grams.groupBy("lang", "ngram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("ngram"))
+    cnt.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select("lang", "ngram", "rank")
+  }
+
+  /** Classify every document against a fitted `profile`: one row per
+    * input doc — (idCol, lang, dist). `dist` is the integer rank-order
+    * distance of the winning language (null for `und` docs, whose
+    * canonical text is empty). `topK` must equal the fit's (it is the
+    * out-of-profile penalty). Ids must be unique. */
+  def predict(
+      docs: DataFrame,
+      profile: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxN: Int = DefaultMaxN,
+      topK: Int = DefaultTopK,
+      headChars: Int = DefaultHeadChars,
+  ): DataFrame = {
+    val grams = docs.select(col(idCol).as("_id"),
+      explode(charNgrams(substring(col(textCol), 1, headChars), maxN))
+        .as("ngram"))
+    val cnt = grams.groupBy("_id", "ngram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("_id").orderBy(col("cnt").desc, col("ngram"))
+    val dprof = cnt.withColumn("drank", row_number().over(w))
+      .filter(col("drank") <= topK)
+      .select(col("_id"), col("ngram"), col("drank"))
+    val dsize = dprof.groupBy("_id").agg(count(lit(1)).as("psize"))
+    // the profile is langs × topK rows — broadcast both hops
+    val lprof = profile.select(col("lang"), col("ngram"),
+      col("rank").as("lrank"))
+    val langs = profile.select("lang").distinct()
+    val matched = dprof.join(broadcast(lprof), Seq("ngram"))
+      .groupBy("_id", "lang")
+      .agg(sum(abs(col("drank") - col("lrank"))).as("mdist"),
+        count(lit(1)).as("mcnt"))
+    val scored = dsize.crossJoin(broadcast(langs))
+      .join(matched, Seq("_id", "lang"), "left")
+      .withColumn("dist",
+        (coalesce(col("mdist"), lit(0L)) +
+          (col("psize") - coalesce(col("mcnt"), lit(0L))) * topK)
+          .cast("long"))
+    val pick = Window.partitionBy("_id").orderBy(col("dist"), col("lang"))
+    val best = scored.withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .select(col("_id"), col("lang"), col("dist"))
+    docs.select(col(idCol))
+      .join(best.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lang"), lit("und")).as("lang"),
+        col("dist"))
+  }
+}

@@ -2904,6 +2904,88 @@ object LlmCatalog {
     },
   )
 
+  /** Model-grade language ID (LangId.fit/predict): Cavnar–Trenkle
+    * rank-order char-n-gram profiles, fit on the labeled subset
+    * (sources src0–9) and served over every document — the X134
+    * fit/serve discipline with ranks instead of floats, so BOTH the
+    * fit and the argmin serve replay bit-for-bit in DuckDB. Output
+    * pins the winning language and its integer rank distance per doc:
+    * the hash certifies profile construction (per-lang AND per-doc
+    * top-K windows with deterministic tie-breaks), the out-of-profile
+    * penalty, and the argmin pick rule. */
+  val langIdQ = GraftQuery(
+    "q108_langid_rank_profiles",
+    (s, d) => {
+      val docs = documents(s, d)
+      val profile = graft.llm.LangId.fit(
+        docs.filter(length(col("source")) === 4), "lang", "text")
+      graft.llm.LangId.predict(docs, profile, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH canon AS (
+        SELECT doc_id, lang AS label, length(source) = 4 AS is_fit,
+               trim(regexp_replace(lower(left(text, 240)),
+                    '[^\p{L}]+', ' ', 'g')) AS t
+        FROM documents
+      ),
+      pad AS (
+        SELECT doc_id, label, is_fit, ' ' || t || ' ' AS p, length(t) AS lt
+        FROM canon
+      ),
+      grams AS (
+        SELECT doc_id, label, is_fit,
+               unnest(list_transform(generate_series(1, length(p) - n + 1),
+                 i -> substr(p, i, n))) AS ngram
+        FROM pad, (SELECT unnest([1, 2, 3]) AS n) ns
+        WHERE lt >= 1 AND length(p) >= n
+      ),
+      lcnt AS (
+        SELECT label AS lang, ngram, COUNT(*) AS cnt
+        FROM grams WHERE is_fit GROUP BY 1, 2
+      ),
+      lprof AS (
+        SELECT lang, ngram,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY cnt DESC, ngram) AS lrank
+        FROM lcnt QUALIFY lrank <= 300
+      ),
+      dcnt AS (
+        SELECT doc_id, ngram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2
+      ),
+      dprof AS (
+        SELECT doc_id, ngram,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY cnt DESC, ngram) AS drank
+        FROM dcnt QUALIFY drank <= 300
+      ),
+      dsize AS (SELECT doc_id, COUNT(*) AS psize FROM dprof GROUP BY 1),
+      langs AS (SELECT DISTINCT lang FROM lprof),
+      matched AS (
+        SELECT d.doc_id, l.lang,
+               CAST(SUM(ABS(d.drank - l.lrank)) AS BIGINT) AS mdist,
+               COUNT(*) AS mcnt
+        FROM dprof d JOIN lprof l USING (ngram) GROUP BY 1, 2
+      ),
+      scored AS (
+        SELECT s.doc_id, g.lang,
+               CAST(COALESCE(m.mdist, 0)
+                    + (s.psize - COALESCE(m.mcnt, 0)) * 300 AS BIGINT) AS dist
+        FROM dsize s CROSS JOIN langs g
+        LEFT JOIN matched m ON m.doc_id = s.doc_id AND m.lang = g.lang
+      ),
+      best AS (
+        SELECT doc_id, lang, dist,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY dist, lang) AS rn
+        FROM scored QUALIFY rn = 1
+      )
+      SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang, b.dist
+      FROM documents d LEFT JOIN best b USING (doc_id)
+      ORDER BY d.doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -2961,5 +3043,6 @@ object LlmCatalog {
     qualityExemplarsQ,
     cleanFunnelQ,
     corpusCardQ,
+    langIdQ,
   )
 }
