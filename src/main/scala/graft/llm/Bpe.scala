@@ -109,10 +109,36 @@ object Bpe {
       textCol: String = "text",
       rounds: Int,
       minCount: Long = 1L,
+  ): Seq[Merge] =
+    induceFrom(wordTable(docs, textCol), rounds, minCount)
+
+  /** BYTE-LEVEL [[induceMerges]] (GPT-2 lineage, Radford et al. 2019):
+    * words decompose to UTF-8 BYTES mapped through the fixed
+    * [[ByteToUnicode]] bijection instead of to characters, so the
+    * base alphabet is exactly 256 symbols and NO out-of-vocabulary
+    * tail exists — any UTF-8 input, any script, decomposes fully.
+    * The merge loop itself is unchanged (same argmax, same ties, same
+    * rewrite); only the initial symbol table differs. Char-level
+    * remains the default because its merges are directly readable and
+    * the q79 oracle replays it; byte-level is the production shape
+    * for multilingual corpora (q109 replays it on a mixed-script
+    * corpus — byte map and all — in DuckDB). */
+  def induceMergesBytes(
+      docs: DataFrame,
+      textCol: String = "text",
+      rounds: Int,
+      minCount: Long = 1L,
+  ): Seq[Merge] =
+    induceFrom(wordTableBytes(docs, textCol), rounds, minCount)
+
+  private def induceFrom(
+      words0: DataFrame,
+      rounds: Int,
+      minCount: Long,
   ): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
-    var words = wordTable(docs, textCol).localCheckpoint(false)
+    var words = words0.localCheckpoint(false)
     val out = Seq.newBuilder[Merge]
     var r = 1
     var dry = false
@@ -171,12 +197,31 @@ object Bpe {
       rounds: Int,
       minCount: Long = 1L,
       batch: Int = 8,
+  ): Seq[Merge] =
+    induceBatchedFrom(wordTable(docs, textCol), rounds, minCount, batch)
+
+  /** Batched-argmax twin of [[induceMergesBytes]] — the byte-level
+    * word table through the frequency-gap batching proof. */
+  def induceMergesBytesBatched(
+      docs: DataFrame,
+      textCol: String = "text",
+      rounds: Int,
+      minCount: Long = 1L,
+      batch: Int = 8,
+  ): Seq[Merge] =
+    induceBatchedFrom(wordTableBytes(docs, textCol), rounds, minCount, batch)
+
+  private def induceBatchedFrom(
+      words0: DataFrame,
+      rounds: Int,
+      minCount: Long,
+      batch: Int,
   ): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     require(batch >= 1, s"batch must be >= 1, got $batch")
     val fetch = math.max(batch * 4, 16)
-    var words = wordTable(docs, textCol).localCheckpoint(false)
+    var words = words0.localCheckpoint(false)
     val out = Seq.newBuilder[Merge]
     var r = 1
     var dry = false
@@ -239,6 +284,83 @@ object Bpe {
   ): DataFrame = {
     import spark.implicits._
     induceMerges(docs, textCol, rounds, minCount).toDF()
+  }
+
+  /** The GPT-2 byte-to-unicode bijection (public `bytes_to_unicode`
+    * construction): the 188 "printable" latin bytes map to themselves;
+    * the remaining 68 (controls, space, DEL, 0x7F-0xA0, 0xAD) map to
+    * codepoints 256+n in ascending byte order. Every byte gets a
+    * VISIBLE single character, so merged symbols are plain strings,
+    * string concat is symbol fusion, and a vocab file round-trips
+    * through ordinary text I/O. */
+  val ByteToUnicode: IndexedSeq[String] = {
+    val keep = (('!'.toInt to '~'.toInt) ++ (0xA1 to 0xAC) ++ (0xAE to 0xFF)).toSet
+    val out = Array.ofDim[String](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) out(b) = b.toChar.toString
+      else { out(b) = (256 + n).toChar.toString; n += 1 }
+      b += 1
+    }
+    out.toIndexedSeq
+  }
+
+  private val UnicodeToByte: Map[Char, Byte] =
+    ByteToUnicode.zipWithIndex.map { case (c, i) => c.charAt(0) -> i.toByte }.toMap
+
+  /** Driver-side inverse of the byte map: a merged byte-level symbol
+    * (or whole tokenized string) back to real UTF-8 text — for vocab
+    * inspection and exports. Symbols that split a multi-byte
+    * character render as replacement chars, faithfully: byte-level
+    * merges are under no obligation to respect char boundaries. */
+  def byteDecode(s: String): String =
+    new String(s.map(UnicodeToByte).toArray, java.nio.charset.StandardCharsets.UTF_8)
+
+  /** The byte-mapped symbol array of one word: hex the UTF-8 bytes
+    * once, then slice two hex chars per byte and look the value up in
+    * the (tiny, literal-embedded) table. All codegen'd builtins,
+    * map-side; mirrored hex-slice-for-hex-slice by the q109 oracle. */
+  private def byteSyms(w: Column): Column = {
+    val hx = hex(encode(w, "UTF-8"))
+    transform(sequence(lit(1), octet_length(w)),
+      i => element_at(typedlit(ByteToUnicode),
+        conv(substr(hx, i * 2 - 1, lit(2)), 16, 10).cast("int") + 1))
+  }
+
+  private def wordTableBytes(docs: DataFrame, textCol: String): DataFrame = {
+    val w = col("w")
+    docs
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .groupBy(w)
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("syms", byteSyms(w))
+      .filter(length(w) > 0)
+  }
+
+  /** Map every whitespace-separated word of `text` through the byte
+    * table (words rejoined with real spaces): the columnar encode
+    * that makes [[TextOps.subwordCount]] a BYTE-LEVEL tokenizer when
+    * fed a [[vocabFromMerges]] vocab from [[induceMergesBytes]] —
+    * greedy longest-match over mapped symbols, single mapped bytes as
+    * the universal fallback, hence zero OOV on any input. */
+  def byteEncodeWords(text: Column): Column =
+    array_join(
+      transform(split(coalesce(text, lit("")), " "),
+        w => array_join(byteSyms(w), "")),
+      " ")
+
+  /** [[induceMergesBytes]] as a catalog-friendly DataFrame:
+    * (round, lhs, rhs, merged, cnt), round ascending. */
+  def induceBytes(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String = "text",
+      rounds: Int,
+      minCount: Long = 1L,
+  ): DataFrame = {
+    import spark.implicits._
+    induceMergesBytes(docs, textCol, rounds, minCount).toDF()
   }
 
   /** The vocabulary the merge sequence induces, ready for

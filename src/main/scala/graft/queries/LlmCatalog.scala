@@ -2502,6 +2502,14 @@ object LlmCatalog {
     * its chain of immediately-consecutive predecessors has EVEN
     * length (the q51 first-break COALESCE idiom computes the chain
     * depth). */
+  /** The [[graft.llm.Bpe.ByteToUnicode]] table as a DuckDB list
+    * literal — same construction, same order, so `m[byte + 1]` in the
+    * oracle is the same lookup as `element_at(typedlit(...))`. */
+  private val byteMapSqlLiteral: String =
+    graft.llm.Bpe.ByteToUnicode
+      .map(c => "'" + c.replace("'", "''") + "'")
+      .mkString("[", ",", "]")
+
   private def bpeRoundsSql(rounds: Int): String =
     (1 to rounds).map { r =>
       s"""p$r AS (
@@ -2986,6 +2994,52 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Byte-level BPE induction (Bpe.induceMergesBytes): the GPT-2
+    * byte-to-unicode table makes the base alphabet exactly 256
+    * symbols — no OOV on ANY UTF-8 input. Exercised on a genuinely
+    * mixed-script corpus built deterministically in BOTH engines
+    * (Cyrillic/Katakana/Greek substitutions into a doc_id%5 slice),
+    * then 6 merge rounds replayed in DuckDB over the SAME hex-sliced
+    * byte mapping — the hash pins the byte decomposition, the
+    * mapping table, and the full merge sequence cross-engine. */
+  val bpeBytesQ = GraftQuery(
+    "q109_bpe_bytes",
+    (s, d) => {
+      val mixed = documents(s, d)
+        .filter(col("doc_id") % 5 === 0)
+        .withColumn("text", expr(
+          "replace(replace(replace(text, 'data', 'данные'), " +
+            "'query', 'クエリ'), 'table', 'τραπέζι')"))
+      graft.llm.Bpe.induceBytes(s, mixed, "text", rounds = 6)
+        .select(col("round").as("merge_round"), col("lhs"), col("rhs"),
+          col("merged"), col("cnt"))
+        .orderBy(col("merge_round"))
+    },
+    Some(
+      s"""
+      WITH words AS (
+        SELECT t AS w, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(
+            replace(replace(replace(text, 'data', 'данные'),
+              'query', 'クエリ'), 'table', 'τραπέζι'), ' ')) AS t
+          FROM documents WHERE doc_id % 5 = 0
+        ) WHERE len(t) > 0 GROUP BY t
+      ),
+      bm AS (SELECT $byteMapSqlLiteral AS m),
+      s0 AS (
+        SELECT w, freq,
+          list_transform(generate_series(1, octet_length(encode(w))),
+            i -> m[('0x' || substr(hex(encode(w)), 2*i-1, 2))::INT + 1]) AS s
+        FROM words, bm
+      ),
+      ${bpeRoundsSql(6)}
+      SELECT CAST(merge_round AS INT) AS merge_round, lhs, rhs, merged, cnt FROM (
+        ${(1 to 6).map(r => s"SELECT * FROM b$r").mkString("\n        UNION ALL ")}
+      )
+      ORDER BY merge_round
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -3044,5 +3098,6 @@ object LlmCatalog {
     cleanFunnelQ,
     corpusCardQ,
     langIdQ,
+    bpeBytesQ,
   )
 }

@@ -105,6 +105,46 @@ class BpeSpec extends SparkSpec {
     assert(bat === seq && bat.length === 2)
   }
 
+  test("byte-level induction equals char-level on printable ASCII (identity byte map)") {
+    val corpus = docs("aaab aaab aaab ab ab", "the quick fox the fox")
+    val byte = Bpe.induceMergesBytes(corpus, "text", rounds = 5)
+    val chr = Bpe.induceMerges(corpus, "text", rounds = 5)
+    assert(byte === chr, "printable ASCII bytes map to themselves")
+  }
+
+  test("byte-level induction fuses multi-byte scripts with zero OOV") {
+    // "дом" = 6 UTF-8 bytes; char-level would see 3 exotic chars, the
+    // byte map sees 6 known symbols from the 256-symbol base alphabet
+    val corpus = docs(Seq.fill(4)("дом дым дом").mkString(" "))
+    val merges = Bpe.induceMergesBytes(corpus, "text", rounds = 5)
+    assert(merges.nonEmpty)
+    // the top merged symbol decodes back to real UTF-8 — and the full
+    // fusion of the most frequent word appears within 5 rounds
+    assert(merges.exists(m => Bpe.byteDecode(m.merged) == "дом"),
+      merges.map(m => Bpe.byteDecode(m.merged)).mkString(","))
+    // batched-argmax equivalence holds on the byte table too
+    val bat = Bpe.induceMergesBytesBatched(corpus, "text", rounds = 5, batch = 4)
+    assert(bat === merges)
+  }
+
+  test("byte-level vocab tokenizes mixed-script text with no OOV tail") {
+    val corpus = docs(Seq.fill(5)("данные クエリ data").mkString(" "))
+    val vocab = Bpe.vocabFromMerges(
+      Bpe.induceMergesBytes(corpus, "text", rounds = 12))
+    val counted = corpus
+      .select(
+        TextOps.subwordCount(Bpe.byteEncodeWords(col("text")), vocab).as("n_sub"),
+        TextOps.subwordCount(Bpe.byteEncodeWords(col("text")),
+          Seq("graft_never_matches_")).as("n_byte"),
+        TextOps.tokenCount(col("text")).as("n_ws"))
+      .head()
+    // per-byte fallback: 15 words x (12+9+4 bytes) when nothing merges
+    assert(counted.getInt(1) === 5 * (12 + 9 + 4))
+    // merges compress well below the byte count, never below 1/word
+    assert(counted.getInt(0) < counted.getInt(1))
+    assert(counted.getInt(0) >= counted.getInt(2))
+  }
+
   test("induced vocab round-trips through the subword tokenizer") {
     val corpus = docs(Seq.fill(5)("banana bandana cabana").mkString(" "))
     val merges = Bpe.induceMerges(corpus, "text", rounds = 6)
