@@ -503,6 +503,31 @@ object Multimodal {
         case None => Stub.features(r, dim)
       }
 
+      /** Channel-averaged mono samples in [-1, 1]; None when the JVM
+        * can't parse the container (no Stub fallback — callers that
+        * need a perceptual signal must know decode failed). */
+      private[llm] def monoSamples(b: Array[Byte]): Option[Array[Float]] =
+        stream(b).flatMap(toPcm).map { in =>
+          try {
+            val f = in.getFormat
+            val s = samples(readAll(in), f)
+            val ch = math.max(f.getChannels, 1)
+            if (ch == 1) s
+            else {
+              val n = s.length / ch
+              val out = new Array[Float](n)
+              var i = 0
+              while (i < n) {
+                var c = 0; var acc = 0f
+                while (c < ch) { acc += s(i * ch + c); c += 1 }
+                out(i) = acc / ch
+                i += 1
+              }
+              out
+            }
+          } finally in.close()
+        }
+
       def sampleFrames(r: MediaRecord, everyNth: Int): Iterator[Frame] = stream(r.bytes).flatMap(toPcm) match {
         case Some(in) =>
           try {
@@ -617,8 +642,8 @@ object Multimodal {
     * set iff the window's energy exceeds the global mean (strict:
     * silence hashes to 0). Robust to gain-preserving re-encodes
     * (16→24-bit PCM quantizes the same envelope shape); NOT robust
-    * to time-shifts — that needs landmark hashing, a different cost
-    * tier (same division of labor as X142 vs X39). None when the JDK
+    * to time-shifts — that is [[audioLandmarks]]'s tier (same
+    * division of labor as X142 vs X39). None when the JDK
     * can't parse the container. */
   def audioEnvelopeHash(bytes: Array[Byte]): Option[Long] = {
     val env = MediaDecoder.Audio.features(
@@ -642,6 +667,178 @@ object Multimodal {
       }
       hash
     }
+  }
+
+  /** LANDMARK (constellation) audio fingerprints — the time-shift-
+    * robust tier above [[audioEnvelopeHash]] (Wang 2003, "An
+    * Industrial-Strength Audio Search Algorithm", the public
+    * Shazam-family method): spectrogram → per-band spectral peaks →
+    * each anchor peak pairs with the next `fanout` peaks inside a
+    * bounded target zone, hashed as (anchor_bin, target_bin, Δframes).
+    * Every hash depends only on two frequencies and their time GAP —
+    * never absolute position — so a clip shifted by whole hops (or
+    * prefixed with silence) keeps its landmark set except at the
+    * edges, exactly the case the envelope hash is defeated by
+    * (spec-pinned fixture). Matching is set overlap, so pairing rides
+    * the same shared-key equi-join discipline as
+    * [[videoNearDupPairs]] — never all-pairs.
+    *
+    * Deterministic per input bytes: fixed Hann window, fixed radix-2
+    * FFT, integer peak/bin arithmetic, ties to the lower bin. Returns
+    * the DISTINCT hash set sorted; Some(empty) for parseable silence
+    * or too-short clips, None when the container doesn't parse. */
+  def audioLandmarks(
+      bytes: Array[Byte],
+      frameSize: Int = 512,
+      hop: Int = 256,
+      bands: Int = 6,
+      fanout: Int = 3,
+      maxDt: Int = 31,
+      minMag: Double = 1.0,
+  ): Option[Array[Long]] = {
+    require(Integer.bitCount(frameSize) == 1, "frameSize must be a power of 2")
+    require(hop >= 1 && bands >= 1 && fanout >= 1, "bad landmark params")
+    require(maxDt >= 1 && maxDt <= 63, "maxDt must fit the 6-bit hash field")
+    MediaDecoder.Audio.monoSamples(bytes).map { mono =>
+      val half = frameSize / 2
+      // Hann window, precomputed once per call
+      val win = Array.tabulate(frameSize)(i =>
+        0.5 * (1.0 - math.cos(2.0 * math.Pi * i / (frameSize - 1))))
+      val peaks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var t = 0
+      var off = 0
+      while (off + frameSize <= mono.length) {
+        val re = new Array[Double](frameSize)
+        val im = new Array[Double](frameSize)
+        var i = 0
+        while (i < frameSize) { re(i) = mono(off + i) * win(i); i += 1 }
+        fftInPlace(re, im)
+        // per-band argmax over bins 1..half-1 (skip DC); ties → lower bin
+        var b = 0
+        while (b < bands) {
+          val lo = 1 + b * (half - 1) / bands
+          val hi = 1 + (b + 1) * (half - 1) / bands
+          var bestBin = -1
+          var bestMag = minMag * minMag // compare squared magnitudes
+          var k = lo
+          while (k < hi) {
+            val m2 = re(k) * re(k) + im(k) * im(k)
+            if (m2 > bestMag) { bestMag = m2; bestBin = k }
+            k += 1
+          }
+          if (bestBin >= 0) peaks += ((t, bestBin))
+          b += 1
+        }
+        t += 1
+        off += hop
+      }
+      // anchor→target pairing inside the zone Δt ∈ [1, maxDt]
+      val hashes = scala.collection.mutable.TreeSet.empty[Long]
+      val n = peaks.length
+      var a = 0
+      while (a < n) {
+        val (ta, fa) = peaks(a)
+        var taken = 0
+        var j = a + 1
+        while (j < n && taken < fanout) {
+          val (tb, fb) = peaks(j)
+          val dt = tb - ta
+          if (dt >= 1 && dt <= maxDt) {
+            hashes += (fa.toLong << 15) | (fb.toLong << 6) | dt.toLong
+            taken += 1
+          }
+          if (dt > maxDt) j = n // peaks are frame-ordered: zone exhausted
+          else j += 1
+        }
+        a += 1
+      }
+      hashes.toArray
+    }
+  }
+
+  /** Iterative radix-2 Cooley–Tukey FFT, in place (textbook form). */
+  private def fftInPlace(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    // bit-reversal permutation
+    var i = 1
+    var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang)
+      val wi = math.sin(ang)
+      var base = 0
+      while (base < n) {
+        var cr = 1.0
+        var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val er = re(base + k); val ei = im(base + k)
+          val or_ = re(base + k + len / 2); val oi = im(base + k + len / 2)
+          val pr = or_ * cr - oi * ci
+          val pi = or_ * ci + oi * cr
+          re(base + k) = er + pr; im(base + k) = ei + pi
+          re(base + k + len / 2) = er - pr; im(base + k + len / 2) = ei - pi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr
+          cr = ncr
+          k += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Landmark table → (media_id, lm), one row per distinct landmark
+    * hash; unparseable payloads drop. The explode IS the index: at
+    * scale this is the posting-list layout a shared-landmark
+    * equi-join prunes on. */
+  def audioLandmarkTable(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+        audioLandmarks(r.bytes).iterator.flatMap(_.iterator.map(h => (r.media_id, h)))))
+      .toDF("media_id", "lm")
+  }
+
+  /** Audio near-dup pairs by landmark-set CONTAINMENT: |A∩B| /
+    * min(|A|,|B|) ≥ `threshold` — containment, not Jaccard, because
+    * the motivating case is a clip embedded in (or shifted within) a
+    * longer one, where the shorter side's landmarks survive nearly
+    * whole but the union is diluted. Candidates from the shared-lm
+    * equi-join, counts reduced per pair — the [[videoNearDupPairs]]
+    * shape on a different posting list. */
+  def audioNearDupPairsByLandmarks(
+      landmarks: DataFrame,
+      threshold: Double = 0.25,
+  ): DataFrame = {
+    val sets = landmarks.select(col("media_id"), col("lm")).distinct()
+    val sizes = sets.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val shared = sets.as("a")
+      .join(sets.as("b"),
+        col("a.lm") === col("b.lm") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.withColumnRenamed("media_id", "id_a")
+        .withColumnRenamed("n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("media_id", "id_b")
+        .withColumnRenamed("n", "n_b"), Seq("id_b"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("inter"), col("n_a"), col("n_b"),
+        col("containment"))
   }
 
   /** Envelope-hash table → (media_id, ahash) for audio payloads;

@@ -510,6 +510,69 @@ class MultimodalSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
+  test("landmark fingerprints survive the time shift that defeats the envelope hash") {
+    import javax.sound.sampled._
+    val spark2 = spark
+    import spark2.implicits._
+    val rate = 8000
+    val hop = 256
+    // an 8-burst "melody": distinct frequencies, 0.25 s each
+    def melodyWav(freqs: Seq[Double], silencePrefixSamples: Int): Array[Byte] = {
+      val burst = rate / 4
+      val n = silencePrefixSamples + freqs.length * burst
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val j = i - silencePrefixSamples
+        val v =
+          if (j < 0) 0
+          else {
+            val f = freqs(j / burst)
+            (math.sin(2 * math.Pi * f * j / rate) * 0.8 * 32767).toInt
+          }
+        pcm(2 * i) = (v & 0xff).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val tune = Seq(500.0, 700.0, 900.0, 1100.0, 600.0, 800.0, 1000.0, 1200.0)
+    val other = Seq(1400.0, 1700.0, 2100.0, 2500.0, 1500.0, 1900.0, 2300.0, 2700.0)
+    val orig = melodyWav(tune, 0)
+    val shifted = melodyWav(tune, hop * 16) // +0.5 s of silence, hop-aligned
+    val unrelated = melodyWav(other, 0)
+
+    // the envelope hash is position-coded: the shift rewrites it
+    val hOrig = Multimodal.audioEnvelopeHash(orig).get
+    val hShift = Multimodal.audioEnvelopeHash(shifted).get
+    assert(java.lang.Long.bitCount(hOrig ^ hShift) > 3,
+      "fixture drift: the envelope hash should be defeated by the shift")
+
+    // landmarks are (f1, f2, Δt) — absolute-position-free
+    val lOrig = Multimodal.audioLandmarks(orig).get.toSet
+    val lShift = Multimodal.audioLandmarks(shifted).get.toSet
+    val lOther = Multimodal.audioLandmarks(unrelated).get.toSet
+    assert(lOrig.nonEmpty && lShift.nonEmpty && lOther.nonEmpty)
+    val contShift = lOrig.intersect(lShift).size.toDouble / math.min(lOrig.size, lShift.size)
+    val contOther = lOrig.intersect(lOther).size.toDouble / math.min(lOrig.size, lOther.size)
+    assert(contShift >= 0.6, s"shifted containment $contShift")
+    assert(contOther < 0.2, s"unrelated containment $contOther")
+    assert(Multimodal.audioLandmarks(Array[Byte](1, 2, 3)).isEmpty)
+
+    // distributed pairing: shared-landmark equi-join, never all-pairs
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", orig, "mem://1"),
+      Multimodal.MediaRecord(2L, "audio", shifted, "mem://2"),
+      Multimodal.MediaRecord(3L, "audio", unrelated, "mem://3"),
+    ).toDS()
+    val pairs = Multimodal.audioNearDupPairsByLandmarks(
+        Multimodal.audioLandmarkTable(media))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("video near-dup: shared-frame jaccard pairs re-cuts, ignores unrelated clips") {
     import java.awt.image.BufferedImage
     val spark2 = spark
