@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   * groupBy-sum shuffle on the destination (map-side partials) — no
   * driver-side loops over nodes, no adjacency matrix; the edges
   * subplan is identical across iterations so its exchange plans once
-  * and REUSES (the q69 funnel pattern, plan-audited). Lineage grows
-  * linearly in `iterations`; past ~20 rounds localCheckpoint the
-  * ranks every few iterations (the caller's knob — the catalog query
-  * runs 3).
+  * and REUSES (the q69 funnel pattern, plan-audited). [[pageRank]]'s
+  * lineage grows linearly in `iterations` (fine for the catalog's 3);
+  * production-length runs use [[pageRankConverged]], which
+  * checkpoints internally and stops at the exact integer fixed
+  * point.
   */
 object Graph {
 
@@ -95,21 +96,116 @@ object Graph {
     var ranks = nodes.withColumn("graft_r_", lit(scale))
     val base = (scale * (dampingDen - dampingNum)) / dampingDen
     for (_ <- 1 to iterations) {
-      val inbound = withOut
-        .join(ranks, col("graft_src_") === col("node"))
-        .select(col("graft_dst_").as("node"),
-          expr("(graft_r_ * graft_w_) div graft_outw_").as("graft_c_"))
-        .groupBy(col("node"))
-        .agg(sum(col("graft_c_")).as("graft_in_"))
-      val joined =
-        if (assumeNoDangling) inbound
-        else nodes.join(inbound, Seq("node"), "left")
-      ranks = joined
-        .select(col("node"),
-          (lit(base) +
-            expr(s"($dampingNum * coalesce(graft_in_, 0L)) div $dampingDen")
-          ).as("graft_r_"))
+      ranks = step(withOut, nodes, ranks, base, dampingNum, dampingDen,
+        assumeNoDangling)
     }
     ranks.select(col("node"), col("graft_r_").as("rank"))
+  }
+
+  /** CONVERGENCE-STOP [[pageRank]] for production-length runs: iterate
+    * until the largest per-node rank movement is ≤ `epsilon` (in
+    * scaled units), up to `maxIterations`. The integral arithmetic is
+    * what makes the stopping rule EXACT — the recurrence maps integer
+    * vectors to integer vectors, so it reaches a literal fixed point
+    * (Δ = 0) in finitely many rounds and `epsilon = 0` is a
+    * meaningful default; a float PageRank can only ever chase an
+    * approximate residual.
+    *
+    * Every `checkEvery` iterations the rank table is EAGERLY
+    * localCheckpoint'ed — cutting the join-per-iteration lineage the
+    * fixed-iteration form accumulates (its documented ~20-round
+    * limit) — and the max-|Δ| against the previous checkpoint is one
+    * scalar driver hop off the two materialized tables. `checkEvery`
+    * trades driver round-trips against overshoot: at k > 1 the test
+    * sees movement across k rounds (a STRONGER stability statement),
+    * at the cost of up to k−1 extra iterations past the true fix
+    * point. The returned plan is a checkpoint scan plus at most
+    * `checkEvery − 1` iteration joins, no matter how many rounds ran
+    * (spec-audited at 30 rounds).
+    *
+    * [[pageRank]] stays the oracle form — its unconditional loop is
+    * what the q98 CTE chain replays; this variant is bit-identical to
+    * it whenever both run the same number of iterations
+    * (spec-pinned). */
+  def pageRankConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      maxIterations: Int = 50,
+      epsilon: Long = 0L,
+      checkEvery: Int = 4,
+      dampingNum: Long = 85L,
+      dampingDen: Long = 100L,
+      scale: Long = 1000000000L,
+      assumeNoDangling: Boolean = false,
+  ): DataFrame = {
+    require(maxIterations >= 1, s"need at least one iteration, got $maxIterations")
+    require(epsilon >= 0L, s"epsilon must be >= 0, got $epsilon")
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    require(dampingNum > 0 && dampingNum < dampingDen,
+      s"damping must be in (0,1): $dampingNum/$dampingDen")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(weightCol) > 0L)
+      .select(
+        col(srcCol).as("graft_src_"),
+        col(dstCol).as("graft_dst_"),
+        col(weightCol).cast("long").as("graft_w_"))
+    val out = e.groupBy(col("graft_src_"))
+      .agg(sum(col("graft_w_")).as("graft_outw_"))
+    val withOut = e.join(out, Seq("graft_src_"))
+    val nodes = e.select(col("graft_src_").as("node"))
+      .union(e.select(col("graft_dst_").as("node")))
+      .distinct()
+    val base = (scale * (dampingDen - dampingNum)) / dampingDen
+
+    var ranks = nodes.withColumn("graft_r_", lit(scale)).localCheckpoint()
+    var last = ranks
+    var it = 0
+    var converged = false
+    while (it < maxIterations && !converged) {
+      ranks = step(withOut, nodes, ranks, base, dampingNum, dampingDen,
+        assumeNoDangling)
+      it += 1
+      if (it % checkEvery == 0 || it == maxIterations) {
+        ranks = ranks.localCheckpoint() // eager: lineage cut HERE
+        val d = ranks.as("n")
+          .join(last.as("o"), col("n.node") === col("o.node"))
+          .agg(max(abs(col("n.graft_r_") - col("o.graft_r_"))))
+          .head().get(0)
+        // null max ⇔ empty graph: vacuously converged
+        converged = d == null || d.asInstanceOf[Long] <= epsilon
+        last = ranks
+      }
+    }
+    ranks.select(col("node"), col("graft_r_").as("rank"))
+  }
+
+  /** One PageRank iteration: ranks ⋈ edges on src, contribution
+    * groupBy-sum on dst, damping applied integrally. */
+  private def step(
+      withOut: DataFrame,
+      nodes: DataFrame,
+      ranks: DataFrame,
+      base: Long,
+      dampingNum: Long,
+      dampingDen: Long,
+      assumeNoDangling: Boolean,
+  ): DataFrame = {
+    val inbound = withOut
+      .join(ranks, col("graft_src_") === col("node"))
+      .select(col("graft_dst_").as("node"),
+        expr("(graft_r_ * graft_w_) div graft_outw_").as("graft_c_"))
+      .groupBy(col("node"))
+      .agg(sum(col("graft_c_")).as("graft_in_"))
+    val joined =
+      if (assumeNoDangling) inbound
+      else nodes.join(inbound, Seq("node"), "left")
+    joined
+      .select(col("node"),
+        (lit(base) +
+          expr(s"($dampingNum * coalesce(graft_in_, 0L)) div $dampingDen")
+        ).as("graft_r_"))
   }
 }

@@ -17,6 +17,56 @@ class GraphSpec extends SparkSpec {
     assert(r == Map("A" -> Scale, "B" -> Scale))
   }
 
+  test("converged stop equals the fixed-iteration oracle at the same round count") {
+    // scale 1e9 with damping 85/100 is nowhere near its fixed point at
+    // 12 rounds, so the cap binds and both forms run exactly 12
+    val e = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L), ("A", "C", 1L))
+      .toDF("s", "d", "w")
+    val fixed = ranksOf(Graph.pageRank(e, "s", "d", "w", iterations = 12))
+    val conv = ranksOf(Graph.pageRankConverged(e, "s", "d", "w",
+      maxIterations = 12, epsilon = 0L, checkEvery = 5))
+    assert(conv == fixed)
+  }
+
+  test("converged stop reaches the exact integer fixed point, then stops") {
+    // damping 1/2 at scale 1e4 contracts to a literal integer fixed
+    // point within ~15 rounds; epsilon = 0 is exact thanks to the
+    // integral recurrence
+    val e = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L), ("A", "C", 1L))
+      .toDF("s", "d", "w")
+    val conv = ranksOf(Graph.pageRankConverged(e, "s", "d", "w",
+      maxIterations = 100, epsilon = 0L, checkEvery = 3,
+      dampingNum = 50L, dampingDen = 100L, scale = 10000L))
+    val fixedPoint = ranksOf(Graph.pageRank(e, "s", "d", "w",
+      iterations = 25, dampingNum = 50L, dampingDen = 100L, scale = 10000L))
+    assert(conv == fixedPoint)
+    // and the fixed point is genuinely fixed: one more round is a no-op
+    val more = ranksOf(Graph.pageRank(e, "s", "d", "w",
+      iterations = 26, dampingNum = 50L, dampingDen = 100L, scale = 10000L))
+    assert(more == fixedPoint)
+  }
+
+  test("2-cycle converges immediately under the convergence stop") {
+    val e = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("s", "d", "w")
+    val conv = ranksOf(Graph.pageRankConverged(e, "s", "d", "w",
+      maxIterations = 50, epsilon = 0L))
+    assert(conv == Map("A" -> Scale, "B" -> Scale))
+  }
+
+  test("30 converged rounds return a checkpoint-scan plan, not 30 stacked joins") {
+    val e = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L), ("A", "C", 1L))
+      .toDF("s", "d", "w")
+    val df = Graph.pageRankConverged(e, "s", "d", "w",
+      maxIterations = 30, epsilon = 0L, checkEvery = 5)
+    // the final table was checkpointed at round 30: its plan is a
+    // materialized-RDD scan, with zero of the loop's joins left
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val joins = "Join".r.findAllIn(plan).length
+    assert(joins == 0, s"expected a checkpoint scan, got $joins joins:\n$plan")
+    assert(df.count() == 3L)
+  }
+
   test("symmetrized star: hand-computed integral recurrence, two iterations") {
     // A↔B, A↔C with unit weights: out(A)=2, out(B)=out(C)=1
     val e = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "A", 1L), ("C", "A", 1L))
