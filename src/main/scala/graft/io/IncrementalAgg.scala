@@ -1,12 +1,12 @@
 package graft.io
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType, ShortType}
 
 /** Incrementally maintained groupBy aggregate — the materialized-view
   * payoff of the dir-level CDC ([[SnapshotBucketedStore
-  * .appendsSince]]): a grouped sum/count table over an append-log
+  * .appendsSince]]): a grouped aggregate table over an append-log
   * source that a refresh brings up to date by aggregating ONLY the
   * generations appended since the last refresh, never re-scanning
   * history. At 100 TB this is the difference between a nightly
@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   *
   * Mechanics: the destination is itself an append-log table whose
   * generations each hold the delta-aggregate of one refresh window;
-  * reading merges them with a plain groupBy-sum (the X74 sketch
+  * reading merges them with a plain groupBy (the X74 sketch
   * discipline — the maintained table IS a mergeable sketch of the
   * source). The refresh cursor (highest source VERSION applied)
   * rides the destination manifest's batch mark, so data + cursor
@@ -23,38 +23,85 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, IntegerType, LongType,
   * observing it makes the next refresh a no-op, not a double-count —
   * exactly-once without any coordinator.
   *
-  * Sum columns must be EXACT types (integral or decimal): their sums
-  * are reassociation-free, so the maintained aggregate is
-  * BIT-IDENTICAL to a one-shot groupBy over the full source
-  * (spec-pinned) — a double sum would drift by merge order and the
-  * equality contract (and any oracle) with it. Cast doubles to
-  * decimal at the source, the engine-wide rule.
+  * Maintained aggregates are exactly the LOSSLESSLY MERGEABLE ones:
+  *   - `sum`   — partial sums re-sum; EXACT types only (integral or
+  *               decimal): a double sum drifts with merge order and
+  *               the bit-equality contract (and any oracle) with it.
+  *               Cast doubles to decimal at the source, the
+  *               engine-wide rule.
+  *   - `min` / `max` — partial extrema re-extremize; any orderable
+  *               type, doubles included (no arithmetic happens).
+  *   - `count` — non-null counts re-sum.
+  *   - `avg`   — DECOMPOSED to (exact sum, non-null count) in
+  *               storage; the mean is ONE division at read time
+  *               (both operands exact, so the result is bit-stable
+  *               regardless of refresh boundaries). Exact-type
+  *               operand rule as `sum`.
+  * Anything not in this set (distinct counts, medians, …) is refused
+  * loudly — maintain a sketch ([[graft.streaming.SketchIntake]])
+  * instead. A `rows` count column is always maintained.
   *
   * A source compaction inside a refresh window rewrites the dirs the
   * delta capture needs ([[SnapshotBucketedStore.appendsSince]]
-  * refuses loudly); [[refresh]] then falls back to ONE full rebuild
-  * at the current version ([[SnapshotBucketedStore
+  * refuses loudly), and a vacuumed cursor manifest makes the window
+  * unreadable (appendsSince → None); [[refresh]] then falls back to
+  * ONE full rebuild at the current version ([[SnapshotBucketedStore
   * .replaceWithBatch]] installs content + cursor atomically) and is
   * incremental again from there — always convergent, never silently
   * wrong.
+  *
+  * DELETE PROPAGATION rides the same fence, closing the governance
+  * loop: every delete pathway is a version-advancing commit whose
+  * dir-level capture the horizon rules refuse —
+  * [[SnapshotBucketedStore.delete]] (bucketed sources; appendsSince
+  * refuses bucketed manifests outright) and filtered
+  * [[SnapshotBucketedStore.compactLogs]] (the log-table GDPR path;
+  * the compaction-horizon rule) — so the refresh AFTER a delete
+  * cannot take the incremental shortcut and auto-rebuilds from the
+  * post-delete base. A maintained aggregate can therefore never
+  * silently retain deleted rows' contributions past its next refresh
+  * (spec-pinned for both pathways). Bucketed sources rebuild on
+  * EVERY refresh by the same rule — correct, but the incremental
+  * payoff only exists for append-log sources.
   */
 object IncrementalAgg {
 
+  /** One maintained aggregate: `fn` ∈ sum|min|max|count|avg applied
+    * to source column `src`, surfaced at read time as `out`. */
+  final case class AggCol(fn: String, src: String, out: String)
+  object AggCol {
+    val Fns = Set("sum", "min", "max", "count", "avg")
+    def sum(c: String): AggCol = AggCol("sum", c, c)
+    def min(c: String): AggCol = AggCol("min", c, s"min_$c")
+    def max(c: String): AggCol = AggCol("max", c, s"max_$c")
+    def count(c: String): AggCol = AggCol("count", c, s"cnt_$c")
+    def avg(c: String): AggCol = AggCol("avg", c, s"avg_$c")
+  }
+
   /** Bring `dst` up to date with `src` (append-log source table).
-    * `sumCols` are summed per `keys`; a `rows` count column is
-    * maintained automatically (sums and counts make averages a
-    * read-side division). Returns true when new source generations
-    * were applied (or a rebuild ran), false when already current.
-    * No-op (false) when the source doesn't exist yet. */
+    * `sumCols` are summed per `keys` under their own names — the
+    * original sum-only surface, kept verbatim; [[refreshAggs]] is the
+    * general form. Returns true when new source generations were
+    * applied (or a rebuild ran), false when already current. No-op
+    * (false) when the source doesn't exist yet. */
   def refresh(
       store: SnapshotBucketedStore,
       src: String,
       dst: String,
       keys: Seq[String],
       sumCols: Seq[String],
+  ): Boolean =
+    refreshAggs(store, src, dst, keys, sumCols.map(AggCol.sum))
+
+  /** [[refresh]] over the full mergeable-aggregate set. */
+  def refreshAggs(
+      store: SnapshotBucketedStore,
+      src: String,
+      dst: String,
+      keys: Seq[String],
+      aggs: Seq[AggCol],
   ): Boolean = {
-    require(keys.nonEmpty, "need at least one key column")
-    require(sumCols.nonEmpty, "need at least one sum column")
+    validate(keys, aggs)
     val versions = store.snapshots(src)
     if (versions.isEmpty) return false
     val cur = versions.max
@@ -67,13 +114,13 @@ object IncrementalAgg {
         // rebuild once in either case
         def rebuild(): Boolean = {
           store.replaceWithBatch(dst,
-            deltaAgg(store.readAt(src, cur).get, keys, sumCols), cur.toLong)
+            deltaAgg(store.readAt(src, cur).get, keys, aggs), cur.toLong)
           true
         }
         try {
           store.appendsSince(src, c.toInt, Some(cur)) match {
             case Some(delta) =>
-              store.appendIfNew(dst, deltaAgg(delta, keys, sumCols), cur.toLong)
+              store.appendIfNew(dst, deltaAgg(delta, keys, aggs), cur.toLong)
             case None => rebuild()
           }
         } catch {
@@ -83,7 +130,7 @@ object IncrementalAgg {
         // first refresh (or an unmarked dst): full build at cur,
         // content + cursor in one commit
         store.replaceWithBatch(dst,
-          deltaAgg(store.readAt(src, cur).get, keys, sumCols), cur.toLong)
+          deltaAgg(store.readAt(src, cur).get, keys, aggs), cur.toLong)
         true
     }
   }
@@ -91,13 +138,13 @@ object IncrementalAgg {
   /** Streaming twin of [[refresh]]: maintain the aggregate DIRECTLY
     * from a stream (AvailableNow drain), one exactly-once
     * delta-aggregate generation per micro-batch — the
-    * [[graft.streaming.SketchIntake]] discipline with grouped sums
-    * as the mergeable cells. Exact-type sums make the maintained
-    * read bit-identical to a one-shot aggregate over everything
-    * drained, batch boundaries invisible. ONE maintainer per
-    * destination: the stream's epoch ids and [[refresh]]'s version
-    * cursor share the manifest batch mark — mixing both writers on
-    * one table would cross-fence. */
+    * [[graft.streaming.SketchIntake]] discipline with grouped
+    * mergeable aggregates as the cells. Lossless merging makes the
+    * maintained read bit-identical to a one-shot aggregate over
+    * everything drained, batch boundaries invisible. ONE maintainer
+    * per destination: the stream's epoch ids and [[refresh]]'s
+    * version cursor share the manifest batch mark — mixing both
+    * writers on one table would cross-fence. */
   def drainTo(
       events: DataFrame,
       store: SnapshotBucketedStore,
@@ -105,27 +152,51 @@ object IncrementalAgg {
       keys: Seq[String],
       sumCols: Seq[String],
       checkpoint: String,
+  ): Unit =
+    drainAggsTo(events, store, dst, keys, sumCols.map(AggCol.sum), checkpoint)
+
+  /** [[drainTo]] over the full mergeable-aggregate set. */
+  def drainAggsTo(
+      events: DataFrame,
+      store: SnapshotBucketedStore,
+      dst: String,
+      keys: Seq[String],
+      aggs: Seq[AggCol],
+      checkpoint: String,
   ): Unit = {
+    validate(keys, aggs)
     import org.apache.spark.sql.streaming.Trigger
     val q = events.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        store.appendIfNew(dst, deltaAgg(batch, keys, sumCols), batchId): Unit
+        store.appendIfNew(dst, deltaAgg(batch, keys, aggs), batchId): Unit
       }
       .start()
     q.awaitTermination()
   }
 
-  /** The maintained aggregate: generations merged by groupBy-sum.
-    * Output: keys, the sum columns (same names), `rows`. */
+  /** The maintained aggregate: generations merged per aggregate's own
+    * merge rule, avg pairs divided at the very end. Output: keys, the
+    * aggregate columns under their `out` names, `rows`. */
   def read(
       store: SnapshotBucketedStore,
       dst: String,
       keys: Seq[String],
       sumCols: Seq[String],
   ): Option[DataFrame] =
-    store.read(dst).map(merge(_, keys, sumCols))
+    readAggs(store, dst, keys, sumCols.map(AggCol.sum))
+
+  /** [[read]] over the full mergeable-aggregate set. */
+  def readAggs(
+      store: SnapshotBucketedStore,
+      dst: String,
+      keys: Seq[String],
+      aggs: Seq[AggCol],
+  ): Option[DataFrame] = {
+    validate(keys, aggs)
+    store.read(dst).map(m => finish(merge(m, keys, aggs), keys, aggs))
+  }
 
   /** Fold the destination's generation log to one (read-equivalent,
     * CAS-fenced — [[SnapshotBucketedStore.compactLogs]]); the batch
@@ -135,8 +206,34 @@ object IncrementalAgg {
       dst: String,
       keys: Seq[String],
       sumCols: Seq[String],
+  ): Unit =
+    compactAggs(store, dst, keys, sumCols.map(AggCol.sum))
+
+  /** [[compact]] over the full mergeable-aggregate set. */
+  def compactAggs(
+      store: SnapshotBucketedStore,
+      dst: String,
+      keys: Seq[String],
+      aggs: Seq[AggCol],
   ): Unit = {
-    store.compactLogs(dst, merge(_, keys, sumCols)): Unit
+    validate(keys, aggs)
+    store.compactLogs(dst, merge(_, keys, aggs)): Unit
+  }
+
+  // -------------------------------------------------------------------
+
+  private def validate(keys: Seq[String], aggs: Seq[AggCol]): Unit = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(aggs.nonEmpty, "need at least one aggregate column")
+    aggs.foreach(a => require(AggCol.Fns(a.fn),
+      s"unsupported aggregate '${a.fn}' (${a.src}): only losslessly " +
+        s"mergeable aggregates (${AggCol.Fns.mkString("/")}) can be " +
+        "maintained incrementally — use a sketch intake for the rest"))
+    val outs = aggs.map(_.out) :+ "rows"
+    require(outs.distinct.size == outs.size,
+      s"duplicate output names: ${outs.diff(outs.distinct).mkString(",")}")
+    aggs.foreach(a => require(!a.out.startsWith("_g_"),
+      s"output name ${a.out} collides with the internal _g_ prefix"))
   }
 
   private def exactType(df: DataFrame, c: String): Boolean =
@@ -146,18 +243,60 @@ object IncrementalAgg {
       case _ => false
     }
 
-  private def deltaAgg(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
-    sumCols.foreach(c => require(exactType(df, c),
-      s"sum column $c is ${df.schema(c).dataType.simpleString}: incremental " +
-        "sums need exact (integral/decimal) types — a double sum drifts " +
-        "with merge order; cast to decimal at the source"))
-    df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("rows"), sumCols.map(c => sum(col(c)).as(c)): _*)
-      .select((keys.map(col) ++ sumCols.map(col) :+ col("rows")): _*)
+  /** Physical storage columns of one aggregate (avg splits in two). */
+  private def physCols(a: AggCol): Seq[String] = a.fn match {
+    case "avg" => Seq(s"_g_sum_${a.out}", s"_g_cnt_${a.out}")
+    case _ => Seq(a.out)
   }
 
-  private def merge(df: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame =
+  /** Delta-aggregate one window of source rows. */
+  private def deltaAgg(df: DataFrame, keys: Seq[String], aggs: Seq[AggCol]): DataFrame = {
+    aggs.filter(a => a.fn == "sum" || a.fn == "avg").foreach(a =>
+      require(exactType(df, a.src),
+        s"${a.fn} column ${a.src} is ${df.schema(a.src).dataType.simpleString}: " +
+          "incremental sums need exact (integral/decimal) types — a double " +
+          "sum drifts with merge order; cast to decimal at the source"))
+    val exprs = aggs.flatMap {
+      case AggCol("sum", c, out) => Seq(sum(col(c)).as(out))
+      case AggCol("min", c, out) => Seq(min(col(c)).as(out))
+      case AggCol("max", c, out) => Seq(max(col(c)).as(out))
+      case AggCol("count", c, out) => Seq(count(col(c)).as(out))
+      case AggCol("avg", c, out) =>
+        Seq(sum(col(c)).as(s"_g_sum_$out"), count(col(c)).as(s"_g_cnt_$out"))
+      case a => throw new IllegalArgumentException(a.fn) // validate() bars this
+    }
     df.groupBy(keys.map(col): _*)
-      .agg(sum(col("rows")).as("rows"), sumCols.map(c => sum(col(c)).as(c)): _*)
-      .select((keys.map(col) ++ sumCols.map(col) :+ col("rows")): _*)
+      .agg(count(lit(1)).as("rows"), exprs: _*)
+      .select((keys.map(col) ++ aggs.flatMap(physCols).map(col) :+ col("rows")): _*)
+  }
+
+  /** Merge stored generations: each aggregate by its own rule. */
+  private def merge(df: DataFrame, keys: Seq[String], aggs: Seq[AggCol]): DataFrame = {
+    val exprs = aggs.flatMap {
+      case AggCol("sum", _, out) => Seq(sum(col(out)).as(out))
+      case AggCol("min", _, out) => Seq(min(col(out)).as(out))
+      case AggCol("max", _, out) => Seq(max(col(out)).as(out))
+      case AggCol("count", _, out) => Seq(sum(col(out)).as(out))
+      case AggCol("avg", _, out) => Seq(
+        sum(col(s"_g_sum_$out")).as(s"_g_sum_$out"),
+        sum(col(s"_g_cnt_$out")).as(s"_g_cnt_$out"))
+      case a => throw new IllegalArgumentException(a.fn)
+    }
+    df.groupBy(keys.map(col): _*)
+      .agg(sum(col("rows")).as("rows"), exprs: _*)
+      .select((keys.map(col) ++ aggs.flatMap(physCols).map(col) :+ col("rows")): _*)
+  }
+
+  /** Read-side projection: avg pairs become ONE division (exact
+    * operands → bit-stable double; null when no non-null values). */
+  private def finish(df: DataFrame, keys: Seq[String], aggs: Seq[AggCol]): DataFrame = {
+    val outs: Seq[Column] = aggs.map {
+      case AggCol("avg", _, out) =>
+        when(col(s"_g_cnt_$out") > 0L,
+          col(s"_g_sum_$out").cast("double") / col(s"_g_cnt_$out").cast("double"))
+          .as(out)
+      case a => col(a.out)
+    }
+    df.select((keys.map(col) ++ outs :+ col("rows")): _*)
+  }
 }
