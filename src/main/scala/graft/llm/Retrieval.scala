@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Query→document full-text retrieval: BM25 ranking (Robertson &
+  * Spärck Jones lineage; the Okapi formula every search engine
+  * publishes) over the corpus, expressed as posting-list equi-joins —
+  * the inverted-index access path done relationally, never a scan of
+  * all (query, doc) pairs.
+  *
+  * Exactness: classic BM25 is idf·sat with
+  *   idf = ln((N − df + ½)/(df + ½) + 1),
+  *   sat = tf·(k₁+1) / (tf + k₁·(1 − b + b·dl/avgdl)).
+  * The log (libm, engine-specific last-ulp) is replaced by the
+  * monotone scaled-integer ratio it wraps — the salientTerms/DSIR
+  * exact-surrogate rule:
+  *   idfS  = ((2·(N−df)+1) · IdfScale) div (2·df+1)
+  * and sat is cleared of fractions by multiplying through by 10·L
+  * (k₁ = 6/5, b = 3/4, avgdl = L/N exactly — no float division):
+  *   satS  = (22·L·tf · SatScale) div (10·L·tf + 3·L + 9·dl·N)
+  * Per-term score = idfS·satS, per-doc score = the exact long SUM
+  * over the query's distinct terms — order-free, so the DuckDB oracle
+  * hash-matches the full ranking, which no float-log BM25 could.
+  * Monotonicity: for fixed (tf, dl) the score orders documents
+  * exactly as float BM25 does whenever df differs; the integer
+  * floors only coarsen ties (documented, bounded by 1/Scale).
+  *
+  * Scale shape: tf/df/dl are three map-side-combinable aggregates of
+  * the token explode (the q84 signal pass can share the same scan).
+  * The query set is small by nature → `broadcast(qterms)`: the join
+  * touches ONLY the postings of terms some query mentions — that is
+  * the inverted-index pruning, obtained relationally. Per-query
+  * top-k rides [[graft.expr.TopKAgg]], the bounded-heap aggregate
+  * that reduces each map task's candidates to ≤ k rows BEFORE the
+  * shuffle (the salientTerms discipline; a window row_number would
+  * ship every candidate). Totals (N, L) are one 1-row broadcast
+  * cross join (the Quantiles totals pattern).
+  *
+  * Long headroom: 22·L·tf·SatScale must stay below 2⁶³ — with
+  * SatScale = 1000 that holds through L·tf ≈ 4e17 (hundreds of
+  * billions of tokens × heavy tf); at the extreme, lower SatScale
+  * (the ratio carries the signal, not the magnitude).
+  */
+object Retrieval {
+
+  /** idf resolution: ~3 significant digits of the df ratio. */
+  val IdfScale = 1000L
+
+  /** tf-saturation resolution: sat ∈ (0, 2.2) → satS ∈ (0, 2200]. */
+  val SatScale = 1000L
+
+  /** BM25 top-k: for each query row (qidCol, qtextCol), the k highest
+    * scoring documents. Output: (qid, rank, doc_id-named idCol,
+    * score), rank 1-based by score desc, ties broken on id asc —
+    * fully deterministic. Queries whose terms match nothing yield no
+    * rows (no evidence, no ranking — callers needing every query
+    * left-join this result). Query terms are DISTINCT within a query
+    * (the standard short-query form; repeat a term via a longer
+    * query is not supported by design — qtf weighting is a one-line
+    * extension the doc notes for completeness). */
+  def bm25TopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      qidCol: String = "qid",
+      qtextCol: String = "qtext",
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("dl"), lit(0L)).as("l_tot"))
+    val qterms = queries
+      .select(col(qidCol).as("qid"),
+        explode(array_distinct(split(col(qtextCol), " "))).as("term"))
+      .filter(length(col("term")) > 0)
+    val scoredTerms = broadcast(qterms)
+      .join(tf, Seq("term"))              // postings of queried terms only
+      .join(dfT, Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("graft_idf_",
+        expr(s"((2 * (n_docs - df) + 1) * $IdfScale) div (2 * df + 1)"))
+      .withColumn("graft_sat_",
+        expr(s"(22 * l_tot * tf * $SatScale) div " +
+          "(10 * l_tot * tf + 3 * l_tot + 9 * dl * n_docs)"))
+      .withColumn("graft_ts_", col("graft_idf_") * col("graft_sat_"))
+    val perDoc = scoredTerms
+      .groupBy("qid", "id")
+      .agg(sum("graft_ts_").as("score"))
+    // payload field order (id first) IS the tie-break on equal scores;
+    // the heap's ordering key is double — exact for scores < 2⁵³,
+    // which the SatScale headroom note already bounds harder than
+    val payload = struct(col("id"), col("score"))
+    perDoc
+      .groupBy("qid")
+      .agg(graft.expr.TopKAgg.topK(col("score").cast("double"), payload, k)
+        .as("graft_top_"))
+      .select(col("qid"), posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
+      .select(col("qid"), (col("graft_r_") + 1).cast("int").as("rank"),
+        col("e.id").as(idCol), col("e.score").as("score"))
+  }
+}

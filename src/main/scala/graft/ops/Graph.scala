@@ -182,6 +182,160 @@ object Graph {
     ranks.select(col("node"), col("graft_r_").as("rank"))
   }
 
+  /** PERSONALIZED PageRank (topic-sensitive PageRank, Haveliwala
+    * 2002): the teleport mass lands only on `seeds` instead of
+    * uniformly — ranks measure proximity to the seed set through the
+    * link structure (the "expand a trusted whitelist" corpus-curation
+    * move: seed known-good sources, harvest what they structurally
+    * endorse).
+    *
+    * Same scaled-long arithmetic as [[pageRank]], different mass
+    * convention: the VIRTUAL TOTAL mass is one `scale` spread over
+    * the |S| seeds (uniform PR gives every node its own `scale`), so
+    *   r₀(v)   = seed(v) ? scale div |S| : 0
+    *   r'(v)   = seed(v) ? ((den−num)·scale) div (den·|S|) : 0
+    *           + (num · Σ contrib) div den
+    * — every operand integral and positive, div = floor on both
+    * engines, so the q113 CTE chain replays it bit-for-bit. |S| is
+    * one scalar driver hop (the documented O(1)-hop budget).
+    *
+    * Seeds absent from the edge list carry no link structure and are
+    * dropped (they would hold teleport mass that can never flow);
+    * |S| counts only seeds IN the graph, so the teleport mass stays
+    * fully allocated. Empty effective seed set is refused loudly.
+    *
+    * Per-iteration cost is identical to [[pageRank]] — one ranks⋈edges
+    * join + one dst groupBy-sum; the node-side left join carries the
+    * seed flag, so personalization adds zero extra shuffles. */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int = 5,
+      dampingNum: Long = 85L,
+      dampingDen: Long = 100L,
+      scale: Long = 1000000000L,
+  ): DataFrame = {
+    require(iterations >= 1, s"need at least one iteration, got $iterations")
+    require(dampingNum > 0 && dampingNum < dampingDen,
+      s"damping must be in (0,1): $dampingNum/$dampingDen")
+    require(seeds.columns.length == 1,
+      s"seeds must be a single node column, got ${seeds.columns.toSeq}")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(weightCol) > 0L)
+      .select(
+        col(srcCol).as("graft_src_"),
+        col(dstCol).as("graft_dst_"),
+        col(weightCol).cast("long").as("graft_w_"))
+    val out = e.groupBy(col("graft_src_"))
+      .agg(sum(col("graft_w_")).as("graft_outw_"))
+    val withOut = e.join(out, Seq("graft_src_"))
+    val nodes = e.select(col("graft_src_").as("node"))
+      .union(e.select(col("graft_dst_").as("node")))
+      .distinct()
+    val seedSet = seeds.toDF("node").na.drop().distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val sCount = seedSet.count()
+    require(sCount >= 1L,
+      "no seed appears in the edge list — personalization is undefined")
+    val seedInit = scale / sCount
+    val seedBase = ((dampingDen - dampingNum) * scale) / (dampingDen * sCount)
+    val flagged = nodes
+      .join(seedSet.withColumn("graft_seed_", lit(1)), Seq("node"), "left")
+    var ranks = flagged
+      .select(col("node"),
+        when(col("graft_seed_").isNotNull, lit(seedInit))
+          .otherwise(lit(0L)).as("graft_r_"))
+    for (_ <- 1 to iterations) {
+      val inbound = withOut
+        .join(ranks, col("graft_src_") === col("node"))
+        .select(col("graft_dst_").as("node"),
+          expr("(graft_r_ * graft_w_) div graft_outw_").as("graft_c_"))
+        .groupBy(col("node"))
+        .agg(sum(col("graft_c_")).as("graft_in_"))
+      ranks = flagged.join(inbound, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("graft_seed_").isNotNull, lit(seedBase)).otherwise(lit(0L)) +
+            expr(s"($dampingNum * coalesce(graft_in_, 0L)) div $dampingDen")
+          ).as("graft_r_"))
+    }
+    ranks.select(col("node"), col("graft_r_").as("rank"))
+  }
+
+  /** Per-node triangle counts (the clustering-coefficient numerator —
+    * the classic cohesion signal: an entity whose neighbors also link
+    * to EACH OTHER sits in a genuine community, not a hub-and-spoke
+    * artifact) via degree orientation (Schank & Wagner 2005, the
+    * published distributed-triangle method): orient every undirected
+    * edge from its (degree, id)-smaller endpoint to the larger, so
+    * each triangle {u,v,w} materializes EXACTLY once as the wedge
+    * u→v, u→w closed by v→w — and, critically, the oriented
+    * out-degree is O(√E) even at hub nodes, which bounds the wedge
+    * join's fan-out where a naive neighbor-pair explode is quadratic
+    * in the hub degree (the all-pairs cliff this repo never takes).
+    *
+    * Shape: dedupe/canonicalize (one distinct), degree groupBy, the
+    * wedge self-join on the oriented source, and one semi-ish inner
+    * join closing the wedge against the oriented edge set — all
+    * equi-joins on node keys, exact integer counts, fully
+    * deterministic → q114 hash-replayable. Self-loops and parallel
+    * edges are dropped up front (a self-loop is no triangle; a
+    * parallel edge would double-count one).
+    *
+    * Output: (node, triangles) for every node of the graph, 0 kept —
+    * the denominator side (deg·(deg−1)/2) is derivable from the same
+    * degree table, so the caller can form clustering coefficients
+    * without another pass. */
+  def triangleCounts(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+  ): DataFrame = {
+    val und = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("graft_deg_"))
+    // orient a→b when (deg(a), a) <= (deg(b), b); a < b lexically by
+    // construction, so degree ties orient a→b
+    val o = und
+      .join(deg.withColumnRenamed("node", "a")
+        .withColumnRenamed("graft_deg_", "graft_da_"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b")
+        .withColumnRenamed("graft_deg_", "graft_db_"), Seq("b"))
+      .select(
+        when(col("graft_da_") <= col("graft_db_"), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("graft_da_") <= col("graft_db_"), col("b"))
+          .otherwise(col("a")).as("v"))
+    // wedges u→v, u→w with v before w in the orientation order are
+    // exactly the candidate closings; the join on the oriented edge
+    // set keeps those where v→w exists
+    val tri = o.as("e1")
+      .join(o.as("e2"), col("e1.u") === col("e2.u") &&
+        col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("u"), col("e1.v").as("x"), col("e2.v").as("y"))
+      // the closing edge may be oriented x→y or y→x depending on
+      // degrees — probe the CANONICAL pair set (= und: x < y lexically
+      // on both sides, so no direction case split is needed)
+      .join(und.withColumnRenamed("a", "x").withColumnRenamed("b", "y"),
+        Seq("x", "y"), "inner")
+      .select(col("u"), col("x"), col("y"))
+    val credited = tri.select(explode(array(col("u"), col("x"), col("y")))
+      .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.select(col("node"))
+      .join(credited, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
   /** One PageRank iteration: ranks ⋈ edges on src, contribution
     * groupBy-sum on dst, damping applied integrally. */
   private def step(

@@ -1914,6 +1914,151 @@ object Catalog {
     Some(pageRankOracle(3)),
   )
 
+  /** The q113 oracle: the q98 CTE chain with the teleport mass
+    * concentrated on the seed set — r0 and the per-iteration base
+    * term gated on seed membership, |S| and the seed constants
+    * computed IN SQL with the same floor divisions the Scala side
+    * runs, so the two engines derive them from one definition. */
+  private def pprOracle(iterations: Int): String = {
+    val steps = (1 to iterations).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node AS node,
+         |         CAST(CASE WHEN n.node IN (SELECT node FROM seeds)
+         |                   THEN (15 * 1000000000::BIGINT) // (100 * (SELECT ns FROM nseed))
+         |                   ELSE 0 END
+         |              + (85 * COALESCE(s.inb, 0)) // 100 AS BIGINT) AS pr
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT ew.dst AS node, CAST(SUM((r.pr * ew.w) // ew.outw) AS BIGINT) AS inb
+         |    FROM ew JOIN r${i - 1} r ON ew.src = r.node
+         |    GROUP BY ew.dst
+         |  ) s ON n.node = s.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""
+      WITH e0 AS (
+        SELECT concat('C', CAST(o_custkey AS VARCHAR)) AS src,
+               concat('S', CAST(l_suppkey AS VARCHAR)) AS dst,
+               COUNT(*) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+      ),
+      e AS (
+        SELECT src, dst, w FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst, w FROM e0
+      ),
+      outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM e GROUP BY src),
+      ew AS (
+        SELECT e.src AS src, e.dst AS dst, e.w AS w, outw.outw AS outw
+        FROM e JOIN outw ON e.src = outw.src
+      ),
+      nodes AS (
+        SELECT DISTINCT src AS node FROM e
+        UNION
+        SELECT DISTINCT dst AS node FROM e
+      ),
+      seeds AS (
+        SELECT DISTINCT concat('S', CAST(l_suppkey AS VARCHAR)) AS node
+        FROM lineitem WHERE l_suppkey % 10 = 0
+      ),
+      nseed AS (SELECT COUNT(*) AS ns FROM seeds s
+                WHERE s.node IN (SELECT node FROM nodes)),
+      r0 AS (
+        SELECT node,
+               CAST(CASE WHEN node IN (SELECT node FROM seeds)
+                    THEN 1000000000 // (SELECT ns FROM nseed)
+                    ELSE 0 END AS BIGINT) AS pr
+        FROM nodes
+      ),
+      $steps
+      SELECT node, pr FROM r$iterations WHERE pr > 0 ORDER BY node
+    """.trim
+  }
+
+  /** Personalized PageRank (Graph.personalizedPageRank) seeded on
+    * every 10th supplier: proximity-to-the-seed-set centrality — the
+    * "expand a trusted whitelist through link structure" curation
+    * move, on the q98 interaction graph. Teleport mass lands only on
+    * seeds; the output keeps reachable nodes (pr > 0 — with 3
+    * iterations that is the seeds' 3-hop neighborhood, exactly the
+    * set PPR has evidence about). Same per-iteration cost/shape as
+    * q98; the integral arithmetic makes the personalized fixpoint
+    * hash-replayable like the uniform one. */
+  val personalizedPageRankQ = GraftQuery(
+    "q113_personalized_pagerank",
+    (s, d) => {
+      val e0 = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("C"), col("o_custkey")).as("src"),
+          concat(lit("S"), col("l_suppkey")).as("dst"))
+        .groupBy(col("src"), col("dst"))
+        .agg(count(lit(1)).as("w"))
+      val sym = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = lineitem(s, d)
+        .filter(col("l_suppkey") % 10 === 0)
+        .select(concat(lit("S"), col("l_suppkey")).as("node"))
+        .distinct()
+      graft.ops.Graph.personalizedPageRank(sym, seeds, "src", "dst", "w",
+          iterations = 3)
+        .filter(col("rank") > 0L)
+        .select(col("node"), col("rank").as("pr"))
+        .orderBy(col("node"))
+    },
+    Some(pprOracle(3)),
+  )
+
+  /** Per-node triangle counts (Graph.triangleCounts, degree-oriented —
+    * Schank & Wagner) over the minute-co-presence graph: users active
+    * in the same minute are linked; triangle-rich users sit in real
+    * cohorts (sessions overlapping BOTH ways), hub-and-spoke
+    * coincidences don't. The pair generation is a per-window
+    * self-join (window populations are small by construction — the
+    * q29-family bounded fan-out); the triangle pass is the published
+    * O(√E)-out-degree wedge join, hash-replayed by the oracle joins
+    * CTE-for-CTE. */
+  val triangleCountsQ = GraftQuery(
+    "q114_copresence_triangles",
+    (s, d) => {
+      val ue = events(s, d)
+        .select(col("user_id").as("uid"), expr("ts div 60000000000").as("w"))
+        .distinct()
+      val e = ue.as("x").join(ue.as("y"),
+          col("x.w") === col("y.w") && col("x.uid") < col("y.uid"))
+        .select(col("x.uid").as("src"), col("y.uid").as("dst"))
+      graft.ops.Graph.triangleCounts(e, "src", "dst")
+        .select(col("node").as("user_id"), col("triangles"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ue AS (SELECT DISTINCT user_id AS uid, epoch_ns(ts)//60000000000 AS w
+                  FROM events),
+      e AS (SELECT DISTINCT x.uid AS a, y.uid AS b
+            FROM ue x JOIN ue y ON x.w = y.w AND x.uid < y.uid),
+      deg AS (SELECT node, COUNT(*) AS deg FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+              GROUP BY node),
+      o AS (
+        SELECT CASE WHEN da.deg <= db.deg THEN e.a ELSE e.b END AS u,
+               CASE WHEN da.deg <= db.deg THEN e.b ELSE e.a END AS v
+        FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+      ),
+      tri AS (
+        SELECT e1.u AS u, e1.v AS x, e2.v AS y
+        FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN e ON e.a = e1.v AND e.b = e2.v
+      ),
+      cr AS (SELECT node, COUNT(*) AS triangles FROM (
+               SELECT u AS node FROM tri
+               UNION ALL SELECT x AS node FROM tri
+               UNION ALL SELECT y AS node FROM tri) GROUP BY node)
+      SELECT deg.node AS user_id,
+             CAST(COALESCE(cr.triangles, 0) AS BIGINT) AS triangles
+      FROM deg LEFT JOIN cr ON deg.node = cr.node
+      ORDER BY user_id
+    """.trim),
+  )
+
   /** Per-source histogram-sketch quantiles
     * (Quantiles.fromHistogramPerGroup): q97's one-pass estimator
     * inside each source — the per-feed length p50/p90 without a sort
@@ -2092,6 +2237,8 @@ object Catalog {
     snapshotDiffQ,
     sketchQuantilesQ,
     pageRankQ,
+    personalizedPageRankQ,
+    triangleCountsQ,
     groupSketchQuantilesQ,
     tableDigestQ,
     fuzzyJoinQ,

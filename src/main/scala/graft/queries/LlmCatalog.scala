@@ -3040,6 +3040,184 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Shared DuckDB mirror of the DSIR chain (q110/q111) — generated
+    * from the SAME constants as the Spark side (ShingleC bigram
+    * combination, ShingleM, Dsir.DefaultBuckets, Dsir.Scale) so the
+    * two engines share one source of truth for every hash and the
+    * integer weight arithmetic. target = the curated 'src0' slice,
+    * raw = everything else — the published DSIR setup (curated
+    * target, web-scale raw pool) at testdata size. */
+  private lazy val dsirCtes: String = {
+    val Seq(c1, c2) = TextOps.ShingleC.take(2)
+    val m = TextOps.ShingleM
+    val b = graft.llm.Dsir.DefaultBuckets
+    val s = graft.llm.Dsir.Scale
+    s"""raw AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+      tgt AS (SELECT text FROM documents WHERE source = 'src0'),
+      rocc AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(th)-1),
+            i -> ((th[i]*$c1 + th[i+1]*$c2) % $m) % $b)) AS bucket
+        FROM (SELECT doc_id,
+                list_transform(string_split(text, ' '),
+                  t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+              FROM raw)
+      ),
+      tocc AS (
+        SELECT unnest(list_transform(generate_series(1, len(th)-1),
+            i -> ((th[i]*$c1 + th[i+1]*$c2) % $m) % $b)) AS bucket
+        FROM (SELECT list_transform(string_split(text, ' '),
+                t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+              FROM tgt)
+      ),
+      rc AS (SELECT bucket, COUNT(*) AS raw_cnt FROM rocc GROUP BY bucket),
+      tc AS (SELECT bucket, COUNT(*) AS tgt_cnt FROM tocc GROUP BY bucket),
+      tot AS (SELECT (SELECT COUNT(*) FROM rocc) AS raw_tot,
+                     (SELECT COUNT(*) FROM tocc) AS tgt_tot),
+      wts AS (
+        SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+               CAST(((COALESCE(tgt_cnt,0)+1) * (raw_tot+$b) * $s)
+                 // ((COALESCE(raw_cnt,0)+1) * (tgt_tot+$b)) AS BIGINT) AS weight
+        FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket, tot
+      ),
+      scored AS (
+        SELECT o.doc_id, COUNT(*) AS n_feats,
+               CAST(SUM(w.weight) AS BIGINT) AS score
+        FROM rocc o JOIN wts w ON o.bucket = w.bucket
+        GROUP BY o.doc_id
+      ),
+      dsir AS (
+        SELECT r.doc_id, COALESCE(s.n_feats, 0) AS n_feats,
+               COALESCE(s.score, 0) AS score
+        FROM raw r LEFT JOIN scored s ON r.doc_id = s.doc_id
+      )"""
+  }
+
+  private def dsirFrames(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val docs = documents(s, d)
+    (docs.filter(col("source") =!= "src0"), docs.filter(col("source") === "src0"))
+  }
+
+  /** DSIR importance scoring (Dsir — Xie et al. 2023, exact-integer
+    * form): fit hashed-bigram distributions on the curated target
+    * slice vs the raw pool, weight every bucket by the smoothed
+    * scaled-integer probability ratio, score each raw doc as the
+    * exact sum of its occurrences' weights. The hash pins the whole
+    * fit+serve chain — per-token md5, bigram combination, bucketing,
+    * add-one ratio arithmetic, and the multiplicity-kept sum —
+    * cross-engine. Feature-less docs surface with score 0 (funnel
+    * accounting), exercised by any < 2-token doc in the slice. */
+  val dsirScoresQ = GraftQuery(
+    "q110_dsir_scores",
+    (s, d) => {
+      val (raw, target) = dsirFrames(s, d)
+      val w = graft.llm.Dsir.importanceWeights(raw, target)
+      graft.llm.Dsir.scoreDocs(raw, w,
+          graft.llm.Dsir.defaultWeightOf(raw, target))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $dsirCtes
+      SELECT doc_id, n_feats, score FROM dsir ORDER BY doc_id
+    """.trim),
+  )
+
+  /** The composed DSIR selection (Dsir.select): fit → score →
+    * systematic-PPS resample by score (the X137 sampler with
+    * importance mass instead of token mass — exact, zero randomness).
+    * The oracle replays scoring then the q101 cum/grid pick rule, so
+    * the hash pins the composition seam: the score column IS the
+    * sampling mass, heavy docs can be picked twice, zero-score docs
+    * carry no mass and drop. */
+  val dsirSelectQ = GraftQuery(
+    "q111_dsir_select",
+    (s, d) => {
+      val (raw, target) = dsirFrames(s, d)
+      graft.llm.Dsir.select(raw, target, step = 150000000L)
+        .select(col("doc_id"), col("n_feats"), col("score"), col("picks"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $dsirCtes,
+      c AS (
+        SELECT doc_id, n_feats, score,
+               SUM(score) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM dsir WHERE score > 0
+      ),
+      p AS (
+        SELECT doc_id, n_feats, score,
+               CAST(CASE WHEN cum - 1 >= 0
+                         THEN (cum - 1) // 150000000 ELSE -1 END AS BIGINT)
+             - CAST(CASE WHEN cum - score - 1 >= 0
+                         THEN (cum - score - 1) // 150000000 ELSE -1 END AS BIGINT)
+               AS picks
+        FROM c
+      )
+      SELECT doc_id, n_feats, score, picks FROM p
+      WHERE picks >= 1 ORDER BY doc_id
+    """.trim),
+  )
+
+  /** BM25 query→document retrieval (Retrieval.bm25TopK): the Okapi
+    * ranking in its exact-integer form (log swapped for the scaled
+    * df-ratio it wraps — the q110 surrogate rule), postings touched
+    * only for queried terms via the broadcast qterms equi-join, per-
+    * query top-5 through the TopKAgg bounded heap. The oracle replays
+    * tf/df/dl/totals and the integer idf·sat arithmetic term for
+    * term, so the hash pins the entire ranking — scores AND order —
+    * cross-engine; q4's unmatched vocabulary pins the no-evidence-
+    * no-rows rule. */
+  val bm25Q = GraftQuery(
+    "q112_bm25_topk",
+    (s, d) => {
+      import s.implicits._
+      val qs = Seq((1, "hash join strategy"), (2, "slow scan filter"),
+        (3, "vector index build"), (4, "zzz unmatched terms"))
+        .toDF("qid", "qtext")
+      graft.llm.Retrieval.bm25TopK(documents(s, d), qs, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH q(qid, qtext) AS (VALUES (1, 'hash join strategy'),
+        (2, 'slow scan filter'), (3, 'vector index build'),
+        (4, 'zzz unmatched terms')),
+      toks AS (
+        SELECT doc_id AS id, t AS term FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE len(t) > 0
+      ),
+      tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY id, term),
+      dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+      dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS l_tot FROM dl),
+      qt AS (
+        SELECT qid, t AS term FROM (
+          SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS t FROM q)
+        WHERE len(t) > 0
+      ),
+      st AS (
+        SELECT qt.qid, tf.id,
+               ((2 * (n_docs - df) + 1) * ${graft.llm.Retrieval.IdfScale})
+                 // (2 * df + 1) AS idf,
+               (22 * l_tot * tf * ${graft.llm.Retrieval.SatScale})
+                 // (10 * l_tot * tf + 3 * l_tot + 9 * dl * n_docs) AS sat
+        FROM qt JOIN tf ON qt.term = tf.term
+        JOIN dft ON qt.term = dft.term
+        JOIN dl ON tf.id = dl.id, tot
+      ),
+      pd AS (SELECT qid, id, CAST(SUM(idf * sat) AS BIGINT) AS score
+             FROM st GROUP BY qid, id),
+      rk AS (
+        SELECT qid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY score DESC, id) AS INT) AS rank,
+               id AS doc_id, score
+        FROM pd
+      )
+      SELECT qid, rank, doc_id, score FROM rk WHERE rank <= 5
+      ORDER BY qid, rank
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -3099,5 +3277,8 @@ object LlmCatalog {
     corpusCardQ,
     langIdQ,
     bpeBytesQ,
+    dsirScoresQ,
+    dsirSelectQ,
+    bm25Q,
   )
 }

@@ -151,4 +151,110 @@ class GraphSpec extends SparkSpec {
       Graph.pageRank(e, "s", "d", "w", dampingNum = 100L)
     }
   }
+
+  // ------------------------------------------------------------------
+  // personalized PageRank
+  // ------------------------------------------------------------------
+
+  test("ppr: mass concentrates near the seed; unreachable nodes stay at 0") {
+    // A↔B connected; C↔D a separate component. Seed = {A}: C and D can
+    // never receive teleport or flow — exactly 0 under the integral
+    // recurrence, not epsilon-small.
+    val e = Seq(("A", "B", 1L), ("B", "A", 1L), ("C", "D", 1L), ("D", "C", 1L))
+      .toDF("s", "d", "w")
+    val seeds = Seq("A").toDF("node")
+    val r = ranksOf(Graph.personalizedPageRank(e, seeds, "s", "d", "w",
+      iterations = 8))
+    assert(r("C") == 0L && r("D") == 0L, r.toString)
+    assert(r("A") > r("B") && r("B") > 0L, r.toString)
+  }
+
+  test("ppr: symmetric 2-cycle seeded on one node keeps the seed ahead") {
+    val e = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("s", "d", "w")
+    val r = ranksOf(Graph.personalizedPageRank(e, Seq("A").toDF("n"),
+      "s", "d", "w", iterations = 20))
+    // teleport returns to A every round: A must strictly dominate
+    assert(r("A") > r("B"), r.toString)
+    // total mass ≈ scale (one scale spread over seeds), floors only lose
+    assert(r.values.sum <= Scale && r.values.sum > Scale - 100L, r.toString)
+  }
+
+  test("ppr: uniform seeding over ALL nodes reproduces pageRank up to mass convention") {
+    // seeds = every node of a regular graph: teleport is uniform again,
+    // so ranks must be uniform — scale/N each
+    val e = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L)).toDF("s", "d", "w")
+    val r = ranksOf(Graph.personalizedPageRank(e,
+      Seq("A", "B", "C").toDF("n"), "s", "d", "w", iterations = 6))
+    assert(r.values.toSet.size == 1, s"regular graph must be uniform: $r")
+  }
+
+  test("ppr: seeds absent from the graph are dropped; all-absent refuses") {
+    val e = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("s", "d", "w")
+    // even iteration count: on a pure 2-cycle the single-seed mass
+    // oscillates (period-2 graph), landing back on the seed at even t
+    val r = ranksOf(Graph.personalizedPageRank(e,
+      Seq("A", "ZZZ").toDF("n"), "s", "d", "w", iterations = 4))
+    // |S| = 1 (ZZZ dropped): A gets the full teleport
+    assert(r("A") > r("B"))
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(e, Seq("ZZZ").toDF("n"), "s", "d", "w")
+    }
+  }
+
+  test("ppr: repartitioned input yields bit-identical ranks") {
+    val e = (1 to 60).map(i => (s"N${i % 12}", s"N${(i * 7) % 12}", (i % 5) + 1L))
+      .filter { case (a, b, _) => a != b }.toDF("s", "d", "w")
+    val seeds = Seq("N1", "N5").toDF("n")
+    val a = ranksOf(Graph.personalizedPageRank(e, seeds, "s", "d", "w", 4))
+    val b = ranksOf(Graph.personalizedPageRank(e.repartition(7), seeds, "s", "d", "w", 4))
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------------------
+  // triangle counts
+  // ------------------------------------------------------------------
+
+  private def trisOf(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("triangles: K4 gives 3 per node; adding a pendant vertex gives it 0") {
+    val k4 = (for {
+      a <- Seq("A", "B", "C", "D"); b <- Seq("A", "B", "C", "D") if a < b
+    } yield (a, b)).toDF("s", "d")
+    val withPendant = k4.union(Seq(("D", "E")).toDF("s", "d"))
+    val r = trisOf(Graph.triangleCounts(withPendant, "s", "d"))
+    assert(r == Map("A" -> 3L, "B" -> 3L, "C" -> 3L, "D" -> 3L, "E" -> 0L), r)
+  }
+
+  test("triangles: bipartite graph has none; every node still reported") {
+    val e = (for { l <- Seq("L1", "L2", "L3"); r <- Seq("R1", "R2") }
+      yield (l, r)).toDF("s", "d")
+    val r = trisOf(Graph.triangleCounts(e, "s", "d"))
+    assert(r.size == 5 && r.values.forall(_ == 0L), r)
+  }
+
+  test("triangles: parallel edges, reversed duplicates, and self-loops don't double-count") {
+    val e = Seq(("A", "B"), ("B", "A"), ("A", "B"), ("B", "C"), ("C", "A"),
+      ("A", "A")).toDF("s", "d")
+    val r = trisOf(Graph.triangleCounts(e, "s", "d"))
+    assert(r == Map("A" -> 1L, "B" -> 1L, "C" -> 1L), r)
+  }
+
+  test("triangles: two triangles sharing an edge credit the shared nodes twice") {
+    val e = Seq(("A", "B"), ("B", "C"), ("C", "A"), ("B", "D"), ("D", "C"))
+      .toDF("s", "d")
+    val r = trisOf(Graph.triangleCounts(e, "s", "d"))
+    assert(r == Map("A" -> 1L, "B" -> 2L, "C" -> 2L, "D" -> 1L), r)
+  }
+
+  test("triangles: circulant C25(1,2) gives exactly 3 per node, repartition-invariant") {
+    // each node closes {i−2,i−1,i}, {i−1,i,i+1}, {i,i+1,i+2}
+    val e = (0 until 25).flatMap(i =>
+      Seq((s"N$i", s"N${(i + 1) % 25}"), (s"N$i", s"N${(i + 2) % 25}")))
+      .toDF("s", "d")
+    val a = trisOf(Graph.triangleCounts(e, "s", "d"))
+    assert(a.size == 25 && a.values.forall(_ == 3L), a.toString)
+    val b = trisOf(Graph.triangleCounts(e.repartition(11), "s", "d"))
+    assert(a == b)
+  }
 }

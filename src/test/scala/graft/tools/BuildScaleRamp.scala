@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * the SCALE.md §14 ramp measures. nation.parquet is copied for the
   * bench warmup scan. Writes only under /tmp; testdata stays
   * untouched.
+  *
+  * Round 12 (SCALE.md §17): lineitem + orders are replicated the same
+  * way with offset keys (orderkey, custkey, suppkey), so each copy is
+  * a DISJOINT subgraph of the q98 customer↔supplier interaction graph
+  * — edges and nodes scale ×factor with zero cross-copy edges, which
+  * is exactly the "more data, same topology class" ramp a PageRank
+  * cost model (∝ edges per iteration) should be tested against.
   */
 object BuildScaleRamp {
   def main(args: Array[String]): Unit = {
@@ -37,9 +44,28 @@ object BuildScaleRamp {
       copies.reduce(_ unionByName _)
         .repartition(16)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      // q98 graph tables: offset every key by a per-copy stride so the
+      // copies share no orderkeys, customers, or suppliers.
+      val li = spark.read.parquet(s"$src/lineitem.parquet")
+      val ord = spark.read.parquet(s"$src/orders.parquet")
+      def offsetKeys(df: org.apache.spark.sql.DataFrame, c: Int,
+                     keys: Seq[String]): org.apache.spark.sql.DataFrame =
+        keys.foldLeft(df)((d, k) =>
+          d.withColumn(k, col(k) + lit(c * 100000000L)))
+      (0 until factor).map { c =>
+        if (c == 0) li else offsetKeys(li, c, Seq("l_orderkey", "l_suppkey"))
+      }.reduce(_ unionByName _)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      (0 until factor).map { c =>
+        if (c == 0) ord else offsetKeys(ord, c, Seq("o_orderkey", "o_custkey"))
+      }.reduce(_ unionByName _)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
       spark.read.parquet(s"$src/nation.parquet")
         .write.mode("overwrite").parquet(s"$out/nation.parquet")
-      println(s"built $out: ${spark.read.parquet(s"$out/documents.parquet").count()} docs")
+      println(s"built $out: ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
+        s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitems")
     }
     spark.stop()
   }
