@@ -343,6 +343,62 @@ object Splits {
       .drop("cum", "graft_a_", "graft_b_")
   }
 
+  /** Exact integer square root of a non-negative long column that
+    * fits in a double's 53-bit mantissa (required and guarded by the
+    * CALLER — above 2⁵³ the seed itself is unrepresentable). IEEE
+    * sqrt is correctly rounded in both the JVM and DuckDB, so
+    * floor(sqrt(x)) is off by AT MOST one in either direction; the
+    * two fix-up terms land both engines on the true isqrt — making
+    * n^(1/2) as hash-matchable as the integer divisions everywhere
+    * else in this file. */
+  def isqrt(x: Column): Column = {
+    val s0 = floor(sqrt(x.cast("double"))).cast("long")
+    val s1 = s0 + when((s0 + 1L) * (s0 + 1L) <= x, 1L).otherwise(0L)
+    s1 - when(s1 * s1 > x, 1L).otherwise(0L)
+  }
+
+  /** TEMPERATURE-MIXED source sampling at α = ½ (the published
+    * "sample groups ∝ sizeᵅ, α < 1" move — T5's mixing rate, the
+    * Pile's weighting, every multilingual pre-training recipe:
+    * down-weight the giant sources, surface the tails — made exact):
+    * each document of group g carries the integer mass
+    *
+    *   v_g = (WeightScale · isqrt(n_g · WeightScale)) div n_g
+    *
+    * so a group's TOTAL mass is ∝ √n_g (up to one floor per group,
+    * not per doc), and the X137 systematic-PPS sampler turns mass
+    * into picks with zero randomness. α is fixed at ½ because ½ is
+    * the exact-arithmetic sweet spot ([[isqrt]]); other exponents
+    * mean libm pow and engine drift — callers needing a different α
+    * supply their own mass column to [[systematicWeightedSample]].
+    *
+    * Shape: one tiny groupBy-count on the group key, broadcast back;
+    * the sampler's prefix-sum walk is the only data-sized pass.
+    * Headroom: n_g · WeightScale must stay under 2⁵³ (~9e9 docs per
+    * group at the default scale — lower the scale beyond that).
+    *
+    * Output: input columns + `mix_weight` (the per-doc mass) +
+    * `picks` (≥ 1). */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      step: Long,
+      offset: Long = 1L,
+      weightScale: Long = 1000000L,
+  ): DataFrame = {
+    require(weightScale >= 1L, s"weightScale must be >= 1, got $weightScale")
+    require(!df.columns.contains("mix_weight"),
+      "input must not carry the reserved 'mix_weight' column")
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("graft_n_"))
+      .withColumn("graft_s_", isqrt(col("graft_n_") * lit(weightScale)))
+      .withColumn("mix_weight", expr(s"($weightScale * graft_s_) div graft_n_"))
+      .drop("graft_n_", "graft_s_")
+    val weighted = df.join(broadcast(counts), Seq(groupCol))
+    systematicWeightedSample(weighted, "mix_weight", Seq(idCol), step, offset)
+  }
+
   def packSequences(
       docs: DataFrame,
       idCol: String,

@@ -3218,6 +3218,53 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Temperature-mixed sampling at α = ½ (Splits.temperatureSample —
+    * the T5/Pile "sample sources ∝ sizeᵅ" recipe made exact): per-doc
+    * mass (WeightScale·isqrt(n_g·WeightScale)) div n_g so each
+    * language's total mass is ∝ √n_g, drawn by the q101 systematic
+    * grid. English holds 43.6% of docs but only ~30% of picks —
+    * the tail-lifting the technique exists for, pinned exactly. The
+    * oracle replays the isqrt (correctly-rounded IEEE sqrt + two
+    * fix-ups → true integer root in BOTH engines), the weight
+    * division, and the pick rule. */
+  val temperatureMixQ = GraftQuery(
+    "q115_temperature_mix",
+    (s, d) =>
+      graft.llm.Splits.temperatureSample(
+          documents(s, d).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", step = 1200000000L)
+        .select(col("doc_id"), col("lang"), col("mix_weight"), col("picks"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      w AS (
+        SELECT lang,
+               (1000000 * (s1 - CASE WHEN s1*s1 > x THEN 1 ELSE 0 END)) // n
+                 AS mix_weight
+        FROM (SELECT lang, n, x,
+                s0 + CASE WHEN (s0+1)*(s0+1) <= x THEN 1 ELSE 0 END AS s1
+              FROM (SELECT lang, n, n*1000000 AS x,
+                      CAST(floor(sqrt(CAST(n*1000000 AS DOUBLE))) AS BIGINT) AS s0
+                    FROM n))
+      ),
+      d AS (SELECT doc_id, documents.lang AS lang, mix_weight
+            FROM documents JOIN w ON documents.lang = w.lang),
+      c AS (SELECT doc_id, lang, mix_weight,
+              SUM(mix_weight) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM d),
+      p AS (SELECT doc_id, lang, mix_weight,
+              CAST(CASE WHEN cum - 1 >= 0
+                        THEN (cum - 1) // 1200000000 ELSE -1 END AS BIGINT)
+            - CAST(CASE WHEN cum - mix_weight - 1 >= 0
+                        THEN (cum - mix_weight - 1) // 1200000000 ELSE -1 END AS BIGINT)
+                AS picks
+            FROM c)
+      SELECT doc_id, lang, mix_weight, picks FROM p
+      WHERE picks >= 1 ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -3280,5 +3327,6 @@ object LlmCatalog {
     dsirScoresQ,
     dsirSelectQ,
     bm25Q,
+    temperatureMixQ,
   )
 }

@@ -281,4 +281,52 @@ class SplitsSpec extends SparkSpec {
       Splits.systematicWeightedSample(dbl, "w", Seq("id"), 4L)
     }
   }
+
+  test("isqrt: exact at perfect squares, their neighbors, and the 2^53 boundary") {
+    // k²−1 must floor to k−1; k² and k²+1 to k — including the largest
+    // k whose square still fits the 53-bit caller guard
+    val ks = Seq(1L, 2L, 5L, 1000L, 1000003L, 94906265L)
+    val xs = ks.flatMap(k => Seq(k * k - 1, k * k, k * k + 1)) :+ 0L
+    val got = xs.toDF("x").select(Splits.isqrt($"x").as("s"))
+      .as[Long].collect().toSeq
+    val want = xs.map(x => math.sqrt(x.toDouble).toLong match {
+      case s if s * s > x => s - 1
+      case s if (s + 1) * (s + 1) <= x => s + 1
+      case s => s
+    })
+    assert(got == want, xs.zip(got).zip(want).toString)
+    // and they really are integer roots
+    for ((x, s) <- xs.zip(got)) assert(s * s <= x && (s + 1) * (s + 1) > x || x == 0 && s == 0)
+  }
+
+  test("temperatureSample: group mass ∝ √n — picks follow the α=½ share") {
+    // n = 100 vs 400: raw share 1:4, √-share 1:2
+    val df = ((1L to 100L).map(i => (i, "small")) ++
+      (101L to 500L).map(i => (i, "big"))).toDF("doc_id", "src")
+    val out = Splits.temperatureSample(df, "doc_id", "src", step = 1000000000L)
+    val picks = out.groupBy("src").agg(sum("picks")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // masses: small 100·(1e6·10000/100)=1e10, big 400·(1e6·20000/400)=2e10
+    // → 30 grid points split 10/20 (±1 for grid phase)
+    assert(math.abs(picks("small") - 10L) <= 1, picks.toString)
+    assert(math.abs(picks("big") - 20L) <= 1, picks.toString)
+    // exact per-doc weights from the closed form
+    val w = out.select("src", "mix_weight").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w == Map("small" -> 100000000L, "big" -> 50000000L), w.toString)
+  }
+
+  test("temperatureSample: deterministic, repartition-invariant, reserved-column guard") {
+    val df = ((1L to 50L).map(i => (i, "a")) ++ (51L to 250L).map(i => (i, "b")))
+      .toDF("doc_id", "src")
+    val a = Splits.temperatureSample(df, "doc_id", "src", step = 500000000L)
+      .select("doc_id", "picks").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Splits.temperatureSample(df.repartition(9), "doc_id", "src", step = 500000000L)
+      .select("doc_id", "picks").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Splits.temperatureSample(df.withColumn("mix_weight", lit(1L)),
+        "doc_id", "src", step = 10L)
+    }
+  }
 }
