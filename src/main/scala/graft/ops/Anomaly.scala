@@ -56,4 +56,59 @@ object Anomaly {
       .orderBy(abs(col("z")).desc, col(idCol))
       .limit(k)
   }
+
+  /** ROBUST outlier flags via median/MAD (Hampel's rule — the
+    * published robust alternative to [[zScoreOutliers]]: mean and std
+    * are themselves dragged by the outliers they're supposed to find;
+    * the median and the median-absolute-deviation have 50% breakdown,
+    * so one wild batch can't mask itself). A row is flagged when
+    *
+    *   |v − med_g| · threshDen  >  mad_g · threshNum
+    *
+    * i.e. deviation > (threshNum/threshDen)·MAD, the threshold kept
+    * RATIONAL so each side is one IEEE multiply of an exact median by
+    * a small integer — bit-replayable cross-engine where the
+    * conventional 1.4826·k·MAD float chain is not (the constant is
+    * only a normal-consistency rescale; fold it into the ratio).
+    *
+    * Exactness: medians come from [[Quantiles.exactPerGroup]] — rank
+    * ⌈n/2⌉ under (value, tie) order, an ACTUAL data value, no
+    * averaging — and |v − med| is one IEEE subtraction, so every
+    * derived quantity hash-matches. Known MAD caveat, kept
+    * deliberately: in a group where > half the values are identical,
+    * mad = 0 and EVERY deviating row flags — that is Hampel's rule
+    * working as published (the caller sees it via the mad column).
+    *
+    * Shape: two group-partitioned rank walks (the q83 window shape —
+    * per-group windows, never a global sort), one broadcast stats
+    * join back, and a map-side flag projection. Output: every input
+    * row (null measures dropped) + med, mad, dev, is_outlier —
+    * filter `is_outlier` for the alert list, aggregate the flag for
+    * rates; nothing is silently removed. */
+  def madOutliers(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valCol: String,
+      threshNum: Long = 7L,
+      threshDen: Long = 2L,
+  ): DataFrame = {
+    require(threshNum > 0 && threshDen > 0,
+      s"threshold must be positive: $threshNum/$threshDen")
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valCol))
+    val med = Quantiles.exactPerGroup(rows, groupCol, valCol, idCol, Seq(0.5))
+      .select(col(groupCol), col("value").as("med"))
+    val withMed = rows.join(broadcast(med), Seq(groupCol))
+      .withColumn("dev", abs(col(valCol) - col("med")))
+    val mad = Quantiles.exactPerGroup(
+        withMed.select(col(idCol), col(groupCol), col("dev")),
+        groupCol, "dev", idCol, Seq(0.5))
+      .select(col(groupCol), col("value").as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(valCol),
+        col("med"), col("mad"), col("dev"),
+        (col("dev") * threshDen.toDouble >
+          col("mad") * threshNum.toDouble).as("is_outlier"))
+  }
 }

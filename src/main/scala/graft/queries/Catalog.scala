@@ -1914,6 +1914,49 @@ object Catalog {
     Some(pageRankOracle(3)),
   )
 
+  /** Robust per-type outliers (Anomaly.madOutliers, Hampel's rule):
+    * values beyond 3.5·MAD of their event-type median — the alert
+    * list a mean/std z-test understates on exactly this shape
+    * (heavy right tail drags the mean toward the outliers). Both
+    * medians are exact rank-walk picks (the q82/q83 machinery), the
+    * threshold is rational, so the flagged set hash-replays. The
+    * query emits the flagged rows; the operator surfaces every row
+    * (spec-pinned funnel accounting). */
+  val madOutliersQ = GraftQuery(
+    "q116_mad_outliers",
+    (s, d) =>
+      graft.ops.Anomaly.madOutliers(events(s, d),
+          "event_id", "event_type", "value")
+        .filter(col("is_outlier"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("dev"))
+        .orderBy(col("event_id")),
+    Some("""
+      WITH rows AS (SELECT event_id, event_type, value FROM events
+                    WHERE value IS NOT NULL),
+      r1 AS (SELECT event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rnk FROM rows),
+      n1 AS (SELECT event_type, COUNT(*) AS n FROM rows GROUP BY event_type),
+      med AS (SELECT r1.event_type, r1.value AS med
+              FROM r1 JOIN n1 ON r1.event_type = n1.event_type
+              WHERE r1.rnk = greatest(1, CAST(ceil(0.5 * n1.n) AS BIGINT))),
+      d AS (SELECT rows.event_id, rows.event_type, rows.value, med.med,
+              abs(rows.value - med.med) AS dev
+            FROM rows JOIN med ON rows.event_type = med.event_type),
+      r2 AS (SELECT event_type, dev, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY dev, event_id) AS rnk FROM d),
+      mad AS (SELECT r2.event_type, r2.dev AS mad
+              FROM r2 JOIN n1 ON r2.event_type = n1.event_type
+              WHERE r2.rnk = greatest(1, CAST(ceil(0.5 * n1.n) AS BIGINT)))
+      SELECT d.event_id, d.event_type, d.value, d.med, mad.mad, d.dev
+      FROM d JOIN mad ON d.event_type = mad.event_type
+      WHERE d.dev * 2 > mad.mad * 7
+      ORDER BY d.event_id
+    """.trim),
+  )
+
   /** The q113 oracle: the q98 CTE chain with the teleport mass
     * concentrated on the seed set — r0 and the per-iteration base
     * term gated on seed membership, |S| and the seed constants
@@ -2239,6 +2282,7 @@ object Catalog {
     pageRankQ,
     personalizedPageRankQ,
     triangleCountsQ,
+    madOutliersQ,
     groupSketchQuantilesQ,
     tableDigestQ,
     fuzzyJoinQ,
