@@ -294,15 +294,8 @@ object Graph {
       srcCol: String,
       dstCol: String,
   ): DataFrame = {
-    val und = edges
-      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
-        col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .distinct()
-    val deg = und.select(col("a").as("node"))
-      .unionByName(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("graft_deg_"))
+    val und = canonicalEdges(edges, srcCol, dstCol)
+    val deg = degreesOf(und).withColumnRenamed("deg", "graft_deg_")
     // orient a→b when (deg(a), a) <= (deg(b), b); a < b lexically by
     // construction, so degree ties orient a→b
     val o = und
@@ -334,6 +327,110 @@ object Graph {
     deg.select(col("node"))
       .join(credited, Seq("node"), "left")
       .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  /** k-CORE of an undirected graph (Seidman 1983): the maximal
+    * subgraph where every node keeps degree ≥ k — the standard
+    * "dense cohesive nucleus" extraction (spam-farm detection, the
+    * community seed the co-presence X157 triangles refine). Fixed
+    * `iterations` peeling rounds: recompute degrees on the current
+    * edge set, drop nodes under k, keep edges whose BOTH endpoints
+    * survive. The peel is monotone (edge set only shrinks), so once
+    * a round removes nothing the result is the true k-core; a fixed
+    * round count keeps the operator oracle-unrollable (the q35/q39
+    * CC precedent) — [[kCoreConverged]] is the production form that
+    * detects the fixpoint itself.
+    *
+    * Per round: one map-side-combined degree groupBy + two left-semi
+    * joins (node-key equi-joins, no fan-out — an edge matches at
+    * most once per side). Canonicalization (self-loop drop, parallel
+    * and reversed duplicates merged) happens once up front, exactly
+    * as in [[triangleCounts]].
+    *
+    * Output: (node, deg) for every surviving node with its degree
+    * INSIDE the core — empty when the graph has no k-core. */
+  def kCore(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      iterations: Int,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iterations >= 1, s"need at least one round, got $iterations")
+    // each round references the edge frame FOUR times (twice in the
+    // degree union, twice in the semi-joins): left unchecked the plan
+    // DAG grows 4^rounds and analysis itself blows up — so the edge
+    // set is eagerly localCheckpoint'ed per round, the X34 CC rule
+    // (results unchanged; the peel is already an action-per-round
+    // shape in every published BSP formulation)
+    var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    for (_ <- 1 to iterations) e = peelRound(e, k).localCheckpoint()
+    degreesOf(e)
+  }
+
+  /** CONVERGENCE-STOP [[kCore]]: peel until a round removes no edge
+    * (the true k-core by monotonicity), up to `maxIterations`, with
+    * an eager localCheckpoint every `checkEvery` rounds cutting the
+    * two-joins-per-round lineage — the [[pageRankConverged]] pattern;
+    * the edge count per check is one scalar driver hop. Worst-case
+    * round count is the graph's degeneracy ordering depth (a path
+    * graph peels one layer per round), which is why production runs
+    * want the checkpointing form. Bit-identical to [[kCore]] at
+    * matched round counts (spec-pinned). */
+  def kCoreConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      k: Int,
+      maxIterations: Int = 100,
+      checkEvery: Int = 4,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIterations >= 1, s"need at least one round, got $maxIterations")
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    var last = e.count()
+    var it = 0
+    var converged = last == 0L
+    while (it < maxIterations && !converged) {
+      // per-round checkpoint for the same 4^rounds plan-DAG reason as
+      // [[kCore]]; checkEvery only paces the COUNT driver hops
+      e = peelRound(e, k).localCheckpoint()
+      it += 1
+      if (it % checkEvery == 0 || it == maxIterations) {
+        val n = e.count()
+        // monotone shrink ⇒ equal count over a full check window means
+        // no round in it removed anything — fixpoint reached
+        converged = n == last
+        last = n
+      }
+    }
+    degreesOf(e)
+  }
+
+  /** Canonical simple undirected edge set: (a < b), self-loops out,
+    * parallel/reversed duplicates merged. */
+  private def canonicalEdges(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .distinct()
+
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** One peel round: degrees on the current edge set, keep nodes with
+    * deg ≥ k, keep edges with both endpoints kept. */
+  private def peelRound(e: DataFrame, k: Int): DataFrame = {
+    val keep = degreesOf(e).filter(col("deg") >= k.toLong).select("node")
+    e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+      .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
   }
 
   /** One PageRank iteration: ranks ⋈ edges on src, contribution

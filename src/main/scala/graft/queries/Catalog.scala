@@ -1957,6 +1957,54 @@ object Catalog {
     """.trim),
   )
 
+  /** Unrolled k-core peel rounds for the q117 oracle — one
+    * (degree, keep, edge-restrict) CTE triple per round over `e0`,
+    * generated from one Scala loop (the q98/CC single-source-of-
+    * truth rule). */
+  private def kCoreRoundsSql(k: Int, iterations: Int): String =
+    (1 to iterations).map { t =>
+      s"""d$t AS (SELECT node, COUNT(*) AS deg FROM (
+        SELECT a AS node FROM e${t - 1} UNION ALL SELECT b AS node FROM e${t - 1})
+        GROUP BY node),
+      k$t AS (SELECT node FROM d$t WHERE deg >= $k),
+      e$t AS (SELECT e${t - 1}.a, e${t - 1}.b FROM e${t - 1}
+        JOIN k$t x ON e${t - 1}.a = x.node
+        JOIN k$t y ON e${t - 1}.b = y.node)"""
+    }.mkString(",\n      ")
+
+  /** The 8-core of the minute-co-presence graph (Graph.kCore): the
+    * cohesive nucleus of users whose co-activity survives peeling —
+    * every member co-present with ≥ 8 OTHER members of the core
+    * itself, not merely 8 anyone (the distinction that separates a
+    * community from a hub's audience). Four fixed peel rounds (the
+    * fixture converges at 3 — round 4 removes nothing, making the
+    * output the true 8-core while staying oracle-unrollable);
+    * kCoreConverged is the production form, spec-pinned ≡ this one. */
+  val kCoreQ = GraftQuery(
+    "q117_copresence_kcore",
+    (s, d) => {
+      val ue = events(s, d)
+        .select(col("user_id").as("uid"), expr("ts div 60000000000").as("w"))
+        .distinct()
+      val e = ue.as("x").join(ue.as("y"),
+          col("x.w") === col("y.w") && col("x.uid") < col("y.uid"))
+        .select(col("x.uid").as("src"), col("y.uid").as("dst"))
+      graft.ops.Graph.kCore(e, "src", "dst", k = 8, iterations = 4)
+        .select(col("node").as("user_id"), col("deg"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH ue AS (SELECT DISTINCT user_id AS uid, epoch_ns(ts)//60000000000 AS w
+                  FROM events),
+      e0 AS (SELECT DISTINCT x.uid AS a, y.uid AS b
+             FROM ue x JOIN ue y ON x.w = y.w AND x.uid < y.uid),
+      ${kCoreRoundsSql(8, 4)}
+      SELECT node AS user_id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT a AS node FROM e4 UNION ALL SELECT b AS node FROM e4)
+      GROUP BY node ORDER BY user_id
+    """.trim),
+  )
+
   /** The q113 oracle: the q98 CTE chain with the teleport mass
     * concentrated on the seed set — r0 and the per-iteration base
     * term gated on seed membership, |S| and the seed constants
@@ -2283,6 +2331,7 @@ object Catalog {
     personalizedPageRankQ,
     triangleCountsQ,
     madOutliersQ,
+    kCoreQ,
     groupSketchQuantilesQ,
     tableDigestQ,
     fuzzyJoinQ,

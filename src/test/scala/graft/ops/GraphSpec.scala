@@ -247,6 +247,60 @@ class GraphSpec extends SparkSpec {
     assert(r == Map("A" -> 1L, "B" -> 2L, "C" -> 2L, "D" -> 1L), r)
   }
 
+  // ------------------------------------------------------------------
+  // k-core
+  // ------------------------------------------------------------------
+
+  test("kCore: pendant chain peels away layer by layer, K4 nucleus survives") {
+    // K4 (every node deg 3) + a tail D-E-F: E/F die in round 1 (deg
+    // 1 < 2... for k=2), D's degree then drops but stays >= 2 via K4
+    val k4 = (for {
+      a <- Seq("A", "B", "C", "D"); b <- Seq("A", "B", "C", "D") if a < b
+    } yield (a, b)).toDF("s", "d")
+    val g = k4.union(Seq(("D", "E"), ("E", "F")).toDF("s", "d"))
+    val core3 = trisOf(Graph.kCore(g, "s", "d", k = 3, iterations = 3))
+    assert(core3 == Map("A" -> 3L, "B" -> 3L, "C" -> 3L, "D" -> 3L), core3)
+    // k=4: K4 has max degree 3 — everything peels, empty result
+    assert(Graph.kCore(g, "s", "d", k = 4, iterations = 3).count() == 0L)
+  }
+
+  test("kCore: a long path needs one round per layer — fixed rounds peel partially") {
+    // path P6 at k=2: endpoints peel one per round from each side;
+    // the whole path eventually dies (no 2-core), but only with
+    // enough rounds
+    val p = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"), ("E", "F"))
+      .toDF("s", "d")
+    val after1 = Graph.kCore(p, "s", "d", k = 2, iterations = 1).count()
+    assert(after1 > 0, "one round only strips the endpoints")
+    assert(Graph.kCore(p, "s", "d", k = 2, iterations = 3).count() == 0L)
+    // a cycle IS a 2-core: nothing peels no matter how many rounds
+    val c = Seq(("A", "B"), ("B", "C"), ("C", "A")).toDF("s", "d")
+    assert(trisOf(Graph.kCore(c, "s", "d", k = 2, iterations = 5))
+      == Map("A" -> 2L, "B" -> 2L, "C" -> 2L))
+  }
+
+  test("kCoreConverged finds the fixpoint itself, bit-equal to enough fixed rounds") {
+    val g = ((for {
+      a <- Seq("A", "B", "C", "D"); b <- Seq("A", "B", "C", "D") if a < b
+    } yield (a, b)) ++ Seq(("D", "E"), ("E", "F"), ("F", "G"), ("G", "H")))
+      .toDF("s", "d")
+    val conv = trisOf(Graph.kCoreConverged(g, "s", "d", k = 2, checkEvery = 2))
+    val fixed = trisOf(Graph.kCore(g, "s", "d", k = 2, iterations = 10))
+    assert(conv == fixed && conv.keySet == Set("A", "B", "C", "D"), conv)
+    // empty graph short-circuits
+    assert(Graph.kCoreConverged(g.filter(lit(false)), "s", "d", k = 2)
+      .count() == 0L)
+  }
+
+  test("kCore: canonicalization and repartition invariance") {
+    val messy = Seq(("A", "B"), ("B", "A"), ("A", "A"), ("B", "C"), ("C", "A"))
+      .toDF("s", "d")
+    val a = trisOf(Graph.kCore(messy, "s", "d", k = 2, iterations = 2))
+    assert(a == Map("A" -> 2L, "B" -> 2L, "C" -> 2L), a)
+    val b = trisOf(Graph.kCore(messy.repartition(5), "s", "d", k = 2, iterations = 2))
+    assert(a == b)
+  }
+
   test("triangles: circulant C25(1,2) gives exactly 3 per node, repartition-invariant") {
     // each node closes {i−2,i−1,i}, {i−1,i,i+1}, {i,i+1,i+2}
     val e = (0 until 25).flatMap(i =>
