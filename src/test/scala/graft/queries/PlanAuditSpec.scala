@@ -382,4 +382,79 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join expected:\n${p.take(600)}")
     assert(p.contains("*("), "projection must stay codegen'd")
   }
+
+  test("q110 DSIR: the weight table broadcasts to the scoring join, counts combine map-side") {
+    val df = LlmCatalog.dsirScoresQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"weights must broadcast into scoring:\n${p.take(600)}")
+    assert(p.contains("partial_count"), "bucket histograms must combine map-side")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("q112 BM25: query terms broadcast (inverted-index pruning), top-k is the bounded heap") {
+    val df = LlmCatalog.bm25Q.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"qterms must broadcast into the postings join:\n${p.take(600)}")
+    // TopKAgg is an object aggregate with a partial mode — the
+    // map-side k-reduction the scaladoc promises
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_graft_top_k"),
+      s"bounded-heap top-k must combine map-side:\n${p.take(800)}")
+  }
+
+  test("q113 personalized pagerank keeps the q98 exchange-reuse shape") {
+    val df = Catalog.personalizedPageRankQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"edges exchange should be reused:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("q114/q117 graph ops: equi-joins only — no product, no nested loop") {
+    for (q <- Seq(Catalog.triangleCountsQ, Catalog.kCoreQ)) {
+      val df = q.run(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"${q.name}: wedge/peel joins must stay equi:\n${p.take(600)}")
+    }
+  }
+
+  test("q116 MAD windows are type-partitioned; med/mad join back broadcast") {
+    val df = Catalog.madOutliersQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("event_type")),
+      s"rank windows must partition by event_type:\n${windows.mkString("\n")}")
+    assert(p.contains("BroadcastHashJoin"), "median/mad tables must broadcast back")
+    assert(!p.contains("SinglePartition"), p.take(400))
+  }
+
+  test("q115 temperature mix: group weights broadcast, sampler keeps the checkpointed walk") {
+    // the weight join sits UPSTREAM of the sampler's prefix-sum
+    // checkpoint, so it must be audited on the weighted frame itself
+    // (the final plan legitimately starts at the checkpoint scan)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("graft_n_"))
+      .withColumn("graft_s_", graft.llm.Splits.isqrt(col("graft_n_") * lit(1000000L)))
+      .withColumn("mix_weight", expr("(1000000 * graft_s_) div graft_n_"))
+      .drop("graft_n_", "graft_s_")
+    val joined = docs.join(broadcast(counts), Seq("lang"))
+    joined.collect()
+    val pj = joined.queryExecution.executedPlan.toString
+    assert(pj.contains("BroadcastHashJoin"),
+      s"the per-group weight table must broadcast:\n${pj.take(600)}")
+    val df = LlmCatalog.temperatureMixQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Scan ExistingRDD"),
+      "the prefix-sum walk's checkpoint must feed the pick filter")
+    assert(!p.contains("SinglePartition"), p.take(400))
+  }
 }
