@@ -63,13 +63,27 @@ object LangId {
     * canonicalized text padded with one leading/trailing space — the
     * padding makes word-initial/final shapes (" th", "ng ") first-class
     * evidence, the Cavnar–Trenkle trick. Empty canonical text yields
-    * an empty array (→ `und` downstream). Pure map-side projection. */
-  def charNgrams(text: Column, maxN: Int = DefaultMaxN): Column = {
-    val t = canon(text)
-    val padded = concat(lit(" "), t, lit(" "))
+    * an empty array (→ `und` downstream). Pure map-side projection.
+    *
+    * PERFORMANCE: expressions referenced inside a `transform` lambda
+    * are re-evaluated PER ELEMENT — with `canon`'s regex in the
+    * lambda, that is one regex execution per n-gram (~720 per doc;
+    * measured 24 s of q108's 26 at sf0.1). [[fit]]/[[predict]]
+    * therefore materialize the padded canonical text as a real
+    * column first and call [[ngramsOfPadded]], whose lambda touches
+    * only an attribute; this form is kept for single-expression
+    * call sites and the spec that pins the two equal. */
+  def charNgrams(text: Column, maxN: Int = DefaultMaxN): Column =
+    ngramsOfPadded(concat(lit(" "), canon(text), lit(" ")), maxN)
+
+  /** N-grams over an ALREADY padded-canonical column (one leading +
+    * one trailing space around [[canon]] output). The lambda reads
+    * the column value only — no per-element recomputation. A padded
+    * length < 3 means the canonical text was empty → empty array. */
+  def ngramsOfPadded(padded: Column, maxN: Int = DefaultMaxN): Column = {
     val grams = (1 to maxN).map { n =>
       // sequence(1, 0) counts DOWN in Spark — guard short texts
-      when(length(t) >= 1 && length(padded) >= n,
+      when(length(padded) >= 3 && length(padded) >= n,
         transform(sequence(lit(1), length(padded) - (n - 1)),
           i => substr(padded, i, lit(n))))
         .otherwise(typedlit(Seq.empty[String]))
@@ -89,9 +103,11 @@ object LangId {
       headChars: Int = DefaultHeadChars,
   ): DataFrame = {
     require(topK >= 1, "topK must be >= 1")
-    val grams = labeled.select(col(langCol).as("lang"),
-      explode(charNgrams(substring(col(textCol), 1, headChars), maxN))
-        .as("ngram"))
+    val grams = labeled
+      .select(col(langCol).as("lang"),
+        concat(lit(" "), canon(substring(col(textCol), 1, headChars)),
+          lit(" ")).as("_pad"))
+      .select(col("lang"), explode(ngramsOfPadded(col("_pad"), maxN)).as("ngram"))
     val cnt = grams.groupBy("lang", "ngram").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("ngram"))
     cnt.withColumn("rank", row_number().over(w))
@@ -113,9 +129,11 @@ object LangId {
       topK: Int = DefaultTopK,
       headChars: Int = DefaultHeadChars,
   ): DataFrame = {
-    val grams = docs.select(col(idCol).as("_id"),
-      explode(charNgrams(substring(col(textCol), 1, headChars), maxN))
-        .as("ngram"))
+    val grams = docs
+      .select(col(idCol).as("_id"),
+        concat(lit(" "), canon(substring(col(textCol), 1, headChars)),
+          lit(" ")).as("_pad"))
+      .select(col("_id"), explode(ngramsOfPadded(col("_pad"), maxN)).as("ngram"))
     val cnt = grams.groupBy("_id", "ngram").agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy("_id").orderBy(col("cnt").desc, col("ngram"))
     val dprof = cnt.withColumn("drank", row_number().over(w))

@@ -28,8 +28,11 @@ class CatalogSpec extends SparkSpec {
       val a = q.run(spark, sf).collect().map(_.toString).toSeq
       val b = q.run(spark, sf).collect().map(_.toString).toSeq
       assert(a == b, s"${q.name} is nondeterministic")
-      assert(a.nonEmpty || q.name.startsWith("q13") || q.name.startsWith("q30"),
-        s"${q.name} returned no rows at sf0.001") // near-dup pairs may be empty at tiny sf
+      assert(a.nonEmpty || q.name.startsWith("q13") || q.name.startsWith("q30") ||
+        q.name.startsWith("q117"),
+        s"${q.name} returned no rows at sf0.001") // near-dup pairs and the
+      // 8-core may be legitimately empty at tiny sf (the sf0.001
+      // co-presence graph has ~10 edges — no 8-core exists)
     }
   }
 }
