@@ -206,7 +206,13 @@ object Graph {
     *
     * Per-iteration cost is identical to [[pageRank]] — one ranks⋈edges
     * join + one dst groupBy-sum; the node-side left join carries the
-    * seed flag, so personalization adds zero extra shuffles. */
+    * seed flag, so personalization adds zero extra shuffles.
+    * `assumeNoDangling` is the [[pageRank]] fast path adapted: on a
+    * graph where every node has in- and out-edges the inbound
+    * aggregate already covers all nodes, so the per-iteration node
+    * join collapses to a BROADCAST join against the tiny seed set —
+    * bit-identical results (spec-pinned), one shuffle join less per
+    * round. */
   def personalizedPageRank(
       edges: DataFrame,
       seeds: DataFrame,
@@ -217,12 +223,18 @@ object Graph {
       dampingNum: Long = 85L,
       dampingDen: Long = 100L,
       scale: Long = 1000000000L,
+      assumeNoDangling: Boolean = false,
   ): DataFrame = {
     require(iterations >= 1, s"need at least one iteration, got $iterations")
     require(dampingNum > 0 && dampingNum < dampingDen,
       s"damping must be in (0,1): $dampingNum/$dampingDen")
     require(seeds.columns.length == 1,
       s"seeds must be a single node column, got ${seeds.columns.toSeq}")
+    // |S| needs an ACTION before the ranks job — unlike [[pageRank]],
+    // which runs one job total. Checkpoint the normalized edge list so
+    // whatever aggregation the caller built it from (q113: a full
+    // fact-table groupBy) executes ONCE, not once per action
+    // (measured ~2× on q113 without this).
     val e = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(weightCol) > 0L)
@@ -230,6 +242,7 @@ object Graph {
         col(srcCol).as("graft_src_"),
         col(dstCol).as("graft_dst_"),
         col(weightCol).cast("long").as("graft_w_"))
+      .localCheckpoint()
     val out = e.groupBy(col("graft_src_"))
       .agg(sum(col("graft_w_")).as("graft_outw_"))
     val withOut = e.join(out, Seq("graft_src_"))
@@ -249,14 +262,27 @@ object Graph {
       .select(col("node"),
         when(col("graft_seed_").isNotNull, lit(seedInit))
           .otherwise(lit(0L)).as("graft_r_"))
+    val seedFlag = seedSet.withColumn("graft_seed_", lit(1))
+    // zero-mass contribution rows keep every SEED present in the
+    // inbound aggregate even in rounds where no neighbor sends it
+    // mass (early rounds start almost everywhere at rank 0) — without
+    // them the fast path would silently drop a seed's teleport base;
+    // non-seed zero-inbound nodes may drop: an absent row and an
+    // explicit rank 0 contribute identically to the next round
+    val seedZero = seedSet.select(col("node"), lit(0L).as("graft_c_"))
     for (_ <- 1 to iterations) {
-      val inbound = withOut
+      val contribs = withOut
         .join(ranks, col("graft_src_") === col("node"))
         .select(col("graft_dst_").as("node"),
           expr("(graft_r_ * graft_w_) div graft_outw_").as("graft_c_"))
-        .groupBy(col("node"))
-        .agg(sum(col("graft_c_")).as("graft_in_"))
-      ranks = flagged.join(inbound, Seq("node"), "left")
+      val inbound =
+        (if (assumeNoDangling) contribs.unionByName(seedZero) else contribs)
+          .groupBy(col("node"))
+          .agg(sum(col("graft_c_")).as("graft_in_"))
+      val joined =
+        if (assumeNoDangling) inbound.join(broadcast(seedFlag), Seq("node"), "left")
+        else flagged.join(inbound, Seq("node"), "left")
+      ranks = joined
         .select(col("node"),
           (when(col("graft_seed_").isNotNull, lit(seedBase)).otherwise(lit(0L)) +
             expr(s"($dampingNum * coalesce(graft_in_, 0L)) div $dampingDen")

@@ -2091,7 +2091,7 @@ object Catalog {
         .select(concat(lit("S"), col("l_suppkey")).as("node"))
         .distinct()
       graft.ops.Graph.personalizedPageRank(sym, seeds, "src", "dst", "w",
-          iterations = 3)
+          iterations = 3, assumeNoDangling = true) // symmetrized graph
         .filter(col("rank") > 0L)
         .select(col("node"), col("rank").as("pr"))
         .orderBy(col("node"))

@@ -201,6 +201,28 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("ppr: assumeNoDangling fast path equals the default on symmetrized graphs") {
+    val e0 = (1 to 40).map(i => (s"N${i % 10}", s"N${(i * 3 + 1) % 10}", 1L))
+      .filter { case (a, b, _) => a != b }
+    val sym = (e0 ++ e0.map { case (a, b, w) => (b, a, w) }).distinct
+      .toDF("s", "d", "w")
+    val seeds = Seq("N1").toDF("n")
+    val slow = ranksOf(Graph.personalizedPageRank(sym, seeds, "s", "d", "w", 4))
+      .filter(_._2 > 0L)
+    val fast = ranksOf(Graph.personalizedPageRank(sym, seeds, "s", "d", "w", 4,
+      assumeNoDangling = true)).filter(_._2 > 0L)
+    assert(slow == fast && slow.nonEmpty)
+    // isolated seed never receiving mass back keeps its base: seed on
+    // a 2-cycle, 3 rounds (odd) — fast path must not drop the seed row
+    val cyc = Seq(("A", "B", 1L), ("B", "A", 1L)).toDF("s", "d", "w")
+    val f3 = ranksOf(Graph.personalizedPageRank(cyc, Seq("A").toDF("n"),
+      "s", "d", "w", 3, assumeNoDangling = true))
+    val s3 = ranksOf(Graph.personalizedPageRank(cyc, Seq("A").toDF("n"),
+      "s", "d", "w", 3)).filter(_._2 > 0L)
+    assert(f3.filter(_._2 > 0L) == s3, s"$f3 vs $s3")
+    assert(f3("A") > 0L, "the seed's teleport base must survive odd rounds")
+  }
+
   test("ppr: repartitioned input yields bit-identical ranks") {
     val e = (1 to 60).map(i => (s"N${i % 12}", s"N${(i * 7) % 12}", (i % 5) + 1L))
       .filter { case (a, b, _) => a != b }.toDF("s", "d", "w")
