@@ -142,4 +142,42 @@ object Stats {
       .select(col("bin"), col("lo_edge"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
+
+  /** Per-group WINSORIZATION: clip every value into its own group's
+    * [p_lo, p_hi] exact quantile band — the standard tail-taming step
+    * before any moment-based statistic or feature normalization (the
+    * q116 MAD report finds the tails; this is the remediation that
+    * keeps the rows). Bounds are [[Quantiles.exactPerGroup]] picks —
+    * ACTUAL data values at ranks ⌈p·n⌉, not interpolations — and the
+    * clip is two comparisons, so output values are always drawn from
+    * the input's own value set and the whole frame hash-replays.
+    *
+    * Shape: two rank picks off ONE group-partitioned window pass
+    * (both probs share the walk), broadcast back, map-side clip.
+    * Output: every non-null-measure row + lo, hi, clipped,
+    * was_clipped (null measures drop up front — they carry no rank
+    * and have nothing to clip; the [[Anomaly.madOutliers]] rule). */
+  def winsorizeByGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      valCol: String,
+      pLo: Double = 0.01,
+      pHi: Double = 0.99,
+  ): DataFrame = {
+    require(pLo > 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 < pLo < pHi <= 1, got ($pLo, $pHi)")
+    val rows = df.filter(col(valCol).isNotNull)
+      .select(col(idCol), col(groupCol), col(valCol))
+    val picks = Quantiles.exactPerGroup(rows, groupCol, valCol, idCol,
+        Seq(pLo, pHi))
+    val bounds = picks.groupBy(col(groupCol)).agg(
+      min(when(col("p") === pLo, col("value"))).as("lo"),
+      max(when(col("p") === pHi, col("value"))).as("hi"))
+    rows.join(broadcast(bounds), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col(valCol),
+        col("lo"), col("hi"),
+        least(greatest(col(valCol), col("lo")), col("hi")).as("clipped"),
+        (col(valCol) < col("lo") || col(valCol) > col("hi")).as("was_clipped"))
+  }
 }

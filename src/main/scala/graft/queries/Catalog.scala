@@ -2005,6 +2005,46 @@ object Catalog {
     """.trim),
   )
 
+  /** Per-type winsorization (Stats.winsorizeByGroup): every event
+    * value clipped into its type's exact [p01, p99] band — the
+    * remediation step after the q116 alert list, emitting every row
+    * with its bounds and clip fate. Bounds are rank-walk picks
+    * (actual data values), the clip is two comparisons; the oracle
+    * CASTS p to DOUBLE before the ⌈p·n⌉ pick so both engines run the
+    * same IEEE product (a DECIMAL 0.01·n floors differently when n
+    * is a multiple of 100 — the q99 rule). */
+  val winsorizeQ = GraftQuery(
+    "q118_winsorized_values",
+    (s, d) =>
+      graft.ops.Stats.winsorizeByGroup(events(s, d),
+          "event_id", "event_type", "value", pLo = 0.01, pHi = 0.99)
+        .orderBy(col("event_id")),
+    Some("""
+      WITH rows AS (SELECT event_id, event_type, value FROM events
+                    WHERE value IS NOT NULL),
+      r1 AS (SELECT event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY value, event_id) AS rnk FROM rows),
+      n1 AS (SELECT event_type, COUNT(*) AS n FROM rows GROUP BY event_type),
+      picks AS (SELECT n1.event_type, CAST(p.p AS DOUBLE) AS p,
+                  greatest(1, CAST(ceil(CAST(p.p AS DOUBLE) * n1.n) AS BIGINT))
+                    AS rank
+                FROM (VALUES (0.01), (0.99)) AS p(p), n1),
+      q AS (SELECT picks.event_type, picks.p, r1.value
+            FROM picks JOIN r1 ON r1.event_type = picks.event_type
+                               AND r1.rnk = picks.rank),
+      b AS (SELECT event_type,
+              MIN(CASE WHEN p = 0.01 THEN value END) AS lo,
+              MAX(CASE WHEN p = 0.99 THEN value END) AS hi
+            FROM q GROUP BY event_type)
+      SELECT rows.event_id, rows.event_type, rows.value, b.lo, b.hi,
+             least(greatest(rows.value, b.lo), b.hi) AS clipped,
+             (rows.value < b.lo OR rows.value > b.hi) AS was_clipped
+      FROM rows JOIN b ON rows.event_type = b.event_type
+      ORDER BY event_id
+    """.trim),
+  )
+
   /** The q113 oracle: the q98 CTE chain with the teleport mass
     * concentrated on the seed set — r0 and the per-iteration base
     * term gated on seed membership, |S| and the seed constants
@@ -2332,6 +2372,7 @@ object Catalog {
     triangleCountsQ,
     madOutliersQ,
     kCoreQ,
+    winsorizeQ,
     groupSketchQuantilesQ,
     tableDigestQ,
     fuzzyJoinQ,

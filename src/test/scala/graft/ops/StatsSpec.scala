@@ -77,4 +77,43 @@ class StatsSpec extends SparkSpec {
     // the IEEE chain is fixed
     assert(a === b)
   }
+
+  test("winsorizeByGroup: hand-checked bounds, clip fates, per-group independence") {
+    // group a: 1..10 → pLo=.25 picks rank 3 (value 3), pHi=.85 rank 9
+    val df = ((1L to 10L).map(i => (i, "a", i.toDouble)) ++
+      Seq((11L, "b", 100.0), (12L, "b", 200.0))).toDF("id", "g", "v")
+    val out = Stats.winsorizeByGroup(df, "id", "g", "v", pLo = 0.25, pHi = 0.85)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getBoolean(6))).toMap
+    assert(out.size == 12, "every non-null row surfaces")
+    assert(out(1L) == ((3.0, 9.0, 3.0, true)), out(1L).toString)
+    assert(out(2L) == ((3.0, 9.0, 3.0, true)))
+    assert(out(5L) == ((3.0, 9.0, 5.0, false)))
+    assert(out(10L) == ((3.0, 9.0, 9.0, true)))
+    // group b's bounds come from its OWN two values, not group a's
+    assert(out(11L)._1 == 100.0 && out(12L)._2 == 200.0, out(11L).toString)
+    assert(!out(11L)._4 && !out(12L)._4)
+  }
+
+  test("winsorizeByGroup: clipped values are always members of the input value set") {
+    val df = (1L to 200L).map(i => (i, s"g${i % 3}", (i * 37 % 101).toDouble))
+      .toDF("id", "g", "v")
+    val vals = df.select("v").as[Double].collect().toSet
+    val out = Stats.winsorizeByGroup(df, "id", "g", "v")
+    assert(out.select("clipped").as[Double].collect().forall(vals.contains))
+    // deterministic under repartition
+    val a = out.orderBy("id").collect().toSeq
+    val b = Stats.winsorizeByGroup(df.repartition(7), "id", "g", "v")
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("winsorizeByGroup: guards and null drop") {
+    val df = Seq((1L, "a", Some(1.0)), (2L, "a", None), (3L, "a", Some(3.0)))
+      .toDF("id", "g", "v")
+    assert(Stats.winsorizeByGroup(df, "id", "g", "v", 0.5, 1.0).count() == 2)
+    intercept[IllegalArgumentException] {
+      Stats.winsorizeByGroup(df, "id", "g", "v", 0.9, 0.1)
+    }
+  }
 }
