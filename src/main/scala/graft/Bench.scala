@@ -72,7 +72,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$Passes}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$Passes}"""
+    println(json)
+    // Also persist the record: stdout alone gets truncated/interleaved by
+    // sbt in the driver's capture (every BENCH_r*.json parsed null), so
+    // the canonical copy lives at target/bench.json.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // best-effort cleanup of the throwaway sink
     try {
       import scala.reflect.io.Directory

@@ -25,7 +25,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = t(s, d, "events")
+  /** The events stream table, with `ts` NORMALIZED to epoch-nanosecond
+    * long regardless of how the driver generated the parquet. Earlier
+    * testdata builds wrote TIMESTAMP(NANOS) (unreadable as a timestamp
+    * by Spark → sessions set `nanosAsLong` and the column arrived as
+    * epoch-ns long); the round-13 regeneration writes timestamp[us].
+    * Every catalog query and its DuckDB oracle (`epoch_ns(ts)`) is
+    * defined over epoch-ns, so the loader adapts: long passes through,
+    * timestamp converts via unix_micros (exact — micros source) ×1000.
+    * NTZ→TIMESTAMP cast is identity under the UTC session TZ all
+    * entrypoints pin. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = t(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

@@ -42,11 +42,22 @@ import org.apache.spark.sql.functions._
   * rows per map task regardless of corpus size. The weight table is
   * ≤ B rows → broadcast to the scoring join; scoring is one
   * explode + broadcast-hash-join + map-side-combined sum, never an
-  * all-pairs or driver-side pass. Overflow headroom: the weight
-  * numerator is ≤ (tgtTot+1)·(rawTot+B)·Scale, safe in a signed long
-  * for corpora up to ~3e9 bigram occurrences per side at the default
-  * Scale — beyond that, lower Scale (the ratio, not the magnitude,
-  * carries the signal).
+  * all-pairs or driver-side pass.
+  *
+  * Overflow headroom (exact bounds): the weight numerator
+  * (tgt_b+1)·(rawTot+B)·Scale is computed in DECIMAL(38,0), so the
+  * multiply is safe while (tgt_b+1)·(rawTot+B) < 10³² — unreachable
+  * for any real corpus (the long-arithmetic form it replaces wrapped
+  * silently past (tgt_b+1)·(rawTot+B) ≈ 9.2e12, i.e. a few e6
+  * occurrences per side at concentrated buckets). The DIVIDED weight
+  * must still fit a signed long: w ≤ (rawTot+B)·Scale, so fitting
+  * requires rawTot < 2⁶³/Scale ≈ 9.2e12 bigram occurrences (~35 TB
+  * of text at default Scale) — [[fitWeights]] enforces this with a
+  * loud `require`; beyond it, lower Scale (the ratio, not the
+  * magnitude, carries the signal). Per-doc scores sum L_doc weights,
+  * each ≲ Scale·rawTot/tgtTot in the worst case — document that
+  * bound rather than guard it: it only binds when a single doc holds
+  * billions of target-exclusive bigrams.
   *
   * Reference anchor: the reference engine has no selection machinery
   * at all (lambda.py filters on fixed predicates only); this is part
@@ -94,36 +105,57 @@ object Dsir {
       .select((col("h") % buckets).cast("int").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
 
-  /** The fitted importance-weight table: (bucket, weight) for every
-    * bucket present in either corpus, plus the totals needed to give
-    * absent buckets their smoothed default. Both count tables are
-    * ≤ B rows; the join is trivially broadcastable and the totals are
-    * two scalar aggregates. Weights are scaled integer probability
-    * ratios (see object doc) — exact, order-free. */
+  /** One-pass fit: the importance-weight table PLUS the smoothed
+    * default weight for buckets absent from both corpora, computed
+    * from a single scan of each corpus. The two bucket histograms
+    * (≤ B rows each) are localCheckpointed, so the totals action and
+    * the weight-table job both read the tiny cached frames instead of
+    * re-hashing the text — one text scan per corpus, total, however
+    * many downstream actions run. This is the form [[select]] and the
+    * catalog use; [[importanceWeights]] / [[defaultWeightOf]] remain
+    * as thin views over it.
+    *
+    * w = ((tgt+1)·(rawTot+B)·Scale) div ((raw+1)·(tgtTot+B)) — the
+    * products are computed in DECIMAL(38,0) (overflow-proof; see the
+    * object doc for the exact bounds), the `div` is floor division
+    * on non-negatives in both engines and lands back in a long. */
+  def fitWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String = "text",
+      buckets: Int = DefaultBuckets,
+  ): (DataFrame, Long) = {
+    val rawC = bucketCounts(raw, textCol, buckets).localCheckpoint()
+    val tgtC = bucketCounts(target, textCol, buckets).localCheckpoint()
+    val rawTot = rawC.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+    val tgtTot = tgtC.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+    require(rawTot <= Long.MaxValue / Scale - buckets,
+      s"raw corpus has $rawTot bigram occurrences; weights would " +
+        s"overflow a long at Scale=$Scale — lower Dsir.Scale " +
+        "(the ratio carries the signal, not the magnitude)")
+    val w = rawC.withColumnRenamed("cnt", "raw_cnt")
+      .join(tgtC.withColumnRenamed("cnt", "tgt_cnt"), Seq("bucket"), "full_outer")
+      .withColumn("graft_num_",
+        (coalesce(col("tgt_cnt"), lit(0L)) + 1L).cast("decimal(38,0)") *
+          lit(rawTot + buckets.toLong) * lit(Scale))
+      .withColumn("graft_den_",
+        (coalesce(col("raw_cnt"), lit(0L)) + 1L).cast("decimal(38,0)") *
+          lit(tgtTot + buckets.toLong))
+      .select(col("bucket"),
+        expr("graft_num_ div graft_den_").as("weight"))
+    (w, ((rawTot + buckets.toLong) * Scale) / (tgtTot + buckets.toLong))
+  }
+
+  /** The fitted importance-weight table alone: (bucket, weight) for
+    * every bucket present in either corpus. Callers needing the
+    * smoothed default too should use [[fitWeights]] — it computes
+    * both from one scan of each corpus. */
   def importanceWeights(
       raw: DataFrame,
       target: DataFrame,
       textCol: String = "text",
       buckets: Int = DefaultBuckets,
-  ): DataFrame = {
-    val rawC = bucketCounts(raw, textCol, buckets)
-    val tgtC = bucketCounts(target, textCol, buckets)
-    val totals = rawC.agg(coalesce(sum("cnt"), lit(0L)).as("raw_tot"))
-      .crossJoin(tgtC.agg(coalesce(sum("cnt"), lit(0L)).as("tgt_tot")))
-    // w = ((tgt+1)·(rawTot+B)·Scale) div ((raw+1)·(tgtTot+B)) — div on
-    // non-negative longs = floor division in both engines
-    rawC.withColumnRenamed("cnt", "raw_cnt")
-      .join(tgtC.withColumnRenamed("cnt", "tgt_cnt"), Seq("bucket"), "full_outer")
-      .crossJoin(broadcast(totals))
-      .withColumn("graft_num_",
-        (coalesce(col("tgt_cnt"), lit(0L)) + 1L) *
-          (col("raw_tot") + buckets.toLong) * Scale)
-      .withColumn("graft_den_",
-        (coalesce(col("raw_cnt"), lit(0L)) + 1L) *
-          (col("tgt_tot") + buckets.toLong))
-      .select(col("bucket"),
-        expr("graft_num_ div graft_den_").as("weight"))
-  }
+  ): DataFrame = fitWeights(raw, target, textCol, buckets)._1
 
   /** Score every raw document against a fitted weight table:
     * (idCol, n_feats, score). score = exact long sum of the doc's
@@ -168,27 +200,20 @@ object Dsir {
       textCol: String = "text",
       buckets: Int = DefaultBuckets,
   ): DataFrame = {
-    val w = importanceWeights(raw, target, textCol, buckets)
-    val scored = scoreDocs(raw, w, defaultWeightOf(raw, target, textCol, buckets),
-      idCol, textCol, buckets)
+    val (w, dflt) = fitWeights(raw, target, textCol, buckets)
+    val scored = scoreDocs(raw, w, dflt, idCol, textCol, buckets)
     Splits.systematicWeightedSample(scored, "score", Seq(idCol), step)
   }
 
   /** The smoothed default weight for buckets absent from BOTH fitted
-    * corpora: the weight formula at raw_cnt = tgt_cnt = 0. Two scalar
-    * counts — cheap, and callers fitting weights once can keep it
-    * alongside the table as part of the frozen artifact (the X134
-    * fit/serve rule). */
+    * corpora: the weight formula at raw_cnt = tgt_cnt = 0. Callers
+    * also needing the weight table should use [[fitWeights]], which
+    * returns both from one scan of each corpus (the X134 fit/serve
+    * rule: freeze table + default together as one artifact). */
   def defaultWeightOf(
       raw: DataFrame,
       target: DataFrame,
       textCol: String = "text",
       buckets: Int = DefaultBuckets,
-  ): Long = {
-    val rawTot = bucketCounts(raw, textCol, buckets)
-      .agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
-    val tgtTot = bucketCounts(target, textCol, buckets)
-      .agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
-    ((rawTot + buckets.toLong) * Scale) / (tgtTot + buckets.toLong)
-  }
+  ): Long = fitWeights(raw, target, textCol, buckets)._2
 }

@@ -96,8 +96,14 @@ object Retrieval {
       .groupBy("qid", "id")
       .agg(sum("graft_ts_").as("score"))
     // payload field order (id first) IS the tie-break on equal scores;
-    // the heap's ordering key is double — exact for scores < 2⁵³,
-    // which the SatScale headroom note already bounds harder than
+    // the heap's ordering key is double — exact for scores < 2⁵³. The
+    // SUMMED score is bounded by T·idfS·satS ≤ T · (2N+1)/3·IdfScale
+    // · 2.2·SatScale ≈ 1.5e6·N·T (N docs, T distinct query terms), so
+    // the double stays exact while N·T ≲ 6e9 at the default scales —
+    // a multi-billion-doc corpus with long queries needs a lower
+    // IdfScale (or a long-keyed heap) to keep heap order == the
+    // oracle's exact BIGINT order. Past 2⁵³ ties resolve by id asc —
+    // deterministic, but possibly not score-exact.
     val payload = struct(col("id"), col("score"))
     perDoc
       .groupBy("qid")

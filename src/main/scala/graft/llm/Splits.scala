@@ -375,7 +375,10 @@ object Splits {
     * Shape: one tiny groupBy-count on the group key, broadcast back;
     * the sampler's prefix-sum walk is the only data-sized pass.
     * Headroom: n_g · WeightScale must stay under 2⁵³ (~9e9 docs per
-    * group at the default scale — lower the scale beyond that).
+    * group at the default scale — lower the scale beyond that); the
+    * bound is ENFORCED at runtime via an assert_true folded into the
+    * isqrt argument, so oversize groups fail loudly instead of
+    * silently mis-weighting.
     *
     * Output: input columns + `mix_weight` (the per-doc mass) +
     * `picks` (≥ 1). */
@@ -390,9 +393,23 @@ object Splits {
     require(weightScale >= 1L, s"weightScale must be >= 1, got $weightScale")
     require(!df.columns.contains("mix_weight"),
       "input must not carry the reserved 'mix_weight' column")
+    // Enforce the isqrt precondition n_g·weightScale < 2⁵³ loudly:
+    // assert_true is folded INTO the isqrt argument (null→+0 when the
+    // check passes) so column pruning cannot drop it, and the job
+    // fails with a clear message instead of silently mis-weighting
+    // groups beyond ~9e9 docs at the default scale.
+    val maxN = ((1L << 53) - 1) / weightScale
+    val checked = col("graft_n_") * lit(weightScale) +
+      coalesce(
+        assert_true(col("graft_n_") <= lit(maxN),
+          lit(s"temperatureSample: a group exceeds $maxN rows, so " +
+            s"count*weightScale($weightScale) is not exactly " +
+            "representable as a double for isqrt — lower weightScale"))
+          .cast("long"),
+        lit(0L))
     val counts = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("graft_n_"))
-      .withColumn("graft_s_", isqrt(col("graft_n_") * lit(weightScale)))
+      .withColumn("graft_s_", isqrt(checked))
       .withColumn("mix_weight", expr(s"($weightScale * graft_s_) div graft_n_"))
       .drop("graft_n_", "graft_s_")
     val weighted = df.join(broadcast(counts), Seq(groupCol))

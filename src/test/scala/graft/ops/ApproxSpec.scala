@@ -9,7 +9,7 @@ class ApproxSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.01"
 
   test("approx distinct within HLL++ error bound of exact") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.Tables.events(spark, sf)
     val exact = events.select(countDistinct($"user_id")).as[Long].head()
     val approx = events.select(Approx.distinct($"user_id")).as[Long].head()
     val err = math.abs(approx - exact).toDouble / exact
@@ -20,7 +20,7 @@ class ApproxSpec extends SparkSpec {
   // union of per-day sketches answers the all-time question without
   // touching raw data, within sketch error of the exact answer.
   test("stored HLL sketches reaggregate across fine groups") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.Tables.events(spark, sf)
       .withColumn("day", expr("ts div 86400000000000"))
     // fine sketch table: per (event_type, day)
     val sketchTable = Approx.preaggDistinct(events, Seq("event_type", "day"), "user_id")
@@ -39,7 +39,7 @@ class ApproxSpec extends SparkSpec {
   }
 
   test("approx percentiles bracket the exact ones") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.Tables.events(spark, sf)
     val Seq(p50a, p95a) = events
       .select(Approx.percentiles($"value", Seq(0.5, 0.95)).as("p"))
       .as[Seq[Double]].head().toSeq
@@ -103,7 +103,7 @@ class ApproxSpec extends SparkSpec {
   }
 
   test("rollup emits one sketch row per group") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = graft.Tables.events(spark, sf)
     val r = Approx.rollup(events, Seq("event_type"), "user_id", "value")
     val types = events.select($"event_type").distinct().count()
     assert(r.count() == types)

@@ -8,7 +8,7 @@ class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
   test("relational and stateful sessionization agree on real events") {
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val events = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val gapNs = 1800000000000L // 30 min
 
     val relational = Sessionize.byGap(
