@@ -19,12 +19,15 @@ object Readers {
   case object Csv extends InputFormat
   case object JsonRecords extends InputFormat // array-of-records / single doc
   case object JsonLines extends InputFormat   // NDJSON
+  case object Avro extends InputFormat        // self-describing containers
   final case class Unsupported(ext: String) extends InputFormat
 
-  /** S5: extension-based routing, as in lambda.py:64-74. */
+  /** S5: extension-based routing, as in lambda.py:64-74 (+ `.avro`,
+    * the X165 format-breadth extension). */
   def formatOf(spark: SparkSession, path: String): InputFormat = {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv")) Csv
+    else if (lower.endsWith(".avro")) Avro
     else if (lower.endsWith(".json")) {
       if (sniffJsonArray(spark, path)) JsonRecords else JsonLines
     } else Unsupported(lower.split('.').lastOption.getOrElse(""))
@@ -70,6 +73,13 @@ object Readers {
       case Csv         => csv(spark, path, schema)
       case JsonRecords => jsonRecords(spark, path, schema)
       case JsonLines   => jsonLines(spark, path, schema)
+      case Avro =>
+        // self-describing: read with the embedded writer schema, then
+        // align to the caller's contract (column order + types)
+        import org.apache.spark.sql.functions.col
+        AvroIo.read(spark, path)
+          .select(schema.fields.toSeq
+            .map(f => col(f.name).cast(f.dataType)): _*)
       case Unsupported(ext) =>
         throw new IllegalArgumentException(s"Unsupported file format: .$ext")
     }

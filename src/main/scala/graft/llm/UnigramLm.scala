@@ -1,0 +1,240 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) tokenizer induction — the OTHER
+  * public tokenizer standard next to BPE (Kudo 2018, the algorithm
+  * most modern tokenizers ship): seed a large candidate vocabulary
+  * from frequent substrings, VITERBI-segment the corpus under the
+  * current piece statistics, re-count piece usage from the chosen
+  * segmentations, prune to the target size, iterate. BPE grows a
+  * vocabulary bottom-up by merging; unigram-LM shrinks one top-down
+  * by pruning — this module closes that half (VERDICT r12 missing
+  * #2; BPE itself is X48/X116/X149).
+  *
+  * Exactness: the published algorithm scores segmentations by
+  * Σ log p(piece) — libm, not bit-portable. The house surrogate rule
+  * (q84 freq_bits, q110 integer ratios) replaces it with INTEGER
+  * SURPRISAL: cost(piece) = bitlen(total) − bitlen(cnt) + 1, and the
+  * Viterbi objective is min-sum of costs with a fully pinned
+  * tie-break (total cost ASC, piece count ASC, then longest-last-
+  * piece first). Every quantity is a long; segmentation and the EM
+  * loop are pure functions of the corpus — re-runs, repartitions,
+  * and the specs' hand-rolled reference DP agree exactly.
+  *
+  * Spark-first shape: the Viterbi DP is a CATALYST EXPRESSION — a
+  * nested `aggregate` over character positions whose inner step
+  * scans the ≤ maxPieceLen candidate splits via the frozen
+  * vocabulary MAP LITERAL (constant-folded into the plan, the
+  * broadcast-free qualityScore discipline) — no UDF, no
+  * mapPartitions, no driver loop over words. It runs on the
+  * DISTINCT-WORD table (the Bpe.wordTable contract): Heaps' law
+  * bounds that table ~√corpus, so at 100 TB the per-round cost is a
+  * word-table scan + one piece-count groupBy, and only the
+  * ≤ vocabSize model table ever reaches the driver (the IVF
+  * centroid-table contract).
+  *
+  * The oracle split (q124): seeding is plain relational algebra —
+  * replayed exactly in DuckDB; the Viterbi EM loop is not
+  * SQL-expressible (lambdas cannot consult a fitted table), so the
+  * fit query registers rows-only and the DP is spec-pinned against
+  * an independent driver-side reference implementation instead.
+  */
+object UnigramLm {
+
+  /** Sentinel for "position unreachable" — far above any real path
+    * cost yet additions stay well inside a long. */
+  private val Inf = Long.MaxValue / 4
+
+  /** SEED candidate vocabulary: every substring of length ≤ maxLen
+    * whose frequency-weighted occurrence count (overlapping, counted
+    * with multiplicity) reaches `minCount`, PLUS every single
+    * character unconditionally (so segmentation is total). One
+    * explode over the distinct-word table — substrings fan out
+    * ≤ maxLen·|word| per word, counts partial-aggregate map-side.
+    * Output: (piece, cnt), the raw statistic the first EM round
+    * consumes. */
+  def seedVocab(
+      docs: DataFrame,
+      textCol: String = "text",
+      maxLen: Int = 6,
+      minCount: Long = 2L,
+  ): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    val words = wordTable(docs, textCol)
+    val w = col("w")
+    // all (start, len) substrings with len <= maxLen, weighted by freq
+    val subs = words.select(col("freq"),
+      explode(flatten(transform(sequence(lit(1), length(w)), i =>
+        transform(sequence(lit(1),
+          least(lit(maxLen), length(w) - i + lit(1))), l =>
+          w.substr(i, l))))).as("piece"))
+    val counts = subs.groupBy(col("piece"))
+      .agg(sum(col("freq")).as("cnt"))
+    // chars stay unconditionally; longer pieces need minCount
+    counts.filter(length(col("piece")) === 1 || col("cnt") >= minCount)
+  }
+
+  /** The induced tokenizer after `iters` EM rounds: (piece, cnt,
+    * cost) — cnt from the LAST segmentation pass, cost the integer
+    * surprisal the next segmentation would use (the frozen serving
+    * statistic). Pruning keeps the `vocabSize` best multi-char
+    * pieces by (cnt DESC, piece ASC) plus every single char. */
+  def fit(
+      docs: DataFrame,
+      textCol: String = "text",
+      vocabSize: Int = 2000,
+      maxLen: Int = 6,
+      minSeedCount: Long = 2L,
+      iters: Int = 2,
+  ): DataFrame = {
+    require(iters >= 1, s"need at least one EM round, got $iters")
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = wordTable(docs, textCol).localCheckpoint()
+    var vocab: Seq[(String, Long)] = collectVocab(
+      seedVocab(docs, textCol, maxLen, minSeedCount), vocabSize)
+    // totality floor: every corpus character stays in the vocabulary
+    // for good — a char whose every occurrence segments inside larger
+    // pieces would otherwise vanish from the recount and break
+    // segmentation of unseen words. Unobserved chars re-enter at
+    // count 1 (rarest-possible, the q100 unseen-token rule).
+    val charSet = vocab.collect { case (p, _) if p.length == 1 => p }.toSet
+    for (_ <- 1 to iters) {
+      val costed = withCosts(vocab)
+      val vm = vocabMapLit(costed.map(t => (t._1, t._3)))
+      val segmented = words.select(col("freq"),
+        explode(segmentExpr(col("w"), vm, maxLen)).as("piece"))
+      val recount = segmented.groupBy(col("piece"))
+        .agg(sum(col("freq")).as("cnt"))
+      val counted = collectVocab(recount, vocabSize)
+      val present = counted.map(_._1).toSet
+      vocab = counted ++
+        charSet.diff(present).toSeq.sorted.map(c => (c, 1L))
+    }
+    val costedFinal = withCosts(vocab).sortBy(_._1)
+    costedFinal.toDF("piece", "cnt", "cost")
+  }
+
+  /** Serve: segment `textCol` into pieces under a frozen (piece, cnt,
+    * cost) model table — output adds `pieces` (array) and
+    * `n_pieces`. The model rides the plan as a constant-folded map
+    * literal; unknown characters segment as themselves at
+    * `unkCost`. */
+  def segment(
+      df: DataFrame,
+      model: DataFrame,
+      textCol: String = "text",
+      maxLen: Int = 6,
+  ): DataFrame = {
+    val costed = model.select(col("piece"), col("cost").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vm = vocabMapLit(costed)
+    val toks = split(coalesce(col(textCol), lit("")), " ")
+    val pieces = flatten(transform(
+      filter(toks, t => length(t) > 0),
+      t => segmentExpr(t, vm, maxLen)))
+    df.withColumn("pieces", pieces)
+      .withColumn("n_pieces", size(col("pieces")))
+  }
+
+  /** Cost of segmenting an unknown single character: one worse than
+    * the worst in-vocab piece could be — deterministic, total. */
+  private val UnkCost = 64L + 2L
+
+  /** Integer surprisal costs from counts: bitlen(total) −
+    * bitlen(cnt) + 1 (≥ 1; rarer → costlier; the q84 freq_bits
+    * convention). */
+  private def withCosts(vocab: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+    val total = math.max(vocab.map(_._2).sum, 1L)
+    val tb = 64 - java.lang.Long.numberOfLeadingZeros(total)
+    vocab.map { case (p, c) =>
+      val cb = 64 - java.lang.Long.numberOfLeadingZeros(math.max(c, 1L))
+      (p, c, (tb - cb + 1).toLong)
+    }
+  }
+
+  /** Keep the vocabSize best multi-char pieces (cnt DESC, piece ASC)
+    * plus all single chars — one bounded driver collect (the model
+    * table IS the artifact, like the IVF centroids). */
+  private def collectVocab(
+      counts: DataFrame, vocabSize: Int): Seq[(String, Long)] = {
+    val all = counts.select(col("piece"), col("cnt").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val (chars, multi) = all.partition(_._1.length == 1)
+    chars ++ multi.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+  }
+
+  /** (piece, cost) pairs → a constant-folded map literal. */
+  private def vocabMapLit(costs: Seq[(String, Long)]): Column = {
+    val ps = costs.map(_._1).toArray
+    val cs = costs.map(_._2).toArray
+    map_from_arrays(lit(ps), lit(cs))
+  }
+
+  /** The (word, freq) distinct-word table — the [[Bpe]] contract. */
+  private def wordTable(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(coalesce(col(textCol), lit("")), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Viterbi min-cost segmentation of one word as a pure Catalyst
+    * expression. DP over positions 0..n: best(i) = min over the
+    * ≤ maxLen candidate last pieces ending at i of best(j) +
+    * cost(piece(j, i)); order (cost ASC, pieces ASC, first-found j
+    * ASC = longest last piece). Unknown single chars cost
+    * [[UnkCost]]; unknown longer pieces are not candidates.
+    * Backtrack walks the DP table once more. Both walks are
+    * `aggregate` over sequence(1, n) — no UDF, runs wherever the
+    * row lives. Requires length ≥ 1 (the word table guarantees). */
+  private[llm] def segmentExpr(
+      w: Column, vocabM: Column, maxLen: Int): Column = {
+    val n = length(w)
+    val stateT = "struct<cost:bigint,np:int,back:int>"
+    val init = array(
+      expr(s"named_struct('cost', 0L, 'np', 0, 'back', 0)").cast(stateT))
+    val dp = aggregate(
+      sequence(lit(1), n),
+      init,
+      (acc, i) => {
+        val js = sequence(greatest(i - lit(maxLen), lit(0)), i - lit(1))
+        val best = aggregate(
+          js,
+          expr(s"named_struct('cost', ${Inf}L, 'np', 0, 'back', 0)")
+            .cast(stateT),
+          (b, j) => {
+            val prev = element_at(acc, j + lit(1))
+            val piece = w.substr(j + lit(1), i - j)
+            val pc = coalesce(
+              element_at(vocabM, piece),
+              when(i - j === 1, lit(UnkCost)))
+            val cand = struct(
+              (prev.getField("cost") + pc).as("cost"),
+              (prev.getField("np") + lit(1)).as("np"),
+              j.cast("int").as("back")).cast(stateT)
+            when(pc.isNull || prev.getField("cost") >= lit(Inf), b)
+              .otherwise(when(cand < b, cand).otherwise(b))
+          })
+        concat(acc, array(best))
+      })
+    // backtrack: walk back pointers from n to 0 (at most n hops)
+    val walked = aggregate(
+      sequence(lit(1), n),
+      struct(n.cast("int").as("pos"),
+        array().cast("array<string>").as("ps")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val ps = st.getField("ps")
+        val s = element_at(dp, pos + lit(1))
+        val b = s.getField("back")
+        when(pos <= 0, st).otherwise(struct(
+          b.as("pos"),
+          concat(array(w.substr(b + lit(1), pos - b)), ps).as("ps")))
+      })
+    walked.getField("ps")
+  }
+}

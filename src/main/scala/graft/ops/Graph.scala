@@ -211,8 +211,11 @@ object Graph {
     * graph where every node has in- and out-edges the inbound
     * aggregate already covers all nodes, so the per-iteration node
     * join collapses to a BROADCAST join against the tiny seed set —
-    * bit-identical results (spec-pinned), one shuffle join less per
-    * round. */
+    * one shuffle join less per round. Results are identical to the
+    * default path on the rank > 0 support (spec-pinned); the fast
+    * path omits non-seed nodes with zero inbound mass, which the
+    * default path emits as rank-0 rows (the [[pageRank]] fast-path
+    * caveat, unchanged). */
   def personalizedPageRank(
       edges: DataFrame,
       seeds: DataFrame,
@@ -433,6 +436,112 @@ object Graph {
       }
     }
     degreesOf(e)
+  }
+
+  /** COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    * et al. 2007, made deterministic): every node starts with its own
+    * id as label; each round it adopts the most frequent label among
+    * its neighbors, ties broken by the SMALLEST label — the published
+    * random tie-break replaced by an order so the assignment is a
+    * pure function of the graph (replayable, hash-matchable). Runs on
+    * the canonical simple undirected edge set ([[canonicalEdges]]:
+    * a < b, self-loops out, duplicates merged), so a node's own label
+    * never votes for itself.
+    *
+    * Fixed `iterations` (this form — the unconditional loop a SQL
+    * oracle unrolls, q121); [[labelPropagationConverged]] is the
+    * production form. Synchronous LPA can 2-cycle on bipartite-ish
+    * structures rather than converge — a bounded round count is the
+    * standard remedy and the converged variant detects the
+    * oscillation instead of looping forever.
+    *
+    * Scale shape: per round ONE shuffle join (neighbor labels:
+    * adjacency ⋈ labels on the neighbor key) + ONE two-key groupBy
+    * count + ONE per-node argmax via min(struct(-count, label)) —
+    * map-side-combinable aggregates, no driver hop; per-round
+    * localCheckpoint cuts the join-per-round lineage (the [[kCore]]
+    * 4^rounds rule). Label payload is one value per node — at 100 TB
+    * the round cost is ∝ |E| regardless of community sizes; hubs
+    * fan-in their neighbor votes through partial aggregation, never
+    * through a per-node collect.
+    *
+    * Output: (node, label) — label = the elected community
+    * representative's id; communities are the label-equal classes. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+  ): DataFrame = {
+    require(iterations >= 1, s"need at least one round, got $iterations")
+    val adj = adjacencyOf(canonicalEdges(edges, srcCol, dstCol))
+      .localCheckpoint()
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("graft_lbl_", col("node"))
+    for (_ <- 1 to iterations)
+      labels = lpaRound(adj, labels).localCheckpoint()
+    labels.select(col("node"), col("graft_lbl_").as("label"))
+  }
+
+  /** CONVERGENCE-STOP [[labelPropagation]]: iterate until a round
+    * changes no label (count of label-diffs — one scalar driver hop
+    * per `checkEvery` rounds off checkpointed tables), up to
+    * `maxIterations`. Equal-count checks would be wrong here (labels
+    * can churn at constant node count), so the test is an actual
+    * old⋈new diff; synchronous-LPA 2-cycles surface as a never-zero
+    * diff and stop at `maxIterations` — the documented bound. Bit-
+    * identical to [[labelPropagation]] at matched round counts
+    * (spec-pinned). */
+  def labelPropagationConverged(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIterations: Int = 20,
+      checkEvery: Int = 2,
+  ): DataFrame = {
+    require(maxIterations >= 1, s"need at least one round, got $maxIterations")
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
+    val adj = adjacencyOf(canonicalEdges(edges, srcCol, dstCol))
+      .localCheckpoint()
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("graft_lbl_", col("node"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (it < maxIterations && !converged) {
+      val next = lpaRound(adj, labels).localCheckpoint()
+      it += 1
+      if (it % checkEvery == 0 || it == maxIterations) {
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.graft_lbl_") =!= col("o.graft_lbl_"))
+          .count()
+        converged = changed == 0L
+      }
+      labels = next
+    }
+    labels.select(col("node"), col("graft_lbl_").as("label"))
+  }
+
+  /** Both directions of a canonical edge set: (node, nbr) per
+    * incidence. */
+  private def adjacencyOf(e: DataFrame): DataFrame =
+    e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+
+  /** One LPA round: count neighbor labels, elect per node the
+    * (max count, then min label) winner via a struct-min — one
+    * aggregate, no window sort. */
+  private def lpaRound(adj: DataFrame, labels: DataFrame): DataFrame = {
+    val nl = adj
+      .join(labels.select(col("node").as("nbr"), col("graft_lbl_")),
+        Seq("nbr"))
+      .groupBy(col("node"), col("graft_lbl_"))
+      .agg(count(lit(1)).as("graft_c_"))
+    nl.groupBy(col("node"))
+      .agg(min(struct((-col("graft_c_")).as("nc"), col("graft_lbl_").as("l")))
+        .as("graft_best_"))
+      .select(col("node"), col("graft_best_.l").as("graft_lbl_"))
   }
 
   /** Canonical simple undirected edge set: (a < b), self-loops out,

@@ -2045,6 +2045,91 @@ object Catalog {
     """.trim),
   )
 
+  /** Unrolled synchronous-LPA rounds for the q121 oracle — per round
+    * one (neighbor-label count, per-node argmax) CTE pair over `adj`,
+    * the deterministic tie-break (count DESC, label ASC) spelled as a
+    * window pick; generated from one Scala loop (the q98/q117
+    * single-source-of-truth rule). */
+  private def lpaRoundsSql(iterations: Int): String =
+    (1 to iterations).map { t =>
+      s"""c$t AS (SELECT adj.node, p.lbl, COUNT(*) AS c
+        FROM adj JOIN l${t - 1} p ON adj.nbr = p.node
+        GROUP BY adj.node, p.lbl),
+      l$t AS (SELECT node, lbl FROM (
+        SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+          ORDER BY c DESC, lbl ASC) AS rn FROM c$t) WHERE rn = 1)"""
+    }.mkString(",\n      ")
+
+  /** Community detection on the minute-co-presence graph
+    * (Graph.labelPropagation, X163): deterministic synchronous LPA —
+    * most-frequent neighbor label, ties to the smallest — four
+    * rounds, unrolled in the oracle round for round. Communities are
+    * the cohesive co-activity clusters the q117 core is the nucleus
+    * of; labelPropagationConverged is the production form
+    * (spec-pinned ≡ this one at matched rounds). */
+  val lpaQ = GraftQuery(
+    "q121_copresence_communities",
+    (s, d) => {
+      val ue = events(s, d)
+        .select(col("user_id").as("uid"), expr("ts div 60000000000").as("w"))
+        .distinct()
+      val e = ue.as("x").join(ue.as("y"),
+          col("x.w") === col("y.w") && col("x.uid") < col("y.uid"))
+        .select(col("x.uid").as("src"), col("y.uid").as("dst"))
+      graft.ops.Graph.labelPropagation(e, "src", "dst", iterations = 4)
+        .select(col("node").as("user_id"), col("label").as("community"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH ue AS (SELECT DISTINCT user_id AS uid, epoch_ns(ts)//60000000000 AS w
+                  FROM events),
+      e0 AS (SELECT DISTINCT x.uid AS a, y.uid AS b
+             FROM ue x JOIN ue y ON x.w = y.w AND x.uid < y.uid),
+      adj AS (SELECT a AS node, b AS nbr FROM e0
+              UNION ALL SELECT b AS node, a AS nbr FROM e0),
+      l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+      ${lpaRoundsSql(4)}
+      SELECT node AS user_id, lbl AS community FROM l4 ORDER BY user_id
+    """.trim),
+  )
+
+  /** Avro source/sink round-trip (io.AvroIo, X165): the lineitem
+    * slice written as avro containers (one per partition, deflate),
+    * read BACK through the splittable AvroKeyInputFormat path, and
+    * aggregated — while the oracle aggregates the original parquet.
+    * A hash match therefore proves the trip is lossless (IEEE
+    * doubles, longs, strings) AND that the aggregate over the
+    * re-read equals the aggregate over the source — the format seam
+    * verified end to end, not by fixture. */
+  val avroRoundtripQ = GraftQuery(
+    "q123_avro_roundtrip",
+    (s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_q123_avro_").toString
+      graft.io.AvroIo.write(li, dir)
+      graft.io.AvroIo.read(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          sum(col("l_orderkey")).as("sum_key"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
+             COUNT(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """.trim),
+  )
+
   /** The q113 oracle: the q98 CTE chain with the teleport mass
     * concentrated on the seed set — r0 and the per-iteration base
     * term gated on seed membership, |S| and the seed constants
@@ -2373,6 +2458,8 @@ object Catalog {
     madOutliersQ,
     kCoreQ,
     winsorizeQ,
+    lpaQ,
+    avroRoundtripQ,
     groupSketchQuantilesQ,
     tableDigestQ,
     fuzzyJoinQ,

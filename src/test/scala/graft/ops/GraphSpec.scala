@@ -333,4 +333,51 @@ class GraphSpec extends SparkSpec {
     val b = trisOf(Graph.triangleCounts(e.repartition(11), "s", "d"))
     assert(a == b)
   }
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+    df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("labelPropagation: two cliques joined by a bridge resolve to two communities") {
+    // cliques {A1..A4}, {B1..B4}, one bridge A1-B1
+    def clique(p: String) = for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (s"$p$a", s"$p$b")
+    val e = (clique("A") ++ clique("B") :+ ("A1", "B1")).toDF("s", "d")
+    val l = labelsOf(Graph.labelPropagation(e, "s", "d", iterations = 4))
+    assert(l.size == 8)
+    val aLabels = (1 to 4).map(i => l(s"A$i")).toSet
+    val bLabels = (1 to 4).map(i => l(s"B$i")).toSet
+    assert(aLabels.size == 1 && bLabels.size == 1, l.toString)
+    assert(aLabels != bLabels, s"bridge merged the cliques: $l")
+  }
+
+  test("labelPropagation: deterministic tie-break picks the smallest label") {
+    // one round on a path A-B-C: B's neighbors {A, C} tie at 1 → A wins
+    val e = Seq(("A", "B"), ("B", "C")).toDF("s", "d")
+    val l = labelsOf(Graph.labelPropagation(e, "s", "d", iterations = 1))
+    assert(l("B") == "A", l.toString)
+    // A's only neighbor is B, C's only neighbor is B
+    assert(l("A") == "B" && l("C") == "B", l.toString)
+  }
+
+  test("labelPropagation: canonicalization + repartition invariance") {
+    val messy = Seq(("A", "B"), ("B", "A"), ("A", "A"), ("B", "C"), ("C", "A"),
+      ("C", "D"), ("D", "E"), ("E", "C"))
+      .toDF("s", "d")
+    val a = labelsOf(Graph.labelPropagation(messy, "s", "d", iterations = 3))
+    val b = labelsOf(
+      Graph.labelPropagation(messy.repartition(7), "s", "d", iterations = 3))
+    assert(a == b && a.size == 5)
+  }
+
+  test("labelPropagationConverged matches fixed rounds and stops at the fixpoint") {
+    def clique(p: String) = for {
+      a <- 1 to 5; b <- 1 to 5 if a < b
+    } yield (s"$p$a", s"$p$b")
+    val e = (clique("A") ++ clique("B") :+ ("A2", "B2")).toDF("s", "d")
+    val conv = labelsOf(
+      Graph.labelPropagationConverged(e, "s", "d", maxIterations = 20))
+    val fixed = labelsOf(Graph.labelPropagation(e, "s", "d", iterations = 8))
+    assert(conv == fixed, s"conv=$conv fixed=$fixed")
+  }
 }
