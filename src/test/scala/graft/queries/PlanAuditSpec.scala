@@ -457,4 +457,103 @@ class PlanAuditSpec extends SparkSpec {
       "the prefix-sum walk's checkpoint must feed the pick filter")
     assert(!p.contains("SinglePartition"), p.take(400))
   }
+
+  test("q119 quality fit: one Gram aggregate row, partial-combined map-side") {
+    // the fit's distributed pass is the Gram/moment aggregate — it must
+    // partial-aggregate before the exchange (one row of scalars crosses)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sig = graft.llm.CorpusStats.docSignals(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        when(col("source") === "src0", 1L).otherwise(0L).as("y")),
+        Seq("doc_id"))
+    import org.apache.spark.sql.types.DecimalType
+    val xs = Seq(lit(1L),
+      graft.llm.QualityFit.scaledFeature(col("dup_token_frac")),
+      graft.llm.QualityFit.scaledFeature(col("top_token_frac")))
+    val agg = sig.agg(
+      sum((xs(0) * xs(1)).cast(DecimalType(38, 0))).as("g01"),
+      sum((xs(1) * xs(2)).cast(DecimalType(38, 0))).as("g12"),
+      sum((xs(1) * col("y")).cast(DecimalType(38, 0))).as("m1"))
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("partial_sum"),
+      s"Gram sums must combine map-side:\n${p.take(600)}")
+    // serving compiles the weights into a plain projection laid
+    // DIRECTLY over the signal frame (the joins below are the signal
+    // frame's own assembly, not serving cost): the node above the
+    // input must be a Project carrying the decimal literals
+    val f = graft.llm.QualityFit.fit(sig,
+      Seq("dup_token_frac", "top_token_frac"), "y")
+    val served = graft.llm.QualityFit.scoreDetScaled(sig, f)
+    val top = served.queryExecution.executedPlan.toString
+      .linesIterator.drop(1).take(1).mkString
+    assert(top.contains("Project") && top.contains("score_num"),
+      s"serving must be one projection over the signal frame, got: $top")
+  }
+
+  test("q121 LPA: equi-joins only; vote counts combine map-side") {
+    val df = Catalog.lpaQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the returned plan reads the last round's checkpoint — audit the
+    // ROUND shape inline (the temperature-mix precedent): one
+    // adjacency⋈labels equi-join + two partial-combined aggregates
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"label votes must move through equi-joins:\n${p.take(600)}")
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+    val labels = adj.select(col("node")).distinct()
+      .withColumn("graft_lbl_", col("node"))
+    val round = adj
+      .join(labels.select(col("node").as("nbr"), col("graft_lbl_")), Seq("nbr"))
+      .groupBy(col("node"), col("graft_lbl_"))
+      .agg(count(lit(1)).as("graft_c_"))
+      .groupBy(col("node"))
+      .agg(min(struct((-col("graft_c_")).as("nc"),
+        col("graft_lbl_").as("l"))).as("b"))
+    round.collect()
+    val pr = round.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(pr.contains("partial_count") && pr.contains("partial_min"),
+      s"vote counts and argmax must partial-aggregate:\n${pr.take(800)}")
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"), pr.take(400))
+  }
+
+  test("q122 k-means: centroids broadcast into assignment; means partial-combine") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = graft.llm.KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val assigned = graft.llm.KMeans.assign(emb, model, "vec_id", "embedding")
+    assigned.collect()
+    val p = assigned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the k-row centroid table must broadcast:\n${p.take(600)}")
+    val flat = graft.llm.KMeans.fitFlat(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val pf = flat.queryExecution.executedPlan.toString
+    // fitFlat returns the checkpointed mean table — k·dim rows
+    assert(pf.contains("Scan ExistingRDD"),
+      s"the mean table must be the checkpointed artifact:\n${pf.take(400)}")
+  }
+
+  test("q124 unigram seed: substring counts partial-aggregate before the shuffle") {
+    val df = LlmCatalog.unigramSeedQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"piece counts must combine map-side:\n${p.take(600)}")
+    assert(!p.contains("CartesianProduct"), p.take(400))
+  }
+
+  test("q123 avro roundtrip: the re-read aggregate partial-combines like parquet") {
+    val df = Catalog.avroRoundtripQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("partial_sum"),
+      s"the aggregate over the avro scan must map-side combine:\n${p.take(600)}")
+  }
 }
