@@ -105,6 +105,53 @@ final class ParquetDirStore(root: String)(implicit spark: SparkSession)
 final class OrcDirStore(root: String)(implicit spark: SparkSession)
     extends FileDirStore(root, "orc")
 
+/** Avro table store (X165) — the same directory-per-table seam over
+  * [[AvroIo]]'s splittable containers (this container ships no
+  * spark-avro DataSource, so the read/write path is AvroIo's, not
+  * `format("avro")`). Append lands each batch under a fresh random
+  * prefix (container names are store-internal — the same contract as
+  * Spark's own part-file UUIDs); replace stages and swaps like
+  * [[FileDirStore]]. Row-format trade-off as documented there: full
+  * interchange, no columnar pushdown. */
+final class AvroDirStore(root: String)(implicit spark: SparkSession)
+    extends TableStore {
+
+  private def path(name: String) = s"$root/$name"
+  private def fsOf(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def read(name: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    if (fsOf(p).exists(p)) Some(AvroIo.read(spark, path(name))) else None
+  }
+
+  override def append(name: String, df: DataFrame): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(
+      path(name) + "_append_" + java.util.UUID.randomUUID().toString)
+    val fs = fsOf(stage)
+    AvroIo.write(df, stage.toString)
+    val dest = new org.apache.hadoop.fs.Path(path(name))
+    fs.mkdirs(dest)
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    fs.listStatus(stage).filter(_.getPath.getName.endsWith(".avro"))
+      .foreach { s =>
+        fs.rename(s.getPath,
+          new org.apache.hadoop.fs.Path(dest, s"$stamp-${s.getPath.getName}"))
+      }
+    fs.delete(stage, true)
+  }
+
+  override def replace(name: String, df: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    val fs = fsOf(p)
+    val stage = new org.apache.hadoop.fs.Path(path(name) + "_stage")
+    if (fs.exists(stage)) fs.delete(stage, true)
+    AvroIo.write(df, stage.toString)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.rename(stage, p): Unit
+  }
+}
+
 /** Key-bucketed parquet store: each table is laid out as
   * `<root>/<name>/graft_bucket=<b>/` with b = pmod(xxhash64(key), n).
   * [[upsert]] rewrites ONLY the buckets the incoming batch touches —

@@ -594,4 +594,65 @@ object Graph {
           expr(s"($dampingNum * coalesce(graft_in_, 0L)) div $dampingDen")
         ).as("graft_r_"))
   }
+
+  /** EXACT per-community MODULARITY — the standard quality score for a
+    * community assignment (Newman 2004), made hash-replayable: for
+    * community c over the canonical simple graph with m edges,
+    *
+    *   Q_c = e_c/m − (d_c/2m)²,  Q = Σ_c Q_c
+    *
+    * (e_c intra-community edges, d_c degree sum). Floats nowhere: the
+    * emitted statistic is the INTEGER numerator over the common
+    * denominator 4m² — q_num = 4·m·e_c − d_c² — computed in
+    * DECIMAL(38,0) (safe through per-community degree sums ~10¹⁹,
+    * far past any long bound), shipped as digit strings (the q119
+    * rule: > 2⁵³ integers must not pass through doubles), plus the
+    * one-IEEE-divide `q` column for human reading. A positive q_num
+    * means community c is denser than the configuration-model
+    * expectation — the yardstick that makes X163's output judgeable.
+    *
+    * Shape: two label joins on the edge endpoints (equi), one
+    * per-community count + one degree groupBy-sum, and the 1-row m
+    * total broadcast-crossed in (the Quantiles totals pattern) —
+    * all map-side-combinable, nothing driver-side.
+    *
+    * Output: (labelCol, n_nodes, intra_edges, degree_sum, q_num, q)
+    * — one row per community; Σ q = the assignment's modularity. */
+  def communityModularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      assignment: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+  ): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val la = assignment.select(col(nodeCol).as("a"), col(labelCol).as("graft_la_"))
+    val lb = assignment.select(col(nodeCol).as("b"), col(labelCol).as("graft_lb_"))
+    val labeled = e.join(la, Seq("a")).join(lb, Seq("b"))
+    val m = e.agg(count(lit(1)).as("graft_m_"))
+    val intra = labeled.filter(col("graft_la_") === col("graft_lb_"))
+      .groupBy(col("graft_la_").as(labelCol))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degs = degreesOf(e)
+      .join(assignment.select(col(nodeCol).as("node"), col(labelCol)),
+        Seq("node"))
+      .groupBy(col(labelCol))
+      .agg(sum(col("deg")).as("degree_sum"), count(lit(1)).as("n_nodes"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    degs.join(intra, Seq(labelCol), "left")
+      .crossJoin(broadcast(m))
+      .select(
+        col(labelCol),
+        col("n_nodes"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (lit(4).cast(dec) * col("graft_m_") *
+          coalesce(col("intra_edges"), lit(0L)) -
+          col("degree_sum").cast(dec) * col("degree_sum"))
+          .cast(dec).cast("string").as("q_num"),
+        ((lit(4.0) * col("graft_m_") * coalesce(col("intra_edges"), lit(0L)) -
+          col("degree_sum").cast("double") * col("degree_sum")) /
+          (lit(4.0) * col("graft_m_") * col("graft_m_"))).as("q"))
+  }
 }

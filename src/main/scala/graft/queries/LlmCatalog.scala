@@ -3449,6 +3449,40 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Serving the q122 model (KMeans.assign): every vector's cluster
+    * id under the two-round-trained centroids — fit and serve in one
+    * oracle round trip (the q120 pattern for k-means). The oracle
+    * replays the training CTEs and one more assignment round; a hash
+    * match pins the broadcast-argmin serve path against the same
+    * frozen model both engines derived. */
+  val kmeansAssignQ = GraftQuery(
+    "q126_kmeans_assign",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val model = graft.llm.KMeans.fit(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      graft.llm.KMeans.assign(emb, model, "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""
+      WITH v AS (SELECT vec_id AS id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+      c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cell,
+                    e AS c
+             FROM (SELECT id, e FROM v ORDER BY id LIMIT 8)),
+      ${kmeansRoundsSql(2, 64)},
+      serve AS (SELECT id, cell FROM (
+        SELECT v.id, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+                 list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, c.c)
+                   + list_dot_product(c.c, c.c), c.cell) AS rn
+        FROM v CROSS JOIN c2 c) WHERE rn = 1)
+      SELECT id AS vec_id, cell FROM serve ORDER BY vec_id
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Unigram-LM tokenizer induction (X162, UnigramLm)
   // ---------------------------------------------------------------
@@ -3569,6 +3603,7 @@ object LlmCatalog {
     qualityFitQ,
     qualityFitScoresQ,
     kmeansFitQ,
+    kmeansAssignQ,
     unigramSeedQ,
     unigramFitQ,
   )

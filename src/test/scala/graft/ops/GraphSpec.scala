@@ -370,6 +370,45 @@ class GraphSpec extends SparkSpec {
     assert(a == b && a.size == 5)
   }
 
+  test("labelPropagation: bipartite 2-cycle oscillates; converged stops at the bound") {
+    // K2,2 with crossing labels: synchronous LPA swaps sides forever —
+    // the documented failure mode; the bound must terminate it
+    val e = Seq(("A", "X"), ("A", "Y"), ("B", "X"), ("B", "Y")).toDF("s", "d")
+    val l4 = labelsOf(Graph.labelPropagation(e, "s", "d", iterations = 4))
+    val l6 = labelsOf(Graph.labelPropagation(e, "s", "d", iterations = 6))
+    assert(l4 == l6, "period-2 oscillation should repeat at same parity")
+    val conv = labelsOf(
+      Graph.labelPropagationConverged(e, "s", "d", maxIterations = 7))
+    assert(conv.size == 4) // terminated despite never converging
+  }
+
+  test("communityModularity: hand-computed Q on two cliques + bridge; bad split scores lower") {
+    def clique(p: String) = for {
+      a <- 1 to 3; b <- 1 to 3 if a < b
+    } yield (s"$p$a", s"$p$b")
+    val e = (clique("A") ++ clique("B") :+ ("A1", "B1")).toDF("s", "d")
+    // m = 7; good split: each clique a community
+    val good = (1 to 3).flatMap(i => Seq((s"A$i", "cA"), (s"B$i", "cB")))
+      .toDF("node", "community")
+    val rows = Graph.communityModularity(e, "s", "d", good, "node", "community")
+      .orderBy("community").collect()
+    // community A: e_c=3, d_c = 2+2+3 = 7 → q_num = 4*7*3 − 49 = 35; same for B
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 7L)
+      assert(r.getString(4) == "35", r.getString(4))
+      assert(math.abs(r.getDouble(5) - 35.0 / 196.0) < 1e-15)
+    }
+    // everything-in-one-community: Q = e/m − 1 = 0 − ... = 4*7*7 − 196 = 0
+    val one = (1 to 3).flatMap(i => Seq((s"A$i", "c"), (s"B$i", "c")))
+      .toDF("node", "community")
+    val qOne = Graph.communityModularity(e, "s", "d", one, "node", "community")
+      .collect()
+    assert(qOne.length == 1 && qOne.head.getString(4) == "0")
+    // the good split's total Q beats the degenerate one
+    assert(rows.map(_.getString(4).toLong).sum > 0L)
+  }
+
   test("labelPropagationConverged matches fixed rounds and stops at the fixpoint") {
     def clique(p: String) = for {
       a <- 1 to 5; b <- 1 to 5 if a < b
