@@ -122,7 +122,13 @@ final class AvroDirStore(root: String)(implicit spark: SparkSession)
 
   override def read(name: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path(name))
-    if (fsOf(p).exists(p)) Some(AvroIo.read(spark, path(name))) else None
+    val fs = fsOf(p)
+    // a table exists when it holds at least one container — an empty
+    // directory (append of an empty frame emits no files) reads as
+    // missing, matching the reference's missing-table → empty rule
+    val has = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".avro"))
+    if (has) Some(AvroIo.read(spark, path(name))) else None
   }
 
   override def append(name: String, df: DataFrame): Unit = {

@@ -32,8 +32,9 @@ import org.apache.spark.sql.types.DecimalType
   * (num, den) integer pairs and the fitted score of a document is the
   * exact integer Σ x_ij·num_j — a 3-feature fit's determinants are
   * plain 4×4 polynomial expressions a SQL engine evaluates in HUGEINT
-  * (q119/q120 replay exactly that). keep = (score ≥ 0) ⟺ the rational
-  * score βᵀx ≥ 0, since det(G) > 0 for any full-rank Gram.
+  * (q119/q120 replay exactly that). keep = the exact rational decision
+  * ŷ ≥ threshold, cross-multiplied into integers (det(G) > 0 for any
+  * full-rank Gram, so the inequality direction is preserved).
   *
   * Scale shape at 100 TB: the Gram pass is a single select-aggregate —
   * (k+2)²/2 products per row, partial-aggregated map-side, shuffling
@@ -175,23 +176,33 @@ object QualityFit {
   }
 
   /** Serve the EXACT fitted score: score_num = Σ x_ij·num_j (intercept
-    * included), the rational score βᵀx multiplied by det(G) > 0 — so
-    * `keep` = (score_num ≥ 0) is exactly the model's sign decision,
-    * integer end to end. Weights ride the plan as decimal literals
-    * (broadcast-free projection, the qualityScore discipline).
-    * Output: (idCol, score_num, keep). */
+    * included), the rational prediction ŷ = βᵀx multiplied by
+    * det(G) > 0. `keep` is the EXACT rational decision
+    * ŷ ≥ thresholdNum/thresholdDen, evaluated integer-only as
+    * score_num·tDen ≥ tNum·den (both denominators positive, so the
+    * cross-multiply preserves the inequality). The default threshold
+    * is ½ — the natural decision line for 0/1 exemplar labels (a
+    * regression on {0,1} predicts the curated-class probability-ish
+    * value; ≥ 0 would keep almost everything). Weights ride the plan
+    * as decimal literals (broadcast-free projection, the qualityScore
+    * discipline). Output: (idCol, score_num, keep). */
   def scoreDetScaled(
       signals: DataFrame,
       f: Fit,
       idCol: String = "doc_id",
+      thresholdNum: Long = 1L,
+      thresholdDen: Long = 2L,
   ): DataFrame = {
+    require(thresholdDen > 0, s"thresholdDen must be > 0, got $thresholdDen")
     val terms = f.features.zip(f.nums).map { case (name, n) =>
       val x = if (name == "intercept") lit(1L)
         else scaledFeature(col(name), f.scale)
       x.cast(DecimalType(38, 0)) * lit(new java.math.BigDecimal(n.bigInteger))
     }
     val score = terms.reduceLeft(_ + _).cast(DecimalType(38, 0))
+    val rhs = lit(new java.math.BigDecimal(
+      (BigInt(thresholdNum) * f.den).bigInteger))
     signals.select(col(idCol), score.as("score_num"),
-      (score >= lit(0)).as("keep"))
+      (score * lit(thresholdDen) >= rhs).as("keep"))
   }
 }

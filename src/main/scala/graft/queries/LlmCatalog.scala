@@ -3373,7 +3373,8 @@ object LlmCatalog {
 
   /** Serving the fitted filter (QualityFit.scoreDetScaled): every
     * document's exact det-scaled model score Σ xᵢ·numᵢ and the keep
-    * decision (score ≥ 0 ⟺ rational βᵀx ≥ 0, det > 0). Fit and serve
+    * decision ŷ ≥ ½ evaluated integer-only (2·score_num ≥ den — the
+    * natural decision line for 0/1 exemplar labels). Fit and serve
     * in one round trip — the end-to-end trainable-filter chain,
     * integer-exact in both engines. */
   val qualityFitScoresQ = GraftQuery(
@@ -3391,7 +3392,7 @@ object LlmCatalog {
       s"""
       WITH $qualityFitCtes
       SELECT f.doc_id, CAST($terms AS VARCHAR) AS score_num,
-             ($terms) >= 0 AS keep
+             (2 * ($terms) >= w.den) AS keep
       FROM qffeat f, qfw w ORDER BY f.doc_id
     """.trim
     },

@@ -240,4 +240,45 @@ object CorpusIntake {
       .start()
     q.awaitTermination()
   }
+
+  /** [[drainScoredTo]] with a FITTED model (X161) instead of hand-set
+    * weights: each micro-batch's frozen-statistics signals are scored
+    * by [[graft.llm.QualityFit.scoreDetScaled]] — the EXACT integer
+    * sign decision (score_num ≥ 0 ⟺ the rational βᵀx ≥ 0), so the
+    * streamed gate is bit-identical to the batch q120 decision, not
+    * merely close in doubles. The fit itself must come from
+    * [[graft.llm.QualityFit.fit]] over signals built against the SAME
+    * frozen (refFreq, refShared) artifacts being served here — fit
+    * and serve share one statistic source or the decision boundary
+    * silently shifts (the X134 rule, stated loudly). Feature columns
+    * the fit references must exist in the frozen signal matrix.
+    * Same exactly-once discipline as [[drainTo]]; batch ≡ stream is
+    * spec-pinned (CorpusIntakeSpec). */
+  def drainFitGatedTo(
+      docs: DataFrame,
+      store: graft.io.TableStore,
+      table: String,
+      refFreq: DataFrame,
+      refShared: DataFrame,
+      fit: graft.llm.QualityFit.Fit,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+  ): Unit = {
+    import graft.llm.{CorpusStats, QualityFit}
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sig = CorpusStats.docSignalsFrozen(batch, refFreq, refShared,
+          idCol, textCol)
+        val keepers = QualityFit.scoreDetScaled(sig, fit, idCol)
+          .filter(col("keep"))
+          .select(col(idCol))
+        store.appendIfNew(table,
+          batch.join(keepers, Seq(idCol), "left_semi"), batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

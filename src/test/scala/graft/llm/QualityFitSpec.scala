@@ -46,22 +46,30 @@ class QualityFitSpec extends SparkSpec {
     }
   }
 
-  test("scoreDetScaled sign decision matches the rational score") {
+  test("scoreDetScaled keep is the exact rational decision at threshold 1/2") {
     val rows = Seq(
       (1L, 0.10, 0.90, 1L), (2L, 0.80, 0.10, 0L), (3L, 0.20, 0.70, 1L),
       (4L, 0.90, 0.05, 0L), (5L, 0.15, 0.85, 1L), (6L, 0.70, 0.30, 0L),
     )
     val df = rows.toDF("doc_id", "s1", "s2", "y")
     val f = QualityFit.fit(df, Seq("s1", "s2"), "y")
-    val (bias, ws) = f.weightsDouble
     val scored = QualityFit.scoreDetScaled(df, f)
       .orderBy("doc_id").collect()
-    rows.zip(scored).foreach { case ((_, s1, s2, _), r) =>
-      val z = bias + ws.toMap.apply("s1") * math.floor(s1 * 100) +
-        ws.toMap.apply("s2") * math.floor(s2 * 100)
-      assert(r.getBoolean(2) == (z >= -1e-9 || r.getDecimal(1).signum() >= 0))
-      // the exact integer decision IS sign(score_num)
-      assert(r.getBoolean(2) == (r.getDecimal(1).signum() >= 0))
+    scored.foreach { r =>
+      val scoreNum = BigInt(r.getDecimal(1).toBigInteger)
+      // keep ⟺ score_num/den ≥ 1/2 ⟺ 2·score_num ≥ den exactly
+      assert(r.getBoolean(2) == (scoreNum * 2 >= f.den),
+        s"${r.getLong(0)}: $scoreNum vs den ${f.den}")
+    }
+    // the clean separation keeps the y=1 rows and drops the y=0 rows
+    val kept = scored.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L), kept.toString)
+    // a custom threshold moves the decision line exactly
+    val strict = QualityFit.scoreDetScaled(df, f, "doc_id", 9L, 10L)
+      .orderBy("doc_id").collect()
+    strict.foreach { r =>
+      val scoreNum = BigInt(r.getDecimal(1).toBigInteger)
+      assert(r.getBoolean(2) == (scoreNum * 10 >= f.den * 9))
     }
   }
 

@@ -219,4 +219,70 @@ class CorpusIntakeSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(3L) && kept.contains(5L), kept)
     assert(!kept.contains(2L) && !kept.contains(4L), kept)
   }
+
+  test("fitted-model drain: exact integer gate, batch boundaries invisible") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_intake_fitgate_")
+    implicit val s = spark
+    import graft.llm.{CorpusStats, QualityFit}
+    val store = new graft.io.SnapshotBucketedStore(s"$root/corpus", numBuckets = 4)
+
+    val ref = Seq(
+      (100L, good),
+      (101L, good.replace("fox", "wolf")),
+    ).toDF("doc_id", "text")
+    val (freq, shared) = CorpusStats.fitCorpusStats(ref, "doc_id", "text")
+
+    // label exemplars: prose = 1, junk = 0; fit over frozen signals so
+    // fit and serve share one statistic source
+    val exemplars = Seq(
+      (200L, good.replace("river", "brook"), 1L),
+      (201L, good.replace("dog", "hen"), 1L),
+      (202L, Seq.fill(25)("buy now").mkString(" "), 0L),
+      (203L, Seq.fill(30)("yy").mkString(" "), 0L),
+      (204L, good.replace("while", "as"), 1L),
+      (205L, Seq.fill(20)("spam spam deal").mkString(" "), 0L),
+    ).toDF("doc_id", "text", "y")
+    val exSig = CorpusStats
+      .docSignalsFrozen(exemplars.drop("y"), freq, shared, "doc_id", "text")
+      .join(exemplars.select(col("doc_id"), col("y")), Seq("doc_id"))
+    val fit = QualityFit.fit(exSig,
+      Seq("dup_token_frac", "top_token_frac", "shared_frac"), "y")
+
+    val all = Seq(
+      Doc(1L, B, good.replace("river", "stone")),
+      Doc(2L, B + 1000, Seq.fill(30)("buy now").mkString(" ")),
+      Doc(3L, B + 2000, good.replace("dog", "cat")),
+      Doc(4L, B + 3000, Seq.fill(40)("zz").mkString(" ")),
+      Doc(5L, B + 4000, good.replace("while", "whilst")),
+    )
+    val (half1, half2) = all.splitAt(2)
+    val input = MemoryStream[Doc]
+    val docs = input.toDF().select(col("doc_id"), col("text"))
+    input.addData(half1: _*)
+    CorpusIntake.drainFitGatedTo(docs, store, "corpus", freq, shared, fit,
+      s"$root/ckpt")
+    input.addData(half2: _*)
+    CorpusIntake.drainFitGatedTo(docs, store, "corpus", freq, shared, fit,
+      s"$root/ckpt")
+
+    val streamed = store.read("corpus").get
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    // batch twin: same frozen artifacts, same fit, one shot
+    val batchDf = all.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val sig = CorpusStats.docSignalsFrozen(batchDf, freq, shared,
+      "doc_id", "text")
+    val keepers = QualityFit.scoreDetScaled(sig, fit, "doc_id")
+      .filter(col("keep")).select(col("doc_id"))
+    val batch = batchDf.join(keepers, Seq("doc_id"), "left_semi")
+      .as[(Long, String)].collect().toSet
+    assert(streamed == batch,
+      s"batch boundaries must be invisible: $streamed vs $batch")
+    // the learned discriminator separates prose from junk
+    val kept = streamed.map(_._1)
+    assert(kept.contains(1L) && kept.contains(3L), kept)
+    assert(!kept.contains(2L) && !kept.contains(4L), kept)
+  }
 }
