@@ -64,8 +64,36 @@ object BuildScaleRamp {
         .write.mode("overwrite").parquet(s"$out/orders.parquet")
       spark.read.parquet(s"$src/nation.parquet")
         .write.mode("overwrite").parquet(s"$out/nation.parquet")
+      // Round 13: events for the q121/q127 graph ramp — user ids AND
+      // timestamps offset per copy (a ~20-year ns stride), so copies
+      // share neither users nor minute buckets: the co-presence graph
+      // gains ×factor disjoint subgraphs of identical topology class,
+      // zero cross-copy edges. Written with ts as epoch-ns LONG (the
+      // Tables.events normal form — the loader passes longs through).
+      val ev = graft.Tables.events(spark, src)
+      (0 until factor).map { c =>
+        if (c == 0) ev
+        else ev
+          .withColumn("user_id", col("user_id") + lit(c * 100000000L))
+          .withColumn("ts", col("ts") + lit(c * 630720000000000000L))
+          .withColumn("event_id", col("event_id") + lit(c * 100000000L))
+      }.reduce(_ unionByName _)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      // embeddings for the q122/q126 k-means ramp: offset vec_ids,
+      // vectors unchanged — ×factor rows through every Lloyd round
+      // (the cost axis; the means are scale-invariant by design).
+      val emb = spark.read.parquet(s"$src/embeddings.parquet")
+      (0 until factor).map { c =>
+        if (c == 0) emb
+        else emb.withColumn("vec_id", col("vec_id") + lit(c * 100000000L))
+      }.reduce(_ unionByName _)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
       println(s"built $out: ${spark.read.parquet(s"$out/documents.parquet").count()} docs, " +
-        s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitems")
+        s"${spark.read.parquet(s"$out/lineitem.parquet").count()} lineitems, " +
+        s"${spark.read.parquet(s"$out/events.parquet").count()} events, " +
+        s"${spark.read.parquet(s"$out/embeddings.parquet").count()} vectors")
     }
     spark.stop()
   }
