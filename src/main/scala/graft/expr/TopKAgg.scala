@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Bounded per-group TOP-K aggregate: keeps the `k` payloads with the
   * highest scores (score DESC, payload ASC on ties), evaluated as the
@@ -52,7 +52,7 @@ case class TopKAgg(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0,
-) extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any)]] {
+) extends TypedImperativeAggregate[mutable.PriorityQueue[(Any, Any)]] {
 
   require(k >= 1, s"k must be >= 1, got $k")
 
@@ -65,10 +65,21 @@ case class TopKAgg(
   override def prettyName: String = "graft_top_k"
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (score.dataType != DoubleType)
+    if (score.dataType != DoubleType && score.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
-        s"score must be double, got ${score.dataType}")
+        s"score must be double or long, got ${score.dataType}")
     else TypeUtils.checkForOrderingExpr(payload.dataType, prettyName)
+
+  /** Score comparison: doubles via Double.compare (NaN ranks above
+    * every finite, matching Spark's DESC order), longs exactly — the
+    * long path is what keeps integer-score rankings (BM25's idf·sat
+    * sums) exact at ANY magnitude, where a double key would round
+    * past 2⁵³. */
+  @transient private lazy val scoreCmp: (Any, Any) => Int =
+    if (score.dataType == LongType)
+      (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    else
+      (a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
 
   @transient private lazy val payloadOrd: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(payload.dataType)
@@ -76,20 +87,20 @@ case class TopKAgg(
 
   /** Heap order: the WORST entry at the head (lowest score; ties →
     * LARGEST payload), so eviction is one dequeue. */
-  @transient private lazy val worstFirst: Ordering[(Double, Any)] =
-    new Ordering[(Double, Any)] {
-      override def compare(a: (Double, Any), b: (Double, Any)): Int = {
-        val c = java.lang.Double.compare(b._1, a._1)
+  @transient private lazy val worstFirst: Ordering[(Any, Any)] =
+    new Ordering[(Any, Any)] {
+      override def compare(a: (Any, Any), b: (Any, Any)): Int = {
+        val c = scoreCmp(b._1, a._1)
         if (c != 0) c else payloadOrd.compare(a._2, b._2)
       }
     }
 
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Any)] =
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Any, Any)] =
     mutable.PriorityQueue.empty(worstFirst)
 
   private def insert(
-      buf: mutable.PriorityQueue[(Double, Any)],
-      entry: (Double, Any)): Unit = {
+      buf: mutable.PriorityQueue[(Any, Any)],
+      entry: (Any, Any)): Unit = {
     if (buf.size < k) buf.enqueue(entry)
     else if (worstFirst.compare(entry, buf.head) < 0) {
       buf.dequeue()
@@ -98,14 +109,14 @@ case class TopKAgg(
   }
 
   override def update(
-      buf: mutable.PriorityQueue[(Double, Any)],
-      input: InternalRow): mutable.PriorityQueue[(Double, Any)] = {
+      buf: mutable.PriorityQueue[(Any, Any)],
+      input: InternalRow): mutable.PriorityQueue[(Any, Any)] = {
     val s = score.eval(input)
     if (s != null) {
-      val sv = s.asInstanceOf[Double]
+      val sv = s
       // skip the payload copy entirely when the score alone already
       // loses to the current worst (the common case on big groups)
-      if (buf.size < k || java.lang.Double.compare(sv, buf.head._1) >= 0) {
+      if (buf.size < k || scoreCmp(sv, buf.head._1) >= 0) {
         val p = payload.eval(input)
         if (p != null) insert(buf, (sv, InternalRow.copyValue(p)))
       }
@@ -114,22 +125,22 @@ case class TopKAgg(
   }
 
   override def merge(
-      buf: mutable.PriorityQueue[(Double, Any)],
-      other: mutable.PriorityQueue[(Double, Any)]): mutable.PriorityQueue[(Double, Any)] = {
+      buf: mutable.PriorityQueue[(Any, Any)],
+      other: mutable.PriorityQueue[(Any, Any)]): mutable.PriorityQueue[(Any, Any)] = {
     other.foreach(insert(buf, _))
     buf
   }
 
   // sorted() puts the ordering-MINIMAL element first, and worstFirst's
   // minimum is the BEST entry — so ascending worstFirst IS best-first
-  override def eval(buf: mutable.PriorityQueue[(Double, Any)]): Any =
+  override def eval(buf: mutable.PriorityQueue[(Any, Any)]): Any =
     new GenericArrayData(
       buf.toSeq.sorted(worstFirst).map(_._2).toArray)
 
   @transient private lazy val entryProj =
-    UnsafeProjection.create(Array(DoubleType, payload.dataType))
+    UnsafeProjection.create(Array(score.dataType, payload.dataType))
 
-  override def serialize(buf: mutable.PriorityQueue[(Double, Any)]): Array[Byte] = {
+  override def serialize(buf: mutable.PriorityQueue[(Any, Any)]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
@@ -145,7 +156,7 @@ case class TopKAgg(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Any)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Any, Any)] = {
     val buf = createAggregationBuffer()
     val in = ByteBuffer.wrap(bytes)
     val n = in.getInt
@@ -157,7 +168,7 @@ case class TopKAgg(
       val row = new UnsafeRow(2)
       row.pointTo(arr, len)
       buf.enqueue(
-        (row.getDouble(0),
+        (InternalRow.copyValue(row.get(0, score.dataType)),
           InternalRow.copyValue(row.get(1, payload.dataType))))
       i += 1
     }
@@ -179,7 +190,8 @@ object TopKAgg {
 
   /** Column form: `topK(score, payload, k)` aggregates to the
     * array<payload-type> of the k best payloads, score DESC then
-    * payload ASC. */
+    * payload ASC. Score may be double (NaN ranks first) or long
+    * (exact at any magnitude — the integer-score ranking path). */
   def topK(score: org.apache.spark.sql.Column,
       payload: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.GraftBridge.{toColumn, toExpr}

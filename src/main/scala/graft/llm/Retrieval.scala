@@ -96,18 +96,13 @@ object Retrieval {
       .groupBy("qid", "id")
       .agg(sum("graft_ts_").as("score"))
     // payload field order (id first) IS the tie-break on equal scores;
-    // the heap's ordering key is double — exact for scores < 2⁵³. The
-    // SUMMED score is bounded by T·idfS·satS ≤ T · (2N+1)/3·IdfScale
-    // · 2.2·SatScale ≈ 1.5e6·N·T (N docs, T distinct query terms), so
-    // the double stays exact while N·T ≲ 6e9 at the default scales —
-    // a multi-billion-doc corpus with long queries needs a lower
-    // IdfScale (or a long-keyed heap) to keep heap order == the
-    // oracle's exact BIGINT order. Past 2⁵³ ties resolve by id asc —
-    // deterministic, but possibly not score-exact.
+    // the heap keys on the LONG score directly (TopKAgg's long path),
+    // so heap order equals the oracle's exact BIGINT order at ANY
+    // magnitude — no 2⁵³ double-rounding caveat anywhere in the chain
     val payload = struct(col("id"), col("score"))
     perDoc
       .groupBy("qid")
-      .agg(graft.expr.TopKAgg.topK(col("score").cast("double"), payload, k)
+      .agg(graft.expr.TopKAgg.topK(col("score"), payload, k)
         .as("graft_top_"))
       .select(col("qid"), posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
       .select(col("qid"), (col("graft_r_") + 1).cast("int").as("rank"),

@@ -93,6 +93,35 @@ class TopKAggSpec extends SparkSpec {
     assert(r == Seq("y", "z"))
   }
 
+  test("long scores order exactly past 2^53 where a double key would tie") {
+    // two scores that collide when rounded to double but differ as longs
+    val a = (1L << 53) + 1L // not representable: rounds to 2^53
+    val b = 1L << 53
+    val df = Seq(("g", a, "big"), ("g", b, "small"), ("g", 7L, "tiny"))
+      .toDF("g", "s", "p")
+    val top = df.groupBy("g")
+      .agg(TopKAgg.topK(col("s"), col("p"), 2).as("top"))
+      .as[(String, Seq[String])].head()._2
+    // exact long order: a > b even though (double) a == (double) b;
+    // a double-keyed heap would fall to the payload tie-break and
+    // return "big", "small" only by luck of the alphabet
+    assert(top == Seq("big", "small"), top.toString)
+    // round-trip through serialize/merge keeps the long exact: force a
+    // shuffle with repartitioned input
+    val top2 = df.repartition(5).groupBy("g")
+      .agg(TopKAgg.topK(col("s"), col("p"), 2).as("top"))
+      .as[(String, Seq[String])].head()._2
+    assert(top2 == Seq("big", "small"), top2.toString)
+  }
+
+  test("a non-numeric score type is refused at analysis") {
+    val df = Seq(("g", "nope", "p")).toDF("g", "s", "p")
+    val e = intercept[Exception] {
+      df.groupBy("g").agg(TopKAgg.topK(col("s"), col("p"), 2)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("double or long"), e.getMessage)
+  }
+
   test("the aggregate plans as ObjectHashAggregate with a partial stage, no Window") {
     val df = Seq((1, 1.0, "a")).toDF("g", "s", "p")
     val p = df.groupBy("g")
