@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.DecimalType
   * Determinism — every step is engine-replayable:
   *   - INIT is the k smallest-id vectors, numbered 0..k−1 in id order
   *     (pure arithmetic — no RNG, no hash; any engine picks the same
-  *     seeds);
+  *     seeds), or [[maximinSeeds]] (init = "maximin"): deterministic
+  *     farthest-point spreading, q128;
   *   - ASSIGNMENT is the argmin of |v|²−2v·c+|c|² with ties to the
   *     smallest cell — the q21-proven IEEE chain DuckDB's
   *     list_dot_product reproduces bit-for-bit;
@@ -43,8 +44,9 @@ object KMeans {
       embCol: String,
       k: Int,
       iters: Int = 5,
+      init: String = "min-id",
   ): DataFrame = {
-    val (cents, _) = fitWithMeans(df, idCol, embCol, k, iters)
+    val (cents, _) = fitWithMeans(df, idCol, embCol, k, iters, init)
     cents
   }
 
@@ -57,8 +59,9 @@ object KMeans {
       embCol: String,
       k: Int,
       iters: Int = 5,
+      init: String = "min-id",
   ): DataFrame = {
-    val (_, flat) = fitWithMeans(df, idCol, embCol, k, iters)
+    val (_, flat) = fitWithMeans(df, idCol, embCol, k, iters, init)
     flat
   }
 
@@ -78,12 +81,60 @@ object KMeans {
         col(embCol).cast("array<double>").as("e")),
       centroids.select(col("cell"), col("centroid")), out)
 
+  /** DETERMINISTIC MAXIMIN seeding (the k-means++ idea with the
+    * randomized D² draw replaced by the exact farthest-point pick,
+    * Gonzalez 1985): seed 0 is the smallest-id vector; each next seed
+    * is the vector MAXIMIZING its distance to the nearest chosen
+    * seed, ties to the smallest id. Spreads seeds across the data
+    * where smallest-id seeding can start k near-duplicates. Cost: one
+    * distributed argmax pass per seed (k−1 passes — the published
+    * kmeans++ budget; the min-distance column updates map-side with a
+    * per-round checkpoint, so pass t does NOT recompute rounds
+    * 0..t−1). Every distance is the q21 IEEE chain and the pick is a
+    * (dist DESC, id ASC) TakeOrdered — engine-replayable, q128.
+    * Output: (cell, centroid), cell = pick order. */
+  def maximinSeeds(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("e"))
+    val first = v.orderBy(col("id")).limit(1).collect()
+    require(first.nonEmpty, "cannot seed k-means on an empty frame")
+    var chosen = Seq(first.head.getSeq[Double](1))
+    def d2(c: Seq[Double]) = {
+      val cl = lit(c.toArray)
+      Similarity.dot(col("e"), col("e")) -
+        lit(2.0) * Similarity.dot(col("e"), cl) +
+        Similarity.dot(cl, cl)
+    }
+    var minD = v.select(col("id"), col("e"), d2(chosen.head).as("md"))
+      .localCheckpoint()
+    for (_ <- 1 until k) {
+      val next = minD.orderBy(col("md").desc, col("id").asc)
+        .limit(1).collect().head.getSeq[Double](1)
+      chosen = chosen :+ next
+      if (chosen.size < k)
+        minD = minD.select(col("id"), col("e"),
+          least(col("md"), d2(next)).as("md")).localCheckpoint()
+    }
+    chosen.zipWithIndex.map { case (e, i) => (i, e) }
+      .toDF("cell", "centroid")
+      .select(col("cell"), col("centroid").cast("array<double>"))
+  }
+
   private def fitWithMeans(
       df: DataFrame,
       idCol: String,
       embCol: String,
       k: Int,
       iters: Int,
+      init: String = "min-id",
   ): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"need at least one iteration, got $iters")
@@ -91,14 +142,21 @@ object KMeans {
     import spark.implicits._
     val v = df.select(col(idCol).as("id"),
       col(embCol).cast("array<double>").as("e"))
-    // deterministic seeds: the k smallest ids, cell = id order. The
-    // top-k runs distributed (TakeOrdered); k rows reach the driver.
-    val seeds = v.orderBy(col("id")).limit(k).collect()
-    require(seeds.nonEmpty, "cannot fit k-means on an empty frame")
-    var cents = seeds.toSeq.zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1)) }
-      .toDF("cell", "centroid")
-      .select(col("cell"), col("centroid").cast("array<double>"))
+    var cents = init match {
+      case "maximin" => maximinSeeds(df, idCol, embCol, k)
+      case "min-id" =>
+        // deterministic seeds: the k smallest ids, cell = id order. The
+        // top-k runs distributed (TakeOrdered); k rows reach the driver.
+        val seeds = v.orderBy(col("id")).limit(k).collect()
+        require(seeds.nonEmpty, "cannot fit k-means on an empty frame")
+        seeds.toSeq.zipWithIndex
+          .map { case (r, i) => (i, r.getSeq[Double](1)) }
+          .toDF("cell", "centroid")
+          .select(col("cell"), col("centroid").cast("array<double>"))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown init '$other' — use 'min-id' or 'maximin'")
+    }
     var flat: DataFrame = null
     for (_ <- 1 to iters) {
       val assigned = Ivf.assign(v, cents)

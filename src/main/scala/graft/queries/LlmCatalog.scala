@@ -3450,6 +3450,55 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Maximin seed rounds for the q128 oracle: s0 = smallest-id
+    * vector; each round picks the (min-dist DESC, id ASC) argmax and
+    * folds its distance into the running minimum — the exact
+    * farthest-point recurrence the Spark side runs, one CTE pair per
+    * seed. */
+  private def maximinSeedsSql(k: Int): String = {
+    def dist(e: String, c: String) =
+      s"list_dot_product($e, $e) - 2.0 * list_dot_product($e, $c)" +
+        s" + list_dot_product($c, $c)"
+    val rounds = (1 until k).map { t =>
+      s"""p$t AS (SELECT id, e FROM (
+        SELECT id, e, ROW_NUMBER() OVER (ORDER BY md DESC, id) AS rn
+        FROM d${t - 1}) WHERE rn = 1),
+      s$t AS (SELECT $t AS cell, e AS c FROM p$t)""" +
+        (if (t < k - 1)
+          s""",
+      d$t AS (SELECT d.id, d.e, LEAST(d.md, ${dist("d.e", "s.c")}) AS md
+              FROM d${t - 1} d, s$t s)"""
+        else "")
+    }.mkString(",\n      ")
+    s"""s0 AS (SELECT 0 AS cell, e AS c
+             FROM (SELECT e FROM v ORDER BY id LIMIT 1)),
+      d0 AS (SELECT v.id, v.e, ${dist("v.e", "s.c")} AS md FROM v, s0 s),
+      $rounds,
+      c0 AS (${(0 until k).map(t => s"SELECT cell, c FROM s$t")
+      .mkString(" UNION ALL ")})"""
+  }
+
+  /** k-means with MAXIMIN seeding (KMeans.maximinSeeds — Gonzalez
+    * 1985 farthest-point, the k-means++ spread made deterministic):
+    * the seed recurrence AND two Lloyd rounds replayed in full. The
+    * min-id q122 fit keeps the minimal-oracle role; this pins the
+    * production seeding path. */
+  val kmeansMaximinQ = GraftQuery(
+    "q128_kmeans_maximin",
+    (s, d) =>
+      graft.llm.KMeans.fitFlat(embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 2, init = "maximin")
+        .orderBy(col("cell"), col("dim")),
+    Some(s"""
+      WITH v AS (SELECT vec_id AS id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+      ${maximinSeedsSql(8)},
+      ${kmeansRoundsSql(2, 64)}
+      SELECT cell, dim, centroid, n FROM m2 ORDER BY cell, dim
+    """.trim),
+  )
+
   /** Serving the q122 model (KMeans.assign): every vector's cluster
     * id under the two-round-trained centroids — fit and serve in one
     * oracle round trip (the q120 pattern for k-means). The oracle
@@ -3605,6 +3654,7 @@ object LlmCatalog {
     qualityFitScoresQ,
     kmeansFitQ,
     kmeansAssignQ,
+    kmeansMaximinQ,
     unigramSeedQ,
     unigramFitQ,
   )

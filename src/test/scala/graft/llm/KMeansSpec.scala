@@ -49,6 +49,34 @@ class KMeansSpec extends SparkSpec {
     assert(got(2L) == 1)
   }
 
+  test("maximin seeds spread: farthest-point picks, deterministic ties") {
+    // 1-D points: 0, 0.1, 5, 9.9, 10 — min-id picks {0, 0.1, 5} for
+    // k=3; maximin picks 0, then 10 (farthest), then 5 (maximin)
+    val df = Seq((1L, Seq(0.0)), (2L, Seq(0.1)), (3L, Seq(5.0)),
+      (4L, Seq(9.9)), (5L, Seq(10.0))).toDF("id", "e")
+    val seeds = KMeans.maximinSeeds(df, "id", "e", k = 3)
+      .orderBy("cell").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).head).toMap
+    assert(seeds == Map(0 -> 0.0, 1 -> 10.0, 2 -> 5.0), seeds.toString)
+    // tie on distance → smallest id: two symmetric extremes
+    val sym = Seq((1L, Seq(0.0)), (2L, Seq(-3.0)), (3L, Seq(3.0)))
+      .toDF("id", "e")
+    val s2 = KMeans.maximinSeeds(sym, "id", "e", k = 2)
+      .orderBy("cell").collect().map(_.getSeq[Double](1).head)
+    assert(s2.toSeq == Seq(0.0, -3.0), s2.toSeq.toString)
+    // fit plumbs the init through and stays partitioning-invariant
+    val a = KMeans.fitFlat(df, "id", "e", k = 3, iters = 2, init = "maximin")
+      .orderBy("cell", "dim").collect().map(_.toSeq)
+    val b = KMeans.fitFlat(df.repartition(7), "id", "e", k = 3, iters = 2,
+      init = "maximin").orderBy("cell", "dim").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // unknown init refused
+    val e = intercept[IllegalArgumentException] {
+      KMeans.fit(df, "id", "e", k = 2, iters = 1, init = "random")
+    }
+    assert(e.getMessage.contains("unknown init"))
+  }
+
   test("empty cells drop from the model") {
     // k=3 seeds = ids 1,2,3, but all points cluster near two sites:
     // after one update the middle seed keeps no members
