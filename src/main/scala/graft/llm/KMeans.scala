@@ -128,6 +128,35 @@ object KMeans {
       .select(col("cell"), col("centroid").cast("array<double>"))
   }
 
+  /** EXACT within-cluster sum of squares — the cohesion yardstick
+    * that makes a trained model judgeable (the X166 modularity move
+    * for clustering): per cell, Σ |v − c|² over the members, each
+    * squared distance computed by the q21 IEEE chain and summed as
+    * DECIMAL(27,9) (the q103 recipe — order-free where a float sum
+    * drifts by partition count), returned as the identical-in-both-
+    * engines double. Lower total = tighter clustering at the same k;
+    * comparing min-id vs maximin fits is exactly what this column is
+    * for. Output: (cell, n, wcss), one row per surviving cell. */
+  def wcssByCell(
+      df: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      embCol: String,
+  ): DataFrame = {
+    val assigned = assign(df, centroids, idCol, embCol)
+    val d2 = Similarity.dot(col("e"), col("e")) -
+      lit(2.0) * Similarity.dot(col("e"), col("centroid")) +
+      Similarity.dot(col("centroid"), col("centroid"))
+    assigned
+      .join(broadcast(centroids.select(col("cell"), col("centroid"))),
+        Seq("cell"))
+      .select(col("cell"), d2.as("graft_d2_"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("graft_d2_").cast(DecimalType(27, 9))).cast("double")
+          .as("wcss"))
+  }
+
   private def fitWithMeans(
       df: DataFrame,
       idCol: String,

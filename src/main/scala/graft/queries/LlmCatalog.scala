@@ -3533,6 +3533,43 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Cluster cohesion for the q122 model (KMeans.wcssByCell): exact
+    * decimal-summed within-cluster sum of squares per cell — the
+    * clustering analogue of q127's modularity: fit, serve, and now
+    * JUDGE, all hash-replayable. */
+  val kmeansWcssQ = GraftQuery(
+    "q129_kmeans_wcss",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val model = graft.llm.KMeans.fit(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      graft.llm.KMeans.wcssByCell(emb, model, "vec_id", "embedding")
+        .orderBy(col("cell"))
+    },
+    Some(s"""
+      WITH v AS (SELECT vec_id AS id,
+                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                 FROM embeddings),
+      c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cell,
+                    e AS c
+             FROM (SELECT id, e FROM v ORDER BY id LIMIT 8)),
+      ${kmeansRoundsSql(2, 64)},
+      serve AS (SELECT id, e, cell FROM (
+        SELECT v.id, v.e, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+                 list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, c.c)
+                   + list_dot_product(c.c, c.c), c.cell) AS rn
+        FROM v CROSS JOIN c2 c) WHERE rn = 1),
+      j AS (SELECT s.cell,
+                   list_dot_product(s.e, s.e) - 2.0 * list_dot_product(s.e, c.c)
+                     + list_dot_product(c.c, c.c) AS d2
+            FROM serve s JOIN c2 c ON s.cell = c.cell)
+      SELECT cell, COUNT(*) AS n,
+             CAST(SUM(CAST(d2 AS DECIMAL(27,9))) AS DOUBLE) AS wcss
+      FROM j GROUP BY cell ORDER BY cell
+    """.trim),
+  )
+
   // ---------------------------------------------------------------
   // Unigram-LM tokenizer induction (X162, UnigramLm)
   // ---------------------------------------------------------------
@@ -3655,6 +3692,7 @@ object LlmCatalog {
     kmeansFitQ,
     kmeansAssignQ,
     kmeansMaximinQ,
+    kmeansWcssQ,
     unigramSeedQ,
     unigramFitQ,
   )

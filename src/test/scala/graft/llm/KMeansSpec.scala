@@ -77,6 +77,30 @@ class KMeansSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown init"))
   }
 
+  test("wcssByCell: hand-computed cohesion; maximin beats degenerate min-id seeds") {
+    // blob at 0 (0, 0.1, 0.2) and blob at 10 (10, 10.1): k=2
+    val df = Seq((1L, Seq(0.0)), (2L, Seq(0.1)), (3L, Seq(0.2)),
+      (4L, Seq(10.0)), (5L, Seq(10.1))).toDF("id", "e")
+    val model = KMeans.fit(df, "id", "e", k = 2, iters = 4, init = "maximin")
+    val w = KMeans.wcssByCell(df, model, "id", "e")
+      .orderBy("cell").collect()
+    assert(w.map(_.getLong(1)).sum == 5L)
+    // blob means: 0.1 and 10.05 → wcss = 0.02 and 0.005
+    val total = w.map(_.getDouble(2)).sum
+    assert(math.abs(total - 0.025) < 1e-6, total.toString)
+    // min-id seeds (ids 1,2 — both in blob 0) converge worse or equal;
+    // with enough Lloyd rounds both find the split, so compare at ONE
+    // round where the seed spread is the whole story
+    val bad = KMeans.fit(df, "id", "e", k = 2, iters = 1)
+    val badTotal = KMeans.wcssByCell(df, bad, "id", "e")
+      .collect().map(_.getDouble(2)).sum
+    val good = KMeans.fit(df, "id", "e", k = 2, iters = 1, init = "maximin")
+    val goodTotal = KMeans.wcssByCell(df, good, "id", "e")
+      .collect().map(_.getDouble(2)).sum
+    assert(goodTotal < badTotal,
+      s"maximin $goodTotal should beat min-id $badTotal at one round")
+  }
+
   test("empty cells drop from the model") {
     // k=3 seeds = ids 1,2,3, but all points cluster near two sites:
     // after one update the middle seed keeps no members
