@@ -540,6 +540,42 @@ class PlanAuditSpec extends SparkSpec {
       s"the mean table must be the checkpointed artifact:\n${pf.take(400)}")
   }
 
+  test("q128 maximin seeding: per-pass TakeOrdered argmax off a checkpointed distance column") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    // the per-seed argmax must plan as TakeOrdered (distributed top-1),
+    // and the running min-distance column must come from a checkpoint
+    // scan — pass t must not recompute rounds < t
+    import org.apache.spark.sql.functions.{col, lit}
+    val v = emb.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("e"))
+    val c = v.orderBy(col("id")).limit(1).collect().head.getSeq[Double](1)
+    val cl = lit(c.toArray)
+    val minD = v.select(col("id"), col("e"),
+      (graft.llm.Similarity.dot(col("e"), col("e")) -
+        lit(2.0) * graft.llm.Similarity.dot(col("e"), cl) +
+        graft.llm.Similarity.dot(cl, cl)).as("md"))
+      .localCheckpoint()
+    val pick = minD.orderBy(col("md").desc, col("id").asc).limit(1)
+    pick.collect()
+    val p = pick.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"seed argmax must be a distributed top-1:\n${p.take(400)}")
+    assert(p.contains("Scan ExistingRDD"),
+      s"distance column must feed from the checkpoint:\n${p.take(400)}")
+  }
+
+  test("q129 wcss: centroid rejoin broadcasts; decimal sums partial-combine") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = graft.llm.KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val w = graft.llm.KMeans.wcssByCell(emb, model, "vec_id", "embedding")
+    w.collect()
+    val p = w.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastExchange"),
+      s"the k-row centroid table must broadcast into the rejoin:\n${p.take(600)}")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-cell sums must combine map-side:\n${p.take(600)}")
+  }
+
   test("q124 unigram seed: substring counts partial-aggregate before the shuffle") {
     val df = LlmCatalog.unigramSeedQ.run(spark, sf)
     df.collect()
