@@ -42,11 +42,13 @@ import org.apache.spark.sql.types.DecimalType
   * BigInt on a 22×22 matrix (microseconds); serving is a broadcast-free
   * projection (weights compile into the plan as literals). Overflow:
   * Gram entries are ≤ N·S² — DECIMAL(38,0) holds through N·S² < 10³⁸
-  * (10²⁶ docs at the default S = 100); Cramer determinants grow like
+  * (N < 10³⁴ docs at the default S = 100 — unreachable); Cramer
+  * determinants grow like
   * (k+1)!·(N·S²)^(k+1), so the HUGEINT-replayable oracle form is for
-  * small k (k = 3 → ≤ 24·(N·10⁴)⁴, inside 1.7e38 through N ≈ 6e4 docs);
-  * the GENERAL driver-side solve is BigInt — unbounded — and serves
-  * through [[fitted]]'s double weights when k is large.
+  * small k (k = 3 → ≤ 24·(N·10⁴)⁴, inside HUGEINT's 1.7e38 through
+  * N ≈ 1.6e5 docs); the GENERAL driver-side solve is BigInt —
+  * unbounded — and serves through [[Fit.weightsDouble]] when k is
+  * large.
   *
   * Reference anchor: the reference engine has no model fitting at all
   * (lambda.py:58-266 validates and aggregates only); this is part of

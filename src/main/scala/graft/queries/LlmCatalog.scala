@@ -3297,7 +3297,7 @@ object LlmCatalog {
     * Cramer's rule spelled out as 4×4 determinant polynomials — the
     * same normal equations the Spark driver solves in BigInt, evaluated
     * in HUGEINT (headroom: dets ≤ 4!·(N·Scale²)⁴, inside 1.7e38 through
-    * ~6e4 docs at Scale=100). */
+    * N ≈ 1.6e5 docs at Scale=100). */
   private lazy val qualityFitCtes: String = {
     val sc = graft.llm.QualityFit.DefaultScale
     val featCols = QfFeatures.zipWithIndex.map { case (c, i) =>
