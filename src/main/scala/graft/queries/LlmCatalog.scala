@@ -3624,6 +3624,29 @@ object LlmCatalog {
     None,
   )
 
+  /** Serving the q125 tokenizer (UnigramLm.segment): every document
+    * segmented under the frozen fitted vocabulary — per-doc piece
+    * count plus the exact piece sequence fingerprint (hash60 of the
+    * joined pieces, so the whole segmentation is pinned by one
+    * column without shipping the pieces). Rows-only like its fit
+    * (the Viterbi DP is spec-pinned, not SQL-replayable); the serve
+    * completes the X162 fit/serve pair the way q120/q126 do for
+    * X161/X164. */
+  val unigramSegmentsQ = GraftQuery(
+    "q130_unigram_segments",
+    (s, d) => {
+      val docs = documents(s, d)
+      val model = graft.llm.UnigramLm.fit(docs, "text",
+        vocabSize = 500, maxLen = 6, minSeedCount = 2L, iters = 2)
+      graft.llm.UnigramLm.segment(docs, model, "text", maxLen = 6)
+        .select(col("doc_id"), col("n_pieces"),
+          graft.llm.TextOps.hash60(concat_ws(" ", col("pieces")))
+            .as("pieces_fp"))
+        .orderBy(col("doc_id"))
+    },
+    None,
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -3695,5 +3718,6 @@ object LlmCatalog {
     kmeansWcssQ,
     unigramSeedQ,
     unigramFitQ,
+    unigramSegmentsQ,
   )
 }
