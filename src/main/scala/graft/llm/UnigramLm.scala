@@ -119,10 +119,13 @@ object UnigramLm {
   }
 
   /** Serve: segment `textCol` into pieces under a frozen (piece, cnt,
-    * cost) model table — output adds `pieces` (array) and
-    * `n_pieces`. The model rides the plan as a constant-folded map
-    * literal; unknown characters segment as themselves at
-    * `unkCost`. */
+    * cost) model table — output adds `pieces` (array), `n_pieces`,
+    * and `total_cost` (the summed integer piece cost of the chosen
+    * segmentation — the unigram-LM perplexity surrogate: junk text
+    * needs more, costlier pieces per character than prose, so
+    * total_cost/n_pieces is a document-quality signal). The model
+    * rides the plan as a constant-folded map literal; unknown
+    * characters segment as themselves at `unkCost`. */
   def segment(
       df: DataFrame,
       model: DataFrame,
@@ -133,10 +136,16 @@ object UnigramLm {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val vm = vocabMapLit(costed)
     val toks = split(coalesce(col(textCol), lit("")), " ")
-    val pieces = flatten(transform(
+    val segs = transform(
       filter(toks, t => length(t) > 0),
-      t => segmentExpr(t, vm, maxLen)))
-    df.withColumn("pieces", pieces)
+      t => segmentStateExpr(t, vm, maxLen))
+    df.withColumn("graft_segs", segs)
+      .withColumn("pieces",
+        flatten(transform(col("graft_segs"), s => s.getField("ps"))))
+      .withColumn("total_cost",
+        aggregate(col("graft_segs"), lit(0L),
+          (a, s) => a + s.getField("cost")))
+      .drop("graft_segs")
       .withColumn("n_pieces", size(col("pieces")))
   }
 
@@ -157,14 +166,33 @@ object UnigramLm {
   }
 
   /** Keep the vocabSize best multi-char pieces (cnt DESC, piece ASC)
-    * plus all single chars — one bounded driver collect (the model
-    * table IS the artifact, like the IVF centroids). */
+    * plus all single chars. The prune happens DISTRIBUTED — the
+    * multi-char branch is an `orderBy(...).limit(vocabSize)`
+    * (TakeOrderedAndProject: per-partition top-k, merged on the
+    * driver), the char branch is alphabet-bounded by construction —
+    * so driver materialization is ≤ vocabSize + |charset| rows no
+    * matter the corpus size (the seed candidate table is unbounded;
+    * collecting it raw would be a driver OOM at scale — VERDICT r13
+    * finding #2). Both branches union into ONE action so the
+    * aggregation exchange under them is computed once (ReuseExchange;
+    * pinned in PlanAuditSpec). */
   private def collectVocab(
       counts: DataFrame, vocabSize: Int): Seq[(String, Long)] = {
-    val all = counts.select(col("piece"), col("cnt").cast("long"))
+    prunedVocab(counts, vocabSize)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val (chars, multi) = all.partition(_._1.length == 1)
-    chars ++ multi.sortBy { case (p, c) => (-c, p) }.take(vocabSize)
+  }
+
+  /** The distributed prune behind [[collectVocab]]: all single chars
+    * plus the top-`vocabSize` multi-char pieces by (cnt DESC, piece
+    * ASC) — a total order (pieces are distinct post-groupBy), so the
+    * kept SET is deterministic. Exposed for the plan audit. */
+  private[graft] def prunedVocab(counts: DataFrame, vocabSize: Int): DataFrame = {
+    val typed = counts.select(col("piece"), col("cnt").cast("long").as("cnt"))
+    val chars = typed.filter(length(col("piece")) === 1)
+    val multi = typed.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit(vocabSize)
+    chars.unionAll(multi)
   }
 
   /** (piece, cost) pairs → a constant-folded map literal. */
@@ -192,6 +220,13 @@ object UnigramLm {
     * `aggregate` over sequence(1, n) — no UDF, runs wherever the
     * row lives. Requires length ≥ 1 (the word table guarantees). */
   private[llm] def segmentExpr(
+      w: Column, vocabM: Column, maxLen: Int): Column =
+    segmentStateExpr(w, vocabM, maxLen).getField("ps")
+
+  /** [[segmentExpr]] plus the DP's terminal cost: struct<ps, cost> —
+    * `cost` is best(n).cost, the total integer surprisal of the
+    * chosen segmentation (what [[segment]] sums into `total_cost`). */
+  private[llm] def segmentStateExpr(
       w: Column, vocabM: Column, maxLen: Int): Column = {
     val n = length(w)
     val stateT = "struct<cost:bigint,np:int,back:int>"
@@ -235,6 +270,8 @@ object UnigramLm {
           b.as("pos"),
           concat(array(w.substr(b + lit(1), pos - b)), ps).as("ps")))
       })
-    walked.getField("ps")
+    struct(
+      walked.getField("ps").as("ps"),
+      element_at(dp, n + lit(1)).getField("cost").as("cost"))
   }
 }

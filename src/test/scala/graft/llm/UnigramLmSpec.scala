@@ -105,6 +105,36 @@ class UnigramLmSpec extends SparkSpec {
     }
   }
 
+  test("total_cost is the summed piece cost of the chosen segmentation") {
+    val vocab = Seq(("a", 10L, 1L), ("aa", 5L, 4L), ("b", 3L, 2L))
+    val model = vocab.toDF("piece", "cnt", "cost")
+    val df = Seq("aa b", "axa", "").toDF("text")
+    val got = UnigramLm.segment(df, model, "text", maxLen = 2)
+      .select(col("text"), col("total_cost"), col("n_pieces"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // "aa" → [a,a] cost 2 beats [aa] cost 4; "b" costs 2 → total 4
+    assert(got("aa b") == ((4L, 3)), got.toString)
+    // unknown char x costs 66: 1 + 66 + 1
+    assert(got("axa") == ((68L, 3)), got.toString)
+    assert(got("") == ((0L, 0)), got.toString)
+  }
+
+  test("junk text costs more bits per piece than prose under a fitted model") {
+    val docs = Seq(
+      "the cat sat on the mat", "the cat ran", "a cat and the mat",
+      "the the the cat cat mat",
+    ).toDF("text")
+    val model = UnigramLm.fit(docs, "text", vocabSize = 20, maxLen = 4,
+      minSeedCount = 2L, iters = 2)
+    val probe = Seq("the cat sat on the mat", "zqxv jwqk pfzz").toDF("text")
+    val got = UnigramLm.segment(probe, model, "text", maxLen = 4)
+      .select(col("text"), col("total_cost"), col("n_pieces"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val perPiece = got.map { case (t, c, n) => t -> c.toDouble / n }.toMap
+    assert(perPiece("zqxv jwqk pfzz") > perPiece("the cat sat on the mat"),
+      perPiece.toString)
+  }
+
   test("seedVocab counts weighted overlapping substrings, chars unconditional") {
     val df = Seq("aba aba", "xy").toDF("text")
     val got = UnigramLm.seedVocab(df, "text", maxLen = 3, minCount = 2L)

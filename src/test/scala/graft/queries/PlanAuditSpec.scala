@@ -585,6 +585,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(400))
   }
 
+  test("unigram vocab prune is a distributed TakeOrdered, not a raw collect") {
+    implicit val s = spark
+    import s.implicits._
+    val docs = Seq("the cat sat on the mat", "a cat and the mat").toDF("text")
+    val seed = graft.llm.UnigramLm.seedVocab(docs, "text", maxLen = 4, minCount = 2L)
+    val pruned = graft.llm.UnigramLm.prunedVocab(seed, vocabSize = 10)
+    val p = pruned.queryExecution.executedPlan.toString
+    // the multi-char top-k must be per-partition top-k merged on the
+    // driver — the unbounded candidate table never materializes whole
+    assert(p.contains("TakeOrderedAndProject"),
+      s"seed prune must be a distributed top-k:\n${p.take(800)}")
+    // driver materialization is bounded: <= vocabSize + |charset|
+    val rows = pruned.collect()
+    val charset = docs.select(explode(split(col("text"), "")).as("c"))
+      .filter(length(col("c")) === 1).distinct().count()
+    assert(rows.length <= 10 + charset, s"${rows.length} vs 10+$charset")
+  }
+
   test("q123 avro roundtrip: the re-read aggregate partial-combines like parquet") {
     val df = Catalog.avroRoundtripQ.run(spark, sf)
     df.collect()
