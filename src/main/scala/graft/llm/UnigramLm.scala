@@ -35,11 +35,14 @@ import org.apache.spark.sql.functions._
   * ≤ vocabSize model table ever reaches the driver (the IVF
   * centroid-table contract).
   *
-  * The oracle split (q124): seeding is plain relational algebra —
-  * replayed exactly in DuckDB; the Viterbi EM loop is not
-  * SQL-expressible (lambdas cannot consult a fitted table), so the
-  * fit query registers rows-only and the DP is spec-pinned against
-  * an independent driver-side reference implementation instead.
+  * Oracles: seeding (q124) is plain relational algebra; the full EM
+  * fit (q125) and serve (q130) replay in DuckDB as recursive-CTE
+  * Viterbi DPs (LlmCatalog.unigramFitChainSql — positions as
+  * recursion depth, the vocabulary carried as one MAP value, the
+  * chosen piece list folded into the DP state), and the DP is
+  * additionally spec-pinned against an independent driver-side
+  * reference implementation (UnigramLmSpec) — three engines, one
+  * answer.
   */
 object UnigramLm {
 

@@ -3607,31 +3607,176 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** The shared DuckDB mirror of the UnigramLm.fit EM chain (both
+    * rounds unrolled, Kudo 2018 over integer-surprisal costs): the
+    * q124 seed, the (cnt DESC, piece ASC) top-500-plus-chars prune,
+    * and per round a RECURSIVE-CTE VITERBI — positions as recursion
+    * depth, the ≤ 6-char candidate last pieces probed against the
+    * round's vocabulary, min-(cost, np, longest-last) selected by
+    * ORDER BY ... LIMIT 1, the chosen piece list carried forward in
+    * the DP state (the q37 recursive-CTE tokenizer precedent,
+    * upgraded from greedy to min-cost DP). Two DuckDB-1.0 planner
+    * traps shape the SQL: (a) the vocabulary rides each recursion as
+    * one MAP value built in the base case (`vm` column — exactly the
+    * constant-folded map literal the Spark expression uses) because a
+    * correlated subquery against a chained CTE silently loses its
+    * correlation when a later recursive CTE consumes the result; (b)
+    * backtracking is folded INTO the DP state (`ps`) for the same
+    * reason — a second recursive CTE walking back-pointers re-plans
+    * the first one incorrectly. Costs are bitlen(total) −
+    * bitlen(cnt) + 1 via len(bin(x)); unknown single chars cost 66
+    * (UnigramLm.UnkCost). */
+  private val unigramFitChainSql: String = """
+      WITH RECURSIVE
+      wt AS MATERIALIZED (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE len(w) > 0 GROUP BY w
+      ),
+      seed AS MATERIALIZED (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq,
+                 unnest(flatten(list_transform(generate_series(1, len(w)), i ->
+                   list_transform(generate_series(1, least(6, len(w) - i + 1)),
+                     l -> substr(w, i, l))))) AS piece
+          FROM wt) GROUP BY piece
+        HAVING len(piece) = 1 OR SUM(freq) >= 2
+      ),
+      chars AS MATERIALIZED (SELECT piece FROM seed WHERE len(piece) = 1),
+      v0 AS MATERIALIZED (
+        SELECT piece, cnt FROM seed WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM seed WHERE len(piece) > 1
+          ORDER BY cnt DESC, piece LIMIT 500)
+      ),
+      vm0 AS MATERIALIZED (
+        SELECT map(list(piece), list(cost)) AS m FROM (
+          SELECT piece,
+                 len(bin((SELECT greatest(SUM(cnt), 1) FROM v0)))
+                   - len(bin(greatest(cnt, 1))) + 1 AS cost
+          FROM v0)
+      ),
+      dp1(w, n, i, vm, states) AS (
+        SELECT w, len(w), 0, vm0.m,
+               [{'c': CAST(0 AS BIGINT), 'np': 0, 'ps': CAST([] AS VARCHAR[])}]
+        FROM wt, vm0
+        UNION ALL
+        SELECT w, n, i+1, vm,
+          list_append(states, (
+            SELECT {'c': x.c, 'np': x.np, 'ps': x.ps}
+            FROM (
+              SELECT dp1.states[j.j+1].c + p.pc AS c,
+                     dp1.states[j.j+1].np + 1 AS np,
+                     list_append(dp1.states[j.j+1].ps,
+                                 substr(dp1.w, j.j+1, dp1.i+1-j.j)) AS ps,
+                     j.j AS back
+              FROM (SELECT unnest(generate_series(greatest(dp1.i+1-6, 0), dp1.i)) AS j) j,
+                   LATERAL (SELECT COALESCE(
+                     dp1.vm[substr(dp1.w, j.j+1, dp1.i+1-j.j)][1],
+                     CASE WHEN dp1.i+1-j.j = 1 THEN CAST(66 AS BIGINT) END) AS pc) p
+              WHERE p.pc IS NOT NULL
+              ORDER BY 1, 2, 4 LIMIT 1
+            ) x))
+        FROM dp1 WHERE i < n
+      ),
+      r1 AS MATERIALIZED (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+          SELECT w, unnest(states[n+1].ps) AS piece FROM dp1 WHERE i = n) s
+        JOIN wt USING (w) GROUP BY piece
+      ),
+      v1 AS MATERIALIZED (
+        SELECT piece, cnt FROM r1 WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM r1 WHERE len(piece) > 1
+          ORDER BY cnt DESC, piece LIMIT 500)
+        UNION ALL
+        SELECT c.piece, CAST(1 AS BIGINT) FROM chars c
+        WHERE c.piece NOT IN (SELECT piece FROM r1 WHERE len(piece) = 1)
+      ),
+      vm1 AS MATERIALIZED (
+        SELECT map(list(piece), list(cost)) AS m FROM (
+          SELECT piece,
+                 len(bin((SELECT greatest(SUM(cnt), 1) FROM v1)))
+                   - len(bin(greatest(cnt, 1))) + 1 AS cost
+          FROM v1)
+      ),
+      dp2(w, n, i, vm, states) AS (
+        SELECT w, len(w), 0, vm1.m,
+               [{'c': CAST(0 AS BIGINT), 'np': 0, 'ps': CAST([] AS VARCHAR[])}]
+        FROM wt, vm1
+        UNION ALL
+        SELECT w, n, i+1, vm,
+          list_append(states, (
+            SELECT {'c': x.c, 'np': x.np, 'ps': x.ps}
+            FROM (
+              SELECT dp2.states[j.j+1].c + p.pc AS c,
+                     dp2.states[j.j+1].np + 1 AS np,
+                     list_append(dp2.states[j.j+1].ps,
+                                 substr(dp2.w, j.j+1, dp2.i+1-j.j)) AS ps,
+                     j.j AS back
+              FROM (SELECT unnest(generate_series(greatest(dp2.i+1-6, 0), dp2.i)) AS j) j,
+                   LATERAL (SELECT COALESCE(
+                     dp2.vm[substr(dp2.w, j.j+1, dp2.i+1-j.j)][1],
+                     CASE WHEN dp2.i+1-j.j = 1 THEN CAST(66 AS BIGINT) END) AS pc) p
+              WHERE p.pc IS NOT NULL
+              ORDER BY 1, 2, 4 LIMIT 1
+            ) x))
+        FROM dp2 WHERE i < n
+      ),
+      r2 AS MATERIALIZED (
+        SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+          SELECT w, unnest(states[n+1].ps) AS piece FROM dp2 WHERE i = n) s
+        JOIN wt USING (w) GROUP BY piece
+      ),
+      v2 AS MATERIALIZED (
+        SELECT piece, cnt FROM r2 WHERE len(piece) = 1
+        UNION ALL
+        SELECT piece, cnt FROM (
+          SELECT piece, cnt FROM r2 WHERE len(piece) > 1
+          ORDER BY cnt DESC, piece LIMIT 500)
+        UNION ALL
+        SELECT c.piece, CAST(1 AS BIGINT) FROM chars c
+        WHERE c.piece NOT IN (SELECT piece FROM r2 WHERE len(piece) = 1)
+      )""".trim
+
   /** The full unigram-LM FIT (UnigramLm.fit): seed → Viterbi-segment
     * under integer-surprisal costs → re-count → prune, two EM rounds.
-    * The Viterbi DP is a Catalyst expression over a constant-folded
-    * vocabulary map — not SQL-expressible (DuckDB lambdas cannot
-    * consult a fitted table), so this registers WITHOUT an oracle
-    * (driver rows-only check); the DP itself is spec-pinned against
-    * an independent reference implementation (UnigramLmSpec), and
-    * the seeding stage it consumes is the hash-matched q124. */
+    * Oracled END-TO-END by [[unigramFitChainSql]] — the recursive-CTE
+    * Viterbi replays the Catalyst DP exactly (VERDICT r13 ask #1; the
+    * q37 precedent generalized from greedy longest-match to min-cost
+    * DP), closing the catalog's last no_oracle rows. The DP stays
+    * additionally spec-pinned against an independent driver-side
+    * reference (UnigramLmSpec) — three implementations, one answer. */
   val unigramFitQ = GraftQuery(
     "q125_unigram_vocab",
     (s, d) =>
       graft.llm.UnigramLm.fit(documents(s, d), "text",
           vocabSize = 500, maxLen = 6, minSeedCount = 2L, iters = 2)
         .orderBy(col("piece")),
-    None,
+    Some(s"""
+      $unigramFitChainSql
+      SELECT piece, cnt,
+             len(bin((SELECT greatest(SUM(cnt), 1) FROM v2)))
+               - len(bin(greatest(cnt, 1))) + 1 AS cost
+      FROM v2
+      ORDER BY piece
+    """.trim),
   )
 
   /** Serving the q125 tokenizer (UnigramLm.segment): every document
     * segmented under the frozen fitted vocabulary — per-doc piece
-    * count plus the exact piece sequence fingerprint (hash60 of the
+    * count, the exact piece-sequence fingerprint (hash60 of the
     * joined pieces, so the whole segmentation is pinned by one
-    * column without shipping the pieces). Rows-only like its fit
-    * (the Viterbi DP is spec-pinned, not SQL-replayable); the serve
-    * completes the X162 fit/serve pair the way q120/q126 do for
-    * X161/X164. */
+    * column without shipping the pieces), and `total_cost`, the
+    * summed integer piece cost (the unigram-LM perplexity surrogate
+    * a pretraining quality filter thresholds on). Oracled end-to-end:
+    * the fit chain replays via [[unigramFitChainSql]], a third
+    * recursive-CTE Viterbi segments the distinct-word table under
+    * the final model, and docs reassemble by word position
+    * (string_agg ORDER BY) — completing the X162 fit/serve pair the
+    * way q120/q126 do for X161/X164. */
   val unigramSegmentsQ = GraftQuery(
     "q130_unigram_segments",
     (s, d) => {
@@ -3641,10 +3786,61 @@ object LlmCatalog {
       graft.llm.UnigramLm.segment(docs, model, "text", maxLen = 6)
         .select(col("doc_id"), col("n_pieces"),
           graft.llm.TextOps.hash60(concat_ws(" ", col("pieces")))
-            .as("pieces_fp"))
+            .as("pieces_fp"),
+          col("total_cost"))
         .orderBy(col("doc_id"))
     },
-    None,
+    Some(s"""
+      $unigramFitChainSql,
+      vm2 AS MATERIALIZED (
+        SELECT map(list(piece), list(cost)) AS m FROM (
+          SELECT piece,
+                 len(bin((SELECT greatest(SUM(cnt), 1) FROM v2)))
+                   - len(bin(greatest(cnt, 1))) + 1 AS cost
+          FROM v2)
+      ),
+      dp3(w, n, i, vm, states) AS (
+        SELECT w, len(w), 0, vm2.m,
+               [{'c': CAST(0 AS BIGINT), 'np': 0, 'ps': CAST([] AS VARCHAR[])}]
+        FROM wt, vm2
+        UNION ALL
+        SELECT w, n, i+1, vm,
+          list_append(states, (
+            SELECT {'c': x.c, 'np': x.np, 'ps': x.ps}
+            FROM (
+              SELECT dp3.states[j.j+1].c + p.pc AS c,
+                     dp3.states[j.j+1].np + 1 AS np,
+                     list_append(dp3.states[j.j+1].ps,
+                                 substr(dp3.w, j.j+1, dp3.i+1-j.j)) AS ps,
+                     j.j AS back
+              FROM (SELECT unnest(generate_series(greatest(dp3.i+1-6, 0), dp3.i)) AS j) j,
+                   LATERAL (SELECT COALESCE(
+                     dp3.vm[substr(dp3.w, j.j+1, dp3.i+1-j.j)][1],
+                     CASE WHEN dp3.i+1-j.j = 1 THEN CAST(66 AS BIGINT) END) AS pc) p
+              WHERE p.pc IS NOT NULL
+              ORDER BY 1, 2, 4 LIMIT 1
+            ) x))
+        FROM dp3 WHERE i < n
+      ),
+      segd AS MATERIALIZED (
+        SELECT w, states[n+1].ps AS ps, states[n+1].c AS c FROM dp3 WHERE i = n
+      ),
+      dw AS MATERIALIZED (
+        SELECT doc_id, u.i AS i, u.w AS w FROM (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(l)),
+                   i -> {'i': i, 'w': l[i]})) AS u
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+        WHERE len(u.w) > 0
+      )
+      SELECT d.doc_id,
+             CAST(SUM(len(s.ps)) AS INT) AS n_pieces,
+             ('0x'||substr(md5(string_agg(array_to_string(s.ps, ' '), ' ' ORDER BY d.i)),1,15))::BIGINT AS pieces_fp,
+             CAST(SUM(s.c) AS BIGINT) AS total_cost
+      FROM dw d JOIN segd s USING (w)
+      GROUP BY d.doc_id
+      ORDER BY d.doc_id
+    """.trim),
   )
 
   val all: Seq[GraftQuery] = Seq(
