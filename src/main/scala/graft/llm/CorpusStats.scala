@@ -284,7 +284,17 @@ object CorpusStats {
     * standalone ops). Bigram and shared-window signals are separate
     * compiled window explodes by necessity (different grains), each
     * in its own already-audited shape; the final assembly is id-keyed
-    * joins of id-partitioned aggregates. Text never shuffles. */
+    * joins of id-partitioned aggregates. Text never shuffles.
+    *
+    * Compression signals (CCNet/RefinedWeb heuristic, VERDICT r12 ask
+    * #8): `n_bytes` (UTF-8 length), `deflate_len` (fixed-level-6 raw
+    * DEFLATE output length, [[TextOps.deflateLen]]), and
+    * `compression_ratio` = deflate_len / max(n_bytes, 1) — degenerate
+    * repeated text compresses ≪ 1, prose sits near 1. Map-side in the
+    * same flags projection. deflate_len/compression_ratio are the
+    * matrix's only non-DuckDB-replayable columns (no SQL DEFLATE), so
+    * they follow the multimodal discipline: q84 oracles every other
+    * column and CompressionSignalSpec pins these. */
   def docSignals(
       docs: DataFrame,
       idCol: String = "doc_id",
@@ -332,7 +342,9 @@ object CorpusStats {
       col(idCol).as("id"),
       TextOps.alphaRatio(col(textCol)).as("alpha_ratio"),
       TextOps.meanTokenLen(col(textCol)).as("mean_tok_len"),
-      TextOps.qualityKeep(col(textCol)).as("keep"))
+      TextOps.qualityKeep(col(textCol)).as("keep"),
+      octet_length(col(textCol)).cast("long").as("n_bytes"),
+      TextOps.deflateLen(col(textCol)).as("deflate_len"))
     rep
       .join(sur, Seq("id"))
       .join(big, Seq("id"), "left")
@@ -367,7 +379,12 @@ object CorpusStats {
         col("shared_frac"),
         col("alpha_ratio"),
         col("mean_tok_len"),
-        col("keep"))
+        col("keep"),
+        col("n_bytes"),
+        col("deflate_len"),
+        (col("deflate_len").cast("double") /
+          greatest(col("n_bytes"), lit(1L)).cast("double"))
+          .as("compression_ratio"))
   }
 
   /** FIT the corpus-level statistics [[docSignals]] derives
@@ -490,7 +507,9 @@ object CorpusStats {
       col(idCol).as("id"),
       TextOps.alphaRatio(col(textCol)).as("alpha_ratio"),
       TextOps.meanTokenLen(col(textCol)).as("mean_tok_len"),
-      TextOps.qualityKeep(col(textCol)).as("keep"))
+      TextOps.qualityKeep(col(textCol)).as("keep"),
+      octet_length(col(textCol)).cast("long").as("n_bytes"),
+      TextOps.deflateLen(col(textCol)).as("deflate_len"))
     rep
       .join(sur, Seq("id"))
       .join(big, Seq("id"), "left")
@@ -525,7 +544,12 @@ object CorpusStats {
         col("shared_frac"),
         col("alpha_ratio"),
         col("mean_tok_len"),
-        col("keep"))
+        col("keep"),
+        col("n_bytes"),
+        col("deflate_len"),
+        (col("deflate_len").cast("double") /
+          greatest(col("n_bytes"), lit(1L)).cast("double"))
+          .as("compression_ratio"))
   }
 
   /** Fixed weights for [[qualityScore]] over the [[docSignals]]

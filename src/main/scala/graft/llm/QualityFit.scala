@@ -41,7 +41,10 @@ import org.apache.spark.sql.types.DecimalType
   * ONE row of (k+2)² decimals total; the solve is driver-side O(k⁴)
   * BigInt on a 22×22 matrix (microseconds); serving is a broadcast-free
   * projection (weights compile into the plan as literals). Overflow:
-  * Gram entries are ≤ N·S² — DECIMAL(38,0) holds through N·S² < 10³⁸
+  * per-row products multiply as DECIMAL(19,0)×DECIMAL(19,0) →
+  * DECIMAL(38,0) — exact for the full long range of each factor, so
+  * an unbounded signal or a large scale cannot wrap a row silently;
+  * Gram SUMS are ≤ N·S² — DECIMAL(38,0) holds through N·S² < 10³⁸
   * (N < 10³⁴ docs at the default S = 100 — unreachable); Cramer
   * determinants grow like
   * (k+1)!·(N·S²)^(k+1), so the HUGEINT-replayable oracle form is for
@@ -132,11 +135,18 @@ object QualityFit {
       signalCols.map(c => scaledFeature(col(c), scale))
     val y = col(labelCol).cast("long")
     val dec = DecimalType(38, 0)
+    // Per-row products run in DECIMAL, not LONG: a long×long multiply
+    // wraps silently for |x| > ~3e9 (unbounded signals × large scale),
+    // yielding a wrong fit with no error. DECIMAL(19,0) factors make
+    // the product DECIMAL(38,0) — exact for the full long range of
+    // both factors (max ~8.5e36 < 1e38).
+    val decF = DecimalType(19, 0)
     // upper-triangle Gram + moments + row count, one aggregate row
     val aggs =
       (for { i <- 0 until k; j <- i until k } yield
-        sum((xs(i) * xs(j)).cast(dec)).as(s"g_${i}_$j")) ++
-        (0 until k).map(i => sum((xs(i) * y).cast(dec)).as(s"m_$i")) :+
+        sum((xs(i).cast(decF) * xs(j).cast(decF)).cast(dec)).as(s"g_${i}_$j")) ++
+        (0 until k).map(i =>
+          sum((xs(i).cast(decF) * y.cast(decF)).cast(dec)).as(s"m_$i")) :+
         count(lit(1)).as("n")
     val row = signals.agg(aggs.head, aggs.tail: _*).head()
     def big(name: String): BigInt =

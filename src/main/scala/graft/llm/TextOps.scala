@@ -256,6 +256,15 @@ object TextOps {
         ShingleM))
   }
 
+  /** DEFLATE output length of the text's UTF-8 bytes (level 6, raw) —
+    * the compression-ratio quality signal's numerator (see
+    * [[graft.expr.DeflateLen]]): deflate_len / byte_len ≪ 1 flags
+    * degenerate repeated text. Not DuckDB-replayable; spec-pinned. */
+  def deflateLen(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.expr.DeflateLen(
+        org.apache.spark.sql.GraftBridge.toExpr(text)))
+
   /** 60-bit md5 hashes of the text's distinct n-gram shingle STRINGS
     * (compiled loop; equals `transform(shingles(tokens(t),n), hash60)`
     * but one digest per shingle instead of an interpreted expression

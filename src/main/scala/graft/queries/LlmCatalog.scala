@@ -1690,7 +1690,8 @@ object LlmCatalog {
                (len(string_split(text, ' ')) >= 10 AND len(string_split(text, ' ')) <= 100000
                 AND CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) >= 2.0
                 AND CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / CAST(greatest(len(string_split(text, ' ')), 1) AS DOUBLE) <= 12.0
-                AND CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) >= 0.6) AS keep
+                AND CAST(len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / CAST(greatest(len(text), 1) AS DOUBLE) >= 0.6) AS keep,
+               CAST(strlen(text) AS BIGINT) AS n_bytes
         FROM documents
       ),
       sig AS (
@@ -1709,16 +1710,22 @@ object LlmCatalog {
              n_rare,
              CAST(n_rare AS DOUBLE) / n_tokens AS rare_frac,
              n_windows, boiler.n_shared AS n_shared, shared_frac,
-             alpha_ratio, mean_tok_len, keep
+             alpha_ratio, mean_tok_len, keep, n_bytes
       FROM rep JOIN sur USING (doc_id) LEFT JOIN biga USING (doc_id)
            JOIN boiler ON boiler.doc_id = rep.doc_id
            JOIN flags ON flags.doc_id = rep.doc_id
       )"""
 
+  /** The q84 matrix oracles every DuckDB-replayable column; the two
+    * compression signals (`deflate_len`, `compression_ratio` — no SQL
+    * DEFLATE exists) are dropped from the catalog row and pinned by
+    * CompressionSignalSpec instead, the multimodal discipline. Their
+    * replayable denominator `n_bytes` stays oracled. */
   val docSignalsQ = GraftQuery(
     "q84_doc_signals",
     (s, d) =>
       graft.llm.CorpusStats.docSignals(documents(s, d), "doc_id", "text")
+        .drop("deflate_len", "compression_ratio")
         .orderBy(col("doc_id")),
     Some(s"""
       WITH $docSignalsCtes
