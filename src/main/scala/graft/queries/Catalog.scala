@@ -2105,7 +2105,9 @@ object Catalog {
     "q123_avro_roundtrip",
     (s, d) => {
       val li = lineitem(s, d).select(col("l_orderkey"), col("l_quantity"),
-        col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"))
+        col("l_extendedprice"), col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate"),
+        to_date(col("l_shipdate")).as("l_shipday"))
       val dir = java.nio.file.Files
         .createTempDirectory("graft_q123_avro_").toString
       graft.io.AvroIo.write(li, dir)
@@ -2115,7 +2117,13 @@ object Catalog {
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_price"),
           sum(col("l_orderkey")).as("sum_key"),
-          count(lit(1)).as("n"))
+          count(lit(1)).as("n"),
+          // temporal logical types survive the container round-trip:
+          // l_shipdate rode as local-timestamp-micros, l_shipday as
+          // epoch-day date — both compared as rendered strings
+          date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
+            .as("max_ship"),
+          date_format(max(col("l_shipday")), "yyyy-MM-dd").as("max_shipday"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""
@@ -2123,7 +2131,9 @@ object Catalog {
              CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
              CAST(SUM(l_orderkey) AS BIGINT) AS sum_key,
-             COUNT(*) AS n
+             COUNT(*) AS n,
+             strftime(MAX(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship,
+             strftime(MAX(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_shipday
       FROM lineitem
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus

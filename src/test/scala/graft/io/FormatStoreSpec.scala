@@ -81,7 +81,8 @@ class FormatStoreSpec extends SparkSpec {
     // files really are avro containers (the frame is RDD-backed, so
     // check the table directory itself)
     val names = new java.io.File(avroRoot, "t").listFiles().map(_.getName)
-      .filter(!_.startsWith(".")) // hadoop-local CRC sidecars
+      // hadoop-local CRC sidecars + the job-commit marker
+      .filter(n => !n.startsWith(".") && n != "_SUCCESS")
     assert(names.nonEmpty && names.forall(_.endsWith(".avro")), names.toSeq)
   }
 
