@@ -2093,6 +2093,84 @@ object Catalog {
     """.trim),
   )
 
+  /** One synchronous modularity-greedy move round in SQL (the
+    * [[graft.ops.Graph.refineCommunities]] mirror), unrolled like
+    * [[lpaRoundsSql]]: per round — neighbor-community edge counts
+    * (mk), frozen community degree sums (md), each node's own-side
+    * view (mo), the exact HUGEINT gain 4m·(k_ub−k_ua) −
+    * 2·d_u·(D_b−D_a+d_u) per candidate (mc), the dq-then-smallest-b
+    * argmax of the positive gains (mb), and the applied moves (r).
+    * Expects `adj`, `deg` (node, deg), and `mm` (m) CTEs upstream;
+    * starts from `$from(node, lbl)`. */
+  private def refineRoundsSql(rounds: Int, from: String): String =
+    (1 to rounds).map { t =>
+      val prev = if (t == 1) from else s"r${t - 1}"
+      s"""mk$t AS (SELECT adj.node, p.lbl AS c, COUNT(*) AS k
+        FROM adj JOIN $prev p ON adj.nbr = p.node
+        GROUP BY adj.node, p.lbl),
+      md$t AS (SELECT p.lbl, CAST(SUM(dg.deg) AS BIGINT) AS ds
+        FROM deg dg JOIN $prev p ON p.node = dg.node GROUP BY p.lbl),
+      mo$t AS (SELECT p.node, p.lbl AS a, dg.deg AS du, da.ds AS dsa,
+               COALESCE(k.k, 0) AS kua
+        FROM $prev p JOIN deg dg ON dg.node = p.node
+             JOIN md$t da ON da.lbl = p.lbl
+             LEFT JOIN mk$t k ON k.node = p.node AND k.c = p.lbl),
+      mc$t AS (SELECT o.node, k.c AS b,
+               CAST(4 AS HUGEINT) * mm.m * (k.k - o.kua)
+                 - CAST(2 AS HUGEINT) * o.du * (db.ds - o.dsa + o.du) AS dq
+        FROM mo$t o JOIN mk$t k ON k.node = o.node AND k.c <> o.a
+             JOIN md$t db ON db.lbl = k.c, mm),
+      mb$t AS (SELECT node, b FROM (
+        SELECT node, b, ROW_NUMBER() OVER (PARTITION BY node
+          ORDER BY dq DESC, b ASC) AS rn FROM mc$t WHERE dq > 0) WHERE rn = 1),
+      r$t AS (SELECT p.node, COALESCE(mb.b, p.lbl) AS lbl
+        FROM $prev p LEFT JOIN mb$t mb ON mb.node = p.node)"""
+    }.mkString(",\n      ")
+
+  /** The q121 LPA assignment REFINED by one deterministic
+    * modularity-greedy sweep (Graph.refineCommunities — the Louvain
+    * local-move phase run synchronously with X166's exact integer ΔQ
+    * arithmetic; VERDICT r13 ask #7): every node moves to the
+    * neighbor community with the largest strictly-positive exact
+    * gain, ties to the smallest label, all moves applied at once
+    * against the frozen assignment. The oracle unrolls LPA's four
+    * rounds AND the move round, replaying the HUGEINT gain per
+    * candidate — a hash match pins the whole ΔQ ledger, not just the
+    * final labels. GraphSpec additionally proves a sweep strictly
+    * improves q127's Σ q_num on a misassigned fixture and fixes an
+    * optimal one. */
+  val refinedCommunitiesQ = GraftQuery(
+    "q131_refined_communities",
+    (s, d) => {
+      val ue = events(s, d)
+        .select(col("user_id").as("uid"), expr("ts div 60000000000").as("w"))
+        .distinct()
+      val e = ue.as("x").join(ue.as("y"),
+          col("x.w") === col("y.w") && col("x.uid") < col("y.uid"))
+        .select(col("x.uid").as("src"), col("y.uid").as("dst"))
+      val lpa = graft.ops.Graph.labelPropagation(e, "src", "dst", iterations = 4)
+        .select(col("node"), col("label").as("community"))
+      graft.ops.Graph.refineCommunities(e, "src", "dst",
+          lpa, "node", "community", rounds = 1)
+        .select(col("node").as("user_id"), col("community"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH ue AS (SELECT DISTINCT user_id AS uid, epoch_ns(ts)//60000000000 AS w
+                  FROM events),
+      e0 AS (SELECT DISTINCT x.uid AS a, y.uid AS b
+             FROM ue x JOIN ue y ON x.w = y.w AND x.uid < y.uid),
+      adj AS (SELECT a AS node, b AS nbr FROM e0
+              UNION ALL SELECT b AS node, a AS nbr FROM e0),
+      deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+      mm AS (SELECT COUNT(*) AS m FROM e0),
+      l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+      ${lpaRoundsSql(4)},
+      ${refineRoundsSql(1, "l4")}
+      SELECT node AS user_id, lbl AS community FROM r1 ORDER BY user_id
+    """.trim),
+  )
+
   /** Avro source/sink round-trip (io.AvroIo, X165): the lineitem
     * slice written as avro containers (one per partition, deflate),
     * read BACK through the splittable AvroKeyInputFormat path, and
@@ -2529,6 +2607,7 @@ object Catalog {
     lpaQ,
     avroRoundtripQ,
     modularityQ,
+    refinedCommunitiesQ,
     groupSketchQuantilesQ,
     tableDigestQ,
     fuzzyJoinQ,

@@ -243,10 +243,12 @@ object CorpusIntake {
 
   /** [[drainScoredTo]] with a FITTED model (X161) instead of hand-set
     * weights: each micro-batch's frozen-statistics signals are scored
-    * by [[graft.llm.QualityFit.scoreDetScaled]] — the EXACT integer
-    * sign decision (score_num ≥ 0 ⟺ the rational βᵀx ≥ 0), so the
-    * streamed gate is bit-identical to the batch q120 decision, not
-    * merely close in doubles. The fit itself must come from
+    * by [[graft.llm.QualityFit.scoreDetScaled]] — the EXACT rational
+    * decision ŷ ≥ thresholdNum/thresholdDen evaluated integer-only by
+    * cross-multiplication (default ½: keep ⟺ 2·score_num ≥ den, the
+    * q120 decision line), so the streamed gate is bit-identical to
+    * the batch q120 decision, not merely close in doubles. The fit
+    * itself must come from
     * [[graft.llm.QualityFit.fit]] over signals built against the SAME
     * frozen (refFreq, refShared) artifacts being served here — fit
     * and serve share one statistic source or the decision boundary
@@ -264,6 +266,8 @@ object CorpusIntake {
       checkpoint: String,
       idCol: String = "doc_id",
       textCol: String = "text",
+      thresholdNum: Long = 1L,
+      thresholdDen: Long = 2L,
   ): Unit = {
     import graft.llm.{CorpusStats, QualityFit}
     val q = docs.writeStream
@@ -272,11 +276,67 @@ object CorpusIntake {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val sig = CorpusStats.docSignalsFrozen(batch, refFreq, refShared,
           idCol, textCol)
-        val keepers = QualityFit.scoreDetScaled(sig, fit, idCol)
+        val keepers = QualityFit
+          .scoreDetScaled(sig, fit, idCol, thresholdNum, thresholdDen)
           .filter(col("keep"))
           .select(col(idCol))
         store.appendIfNew(table,
           batch.join(keepers, Seq(idCol), "left_semi"), batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** [[drainTo]] with the FITTED-TOKENIZER gate (X162): each
+    * micro-batch is segmented under a FROZEN unigram-LM model table
+    * ([[graft.llm.UnigramLm.fit]] output, served by
+    * [[graft.llm.UnigramLm.segment]]) and a document lands iff
+    *
+    *   n_pieces ≥ minPieces  AND
+    *   total_cost · costDen ≤ costNum · n_pieces
+    *
+    * — the second clause is the exact-integer form of "mean bits per
+    * piece ≤ costNum/costDen", the unigram-LM perplexity filter:
+    * junk text segments into many rare, costly pieces, prose into
+    * few cheap ones (CompressionSignalSpec's sibling signal, q130's
+    * total_cost column thresholded). Cross-multiplied longs — no
+    * doubles, so the stream gate is bit-identical to running the
+    * same rule over the whole corpus in batch (spec-pinned: batch ≡
+    * stream piece-fingerprint equality, batch boundaries invisible —
+    * every quantity depends only on the document and the frozen
+    * model). The model table collects ≤ vocabSize + |charset| rows
+    * once on the driver and rides every batch's plan as a
+    * constant-folded map literal; same exactly-once sink discipline
+    * as [[drainTo]]. */
+  def drainTokenGatedTo(
+      docs: DataFrame,
+      store: graft.io.TableStore,
+      table: String,
+      model: DataFrame,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minPieces: Int = 1,
+      costNum: Long = 8L,
+      costDen: Long = 1L,
+      maxLen: Int = 6,
+  ): Unit = {
+    require(costDen > 0, s"costDen must be > 0, got $costDen")
+    // collect the bounded model ONCE — not per micro-batch
+    val served = model.select(col("piece"), col("cnt"), col("cost"))
+      .localCheckpoint()
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val seg = graft.llm.UnigramLm
+          .segment(batch, served, textCol, maxLen)
+        val kept = seg
+          .filter(col("n_pieces") >= minPieces &&
+            col("total_cost") * lit(costDen) <=
+              lit(costNum) * col("n_pieces").cast("long"))
+          .drop("pieces", "n_pieces", "total_cost")
+        store.appendIfNew(table, kept, batchId): Unit
       }
       .start()
     q.awaitTermination()

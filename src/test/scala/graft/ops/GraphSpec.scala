@@ -409,6 +409,44 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_.getString(4).toLong).sum > 0L)
   }
 
+  test("refineCommunities: one sweep fixes a misassigned node, strictly improving Σ q_num") {
+    // two triangles {1,2,3} {4,5,6} with bridge 3-4; node 3 starts in
+    // the wrong community
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("s", "d")
+    val bad = Seq((1L, 1L), (2L, 1L), (3L, 4L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "community")
+    def qSum(asg: org.apache.spark.sql.DataFrame): BigInt =
+      Graph.communityModularity(e, "s", "d", asg, "node", "community")
+        .collect().map(r => BigInt(r.getString(4))).sum
+    val refined = Graph.refineCommunities(e, "s", "d", bad, "node", "community")
+    val got = refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ΔQ_num(3: 4→1) = 4·7·(2−1) − 2·3·(4−10+3) = 46 > 0 → 3 moves home;
+    // every other node's best foreign gain is negative → stays
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L),
+      got.toString)
+    assert(qSum(refined) > qSum(bad), s"${qSum(refined)} vs ${qSum(bad)}")
+    // the corrected assignment is a fixed point of another sweep
+    val again = Graph.refineCommunities(e, "s", "d", refined, "node", "community")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("refineCommunities: equal gains break to the smallest label; no move on ΔQ ≤ 0") {
+    // path 1-2-3-4-5: communities {1,2}, {3}, {4,5}; node 3 gains
+    // equally from joining either side → smallest label wins
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("s", "d")
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L))
+      .toDF("node", "community")
+    val got = Graph.refineCommunities(e, "s", "d", asg, "node", "community")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ΔQ_num(3→1) = ΔQ_num(3→4) = 4·4·1 − 2·2·(3−2+2) = 4 > 0, tie → 1
+    assert(got(3L) == 1L, got.toString)
+    // endpoints stay: moving 1 into community 1's neighbor... 2 is
+    // already home; 5's only candidate is its own community
+    assert(got(1L) == 1L && got(2L) == 1L && got(4L) == 4L && got(5L) == 4L)
+  }
+
   test("labelPropagationConverged matches fixed rounds and stops at the fixpoint") {
     def clique(p: String) = for {
       a <- 1 to 5; b <- 1 to 5 if a < b

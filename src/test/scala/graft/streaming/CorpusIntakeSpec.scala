@@ -285,4 +285,54 @@ class CorpusIntakeSpec extends SparkSpec {
     assert(kept.contains(1L) && kept.contains(3L), kept)
     assert(!kept.contains(2L) && !kept.contains(4L), kept)
   }
+
+  test("token-gated drain: frozen tokenizer, exact cost gate, batch ≡ stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_intake_tokgate_")
+    implicit val s = spark
+    import graft.llm.UnigramLm
+    val store = new graft.io.SnapshotBucketedStore(s"$root/corpus", numBuckets = 4)
+
+    // frozen tokenizer fit on a prose reference corpus: its pieces are
+    // cheap for prose-like text, expensive for out-of-vocabulary junk
+    val ref = Seq(good, good.replace("fox", "wolf"),
+      good.replace("dog", "cat"), good.replace("river", "brook"))
+      .toDF("text")
+    val model = UnigramLm.fit(ref, "text", vocabSize = 200, maxLen = 6,
+      minSeedCount = 2L, iters = 2).localCheckpoint()
+
+    val all = Seq(
+      Doc(1L, B, good.replace("river", "stone")),
+      Doc(2L, B + 1000, Seq.fill(12)("09183 475 2206").mkString(" ")),
+      Doc(3L, B + 2000, good.replace("dog", "cat")),
+      Doc(4L, B + 3000, Seq.fill(15)("$$##@@ %%&&").mkString(" ")),
+      Doc(5L, B + 4000, good),
+    )
+    val (half1, half2) = all.splitAt(2)
+    val input = MemoryStream[Doc]
+    val docs = input.toDF().select(col("doc_id"), col("text"))
+    input.addData(half1: _*)
+    CorpusIntake.drainTokenGatedTo(docs, store, "corpus", model,
+      s"$root/ckpt", costNum = 8L, costDen = 1L)
+    input.addData(half2: _*)
+    CorpusIntake.drainTokenGatedTo(docs, store, "corpus", model,
+      s"$root/ckpt", costNum = 8L, costDen = 1L)
+
+    val streamed = store.read("corpus").get
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    // batch twin: same frozen model, same integer rule, one shot
+    val batchDf = all.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val batch = UnigramLm.segment(batchDf, model, "text", maxLen = 6)
+      .filter(col("n_pieces") >= 1 &&
+        col("total_cost") * lit(1L) <= lit(8L) * col("n_pieces").cast("long"))
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(streamed == batch,
+      s"batch boundaries must be invisible: $streamed vs $batch")
+    // the cost gate separates in-distribution prose from junk
+    val kept = streamed.map(_._1)
+    assert(kept.contains(3L) && kept.contains(5L), kept)
+    assert(!kept.contains(2L) && !kept.contains(4L), kept)
+  }
 }
