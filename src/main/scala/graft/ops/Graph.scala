@@ -643,6 +643,11 @@ object Graph {
     asg.select(col("node"), col("graft_lbl_").as(labelCol))
   }
 
+  /** Plan-audit window into [[moveRound]] (PlanAuditSpec q131). */
+  private[graft] def moveRoundForAudit(
+      adj: DataFrame, degs: DataFrame, asg: DataFrame, m: Long): DataFrame =
+    moveRound(adj, degs, asg, m)
+
   /** One synchronous move round of [[refineCommunities]]. */
   private def moveRound(
       adj: DataFrame, degs: DataFrame, asg: DataFrame, m: Long): DataFrame = {

@@ -3586,8 +3586,8 @@ object LlmCatalog {
     * every ≤ 6-char substring over the distinct-word table, chars
     * kept unconditionally, longer pieces at count ≥ 2. Pure
     * relational algebra — the oracle replays the explode and the
-    * cutoff exactly; the EM rounds on top are the spec-pinned,
-    * rows-only q125. */
+    * cutoff exactly; the EM rounds on top are q125, oracled via the
+    * recursive-CTE Viterbi ([[unigramFitChainSql]]). */
   val unigramSeedQ = GraftQuery(
     "q124_unigram_seed",
     (s, d) =>

@@ -603,6 +603,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(rows.length <= 10 + charset, s"${rows.length} vs 10+$charset")
   }
 
+  test("q131 refinement keeps the LPA shape: equi-joins only, no product") {
+    val df = Catalog.refinedCommunitiesQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    // the returned plan reads the last round's checkpoint — audit the
+    // MOVE-ROUND shape directly (the q121 precedent)
+    implicit val s = spark
+    import s.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("a", "b")
+    val adj = e.select(col("a").as("node"), col("b").as("nbr"))
+      .unionByName(e.select(col("b").as("node"), col("a").as("nbr")))
+    val degs = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val asg = adj.select(col("node")).distinct()
+      .withColumn("graft_lbl_", col("node"))
+    val round = graft.ops.Graph.moveRoundForAudit(adj, degs, asg, 4L)
+    round.collect()
+    val pr = round.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(pr.contains("partial_count") && pr.contains("partial_min"),
+      s"gain counts and argmax must partial-aggregate:\n${pr.take(800)}")
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"), pr.take(400))
+  }
+
   test("q123 avro roundtrip: the re-read aggregate partial-combines like parquet") {
     val df = Catalog.avroRoundtripQ.run(spark, sf)
     df.collect()
