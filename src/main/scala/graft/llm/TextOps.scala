@@ -338,16 +338,6 @@ object TextOps {
     spark.read.textFile(path).collect().toSeq
       .map(_.trim).filter(_.nonEmpty).distinct
 
-  /** PII redaction for training corpora — the standard pre-training
-    * scrub: emails, phone-number-shaped digit runs, and IPv4 literals
-    * are replaced with typed placeholder tokens (so downstream token
-    * statistics stay stable and the redaction is auditable by
-    * counting placeholders). Pure `regexp_replace` chain — map-side,
-    * codegen'd, zero shuffle. Patterns are deliberately conservative
-    * (precision over recall): a corpus scrubber that eats prose is
-    * worse than one that misses an exotic phone format. No DuckDB
-    * oracle — regex dialects differ across engines by design; exact
-    * behavior is pinned in TextOpsSpec instead. */
   /** Canonical form for exact-match hygiene ops (decontamination):
     * lowercase, collapse every non-alphanumeric run to one space,
     * trim. Cosmetic edits — case, punctuation, extra whitespace —
@@ -357,19 +347,108 @@ object TextOps {
   def normalizeForMatching(text: Column): Column =
     trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
 
+  // -----------------------------------------------------------------
+  // Markup stripping (WET-style text extraction)
+  // -----------------------------------------------------------------
+
+  /** Markup-stripping patterns — like the PII tier, restricted to the
+    * Java∩RE2 dialect subset (inline `(?is)` flags, lazy `.*?`, `\b`,
+    * no backreferences — which is also why script and style blocks
+    * get separate patterns instead of `<(script|style)>.*?</\1>`). */
+  val scriptBlockPattern = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+  val styleBlockPattern = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+  val htmlCommentPattern = "(?s)<!--.*?-->"
+
+  /** A tag opens with `<` or `</` followed by a letter or `!`
+    * (doctype) — a lone `<` in prose ("a < b") is NOT a tag and
+    * survives. The documented tag-soup trade: an unquoted `>` inside
+    * an attribute value ends the tag early (every regex-grade
+    * extractor shares this; a conformant HTML5 tokenizer is the
+    * escalation path, not a regex). */
+  val htmlTagPattern = "</?[A-Za-z!][^>]*>"
+
+  /** The entity subset every corpus actually carries; `&amp;` decodes
+    * LAST so `&amp;lt;` single-decodes to `&lt;` (never to `<`) —
+    * the standard one-pass rule. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+    "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** WET-style text extraction from HTML-ish markup — the step that
+    * turns a crawl dump into trainable prose: script/style blocks and
+    * comments go first (their CONTENT is not text), remaining tags
+    * become spaces, entities decode (after tag removal, so a decoded
+    * `<` can never resurrect a tag), and whitespace collapses to
+    * single spaces. Pure `regexp_replace`/`replace` chain — map-side,
+    * codegen'd, zero shuffle, and DuckDB-replayable from the same
+    * pattern constants (q133). The whitespace class is spelled out
+    * (`[ \t\n\r\f]`) because Java's `\s` and RE2's disagree on
+    * U+000B. */
+  def stripMarkup(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, scriptBlockPattern, " "),
+      styleBlockPattern, " ")
+    val noTags = regexp_replace(
+      regexp_replace(noBlocks, htmlCommentPattern, " "),
+      htmlTagPattern, " ")
+    val decoded = htmlEntities.foldLeft(noTags) {
+      case (c, (e, r)) => replace(c, lit(e), lit(r))
+    }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /** Fraction of characters that stripping removed — the markup-density
+    * quality signal (a page that is 95% tags is navigation chrome, not
+    * prose). Fixed two-op IEEE chain (divide, subtract) mirrored
+    * expression-for-expression in the oracle; empty input scores 0. */
+  def markupRatio(text: Column): Column =
+    when(coalesce(length(text), lit(0)) === 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        length(stripMarkup(text)).cast("double") / length(text))
+
+  /** PII redaction patterns, restricted ON PURPOSE to the regex
+    * subset Java (Spark) and RE2 (DuckDB) execute identically, so
+    * the whole scrub chain is oracle-replayable (q132):
+    *   - no lookaround (RE2 has none) — word boundaries are CONSUMED
+    *     capture groups `(\A|[^\w.])` / `([^\w.]|\z)` instead;
+    *   - no bare `\s` in classes (Java's includes U+000B, RE2's does
+    *     not) — the separator class spells its members out;
+    *   - `\A`/`\z`, `\b`, `\d`, `\w` (all ASCII) and greedy
+    *     quantifiers mean the same thing in both dialects, and both
+    *     replace leftmost-first, scanning on from the end of each
+    *     match.
+    * The phone tier: 7–15 digits, optional `+`, each gap at most two
+    * separator chars (covers `") "` after an area code); plain long
+    * digit ids match by intent — ids are PII-adjacent. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val phonePattern =
+    "(\\A|[^\\w.])(\\+?\\d(?:[ \\t\\n\\r\\f().-]{0,2}\\d){6,14})([^\\w.]|\\z)"
+
+  /** PII redaction for training corpora — the standard pre-training
+    * scrub: emails, phone-number-shaped digit runs, and IPv4 literals
+    * are replaced with typed placeholder tokens (so downstream token
+    * statistics stay stable and the redaction is auditable by
+    * counting placeholders). Pure `regexp_replace` chain — map-side,
+    * codegen'd, zero shuffle. Patterns are deliberately conservative
+    * (precision over recall): a corpus scrubber that eats prose is
+    * worse than one that misses an exotic phone format.
+    *
+    * The phone pass runs TWICE: its boundaries are consumed capture
+    * groups (see [[phonePattern]]), so when two phones are separated
+    * by a single boundary char the first match consumes it and hides
+    * the second from that pass — the placeholder's `]` then serves as
+    * the boundary on the next pass. Both engines scan-continue the
+    * same way, so the two-pass result is still a bit-exact mirror
+    * (q132; longer adjacency chains than two are out of scope and
+    * spec-documented). */
   def redactPii(text: Column): Column = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
-    // 7+ digits optionally broken by short separator runs (") " after
-    // an area code is two chars), not embedded in a larger word/number
-    // (phone-shaped; plain long digit ids also match — by intent,
-    // ids are PII-adjacent)
-    val phone = "(?<![\\w.])\\+?\\d(?:[\\s().-]{0,2}\\d){6,14}(?![\\w.])"
-    regexp_replace(
+    def phone(c: Column): Column =
+      regexp_replace(c, phonePattern, "$1[PHONE]$3")
+    phone(phone(
       regexp_replace(
-        regexp_replace(text, email, "[EMAIL]"),
-        ipv4, "[IP]"),
-      phone, "[PHONE]")
+        regexp_replace(text, emailPattern, "[EMAIL]"),
+        ipv4Pattern, "[IP]")))
   }
 
   /** Production-speed 64-bit hash (no cross-engine mirror). */

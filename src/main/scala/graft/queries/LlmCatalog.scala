@@ -3850,6 +3850,128 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** PII scrub oracled end-to-end (TextOps.redactPii, X60 — fixtures
+    * only until r14): per-customer synthetic contact text (name,
+    * synthesized mailbox, a custkey-derived `(XXX) XXX-XXXX` phone
+    * and dotted-quad — the testdata customer table carries no phone)
+    * pushed through the full email→IP→phone×2 redaction chain, with
+    * DuckDB replaying the SAME pattern constants — one source of
+    * truth, interpolated into both engines (the q94 frozen-weights
+    * rule). Possible because the patterns are restricted to the
+    * Java∩RE2 dialect subset (see [[TextOps.phonePattern]]): consumed
+    * boundary groups instead of lookarounds, spelled-out separator
+    * class instead of `\s`. The hash pins every replacement decision
+    * on 1 500 rows, including the name's PII-adjacent digit-run id
+    * (`Customer#000000042` → `Customer#[PHONE]`, by intent). */
+  val piiRedactionQ = GraftQuery(
+    "q132_pii_redaction",
+    (s, d) =>
+      customer(s, d)
+        .select(col("c_custkey"),
+          TextOps.redactPii(concat(
+            lit("Reach "), col("c_name"),
+            lit(" at user"), col("c_custkey").cast("string"),
+            lit("@mail.example.com or +1 ("),
+            expr("100 + c_custkey % 900").cast("string"), lit(") "),
+            expr("100 + c_custkey % 899").cast("string"), lit("-"),
+            expr("1000 + c_custkey % 9000").cast("string"),
+            lit(" (host 10."), expr("c_custkey % 200").cast("string"),
+            lit(".3."), expr("c_custkey % 250").cast("string"),
+            // two adjacent long ids split by one ';' pin the two-pass
+            // rule per row; the short count pins the negative case
+            lit(") ids "), expr("10000000 + c_custkey % 90000000").cast("string"),
+            lit(";"), expr("20000000 + c_custkey % 80000000").cast("string"),
+            lit(" sold "), expr("c_custkey % 999").cast("string"),
+            lit(" units"))).as("redacted"))
+        .orderBy(col("c_custkey")),
+    Some(s"""
+      SELECT c_custkey,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          'Reach ' || c_name || ' at user' || CAST(c_custkey AS VARCHAR)
+            || '@mail.example.com or +1 ('
+            || CAST(100 + c_custkey % 900 AS VARCHAR) || ') '
+            || CAST(100 + c_custkey % 899 AS VARCHAR) || '-'
+            || CAST(1000 + c_custkey % 9000 AS VARCHAR)
+            || ' (host 10.' || CAST(c_custkey % 200 AS VARCHAR)
+            || '.3.' || CAST(c_custkey % 250 AS VARCHAR)
+            || ') ids ' || CAST(10000000 + c_custkey % 90000000 AS VARCHAR)
+            || ';' || CAST(20000000 + c_custkey % 80000000 AS VARCHAR)
+            || ' sold ' || CAST(c_custkey % 999 AS VARCHAR) || ' units',
+          '${TextOps.emailPattern}', '[EMAIL]', 'g'),
+          '${TextOps.ipv4Pattern}', '[IP]', 'g'),
+          '${TextOps.phonePattern}', '\\1[PHONE]\\3', 'g'),
+          '${TextOps.phonePattern}', '\\1[PHONE]\\3', 'g') AS redacted
+      FROM customer
+      ORDER BY c_custkey
+    """.trim),
+  )
+
+  /** WET-style markup stripping oracled end-to-end
+    * (TextOps.stripMarkup + markupRatio, X171): every document is
+    * entity-ENCODED (& then <, the order that can't fabricate tags),
+    * wrapped in a deterministic HTML page (comment, style block,
+    * script block whose content contains `<`, `>` and `&&`, attribute
+    * markup, entity text), then STRIPPED — and the oracle replays the
+    * whole encode→wrap→strip chain from the same pattern constants.
+    * The `roundtrip` column pins the semantics, not just the bits:
+    * strip(wrap(encode(text))) must equal the whitespace-collapsed
+    * original text framed by the wrapper's own prose — true for
+    * every row iff block content was dropped, tags became spaces,
+    * and the entity decode exactly inverted the encode. markup_ratio
+    * is the markup-density quality signal over the same page. */
+  val markupStripQ = GraftQuery(
+    "q133_markup_strip",
+    (s, d) => {
+      val enc = replace(replace(col("text"), lit("&"), lit("&amp;")),
+        lit("<"), lit("&lt;"))
+      val html = concat(
+        lit("<html><!-- doc "), col("doc_id").cast("string"),
+        lit(" --><head><style>p { color: red; }</style>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2 && 2 > 1;</script></head>"),
+        lit("<body class=\"doc\"><h1>T</h1><p>"), enc,
+        lit("</p><div data-k=\"v\">&quot;fin&quot;</div></body></html>"))
+      val stripped = TextOps.stripMarkup(html)
+      documents(s, d).select(col("doc_id"),
+          TextOps.hash60(stripped).as("stripped_fp"),
+          (stripped === trim(regexp_replace(
+            concat(lit("T "), col("text"), lit(" \"fin\"")),
+            "[ \\t\\n\\r\\f]+", " "))).as("roundtrip"),
+          TextOps.markupRatio(html).as("markup_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH h AS (
+        SELECT doc_id, text,
+          '<html><!-- doc ' || CAST(doc_id AS VARCHAR)
+          || ' --><head><style>p { color: red; }</style>'
+          || '<script type="text/javascript">var x = 1 < 2 && 2 > 1;</script></head>'
+          || '<body class="doc"><h1>T</h1><p>'
+          || replace(replace(text, '&', '&amp;'), '<', '&lt;')
+          || '</p><div data-k="v">&quot;fin&quot;</div></body></html>' AS html
+        FROM documents),
+      s AS (
+        SELECT doc_id, text, html,
+          trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                '${TextOps.scriptBlockPattern}', ' ', 'g'),
+                '${TextOps.styleBlockPattern}', ' ', 'g'),
+                '${TextOps.htmlCommentPattern}', ' ', 'g'),
+                '${TextOps.htmlTagPattern}', ' ', 'g'),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+              '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+            '[ \\t\\n\\r\\f]+', ' ', 'g')) AS stripped
+        FROM h)
+      SELECT doc_id,
+        ('0x'||substr(md5(stripped),1,15))::BIGINT AS stripped_fp,
+        stripped = trim(regexp_replace('T ' || text || ' "fin"',
+          '[ \\t\\n\\r\\f]+', ' ', 'g')) AS roundtrip,
+        1.0 - CAST(length(stripped) AS DOUBLE) / length(html) AS markup_ratio
+      FROM s
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -3922,5 +4044,7 @@ object LlmCatalog {
     unigramSeedQ,
     unigramFitQ,
     unigramSegmentsQ,
+    piiRedactionQ,
+    markupStripQ,
   )
 }

@@ -109,6 +109,52 @@ class TextOpsSpec extends SparkSpec {
     // auditable: placeholder count equals redaction count
     val mixed = "a@b.io then 10.0.0.1 then +44 20 7946 0958 end"
     assert(red(mixed) == "[EMAIL] then [IP] then [PHONE] end")
+    // boundary groups are CONSUMED (no lookaround — the RE2-mirrorable
+    // form, q132): the single ';' between two phones is consumed (and
+    // re-emitted) by the first match, hiding the second from pass one;
+    // the second pass catches it
+    assert(red("ids 8274619305;9305827461 end") == "ids [PHONE];[PHONE] end")
+    assert(red("+15551234567 starts the line") == "[PHONE] starts the line")
+    assert(red("ends with +15551234567") == "ends with [PHONE]")
+  }
+
+  test("stripMarkup: blocks/comments/tags go, entities decode, prose survives") {
+    import spark.implicits._
+    def strip(t: String): String =
+      Seq(t).toDF("t").select(TextOps.stripMarkup($"t").as("r")).head().getString(0)
+    // script/style CONTENT is dropped (it is code, not text) — even
+    // content full of <, > and && that would confuse the tag pass
+    assert(strip("<p>a</p><script>var x = 1 < 2 && 2 > 1;</script><p>b</p>") == "a b")
+    assert(strip("x<style>p { color: red; }</style>y") == "x y")
+    assert(strip("keep<!-- secret\nnote -->this") == "keep this")
+    // tags become spaces; attributes vanish with their tag
+    assert(strip("<div class=\"x\">hello<br/>world</div>") == "hello world")
+    // a lone '<' in prose is NOT a tag
+    assert(strip("<b>if</b> a < b then") == "if a < b then")
+    // entity subset decodes, &amp; LAST: &amp;lt; single-decodes
+    assert(strip("a&nbsp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39; A&amp;B &amp;lt;") ==
+      "a b <tag> \"q\" 's' A&B &lt;")
+    // the documented tag-soup trade: an unquoted '>' inside an
+    // attribute ends the tag early (regex-grade extraction)
+    assert(strip("<img alt=a > b>x") == "b>x")
+    // whitespace (incl. newlines/tabs) collapses; edges trim
+    assert(strip("  <p>\n a\t\tb </p>\r\n") == "a b")
+  }
+
+  test("markupRatio: tag-heavy pages score high, prose scores 0, empty scores 0") {
+    import spark.implicits._
+    def ratio(t: String): Double =
+      Seq(t).toDF("t").select(TextOps.markupRatio($"t").as("r")).head().getDouble(0)
+    assert(ratio("just prose here") == 0.0)
+    assert(ratio("") == 0.0)
+    val heavy = "<html><head><script>var a=1;</script></head><body><p>hi</p></body></html>"
+    assert(ratio(heavy) > 0.9)
+    // encode→wrap→strip round-trip pins that decode inverts encode
+    val txt = "A&B < C \"quoted\" 'single'"
+    val enc = txt.replace("&", "&amp;").replace("<", "&lt;")
+    def stripS(t: String): String =
+      Seq(t).toDF("t").select(TextOps.stripMarkup($"t").as("r")).head().getString(0)
+    assert(stripS(s"<p>$enc</p>") == txt)
   }
 
   test("compiled ShingleHash60s equals hash60 over string shingles on real docs") {
