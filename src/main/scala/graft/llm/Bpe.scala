@@ -59,7 +59,7 @@ object Bpe {
   /** Adjacent-pair counts (overlapping, frequency-weighted) of the
     * current symbol table — the [[CorpusStats.bpePairCounts]]
     * statistic lifted to arbitrary symbol sequences. */
-  private def pairCounts(words: DataFrame): DataFrame = {
+  private[llm] def pairCounts(words: DataFrame): DataFrame = {
     val syms = col("syms")
     val pairs = when(size(syms) >= 2,
       transform(sequence(lit(1), size(syms) - 1),
@@ -79,7 +79,14 @@ object Bpe {
     * carrying (rebuilt array, skip-next flag); the `i < n` guard is
     * evaluated before the lookahead so the walk never indexes past
     * the array (ANSI mode throws on out-of-bounds element_at). */
-  private def applyMerge(syms: Column, a: String, b: String): Column = {
+  private[llm] def applyMerge(syms: Column, a: String, b: String): Column =
+    applyMerge(syms, a, b, a + b)
+
+  /** As above with an explicit fused symbol — [[WordPiece]] fuses
+    * `a + b.stripPrefix("##")`, BPE plain `a + b`; the walk itself is
+    * identical. */
+  private[llm] def applyMerge(
+      syms: Column, a: String, b: String, merged: String): Column = {
     val n = size(syms)
     val walked = aggregate(
       sequence(lit(1), n),
@@ -92,7 +99,7 @@ object Bpe {
           (element_at(syms, i + 1) === lit(b))
         struct(
           when(skip, out)
-            .when(isMatch, concat(out, array(lit(a + b))))
+            .when(isMatch, concat(out, array(lit(merged))))
             .otherwise(concat(out, array(cur)))
             .as("out"),
           (!skip && isMatch).as("skip"))

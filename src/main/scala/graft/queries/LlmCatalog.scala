@@ -3972,6 +3972,226 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** The r-round DuckDB mirror of [[graft.llm.WordPiece]]'s fit
+    * (generated like [[bpeRoundsSql]], which it extends): each round
+    * counts adjacent symbol pairs (p_r) AND unigram symbols (u_r)
+    * over the `##`-convention word table, joins them into scored
+    * candidates (c_r), picks the argmax of the EXACT likelihood score
+    * cnt/(ua·ub) by HUGEINT cross-multiplication in a correlated
+    * NOT EXISTS — survivor = no competitor with a strictly larger
+    * cross-product, ties to the smallest (lhs, rhs) — and rewrites
+    * the symbol lists (s_r) with the same left-to-right
+    * non-overlapping policy as BPE, fusing `lhs || strip##(rhs)`.
+    * `src` is the word source relation (q135 fits on a slice). */
+  private def wpRoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+        SELECT s[i] AS lhs, s[i+1] AS rhs, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+          SELECT freq, s, unnest(generate_series(1, len(s)-1)) AS i
+          FROM ws${r - 1} WHERE len(s) >= 2
+        ) GROUP BY lhs, rhs
+      ),
+      u$r AS MATERIALIZED (
+        SELECT s[i] AS sym, CAST(SUM(freq) AS BIGINT) AS u FROM (
+          SELECT freq, s, unnest(generate_series(1, len(s))) AS i FROM ws${r - 1}
+        ) GROUP BY sym
+      ),
+      c$r AS MATERIALIZED (
+        SELECT p.lhs, p.rhs, p.cnt, ua.u AS ua, ub.u AS ub
+        FROM p$r p JOIN u$r ua ON ua.sym = p.lhs JOIN u$r ub ON ub.sym = p.rhs
+      ),
+      b$r AS MATERIALIZED (
+        SELECT $r AS merge_round, lhs, rhs,
+               lhs || CASE WHEN rhs LIKE '##%' THEN substr(rhs, 3) ELSE rhs END AS merged,
+               cnt, ua AS lhs_cnt, ub AS rhs_cnt
+        FROM c$r p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM c$r q
+          WHERE CAST(q.cnt AS HUGEINT) * p.ua * p.ub
+                  > CAST(p.cnt AS HUGEINT) * q.ua * q.ub
+             OR (CAST(q.cnt AS HUGEINT) * p.ua * p.ub
+                   = CAST(p.cnt AS HUGEINT) * q.ua * q.ub
+                 AND (q.lhs < p.lhs OR (q.lhs = p.lhs AND q.rhs < p.rhs))))
+      ),
+      ws$r AS MATERIALIZED (
+        SELECT w, freq,
+          CASE WHEN len(sel) = 0 THEN s
+          ELSE list_transform(
+            list_filter(generate_series(1, len(s)),
+              i -> NOT list_contains(list_transform(sel, x -> x + 1), i)),
+            i -> CASE WHEN list_contains(sel, i)
+                 THEN s[i] || CASE WHEN s[i+1] LIKE '##%'
+                              THEN substr(s[i+1], 3) ELSE s[i+1] END
+                 ELSE s[i] END)
+          END AS s
+        FROM (
+          SELECT w, freq, s,
+            list_transform(
+              list_filter(generate_series(1, len(cand)),
+                j -> COALESCE(list_filter(generate_series(1, j-1),
+                       e -> cand[j-e] <> cand[j]-e)[1] - 1, j-1) % 2 = 0),
+              j -> cand[j]) AS sel
+          FROM (
+            SELECT w, freq, s,
+              list_filter(generate_series(1, len(s)-1),
+                i -> s[i] = b.lhs AND s[i+1] = b.rhs) AS cand
+            FROM ws${r - 1}, b$r b
+          )
+        )
+      )"""
+    }.mkString(",\n      ")
+
+  /** The `##`-convention word table over `src` (word, freq, syms) —
+    * q134 fits on all documents, q135 on a 2/3 slice. */
+  private def wpWordTableSql(src: String): String =
+    s"""ws0 AS MATERIALIZED (
+      SELECT w, freq,
+             list_transform(generate_series(1, len(w)),
+               i -> CASE WHEN i = 1 THEN substr(w, i, 1)
+                    ELSE '##' || substr(w, i, 1) END) AS s
+      FROM (
+        SELECT t AS w, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS t FROM $src
+        ) WHERE len(t) > 0 GROUP BY t
+      )
+    )"""
+
+  /** WordPiece tokenizer induction (WordPiece.induceMerges, X172):
+    * 6 likelihood-scored merge rounds over the documents corpus. The
+    * oracle replays every round — pair AND unigram counting, the
+    * exact-rational argmax as a HUGEINT cross-multiplied NOT EXISTS,
+    * the `##`-stripping fuse, and the left-to-right rewrite — so a
+    * hash match pins the criterion that DISTINGUISHES WordPiece from
+    * BPE (q79 picks by raw count; this picks by count/(ua·ub)),
+    * including its tie rules, cross-engine. */
+  val wordpieceInductionQ = GraftQuery(
+    "q134_wordpiece_induction",
+    (s, d) =>
+      graft.llm.WordPiece.induce(s, documents(s, d), "text", rounds = 6)
+        .select(col("round").as("merge_round"), col("lhs"), col("rhs"),
+          col("merged"), col("cnt"),
+          col("lhsCnt").as("lhs_cnt"), col("rhsCnt").as("rhs_cnt"))
+        .orderBy(col("merge_round")),
+    Some(s"""
+      WITH ${wpWordTableSql("documents")},
+      ${wpRoundsSql(6)}
+      SELECT CAST(merge_round AS INT) AS merge_round, lhs, rhs, merged,
+             cnt, lhs_cnt, rhs_cnt FROM (
+        ${(1 to 6).map(r => s"SELECT * FROM b$r").mkString("\n        UNION ALL ")}
+      )
+      ORDER BY merge_round
+    """.trim),
+  )
+
+  /** Serving the WordPiece fit (expr.WordPieceEncode): the model is
+    * fitted on a 2/3 document slice and serves ALL documents, so the
+    * held-out third exercises the whole-word [UNK] rule on genuinely
+    * unseen symbols. Output per doc: piece count, [UNK] count, and
+    * the hash60 fingerprint of the space-joined piece string — the
+    * fingerprint pins every greedy longest-match decision. The oracle
+    * replays fit (the q134 chain on the slice), vocabulary assembly
+    * (base symbols ∪ merges), and the greedy `##`/[UNK] encode as a
+    * recursive CTE over the distinct-word table, reassembling docs by
+    * word position — the X134 fit/serve-pair rule applied to X172. */
+  val wordpieceEncodeQ = GraftQuery(
+    "q135_wordpiece_encode",
+    (s, d) => {
+      val fitDocs = documents(s, d).filter(col("doc_id") % 3 =!= 2)
+      val merges = graft.llm.WordPiece.induceMerges(fitDocs, "text", rounds = 6)
+      val v = graft.llm.WordPiece.vocab(fitDocs, "text", merges)
+      // serve input = text plus one word with a char no fit corpus has
+      // ('ü'), so the whole-word [UNK] rule fires on every row and the
+      // fingerprint pins it — without it the synthetic corpus shares
+      // one charset across the split and [UNK] would go untested
+      val serveText = concat(col("text"), lit(" qü"),
+        expr("doc_id % 7").cast("string"))
+      val enc = graft.llm.WordPiece.encode(serveText, v)
+      documents(s, d)
+        .select(col("doc_id"), enc.as("enc"))
+        .select(col("doc_id"),
+          when(length(col("enc")) === 0, 0)
+            .otherwise(size(split(col("enc"), " "))).cast("int").as("n_pieces"),
+          size(filter(split(col("enc"), " "),
+            x => x === lit("[UNK]"))).cast("int").as("n_unk"),
+          TextOps.hash60(col("enc")).as("pieces_fp"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH RECURSIVE fitdocs AS (
+        SELECT * FROM documents WHERE doc_id % 3 <> 2
+      ),
+      ${wpWordTableSql("fitdocs")},
+      ${wpRoundsSql(6)},
+      -- DuckDB-1.0 planner trap #3 (see unigramFitChainSql for #1/#2):
+      -- a correlated subquery inside a recursive term binds EMPTY when
+      -- its FROM target is a MATERIALIZED CTE — even through a plain
+      -- pass-through alias. vocab therefore stays INLINE; the heavy
+      -- upstream chain it references (ws0, b1..b6) is materialized and
+      -- binds fine one level down
+      vocab(v) AS (
+        SELECT DISTINCT u.sym FROM (SELECT unnest(s) AS sym FROM ws0) u
+        UNION
+        ${(1 to 6).map(r => s"SELECT merged FROM b$r").mkString("\n        UNION ")}
+      ),
+      aw AS (
+        SELECT doc_id, unnest(generate_series(1, len(wl))) AS i, wl
+        FROM (SELECT doc_id,
+                string_split(text || ' qü' || CAST(doc_id % 7 AS VARCHAR),
+                             ' ') AS wl
+              FROM documents)
+      ),
+      wordsx AS MATERIALIZED (
+        SELECT doc_id, i, wl[i] AS w FROM aw WHERE len(wl[i]) > 0
+      ),
+      words(w) AS (SELECT DISTINCT w FROM wordsx),
+      -- the longest vocab match at EVERY (word, position), computed
+      -- OUTSIDE the recursion: correlating into the vocab CTE from a
+      -- recursive term binds its materialized-CTE-backed UNION
+      -- branches EMPTY (planner trap #3 — only the single-char base
+      -- survived, silently degrading greedy to per-char), while a
+      -- plain equi-join from the recursion to a MATERIALIZED table is
+      -- sound. ml NULL = no piece fits = the word is [UNK]
+      posx AS (
+        SELECT w, unnest(generate_series(1, len(w))) AS pos FROM words
+      ),
+      pm AS MATERIALIZED (
+        SELECT x.w, x.pos,
+          MAX(CASE WHEN x.pos = 1 AND v.v NOT LIKE '##%'
+                   AND substr(x.w, 1, len(v.v)) = v.v THEN len(v.v)
+                   WHEN x.pos > 1 AND v.v LIKE '##%'
+                   AND substr(x.w, x.pos, len(v.v) - 2) = substr(v.v, 3)
+                   THEN len(v.v) - 2 END) AS ml
+        FROM posx x, vocab v
+        GROUP BY x.w, x.pos
+      ),
+      seg(w, pos, ps) AS (
+        SELECT w, 1, CAST('' AS VARCHAR) FROM words
+        UNION ALL
+        SELECT s.w,
+          CASE WHEN m.ml IS NULL THEN len(s.w) + 1 ELSE s.pos + m.ml END,
+          CASE WHEN m.ml IS NULL THEN '[UNK]'
+               WHEN s.pos = 1 THEN substr(s.w, 1, m.ml)
+               ELSE s.ps || ' ##' || substr(s.w, s.pos, m.ml) END
+        FROM seg s JOIN pm m ON m.w = s.w AND m.pos = s.pos
+        WHERE s.pos <= len(s.w)
+      ),
+      wp AS (SELECT w, arg_max(ps, pos) AS ps FROM seg GROUP BY w),
+      encd AS (
+        SELECT x.doc_id, string_agg(p.ps, ' ' ORDER BY x.i) AS enc
+        FROM wordsx x JOIN wp p ON p.w = x.w
+        GROUP BY x.doc_id
+      )
+      SELECT d.doc_id,
+        CAST(CASE WHEN e.enc IS NULL OR len(e.enc) = 0 THEN 0
+             ELSE len(string_split(e.enc, ' ')) END AS INT) AS n_pieces,
+        CAST(COALESCE(len(list_filter(string_split(e.enc, ' '),
+             x -> x = '[UNK]')), 0) AS INT) AS n_unk,
+        ('0x'||substr(md5(COALESCE(e.enc, '')),1,15))::BIGINT AS pieces_fp
+      FROM documents d LEFT JOIN encd e USING (doc_id)
+      ORDER BY d.doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -4046,5 +4266,7 @@ object LlmCatalog {
     unigramSegmentsQ,
     piiRedactionQ,
     markupStripQ,
+    wordpieceInductionQ,
+    wordpieceEncodeQ,
   )
 }
