@@ -406,6 +406,33 @@ object TextOps {
       .otherwise(lit(1.0) -
         length(stripMarkup(text)).cast("double") / length(text))
 
+  // -----------------------------------------------------------------
+  // Sentence segmentation
+  // -----------------------------------------------------------------
+
+  /** Sentence boundary: a terminator run `[.!?]+` followed by
+    * whitespace (the terminator stays WITH its sentence; "What?!"
+    * is one boundary). Java∩RE2 subset like every pattern here.
+    * Deliberately rule-based and deterministic — the documented
+    * trade is abbreviation splits ("Dr. Smith" breaks): a corpus
+    * pipeline needs the same boundaries on every engine and every
+    * run more than it needs linguistic nuance. */
+  val sentenceBoundaryPattern = "([.!?]+)[ \\t\\n\\r\\f]+"
+
+  /** Rewrite sentence boundaries to newlines — the PREPROCESSOR form
+    * (the X117 `segment` pattern): any downstream line-grain op
+    * (Corpus.dedupLines, line hashing) becomes a sentence-grain op
+    * unchanged. Pre-existing newlines already read as line breaks
+    * downstream, which is the coherent contract (a hard break is a
+    * sentence break). Map-side, zero shuffle, q136-replayable. */
+  def sentencesToLines(text: Column): Column =
+    regexp_replace(text, sentenceBoundaryPattern, "$1\n")
+
+  /** The sentence array itself (empties from terminator-at-end or
+    * consecutive breaks dropped). */
+  def sentences(text: Column): Column =
+    filter(split(sentencesToLines(text), "\n"), s => length(s) > 0)
+
   /** PII redaction patterns, restricted ON PURPOSE to the regex
     * subset Java (Spark) and RE2 (DuckDB) execute identically, so
     * the whole scrub chain is oracle-replayable (q132):

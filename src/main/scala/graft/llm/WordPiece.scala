@@ -86,6 +86,28 @@ object WordPiece {
     else y
   }
 
+  /** The scored candidate table of one round: adjacent-pair counts
+    * joined twice against the BROADCAST vocab-sized unigram table
+    * (the only tables in play after the two map-side-combinable
+    * count shuffles). */
+  private def candidates(words: DataFrame, minCount: Long): DataFrame = {
+    val uni = words
+      .select(explode(col("syms")).as("sym"), col("freq"))
+      .groupBy(col("sym")).agg(sum(col("freq")).as("u"))
+    Bpe.pairCounts(words)
+      .filter(col("cnt") >= minCount)
+      .join(broadcast(uni.select(col("sym").as("lhs"), col("u").as("ua"))),
+        Seq("lhs"))
+      .join(broadcast(uni.select(col("sym").as("rhs"), col("u").as("ub"))),
+        Seq("rhs"))
+      .select(col("lhs"), col("rhs"), col("cnt"), col("ua"), col("ub"))
+  }
+
+  /** Round-1 [[candidates]] over a raw corpus, exposed for plan
+    * audits (the `moveRoundForAudit` precedent). */
+  def candidatesForAudit(docs: DataFrame, textCol: String): DataFrame =
+    candidates(wordTable(docs, textCol), 1L)
+
   /** Run `rounds` likelihood-scored merge rounds; returns the merge
     * sequence in order. Stops early when no pair reaches `minCount`. */
   def induceMerges(
@@ -101,17 +123,7 @@ object WordPiece {
     var r = 1
     var dry = false
     while (r <= rounds && !dry) {
-      val uni = words
-        .select(explode(col("syms")).as("sym"), col("freq"))
-        .groupBy(col("sym")).agg(sum(col("freq")).as("u"))
-      val cand = Bpe.pairCounts(words)
-        .filter(col("cnt") >= minCount)
-        .join(broadcast(uni.select(col("sym").as("lhs"), col("u").as("ua"))),
-          Seq("lhs"))
-        .join(broadcast(uni.select(col("sym").as("rhs"), col("u").as("ub"))),
-          Seq("rhs"))
-        .select(col("lhs"), col("rhs"), col("cnt"), col("ua"), col("ub"))
-      val top = cand.rdd
+      val top = candidates(words, minCount).rdd
         .map(row => Cand(row.getString(0), row.getString(1),
           row.getLong(2), row.getLong(3), row.getLong(4)))
         .aggregate(Option.empty[Cand])(

@@ -4192,6 +4192,89 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Sentence-grain boilerplate removal (X173 — TextOps
+    * sentence segmentation COMPOSED with Corpus.dedupLines, the X117
+    * preprocessor pattern): the corpus is first punctuated on a
+    * 9-token grid with rotating `.`/`!`/`?` terminators (this corpus
+    * carries no punctuation; the grid is expressed identically on
+    * both engines), then `sentencesToLines` rewrites every
+    * terminator-run+whitespace boundary to a newline, and the
+    * standard line-dedup drops any sentence appearing in ≥ 2 distinct
+    * docs from EVERY doc. The rebuilt text round-trips through the
+    * split, so a hash match pins the boundary REGEX itself (both
+    * engines run it from the same constant), the terminator-stays-
+    * with-sentence rule, and the dedup semantics on top. */
+  val sentenceDedupQ = GraftQuery(
+    "q136_sentence_dedup",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val nCh = ceil(size(toks).cast("double") / 9).cast("int")
+      val punct = array_join(
+        transform(sequence(lit(0), nCh - 1),
+          i => concat(array_join(slice(toks, i * 9 + 1, lit(9)), " "),
+            element_at(array(lit("."), lit("!"), lit("?")),
+              pmod(i, lit(3)) + 1))), " ")
+      graft.llm.Corpus.dedupLines(
+        documents(s, d).select(col("doc_id"),
+          TextOps.sentencesToLines(punct).as("text")),
+        "doc_id", "text", sep = "\n", minDocs = 2, minLineChars = 10)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      ),
+      punct AS (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                 generate_series(0, CAST(ceil(len(w) / 9.0) AS INT) - 1),
+                 i -> array_to_string(w[i*9+1 : i*9+9], ' ')
+                      || CASE i % 3 WHEN 0 THEN '.' WHEN 1 THEN '!'
+                         ELSE '?' END), ' ') AS ptext
+        FROM d
+      ),
+      lined AS (
+        SELECT doc_id,
+               string_split(regexp_replace(ptext,
+                 '${TextOps.sentenceBoundaryPattern}',
+                 '\\1' || chr(10), 'g'), chr(10)) AS lines
+        FROM punct
+      ),
+      l AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(lines)),
+                 i -> {'pos': i - 1, 'line': lines[i]})) AS u
+        FROM lined
+      ),
+      h AS (
+        SELECT doc_id, u.pos AS pos, u.line AS line,
+               ('0x'||substr(md5(u.line),1,15))::BIGINT AS lh,
+               length(u.line) >= 10 AS cand
+        FROM l
+      ),
+      b AS (
+        SELECT lh FROM h WHERE cand GROUP BY lh
+        HAVING COUNT(DISTINCT doc_id) >= 2
+      ),
+      drops AS (
+        SELECT doc_id, pos FROM h WHERE cand AND lh IN (SELECT lh FROM b)
+      ),
+      nd AS (
+        SELECT doc_id, COUNT(*) AS n_dropped FROM drops GROUP BY doc_id
+      ),
+      rebuilt AS (
+        SELECT h.doc_id, string_agg(h.line, chr(10) ORDER BY h.pos) AS text
+        FROM h ANTI JOIN drops USING (doc_id, pos)
+        GROUP BY h.doc_id
+      )
+      SELECT d.doc_id,
+             COALESCE(r.text, '') AS text,
+             CAST(COALESCE(nd.n_dropped, 0) AS INT) AS n_dropped
+      FROM d LEFT JOIN rebuilt r USING (doc_id) LEFT JOIN nd USING (doc_id)
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -4268,5 +4351,6 @@ object LlmCatalog {
     markupStripQ,
     wordpieceInductionQ,
     wordpieceEncodeQ,
+    sentenceDedupQ,
   )
 }

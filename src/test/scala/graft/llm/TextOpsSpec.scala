@@ -118,6 +118,24 @@ class TextOpsSpec extends SparkSpec {
     assert(red("ends with +15551234567") == "ends with [PHONE]")
   }
 
+  test("sentences: terminator runs split, terminators stay, edges behave") {
+    import spark.implicits._
+    def sents(t: String): Seq[String] =
+      Seq(t).toDF("t").select(TextOps.sentences($"t").as("r"))
+        .head().getSeq[String](0)
+    assert(sents("Hello world. How are you? Fine! Done.") ==
+      Seq("Hello world.", "How are you?", "Fine!", "Done."))
+    // a terminator RUN is one boundary; the run stays with its sentence
+    assert(sents("What?! Really. yes") == Seq("What?!", "Really.", "yes"))
+    // no trailing whitespace → no split (mid-token dots never split)
+    assert(sents("v1.2.3 is out") == Seq("v1.2.3 is out"))
+    // the documented rule-based trade: abbreviations split
+    assert(sents("Dr. Smith left") == Seq("Dr.", "Smith left"))
+    // pre-existing newlines are sentence breaks (the coherent contract)
+    assert(sents("one\ntwo. three") == Seq("one", "two.", "three"))
+    assert(sents("") == Seq())
+  }
+
   test("stripMarkup: blocks/comments/tags go, entities decode, prose survives") {
     import spark.implicits._
     def strip(t: String): String =

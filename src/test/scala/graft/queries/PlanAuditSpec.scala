@@ -636,4 +636,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"),
       s"the aggregate over the avro scan must map-side combine:\n${p.take(600)}")
   }
+
+  test("q132/q133 scrub and strip are pure map-side chains: no join, no aggregate") {
+    // the redaction / markup-strip regex chains must stay row-local —
+    // a join or aggregate here would mean a shuffle of full document
+    // text, the thing the whole X60/X171 design avoids
+    Seq(LlmCatalog.piiRedactionQ, LlmCatalog.markupStripQ).foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Join"), s"${q.name}:\n${p.take(600)}")
+      assert(!p.contains("HashAggregate"), s"${q.name}:\n${p.take(600)}")
+    }
+  }
+
+  test("q135 wordpiece serve is one shuffle-free projection before the sort") {
+    // the vocabulary rides the expression (constant-folded), so the
+    // encode is a Project over the scan — no join against a vocab
+    // table, no aggregate, no exchange
+    implicit val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val v = Seq("a", "b", "##a", "##b", "th", "##e")
+    val enc = docs.select(col("doc_id"),
+      graft.llm.WordPiece.encode(col("text"), v).as("enc"))
+    val p = enc.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(600))
+    assert(p.contains("graft_wordpiece_encode"), p.take(600))
+  }
+
+  test("wordpiece fit candidates broadcast the unigram table") {
+    // the per-round candidate table joins pair counts against the
+    // vocab-sized unigram counts — both joins must be broadcasts, or
+    // at 100 TB the pair table would shuffle once per round per side
+    implicit val s = spark
+    import s.implicits._
+    val docs = Seq.fill(40)("the cat sat on the mat").toDF("text")
+    val cand = graft.llm.WordPiece.candidatesForAudit(docs, "text")
+    cand.collect()
+    val p = cand.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"pair/unigram counts must map-side combine:\n${p.take(800)}")
+  }
 }
