@@ -30,20 +30,34 @@ object CorpusIntake {
 
   /** The pure streaming transform (source- and sink-agnostic; also
     * runs on batch frames via Spark's unified API — minus the
-    * within-watermark dedup, which is streaming-only). */
+    * within-watermark dedup, which is streaming-only).
+    *
+    * `stripMarkup = true` prepends the X171 WET extraction
+    * ([[TextOps.stripMarkup]]) — the crawl-intake order: markup goes
+    * FIRST so the dedup fingerprint is taken over the PROSE (two
+    * pages with identical text under different chrome are the same
+    * document) and the PII scrub and quality gate see text, not
+    * tags. Off by default: pre-extracted corpora must keep their
+    * bytes untouched. */
   def transform(
       docs: DataFrame,
       tsCol: String = "ts",
       textCol: String = "text",
       watermarkDelay: String = "1 hour",
-  ): DataFrame =
-    docs
+      stripMarkup: Boolean = false,
+  ): DataFrame = {
+    val src =
+      if (stripMarkup)
+        docs.withColumn(textCol, TextOps.stripMarkup(col(textCol)))
+      else docs
+    src
       .withColumn("_fp", TextOps.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("_fp")
       .withColumn(textCol, TextOps.redactPii(col(textCol)))
       .filter(TextOps.qualityKeep(col(textCol)))
       .drop("_fp")
+  }
 
   /** Drain everything currently available into `store` table `table`
     * (AvailableNow — the batch-drain run mode), committing per
@@ -56,8 +70,10 @@ object CorpusIntake {
       tsCol: String = "ts",
       textCol: String = "text",
       watermarkDelay: String = "1 hour",
+      stripMarkup: Boolean = false,
   ): Unit = {
-    val q = transform(docs, tsCol, textCol, watermarkDelay).writeStream
+    val q = transform(docs, tsCol, textCol, watermarkDelay, stripMarkup)
+      .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       // appendIfNew: a crash after the store's manifest commit but

@@ -47,6 +47,49 @@ class CorpusIntakeSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 3L, 6L), ids.mkString(","))
   }
 
+  test("markup-strip intake: prose fingerprint dedups across chrome, scrub sees text") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_intake_html_")
+    implicit val s = spark
+    val store = new graft.io.SnapshotBucketedStore(s"$root/corpus", numBuckets = 4)
+    val input = MemoryStream[Doc]
+    val docs = input.toDF().withColumn("ts", timestamp_millis(col("ts")))
+    input.addData(
+      Doc(1L, B, s"<html><body><p>$good</p></body></html>"),
+      // same PROSE, different chrome → same post-strip fingerprint →
+      // dropped, which raw-byte fingerprinting could never do
+      Doc(2L, B + 1000, s"<div class='x'><span>$good</span><br/></div>"),
+      // entities decode before the PII scrub sees the address
+      Doc(3L, B + 2000,
+        s"<p>$good contact admin&#39;s desk at admin@site.example.org</p>"),
+      // nav chrome only → stripped to junk → quality gate drops it
+      Doc(4L, B + 3000, "<nav><a href='/'>home</a><a href='/x'>x</a></nav>"),
+    )
+    CorpusIntake.drainTo(docs, store, "corpus", s"$root/ckpt",
+      stripMarkup = true)
+    val out = store.read("corpus").get.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 3L), out.map(_._1).mkString(","))
+    assert(out(0)._2 == good, out(0)._2) // tags fully gone
+    assert(out(1)._2.contains("admin's desk at [EMAIL]"), out(1)._2)
+
+    // batch ≡ stream: the same rows through the equivalent batch
+    // chain (strip → scrub → gate; the within-watermark dedup is
+    // streaming-only, so the batch side starts from the survivors)
+    val bt = Seq(
+      (1L, s"<html><body><p>$good</p></body></html>"),
+      (3L, s"<p>$good contact admin&#39;s desk at admin@site.example.org</p>"),
+      (4L, "<nav><a href='/'>home</a><a href='/x'>x</a></nav>"),
+    ).toDF("doc_id", "text")
+      .withColumn("text", graft.llm.TextOps.stripMarkup(col("text")))
+      .withColumn("text", graft.llm.TextOps.redactPii(col("text")))
+      .filter(graft.llm.TextOps.qualityKeep(col("text")))
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(bt.toSeq == out.toSeq)
+  }
+
   test("historic dedup catches the re-crawl the watermark window must miss") {
     val spark2 = spark
     import spark2.implicits._
