@@ -143,6 +143,42 @@ object Splits {
   ): DataFrame =
     df.withColumn("split", assign(col(idCol), weights, salt))
 
+  /** LEAKAGE-SAFE split assignment — the dedup-aware split rule a
+    * careful pipeline applies before any eval: hash-splitting on the
+    * DOC id can put two near-duplicates on opposite sides of the
+    * train/val cut, and the model then "generalizes" to val examples
+    * it memorized from train. Here every member of a near-dup
+    * CLUSTER (connected component over caller-supplied `pairs`
+    * edges — passage sharing, MinHash, SimHash, any miner) inherits
+    * the split of its component representative (the min id), so a
+    * cluster lands wholly in ONE split; docs incident to no edge
+    * keep their own id as the key, making this a strict refinement
+    * of [[withSplit]] (identical assignment wherever no duplication
+    * exists — and for clustered docs the cluster's split IS the
+    * naive split of its min-id member).
+    *
+    * Output adds `split_key` (the audit column: which key was
+    * hashed) and `split`. Scale shape: the CC label table covers
+    * only edge-incident docs (dup clusters are a small corpus
+    * fraction), one hash join back to the corpus on the id, then the
+    * map-side assignment projection — no new shuffle beyond the join
+    * and CC's own audited rounds. */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      salt: String = "split",
+      ccIters: Int = 3,
+  ): DataFrame = {
+    val cc = Dedup.connectedComponents(pairs, ccIters)
+      .select(col("id").as(idCol), col("component"))
+    df.join(cc, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("component"), col(idCol)))
+      .withColumn("split", assign(col("split_key"), weights, salt))
+      .drop("component")
+  }
+
   /** TOKEN-BUDGET mixture sampling — the training-data recipe op:
     * "take ~5B tokens of web, ~2B of code, ~1B of the rest". Where
     * [[stratifiedSample]] keeps a RATE per stratum, this fills an

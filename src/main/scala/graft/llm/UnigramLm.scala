@@ -127,8 +127,18 @@ object UnigramLm {
     * segmentation — the unigram-LM perplexity surrogate: junk text
     * needs more, costlier pieces per character than prose, so
     * total_cost/n_pieces is a document-quality signal). The model
-    * rides the plan as a constant-folded map literal; unknown
-    * characters segment as themselves at `unkCost`. */
+    * rides the task closure as a hash map; unknown characters
+    * segment as themselves at `unkCost`.
+    *
+    * Runs the COMPILED DP ([[graft.expr.UnigramSegment]] — primitive
+    * arrays, reference-object codegen) rather than the nested
+    * `aggregate` Catalyst form the EM fit uses: the fit DPs the
+    * Heaps-bounded distinct-word table where the higher-order-function
+    * overhead is irrelevant, but serve DPs every word OCCURRENCE of
+    * the corpus and the per-step array allocation dominated (q130:
+    * 61 s → ~3 s at sf0.1). The two DPs are bit-identical and
+    * triple-pinned (UnigramLmSpec reference ≡ Catalyst ≡ compiled;
+    * the q130 oracle replays the same arithmetic in SQL). */
   def segment(
       df: DataFrame,
       model: DataFrame,
@@ -137,19 +147,16 @@ object UnigramLm {
   ): DataFrame = {
     val costed = model.select(col("piece"), col("cost").cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val vm = vocabMapLit(costed)
-    val toks = split(coalesce(col(textCol), lit("")), " ")
-    val segs = transform(
-      filter(toks, t => length(t) > 0),
-      t => segmentStateExpr(t, vm, maxLen))
-    df.withColumn("graft_segs", segs)
-      .withColumn("pieces",
-        flatten(transform(col("graft_segs"), s => s.getField("ps"))))
-      .withColumn("total_cost",
-        aggregate(col("graft_segs"), lit(0L),
-          (a, s) => a + s.getField("cost")))
-      .drop("graft_segs")
-      .withColumn("n_pieces", size(col("pieces")))
+    val seg = org.apache.spark.sql.GraftBridge.toColumn(
+      graft.expr.UnigramSegment(
+        org.apache.spark.sql.GraftBridge.toExpr(
+          coalesce(col(textCol), lit(""))),
+        costed, maxLen, UnkCost))
+    df.withColumn("graft_seg", seg)
+      .withColumn("pieces", col("graft_seg").getField("pieces"))
+      .withColumn("total_cost", col("graft_seg").getField("total_cost"))
+      .withColumn("n_pieces", col("graft_seg").getField("n_pieces"))
+      .drop("graft_seg")
   }
 
   /** Cost of segmenting an unknown single character: one worse than
@@ -199,7 +206,7 @@ object UnigramLm {
   }
 
   /** (piece, cost) pairs → a constant-folded map literal. */
-  private def vocabMapLit(costs: Seq[(String, Long)]): Column = {
+  private[llm] def vocabMapLit(costs: Seq[(String, Long)]): Column = {
     val ps = costs.map(_._1).toArray
     val cs = costs.map(_._2).toArray
     map_from_arrays(lit(ps), lit(cs))

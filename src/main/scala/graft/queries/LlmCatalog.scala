@@ -4275,6 +4275,70 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Leakage-safe train/val/test assignment (Splits.leakageSafeSplit,
+    * X174): the q35 passage-sharing near-dup components decide the
+    * split KEY — every cluster member hashes the component min-id, so
+    * no near-dup pair straddles the train/val cut. `naive_split`
+    * (the q31 per-doc rule on the same corpus) rides along so the
+    * hash also pins exactly WHICH docs the leakage fix re-assigns:
+    * any row where the two differ is a doc the naive rule would have
+    * leaked across the cut from its cluster. Oracle = the q35 CC
+    * chain + the q31 bucket arithmetic on both keys. */
+  val leakageSafeSplitQ = GraftQuery(
+    "q137_leakage_safe_split",
+    (s, d) => {
+      val docs = documents(s, d)
+      val edges = Dedup.passageEdges(docs, "doc_id", "text", windowTokens = 10)
+      Splits.leakageSafeSplit(docs, "doc_id", edges, ccIters = 3)
+        .select(col("doc_id"), col("split_key"), col("split"),
+          Splits.assign(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), "split")
+            .as("naive_split"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val rounds = ccRoundsSql(3)
+      s"""
+      WITH ${passageCtes(10)},
+      edges AS (
+        SELECT DISTINCT m.first_doc AS id_a, e.doc_id AS id_b
+        FROM (
+          SELECT passage_hash, MIN(doc_id) AS first_doc
+          FROM expl GROUP BY passage_hash
+          HAVING COUNT(DISTINCT doc_id) >= 2
+        ) m
+        JOIN expl e ON e.passage_hash = m.passage_hash
+                   AND e.doc_id > m.first_doc
+      ),
+      adj AS (
+        SELECT id_a AS src, id_b AS dst FROM edges
+        UNION ALL
+        SELECT id_b, id_a FROM edges
+      ),
+      l0 AS (
+        SELECT DISTINCT src AS id, src AS lbl FROM adj
+      ),
+      $rounds,
+      keyed AS (
+        SELECT d.doc_id, COALESCE(c.lbl, d.doc_id) AS split_key
+        FROM documents d LEFT JOIN l3 c ON c.id = d.doc_id
+      )
+      SELECT doc_id, split_key,
+             CASE WHEN bk < 9000 THEN 'train'
+                  WHEN bk < 9500 THEN 'val' ELSE 'test' END AS split,
+             CASE WHEN bn < 9000 THEN 'train'
+                  WHEN bn < 9500 THEN 'val' ELSE 'test' END AS naive_split
+      FROM (
+        SELECT doc_id, split_key,
+               ('0x'||substr(md5('split:'||split_key),1,15))::BIGINT % 10000 AS bk,
+               ('0x'||substr(md5('split:'||doc_id),1,15))::BIGINT % 10000 AS bn
+        FROM keyed
+      )
+      ORDER BY doc_id
+      """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -4352,5 +4416,6 @@ object LlmCatalog {
     wordpieceInductionQ,
     wordpieceEncodeQ,
     sentenceDedupQ,
+    leakageSafeSplitQ,
   )
 }

@@ -6,6 +6,34 @@ import org.apache.spark.sql.functions._
 class SplitsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("leakageSafeSplit keeps near-dup clusters on one side of every cut") {
+    val docs = spark.range(200).toDF("doc_id")
+    val naive = Splits.withSplit(docs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the per-doc rule provably leaks on this corpus: find an id pair
+    // the naive assignment separates (exists by proportion: ~10% of
+    // 200 ids land off-train)
+    val offTrain = naive.collect { case (id, s) if s != "train" => id }.toSeq.sorted
+    assert(offTrain.nonEmpty)
+    val b = offTrain.head
+    val a = naive.collect { case (id, "train") => id }.min
+    // near-dup edges: the leaky pair (a,b), plus a 3-chain, plus
+    // isolated docs (everything else)
+    val pairs = Seq((a, b), (100L, 101L), (101L, 102L)).toDF("id_a", "id_b")
+    val out = Splits.leakageSafeSplit(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // the pair lands together, on the min-id member's naive split
+    assert(out(a) == out(b))
+    assert(out(a)._2 == naive(math.min(a, b)))
+    // the transitive chain shares one key and one split
+    assert(out(100L) == out(101L) && out(101L) == out(102L))
+    assert(out(100L)._1 == 100L)
+    // isolated docs are untouched: exact refinement of withSplit
+    docs.collect().map(_.getLong(0))
+      .filterNot(Set(a, b, 100L, 101L, 102L))
+      .foreach { id => assert(out(id) == ((id, naive(id))), s"doc $id moved") }
+  }
+
   test("split is total, stable across runs, and roughly proportioned") {
     val df = spark.range(10000).toDF("id")
     val a = Splits.withSplit(df, "id").groupBy("split").count()

@@ -95,10 +95,19 @@ class UnigramLmSpec extends SparkSpec {
         (1 to (3 + rnd.nextInt(8))).map(_ => alphabet(rnd.nextInt(4))).mkString
       }.distinct
       val got = sparkSegment(words, vocab, maxLen = 3)
+      // third arm: the Catalyst nested-aggregate DP the EM fit uses
+      // (serve now runs the compiled UnigramSegment — the two must
+      // stay bit-identical, and both must match the reference)
+      val vm = UnigramLm.vocabMapLit(vocab.map { case (p, _, c) => (p, c) })
+      val catalyst = words.toDF("w")
+        .select(col("w"), UnigramLm.segmentExpr(col("w"), vm, 3).as("ps"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
       words.foreach { w =>
         val want = refSegment(w, vmap, maxLen = 3)
         assert(got(w) == want,
           s"trial $trial word $w: spark=${got(w)} ref=$want vocab=$vmap")
+        assert(catalyst(w) == want,
+          s"trial $trial word $w: catalyst=${catalyst(w)} ref=$want")
         // any valid segmentation reassembles the word
         assert(got(w).mkString == w)
       }
