@@ -162,6 +162,15 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
+  /** The frozen hyperplane constants as plain doubles — what an
+    * oracle interpolates into its own SQL (the q94 frozen-weights
+    * rule): shortest-round-trip double literals parse back to the
+    * identical IEEE values in any engine, so the sign of
+    * `list_dot_product(e, plane)` replays the bucket bit exactly
+    * (q138). */
+  def planeLiterals(dim: Int, numPlanes: Int): Seq[Seq[Double]] =
+    (0 until numPlanes).map(p => (0 until dim).map(j => planeComponent(p, j)))
+
   /** Sign-LSH bucket key: one bit per hyperplane = sign of ⟨v, plane⟩.
     * `numPlanes` bits → 2^numPlanes buckets. Map-side only. */
   def lshBuckets(emb: Column, dim: Int, numPlanes: Int): Column = {

@@ -4339,6 +4339,105 @@ object LlmCatalog {
     },
   )
 
+  /** Multi-probe sign-LSH ANN oracled end-to-end (Similarity.annTopK,
+    * X57 — recall-test-only since r6): 8 frozen hyperplanes bucket
+    * every vector by sign bits, each query probes its own bucket plus
+    * all 8 one-bit-flip neighbors, candidates re-rank by exact
+    * cosine, top-5. The oracle rebuilds the buckets from the SAME
+    * plane constants (shortest-round-trip double literals — the q94
+    * frozen-weights rule; `list_dot_product` is the proven q07 dot
+    * mirror, and `>= 0` replays the sign rule including the
+    * zero-dot edge), XORs the probe masks, and replays join + rank.
+    * The hash therefore pins bucketing, probing, AND ranking — the
+    * parts the X57 recall spec could only sample. */
+  val annMultiprobeQ = GraftQuery(
+    "q138_ann_multiprobe",
+    (s, d) =>
+      Similarity.annTopK(embeddings(s, d), "vec_id", "embedding",
+          dim = 64, numPlanes = 8, k = 5,
+          queryPred = col("vec_id") % 25 === 0, probes = 1)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank")),
+    Some {
+      val planes = Similarity.planeLiterals(dim = 64, numPlanes = 8)
+      val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+        val lit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(e, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n                 + ")
+      val masks = (0L +: (0 until 8).map(p => 1L << p)).mkString("[", ", ", "]")
+      s"""
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 AS nrm
+        FROM embeddings
+      ),
+      b AS (
+        SELECT id, e, nrm,
+               $bucketSql AS bucket
+        FROM v
+      ),
+      q AS (
+        SELECT id AS query_id, e AS qe, nrm AS qn,
+               xor(bucket, m.m) AS probe_bucket
+        FROM b, (SELECT unnest($masks) AS m) m
+        WHERE id % 25 = 0
+      ),
+      j AS (
+        SELECT q.query_id, c.id AS neighbor_id,
+               list_dot_product(q.qe, c.e) / (q.qn * c.nrm) AS sim
+        FROM q JOIN b c ON q.probe_bucket = c.bucket
+                       AND q.query_id <> c.id
+      )
+      SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS rank
+        FROM j
+      )
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+      """.trim
+    },
+  )
+
+  /** Skew-salted aggregation oracled by RESULT (ops.Skew.saltedAgg,
+    * X22 — equivalence-spec-only since r3): the salted two-phase plan
+    * (partials per (key, salt), merge per key — the hot-key shape
+    * where one reducer would otherwise take a whole key) over the
+    * events table, against a PLAIN `GROUP BY` oracle. The oracle
+    * deliberately does not replay the salt: the operator's entire
+    * contract is that salting is invisible in the result, and the
+    * hash compare proves exactly that on real data — sums kept exact
+    * (integer quantities) so two-phase reassociation cannot drift. */
+  val saltedAggQ = GraftQuery(
+    "q139_salted_agg",
+    (s, d) =>
+      graft.ops.Skew.saltedAgg(
+          events(s, d), Seq("user_id"), col("event_id"),
+          Map(
+            "n" -> (col("event_id"), "count"),
+            "sum_props" -> (length(col("props")).cast("long"), "sum"),
+            "min_ts" -> (col("ts"), "min"),
+            "max_ts" -> (col("ts"), "max"),
+            "max_value" -> (col("value"), "max")),
+          salts = 16)
+        .select(col("user_id"), col("n"), col("sum_props"),
+          col("min_ts"), col("max_ts"), col("max_value"))
+        .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+             COUNT(event_id) AS n,
+             CAST(SUM(CAST(length(props) AS BIGINT)) AS BIGINT) AS sum_props,
+             MIN(epoch_ns(ts)) AS min_ts,
+             MAX(epoch_ns(ts)) AS max_ts,
+             MAX(value) AS max_value
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -4417,5 +4516,7 @@ object LlmCatalog {
     wordpieceEncodeQ,
     sentenceDedupQ,
     leakageSafeSplitQ,
+    annMultiprobeQ,
+    saltedAggQ,
   )
 }
