@@ -595,6 +595,42 @@ object Dedup {
       )
   }
 
+  /** Normalized compression distance over candidate pairs (Cilibrasi
+    * & Vitányi 2005 — the parameter-free similarity the hash families
+    * cannot see): NCD(x, y) = (C(xy) − min(C(x), C(y))) /
+    * max(C(x), C(y)) with C = fixed-level DEFLATE byte length (the
+    * X168 signal reused, so C is deterministic). Near-identical texts
+    * compress together almost as small as alone (NCD ≈ 0); unrelated
+    * texts share nothing for the dictionary coder to reuse (NCD ≈ 1).
+    * The tier's niche: REORDERED near-dups — shuffle a document's
+    * sentences and shingle Jaccard collapses while the concatenation
+    * still compresses against itself. Like [[editDistancePairs]],
+    * per-pair cost means this runs ONLY on candidate pairs from a
+    * miner, never all-pairs; `ncd` is one IEEE divide of exact ints.
+    * No SQL oracle (no DEFLATE in DuckDB — the X168 discipline);
+    * spec-pinned on identity / reorder / unrelated fixtures. */
+  def ncdPairs(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+  ): DataFrame = {
+    val t = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    pairs
+      .join(t.withColumnsRenamed(Map("id" -> "id_a", "t" -> "t_a")), "id_a")
+      .join(t.withColumnsRenamed(Map("id" -> "id_b", "t" -> "t_b")), "id_b")
+      .select(
+        col("id_a"),
+        col("id_b"),
+        TextOps.deflateLen(col("t_a")).as("c_a"),
+        TextOps.deflateLen(col("t_b")).as("c_b"),
+        TextOps.deflateLen(concat(col("t_a"), lit(" "), col("t_b")))
+          .as("c_ab"))
+      .withColumn("ncd",
+        (col("c_ab") - least(col("c_a"), col("c_b"))).cast("double") /
+          greatest(col("c_a"), col("c_b")).cast("double"))
+  }
+
   /** Repeated-passage mining (the exact-substring-dedup family): find
     * fixed-width token windows that occur in MORE THAN ONE document —
     * the boilerplate/licence-block/template detector that document-

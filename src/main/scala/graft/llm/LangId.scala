@@ -129,6 +129,69 @@ object LangId {
       topK: Int = DefaultTopK,
       headChars: Int = DefaultHeadChars,
   ): DataFrame = {
+    val scored = scoredTable(docs, profile, idCol, textCol, maxN, topK, headChars)
+    val pick = Window.partitionBy("_id").orderBy(col("dist"), col("lang"))
+    val best = scored.withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") === 1)
+      .select(col("_id"), col("lang"), col("dist"))
+    docs.select(col(idCol))
+      .join(best.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lang"), lit("und")).as("lang"),
+        col("dist"))
+  }
+
+  /** [[predict]] with a CONFIDENCE MARGIN (the fastText-style
+    * threshold move, exact-integer form): `margin` = second-best
+    * distance − best distance; a doc whose margin is below
+    * `minMargin` classifies as `und` ("two languages explain it
+    * almost equally well" — the mixed-language / too-short case a
+    * bare argmax silently mislabels). `best_lang` keeps the argmax
+    * for audit. A null margin (single-language profile — no second
+    * opinion exists) counts as confident. All integer compares —
+    * oracle-replayable (q140). */
+  def predictWithMargin(
+      docs: DataFrame,
+      profile: DataFrame,
+      idCol: String,
+      textCol: String,
+      minMargin: Long,
+      maxN: Int = DefaultMaxN,
+      topK: Int = DefaultTopK,
+      headChars: Int = DefaultHeadChars,
+  ): DataFrame = {
+    require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
+    val scored = scoredTable(docs, profile, idCol, textCol, maxN, topK, headChars)
+    val pick = Window.partitionBy("_id").orderBy(col("dist"), col("lang"))
+    val top2 = scored.withColumn("_rn", row_number().over(pick))
+      .filter(col("_rn") <= 2)
+    val best = top2.filter(col("_rn") === 1)
+      .select(col("_id"), col("lang").as("best_lang"), col("dist"))
+    val second = top2.filter(col("_rn") === 2)
+      .select(col("_id"), col("dist").as("_dist2"))
+    docs.select(col(idCol))
+      .join(best.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .join(second.withColumnRenamed("_id", idCol), Seq(idCol), "left")
+      .withColumn("margin", col("_dist2") - col("dist"))
+      .select(col(idCol),
+        when(col("best_lang").isNull, lit("und"))
+          .when(col("margin").isNotNull && col("margin") < minMargin,
+            lit("und"))
+          .otherwise(col("best_lang")).as("lang"),
+        coalesce(col("best_lang"), lit("und")).as("best_lang"),
+        col("dist"), col("margin"))
+  }
+
+  /** The per-(doc, lang) rank-order distance table both serves pick
+    * from — everything up to (not including) the argmax. */
+  private def scoredTable(
+      docs: DataFrame,
+      profile: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxN: Int,
+      topK: Int,
+      headChars: Int,
+  ): DataFrame = {
     val grams = docs
       .select(col(idCol).as("_id"),
         concat(lit(" "), canon(substring(col(textCol), 1, headChars)),
@@ -154,13 +217,6 @@ object LangId {
         (coalesce(col("mdist"), lit(0L)) +
           (col("psize") - coalesce(col("mcnt"), lit(0L))) * topK)
           .cast("long"))
-    val pick = Window.partitionBy("_id").orderBy(col("dist"), col("lang"))
-    val best = scored.withColumn("_rn", row_number().over(pick))
-      .filter(col("_rn") === 1)
-      .select(col("_id"), col("lang"), col("dist"))
-    docs.select(col(idCol))
-      .join(best.withColumnRenamed("_id", idCol), Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("lang"), lit("und")).as("lang"),
-        col("dist"))
+    scored
   }
 }

@@ -40,6 +40,10 @@ import org.apache.spark.sql.functions._
 object TrainingData {
 
   final case class Config(
+      // X171 WET extraction as stage 0 (off by default: pre-extracted
+      // corpora keep their bytes; crawls turn it on so every later
+      // stage — dedup fingerprints included — sees prose, not chrome)
+      stripMarkup: Boolean = false,
       n: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
@@ -59,7 +63,12 @@ object TrainingData {
       textCol: String = "text",
       cfg: Config = Config(),
   ): DataFrame = {
-    val cleaned = Corpus.clean(docs, idCol, textCol,
+    val src =
+      if (cfg.stripMarkup)
+        docs.withColumn(textCol, TextOps.stripMarkup(col(textCol)))
+          .filter(length(col(textCol)) > 0) // chrome-only pages vanish
+      else docs
+    val cleaned = Corpus.clean(src, idCol, textCol,
       n = cfg.n, threshold = cfg.threshold, numHashes = cfg.numHashes,
       bands = cfg.bands)
     val spanned = Corpus.dedupSpans(

@@ -2928,17 +2928,12 @@ object LlmCatalog {
     * the hash certifies profile construction (per-lang AND per-doc
     * top-K windows with deterministic tie-breaks), the out-of-profile
     * penalty, and the argmin pick rule. */
-  val langIdQ = GraftQuery(
-    "q108_langid_rank_profiles",
-    (s, d) => {
-      val docs = documents(s, d)
-      val profile = graft.llm.LangId.fit(
-        docs.filter(length(col("source")) === 4), "lang", "text")
-      graft.llm.LangId.predict(docs, profile, "doc_id", "text")
-        .orderBy(col("doc_id"))
-    },
-    Some("""
-      WITH canon AS (
+  /** The q108 rank-profile chain up to the per-(doc, lang) `scored`
+    * table — shared by the q108 argmax and the q140 margin serve
+    * (mirrors LangId.scoredTable one-for-one). */
+  private val langIdChainSql: String =
+    """
+      canon AS (
         SELECT doc_id, lang AS label, length(source) = 4 AS is_fit,
                trim(regexp_replace(lower(left(text, 240)),
                     '[^\p{L}]+', ' ', 'g')) AS t
@@ -2988,7 +2983,20 @@ object LlmCatalog {
                     + (s.psize - COALESCE(m.mcnt, 0)) * 300 AS BIGINT) AS dist
         FROM dsize s CROSS JOIN langs g
         LEFT JOIN matched m ON m.doc_id = s.doc_id AND m.lang = g.lang
-      ),
+      )
+    """.trim
+
+  val langIdQ = GraftQuery(
+    "q108_langid_rank_profiles",
+    (s, d) => {
+      val docs = documents(s, d)
+      val profile = graft.llm.LangId.fit(
+        docs.filter(length(col("source")) === 4), "lang", "text")
+      graft.llm.LangId.predict(docs, profile, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $langIdChainSql,
       best AS (
         SELECT doc_id, lang, dist,
                ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -4438,6 +4446,48 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Language ID with a CONFIDENCE MARGIN (LangId.predictWithMargin,
+    * X177 — the fastText-style threshold in exact-integer form):
+    * margin = second-best rank distance − best; below `minMargin`
+    * the doc classifies `und` ("two languages explain it almost
+    * equally well" — the mixed-language/too-short case a bare argmax
+    * silently mislabels), with `best_lang` kept for audit. The
+    * oracle extends the shared q108 chain with the rank ≤ 2 pick and
+    * the same integer threshold — all compares exact, so the hash
+    * pins both the margin arithmetic and every und decision. */
+  val langIdMarginQ = GraftQuery(
+    "q140_langid_margin",
+    (s, d) => {
+      val docs = documents(s, d)
+      val profile = graft.llm.LangId.fit(
+        docs.filter(length(col("source")) === 4), "lang", "text")
+      graft.llm.LangId.predictWithMargin(docs, profile, "doc_id", "text",
+          minMargin = 300L)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""
+      WITH $langIdChainSql,
+      best2 AS (
+        SELECT doc_id, lang, dist,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY dist, lang) AS rn
+        FROM scored QUALIFY rn <= 2
+      ),
+      b1 AS (SELECT doc_id, lang AS best_lang, dist FROM best2 WHERE rn = 1),
+      b2 AS (SELECT doc_id, dist AS dist2 FROM best2 WHERE rn = 2)
+      SELECT d.doc_id,
+             CASE WHEN b1.best_lang IS NULL THEN 'und'
+                  WHEN b2.dist2 - b1.dist < 300 THEN 'und'
+                  ELSE b1.best_lang END AS lang,
+             COALESCE(b1.best_lang, 'und') AS best_lang,
+             b1.dist,
+             b2.dist2 - b1.dist AS margin
+      FROM documents d
+      LEFT JOIN b1 USING (doc_id) LEFT JOIN b2 USING (doc_id)
+      ORDER BY d.doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -4518,5 +4568,6 @@ object LlmCatalog {
     leakageSafeSplitQ,
     annMultiprobeQ,
     saltedAggQ,
+    langIdMarginQ,
   )
 }

@@ -413,4 +413,37 @@ class DedupSpec extends SparkSpec {
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
       (4L, 4L, true), (5L, 5L, true)))
   }
+
+  test("ncdPairs: identity ≈ 0, sentence reorder stays low where Jaccard collapses, unrelated ≈ 1") {
+    // three docs built from the same sentence pool: #2 is #1 with its
+    // sentences REORDERED (every 8-shingle crossing a boundary
+    // changes — the lexical blind spot NCD exists for); #3 shares no
+    // vocabulary with either
+    val sents = Seq(
+      "the quick brown fox jumps over the lazy dog by the river",
+      "rain falls softly on the green hills past the old stone wall",
+      "wind moves through tall trees while the morning light arrives",
+      "a narrow path winds upward toward the quiet mountain village")
+    val d1 = sents.mkString(" ")
+    val d2 = Seq(sents(2), sents(0), sents(3), sents(1)).mkString(" ")
+    val d3 = ("zq xv wk pj " * 12).trim
+    val docs = Seq((1L, d1), (1L, d1), (2L, d2), (3L, d3))
+      .toDF("doc_id", "text").distinct()
+    val pairs = Seq((1L, 1L), (1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.ncdPairs(pairs, docs, "doc_id", "text")
+      .select($"id_a", $"id_b", $"ncd")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(got((1L, 1L)) < 0.2, s"identity: ${got((1L, 1L))}")
+    assert(got((1L, 2L)) < 0.55, s"reorder: ${got((1L, 2L))}")
+    assert(got((1L, 3L)) > 0.8, s"unrelated: ${got((1L, 3L))}")
+    assert(got((1L, 2L)) < got((1L, 3L)) - 0.25)
+    // the motivating gap: token-shingle Jaccard at n=8 rates the
+    // reordered twin as nearly disjoint
+    val jac = Dedup.jaccard(
+      TextOps.shingles(TextOps.tokens(lit(d1)), 8),
+      TextOps.shingles(TextOps.tokens(lit(d2)), 8))
+    val j = spark.range(1).select(jac.as("j")).as[Double].head()
+    assert(j < 0.5, s"jaccard should collapse on reorder, got $j")
+  }
 }

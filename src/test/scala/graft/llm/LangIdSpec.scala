@@ -40,6 +40,32 @@ class LangIdSpec extends SparkSpec {
     assert(predictions(docs) == Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de"))
   }
 
+  test("predictWithMargin: mixed-language text goes und, clean text stays confident") {
+    val profile = LangId.fit(seeds, "lang", "text")
+    val docs = Seq(
+      // clean German — large margin to every other language
+      (1L, "das wetter war heute morgen kalt aber die kinder gingen trotzdem zur schule"),
+      // half-French half-Spanish — the argmax picks SOMETHING, but the
+      // runner-up explains it almost as well: exactly what und is for
+      (2L, "les enfants jouaient dans le jardin los ninos jugaban en el jardin"),
+    ).toDF("doc_id", "text")
+    val got = LangId.predictWithMargin(docs, profile, "doc_id", "text",
+        minMargin = 400L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(4)))).toMap
+    val (lang1, best1, m1) = got(1L)
+    assert(lang1 == "de" && best1 == "de" && m1 >= 400L, got.toString)
+    val (lang2, best2, m2) = got(2L)
+    assert(lang2 == "und", got.toString)           // the margin gate fired
+    assert(Set("fr", "es").contains(best2), got.toString) // audit keeps argmax
+    assert(m2 < 400L, got.toString)
+    // threshold 0 = plain argmax: the gate itself is the only difference
+    val ungated = LangId.predictWithMargin(docs, profile, "doc_id", "text",
+        minMargin = 0L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ungated(2L) == best2, ungated.toString)
+  }
+
   test("model classifies where the stopword heuristic misclassifies or goes blind") {
     // French heavy on "de la": es and fr stopword lists both score 4/10,
     // and langGuess's fixed precedence picks es — a real misclassification

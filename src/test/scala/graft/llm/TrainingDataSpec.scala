@@ -33,6 +33,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(packedStream == expectedStream, "no token dropped, duplicated, or reordered")
   }
 
+  test("prepare with stripMarkup: the crawl pipeline equals the clean-corpus pipeline") {
+    // wrap every doc in deterministic page chrome, entity-encoding the
+    // text (the q133 construction) — stage 0 must strip it back to the
+    // exact prose, so the two pipelines produce identical sequences;
+    // a chrome-only page must vanish before dedup can see it
+    val enc = replace(replace($"text", lit("&"), lit("&amp;")),
+      lit("<"), lit("&lt;"))
+    val wrapped = docs.select($"doc_id",
+      concat(lit("<html><body><p>"), enc,
+        lit("</p><script>var x = 1 < 2;</script></body></html>")).as("text"))
+    val chromeOnly = Seq((999999L, "<nav><a href='/'>home</a></nav>"))
+      .toDF("doc_id", "text")
+    val got = TrainingData.prepare(wrapped.unionByName(chromeOnly),
+        cfg = TrainingData.Config(stripMarkup = true, seqLen = 64))
+      .select("seq_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val want = TrainingData.prepare(docs,
+        cfg = TrainingData.Config(seqLen = 64))
+      .select("seq_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("prepare is partitioning-invariant end to end") {
     val cfg = TrainingData.Config(seqLen = 48)
     val a = TrainingData.prepare(docs.coalesce(1), cfg = cfg)
