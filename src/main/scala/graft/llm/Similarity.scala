@@ -232,6 +232,64 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Late-interaction (ColBERT-style, Khattab & Zaharia 2020) MaxSim
+    * retrieval over GROUPED vectors: a "document" is a group of
+    * vectors (token/chunk embeddings under `groupCol`), and
+    * score(Q, D) = Σ_{q ∈ Q} max_{d ∈ D} cos(q, d) — each query
+    * vector finds its best match in the candidate document, and the
+    * per-query-vector evidence sums. The interaction a single pooled
+    * vector cannot express: one strongly matching chunk contributes
+    * its full cosine instead of being averaged away.
+    *
+    * Exactness: cos is the proven q07 IEEE chain; MAX over candidate
+    * vectors is order-free; the SUM over query vectors — the one
+    * order-dependent float reduction — folds SEQUENTIALLY in query
+    * vec-id order from an explicit 0.0 init (`aggregate` over a
+    * sorted collect), which DuckDB mirrors as
+    * `list_reduce(list_prepend(0.0, list(m ORDER BY qid)))` — the
+    * q141 oracle hash-pins every score.
+    *
+    * Shape: the (query group × candidate group) grid arrives as two
+    * tiny distinct-group frames (broadcast — the bounded-probe-grid
+    * discipline, never a row-level cross join); both fan-outs are
+    * equi-joins on the group keys, the per-(pair, query-vector) MAX
+    * partial-aggregates map-side, and the fold state is ≤ |Q| entries
+    * per pair. At 100 TB the grid comes from a candidate generator
+    * (X57 ANN over pooled vectors) instead of all-pairs — the
+    * standard two-stage retrieval stack. */
+  def maxSimTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      groupCol: String,
+      queryPred: Column,
+      k: Int,
+  ): DataFrame = {
+    val v = withNorm(df, idCol, embCol, extra = Seq(groupCol))
+    val d = v.select(col(groupCol).as("doc_label"),
+      col("e").as("de"), col("nrm").as("dn"))
+    val q = df.filter(queryPred)
+    val qv = withNorm(q, idCol, embCol, extra = Seq(groupCol))
+      .select(col("id").as("qid"), col(groupCol).as("query_label"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val grid = qv.select(col("query_label")).distinct()
+      .crossJoin(broadcast(d.select(col("doc_label")).distinct()))
+    val best = grid
+      .join(qv, Seq("query_label"))
+      .join(d, Seq("doc_label"))
+      .groupBy(col("query_label"), col("doc_label"), col("qid"))
+      .agg(max(cosine(col("qe"), col("de"), col("qn"), col("dn"))).as("m"))
+    val folded = best
+      .groupBy(col("query_label"), col("doc_label"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("qid"), col("m")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("m")).as("maxsim"))
+    val w = Window.partitionBy(col("query_label"))
+      .orderBy(col("maxsim").desc, col("doc_label"))
+    folded.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Symmetric per-vector INT8 quantization — the 4× embedding
     * compression a 100 TB vector store runs before anything else:
     * scale = max |component| (1.0 for the all-zero vector, so the

@@ -4488,6 +4488,55 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Late-interaction MaxSim retrieval (Similarity.maxSimTopK, X178):
+    * every label-group is a multi-vector "document", every 5th vector
+    * is a query token, and score(Q, D) = Σ_q max_d cos(q, d) — the
+    * ColBERT scoring rule. The oracle replays the q07 cosine chain,
+    * the order-free per-query-vector MAX, and the ONE order-dependent
+    * reduction — the sum over query vectors — as the identical
+    * sequential fold (`list_reduce` over the qid-ordered list with an
+    * explicit 0.0 init matching Spark's `aggregate` seed), then the
+    * (score DESC, label) top-3. */
+  val maxSimQ = GraftQuery(
+    "q141_maxsim_retrieval",
+    (s, d) =>
+      Similarity.maxSimTopK(embeddings(s, d), "vec_id", "embedding",
+          "label", queryPred = col("vec_id") % 5 === 0, k = 3)
+        .select(col("query_label"), col("doc_label"), col("maxsim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("query_label"), col("rank")),
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 AS nrm
+        FROM embeddings
+      ),
+      qv AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+      best AS (
+        SELECT q.label AS query_label, c.label AS doc_label,
+               q.vec_id AS qid,
+               MAX(list_dot_product(q.e, c.e) / (q.nrm * c.nrm)) AS m
+        FROM qv q CROSS JOIN v c
+        GROUP BY 1, 2, 3
+      ),
+      folded AS (
+        SELECT query_label, doc_label,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(m ORDER BY qid)), (a, b) -> a + b) AS maxsim
+        FROM best GROUP BY 1, 2
+      )
+      SELECT query_label, doc_label, maxsim, CAST(rank AS INT) AS rank FROM (
+        SELECT query_label, doc_label, maxsim,
+               ROW_NUMBER() OVER (PARTITION BY query_label
+                 ORDER BY maxsim DESC, doc_label) AS rank
+        FROM folded
+      )
+      WHERE rank <= 3
+      ORDER BY query_label, rank
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -4569,5 +4618,6 @@ object LlmCatalog {
     annMultiprobeQ,
     saltedAggQ,
     langIdMarginQ,
+    maxSimQ,
   )
 }

@@ -170,4 +170,33 @@ class SimilaritySpec extends SparkSpec {
     assert(m(df.repartition(7)) == c)
     assert(m(df.orderBy(col("label").desc)) == c)
   }
+
+  test("maxSimTopK: per-query-vector best matches sum (hand-computed), self wins") {
+    // group A = axis vectors e1, e2; group B = e1 only; group C = e3.
+    // queries = all of A. MaxSim(A→A) = 1+1 = 2 (each vector's best
+    // match is itself); MaxSim(A→B) = cos(e1,e1) + cos(e2,e1) = 1+0;
+    // MaxSim(A→C) = 0. One strongly-matching member contributes its
+    // full cosine — the pooled-vector average would halve it.
+    val df = Seq(
+      (1L, Seq(1f, 0f, 0f), "A"), (2L, Seq(0f, 1f, 0f), "A"),
+      (10L, Seq(1f, 0f, 0f), "B"),
+      (20L, Seq(0f, 0f, 1f), "C"),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.maxSimTopK(df, "vec_id", "embedding", "label",
+        queryPred = col("label") === "A", k = 3)
+      .select($"query_label", $"doc_label", $"maxsim", $"rank")
+      .as[(String, String, Double, Int)].collect()
+      .map(r => (r._2, r._4) -> r._3).toMap
+    assert(got(("A", 1)) == 2.0, got.toString) // self: both vectors match
+    assert(got(("B", 2)) == 1.0, got.toString) // one full-strength chunk
+    assert(got(("C", 3)) == 0.0, got.toString)
+    // repartition invariance: the one float reduction folds in qid order
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.maxSimTopK(d, "vec_id", "embedding", "label",
+          queryPred = col("vec_id") % 5 === 0, k = 3)
+        .select($"query_label", $"doc_label", $"maxsim", $"rank")
+        .as[(Int, Int, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(run(base.repartition(13)) == run(base.repartition(2)))
+  }
 }
