@@ -663,6 +663,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_wordpiece_encode"), p.take(600))
   }
 
+  test("q141 maxsim: group grid is a broadcast nest, fan-outs are equi-joins, max partial-aggregates") {
+    val df = LlmCatalog.maxSimQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the only nested-loop join allowed is the tiny broadcast group
+    // grid; a ROW-level cartesian would be the all-pairs disaster
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("BroadcastHashJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("SortMergeJoin"), p.take(600))
+    assert(p.contains("partial_max"),
+      s"per-(pair, query-vector) max must map-side combine:\n${p.take(800)}")
+  }
+
+  test("q137 leakage split: one id join after CC, assignment is a projection") {
+    val p = plan(LlmCatalog.leakageSafeSplitQ)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
   test("wordpiece fit candidates broadcast the unigram table") {
     // the per-round candidate table joins pair counts against the
     // vocab-sized unigram counts — both joins must be broadcasts, or
