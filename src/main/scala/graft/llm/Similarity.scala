@@ -268,12 +268,80 @@ object Similarity {
     val v = withNorm(df, idCol, embCol, extra = Seq(groupCol))
     val d = v.select(col(groupCol).as("doc_label"),
       col("e").as("de"), col("nrm").as("dn"))
-    val q = df.filter(queryPred)
-    val qv = withNorm(q, idCol, embCol, extra = Seq(groupCol))
+    val qv = withNorm(df.filter(queryPred), idCol, embCol,
+        extra = Seq(groupCol))
       .select(col("id").as("qid"), col(groupCol).as("query_label"),
         col("e").as("qe"), col("nrm").as("qn"))
     val grid = qv.select(col("query_label")).distinct()
       .crossJoin(broadcast(d.select(col("doc_label")).distinct()))
+    maxSimOverGrid(qv, d, grid, k)
+  }
+
+  /** The exact-centroid per-group vector, assembled dim-ordered with
+    * its norm — stage 1's summary of a multi-vector document (the
+    * q103 DECIMAL(27,9) order-free mean, so the summary itself
+    * hash-replays). */
+  private def centroidVectors(
+      df: DataFrame, idCol: String, embCol: String, groupCol: String): DataFrame =
+    centroidByLabel(df, groupCol, embCol)
+      .groupBy(col("label"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("centroid")))),
+        x => x.getField("centroid")).as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+
+  /** TWO-STAGE MaxSim (the documented production form of
+    * [[maxSimTopK]] — its all-pairs grid is for bounded group counts
+    * only): stage 1 summarizes every group by its exact-decimal
+    * centroid and keeps each query group's `candidates` best
+    * centroid-cosine groups; stage 2 runs full MaxSim on the
+    * surviving grid ONLY. Exactly the PQ recall-repair pattern
+    * ([[pqThenExactTopK]]) lifted to the group grain: stage-2 scores
+    * are bit-equal to the all-pairs form for every surviving pair, so
+    * recall is monotone in `candidates` and reaches [[maxSimTopK]]
+    * when `candidates` covers the groups (spec-pinned). Stage 1 cost:
+    * one dim-explode aggregate (map-side combinable decimals) + a
+    * groups²-sized centroid grid — both tiny next to stage 2's
+    * vector join, which now touches candidates/|groups| of the pairs. */
+  def maxSimTwoStage(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      groupCol: String,
+      queryPred: Column,
+      candidates: Int,
+      k: Int,
+  ): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val v = withNorm(df, idCol, embCol, extra = Seq(groupCol))
+    val d = v.select(col(groupCol).as("doc_label"),
+      col("e").as("de"), col("nrm").as("dn"))
+    val qv = withNorm(df.filter(queryPred), idCol, embCol,
+        extra = Seq(groupCol))
+      .select(col("id").as("qid"), col(groupCol).as("query_label"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val cvec = centroidVectors(df, idCol, embCol, groupCol)
+    val qc = qv.select(col("query_label")).distinct()
+      .join(cvec.select(col("label").as("query_label"),
+        col("cv").as("qcv"), col("cn").as("qcn")), Seq("query_label"))
+    val pairs = qc.crossJoin(broadcast(
+        cvec.select(col("label").as("doc_label"),
+          col("cv").as("dcv"), col("cn").as("dcn"))))
+      .select(col("query_label"), col("doc_label"),
+        cosine(col("qcv"), col("dcv"), col("qcn"), col("dcn")).as("csim"))
+    val w = Window.partitionBy(col("query_label"))
+      .orderBy(col("csim").desc, col("doc_label"))
+    val grid = pairs.withColumn("_crank", row_number().over(w))
+      .filter(col("_crank") <= candidates)
+      .select(col("query_label"), col("doc_label"))
+    maxSimOverGrid(qv, d, grid, k)
+  }
+
+  /** Stage 2 shared by both forms: full MaxSim restricted to `grid`
+    * (query_label, doc_label) pairs. `qv` = (qid, query_label, qe,
+    * qn); `d` = (doc_label, de, dn). */
+  private def maxSimOverGrid(
+      qv: DataFrame, d: DataFrame, grid: DataFrame, k: Int): DataFrame = {
     val best = grid
       .join(qv, Seq("query_label"))
       .join(d, Seq("doc_label"))

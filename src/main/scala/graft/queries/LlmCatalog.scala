@@ -4537,6 +4537,85 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Two-stage MaxSim (Similarity.maxSimTwoStage — the production
+    * form of q141, its "grid from a candidate pass" doc made code):
+    * stage 1 summarizes each label-document by its exact-decimal
+    * centroid (the q103 recipe, so the SUMMARY hash-replays),
+    * centroid cosine keeps 4 candidate docs per query doc; stage 2
+    * runs full MaxSim on the surviving grid only, top-3. The oracle
+    * chains the q103 centroid SQL, the centroid-cosine rank, and the
+    * q141 MaxSim replay restricted to the grid — pruning, scoring,
+    * and ranking all hash-pinned. */
+  val maxSimTwoStageQ = GraftQuery(
+    "q142_maxsim_two_stage",
+    (s, d) =>
+      Similarity.maxSimTwoStage(embeddings(s, d), "vec_id", "embedding",
+          "label", queryPred = col("vec_id") % 5 === 0,
+          candidates = 4, k = 3)
+        .select(col("query_label"), col("doc_label"), col("maxsim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("query_label"), col("rank")),
+    Some("""
+      WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 AS nrm
+        FROM embeddings
+      ),
+      qv AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+      cent AS (
+        SELECT label, i AS dim,
+               CAST(CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE)
+                        AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+                 AS centroid
+        FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i)
+        GROUP BY label, i
+      ),
+      cn AS (
+        SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS n FROM (
+          SELECT label, list(centroid ORDER BY dim) AS cv
+          FROM cent GROUP BY label
+        )
+      ),
+      grid AS (
+        SELECT query_label, doc_label FROM (
+          SELECT query_label, doc_label,
+                 ROW_NUMBER() OVER (PARTITION BY query_label
+                   ORDER BY csim DESC, doc_label) AS rn
+          FROM (
+            SELECT q.label AS query_label, c.label AS doc_label,
+                   list_dot_product(q.cv, c.cv) / (q.n * c.n) AS csim
+            FROM cn q
+            JOIN (SELECT DISTINCT label FROM qv) ql ON ql.label = q.label
+            CROSS JOIN cn c
+          )
+        ) WHERE rn <= 4
+      ),
+      best AS (
+        SELECT g.query_label, g.doc_label, q.vec_id AS qid,
+               MAX(list_dot_product(q.e, c.e) / (q.nrm * c.nrm)) AS m
+        FROM grid g
+        JOIN qv q ON q.label = g.query_label
+        JOIN v c ON c.label = g.doc_label
+        GROUP BY 1, 2, 3
+      ),
+      folded AS (
+        SELECT query_label, doc_label,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(m ORDER BY qid)), (a, b) -> a + b) AS maxsim
+        FROM best GROUP BY 1, 2
+      )
+      SELECT query_label, doc_label, maxsim, CAST(rank AS INT) AS rank FROM (
+        SELECT query_label, doc_label, maxsim,
+               ROW_NUMBER() OVER (PARTITION BY query_label
+                 ORDER BY maxsim DESC, doc_label) AS rank
+        FROM folded
+      )
+      WHERE rank <= 3
+      ORDER BY query_label, rank
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -4619,5 +4698,6 @@ object LlmCatalog {
     saltedAggQ,
     langIdMarginQ,
     maxSimQ,
+    maxSimTwoStageQ,
   )
 }

@@ -199,4 +199,31 @@ class SimilaritySpec extends SparkSpec {
         .as[(Int, Int, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
     assert(run(base.repartition(13)) == run(base.repartition(2)))
   }
+
+  test("maxSimTwoStage reaches the all-pairs form when candidates cover the groups") {
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nGroups = base.select("label").distinct().count().toInt
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"query_label", $"doc_label", $"maxsim", $"rank")
+        .as[(Int, Int, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val full = rows(Similarity.maxSimTopK(base, "vec_id", "embedding",
+      "label", queryPred = col("vec_id") % 5 === 0, k = 3))
+    // candidates = |groups| → the pruning grid is the full grid: every
+    // surviving score is bit-equal and the result is identical
+    val covered = rows(Similarity.maxSimTwoStage(base, "vec_id", "embedding",
+      "label", queryPred = col("vec_id") % 5 === 0,
+      candidates = nGroups, k = 3))
+    assert(covered == full)
+    // aggressive pruning: output shape holds, every kept score equals
+    // the all-pairs score for that pair (recall can drop, scores can't)
+    val pruned = rows(Similarity.maxSimTwoStage(base, "vec_id", "embedding",
+      "label", queryPred = col("vec_id") % 5 === 0, candidates = 3, k = 3))
+    val fullScores = full.map(r => (r._1, r._2) -> r._3).toMap ++
+      rows(Similarity.maxSimTopK(base, "vec_id", "embedding", "label",
+        queryPred = col("vec_id") % 5 === 0, k = nGroups))
+        .map(r => (r._1, r._2) -> r._3).toMap
+    pruned.foreach { case (q, d2, s2, _) =>
+      assert(fullScores((q, d2)) == s2, s"pair ($q,$d2)")
+    }
+  }
 }
