@@ -2,48 +2,58 @@ package graft.ops
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+case class ObsEv(k: Long, v: Option[String])
 
 class ObserveSpec extends SparkSpec {
   import spark.implicits._
 
-  test("observed counters equal a direct aggregation, computed in the producing job") {
+  test("batch counters ride the action: exact rows and null counts, results unchanged") {
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("c")), (4L, None))
+      .toDF("id", "s")
+    val (rows, metrics) = Observe.counted(df, Seq("s")) { d =>
+      d.filter(col("id") =!= 99L).collect()
+    }
+    assert(rows.length == 4)
+    assert(metrics("rows") == 4L)
+    assert(metrics("nulls_s") == 2L)
+  }
+
+  test("observed metrics are exact under repartitioning (merged per task, not sampled)") {
+    val df = (1 to 1000).map(i => (i.toLong, if (i % 7 == 0) None else Some(s"v$i")))
+      .toDF("id", "s").repartition(13)
+    val (_, metrics) = Observe.counted(df, Seq("s"))(_.count())
+    assert(metrics("rows") == 1000L)
+    assert(metrics("nulls_s") == (1000 / 7).toLong)
+  }
+
+  test("quality metrics: contract counters equal direct aggregation; attach point governs") {
     val df = Seq(
-      (1L, Some(10.0), "a"), (2L, None, "b"), (3L, Some(-3.0), "c"),
-      (4L, Some(7.0), "a"), (5L, None, "a"),
-    ).toDF("id", "v", "k")
+      (1L, Some(10.0)), (2L, None), (3L, Some(-3.0)),
+      (4L, Some(7.0)), (5L, None),
+    ).toDF("id", "v")
     val observed = Observe.withQualityMetrics(df, "quality",
       nullCols = Seq("v"),
-      extras = Map("neg_v" ->
-        sum(when(col("v") < 0, 1L).otherwise(0L))))
-    // before any action the metric row is a zero/null placeholder —
-    // observation is an execution side effect
-    assert(Observe.metrics(observed)("quality")("n_rows") == 0L)
-    // metrics belong to the EXECUTED frame — a derived frame has its
-    // own QueryExecution (test 2 covers observing through a filter)
-    val out = observed.collect()
-    assert(out.length == 5)
+      extras = Map("neg_v" -> sum(when(col("v") < 0, 1L).otherwise(0L))))
+    // before any action the metric row is a zero/null placeholder
+    assert(Observe.metrics(observed)("quality")("rows") == 0L)
+    observed.collect()
     val m = Observe.metrics(observed)("quality")
-    assert(m("n_rows") == 5L, m.toString)
-    assert(m("null_v") == 2L, m.toString)
-    assert(m("neg_v") == 1L, m.toString)
-    // the metrics ride the plan, not a second scan
+    assert(m("rows") == 5L && m("nulls_v") == 2L && m("neg_v") == 1L, m.toString)
     val plan = observed.queryExecution.executedPlan.toString
     assert(plan.contains("CollectMetrics"), plan.take(400))
-  }
-
-  test("metrics observe the stream position they are attached at") {
-    // attached BEFORE a filter: counts the pre-filter rows — the
-    // contract a validation pipeline relies on (observe inputs, emit
-    // survivors)
-    val df = spark.range(100).toDF("id")
-    val observed = Observe.withQualityMetrics(df, "pre")
+    // attached BEFORE a filter: counts the pre-filter rows (observe
+    // inputs, emit survivors) — and the metrics belong to the frame
+    // that EXECUTED (the derived frame's QueryExecution)
+    val gated = Observe.withQualityMetrics(spark.range(100).toDF("id"), "pre")
       .filter(col("id") % 2 === 0)
-    assert(observed.count() == 50)
-    observed.collect()
-    assert(Observe.metrics(observed)("pre")("n_rows") == 100L)
+    assert(gated.count() == 50)
+    gated.collect()
+    assert(Observe.metrics(gated)("pre")("rows") == 100L)
   }
 
-  test("real table: null and contract counters on lineitem") {
+  test("real table: counters match direct aggregation on lineitem") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val observed = Observe.withQualityMetrics(li, "li",
       nullCols = Seq("l_quantity"),
@@ -55,8 +65,31 @@ class ObserveSpec extends SparkSpec {
         sum(when(col("l_quantity").isNull, 1L).otherwise(0L)),
         sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)))
       .head()
-    assert(m("n_rows") == direct.getLong(0))
-    assert(m("null_l_quantity") == direct.getLong(1))
+    assert(m("rows") == direct.getLong(0))
+    assert(m("nulls_l_quantity") == direct.getLong(1))
     assert(m("nonpos_qty") == direct.getLong(2))
+  }
+
+  test("streaming: per-batch observed metrics surface in the progress events") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_obs_")
+    val input = MemoryStream[ObsEv]
+    input.addData((1 to 50).map(i =>
+      ObsEv(i.toLong, if (i % 5 == 0) None else Some(s"x$i"))): _*)
+    val q = Observe.withCountersNamed(input.toDF(), "intake", Seq("v"))
+      .writeStream
+      .format("noop")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val observed = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("intake")))
+    assert(observed.nonEmpty, "progress must carry the intake metrics")
+    val rows = observed.map(_.getAs[Long]("rows")).sum
+    val nulls = observed.map(_.getAs[Long]("nulls_v")).sum
+    assert(rows == 50L && nulls == 10L, s"rows=$rows nulls=$nulls")
   }
 }
