@@ -595,20 +595,38 @@ object Dedup {
       )
   }
 
+  /** The NCD arithmetic seam, shared by [[ncdPairs]] and the oracle
+    * query that replays it over DuckDB-computable complexity lengths:
+    * NCD = (C(xy) − min(C(x), C(y))) / max(C(x), C(y)) — two exact
+    * integer extremes and ONE IEEE divide, so any engine holding the
+    * same three lengths reproduces the distance bit-for-bit. */
+  def ncdFromLengths(cA: Column, cB: Column, cAB: Column): Column =
+    (cAB - least(cA, cB)).cast("double") / greatest(cA, cB).cast("double")
+
   /** Normalized compression distance over candidate pairs (Cilibrasi
     * & Vitányi 2005 — the parameter-free similarity the hash families
-    * cannot see): NCD(x, y) = (C(xy) − min(C(x), C(y))) /
+    * cannot see): NCD(x, y) = (C(x·y) − min(C(x), C(y))) /
     * max(C(x), C(y)) with C = fixed-level DEFLATE byte length (the
-    * X168 signal reused, so C is deterministic). Near-identical texts
-    * compress together almost as small as alone (NCD ≈ 0); unrelated
-    * texts share nothing for the dictionary coder to reuse (NCD ≈ 1).
-    * The tier's niche: REORDERED near-dups — shuffle a document's
-    * sentences and shingle Jaccard collapses while the concatenation
-    * still compresses against itself. Like [[editDistancePairs]],
-    * per-pair cost means this runs ONLY on candidate pairs from a
-    * miner, never all-pairs; `ncd` is one IEEE divide of exact ints.
-    * No SQL oracle (no DEFLATE in DuckDB — the X168 discipline);
-    * spec-pinned on identity / reorder / unrelated fixtures. */
+    * X168 signal reused, so C is deterministic). The joint term here
+    * is C(x + " " + y) — the single-space separator keeps the
+    * concatenation a valid token stream and costs ≤ a few bytes of
+    * C, a deterministic constant both sides of any comparison pay;
+    * callers comparing against a separator-free NCD should expect
+    * that offset. Near-identical texts compress together almost as
+    * small as alone (NCD ≈ 0); unrelated texts share nothing for the
+    * dictionary coder to reuse (NCD ≈ 1). The tier's niche:
+    * REORDERED near-dups — shuffle a document's sentences and
+    * shingle Jaccard collapses while the concatenation still
+    * compresses against itself. Like [[editDistancePairs]], per-pair
+    * cost means this runs ONLY on candidate pairs from a miner,
+    * never all-pairs; the ratio is [[ncdFromLengths]] (oracled).
+    * Join semantics: INNER on both ids — a candidate pair whose id
+    * is absent from `docs` (filtered upstream, quarantined) drops
+    * silently rather than scoring against nothing; outer-join it
+    * yourself if absence must surface. C itself has no SQL oracle
+    * (no DEFLATE in DuckDB — the X168 discipline); the codec call is
+    * spec-pinned on identity / reorder / unrelated fixtures, and the
+    * downstream arithmetic hash-replays via [[ncdFromLengths]]. */
   def ncdPairs(
       pairs: DataFrame,
       docs: DataFrame,
@@ -626,9 +644,7 @@ object Dedup {
         TextOps.deflateLen(col("t_b")).as("c_b"),
         TextOps.deflateLen(concat(col("t_a"), lit(" "), col("t_b")))
           .as("c_ab"))
-      .withColumn("ncd",
-        (col("c_ab") - least(col("c_a"), col("c_b"))).cast("double") /
-          greatest(col("c_a"), col("c_b")).cast("double"))
+      .withColumn("ncd", ncdFromLengths(col("c_a"), col("c_b"), col("c_ab")))
   }
 
   /** Repeated-passage mining (the exact-substring-dedup family): find

@@ -74,16 +74,28 @@ object WordPiece {
   private final case class Cand(lhs: String, rhs: String,
       cnt: Long, ua: Long, ub: Long)
 
-  /** Total-order max under (exact score DESC, (lhs, rhs) ASC) —
-    * associative and commutative, so `rdd.aggregate` is
-    * deterministic regardless of partition combine order. */
+  /** UTF-8 binary order — the collation DuckDB's HUGEINT-oracle
+    * tie-break and every Spark string sort use. JVM String `<` is
+    * UTF-16 code-unit order, which DISAGREES on supplementary-plane
+    * characters (an emoji sorts below U+E000..U+FFFF in UTF-16 but
+    * above in UTF-8), so the tie-break must compare bytes. */
+  private def u8lt(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** Total-order max under (exact score DESC, (lhs, rhs) ASC in
+    * UTF-8 byte order) — associative and commutative, so
+    * `rdd.aggregate` is deterministic regardless of partition
+    * combine order. */
   private def better(x: Cand, y: Cand): Cand = {
     val xs = BigInt(x.cnt) * BigInt(y.ua) * BigInt(y.ub)
     val ys = BigInt(y.cnt) * BigInt(x.ua) * BigInt(x.ub)
     if (xs > ys) x
     else if (ys > xs) y
-    else if (x.lhs < y.lhs || (x.lhs == y.lhs && x.rhs <= y.rhs)) x
-    else y
+    else {
+      val cl = u8lt(x.lhs, y.lhs)
+      if (cl < 0 || (cl == 0 && u8lt(x.rhs, y.rhs) <= 0)) x else y
+    }
   }
 
   /** The scored candidate table of one round: adjacent-pair counts
@@ -162,12 +174,23 @@ object WordPiece {
   /** The serving vocabulary after a fit: every initial symbol the
     * corpus exhibits (word-start chars + `##`-continuations — an
     * alphabet-bounded driver collect, ≤ 2·|charset| rows) plus each
-    * merged symbol, deduped and sorted. */
+    * merged symbol, deduped and sorted.
+    *
+    * `#`-bearing corpora (the documented caveat made serve-safe): a
+    * word containing literal `#` can fuse into the bare marker string
+    * "##" (word-start '#' + stripped continuation '#'), which is not
+    * a legal piece — [[graft.expr.WordPieceEncode]] rejects it — so
+    * it is filtered here; the greedy encode simply never matches it
+    * (it could only cover a literal "##" infix, which the remaining
+    * '#' pieces still cover char-by-char). Merged symbols that BEGIN
+    * with "##" but arose from a word-START fuse are kept: encode
+    * reclassifies them as continuations, the same count conflation
+    * the fit already documents — deterministic in both engines. */
   def vocab(docs: DataFrame, textCol: String, merges: Seq[Merge]): Seq[String] = {
     val base = wordTable(docs, textCol)
       .select(explode(col("syms")).as("sym")).distinct()
       .collect().map(_.getString(0)).toSeq
-    (base ++ merges.map(_.merged)).distinct.sorted
+    (base ++ merges.map(_.merged)).distinct.filter(_ != "##").sorted
   }
 
   /** Greedy `##`-convention encode of `textCol` under a frozen

@@ -71,6 +71,11 @@ object Observe {
       nullCols: Seq[String] = Nil,
       extras: Map[String, Column] = Map.empty,
   ): DataFrame = {
+    val reserved = Set("rows") ++ nullCols.map("nulls_" + _)
+    val clash = extras.keySet.intersect(reserved)
+    require(clash.isEmpty,
+      s"extras keys collide with generated metric names: ${clash.toSeq.sorted.mkString(", ")} " +
+        "(the observed row would carry duplicate fields and metrics() would drop one)")
     val nulls = nullCols.map(c =>
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
     val ex = extras.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }

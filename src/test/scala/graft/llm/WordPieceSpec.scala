@@ -75,4 +75,22 @@ class WordPieceSpec extends SparkSpec {
     assert(WordPiece.induceMerges(docs("ab cd"), "text", rounds = 3,
       minCount = 2L).isEmpty)
   }
+
+  test("'#'-bearing corpus: the bare '##' fuse is vocab-filtered and fit→encode stays total") {
+    // the word "##" decomposes to [#, ###]; fusing that pair yields the
+    // string "##" — the bare continuation marker, which WordPieceEncode
+    // rejects as a piece. vocab() must drop it so the fit→encode
+    // composition cannot crash on a legal corpus.
+    val corpus = docs(Seq.fill(4)("##").mkString(" "))
+    val merges = WordPiece.induceMerges(corpus, "text", rounds = 1)
+    assert(merges.map(_.merged) === Seq("##"))
+    val v = WordPiece.vocab(corpus, "text", merges)
+    assert(!v.contains("##"))
+    assert(v === Seq("#", "###"))
+    val s = spark
+    import s.implicits._
+    val enc = Seq("##").toDF("t")
+      .select(WordPiece.encode($"t", v).as("e")).head().getString(0)
+    assert(enc === "# ###") // char pieces still cover the literal word
+  }
 }

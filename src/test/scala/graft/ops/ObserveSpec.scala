@@ -70,6 +70,20 @@ class ObserveSpec extends SparkSpec {
     assert(m("nonpos_qty") == direct.getLong(2))
   }
 
+  test("extras colliding with generated metric names are rejected up front") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val e1 = intercept[IllegalArgumentException] {
+      Observe.withQualityMetrics(li, "li", nullCols = Seq("l_quantity"),
+        extras = Map("rows" -> count(lit(1))))
+    }
+    assert(e1.getMessage.contains("rows"))
+    val e2 = intercept[IllegalArgumentException] {
+      Observe.withQualityMetrics(li, "li", nullCols = Seq("l_quantity"),
+        extras = Map("nulls_l_quantity" -> count(lit(1))))
+    }
+    assert(e2.getMessage.contains("nulls_l_quantity"))
+  }
+
   test("streaming: per-batch observed metrics surface in the progress events") {
     val spark2 = spark
     import spark2.implicits._
