@@ -203,8 +203,9 @@ object Similarity {
       k: Int,
       queryPred: Column,
       probes: Int = 1,
+      extra: Seq[String] = Nil,
   ): DataFrame = {
-    val v = withNorm(df, idCol, embCol)
+    val v = withNorm(df, idCol, embCol, extra)
       .withColumn("bucket", lshBuckets(col("e"), dim, numPlanes))
     // probe masks: own bucket, one-bit flips, then two-bit flips
     val oneFlips: Seq[Long] =
@@ -337,10 +338,69 @@ object Similarity {
     maxSimOverGrid(qv, d, grid, k)
   }
 
-  /** Stage 2 shared by both forms: full MaxSim restricted to `grid`
-    * (query_label, doc_label) pairs. `qv` = (qid, query_label, qe,
-    * qn); `d` = (doc_label, de, dn). */
-  private def maxSimOverGrid(
+  /** ANN-backed MaxSim — the 100 TB form of [[maxSimTopK]], with the
+    * groups² centroid stage of [[maxSimTwoStage]] replaced by the X57
+    * multi-probe sign-LSH pass ([[annTopK]]) over the exact-decimal
+    * centroid table: each doc group is summarized once, bucketed once
+    * by the frozen hyperplanes, and a query group probes only its own
+    * bucket plus `probes`-bit-flip neighbors — the join is an
+    * equi-join on the bucket key, so NO side ever broadcasts the full
+    * centroid table and nothing is groups²-sized (plan-audited). The
+    * own group is always a candidate (the diagonal rides along beside
+    * the `candidates` ANN survivors — [[annTopK]] excludes self by
+    * construction); stage 2 is the shared [[maxSimOverGrid]], so every
+    * surviving pair scores bit-equal to [[maxSimTopK]]: recall is
+    * monotone in `probes`/`candidates` and reaches the all-pairs form
+    * when the probe set covers the buckets and `candidates` covers the
+    * groups (spec-pinned). At 10⁷–10⁹ doc groups the centroid table
+    * hash-partitions by bucket like any other corpus — the broadcast
+    * and grid scale-killers of the two-stage form are gone. */
+  def maxSimAnn(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      groupCol: String,
+      queryPred: Column,
+      dim: Int,
+      numPlanes: Int,
+      candidates: Int,
+      k: Int,
+      probes: Int = 1,
+  ): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must be >= k ($k)")
+    val v = withNorm(df, idCol, embCol, extra = Seq(groupCol))
+    val d = v.select(col(groupCol).as("doc_label"),
+      col("e").as("de"), col("nrm").as("dn"))
+    val qv = withNorm(df.filter(queryPred), idCol, embCol,
+        extra = Seq(groupCol))
+      .select(col("id").as("qid"), col(groupCol).as("query_label"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val qlabels = qv.select(col("query_label").as("label")).distinct()
+    val cvec = centroidVectors(df, idCol, embCol, groupCol)
+    // mark which centroids are query groups (data-driven, so annTopK's
+    // row predicate stays a plain column test)
+    val marked = cvec
+      .join(qlabels.withColumn("graft_isq_", lit(true)), Seq("label"), "left")
+      .withColumn("graft_isq_", coalesce(col("graft_isq_"), lit(false)))
+    val annGrid = annTopK(marked, "label", "cv", dim, numPlanes,
+        k = candidates, queryPred = col("graft_isq_"), probes = probes,
+        extra = Seq("graft_isq_"))
+      .select(col("query_id").as("query_label"),
+        col("neighbor_id").as("doc_label"))
+    val grid = annGrid.unionByName(
+      qlabels.select(col("label").as("query_label"),
+        col("label").as("doc_label")))
+    maxSimOverGrid(qv, d, grid, k)
+  }
+
+  /** Stage 2 shared by all three forms: full MaxSim restricted to
+    * `grid` (query_label, doc_label) pairs — THE candidate-generator
+    * seam: any stage-1 (all-pairs, centroid-pruned, ANN, or an
+    * external retrieval pass) that yields a (query_label, doc_label)
+    * frame plugs in here, and every surviving pair scores through the
+    * identical q141 chain. `qv` = (qid, query_label, qe, qn); `d` =
+    * (doc_label, de, dn) — see [[withNorm]]. */
+  def maxSimOverGrid(
       qv: DataFrame, d: DataFrame, grid: DataFrame, k: Int): DataFrame = {
     val best = grid
       .join(qv, Seq("query_label"))

@@ -4616,6 +4616,109 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** ANN-backed MaxSim (Similarity.maxSimAnn — the 100 TB composition
+    * the X178 docs promised: stage 1 = the X57 multi-probe sign-LSH
+    * pass over the exact-decimal centroid table, bucket equi-join
+    * only, plus the always-candidate own group; stage 2 = the shared
+    * MaxSim grid). The oracle chains the q142 centroid SQL, the q138
+    * bucket/probe replay APPLIED TO CENTROIDS (same frozen plane
+    * literals, same sign rule, same XOR masks), the candidate rank,
+    * the diagonal ride-along, and the q141 MaxSim fold on the
+    * surviving grid — so centroid summarization, bucketing, probing,
+    * pruning, scoring, and ranking are all hash-pinned end to end. */
+  val maxSimAnnQ = GraftQuery(
+    "q143_maxsim_ann",
+    (s, d) =>
+      Similarity.maxSimAnn(embeddings(s, d), "vec_id", "embedding",
+          "label", queryPred = col("vec_id") % 5 === 0,
+          dim = 64, numPlanes = 3, candidates = 4, k = 3, probes = 1)
+        .select(col("query_label"), col("doc_label"), col("maxsim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("query_label"), col("rank")),
+    Some {
+      val planes = Similarity.planeLiterals(dim = 64, numPlanes = 3)
+      val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+        val pl = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(cv, $pl) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n               + ")
+      val masks = (0L +: (0 until 3).map(p => 1L << p)).mkString("[", ", ", "]")
+      s"""
+      WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 AS nrm
+        FROM embeddings
+      ),
+      qv AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+      cent AS (
+        SELECT label, i AS dim,
+               CAST(CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE)
+                        AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+                 AS centroid
+        FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i)
+        GROUP BY label, i
+      ),
+      cn AS (
+        SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS n FROM (
+          SELECT label, list(centroid ORDER BY dim) AS cv
+          FROM cent GROUP BY label
+        )
+      ),
+      cb AS (
+        SELECT label, cv, n,
+               $bucketSql AS bucket
+        FROM cn
+      ),
+      ql AS (SELECT DISTINCT label FROM qv),
+      probes AS (
+        SELECT q.label AS query_label, q.cv AS qcv, q.n AS qn_,
+               xor(q.bucket, m.m) AS probe_bucket
+        FROM cb q
+        JOIN ql ON ql.label = q.label
+        CROSS JOIN (SELECT unnest($masks) AS m) m
+      ),
+      grid AS (
+        SELECT query_label, doc_label FROM (
+          SELECT query_label, doc_label,
+                 ROW_NUMBER() OVER (PARTITION BY query_label
+                   ORDER BY csim DESC, doc_label) AS rn
+          FROM (
+            SELECT p.query_label, c.label AS doc_label,
+                   list_dot_product(p.qcv, c.cv) / (p.qn_ * c.n) AS csim
+            FROM probes p
+            JOIN cb c ON c.bucket = p.probe_bucket
+                     AND c.label <> p.query_label
+          )
+        ) WHERE rn <= 4
+        UNION ALL
+        SELECT label, label FROM ql
+      ),
+      best AS (
+        SELECT g.query_label, g.doc_label, q.vec_id AS qid,
+               MAX(list_dot_product(q.e, c.e) / (q.nrm * c.nrm)) AS m
+        FROM grid g
+        JOIN qv q ON q.label = g.query_label
+        JOIN v c ON c.label = g.doc_label
+        GROUP BY 1, 2, 3
+      ),
+      folded AS (
+        SELECT query_label, doc_label,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(m ORDER BY qid)), (a, b) -> a + b) AS maxsim
+        FROM best GROUP BY 1, 2
+      )
+      SELECT query_label, doc_label, maxsim, CAST(rank AS INT) AS rank FROM (
+        SELECT query_label, doc_label, maxsim,
+               ROW_NUMBER() OVER (PARTITION BY query_label
+                 ORDER BY maxsim DESC, doc_label) AS rank
+        FROM folded
+      )
+      WHERE rank <= 3
+      ORDER BY query_label, rank
+      """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -4699,5 +4802,6 @@ object LlmCatalog {
     langIdMarginQ,
     maxSimQ,
     maxSimTwoStageQ,
+    maxSimAnnQ,
   )
 }

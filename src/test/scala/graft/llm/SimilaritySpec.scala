@@ -226,4 +226,48 @@ class SimilaritySpec extends SparkSpec {
       assert(fullScores((q, d2)) == s2, s"pair ($q,$d2)")
     }
   }
+
+  test("maxSimAnn: probe-monotone recall, bit-equal scores, all-pairs at full coverage") {
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+    val nGroups = base.select("label").distinct().count().toInt
+    val pred = col("vec_id") % 5 === 0
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"query_label", $"doc_label", $"maxsim", $"rank")
+        .as[(Int, Int, Double, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val full = rows(Similarity.maxSimTopK(base, "vec_id", "embedding",
+      "label", queryPred = pred, k = 3))
+    // 2 planes + 2-bit probing covers all 4 buckets; candidates =
+    // |groups| keeps every ANN survivor → identical to all-pairs
+    val covered = rows(Similarity.maxSimAnn(base, "vec_id", "embedding",
+      "label", queryPred = pred, dim = 64, numPlanes = 2,
+      candidates = nGroups, k = 3, probes = 2))
+    assert(covered == full)
+    // 3 planes, own-bucket + 1-flip probing: recall vs the all-pairs
+    // top-3 is monotone in probes, and kept scores never drift
+    val fullPairs = full.map(r => (r._1, r._2)).toSet
+    val allScores = rows(Similarity.maxSimTopK(base, "vec_id", "embedding",
+      "label", queryPred = pred, k = nGroups))
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def recallAt(probes: Int): Double = {
+      val got = rows(Similarity.maxSimAnn(base, "vec_id", "embedding",
+        "label", queryPred = pred, dim = 64, numPlanes = 3,
+        candidates = 4, k = 3, probes = probes))
+      got.foreach { case (q, d2, s2, _) =>
+        assert(allScores((q, d2)) == s2, s"pair ($q,$d2) drifted")
+      }
+      (got.map(r => (r._1, r._2)).toSet & fullPairs).size.toDouble /
+        fullPairs.size
+    }
+    val r0 = recallAt(0); val r1 = recallAt(1); val r2 = recallAt(2)
+    assert(r0 <= r1 && r1 <= r2, s"recall not monotone: $r0 $r1 $r2")
+    assert(r2 > 0.5, s"2-flip probing over 3 planes recalls only $r2")
+    // the own group always survives as a candidate (the diagonal ride)
+    val own = rows(Similarity.maxSimAnn(base, "vec_id", "embedding",
+      "label", queryPred = pred, dim = 64, numPlanes = 3,
+      candidates = 4, k = 1, probes = 0))
+    own.foreach { case (q, d2, _, rk) =>
+      assert(rk > 1 || q == d2 || allScores((q, d2)) >= allScores((q, q)),
+        s"query $q lost its own group to a worse candidate")
+    }
+  }
 }

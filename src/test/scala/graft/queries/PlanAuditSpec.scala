@@ -676,6 +676,23 @@ class PlanAuditSpec extends SparkSpec {
       s"per-(pair, query-vector) max must map-side combine:\n${p.take(800)}")
   }
 
+  test("q143 maxsim-ann: no nested loop anywhere — the centroid table is never broadcast whole") {
+    val df = LlmCatalog.maxSimAnnQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the two-stage form's scale flaw was crossJoin(broadcast(cvec)) —
+    // a BroadcastNestedLoopJoin over EVERY doc-group centroid. The ANN
+    // form must plan pure equi-joins: centroids meet probes on the
+    // bucket key, the grid meets vectors on the group keys. At 10⁹ doc
+    // groups there is nothing here that materializes groups² or ships
+    // the whole centroid table to every executor.
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the centroid table must never broadcast-nest:\n${p.take(800)}")
+    assert(p.contains("partial_max"),
+      s"per-(pair, query-vector) max must map-side combine:\n${p.take(800)}")
+  }
+
   test("q137 leakage split: one id join after CC, assignment is a projection") {
     val p = plan(LlmCatalog.leakageSafeSplitQ)
     assert(!p.contains("CartesianProduct") &&
