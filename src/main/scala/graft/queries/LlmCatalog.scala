@@ -4719,6 +4719,57 @@ object LlmCatalog {
     },
   )
 
+  /** In-engine hashed TF-IDF document vectors (Vectorize, X180 — the
+    * corpus→vector loop closed: the similarity stack no longer needs
+    * fixture embeddings). The oracle replays the ENTIRE chain: md5
+    * bucket assignment (the hash28 mod-dims trick), per-doc bucket
+    * tf with multiplicity, bucket df, the X155 exact-integer idf
+    * surrogate, w = tf·idfS, and the L2 norm summed as
+    * DECIMAL(19,0)² products — so every vector COMPONENT
+    * hash-matches, not just a summary of it. */
+  val tfidfQ = GraftQuery(
+    "q144_tfidf_vectors",
+    (s, d) =>
+      graft.llm.Vectorize.tfidfSparse(documents(s, d), "doc_id", "text",
+          dims = 64)
+        .withColumnsRenamed(Map("id" -> "doc_id"))
+        .orderBy(col("doc_id"), col("bucket")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      ),
+      b AS (
+        SELECT doc_id,
+               CAST(('0x'||substr(md5(t),1,7))::BIGINT % 64 AS INT) AS bucket
+        FROM toks WHERE length(t) > 0
+      ),
+      tf AS (
+        SELECT doc_id, bucket, COUNT(*) AS tf FROM b GROUP BY 1, 2
+      ),
+      dfb AS (SELECT bucket, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      w AS (
+        SELECT tf.doc_id, tf.bucket, tf.tf, dfb.df,
+               ((2 * (n.n_docs - dfb.df) + 1) * 1000) // (2 * dfb.df + 1)
+                 AS idfs,
+               tf.tf * (((2 * (n.n_docs - dfb.df) + 1) * 1000)
+                 // (2 * dfb.df + 1)) AS w
+        FROM tf JOIN dfb USING (bucket) CROSS JOIN n
+      ),
+      nm AS (
+        SELECT doc_id,
+               sqrt(CAST(SUM(CAST(w AS DECIMAL(19,0))
+                 * CAST(w AS DECIMAL(19,0))) AS DOUBLE)) AS nrm
+        FROM w GROUP BY doc_id
+      )
+      SELECT w.doc_id, w.bucket, w.tf, w.df, w.idfs,
+             CASE WHEN nm.nrm = 0 THEN 0.0
+                  ELSE CAST(w.w AS DOUBLE) / nm.nrm END AS comp
+      FROM w JOIN nm USING (doc_id)
+      ORDER BY doc_id, bucket
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -4803,5 +4854,6 @@ object LlmCatalog {
     maxSimQ,
     maxSimTwoStageQ,
     maxSimAnnQ,
+    tfidfQ,
   )
 }
