@@ -108,4 +108,136 @@ object Retrieval {
       .select(col("qid"), (col("graft_r_") + 1).cast("int").as("rank"),
         col("e.id").as(idCol), col("e.score").as("score"))
   }
+
+  /** RRF resolution: contributions stay distinct through rank ≈ √scale
+    * − kConst (rank 940 at the default constants); beyond that the
+    * integer floor merges adjacent ranks — far past any sane pool
+    * depth. */
+  val RrfScale = 1000000L
+
+  /** The published RRF smoothing constant (Cormack, Clarke &
+    * Buettcher 2009's k = 60). */
+  val RrfK = 60L
+
+  /** Dense-vector top-k ranker over (id, vec) frames — the semantic
+    * constituent of [[hybridTopK]]: score = the codegen'd sequential
+    * dot product ([[Similarity.dot]] — for L2-normalized
+    * [[Vectorize]] output this IS the cosine), zero-overlap pairs
+    * dropped (the BM25 no-evidence-no-rows rule, so an absent doc is
+    * meaningful to the fusion), rank by (score DESC, id ASC).
+    * The query side broadcasts (BroadcastNestedLoopJoin streaming
+    * over corpus partitions — no corpus shuffle); per-query top-k
+    * rides the TopKAgg bounded heap, candidates reduced to ≤ k rows
+    * per map task BEFORE the exchange. Swap in an [[Similarity.
+    * annTopK]]-derived candidate pass when |queries|·N work is too
+    * much — the fusion only needs (qid, id, rank). */
+  def vectorTopK(
+      docVecs: DataFrame,
+      queryVecs: DataFrame,
+      k: Int,
+      idCol: String = "doc_id",
+      vecCol: String = "vec",
+      qidCol: String = "qid",
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = docVecs.select(col(idCol).as("graft_did_"),
+      col(vecCol).as("graft_dv_"))
+    val q = queryVecs.select(col(qidCol).as("qid"),
+      col(vecCol).as("graft_qv_"))
+    val scored = broadcast(q).crossJoin(d)
+      .select(col("qid"), col("graft_did_"),
+        Similarity.dot(col("graft_qv_"), col("graft_dv_")).as("score"))
+      .filter(col("score") > 0.0)
+    val payload = struct(col("graft_did_"), col("score"))
+    scored
+      .groupBy("qid")
+      .agg(graft.expr.TopKAgg.topK(col("score"), payload, k)
+        .as("graft_top_"))
+      .select(col("qid"), posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
+      .select(col("qid"), (col("graft_r_") + 1).cast("int").as("rank"),
+        col("e.graft_did_").as(idCol), col("e.score").as("score"))
+  }
+
+  /** EXACT-INTEGER reciprocal-rank fusion (Cormack et al. 2009 —
+    * the standard composition of rankers that score on incomparable
+    * scales): fused(q, d) = Σ_r scale div (kConst + rank_r(q, d))
+    * over the rankers that retrieved d — computed entirely in scaled
+    * longs (the float 1/(k+rank) swapped for its exact integer
+    * surrogate, the X155 rule), so the FUSED ranking hash-replays
+    * cross-engine, which no float RRF could guarantee on ties.
+    * Inputs are top-k lists (qidCol, idCol, rankCol) from any
+    * rankers ([[bm25TopK]], [[vectorTopK]], [[Similarity.annTopK]]
+    * renamed, …); a doc absent from a ranker's list simply
+    * contributes nothing — that asymmetry is the point: evidence
+    * from EITHER modality surfaces the doc, and agreement compounds.
+    * Shape: one unionByName (no join of the rankings!), one
+    * (qid, id) sum groupBy — map-side combinable — and the TopKAgg
+    * heap; the fused table is ≤ Σ|lists| rows, never corpus-sized. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      k: Int,
+      kConst: Long = RrfK,
+      scale: Long = RrfScale,
+      qidCol: String = "qid",
+      idCol: String = "doc_id",
+      rankCol: String = "rank",
+  ): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(kConst >= 0, s"kConst must be >= 0, got $kConst")
+    val pts = rankings
+      .map(_.select(col(qidCol).as("qid"), col(idCol).as("graft_id_"),
+        expr(s"$scale div ($kConst + $rankCol)").as("graft_pts_")))
+      .reduce(_ unionByName _)
+    val fused = pts
+      .groupBy(col("qid"), col("graft_id_"))
+      .agg(sum(col("graft_pts_")).as("fused"))
+    val payload = struct(col("graft_id_"), col("fused"))
+    fused
+      .groupBy("qid")
+      .agg(graft.expr.TopKAgg.topK(col("fused"), payload, k)
+        .as("graft_top_"))
+      .select(col("qid"), posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
+      .select(col("qid"), (col("graft_r_") + 1).cast("int").as("rank"),
+        col("e.graft_id_").as(idCol), col("e.fused").as("fused"))
+  }
+
+  /** Hybrid retrieval: BM25 (lexical) ∥ hashed-TF-IDF cosine
+    * (distributional, engine-derived — [[Vectorize]]) → RRF. Each
+    * ranker retrieves `poolK` candidates; fusion keeps `k`. The
+    * classic win: a query whose exact terms miss (BM25 empty) still
+    * retrieves through bucket overlap, and docs BOTH rankers like
+    * outrank docs only one likes. The corpus is scanned once for tf
+    * (shared by BM25's postings and the vector model's df); the df
+    * table is ≤ dims rows → broadcast. Every stage hash-replays —
+    * q145 pins the full composition. */
+  def hybridTopK(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dims: Int,
+      poolK: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      qidCol: String = "qid",
+      qtextCol: String = "qtext",
+      kConst: Long = RrfK,
+      scale: Long = RrfScale,
+  ): DataFrame = {
+    val lex = bm25TopK(docs, queries, poolK, idCol, textCol, qidCol, qtextCol)
+    val tf = Vectorize.termFrequencies(docs, idCol, textCol, dims)
+    val dfT = Vectorize.docFrequencies(tf)
+    val totals = Vectorize.corpusSize(docs)
+    val dv = Vectorize.toDense(
+      Vectorize.sparseNormalized(docs, idCol, textCol, dfT, totals, dims),
+      docs, idCol, dims)
+    val qv = Vectorize.embed(
+      queries.select(col(qidCol), col(qtextCol)),
+      qidCol, qtextCol, dfT, totals, dims)
+    val sem = vectorTopK(
+      dv.withColumnRenamed("id", idCol),
+      qv.withColumnRenamed("id", qidCol),
+      poolK, idCol, "vec", qidCol)
+    rrfFuse(Seq(lex, sem), k, kConst, scale, qidCol, idCol, "rank")
+  }
 }

@@ -4770,6 +4770,163 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Hybrid retrieval via EXACT-INTEGER reciprocal-rank fusion
+    * (Retrieval.hybridTopK, X182 — Cormack 2009's k=60 RRF with the
+    * float 1/(k+rank) swapped for its scaled-long surrogate): BM25
+    * (the q112 chain, k=5) ∥ hashed-TF-IDF cosine over
+    * engine-derived vectors (the q144 chain densified, query side
+    * embedded under the frozen corpus df model), fused as
+    * Σ 10⁶ div (60+rank). The oracle replays BOTH constituent
+    * rankings AND the fusion arithmetic, so the hash pins the whole
+    * two-modality stack; q4's unmatched vocabulary pins the classic
+    * hybrid win — BM25 empty, the hashed-vector side still ranks. */
+  val hybridRrfQ = GraftQuery(
+    "q145_hybrid_rrf",
+    (s, d) => {
+      import s.implicits._
+      val qs = Seq((1, "hash join strategy"), (2, "slow scan filter"),
+        (3, "vector index build"), (4, "zzz unmatched terms"))
+        .toDF("qid", "qtext")
+      graft.llm.Retrieval.hybridTopK(documents(s, d), qs, k = 5,
+          dims = 64, poolK = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH q(qid, qtext) AS (VALUES (1, 'hash join strategy'),
+        (2, 'slow scan filter'), (3, 'vector index build'),
+        (4, 'zzz unmatched terms')),
+      toks AS (
+        SELECT doc_id AS id, t AS term FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        WHERE len(t) > 0
+      ),
+      tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY id, term),
+      dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY id),
+      dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS l_tot FROM dl),
+      qt AS (
+        SELECT qid, t AS term FROM (
+          SELECT qid, unnest(list_distinct(string_split(qtext, ' '))) AS t FROM q)
+        WHERE len(t) > 0
+      ),
+      st AS (
+        SELECT qt.qid, tf.id,
+               ((2 * (n_docs - df) + 1) * ${graft.llm.Retrieval.IdfScale})
+                 // (2 * df + 1) AS idf,
+               (22 * l_tot * tf * ${graft.llm.Retrieval.SatScale})
+                 // (10 * l_tot * tf + 3 * l_tot + 9 * dl * n_docs) AS sat
+        FROM qt JOIN tf ON qt.term = tf.term
+        JOIN dft ON qt.term = dft.term
+        JOIN dl ON tf.id = dl.id, tot
+      ),
+      pd AS (SELECT qid, id, CAST(SUM(idf * sat) AS BIGINT) AS score
+             FROM st GROUP BY qid, id),
+      lex AS (
+        SELECT qid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY score DESC, id) AS INT) AS rank,
+               id AS doc_id
+        FROM pd QUALIFY rank <= 5
+      ),
+      -- hashed-TF-IDF doc vectors (the q144 chain)
+      db AS (
+        SELECT id AS doc_id,
+               CAST(('0x'||substr(md5(term),1,7))::BIGINT % 64 AS INT) AS bucket
+        FROM toks
+      ),
+      dtf AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM db GROUP BY 1, 2),
+      dfb AS (SELECT bucket, COUNT(*) AS df FROM dtf GROUP BY 1),
+      dn AS (SELECT COUNT(*) AS n_docs FROM documents),
+      dw AS (
+        SELECT dtf.doc_id, dtf.bucket,
+               dtf.tf * (((2 * (dn.n_docs - dfb.df) + 1) * 1000)
+                 // (2 * dfb.df + 1)) AS w
+        FROM dtf JOIN dfb USING (bucket) CROSS JOIN dn
+      ),
+      dnm AS (
+        SELECT doc_id,
+               sqrt(CAST(SUM(CAST(w AS DECIMAL(19,0))
+                 * CAST(w AS DECIMAL(19,0))) AS DOUBLE)) AS nrm
+        FROM dw GROUP BY doc_id
+      ),
+      dcomp AS (
+        SELECT dw.doc_id, dw.bucket,
+               CASE WHEN dnm.nrm = 0 THEN 0.0
+                    ELSE CAST(dw.w AS DOUBLE) / dnm.nrm END AS comp
+        FROM dw JOIN dnm USING (doc_id)
+      ),
+      ddense AS (
+        SELECT doc_id, list(comp ORDER BY dim) AS v FROM (
+          SELECT s.doc_id, g.dim, COALESCE(c.comp, 0.0) AS comp
+          FROM (SELECT DISTINCT doc_id FROM dcomp) s
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) g
+          LEFT JOIN dcomp c ON c.doc_id = s.doc_id AND c.bucket = g.dim
+        ) GROUP BY doc_id
+      ),
+      -- query vectors under the frozen corpus df model (qtf keeps
+      -- multiplicity; unseen buckets take df = 0 by the same formula)
+      qb AS (
+        SELECT qid,
+               CAST(('0x'||substr(md5(t),1,7))::BIGINT % 64 AS INT) AS bucket
+        FROM (SELECT qid, unnest(string_split(qtext, ' ')) AS t FROM q)
+        WHERE len(t) > 0
+      ),
+      qtf AS (SELECT qid, bucket, COUNT(*) AS tf FROM qb GROUP BY 1, 2),
+      qw AS (
+        SELECT qtf.qid, qtf.bucket,
+               qtf.tf * (((2 * (dn.n_docs - COALESCE(dfb.df, 0)) + 1) * 1000)
+                 // (2 * COALESCE(dfb.df, 0) + 1)) AS w
+        FROM qtf LEFT JOIN dfb USING (bucket) CROSS JOIN dn
+      ),
+      qnm AS (
+        SELECT qid,
+               sqrt(CAST(SUM(CAST(w AS DECIMAL(19,0))
+                 * CAST(w AS DECIMAL(19,0))) AS DOUBLE)) AS nrm
+        FROM qw GROUP BY qid
+      ),
+      qcomp AS (
+        SELECT qw.qid, qw.bucket,
+               CASE WHEN qnm.nrm = 0 THEN 0.0
+                    ELSE CAST(qw.w AS DOUBLE) / qnm.nrm END AS comp
+        FROM qw JOIN qnm USING (qid)
+      ),
+      qdense AS (
+        SELECT qid, list(comp ORDER BY dim) AS v FROM (
+          SELECT s.qid, g.dim, COALESCE(c.comp, 0.0) AS comp
+          FROM (SELECT DISTINCT qid FROM qcomp) s
+          CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) g
+          LEFT JOIN qcomp c ON c.qid = s.qid AND c.bucket = g.dim
+        ) GROUP BY qid
+      ),
+      sem AS (
+        SELECT qid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id) AS INT) AS rank,
+               doc_id
+        FROM (
+          SELECT qd.qid, dd.doc_id, list_dot_product(qd.v, dd.v) AS score
+          FROM qdense qd CROSS JOIN ddense dd
+        ) WHERE score > 0
+        QUALIFY rank <= 5
+      ),
+      pts AS (
+        SELECT qid, doc_id, 1000000 // (60 + rank) AS p FROM lex
+        UNION ALL
+        SELECT qid, doc_id, 1000000 // (60 + rank) AS p FROM sem
+      ),
+      fusedt AS (
+        SELECT qid, doc_id, CAST(SUM(p) AS BIGINT) AS fused
+        FROM pts GROUP BY qid, doc_id
+      )
+      SELECT qid, CAST(rank AS INT) AS rank, doc_id, fused FROM (
+        SELECT qid, doc_id, fused,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY fused DESC, doc_id) AS rank
+        FROM fusedt
+      )
+      WHERE rank <= 5
+      ORDER BY qid, rank
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -4855,5 +5012,6 @@ object LlmCatalog {
     maxSimTwoStageQ,
     maxSimAnnQ,
     tfidfQ,
+    hybridRrfQ,
   )
 }

@@ -78,4 +78,84 @@ class RetrievalSpec extends SparkSpec {
       assert(s == a.getOrElse(id, 0L) + b.getOrElse(id, 0L),
         s"doc $id: $s != ${a.getOrElse(id, 0L)} + ${b.getOrElse(id, 0L)}")
   }
+
+  test("rrfFuse: agreement beats single-ranker wins on the planted lexical-/semantic-miss fixture") {
+    // the canonical RRF situation: doc 100 is rank 2 in BOTH rankers;
+    // doc 200 is the lexical ranker's top pick but a SEMANTIC MISS
+    // (absent from the vector list); doc 300 is the vector ranker's
+    // top pick but a LEXICAL MISS (absent from BM25). Each single
+    // ranker puts its one-sided favorite first; fusion must put the
+    // agreed doc first: 2·(10⁶ div 62) = 32256 > 10⁶ div 61 = 16393.
+    val lex = Seq((1, 1, 200L), (1, 2, 100L), (1, 3, 250L))
+      .toDF("qid", "rank", "doc_id")
+    val sem = Seq((1, 1, 300L), (1, 2, 100L), (1, 3, 350L))
+      .toDF("qid", "rank", "doc_id")
+    val fused = Retrieval.rrfFuse(Seq(lex, sem), k = 5)
+      .as[(Int, Int, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(fused.head._3 == 100L,
+      s"the both-rankers doc must fuse to rank 1: $fused")
+    assert(fused.head._4 == 2 * (1000000L / 62),
+      s"fused score must be the exact integer chain: $fused")
+    // one-sided docs follow, ordered by their single contribution,
+    // ties on doc_id ascending
+    assert(fused.map(_._3) == Seq(100L, 200L, 300L, 250L, 350L), fused)
+    assert(fused(1)._4 == 1000000L / 61 && fused(2)._4 == 1000000L / 61)
+  }
+
+  test("vectorTopK: cosine order, no-overlap drop, tie-break on id") {
+    val dv = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.8, 0.6, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0)),   // orthogonal to the query → dropped
+      (4L, Seq(0.8, 0.6, 0.0)),   // exact tie with 2 → id order
+    ).toDF("doc_id", "vec")
+    val qv = Seq((9L, Seq(1.0, 0.0, 0.0))).toDF("qid", "vec")
+    val got = Retrieval.vectorTopK(dv, qv, k = 4)
+      .as[(Long, Int, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(got.map(_._3) == Seq(1L, 2L, 4L), got)
+    assert(got.head._4 == 1.0)
+  }
+
+  test("hybridTopK end-to-end: lexical misses retrieve through the vector side and agreement leads") {
+    val docs = Seq(
+      (1L, "solar panel efficiency degrades under partial shading conditions"),
+      (2L, "wind turbine blade inspection uses drone imagery analysis"),
+      (3L, "solar inverter firmware schedules panel cleaning cycles"),
+      (4L, "medieval falconry hood training methods"),
+    ).toDF("doc_id", "text")
+    // dims = 32 on purpose: with ~25 occupied buckets, even the
+    // out-of-vocabulary query collides into SOME occupied bucket —
+    // the hashing-trick graceful-degradation behavior the test pins
+    val queries = Seq(
+      (1, "solar panel cleaning"),
+      (2, "qqq zzz www")) // no exact term hits anywhere → BM25 empty
+      .toDF("qid", "qtext")
+    val fused = Retrieval.hybridTopK(docs, queries, k = 4, dims = 32,
+      poolK = 4)
+    val rows = fused.as[(Int, Int, Long, Long)].collect()
+    val byQ = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // q1: docs 1 and 3 carry the query terms; 4 is unrelated
+    assert(byQ(1).take(2).toSet == Set(1L, 3L), byQ.toString)
+    // q2 is a total lexical miss — BM25 contributes nothing — yet the
+    // hashed-vector side still ranks docs through bucket collisions:
+    // the hybrid returns SOMETHING where pure BM25 returns nothing
+    assert(Retrieval.bm25TopK(docs, queries.filter($"qid" === 2), 4)
+      .isEmpty, "fixture broke: q2 must be a BM25 miss")
+    assert(byQ.contains(2) && byQ(2).nonEmpty,
+      s"vector side must cover the lexical miss: $byQ")
+    // the fusion is exactly RRF of its two constituent lists
+    val lex = Retrieval.bm25TopK(docs, queries, 4)
+      .select($"qid", $"rank", $"doc_id")
+    val tf = Vectorize.termFrequencies(docs, "doc_id", "text", 32)
+    val dv = Vectorize.tfidfVectors(docs, "doc_id", "text", 32)
+      .withColumnRenamed("id", "doc_id")
+    val qv = Vectorize.embed(queries, "qid", "qtext",
+        Vectorize.docFrequencies(tf), Vectorize.corpusSize(docs), 32)
+      .withColumnRenamed("id", "qid")
+    val sem = Retrieval.vectorTopK(dv, qv, 4)
+      .select($"qid", $"rank", $"doc_id")
+    val manual = Retrieval.rrfFuse(Seq(lex, sem), k = 4)
+      .as[(Int, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == manual)
+  }
 }
