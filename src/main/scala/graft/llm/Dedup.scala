@@ -632,6 +632,24 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
+  ): DataFrame =
+    ncdPairsWith(pairs, docs, idCol, textCol, TextOps.deflateLen)
+
+  /** [[ncdPairs]] with a pluggable complexity measure C — the seam
+    * that lets the join + ratio chain be ORACLED even though DEFLATE
+    * itself cannot: pass a DuckDB-replayable C (e.g. the distinct
+    * 3-shingle count — set complexity, a legitimate dictionary-coder
+    * surrogate: shared n-grams are exactly what DEFLATE's window
+    * reuses) and every output column hash-matches (q146); pass
+    * [[TextOps.deflateLen]] and only the codec call itself is
+    * oracle-exempt. Same inner-join drop semantics and `" "`
+    * separator as [[ncdPairs]] (its doc). */
+  def ncdPairsWith(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      complexity: Column => Column,
   ): DataFrame = {
     val t = docs.select(col(idCol).as("id"), col(textCol).as("t"))
     pairs
@@ -640,10 +658,9 @@ object Dedup {
       .select(
         col("id_a"),
         col("id_b"),
-        TextOps.deflateLen(col("t_a")).as("c_a"),
-        TextOps.deflateLen(col("t_b")).as("c_b"),
-        TextOps.deflateLen(concat(col("t_a"), lit(" "), col("t_b")))
-          .as("c_ab"))
+        complexity(col("t_a")).as("c_a"),
+        complexity(col("t_b")).as("c_b"),
+        complexity(concat(col("t_a"), lit(" "), col("t_b"))).as("c_ab"))
       .withColumn("ncd", ncdFromLengths(col("c_a"), col("c_b"), col("c_ab")))
   }
 

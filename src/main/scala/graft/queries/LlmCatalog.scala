@@ -4927,6 +4927,65 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** The NCD tier's arithmetic seam, oracled (Dedup.ncdPairsWith —
+    * X176's DEFLATE call stays spec-only, but the pair join, the
+    * three complexity columns, the min/max/divide ratio, and the
+    * threshold all hash-replay here under a DuckDB-computable C:
+    * the distinct 3-shingle count — set complexity, the legitimate
+    * dictionary-coder surrogate, since shared n-grams are exactly
+    * what DEFLATE's window reuses). Pairs = consecutive doc ids (a
+    * deterministic bounded candidate set); identical/near texts give
+    * small joint growth → low NCD, unrelated neighbors → ≈ 1. This
+    * shrinks X176's oracle-exempt surface to the codec call alone. */
+  val ncdLengthsQ = GraftQuery(
+    "q146_ncd_lengths",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = docs.select(col("doc_id").as("id_a"))
+        .join(docs.select((col("doc_id") - 1).as("id_a"),
+          col("doc_id").as("id_b")), Seq("id_a"))
+      Dedup.ncdPairsWith(pairs, docs, "doc_id", "text",
+          t => size(TextOps.shingleHashes(t, 3)).cast("long"))
+        .filter(col("c_a") > 0 && col("c_b") > 0)
+        .withColumn("near_dup", col("ncd") <= 0.35)
+        .orderBy(col("id_a"))
+    },
+    Some {
+      val Seq(c1, c2, c3) = TextOps.ShingleC.take(3)
+      val m = TextOps.ShingleM
+      def cSql(texpr: String) =
+        s"""(SELECT CASE WHEN len(th) >= 3 THEN CAST(len(list_distinct(
+           |           list_transform(generate_series(1, len(th)-2),
+           |             i -> (th[i]*$c1 + th[i+1]*$c2 + th[i+2]*$c3) % $m)))
+           |           AS BIGINT) ELSE 0 END
+           |     FROM (SELECT list_transform(string_split($texpr, ' '),
+           |             t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th))"""
+          .stripMargin
+      s"""
+      WITH p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.text AS t_a, b.text AS t_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      ),
+      c AS (
+        SELECT id_a, id_b,
+               ${cSql("t_a")} AS c_a,
+               ${cSql("t_b")} AS c_b,
+               ${cSql("t_a || ' ' || t_b")} AS c_ab
+        FROM p
+      )
+      SELECT id_a, id_b, c_a, c_b, c_ab,
+             CAST(c_ab - LEAST(c_a, c_b) AS DOUBLE)
+               / CAST(GREATEST(c_a, c_b) AS DOUBLE) AS ncd,
+             (CAST(c_ab - LEAST(c_a, c_b) AS DOUBLE)
+               / CAST(GREATEST(c_a, c_b) AS DOUBLE)) <= 0.35 AS near_dup
+      FROM c
+      WHERE c_a > 0 AND c_b > 0
+      ORDER BY id_a
+      """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -5013,5 +5072,6 @@ object LlmCatalog {
     maxSimAnnQ,
     tfidfQ,
     hybridRrfQ,
+    ncdLengthsQ,
   )
 }
