@@ -267,15 +267,33 @@ final class BucketedParquetDirStore(root: String, numBuckets: Int = 64)(implicit
   * table assumed (the reference's Lambda has the same contract);
   * readers are wait-free and always see a complete committed snapshot.
   *
+  * DATA SKIPPING (`statsColumns`): each commit records per-generation
+  * column min/max IN THE MANIFEST (exact decimal strings, numeric
+  * columns only), and [[readWhere]] prunes provably-disjoint dirs
+  * before the scan — at 100 TB with time-ordered or Z-ordered
+  * commits, a selective predicate opens a handful of files instead
+  * of every one (the difference between touching 0.1% and 100% of a
+  * partition's files). Stats ride the same manifest rename as the
+  * dirs they describe (crash-atomic), carry forward by reference
+  * with untouched buckets, and their ABSENCE is always safe: an
+  * unstatted dir is scanned, never skipped.
+  *
   * Tables are role-split exactly like the reference's warehouse: a
   * table is EITHER an append log (K2) or a keyed upsert target
   * (K3/K4/W1) — [[upsert]] on a table with log dirs refuses rather
   * than silently miss log rows during its bucket-pruned merge. */
-class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "parquet")(
+class SnapshotBucketedStore(
+    root: String,
+    numBuckets: Int = 64,
+    fmt: String = "parquet",
+    statsColumns: Seq[String] = Nil)(
     implicit spark: SparkSession)
     extends TableStore {
 
   import org.apache.hadoop.fs.Path
+  require(statsColumns.forall(_.matches("[A-Za-z0-9_]+")),
+    s"stats column names must be [A-Za-z0-9_]+ (manifest line syntax): " +
+      statsColumns.mkString(", "))
   // every generation read goes through the same format seam as
   // FileDirStore, so the atomic-commit/GDPR-delete machinery is
   // format-agnostic (both bundled columnar formats honor mergeSchema)
@@ -296,12 +314,25 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
   /** A committed snapshot: bucket → live data dir (table-relative),
     * plus append-log dirs, plus the highest streaming batch id applied
     * (rides in the same manifest so data + marker commit in ONE
-    * rename — the exactly-once hinge for [[appendIfNew]]). */
+    * rename — the exactly-once hinge for [[appendIfNew]]), plus
+    * per-dir column min/max statistics (dir → (col, min, max) — the
+    * data-skipping index; stats COMMIT IN THE SAME RENAME as the dirs
+    * they describe, so a reader can never see a dir without its stats
+    * or stats without their dir). */
   private final case class Manifest(
       version: Int,
       buckets: Map[Long, String],
       logs: Seq[String],
-      lastBatch: Option[Long] = None)
+      lastBatch: Option[Long] = None,
+      stats: Map[String, Seq[(String, String, String)]] = Map.empty) {
+    /** Stats restricted to dirs this manifest still references — the
+      * carry-forward rule every commit applies to its predecessor's
+      * stats (superseded generations take their stats with them). */
+    def liveStats: Map[String, Seq[(String, String, String)]] = {
+      val live = buckets.values.toSet ++ logs
+      stats.filter { case (d, _) => live(d) }
+    }
+  }
 
   private val ManifestName = "manifest-(\\d+)\\.txt".r
 
@@ -320,7 +351,13 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     val logs = entries.collect { case s if s.startsWith("log:") => s.stripPrefix("log:") }
     val lastBatch = entries.collectFirst { case s if s.startsWith("batch:") =>
       s.stripPrefix("batch:").toLong }
-    Some(Manifest(v, buckets, logs, lastBatch))
+    val stats = entries.collect { case s if s.startsWith("stats:") =>
+      val Array(d, cs) = s.stripPrefix("stats:").split("=", 2)
+      d -> cs.split(",").toSeq.map { t =>
+        val Array(c, mn, mx) = t.split(":", 3); (c, mn, mx)
+      }
+    }.toMap
+    Some(Manifest(v, buckets, logs, lastBatch, stats))
   }
 
   private def latestManifest(name: String): Option[Manifest] = {
@@ -374,7 +411,12 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
       val lines =
         m.buckets.toSeq.sortBy(_._1).map { case (b, d) => s"bucket:$b=$d" } ++
           m.logs.map(l => s"log:$l") ++
-          m.lastBatch.map(b => s"batch:$b").toSeq
+          m.lastBatch.map(b => s"batch:$b").toSeq ++
+          m.liveStats.toSeq.sortBy(_._1).collect {
+            case (d, cs) if cs.nonEmpty =>
+              s"stats:$d=" +
+                cs.map { case (c, mn, mx) => s"$c:$mn:$mx" }.mkString(",")
+          }
       out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
     beforeCommit()
@@ -422,6 +464,134 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
 
   private def dirsOf(name: String, m: Manifest, dirs: Iterable[String]): Seq[String] =
     dirs.map(d => new Path(tableDir(name), d).toString).toSeq
+
+  // ----------------------------------------------------------------
+  // Data-skipping statistics (file-level min/max in the manifest)
+  // ----------------------------------------------------------------
+
+  /** Types whose `cast("string")` min/max round-trips EXACTLY and
+    * compares correctly as BigDecimal — the soundness requirement
+    * for skipping (a lossy bound could wrongly exclude a file).
+    * Timestamps/dates are deliberately out: stat an epoch LONG
+    * column instead (events.ts is already epoch-ns here). */
+  private def statType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** Min/max of the declared stats columns over one frame, as exact
+    * decimal strings; all-null columns record nothing (such a dir is
+    * conservatively KEPT by range predicates — absence of stats never
+    * lies). One agg job, map-side combinable, reading ONLY the stats
+    * columns (columnar pruning makes this footer-cheap). */
+  private def statsOf(df: DataFrame): Seq[(String, String, String)] = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val cols = statsColumns.filter(c =>
+      df.columns.contains(c) && statType(df.schema(c).dataType))
+    if (cols.isEmpty) return Nil
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"graft_mn_$c"),
+      max(col(c)).cast("string").as(s"graft_mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.flatMap { case (c, i) =>
+      val mn = row.getString(2 * i); val mx = row.getString(2 * i + 1)
+      if (mn == null || mx == null) None else Some((c, mn, mx))
+    }
+  }
+
+  /** Stats for one freshly-written generation dir, computed by
+    * reading it back (never by re-running the caller's plan). */
+  private def statsForDir(name: String, rel: String): Map[String, Seq[(String, String, String)]] =
+    if (statsColumns.isEmpty) Map.empty
+    else {
+      val s = statsOf(readDirs(Seq(new Path(tableDir(name), rel).toString)))
+      if (s.isEmpty) Map.empty else Map(rel -> s)
+    }
+
+  /** Per-bucket stats of a staged upsert/delete write, ONE job: the
+    * staged dir is partitioned by the bucket column, so a grouped
+    * min/max aggregate yields every bucket's bounds at once
+    * (≤ numBuckets result rows — driver-safe). */
+  private def statsForStage(stagePath: String): Map[Long, Seq[(String, String, String)]] = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    if (statsColumns.isEmpty) return Map.empty
+    val df = spark.read.option("mergeSchema", "true").format(fmt).load(stagePath)
+    val cols = statsColumns.filter(c =>
+      df.columns.contains(c) && statType(df.schema(c).dataType))
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"graft_mn_$c"),
+      max(col(c)).cast("string").as(s"graft_mx_$c")))
+    // the partition-dir read infers graft_bucket as INT — normalize
+    df.groupBy(col(BucketCol).cast("long").as(BucketCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { row =>
+        val b = row.getLong(0)
+        b -> cols.zipWithIndex.flatMap { case (c, i) =>
+          val mn = row.getString(2 * i + 1); val mx = row.getString(2 * i + 2)
+          if (mn == null || mx == null) None else Some((c, mn, mx))
+        }
+      }
+      .filter(_._2.nonEmpty)
+      .toMap
+  }
+
+  /** Does a dir's recorded range intersect [lower, upper]? Missing
+    * stats (no line, or the column not recorded) keep the dir —
+    * skipping is an optimization, never a semantics change. */
+  private def survives(
+      stats: Option[Seq[(String, String, String)]],
+      column: String,
+      lower: BigDecimal,
+      upper: BigDecimal): Boolean =
+    stats.flatMap(_.find(_._1 == column)) match {
+      case None => true
+      case Some((_, mn, mx)) =>
+        BigDecimal(mx) >= lower && BigDecimal(mn) <= upper
+    }
+
+  /** Range-predicate read with MANIFEST-LEVEL data skipping: returns
+    * exactly `read(name).filter(column between lower and upper)`, but
+    * scans ONLY the generation dirs whose recorded [min, max]
+    * intersects the range — on a 100 TB table whose commits arrive
+    * roughly sorted on the column (time-ordered ingest, Z-ordered
+    * layout), a selective predicate touches a handful of files where
+    * the plain read lists and opens every one. Bounds compare as
+    * exact decimals against the recorded strings (no double
+    * rounding), and the residual filter still applies to surviving
+    * dirs — stats only ever EXCLUDE provably-disjoint dirs. Pass
+    * bounds in the column's own type (a Long for a long column) so
+    * the residual filter also pushes down into the parquet scan. */
+  def readWhere(name: String, column: String, lower: Any, upper: Any): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    latestManifest(name).flatMap { m =>
+      val all = (m.buckets.values ++ m.logs).toSeq
+      if (all.isEmpty) return None
+      val lo = BigDecimal(lower.toString); val hi = BigDecimal(upper.toString)
+      val kept = all.filter(d => survives(m.stats.get(d), column, lo, hi))
+      val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
+      if (kept.isEmpty)
+        // every dir provably disjoint: zero rows, schema preserved
+        readManifest(name, m).map(_.limit(0).filter(pred))
+      else Some(readDirs(dirsOf(name, m, kept)).filter(pred))
+    }
+  }
+
+  /** The skip metric behind [[readWhere]]: (dirs the predicate must
+    * scan, total dirs in the snapshot) — the X75-style proof
+    * surface: specs assert kept/total ≤ ¼ on a selective range. */
+  def pruneStats(name: String, column: String, lower: Any, upper: Any): Option[(Int, Int)] =
+    latestManifest(name).map { m =>
+      val all = (m.buckets.values ++ m.logs).toSeq
+      val lo = BigDecimal(lower.toString); val hi = BigDecimal(upper.toString)
+      (all.count(d => survives(m.stats.get(d), column, lo, hi)), all.size)
+    }
 
   override def read(name: String): Option[DataFrame] =
     latestManifest(name).flatMap(readManifest(name, _))
@@ -473,7 +643,7 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
         s"$name has no snapshot v$version (vacuumed, or never committed)"))
     val cur = latestManifest(name).get // target existing ⇒ table exists
     commit(name, Manifest(cur.version + 1, target.buckets, target.logs,
-      cur.lastBatch))
+      cur.lastBatch, target.stats))
   }
 
   /** Keyed diff of two retained snapshots (`added`/`removed`/
@@ -610,7 +780,8 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     val v = prev.map(_.version + 1).getOrElse(0)
     val rel = s"data/log-$v"
     writeDir(df, new Path(tableDir(name), rel).toString)
-    commit(name, Manifest(v, Map.empty, Seq(rel), Some(batchId)))
+    commit(name, Manifest(v, Map.empty, Seq(rel), Some(batchId),
+      statsForDir(name, rel)))
   }
 
   /** K2 append as a committed log generation: new dir + new manifest.
@@ -639,7 +810,8 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     writeDir(df, new Path(tableDir(name), rel).toString)
     commit(name, Manifest(v, prev.map(_.buckets).getOrElse(Map.empty),
       prev.map(_.logs).getOrElse(Nil) :+ rel,
-      batchId.orElse(prev.flatMap(_.lastBatch))))
+      batchId.orElse(prev.flatMap(_.lastBatch)),
+      prev.map(_.stats).getOrElse(Map.empty) ++ statsForDir(name, rel)))
   }
 
   /** Log-structured compaction for append-mode tables: fold the
@@ -679,7 +851,8 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
       // CAS: commit only if nothing advanced the table while we wrote
       if (latestManifest(name).exists(_.version == base.version)) {
         try {
-          commit(name, Manifest(v, Map.empty, Seq(rel), base.lastBatch))
+          commit(name, Manifest(v, Map.empty, Seq(rel), base.lastBatch,
+            statsForDir(name, rel)))
           return true
         } catch { case _: ConcurrentCommitException => () } // lost the race
       }
@@ -700,7 +873,8 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     // commits, and dropping the mark there would let a crash-replayed
     // epoch re-apply after a compact.
     writeDir(df, new Path(tableDir(name), rel).toString)
-    commit(name, Manifest(v, Map.empty, Seq(rel), prev.flatMap(_.lastBatch)))
+    commit(name, Manifest(v, Map.empty, Seq(rel), prev.flatMap(_.lastBatch),
+      statsForDir(name, rel)))
   }
 
   override def upsert(name: String, incoming: DataFrame, key: String)(implicit s: SparkSession): Unit = {
@@ -724,6 +898,10 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
       else readDirs(existingDirs)
     val merged = withBucket(graft.ops.Upsert.upsert(existing, incoming, key), key)
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
+    // per-bucket data-skipping stats, ONE grouped agg over the stage
+    // (before the renames — the staged layout still carries the
+    // bucket partition column)
+    val stageStats = statsForStage(stage.toString)
     // move each staged bucket dir to its immutable generation home
     f.mkdirs(new Path(tableDir(name), "data"))
     val newBuckets = touched.flatMap { b =>
@@ -743,7 +921,10 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     f.delete(stage, true)
     commit(name, Manifest(v,
       prev.map(_.buckets).getOrElse(Map.empty) ++ newBuckets, Nil,
-      prev.flatMap(_.lastBatch)))
+      prev.flatMap(_.lastBatch),
+      prev.map(_.stats).getOrElse(Map.empty) ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageStats.get(b).map(rel -> _) }))
   }
 
   /** Keyed row deletion — the right-to-be-forgotten path a 100 TB
@@ -781,6 +962,7 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     val stage = new Path(tableDir(name), s"stage-$v")
     val f = fs(stage)
     remaining.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
+    val stageStats = statsForStage(stage.toString)
     f.mkdirs(new Path(tableDir(name), "data"))
     // a touched bucket may become empty (every row deleted): it then
     // has no staged dir and simply drops out of the manifest
@@ -798,7 +980,10 @@ class SnapshotBucketedStore(root: String, numBuckets: Int = 64, fmt: String = "p
     f.delete(stage, true)
     commit(name, Manifest(v,
       prev.get.buckets -- touchedDirs.map(_._1) ++ newBuckets, Nil,
-      prev.get.lastBatch))
+      prev.get.lastBatch,
+      prev.get.stats ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageStats.get(b).map(rel -> _) }))
   }
 
   /** Garbage collection: delete data dirs not referenced by any of the

@@ -4771,7 +4771,7 @@ object LlmCatalog {
   )
 
   /** Hybrid retrieval via EXACT-INTEGER reciprocal-rank fusion
-    * (Retrieval.hybridTopK, X182 — Cormack 2009's k=60 RRF with the
+    * (Retrieval.hybridTopK, X181 — Cormack 2009's k=60 RRF with the
     * float 1/(k+rank) swapped for its scaled-long surrogate): BM25
     * (the q112 chain, k=5) ∥ hashed-TF-IDF cosine over
     * engine-derived vectors (the q144 chain densified, query side

@@ -1,0 +1,137 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Manifest-level column min/max data skipping
+  * ([[SnapshotBucketedStore]] `statsColumns`/`readWhere`/`pruneStats`):
+  * the X75 discipline applied to the store — prove the skip with a
+  * dirs-scanned metric, prove the safety with result equality against
+  * the unpruned read, and prove the stats commit atomically with the
+  * data they describe. */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag, i * 1.5)).toDF("uuid", "val", "m")
+
+  private final class CrashingStore(root: String, cols: Seq[String])(implicit s: SparkSession)
+      extends SnapshotBucketedStore(root, 8, "parquet", cols) {
+    var crashNext = false
+    override protected def beforeCommit(): Unit =
+      if (crashNext) { crashNext = false; throw new RuntimeException("injected crash") }
+  }
+
+  test("sorted append commits: a selective range scans ≤ 1/4 of the dirs, result-identical") {
+    val root = tmpDir("graft_skip_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, 8, "parquet", Seq("uuid"))
+    // time-ordered ingest: each commit covers a disjoint id range —
+    // the layout where file-level min/max skipping shines
+    (0 until 8).foreach(g => store.append("log", rows(g * 100 until (g + 1) * 100, s"g$g")))
+    val (kept, total) = store.pruneStats("log", "uuid", 250L, 260L).get
+    assert(total == 8, s"total dirs: $total")
+    assert(kept <= 2, s"selective range must skip >= 3/4 of the dirs, kept $kept")
+    val pruned = store.readWhere("log", "uuid", 250L, 260L).get
+      .orderBy("uuid").collect().toSeq
+    val full = store.read("log").get
+      .filter($"uuid" >= 250L && $"uuid" <= 260L).orderBy("uuid").collect().toSeq
+    assert(pruned == full && full.size == 11)
+    // fully-disjoint range: zero dirs scanned, empty result, schema kept
+    val (kept0, _) = store.pruneStats("log", "uuid", 5000L, 6000L).get
+    assert(kept0 == 0)
+    val none = store.readWhere("log", "uuid", 5000L, 6000L).get
+    assert(none.count() == 0 && none.columns.toSeq == Seq("uuid", "val", "m"))
+  }
+
+  test("bucketed upsert: per-generation stats, carried forward by reference, equality holds") {
+    val root = tmpDir("graft_skip_up_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, 8, "parquet", Seq("m"))
+    store.upsert("tgt", rows(0 until 200, "v1"), "uuid")
+    // second upsert touches a narrow key slice: untouched buckets keep
+    // their g0 dirs AND their g0 stats lines by reference
+    store.upsert("tgt", rows(198 until 203, "v2"), "uuid")
+    // mid-range predicate: hash bucketing scatters keys, so EVERY
+    // bucket's m-range intersects — all kept, result still equal
+    val pruned = store.readWhere("tgt", "m", 100.0, 120.0).get
+      .orderBy("uuid").collect().toSeq
+    val full = store.read("tgt").get
+      .filter($"m" >= 100.0 && $"m" <= 120.0).orderBy("uuid").collect().toSeq
+    assert(pruned == full && full.nonEmpty)
+    // a range only the v2 upsert reaches (m >= 297 ⇔ uuid >= 198):
+    // untouched g0 buckets top out at 1.5·197 — only the few touched
+    // g1 generations survive the stats check
+    val (kept, totalAll) = store.pruneStats("tgt", "m", 297.0, 310.0).get
+    assert(totalAll == 8 && kept < totalAll && kept <= 6,
+      s"only touched generations must survive: $kept/$totalAll")
+    val hi = store.readWhere("tgt", "m", 297.0, 310.0).get
+      .orderBy("uuid").collect().toSeq
+    val hiFull = store.read("tgt").get
+      .filter($"m" >= 297.0 && $"m" <= 310.0).orderBy("uuid").collect().toSeq
+    assert(hi == hiFull && hi.map(_.getLong(0)) == (198L to 202L))
+    // keyed delete keeps the contract
+    store.delete("tgt", "uuid", Seq(105L, 199L).toDF("uuid"))
+    val pruned2 = store.readWhere("tgt", "m", 100.0, 400.0).get
+      .orderBy("uuid").collect().toSeq
+    val full2 = store.read("tgt").get
+      .filter($"m" >= 100.0 && $"m" <= 400.0).orderBy("uuid").collect().toSeq
+    assert(pruned2 == full2 && !pruned2.exists(_.getLong(0) == 105L))
+  }
+
+  test("stats ride the manifest rename: a crash publishes neither dir nor stats") {
+    val root = tmpDir("graft_skip_crash_")
+    implicit val s = spark
+    val store = new CrashingStore(root, Seq("uuid"))
+    store.append("log", rows(0 until 100, "v1"))
+    store.crashNext = true
+    intercept[RuntimeException] { store.append("log", rows(100 until 200, "v2")) }
+    // pre-crash snapshot: the 100..200 generation is invisible to BOTH
+    // the stats index and the reader — no torn state where a stats
+    // line references an uncommitted dir or vice versa
+    assert(store.pruneStats("log", "uuid", 150L, 160L).get == ((0, 1)))
+    assert(store.readWhere("log", "uuid", 150L, 160L).get.count() == 0)
+    // retry lands data + stats in one rename
+    store.append("log", rows(100 until 200, "v2"))
+    assert(store.pruneStats("log", "uuid", 150L, 160L).get == ((1, 2)))
+    assert(store.readWhere("log", "uuid", 150L, 160L).get.count() == 11)
+  }
+
+  test("non-numeric and all-null stats columns degrade to conservative keeps") {
+    val root = tmpDir("graft_skip_null_")
+    implicit val s = spark
+    // 'val' is a string (not stat-typed), 'opt' is all-null in gen 0
+    val store = new SnapshotBucketedStore(root, 8, "parquet", Seq("val", "opt"))
+    val g0 = Seq((1L, "a", None: Option[Long]), (2L, "b", None))
+      .toDF("uuid", "val", "opt")
+    val g1 = Seq((3L, "c", Some(10L)), (4L, "d", Some(20L)))
+      .toDF("uuid", "val", "opt")
+    store.append("log", g0)
+    store.append("log", g1)
+    // no stats for gen 0's opt (all null) → it is kept, not skipped;
+    // gen 1 has real bounds and prunes normally
+    assert(store.pruneStats("log", "opt", 100L, 200L).get == ((1, 2)))
+    val got = store.readWhere("log", "opt", 5L, 15L).get.collect().toSeq
+    assert(got.map(_.getLong(0)) == Seq(3L))
+    // a predicate on the string column keeps everything (no stats at
+    // all) and still filters correctly
+    assert(store.pruneStats("log", "uuid", 3L, 3L).isDefined)
+  }
+
+  test("compactLogs and replace recompute stats for the merged generation") {
+    val root = tmpDir("graft_skip_comp_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, 8, "parquet", Seq("uuid"))
+    (0 until 4).foreach(g => store.append("log", rows(g * 10 until (g + 1) * 10, s"g$g")))
+    assert(store.pruneStats("log", "uuid", 35L, 39L).get == ((1, 4)))
+    assert(store.compactLogs("log"))
+    // one merged dir now; its stats cover the whole range
+    assert(store.pruneStats("log", "uuid", 35L, 39L).get == ((1, 1)))
+    assert(store.readWhere("log", "uuid", 35L, 39L).get.count() == 5)
+    assert(store.pruneStats("log", "uuid", 500L, 600L).get == ((0, 1)))
+    store.replace("log", rows(1000 until 1010, "r"))
+    assert(store.pruneStats("log", "uuid", 0L, 999L).get == ((0, 1)))
+    assert(store.readWhere("log", "uuid", 1000L, 2000L).get.count() == 10)
+  }
+}
