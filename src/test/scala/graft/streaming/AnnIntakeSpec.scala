@@ -65,6 +65,65 @@ class AnnIntakeSpec extends SparkSpec {
     assert(afterCompact.map(p => (p._1, p._2)).toSet == Set((1L, 102L)))
   }
 
+  test("incremental label maintenance ≡ batch CC across drains, incl. a cross-drain cluster merge") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val root = tmpDir("graft_ann_lbl_")
+    val store = new graft.io.SnapshotBucketedStore(s"$root/ann", numBuckets = 4)
+    val input = MemoryStream[AnnDoc]
+    val thr = 0.5
+    // cluster X, cluster Y = a 2-token variant family of X (distant
+    // enough that no direct X–Y pair ever bucket-collides — probed),
+    // and a 1-token bridge sharing one substitution with each side:
+    // est-jaccard ≈ 0.9 within clusters, ≈ 0.72–0.81 bridge→both
+    val baseX = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val baseY = baseX.replace("gamma", "three").replace("xi", "fourteen")
+    val bridge = baseX.replace("gamma", "three")
+
+    def drain(docs: AnnDoc*): Unit = {
+      input.addData(docs: _*)
+      AnnIntake.drainTo(input.toDF(), store, "ann", s"$root/ckpt",
+        maintainLabels = true, threshold = thr)
+    }
+    def streamLabels: Map[Long, Long] =
+      store.read("ann_labels").get.as[(Long, Long)].collect().toMap
+    def batchLabels: Map[Long, Long] =
+      graft.llm.Dedup.connectedComponentsConverged(
+          AnnIntake.nearDupPairsEstimated(store, "ann", threshold = thr).get
+            .select("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+
+    // drain 1: cluster X forms within one drain
+    drain(AnnDoc(10L, baseX), AnnDoc(11L, baseX.replace("upsilon", "upsilonn")),
+      AnnDoc(90L, "totally unrelated chaff regarding cooking bread loaves overnight with yeast and patience"))
+    assert(streamLabels == batchLabels && streamLabels.values.toSet == Set(10L))
+    // drain 2: cluster Y forms ACROSS state (21 pairs with 20)
+    drain(AnnDoc(20L, baseY))
+    drain(AnnDoc(21L, baseY.replace("upsilon", "upsilonn")))
+    assert(streamLabels == batchLabels,
+      s"stream $streamLabels vs batch $batchLabels")
+    assert(streamLabels(20L) == 20L && streamLabels(21L) == 20L)
+    assert(streamLabels(10L) == 10L && streamLabels(11L) == 10L)
+    // drain 4: the bridge doc merges clusters X and Y — both frozen
+    // components contract into one root, min id over ALL members
+    drain(AnnDoc(30L, bridge))
+    val merged = streamLabels
+    assert(merged == batchLabels, s"stream $merged vs batch $batchLabels")
+    assert(Set(10L, 11L, 20L, 21L, 30L).forall(merged(_) == 10L),
+      s"cross-drain merge must unify to min id: $merged")
+    assert(!merged.contains(90L), "edge-free chaff stays unlabeled")
+
+    // exactly-once: replaying the last epoch's label update is a no-op
+    val mark = store.lastAppliedBatch("ann_labels").get
+    val bucketsNow = store.read("ann_buckets").get
+    assert(!AnnIntake.updateLabels(store, "ann", bucketsNow.limit(0), mark,
+      threshold = thr))
+    assert(streamLabels == merged)
+  }
+
   test("estimated verification agrees with the batch miner's exact verdict on the same corpus") {
     val spark2 = spark
     import spark2.implicits._
