@@ -693,6 +693,39 @@ class PlanAuditSpec extends SparkSpec {
       s"per-(pair, query-vector) max must map-side combine:\n${p.take(800)}")
   }
 
+  test("q144 tfidf: the df model joins as a broadcast; counts and norms partial-aggregate") {
+    val df = LlmCatalog.tfidfQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the ≤ dims-row df table and the 1-row totals must broadcast —
+    // a SortMergeJoin here would shuffle the whole tf table per join
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(400))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"tf counts must map-side combine:\n${p.take(800)}")
+  }
+
+  test("q145 hybrid RRF: fusion is list-sized — no corpus-sized join anywhere past the rankers") {
+    val df = LlmCatalog.hybridRrfQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the ONLY nested loop allowed is vectorTopK's broadcast query
+    // side streaming over the corpus (the bruteForce baseline shape);
+    // a row-level cartesian would be the all-pairs disaster
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // fused points sum must partial-aggregate (map-side combine)
+    assert(p.contains("partial_sum"), s"RRF points must combine:\n${p.take(800)}")
+  }
+
+  test("q146 NCD lengths: two id-keyed joins, complexity is a map-side expression") {
+    val p = plan(LlmCatalog.ncdLengthsQ)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+    assert(p.contains("graft_shingle_hashes") || p.contains("shingle"),
+      s"complexity must be the compiled shingle expression:\n${p.take(600)}")
+  }
+
   test("q137 leakage split: one id join after CC, assignment is a projection") {
     val p = plan(LlmCatalog.leakageSafeSplitQ)
     assert(!p.contains("CartesianProduct") &&
