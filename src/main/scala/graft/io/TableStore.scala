@@ -877,7 +877,25 @@ class SnapshotBucketedStore(
       statsForDir(name, rel)))
   }
 
-  override def upsert(name: String, incoming: DataFrame, key: String)(implicit s: SparkSession): Unit = {
+  override def upsert(name: String, incoming: DataFrame, key: String)(implicit s: SparkSession): Unit =
+    upsertCore(name, incoming, key, None)
+
+  /** [[upsert]] that also SETS the streaming batch high-water mark —
+    * the keyed exactly-once sink: O(touched-buckets) write cost like
+    * any upsert, and the mark commits in the SAME manifest rename as
+    * the merged buckets (the [[replaceWithBatch]] contract without
+    * the full rewrite). Refuses to move the mark backwards; callers
+    * replaying an epoch should check [[lastAppliedBatch]] first, the
+    * same discipline as [[appendIfNew]]. */
+  def upsertWithBatch(name: String, incoming: DataFrame, key: String,
+      batchId: Long)(implicit s: SparkSession): Unit = {
+    require(latestManifest(name).flatMap(_.lastBatch).forall(_ <= batchId),
+      s"$name batch mark would move backwards")
+    upsertCore(name, incoming, key, Some(batchId))
+  }
+
+  private def upsertCore(name: String, incoming: DataFrame, key: String,
+      batchId: Option[Long])(implicit s: SparkSession): Unit = {
     import org.apache.spark.sql.functions.col
     val prev = latestManifest(name)
     require(prev.forall(_.logs.isEmpty),
@@ -921,7 +939,7 @@ class SnapshotBucketedStore(
     f.delete(stage, true)
     commit(name, Manifest(v,
       prev.map(_.buckets).getOrElse(Map.empty) ++ newBuckets, Nil,
-      prev.flatMap(_.lastBatch),
+      batchId.orElse(prev.flatMap(_.lastBatch)),
       prev.map(_.stats).getOrElse(Map.empty) ++
         newBuckets.flatMap { case (b, rel) =>
           stageStats.get(b).map(rel -> _) }))

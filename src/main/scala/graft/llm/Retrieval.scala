@@ -158,6 +158,57 @@ object Retrieval {
         col("e.graft_did_").as(idCol), col("e.score").as("score"))
   }
 
+  /** The ANN form of [[vectorTopK]] — the documented candidate-pass
+    * swap made code, for when |queries|·N streaming work is too much:
+    * the corpus buckets ONCE by the frozen sign-LSH hyperplanes
+    * (write it bucket-partitioned at 100 TB and this is free), each
+    * query probes its own bucket plus `probes`-bit-flip neighbors,
+    * and the candidate join is an EQUI-join on the bucket key —
+    * each query touches candidate buckets, never the corpus.
+    * Candidates then score and rank exactly like [[vectorTopK]]
+    * (codegen dot, score > 0 no-evidence-no-rows BEFORE the rank so
+    * ranks stay gapless, TopKAgg map-side k-reduction): every
+    * returned score is bit-equal to the exhaustive ranker's for the
+    * pairs that survive probing, so recall is monotone in `probes`
+    * and the q147 oracle replays buckets, probes, scores, and ranks.
+    */
+  def vectorTopKAnn(
+      docVecs: DataFrame,
+      queryVecs: DataFrame,
+      k: Int,
+      dims: Int,
+      numPlanes: Int,
+      probes: Int = 1,
+      idCol: String = "doc_id",
+      vecCol: String = "vec",
+      qidCol: String = "qid",
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = docVecs.select(col(idCol).as("graft_did_"),
+        col(vecCol).as("graft_dv_"))
+      .withColumn("graft_bkt_",
+        Similarity.lshBuckets(col("graft_dv_"), dims, numPlanes))
+    val masks = Similarity.probeMasks(numPlanes, probes)
+    val q = queryVecs.select(col(qidCol).as("qid"),
+        col(vecCol).as("graft_qv_"))
+      .withColumn("graft_qb_",
+        Similarity.lshBuckets(col("graft_qv_"), dims, numPlanes))
+      .withColumn("graft_pb_", explode(array_distinct(
+        array(masks.map(m => col("graft_qb_").bitwiseXOR(lit(m))): _*))))
+    val scored = q.join(d, col("graft_pb_") === col("graft_bkt_"))
+      .select(col("qid"), col("graft_did_"),
+        Similarity.dot(col("graft_qv_"), col("graft_dv_")).as("score"))
+      .filter(col("score") > 0.0)
+    val payload = struct(col("graft_did_"), col("score"))
+    scored
+      .groupBy("qid")
+      .agg(graft.expr.TopKAgg.topK(col("score"), payload, k)
+        .as("graft_top_"))
+      .select(col("qid"), posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
+      .select(col("qid"), (col("graft_r_") + 1).cast("int").as("rank"),
+        col("e.graft_did_").as(idCol), col("e.score").as("score"))
+  }
+
   /** EXACT-INTEGER reciprocal-rank fusion (Cormack et al. 2009 —
     * the standard composition of rankers that score on incomparable
     * scales): fused(q, d) = Σ_r scale div (kConst + rank_r(q, d))
@@ -223,6 +274,52 @@ object Retrieval {
       qtextCol: String = "qtext",
       kConst: Long = RrfK,
       scale: Long = RrfScale,
+  ): DataFrame =
+    hybridWith(docs, queries, k, dims, poolK, idCol, textCol, qidCol,
+      qtextCol, kConst, scale,
+      (dv, qv) => vectorTopK(dv, qv, poolK, idCol, "vec", qidCol))
+
+  /** [[hybridTopK]] with the ANN vector stage ([[vectorTopKAnn]]) —
+    * the 100 TB form: BM25's postings pruning on one side, bucket
+    * pruning on the other, nothing exhaustive anywhere. Recall on
+    * the vector side is monotone in `probes`; fusion semantics are
+    * identical. */
+  def hybridTopKAnn(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dims: Int,
+      poolK: Int,
+      numPlanes: Int,
+      probes: Int = 1,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      qidCol: String = "qid",
+      qtextCol: String = "qtext",
+      kConst: Long = RrfK,
+      scale: Long = RrfScale,
+  ): DataFrame =
+    hybridWith(docs, queries, k, dims, poolK, idCol, textCol, qidCol,
+      qtextCol, kConst, scale,
+      (dv, qv) => vectorTopKAnn(dv, qv, poolK, dims, numPlanes, probes,
+        idCol, "vec", qidCol))
+
+  /** Shared hybrid body: ONE corpus token scan feeds BM25's postings
+    * and the vector model's df; the vector ranker is pluggable
+    * (exhaustive or ANN). */
+  private def hybridWith(
+      docs: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dims: Int,
+      poolK: Int,
+      idCol: String,
+      textCol: String,
+      qidCol: String,
+      qtextCol: String,
+      kConst: Long,
+      scale: Long,
+      vectorRanker: (DataFrame, DataFrame) => DataFrame,
   ): DataFrame = {
     val lex = bm25TopK(docs, queries, poolK, idCol, textCol, qidCol, qtextCol)
     val tf = Vectorize.termFrequencies(docs, idCol, textCol, dims)
@@ -234,10 +331,9 @@ object Retrieval {
     val qv = Vectorize.embed(
       queries.select(col(qidCol), col(qtextCol)),
       qidCol, qtextCol, dfT, totals, dims)
-    val sem = vectorTopK(
+    val sem = vectorRanker(
       dv.withColumnRenamed("id", idCol),
-      qv.withColumnRenamed("id", qidCol),
-      poolK, idCol, "vec", qidCol)
+      qv.withColumnRenamed("id", qidCol))
     rrfFuse(Seq(lex, sem), k, kConst, scale, qidCol, idCol, "rank")
   }
 }

@@ -171,6 +171,22 @@ object Similarity {
   def planeLiterals(dim: Int, numPlanes: Int): Seq[Seq[Double]] =
     (0 until numPlanes).map(p => (0 until dim).map(j => planeComponent(p, j)))
 
+  /** The multi-probe XOR masks: own bucket (0), then every 1-bit
+    * flip (`probes ≥ 1`), then every 2-bit flip (`probes ≥ 2`) —
+    * shared by [[annTopK]] and the query-vs-corpus rankers
+    * ([[graft.llm.Retrieval.vectorTopKAnn]]), and what an oracle
+    * interpolates as its probe list. */
+  def probeMasks(numPlanes: Int, probes: Int): Seq[Long] = {
+    val oneFlips: Seq[Long] =
+      if (probes >= 1) (0 until numPlanes).map(p => 1L << p) else Nil
+    val twoFlips: Seq[Long] =
+      if (probes >= 2)
+        for { p1 <- 0 until numPlanes; p2 <- (p1 + 1) until numPlanes }
+          yield (1L << p1) | (1L << p2)
+      else Nil
+    0L +: (oneFlips ++ twoFlips)
+  }
+
   /** Sign-LSH bucket key: one bit per hyperplane = sign of ⟨v, plane⟩.
     * `numPlanes` bits → 2^numPlanes buckets. Map-side only. */
   def lshBuckets(emb: Column, dim: Int, numPlanes: Int): Column = {
@@ -207,15 +223,7 @@ object Similarity {
   ): DataFrame = {
     val v = withNorm(df, idCol, embCol, extra)
       .withColumn("bucket", lshBuckets(col("e"), dim, numPlanes))
-    // probe masks: own bucket, one-bit flips, then two-bit flips
-    val oneFlips: Seq[Long] =
-      if (probes >= 1) (0 until numPlanes).map(p => 1L << p) else Nil
-    val twoFlips: Seq[Long] =
-      if (probes >= 2)
-        for { p1 <- 0 until numPlanes; p2 <- (p1 + 1) until numPlanes }
-          yield (1L << p1) | (1L << p2)
-      else Nil
-    val flips: Seq[Column] = (0L +: (oneFlips ++ twoFlips)).map(lit(_): Column)
+    val flips: Seq[Column] = probeMasks(numPlanes, probes).map(lit(_): Column)
     val q = v.filter(queryPred)
       .withColumnsRenamed(
         Map("id" -> "query_id", "e" -> "qe", "nrm" -> "qn", "bucket" -> "q_bucket"))

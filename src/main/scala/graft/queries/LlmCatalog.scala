@@ -4770,29 +4770,11 @@ object LlmCatalog {
     """.trim),
   )
 
-  /** Hybrid retrieval via EXACT-INTEGER reciprocal-rank fusion
-    * (Retrieval.hybridTopK, X181 — Cormack 2009's k=60 RRF with the
-    * float 1/(k+rank) swapped for its scaled-long surrogate): BM25
-    * (the q112 chain, k=5) ∥ hashed-TF-IDF cosine over
-    * engine-derived vectors (the q144 chain densified, query side
-    * embedded under the frozen corpus df model), fused as
-    * Σ 10⁶ div (60+rank). The oracle replays BOTH constituent
-    * rankings AND the fusion arithmetic, so the hash pins the whole
-    * two-modality stack; q4's unmatched vocabulary pins the classic
-    * hybrid win — BM25 empty, the hashed-vector side still ranks. */
-  val hybridRrfQ = GraftQuery(
-    "q145_hybrid_rrf",
-    (s, d) => {
-      import s.implicits._
-      val qs = Seq((1, "hash join strategy"), (2, "slow scan filter"),
-        (3, "vector index build"), (4, "zzz unmatched terms"))
-        .toDF("qid", "qtext")
-      graft.llm.Retrieval.hybridTopK(documents(s, d), qs, k = 5,
-          dims = 64, poolK = 5)
-        .orderBy(col("qid"), col("rank"))
-    },
-    Some(s"""
-      WITH q(qid, qtext) AS (VALUES (1, 'hash join strategy'),
+  /** Shared DuckDB chain of the hybrid-retrieval oracles (q145/q147):
+    * the fixed query set, the q112 BM25 ranking (as `lex`), and the
+    * q144 TF-IDF vectors densified for corpus + frozen-model
+    * queries. */
+  private lazy val hybridBaseCtes: String = s"""q(qid, qtext) AS (VALUES (1, 'hash join strategy'),
         (2, 'slow scan filter'), (3, 'vector index build'),
         (4, 'zzz unmatched terms')),
       toks AS (
@@ -4896,7 +4878,31 @@ object LlmCatalog {
           CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS dim) g
           LEFT JOIN qcomp c ON c.qid = s.qid AND c.bucket = g.dim
         ) GROUP BY qid
-      ),
+      )"""
+
+  /** Hybrid retrieval via EXACT-INTEGER reciprocal-rank fusion
+    * (Retrieval.hybridTopK, X181 — Cormack 2009's k=60 RRF with the
+    * float 1/(k+rank) swapped for its scaled-long surrogate): BM25
+    * (the q112 chain, k=5) ∥ hashed-TF-IDF cosine over
+    * engine-derived vectors (the q144 chain densified, query side
+    * embedded under the frozen corpus df model), fused as
+    * Σ 10⁶ div (60+rank). The oracle replays BOTH constituent
+    * rankings AND the fusion arithmetic, so the hash pins the whole
+    * two-modality stack; q4's unmatched vocabulary pins the classic
+    * hybrid win — BM25 empty, the hashed-vector side still ranks. */
+  val hybridRrfQ = GraftQuery(
+    "q145_hybrid_rrf",
+    (s, d) => {
+      import s.implicits._
+      val qs = Seq((1, "hash join strategy"), (2, "slow scan filter"),
+        (3, "vector index build"), (4, "zzz unmatched terms"))
+        .toDF("qid", "qtext")
+      graft.llm.Retrieval.hybridTopK(documents(s, d), qs, k = 5,
+          dims = 64, poolK = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(s"""
+      WITH $hybridBaseCtes,
       sem AS (
         SELECT qid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
                  ORDER BY score DESC, doc_id) AS INT) AS rank,
@@ -4982,6 +4988,79 @@ object LlmCatalog {
       FROM c
       WHERE c_a > 0 AND c_b > 0
       ORDER BY id_a
+      """.trim
+    },
+  )
+
+  /** ANN-backed hybrid retrieval (Retrieval.hybridTopKAnn — q145's
+    * vector stage swapped for the bucket-pruned X57 pass, the "swap
+    * in an annTopK-derived candidate pass" doc made code): the
+    * corpus's TF-IDF vectors bucket once by 4 frozen hyperplanes,
+    * each query probes own-bucket + 1-bit flips, candidates score by
+    * the same dot chain, and the RRF fusion is unchanged. The oracle
+    * extends the shared q145 chain with the q138 bucket/probe replay
+    * APPLIED TO THE ENGINE-DERIVED VECTORS — buckets, probes,
+    * scores, ranks, and fusion all hash-pinned. */
+  val hybridRrfAnnQ = GraftQuery(
+    "q147_hybrid_rrf_ann",
+    (s, d) => {
+      import s.implicits._
+      val qs = Seq((1, "hash join strategy"), (2, "slow scan filter"),
+        (3, "vector index build"), (4, "zzz unmatched terms"))
+        .toDF("qid", "qtext")
+      graft.llm.Retrieval.hybridTopKAnn(documents(s, d), qs, k = 5,
+          dims = 64, poolK = 5, numPlanes = 4, probes = 1)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some {
+      val planes = Similarity.planeLiterals(dim = 64, numPlanes = 4)
+      def bucketSql(vcol: String) = planes.zipWithIndex.map { case (p, i) =>
+        val pl = p.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product($vcol, $pl) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("\n                 + ")
+      val masks = Similarity.probeMasks(numPlanes = 4, probes = 1)
+        .mkString("[", ", ", "]")
+      s"""
+      WITH $hybridBaseCtes,
+      db2 AS (
+        SELECT doc_id, v,
+               ${bucketSql("v")} AS bucket
+        FROM ddense
+      ),
+      qb2 AS (
+        SELECT qid, v, xor(bucket, m.m) AS probe_bucket FROM (
+          SELECT qid, v,
+                 ${bucketSql("v")} AS bucket
+          FROM qdense
+        ) CROSS JOIN (SELECT unnest($masks) AS m) m
+      ),
+      sem AS (
+        SELECT qid, CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY score DESC, doc_id) AS INT) AS rank,
+               doc_id
+        FROM (
+          SELECT q.qid, d.doc_id, list_dot_product(q.v, d.v) AS score
+          FROM qb2 q JOIN db2 d ON d.bucket = q.probe_bucket
+        ) WHERE score > 0
+        QUALIFY rank <= 5
+      ),
+      pts AS (
+        SELECT qid, doc_id, 1000000 // (60 + rank) AS p FROM lex
+        UNION ALL
+        SELECT qid, doc_id, 1000000 // (60 + rank) AS p FROM sem
+      ),
+      fusedt AS (
+        SELECT qid, doc_id, CAST(SUM(p) AS BIGINT) AS fused
+        FROM pts GROUP BY qid, doc_id
+      )
+      SELECT qid, CAST(rank AS INT) AS rank, doc_id, fused FROM (
+        SELECT qid, doc_id, fused,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY fused DESC, doc_id) AS rank
+        FROM fusedt
+      )
+      WHERE rank <= 5
+      ORDER BY qid, rank
       """.trim
     },
   )
@@ -5073,5 +5152,6 @@ object LlmCatalog {
     tfidfQ,
     hybridRrfQ,
     ncdLengthsQ,
+    hybridRrfAnnQ,
   )
 }

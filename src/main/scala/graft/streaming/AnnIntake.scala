@@ -193,25 +193,25 @@ object AnnIntake {
         greatest(col("la"), col("lb")).as("id_b"))
       .distinct()
       .localCheckpoint()
-    if (contracted.isEmpty && store.read(labelsTable).isDefined) {
-      // nothing to merge and the table exists: advance the mark only
-      store.replaceWithBatch(labelsTable, frozen, batchId)
-      return true
-    }
     // local re-convergence on the affected-component graph only
     val cc = graft.llm.Dedup.connectedComponentsConverged(contracted)
     val remap = cc.withColumnsRenamed(
       Map("id" -> "graft_l_", "component" -> "graft_r_"))
-    val updatedOld = frozen
-      .join(remap, col("component") === col("graft_l_"), "left")
-      .select(col("id"),
-        coalesce(col("graft_r_"), col("component")).as("component"))
-    // min-id labels are themselves member ids, so every OLD contracted
-    // node already sits in the frozen table — the anti-join inserts
-    // exactly the batch's new edge-incident docs
+    // ONLY the rows the batch actually changes are written — the
+    // O(affected) shape, not O(all labels): old rows whose component
+    // remapped to a different root, plus the batch's new
+    // edge-incident docs (min-id labels are themselves member ids,
+    // so every OLD contracted node already sits in the frozen table
+    // and the anti-join isolates exactly the inserts)
+    val changedOld = frozen
+      .join(remap, col("component") === col("graft_l_"))
+      .filter(col("graft_r_") =!= col("component"))
+      .select(col("id"), col("graft_r_").as("component"))
     val inserts = cc.join(frozen.select("id"), Seq("id"), "left_anti")
-    store.replaceWithBatch(labelsTable,
-      updatedOld.unionByName(inserts), batchId)
+    // keyed exactly-once commit: merged buckets + the batch mark in
+    // ONE manifest rename; an empty delta still advances the mark
+    store.upsertWithBatch(labelsTable,
+      changedOld.unionByName(inserts), "id", batchId)
     true
   }
 

@@ -116,6 +116,34 @@ class RetrievalSpec extends SparkSpec {
     assert(got.head._4 == 1.0)
   }
 
+  test("vectorTopKAnn: probe-monotone recall vs the exhaustive ranker, scores bit-equal") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dims = 64
+    val dv = Vectorize.tfidfVectors(docs, "doc_id", "text", dims)
+      .withColumnRenamed("id", "doc_id")
+    val qv = dv.filter($"doc_id" % 37 === 0)
+      .withColumnsRenamed(Map("doc_id" -> "qid"))
+    val full = Retrieval.vectorTopK(dv, qv, k = 5)
+      .as[(Long, Int, Long, Double)].collect()
+    val fullPairs = full.map(r => (r._1, r._3)).toSet
+    val allScores = Retrieval.vectorTopK(dv, qv, k = 10000)
+      .as[(Long, Int, Long, Double)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    def recallAt(probes: Int): Double = {
+      val got = Retrieval.vectorTopKAnn(dv, qv, k = 5, dims = dims,
+          numPlanes = 4, probes = probes)
+        .as[(Long, Int, Long, Double)].collect()
+      got.foreach { case (q, _, d, s) =>
+        assert(allScores((q, d)) == s, s"pair ($q,$d) score drifted")
+      }
+      (got.map(r => (r._1, r._3)).toSet & fullPairs).size.toDouble /
+        fullPairs.size
+    }
+    val r0 = recallAt(0); val r1 = recallAt(1); val r2 = recallAt(2)
+    assert(r0 <= r1 && r1 <= r2, s"recall not monotone: $r0 $r1 $r2")
+    assert(r2 > 0.5, s"2-flip probing over 4 planes recalls only $r2")
+  }
+
   test("hybridTopK end-to-end: lexical misses retrieve through the vector side and agreement leads") {
     val docs = Seq(
       (1L, "solar panel efficiency degrades under partial shading conditions"),
