@@ -286,7 +286,9 @@ class SnapshotBucketedStore(
     root: String,
     numBuckets: Int = 64,
     fmt: String = "parquet",
-    statsColumns: Seq[String] = Nil)(
+    statsColumns: Seq[String] = Nil,
+    keyColumns: Seq[String] = Nil,
+    keyExpectedItems: Long = 10000L)(
     implicit spark: SparkSession)
     extends TableStore {
 
@@ -294,6 +296,9 @@ class SnapshotBucketedStore(
   require(statsColumns.forall(_.matches("[A-Za-z0-9_]+")),
     s"stats column names must be [A-Za-z0-9_]+ (manifest line syntax): " +
       statsColumns.mkString(", "))
+  require(keyColumns.forall(_.matches("[A-Za-z0-9_]+")),
+    s"key column names must be [A-Za-z0-9_]+ (manifest line syntax): " +
+      keyColumns.mkString(", "))
   // every generation read goes through the same format seam as
   // FileDirStore, so the atomic-commit/GDPR-delete machinery is
   // format-agnostic (both bundled columnar formats honor mergeSchema)
@@ -324,13 +329,20 @@ class SnapshotBucketedStore(
       buckets: Map[Long, String],
       logs: Seq[String],
       lastBatch: Option[Long] = None,
-      stats: Map[String, Seq[(String, String, String)]] = Map.empty) {
+      stats: Map[String, Seq[(String, String, String)]] = Map.empty,
+      keys: Map[String, Seq[(String, String)]] = Map.empty) {
     /** Stats restricted to dirs this manifest still references — the
       * carry-forward rule every commit applies to its predecessor's
       * stats (superseded generations take their stats with them). */
     def liveStats: Map[String, Seq[(String, String, String)]] = {
       val live = buckets.values.toSet ++ logs
       stats.filter { case (d, _) => live(d) }
+    }
+    /** Same carry-forward rule for the per-dir key membership stats
+      * (dir → (column, base64 Bloom of xxhash64(column))). */
+    def liveKeys: Map[String, Seq[(String, String)]] = {
+      val live = buckets.values.toSet ++ logs
+      keys.filter { case (d, _) => live(d) }
     }
   }
 
@@ -357,7 +369,16 @@ class SnapshotBucketedStore(
         val Array(c, mn, mx) = t.split(":", 3); (c, mn, mx)
       }
     }.toMap
-    Some(Manifest(v, buckets, logs, lastBatch, stats))
+    // keys lines: `keys:<dir>=<col>:<base64>,...` — base64's standard
+    // alphabet contains no ':' or ',', column names are [A-Za-z0-9_],
+    // so the same delimiter discipline as stats lines holds
+    val keyLines = entries.collect { case s if s.startsWith("keys:") =>
+      val Array(d, cs) = s.stripPrefix("keys:").split("=", 2)
+      d -> cs.split(",").toSeq.map { t =>
+        val Array(c, b) = t.split(":", 2); (c, b)
+      }
+    }.toMap
+    Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines))
   }
 
   private def latestManifest(name: String): Option[Manifest] = {
@@ -416,6 +437,11 @@ class SnapshotBucketedStore(
             case (d, cs) if cs.nonEmpty =>
               s"stats:$d=" +
                 cs.map { case (c, mn, mx) => s"$c:$mn:$mx" }.mkString(",")
+          } ++
+          m.liveKeys.toSeq.sortBy(_._1).collect {
+            case (d, cs) if cs.nonEmpty =>
+              s"keys:$d=" +
+                cs.map { case (c, b) => s"$c:$b" }.mkString(",")
           }
       out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
@@ -484,67 +510,154 @@ class SnapshotBucketedStore(
     }
   }
 
-  /** Min/max of the declared stats columns over one frame, as exact
-    * decimal strings; all-null columns record nothing (such a dir is
-    * conservatively KEPT by range predicates — absence of stats never
-    * lies). One agg job, map-side combinable, reading ONLY the stats
-    * columns (columnar pruning makes this footer-cheap). */
-  private def statsOf(df: DataFrame): Seq[(String, String, String)] = {
-    import org.apache.spark.sql.functions.{col, min, max}
-    val cols = statsColumns.filter(c =>
-      df.columns.contains(c) && statType(df.schema(c).dataType))
-    if (cols.isEmpty) return Nil
-    val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"graft_mn_$c"),
-      max(col(c)).cast("string").as(s"graft_mx_$c")))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    cols.zipWithIndex.flatMap { case (c, i) =>
-      val mn = row.getString(2 * i); val mx = row.getString(2 * i + 1)
-      if (mn == null || mx == null) None else Some((c, mn, mx))
+  /** Floats are promoted to double BEFORE the string cast: a float's
+    * shortest-decimal string can underestimate its double-promoted
+    * value, and a caller passing a Double bound would then wrongly
+    * skip a file. Shortest-repr strings of one IEEE width preserve
+    * ordering as decimals, so double-everywhere is sound. */
+  private def statInput(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.FloatType => col(c).cast("double")
+      case _ => col(c)
     }
   }
 
-  /** Stats for one freshly-written generation dir, computed by
-    * reading it back (never by re-running the caller's plan). */
-  private def statsForDir(name: String, rel: String): Map[String, Seq[(String, String, String)]] =
-    if (statsColumns.isEmpty) Map.empty
-    else {
-      val s = statsOf(readDirs(Seq(new Path(tableDir(name), rel).toString)))
-      if (s.isEmpty) Map.empty else Map(rel -> s)
-    }
+  /** NaN / ±Infinity must never reach the manifest: Spark's max
+    * treats NaN as largest and the string cast emits literals
+    * BigDecimal can't parse. Dropping the stat (not clamping) is the
+    * safe degrade — absence of stats always keeps the dir. */
+  private def parsesAsDecimal(sv: String): Boolean =
+    scala.util.Try(BigDecimal(sv)).isSuccess
 
-  /** Per-bucket stats of a staged upsert/delete write, ONE job: the
-    * staged dir is partitioned by the bucket column, so a grouped
-    * min/max aggregate yields every bucket's bounds at once
-    * (≤ numBuckets result rows — driver-safe). */
-  private def statsForStage(stagePath: String): Map[Long, Seq[(String, String, String)]] = {
-    import org.apache.spark.sql.functions.{col, min, max}
-    if (statsColumns.isEmpty) return Map.empty
-    val df = spark.read.option("mergeSchema", "true").format(fmt).load(stagePath)
+  /** Everything the manifest records about ONE generation dir:
+    * per-column min/max range stats plus per-column key membership
+    * Blooms (base64 of the serialized filter over xxhash64(column)).
+    * Both come out of the SAME aggregate job over the dir. */
+  private final case class DirMeta(
+      stats: Seq[(String, String, String)],
+      keys: Seq[(String, String)]) {
+    def isEmpty: Boolean = stats.isEmpty && keys.isEmpty
+  }
+
+  /** Key columns eligible for a membership Bloom: equality probing
+    * compares xxhash64 of the column's NATIVE value against xxhash64
+    * of the probe literal, so any hashable type works — but the probe
+    * must be passed in the column's own type (documented contract,
+    * same discipline as [[readWhere]] bounds). */
+  private def keyColsOf(df: DataFrame): Seq[String] =
+    keyColumns.filter(df.columns.contains)
+
+  /** One Bloom-building aggregate column — the engine's own
+    * codegen'd [[org.apache.spark.sql.catalyst.expressions.aggregate
+    * .BloomFilterAggregate]] over xxhash64(col), the same machinery
+    * behind [[graft.ops.Bloom]] and AQE runtime filters. Sized by
+    * `keyExpectedItems` (fixed bits — an over-full dir degrades to
+    * higher false-positive rate, i.e. fewer skips, never wrong). */
+  private def bloomAgg(c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpr}
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    toColumn(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(toExpr(xxhash64(col(c))), keyExpectedItems)
+      .toAggregateExpression()).as(s"graft_kb_$c")
+  }
+
+  private def encodeBloom(bytes: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(bytes)
+
+  /** Min/max of the declared stats columns plus key Blooms over one
+    * frame, ONE agg job, map-side combinable, reading ONLY the
+    * declared columns (columnar pruning makes this footer-cheap).
+    * All-null stats columns record nothing (such a dir is
+    * conservatively KEPT — absence of stats never lies). */
+  private def metaOf(df: DataFrame): DirMeta = {
+    import org.apache.spark.sql.functions.{min, max}
     val cols = statsColumns.filter(c =>
       df.columns.contains(c) && statType(df.schema(c).dataType))
-    if (cols.isEmpty) return Map.empty
+    val kCols = keyColsOf(df)
+    if (cols.isEmpty && kCols.isEmpty) return DirMeta(Nil, Nil)
     val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"graft_mn_$c"),
-      max(col(c)).cast("string").as(s"graft_mx_$c")))
+      min(statInput(df, c)).cast("string").as(s"graft_mn_$c"),
+      max(statInput(df, c)).cast("string").as(s"graft_mx_$c"))) ++
+      kCols.map(bloomAgg)
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = cols.zipWithIndex.flatMap { case (c, i) =>
+      val mn = row.getString(2 * i); val mx = row.getString(2 * i + 1)
+      if (mn == null || mx == null ||
+        !parsesAsDecimal(mn) || !parsesAsDecimal(mx)) None
+      else Some((c, mn, mx))
+    }
+    val base = 2 * cols.size
+    val keys = kCols.zipWithIndex.flatMap { case (c, i) =>
+      Option(row.getAs[Array[Byte]](base + i)).map(b => (c, encodeBloom(b)))
+    }
+    DirMeta(stats, keys)
+  }
+
+  /** Meta for one freshly-written generation dir, computed by
+    * reading it back (never by re-running the caller's plan). */
+  private def metaForDir(name: String, rel: String): Map[String, DirMeta] =
+    if (statsColumns.isEmpty && keyColumns.isEmpty) Map.empty
+    else {
+      val m = metaOf(readDirs(Seq(new Path(tableDir(name), rel).toString)))
+      if (m.isEmpty) Map.empty else Map(rel -> m)
+    }
+
+  private def statsPart(m: Map[String, DirMeta]): Map[String, Seq[(String, String, String)]] =
+    m.collect { case (d, dm) if dm.stats.nonEmpty => d -> dm.stats }
+  private def keysPart(m: Map[String, DirMeta]): Map[String, Seq[(String, String)]] =
+    m.collect { case (d, dm) if dm.keys.nonEmpty => d -> dm.keys }
+
+  /** Per-bucket meta of a staged upsert/delete write, ONE job: the
+    * staged dir is partitioned by the bucket column, so a grouped
+    * min/max + Bloom aggregate yields every bucket's entry at once
+    * (≤ numBuckets result rows — driver-safe). */
+  private def metaForStage(stagePath: String): Map[Long, DirMeta] = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    if (statsColumns.isEmpty && keyColumns.isEmpty) return Map.empty
+    // An empty staged write (empty-delta upsertWithBatch that only
+    // advances the batch mark, or a delete that emptied every touched
+    // bucket) has no data files — schema inference would throw and
+    // fail the whole commit. No files → no stats to record.
+    val df =
+      try spark.read.option("mergeSchema", "true").format(fmt).load(stagePath)
+      catch { case _: org.apache.spark.sql.AnalysisException => return Map.empty }
+    val cols = statsColumns.filter(c =>
+      df.columns.contains(c) && statType(df.schema(c).dataType))
+    val kCols = keyColsOf(df)
+    if (cols.isEmpty && kCols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c => Seq(
+      min(statInput(df, c)).cast("string").as(s"graft_mn_$c"),
+      max(statInput(df, c)).cast("string").as(s"graft_mx_$c"))) ++
+      kCols.map(bloomAgg)
     // the partition-dir read infers graft_bucket as INT — normalize
     df.groupBy(col(BucketCol).cast("long").as(BucketCol))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { row =>
         val b = row.getLong(0)
-        b -> cols.zipWithIndex.flatMap { case (c, i) =>
+        val stats = cols.zipWithIndex.flatMap { case (c, i) =>
           val mn = row.getString(2 * i + 1); val mx = row.getString(2 * i + 2)
-          if (mn == null || mx == null) None else Some((c, mn, mx))
+          if (mn == null || mx == null ||
+            !parsesAsDecimal(mn) || !parsesAsDecimal(mx)) None
+          else Some((c, mn, mx))
         }
+        val base = 1 + 2 * cols.size
+        val keys = kCols.zipWithIndex.flatMap { case (c, i) =>
+          Option(row.getAs[Array[Byte]](base + i)).map(x => (c, encodeBloom(x)))
+        }
+        b -> DirMeta(stats, keys)
       }
-      .filter(_._2.nonEmpty)
+      .filter(!_._2.isEmpty)
       .toMap
   }
 
   /** Does a dir's recorded range intersect [lower, upper]? Missing
     * stats (no line, or the column not recorded) keep the dir —
-    * skipping is an optimization, never a semantics change. */
+    * skipping is an optimization, never a semantics change. Stats a
+    * pre-fix manifest recorded as NaN/Infinity (or any future
+    * unparseable form) also KEEP the dir: a stat we can't interpret
+    * must never exclude data. */
   private def survives(
       stats: Option[Seq[(String, String, String)]],
       column: String,
@@ -553,7 +666,11 @@ class SnapshotBucketedStore(
     stats.flatMap(_.find(_._1 == column)) match {
       case None => true
       case Some((_, mn, mx)) =>
-        BigDecimal(mx) >= lower && BigDecimal(mn) <= upper
+        (scala.util.Try(BigDecimal(mn)), scala.util.Try(BigDecimal(mx))) match {
+          case (scala.util.Success(lo0), scala.util.Success(hi0)) =>
+            hi0 >= lower && lo0 <= upper
+          case _ => true
+        }
     }
 
   /** Range-predicate read with MANIFEST-LEVEL data skipping: returns
@@ -567,13 +684,16 @@ class SnapshotBucketedStore(
     * rounding), and the residual filter still applies to surviving
     * dirs — stats only ever EXCLUDE provably-disjoint dirs. Pass
     * bounds in the column's own type (a Long for a long column) so
-    * the residual filter also pushes down into the parquet scan. */
+    * the residual filter also pushes down into the parquet scan.
+    * Float bounds are promoted to double for the skip comparison —
+    * stats record float columns double-promoted (see [[statInput]]),
+    * and a float's own shortest string can misorder against them. */
   def readWhere(name: String, column: String, lower: Any, upper: Any): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}
     latestManifest(name).flatMap { m =>
       val all = (m.buckets.values ++ m.logs).toSeq
       if (all.isEmpty) return None
-      val lo = BigDecimal(lower.toString); val hi = BigDecimal(upper.toString)
+      val lo = boundDecimal(lower); val hi = boundDecimal(upper)
       val kept = all.filter(d => survives(m.stats.get(d), column, lo, hi))
       val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
       if (kept.isEmpty)
@@ -589,8 +709,129 @@ class SnapshotBucketedStore(
   def pruneStats(name: String, column: String, lower: Any, upper: Any): Option[(Int, Int)] =
     latestManifest(name).map { m =>
       val all = (m.buckets.values ++ m.logs).toSeq
-      val lo = BigDecimal(lower.toString); val hi = BigDecimal(upper.toString)
+      val lo = boundDecimal(lower); val hi = boundDecimal(upper)
       (all.count(d => survives(m.stats.get(d), column, lo, hi)), all.size)
+    }
+
+  /** CONJUNCTIVE multi-column data skipping: returns exactly
+    * `read(name).filter(AND_i  col_i between lo_i and hi_i)`, pruning
+    * a dir when ANY conjunct's recorded [min, max] is disjoint from
+    * its interval — the intersection of the per-column keep sets, so
+    * a 100 TB table filtered on (date, source_id) skips dirs either
+    * stat alone would have to scan. Same conservative degradation per
+    * column: an unstatted column keeps the dir for ITS conjunct but
+    * the other conjuncts still prune. Bound discipline as
+    * [[readWhere]] (column's own type, Float promoted). */
+  def readWhereAll(
+      name: String,
+      preds: Seq[(String, Any, Any)]): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(preds.nonEmpty, "readWhereAll needs at least one conjunct")
+    latestManifest(name).flatMap { m =>
+      val all = (m.buckets.values ++ m.logs).toSeq
+      if (all.isEmpty) return None
+      val decs = preds.map { case (c, lo, hi) =>
+        (c, boundDecimal(lo), boundDecimal(hi)) }
+      val kept = all.filter(d =>
+        decs.forall { case (c, lo, hi) => survives(m.stats.get(d), c, lo, hi) })
+      val pred = preds.map { case (c, lo, hi) =>
+        col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+      if (kept.isEmpty)
+        readManifest(name, m).map(_.limit(0).filter(pred))
+      else Some(readDirs(dirsOf(name, m, kept)).filter(pred))
+    }
+  }
+
+  /** [[pruneStats]] for the conjunctive form — proves the 2-column
+    * intersection strictly tighter than either single column. */
+  def pruneStatsAll(
+      name: String,
+      preds: Seq[(String, Any, Any)]): Option[(Int, Int)] =
+    latestManifest(name).map { m =>
+      val all = (m.buckets.values ++ m.logs).toSeq
+      val decs = preds.map { case (c, lo, hi) =>
+        (c, boundDecimal(lo), boundDecimal(hi)) }
+      (all.count(d =>
+        decs.forall { case (c, lo, hi) => survives(m.stats.get(d), c, lo, hi) }),
+        all.size)
+    }
+
+  /** Exact decimal of a range bound, promoting Float → Double first
+    * so the comparison space matches the recorded (double-promoted)
+    * stats. */
+  private def boundDecimal(v: Any): BigDecimal = v match {
+    case f: Float => BigDecimal(f.toDouble.toString)
+    case f: java.lang.Float => BigDecimal(f.doubleValue.toString)
+    case other => BigDecimal(other.toString)
+  }
+
+  // ----------------------------------------------------------------
+  // Point-lookup skipping (per-dir key membership Blooms)
+  // ----------------------------------------------------------------
+
+  /** xxhash64 of a probe value, evaluated DRIVER-SIDE through the
+    * same engine expression the recorded Blooms were built over —
+    * the two sides must hash identically, so the hash is computed by
+    * the expression, never re-implemented. The value must be passed
+    * in the column's own external type (a Long for a long column):
+    * xxhash64 is type-tagged, so an Int probe of a Long column would
+    * silently never match. */
+  private def keyHash(value: Any): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    new XxHash64(Seq(Literal(value)))
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+      .asInstanceOf[Long]
+  }
+
+  /** Might this dir contain the probed key? No recorded Bloom (or an
+    * undecodable one) keeps the dir — membership stats, like range
+    * stats, only ever EXCLUDE provably-absent dirs (no false
+    * negatives by the Bloom contract; false positives just scan). */
+  private def survivesEq(
+      keys: Option[Seq[(String, String)]],
+      column: String,
+      hash: Long): Boolean =
+    keys.flatMap(_.find(_._1 == column)) match {
+      case None => true
+      case Some((_, b64)) =>
+        try {
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b64)))
+            .mightContainLong(hash)
+        } catch { case scala.util.control.NonFatal(_) => true }
+    }
+
+  /** POINT-LOOKUP read with membership skipping: returns exactly
+    * `read(name).filter(column === value)`, scanning ONLY the
+    * generation dirs whose recorded key Bloom might contain the
+    * value. Range min/max helps time-ordered scans; this is its
+    * complement for high-cardinality equality probes — an id lookup
+    * on a 100 TB table touches ~the dirs that ever wrote that id
+    * (Bloom fpp extra dirs at worst), not every file. The residual
+    * equality filter still applies to surviving dirs and pushes into
+    * the columnar scan. `value` must be the column's own type. */
+  def readWhereEq(name: String, column: String, value: Any): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    latestManifest(name).flatMap { m =>
+      val all = (m.buckets.values ++ m.logs).toSeq
+      if (all.isEmpty) return None
+      val h = keyHash(value)
+      val kept = all.filter(d => survivesEq(m.keys.get(d), column, h))
+      val pred = col(column) === lit(value)
+      if (kept.isEmpty)
+        readManifest(name, m).map(_.limit(0).filter(pred))
+      else Some(readDirs(dirsOf(name, m, kept)).filter(pred))
+    }
+  }
+
+  /** The skip metric behind [[readWhereEq]]: (dirs the probe must
+    * scan, total dirs in the snapshot). */
+  def pruneEqStats(name: String, column: String, value: Any): Option[(Int, Int)] =
+    latestManifest(name).map { m =>
+      val all = (m.buckets.values ++ m.logs).toSeq
+      val h = keyHash(value)
+      (all.count(d => survivesEq(m.keys.get(d), column, h)), all.size)
     }
 
   override def read(name: String): Option[DataFrame] =
@@ -643,7 +884,7 @@ class SnapshotBucketedStore(
         s"$name has no snapshot v$version (vacuumed, or never committed)"))
     val cur = latestManifest(name).get // target existing ⇒ table exists
     commit(name, Manifest(cur.version + 1, target.buckets, target.logs,
-      cur.lastBatch, target.stats))
+      cur.lastBatch, target.stats, target.keys))
   }
 
   /** Keyed diff of two retained snapshots (`added`/`removed`/
@@ -780,8 +1021,9 @@ class SnapshotBucketedStore(
     val v = prev.map(_.version + 1).getOrElse(0)
     val rel = s"data/log-$v"
     writeDir(df, new Path(tableDir(name), rel).toString)
+    val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), Some(batchId),
-      statsForDir(name, rel)))
+      statsPart(dm), keysPart(dm)))
   }
 
   /** K2 append as a committed log generation: new dir + new manifest.
@@ -808,10 +1050,12 @@ class SnapshotBucketedStore(
     val v = prev.map(_.version + 1).getOrElse(0)
     val rel = s"data/log-$v"
     writeDir(df, new Path(tableDir(name), rel).toString)
+    val dm = metaForDir(name, rel)
     commit(name, Manifest(v, prev.map(_.buckets).getOrElse(Map.empty),
       prev.map(_.logs).getOrElse(Nil) :+ rel,
       batchId.orElse(prev.flatMap(_.lastBatch)),
-      prev.map(_.stats).getOrElse(Map.empty) ++ statsForDir(name, rel)))
+      prev.map(_.stats).getOrElse(Map.empty) ++ statsPart(dm),
+      prev.map(_.keys).getOrElse(Map.empty) ++ keysPart(dm)))
   }
 
   /** Log-structured compaction for append-mode tables: fold the
@@ -851,8 +1095,9 @@ class SnapshotBucketedStore(
       // CAS: commit only if nothing advanced the table while we wrote
       if (latestManifest(name).exists(_.version == base.version)) {
         try {
+          val dm = metaForDir(name, rel)
           commit(name, Manifest(v, Map.empty, Seq(rel), base.lastBatch,
-            statsForDir(name, rel)))
+            statsPart(dm), keysPart(dm)))
           return true
         } catch { case _: ConcurrentCommitException => () } // lost the race
       }
@@ -873,8 +1118,9 @@ class SnapshotBucketedStore(
     // commits, and dropping the mark there would let a crash-replayed
     // epoch re-apply after a compact.
     writeDir(df, new Path(tableDir(name), rel).toString)
+    val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), prev.flatMap(_.lastBatch),
-      statsForDir(name, rel)))
+      statsPart(dm), keysPart(dm)))
   }
 
   override def upsert(name: String, incoming: DataFrame, key: String)(implicit s: SparkSession): Unit =
@@ -888,14 +1134,14 @@ class SnapshotBucketedStore(
     * replaying an epoch should check [[lastAppliedBatch]] first, the
     * same discipline as [[appendIfNew]]. */
   def upsertWithBatch(name: String, incoming: DataFrame, key: String,
-      batchId: Long)(implicit s: SparkSession): Unit = {
+      batchId: Long): Unit = {
     require(latestManifest(name).flatMap(_.lastBatch).forall(_ <= batchId),
       s"$name batch mark would move backwards")
     upsertCore(name, incoming, key, Some(batchId))
   }
 
   private def upsertCore(name: String, incoming: DataFrame, key: String,
-      batchId: Option[Long])(implicit s: SparkSession): Unit = {
+      batchId: Option[Long]): Unit = {
     import org.apache.spark.sql.functions.col
     val prev = latestManifest(name)
     require(prev.forall(_.logs.isEmpty),
@@ -912,14 +1158,14 @@ class SnapshotBucketedStore(
       touched.flatMap(b => m.buckets.get(b).map(d => new Path(tableDir(name), d).toString)))
     val existing =
       if (existingDirs.isEmpty)
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
       else readDirs(existingDirs)
     val merged = withBucket(graft.ops.Upsert.upsert(existing, incoming, key), key)
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
-    // per-bucket data-skipping stats, ONE grouped agg over the stage
-    // (before the renames — the staged layout still carries the
-    // bucket partition column)
-    val stageStats = statsForStage(stage.toString)
+    // per-bucket data-skipping stats + key Blooms, ONE grouped agg
+    // over the stage (before the renames — the staged layout still
+    // carries the bucket partition column)
+    val stageMeta = metaForStage(stage.toString)
     // move each staged bucket dir to its immutable generation home
     f.mkdirs(new Path(tableDir(name), "data"))
     val newBuckets = touched.flatMap { b =>
@@ -942,7 +1188,10 @@ class SnapshotBucketedStore(
       batchId.orElse(prev.flatMap(_.lastBatch)),
       prev.map(_.stats).getOrElse(Map.empty) ++
         newBuckets.flatMap { case (b, rel) =>
-          stageStats.get(b).map(rel -> _) }))
+          stageMeta.get(b).filter(_.stats.nonEmpty).map(rel -> _.stats) },
+      prev.map(_.keys).getOrElse(Map.empty) ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) }))
   }
 
   /** Keyed row deletion — the right-to-be-forgotten path a 100 TB
@@ -964,8 +1213,23 @@ class SnapshotBucketedStore(
     val keyFrame = keys.select(col(keys.columns.head).as(keyCol)).distinct()
     val touched = withBucket(keyFrame, keyCol)
       .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
-    val touchedDirs = touched.flatMap(b =>
+    val bucketDirs = touched.flatMap(b =>
       prev.get.buckets.get(b).map(b -> _))
+    // membership-stats targeting: a touched bucket whose key Bloom
+    // provably contains NONE of the doomed keys never held them —
+    // skip its rewrite entirely (GDPR deletes of ids that mostly
+    // never existed rewrite ~nothing). Applied only when the key
+    // list is driver-small; the bucket-hash targeting above already
+    // bounds the worst case.
+    val touchedDirs =
+      if (!keyColumns.contains(keyCol)) bucketDirs
+      else {
+        val probe = keyFrame.limit(10001).collect().map(r => keyHash(r.get(0)))
+        if (probe.length > 10000) bucketDirs
+        else bucketDirs.filter { case (_, d) =>
+          probe.exists(h => survivesEq(prev.get.keys.get(d), keyCol, h))
+        }
+      }
     if (touchedDirs.isEmpty) return
     // mergeSchema like read/upsert: after a widening upsert the touched
     // buckets span generations with different schemas — a single-footer
@@ -980,7 +1244,7 @@ class SnapshotBucketedStore(
     val stage = new Path(tableDir(name), s"stage-$v")
     val f = fs(stage)
     remaining.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
-    val stageStats = statsForStage(stage.toString)
+    val stageMeta = metaForStage(stage.toString)
     f.mkdirs(new Path(tableDir(name), "data"))
     // a touched bucket may become empty (every row deleted): it then
     // has no staged dir and simply drops out of the manifest
@@ -1001,7 +1265,10 @@ class SnapshotBucketedStore(
       prev.get.lastBatch,
       prev.get.stats ++
         newBuckets.flatMap { case (b, rel) =>
-          stageStats.get(b).map(rel -> _) }))
+          stageMeta.get(b).filter(_.stats.nonEmpty).map(rel -> _.stats) },
+      prev.get.keys ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) }))
   }
 
   /** Garbage collection: delete data dirs not referenced by any of the

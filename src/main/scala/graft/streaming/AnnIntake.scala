@@ -126,16 +126,17 @@ object AnnIntake {
     * that merge ACROSS drains (a new doc bridging two old components
     * contracts both their labels into one root). Exactly-once: the
     * label table commits via [[graft.io.SnapshotBucketedStore.
-    * replaceWithBatch]] — content + batch mark in ONE manifest rename
-    * — and a replayed epoch (mark ≥ batchId) returns false untouched.
-    * The bucket-width cap applies at probe time: a bucket growing
-    * past the cap stops yielding NEW edges (old merges persist);
-    * the periodic batch miner remains the exact recompute.
+    * upsertWithBatch]] — changed/new rows + batch mark in ONE
+    * manifest rename — and a replayed epoch (mark ≥ batchId) returns
+    * false untouched. The bucket-width cap applies at probe time: a
+    * bucket growing past the cap stops yielding NEW edges (old merges
+    * persist); the periodic batch miner remains the exact recompute.
     *
-    * Cost note, stated honestly: the commit rewrites the whole label
-    * table (edge-incident docs only — a small corpus fraction under
-    * realistic dup rates); at extreme label counts the next step is a
-    * keyed upsert carrying the batch mark, same protocol. */
+    * Cost: O(affected) per batch, corpus-size-independent — the
+    * keyed upsert writes ONLY remapped old rows plus the batch's new
+    * edge-incident docs (untouched label buckets re-reference their
+    * existing generation dirs byte-for-byte), and the width cap is
+    * counted only over the buckets this batch actually probes. */
   def updateLabels(
       store: graft.io.SnapshotBucketedStore,
       table: String,
@@ -148,14 +149,21 @@ object AnnIntake {
     val labelsTable = s"${table}_labels"
     if (store.lastAppliedBatch(labelsTable).exists(batchId <= _)) return false
     val spark = batchBuckets.sparkSession
-    val allBuckets = store.read(s"${table}_buckets").get
+    val probe = batchBuckets.select("id", "band", "band_key").distinct()
+    // width-cap ONLY the buckets this batch probes: semi-joining the
+    // accumulated table to the batch's (band, band_key) keys first
+    // keeps the per-batch cost O(probed buckets), not an O(corpus)
+    // window shuffle per micro-batch — the per-key count inside the
+    // semi-joined set is identical to the global count for those keys
+    val probedKeys = probe.select("band", "band_key").distinct()
+    val probedBuckets = store.read(s"${table}_buckets").get
       .select("id", "band", "band_key").distinct()
+      .join(broadcast(probedKeys), Seq("band", "band_key"), "left_semi")
     val wCount = Window.partitionBy(col("band"), col("band_key"))
-    val capped = allBuckets
+    val capped = probedBuckets
       .withColumn("graft_bw_", count(lit(1)).over(wCount))
       .filter(col("graft_bw_") <= maxBucketWidth)
       .drop("graft_bw_")
-    val probe = batchBuckets.select("id", "band", "band_key").distinct()
     val rawPairs = probe.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") &&

@@ -119,6 +119,47 @@ class DataSkippingSpec extends SparkSpec {
     assert(store.pruneStats("log", "uuid", 3L, 3L).isDefined)
   }
 
+  test("conjunctive multi-column pruning is strictly tighter than either single column") {
+    val root = tmpDir("graft_skip_multi_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, 8, "parquet", Seq("uuid", "m"))
+    // two interleaved commit families: even generations carry low ids
+    // with HIGH m, odd generations high ids with LOW m — so a (uuid,m)
+    // conjunction disjoint in one column per family prunes dirs
+    // either single-column stat must keep
+    implicit val sq = spark
+    import sq.implicits._
+    (0 until 4).foreach { g =>
+      store.append("log", (0 until 50).map(i =>
+        (g * 1000L + i, s"g$g", if (g % 2 == 0) 9000.0 + i else i * 1.0))
+        .toDF("uuid", "val", "m"))
+    }
+    // uuid in [0, 1500] keeps g0+g1; m in [8000, 10000] keeps g0+g2;
+    // the conjunction keeps ONLY g0
+    val (kU, tot) = store.pruneStats("log", "uuid", 0L, 1500L).get
+    val (kM, _) = store.pruneStats("log", "m", 8000.0, 10000.0).get
+    val (kBoth, _) = store.pruneStatsAll("log",
+      Seq(("uuid", 0L, 1500L), ("m", 8000.0, 10000.0))).get
+    assert(tot == 4 && kU == 2 && kM == 2 && kBoth == 1,
+      s"intersection must be strictly tighter: uuid=$kU m=$kM both=$kBoth/$tot")
+    val pruned = store.readWhereAll("log",
+      Seq(("uuid", 0L, 1500L), ("m", 8000.0, 10000.0))).get
+      .orderBy("uuid").collect().toSeq
+    val full = store.read("log").get
+      .filter($"uuid".between(0L, 1500L) && $"m".between(8000.0, 10000.0))
+      .orderBy("uuid").collect().toSeq
+    assert(pruned == full && full.size == 50)
+    // a conjunct on an unstatted column degrades to keep — the OTHER
+    // conjunct still prunes
+    val (kVal, _) = store.pruneStatsAll("log",
+      Seq(("uuid", 0L, 500L), ("m", 0.0, 99999.0))).get
+    assert(kVal == 1, s"uuid conjunct must still prune alone: $kVal")
+    // fully-disjoint conjunction: zero dirs, empty result, schema kept
+    val none = store.readWhereAll("log",
+      Seq(("uuid", 0L, 500L), ("m", 100.0, 200.0))).get
+    assert(none.count() == 0 && none.columns.toSeq == Seq("uuid", "val", "m"))
+  }
+
   test("compactLogs and replace recompute stats for the merged generation") {
     val root = tmpDir("graft_skip_comp_")
     implicit val s = spark

@@ -186,4 +186,37 @@ class RetrievalSpec extends SparkSpec {
       .as[(Int, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(rows.sortBy(r => (r._1, r._2)).toSeq == manual)
   }
+
+  test("hybridTopKAnn is exactly RRF of bm25 and the ANN vector ranker; full probing ≡ hybridTopK") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" % 3 === 0).select($"doc_id", $"text")
+    val queries = Seq((1, "hash join strategy"), (2, "slow scan filter"))
+      .toDF("qid", "qtext")
+    val dims = 64; val planes = 4
+    val got = Retrieval.hybridTopKAnn(docs, queries, k = 5, dims = dims,
+        poolK = 5, numPlanes = planes, probes = 1)
+      .as[(Int, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // decomposition: the fusion must be exactly RRF(bm25, vectorTopKAnn)
+    val lex = Retrieval.bm25TopK(docs, queries, 5)
+      .select($"qid", $"rank", $"doc_id")
+    val tf = Vectorize.termFrequencies(docs, "doc_id", "text", dims)
+    val dv = Vectorize.tfidfVectors(docs, "doc_id", "text", dims)
+      .withColumnRenamed("id", "doc_id")
+    val qv = Vectorize.embed(queries, "qid", "qtext",
+        Vectorize.docFrequencies(tf), Vectorize.corpusSize(docs), dims)
+      .withColumnRenamed("id", "qid")
+    val sem = Retrieval.vectorTopKAnn(dv, qv, 5, dims, planes, probes = 1)
+      .select($"qid", $"rank", $"doc_id")
+    val manual = Retrieval.rrfFuse(Seq(lex, sem), k = 5)
+      .as[(Int, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == manual, s"ANN hybrid must decompose exactly:\n$got\n$manual")
+    // exhaustive probing (all 2^planes masks) recovers the exhaustive
+    // hybrid bit-for-bit — the recall ceiling the probes knob walks to
+    val full = Retrieval.hybridTopK(docs, queries, k = 5, dims = dims, poolK = 5)
+      .as[(Int, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val annFull = Retrieval.hybridTopKAnn(docs, queries, k = 5, dims = dims,
+        poolK = 5, numPlanes = planes, probes = planes)
+      .as[(Int, Int, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(annFull == full, "all-bit probing must equal the exhaustive hybrid")
+  }
 }

@@ -718,6 +718,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"RRF points must combine:\n${p.take(800)}")
   }
 
+  test("q147 hybrid RRF ANN: candidate pass is an equi-join — no corpus broadcast in the vector stage") {
+    // the ANN vector stage in isolation: q145's one allowed nested
+    // loop (vectorTopK's broadcast query side streaming the corpus)
+    // is exactly what the ANN swap removes — queries meet docs on the
+    // LSH bucket key, an equi-join, so at 10⁹ docs each query touches
+    // candidate buckets only
+    implicit val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    // checkpoint the vector derivation so the audited plan is the
+    // candidate pass itself (tfidfVectors' own 1-row totals cross
+    // join is audited separately under q144)
+    val dv = graft.llm.Vectorize.tfidfVectors(docs, "doc_id", "text", 64)
+      .withColumnRenamed("id", "doc_id").localCheckpoint()
+    val qv = dv.filter($"doc_id" % 37 === 0).withColumnsRenamed(Map("doc_id" -> "qid"))
+    val ann = graft.llm.Retrieval.vectorTopKAnn(dv, qv, k = 5, dims = 64,
+      numPlanes = 4, probes = 1)
+    ann.collect()
+    val pv = ann.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!pv.contains("CartesianProduct"), pv.take(600))
+    assert(!pv.contains("BroadcastNestedLoopJoin"),
+      s"the ANN candidate pass must never broadcast-nest the corpus:\n${pv.take(800)}")
+    assert(pv.contains("graft_bkt_"),
+      s"candidates must meet on the bucket key:\n${pv.take(800)}")
+    // the full fused query: product-free; the only nested loops are
+    // BM25/TF-IDF's 1-row corpus-totals cross joins (constant-size
+    // build side — scale-safe); RRF points map-side combine
+    val df = LlmCatalog.hybridRrfAnnQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("partial_sum"), s"RRF points must combine:\n${p.take(800)}")
+  }
+
   test("q146 NCD lengths: two id-keyed joins, complexity is a map-side expression") {
     val p = plan(LlmCatalog.ncdLengthsQ)
     assert(!p.contains("CartesianProduct") &&
