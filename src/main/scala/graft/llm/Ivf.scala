@@ -136,4 +136,69 @@ object Ivf {
       .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
         col("e.sim").as("sim"), (col("graft_r_") + 1).cast("int").as("rank"))
   }
+
+  /** IVF-PQ search (IVFADC, Jégou/Douze/Schmid 2011 — the composition
+    * every production-scale vector store runs): the coarse IVF stage
+    * prunes WHICH vectors score ([[search]]'s nprobe cell probing,
+    * unchanged), and product quantization prunes WHAT each candidate
+    * costs — the corpus side carries [[PqModel.m]] 4-bit codes (one
+    * packed BIGINT at rest, 32× under float32) instead of the float
+    * vectors, decoded on the fly inside the scoring projection.
+    * Asymmetric distance: queries stay exact floats, candidates rank
+    * by cosine(q, decode(codes)) — the [[Similarity.
+    * pqTopKWithinLabel]] arithmetic under [[search]]'s probing.
+    *
+    * Shape at 100 TB: cell assignment + PQ encode are one map-side
+    * projection over the corpus (stored once); the candidate join is
+    * the same cell EQUI-join as [[search]] but the build/stream sides
+    * move 8-byte codes, not 256-byte vectors — the memory-bandwidth
+    * win IS the point of PQ; decode adds 64 mults per candidate
+    * against 32× less shuffle/scan traffic. Top-k rides the TopKAgg
+    * bounded heap (map-side k-reduction). Exactness: every arithmetic
+    * step (coarse argmin, per-subspace encode argmin with lowest-index
+    * ties, decode, sequential-IEEE dot, rank) is mirrored by the q148
+    * oracle, so the approximation is REPRODUCIBLE — same codes, same
+    * candidates, same ranks, cross-engine. */
+  def searchPq(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      topK: Int,
+      nprobe: Int,
+      queryPred: org.apache.spark.sql.Column,
+  ): DataFrame = {
+    val v = Similarity.withNorm(df, idCol, embCol)
+    // corpus side: coarse cell + PQ codes, decoded in the same
+    // projection (at rest a table stores (id, cell, pqPack(codes)))
+    val corpus = assign(v, centroids)
+      .withColumn("graft_de_", Similarity.pqDecode(
+        Similarity.pqEncode(col("e"))))
+      .withColumn("graft_dn_",
+        sqrt(Similarity.dot(col("graft_de_"), col("graft_de_"))))
+      .filter(col("graft_dn_") > 0.0)
+      .select(col("id"), col("cell"), col("graft_de_"), col("graft_dn_"))
+    // query side: exact floats, nprobe nearest cells each
+    val w = Window.partitionBy(col("id")).orderBy(col("_d"), col("cell"))
+    val q = v.filter(queryPred)
+      .crossJoin(broadcast(centroids)) // bounded fan-out: k centroid rows
+      .withColumn("_d", sqDist(col("e"), col("centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col("id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    val joined = q
+      .join(corpus, Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (Similarity.dot(col("qe"), col("graft_de_")) /
+          (col("qn") * col("graft_dn_"))).as("sim"))
+    val payload = struct(col("neighbor_id"), col("sim"))
+    joined
+      .groupBy(col("query_id"))
+      .agg(graft.expr.TopKAgg.topK(col("sim"), payload, topK).as("graft_top_"))
+      .select(col("query_id"), posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
+      .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.sim").as("sim"), (col("graft_r_") + 1).cast("int").as("rank"))
+  }
 }

@@ -5065,6 +5065,96 @@ object LlmCatalog {
     },
   )
 
+  /** IVF-PQ search (Ivf.searchPq — q21's coarse probing over q95's
+    * PQ codes, the IVFADC composition every production vector store
+    * runs): coarse cells prune WHICH vectors score, 4-bit PQ codes
+    * prune WHAT each candidate costs (8 bytes at rest vs 256), and
+    * the asymmetric rank is cosine(exact query, decoded candidate).
+    * The oracle is the q21 probing chain composed with the q95
+    * encode chain plus an ORDER-BY-m flatten decode — coarse argmin,
+    * per-subspace encode argmin (lowest-index ties), reconstruction,
+    * sequential dot, and rank all hash-pinned, so the APPROXIMATION
+    * ITSELF is reproducible cross-engine. */
+  val ivfPqQ = GraftQuery(
+    "q148_ivf_pq_topk",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      graft.llm.Ivf.searchPq(emb, "vec_id", "embedding",
+          graft.llm.IvfModel.df(s), topK = 5, nprobe = 2,
+          queryPred = col("vec_id") % 50 === 0)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val sub = graft.llm.PqModel.sub
+      val distSql = (0 until sub).map { j =>
+        s"(e[m*$sub+${j + 1}]-c[${j + 1}])*(e[m*$sub+${j + 1}]-c[${j + 1}])"
+      }.mkString(" + ")
+      s"""
+      WITH cents(cell, c) AS (
+        VALUES ${graft.llm.IvfModel.valuesSql}
+      ),
+      cb(m, sub_cell, c) AS (VALUES
+             ${graft.llm.PqModel.valuesSql}),
+      v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+      ),
+      assigned AS (
+        SELECT id, cell FROM (
+          SELECT v.id, cents.cell,
+                 ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+                   list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cents.c)
+                     + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+          FROM v CROSS JOIN cents)
+        WHERE rn = 1
+      ),
+      codes AS (
+        SELECT id, m, sub_cell FROM (
+          SELECT v.id, cb.m, cb.sub_cell,
+                 ROW_NUMBER() OVER (PARTITION BY v.id, cb.m
+                   ORDER BY $distSql, cb.sub_cell) AS rn
+          FROM v CROSS JOIN cb
+        ) WHERE rn = 1
+      ),
+      decoded AS (
+        SELECT codes.id, flatten(list(cb.c ORDER BY codes.m)) AS de
+        FROM codes JOIN cb ON cb.m = codes.m AND cb.sub_cell = codes.sub_cell
+        GROUP BY codes.id
+      ),
+      corpus AS (
+        SELECT a.id, a.cell, d.de,
+               sqrt(list_dot_product(d.de, d.de)) AS dnrm
+        FROM assigned a JOIN decoded d USING (id)
+        WHERE list_dot_product(d.de, d.de) > 0
+      ),
+      probes AS (
+        SELECT id AS query_id, e AS qe, nrm AS qn, cell FROM (
+          SELECT v.id, v.e, v.nrm, cents.cell,
+                 ROW_NUMBER() OVER (PARTITION BY v.id ORDER BY
+                   list_dot_product(v.e, v.e) - 2.0 * list_dot_product(v.e, cents.c)
+                     + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+          FROM v CROSS JOIN cents WHERE v.id % 50 = 0)
+        WHERE rn <= 2
+      ),
+      cand AS (
+        SELECT p.query_id, co.id AS neighbor_id,
+               list_dot_product(p.qe, co.de) / (p.qn * co.dnrm) AS sim
+        FROM probes p JOIN corpus co USING (cell)
+        WHERE p.query_id <> co.id
+      )
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        FROM cand)
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -5153,5 +5243,6 @@ object LlmCatalog {
     hybridRrfQ,
     ncdLengthsQ,
     hybridRrfAnnQ,
+    ivfPqQ,
   )
 }

@@ -49,4 +49,59 @@ class IvfSpec extends SparkSpec {
     assert(r8 > 0.999, s"nprobe=k must equal brute force, got $r8")
     assert(r4 > 0.3, s"nprobe=4 of 8 cells should find a solid fraction: $r4")
   }
+
+  test("IVF-PQ: nprobe-monotone recall; full probing equals exhaustive ADC; sims are decode-exact") {
+    val cents = Ivf.train(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val pred = col("vec_id") % 10 === 0
+    // the recall reference is EXHAUSTIVE ADC (every candidate scored
+    // through its decoded codeword) — what nprobe walks toward; the
+    // coarse stage prunes candidates, never changes surviving scores
+    val v = Similarity.withNorm(emb, "vec_id", "embedding")
+    val de = v.withColumn("de", Similarity.pqDecode(Similarity.pqEncode(col("e"))))
+      .withColumn("dn", sqrt(Similarity.dot(col("de"), col("de"))))
+      .filter(col("dn") > 0.0)
+      .select(col("id"), col("de"), col("dn"))
+    val q = v.filter(pred).select(col("id").as("query_id"),
+      col("e").as("qe"), col("nrm").as("qn"))
+    val exhaustive = q.crossJoin(de).filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (Similarity.dot(col("qe"), col("de")) / (col("qn") * col("dn"))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    val adcFull = exhaustive.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val allSims = exhaustive.as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    def run(nprobe: Int) =
+      Ivf.searchPq(emb, "vec_id", "embedding", cents, topK = 5,
+        nprobe = nprobe, queryPred = pred)
+    def recall(nprobe: Int): Double = {
+      val got = run(nprobe).select("query_id", "neighbor_id", "sim")
+        .as[(Long, Long, Double)].collect()
+      // every surviving pair scores bit-equal to the exhaustive ADC —
+      // probing only prunes, the arithmetic is identical
+      got.foreach { case (qq, n, s) =>
+        assert(allSims((qq, n)) == s, s"pair ($qq,$n) sim drifted") }
+      (got.map(r => (r._1, r._2)).toSet & adcFull).size.toDouble / adcFull.size
+    }
+    val r1 = recall(1); val r4 = recall(4); val r8 = recall(8)
+    assert(r1 <= r4 && r4 <= r8, s"recall not monotone: $r1 $r4 $r8")
+    assert(r8 > 0.999, s"nprobe=k must equal exhaustive ADC, got $r8")
+    // and vs the EXACT (float) brute force, PQ at full probing keeps
+    // the PqSpec-grade recall: the quantization, not the probing, is
+    // the only loss
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(pred),
+        "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val gotFull = run(8).select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exactRecall = (gotFull & brute).size.toDouble / brute.size
+    // whole-corpus 4-bit ADC@5 on the synthetic vectors measures
+    // ~0.19 (the within-label PqSpec figure is higher because its
+    // candidate pools are ~1/12 the size); random baseline is
+    // 5/|corpus| ≈ 0.01 — a broken decode/rank collapses toward that,
+    // and PqSpec's re-rank ladder is the recovery path
+    assert(exactRecall >= 0.12, s"IVFADC recall@5 vs exact = $exactRecall")
+  }
 }

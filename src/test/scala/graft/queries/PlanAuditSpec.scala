@@ -753,6 +753,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"RRF points must combine:\n${p.take(800)}")
   }
 
+  test("q148 IVF-PQ: candidates meet on the cell equi-join, decode is map-side, top-k partial-aggregates") {
+    val df = LlmCatalog.ivfPqQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // the only nested loops are the bounded k-row centroid broadcasts
+    // (coarse assignment); candidates join on the CELL key — at 10⁹
+    // vectors each query scores nprobe cells, never the corpus — and
+    // the decoded-codeword scoring stays in the projection
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("graft_pq_decode") || p.contains("graft_de_"),
+      s"decode must be a compiled projection:\n${p.take(800)}")
+    assert(p.contains("partial_graft_top_k"),
+      s"top-k must map-side k-reduce:\n${p.take(800)}")
+  }
+
   test("q146 NCD lengths: two id-keyed joins, complexity is a map-side expression") {
     val p = plan(LlmCatalog.ncdLengthsQ)
     assert(!p.contains("CartesianProduct") &&
