@@ -282,6 +282,21 @@ final class BucketedParquetDirStore(root: String, numBuckets: Int = 64)(implicit
   * table is EITHER an append log (K2) or a keyed upsert target
   * (K3/K4/W1) — [[upsert]] on a table with log dirs refuses rather
   * than silently miss log rows during its bucket-pruned merge. */
+object SnapshotBucketedStore {
+  /** Manifest stats-line format version. v1 (any manifest without a
+    * `statsver:` line) may carry float-shortest min/max strings that
+    * misorder against double probes; v2 records float columns
+    * double-promoted ([[SnapshotBucketedStore.statInput]]). Readers
+    * widen v1 bounds by [[LegacyStatsEps]] before comparing. */
+  val CurrentStatsVersion = 2
+
+  /** Relative widening applied to v1 stat bounds: a float's
+    * shortest-decimal string differs from its double promotion by at
+    * most half a float ULP (~6e-8 relative); 1e-6 is safely past it
+    * and costs almost nothing in pruning power. */
+  val LegacyStatsEps: BigDecimal = BigDecimal("0.000001")
+}
+
 class SnapshotBucketedStore(
     root: String,
     numBuckets: Int = 64,
@@ -330,7 +345,8 @@ class SnapshotBucketedStore(
       logs: Seq[String],
       lastBatch: Option[Long] = None,
       stats: Map[String, Seq[(String, String, String)]] = Map.empty,
-      keys: Map[String, Seq[(String, String)]] = Map.empty) {
+      keys: Map[String, Seq[(String, String)]] = Map.empty,
+      statsVersion: Int = SnapshotBucketedStore.CurrentStatsVersion) {
     /** Stats restricted to dirs this manifest still references — the
       * carry-forward rule every commit applies to its predecessor's
       * stats (superseded generations take their stats with them). */
@@ -378,8 +394,24 @@ class SnapshotBucketedStore(
         val Array(c, b) = t.split(":", 2); (c, b)
       }
     }.toMap
-    Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines))
+    // stats format version: absent (pre-versioning manifest) → 1,
+    // whose float-column stats may be float-shortest strings that
+    // underestimate the double-promoted value — [[survives]] widens
+    // v1 bounds by a relative epsilon so a double probe inside the
+    // float-string gap can never wrongly skip a dir
+    val statsVer = entries.collectFirst { case s if s.startsWith("statsver:") =>
+      s.stripPrefix("statsver:").toInt }.getOrElse(1)
+    Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines, statsVer))
   }
+
+  /** The stats version a NEW commit records: stats carried forward
+    * from a previous manifest keep that manifest's (possibly older)
+    * version — sticky min, because one v1-recorded float string in
+    * the carried map would otherwise masquerade as current-format.
+    * A table written entirely by this code is always current. */
+  private def carriedStatsVersion(prev: Option[Manifest]): Int =
+    prev.map(m => math.min(SnapshotBucketedStore.CurrentStatsVersion, m.statsVersion))
+      .getOrElse(SnapshotBucketedStore.CurrentStatsVersion)
 
   private def latestManifest(name: String): Option[Manifest] = {
     val dir = tableDir(name)
@@ -433,6 +465,7 @@ class SnapshotBucketedStore(
         m.buckets.toSeq.sortBy(_._1).map { case (b, d) => s"bucket:$b=$d" } ++
           m.logs.map(l => s"log:$l") ++
           m.lastBatch.map(b => s"batch:$b").toSeq ++
+          Seq(s"statsver:${m.statsVersion}") ++
           m.liveStats.toSeq.sortBy(_._1).collect {
             case (d, cs) if cs.nonEmpty =>
               s"stats:$d=" +
@@ -618,10 +651,26 @@ class SnapshotBucketedStore(
     // An empty staged write (empty-delta upsertWithBatch that only
     // advances the batch mark, or a delete that emptied every touched
     // bucket) has no data files — schema inference would throw and
-    // fail the whole commit. No files → no stats to record.
-    val df =
-      try spark.read.option("mergeSchema", "true").format(fmt).load(stagePath)
-      catch { case _: org.apache.spark.sql.AnalysisException => return Map.empty }
+    // fail the whole commit. Checked EXPLICITLY by listing the stage
+    // for data files: a blanket AnalysisException catch here would
+    // also swallow genuine read failures (corrupt footer, bad format
+    // options) and silently commit a generation without stats or
+    // Blooms. No files → no stats to record; any other failure
+    // propagates and fails the commit loudly, as it should.
+    val stageP = new Path(stagePath)
+    val f = fs(stageP)
+    val hasDataFiles = f.exists(stageP) && {
+      val it = f.listFiles(stageP, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith(".") && !n.startsWith("_")) found = true
+      }
+      found
+    }
+    if (!hasDataFiles) return Map.empty
+    val df = spark.read.option("mergeSchema", "true").format(fmt).load(stagePath)
     val cols = statsColumns.filter(c =>
       df.columns.contains(c) && statType(df.schema(c).dataType))
     val kCols = keyColsOf(df)
@@ -662,13 +711,21 @@ class SnapshotBucketedStore(
       stats: Option[Seq[(String, String, String)]],
       column: String,
       lower: BigDecimal,
-      upper: BigDecimal): Boolean =
+      upper: BigDecimal,
+      legacyStats: Boolean = false): Boolean =
     stats.flatMap(_.find(_._1 == column)) match {
       case None => true
       case Some((_, mn, mx)) =>
         (scala.util.Try(BigDecimal(mn)), scala.util.Try(BigDecimal(mx))) match {
           case (scala.util.Success(lo0), scala.util.Success(hi0)) =>
-            hi0 >= lower && lo0 <= upper
+            // pre-versioning (v1) manifests may hold float-shortest
+            // strings whose double promotion sits OUTSIDE the string
+            // value — widen the recorded range so those dirs are
+            // conservatively kept, never wrongly skipped
+            val eps = SnapshotBucketedStore.LegacyStatsEps
+            val lo = if (legacyStats) lo0 - lo0.abs * eps else lo0
+            val hi = if (legacyStats) hi0 + hi0.abs * eps else hi0
+            hi >= lower && lo <= upper
           case _ => true
         }
     }
@@ -694,7 +751,8 @@ class SnapshotBucketedStore(
       val all = (m.buckets.values ++ m.logs).toSeq
       if (all.isEmpty) return None
       val lo = boundDecimal(lower); val hi = boundDecimal(upper)
-      val kept = all.filter(d => survives(m.stats.get(d), column, lo, hi))
+      val kept = all.filter(d => survives(m.stats.get(d), column, lo, hi,
+        m.statsVersion < SnapshotBucketedStore.CurrentStatsVersion))
       val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
       if (kept.isEmpty)
         // every dir provably disjoint: zero rows, schema preserved
@@ -710,7 +768,8 @@ class SnapshotBucketedStore(
     latestManifest(name).map { m =>
       val all = (m.buckets.values ++ m.logs).toSeq
       val lo = boundDecimal(lower); val hi = boundDecimal(upper)
-      (all.count(d => survives(m.stats.get(d), column, lo, hi)), all.size)
+      (all.count(d => survives(m.stats.get(d), column, lo, hi,
+        m.statsVersion < SnapshotBucketedStore.CurrentStatsVersion)), all.size)
     }
 
   /** CONJUNCTIVE multi-column data skipping: returns exactly
@@ -733,7 +792,8 @@ class SnapshotBucketedStore(
       val decs = preds.map { case (c, lo, hi) =>
         (c, boundDecimal(lo), boundDecimal(hi)) }
       val kept = all.filter(d =>
-        decs.forall { case (c, lo, hi) => survives(m.stats.get(d), c, lo, hi) })
+        decs.forall { case (c, lo, hi) => survives(m.stats.get(d), c, lo, hi,
+          m.statsVersion < SnapshotBucketedStore.CurrentStatsVersion) })
       val pred = preds.map { case (c, lo, hi) =>
         col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
       if (kept.isEmpty)
@@ -752,7 +812,8 @@ class SnapshotBucketedStore(
       val decs = preds.map { case (c, lo, hi) =>
         (c, boundDecimal(lo), boundDecimal(hi)) }
       (all.count(d =>
-        decs.forall { case (c, lo, hi) => survives(m.stats.get(d), c, lo, hi) }),
+        decs.forall { case (c, lo, hi) => survives(m.stats.get(d), c, lo, hi,
+          m.statsVersion < SnapshotBucketedStore.CurrentStatsVersion) }),
         all.size)
     }
 
@@ -783,6 +844,64 @@ class SnapshotBucketedStore(
       .asInstanceOf[Long]
   }
 
+  /** [[keyHash]] made SAFE against probe-type drift: xxhash64 is
+    * type-tagged, so an Int probe of a Long column (or a
+    * differently-scaled Decimal) hashes differently from the recorded
+    * Bloom and would prune every dir — breaking the "no false
+    * negatives" contract while `read().filter(col === value)` happily
+    * coerces and returns rows. The probe is therefore CAST to the
+    * column's read-schema type before hashing; a probe whose cast is
+    * lossy for this value (round-trip back to the probe's own type
+    * changes it) or impossible returns None, which callers treat as
+    * "keep every dir" — the conservative degrade, exact residual
+    * filters keep the semantics. */
+  private def typedKeyHash(value: Any, dt: org.apache.spark.sql.types.DataType): Option[Long] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val lit =
+      try Literal(value)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val typed: Literal =
+      if (lit.dataType == dt) lit
+      else if (!Cast.canCast(lit.dataType, dt)) return None
+      else {
+        val v = Cast(lit, dt, Some("UTC")).eval(InternalRow.empty)
+        if (v == null) return None // cast failed: no value of dt equals the probe... keep dirs anyway
+        // lossless round-trip check: cast back to the probe's own
+        // type and compare — an overflow-wrapped or truncated cast
+        // must not hash (it would target the WRONG value's dirs)
+        val back = Cast(Literal(v, dt), lit.dataType, Some("UTC")).eval(InternalRow.empty)
+        if (back == null || back != lit.value) return None
+        Literal(v, dt)
+      }
+    Some(new XxHash64(Seq(typed))
+      .eval(InternalRow.empty).asInstanceOf[Long])
+  }
+
+  /** The read-schema type of `column` for the snapshot `m` describes
+    * (merged across generations — widening upserts make per-dir
+    * schemas differ). None when the table/column is unreadable; the
+    * caller degrades to no pruning and lets the residual filter
+    * raise whatever the plain read would. */
+  private def columnTypeOf(name: String, m: Manifest,
+      column: String): Option[org.apache.spark.sql.types.DataType] =
+    (try readManifest(name, m) catch { case scala.util.control.NonFatal(_) => None })
+      .flatMap(df => df.schema.fields.find(_.name == column).map(_.dataType))
+
+  /** The recorded key Bloom of one dir, deserialized ONCE — callers
+    * probing many hashes against many dirs must not pay a multi-KB
+    * base64 decode + deserialization per (hash, dir) pair. None
+    * means no recorded (or undecodable) Bloom: keep the dir. */
+  private def dirBloom(
+      keys: Option[Seq[(String, String)]],
+      column: String): Option[org.apache.spark.util.sketch.BloomFilter] =
+    keys.flatMap(_.find(_._1 == column)).flatMap { case (_, b64) =>
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          java.util.Base64.getDecoder.decode(b64))))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
   /** Might this dir contain the probed key? No recorded Bloom (or an
     * undecodable one) keeps the dir — membership stats, like range
     * stats, only ever EXCLUDE provably-absent dirs (no false
@@ -791,16 +910,7 @@ class SnapshotBucketedStore(
       keys: Option[Seq[(String, String)]],
       column: String,
       hash: Long): Boolean =
-    keys.flatMap(_.find(_._1 == column)) match {
-      case None => true
-      case Some((_, b64)) =>
-        try {
-          org.apache.spark.util.sketch.BloomFilter.readFrom(
-            new java.io.ByteArrayInputStream(
-              java.util.Base64.getDecoder.decode(b64)))
-            .mightContainLong(hash)
-        } catch { case scala.util.control.NonFatal(_) => true }
-    }
+    dirBloom(keys, column).forall(_.mightContainLong(hash))
 
   /** POINT-LOOKUP read with membership skipping: returns exactly
     * `read(name).filter(column === value)`, scanning ONLY the
@@ -816,8 +926,13 @@ class SnapshotBucketedStore(
     latestManifest(name).flatMap { m =>
       val all = (m.buckets.values ++ m.logs).toSeq
       if (all.isEmpty) return None
-      val h = keyHash(value)
-      val kept = all.filter(d => survivesEq(m.keys.get(d), column, h))
+      // probe cast to the column's own type before hashing (xxhash64
+      // is type-tagged); an uncastable/lossy probe keeps every dir
+      val hOpt = columnTypeOf(name, m, column).flatMap(typedKeyHash(value, _))
+      val kept = hOpt match {
+        case Some(h) => all.filter(d => survivesEq(m.keys.get(d), column, h))
+        case None => all
+      }
       val pred = col(column) === lit(value)
       if (kept.isEmpty)
         readManifest(name, m).map(_.limit(0).filter(pred))
@@ -830,9 +945,58 @@ class SnapshotBucketedStore(
   def pruneEqStats(name: String, column: String, value: Any): Option[(Int, Int)] =
     latestManifest(name).map { m =>
       val all = (m.buckets.values ++ m.logs).toSeq
-      val h = keyHash(value)
-      (all.count(d => survivesEq(m.keys.get(d), column, h)), all.size)
+      columnTypeOf(name, m, column).flatMap(typedKeyHash(value, _)) match {
+        case Some(h) =>
+          (all.count(d => survivesEq(m.keys.get(d), column, h)), all.size)
+        case None => (all.size, all.size)
+      }
     }
+
+  /** MULTI-PROBE membership pruning — the history side of a streaming
+    * dedup's anti-join: return the snapshot's rows from ONLY the
+    * generation dirs whose recorded key Bloom might contain AT LEAST
+    * ONE of `values`. The result is a conservative SUPERSET of the
+    * rows whose `column` is in `values`, with NO residual filter —
+    * callers doing an exact anti-join (or isin) supply their own
+    * exactness, which is what makes the conservative direction safe.
+    * At 100 TB a micro-batch of new fingerprints touches ~the dirs
+    * that ever saw a colliding key, not every generation ever
+    * appended. Probes are type-cast like [[readWhereEq]]; a probe
+    * that can't hash safely keeps every dir. */
+  def readWhereEqAny(name: String, column: String,
+      values: Seq[Any]): Option[DataFrame] =
+    latestManifest(name).flatMap { m =>
+      val all = (m.buckets.values ++ m.logs).toSeq
+      if (all.isEmpty) return None
+      val kept = keptForAny(name, m, all, column, values)
+      if (kept.isEmpty) readManifest(name, m).map(_.limit(0))
+      else Some(readDirs(dirsOf(name, m, kept)))
+    }
+
+  /** The skip metric behind [[readWhereEqAny]]. */
+  def pruneEqAnyStats(name: String, column: String,
+      values: Seq[Any]): Option[(Int, Int)] =
+    latestManifest(name).map { m =>
+      val all = (m.buckets.values ++ m.logs).toSeq
+      (keptForAny(name, m, all, column, values).size, all.size)
+    }
+
+  /** Dirs surviving an any-of membership probe: each dir's Bloom is
+    * deserialized ONCE and probed with every hash (never per
+    * (hash, dir) pair). Any unhashable probe value → keep all. */
+  private def keptForAny(name: String, m: Manifest, all: Seq[String],
+      column: String, values: Seq[Any]): Seq[String] = {
+    if (values.isEmpty) return Nil
+    val dtOpt = columnTypeOf(name, m, column)
+    val hashes = dtOpt.map(dt => values.map(typedKeyHash(_, dt)))
+      .getOrElse(Seq(None))
+    if (hashes.exists(_.isEmpty)) all
+    else {
+      val hs = hashes.flatten
+      all.filter(d => dirBloom(m.keys.get(d), column)
+        .forall(bf => hs.exists(bf.mightContainLong)))
+    }
+  }
 
   override def read(name: String): Option[DataFrame] =
     latestManifest(name).flatMap(readManifest(name, _))
@@ -1055,7 +1219,8 @@ class SnapshotBucketedStore(
       prev.map(_.logs).getOrElse(Nil) :+ rel,
       batchId.orElse(prev.flatMap(_.lastBatch)),
       prev.map(_.stats).getOrElse(Map.empty) ++ statsPart(dm),
-      prev.map(_.keys).getOrElse(Map.empty) ++ keysPart(dm)))
+      prev.map(_.keys).getOrElse(Map.empty) ++ keysPart(dm),
+      carriedStatsVersion(prev)))
   }
 
   /** Log-structured compaction for append-mode tables: fold the
@@ -1191,7 +1356,8 @@ class SnapshotBucketedStore(
           stageMeta.get(b).filter(_.stats.nonEmpty).map(rel -> _.stats) },
       prev.map(_.keys).getOrElse(Map.empty) ++
         newBuckets.flatMap { case (b, rel) =>
-          stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) }))
+          stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) },
+      carriedStatsVersion(prev)))
   }
 
   /** Keyed row deletion — the right-to-be-forgotten path a 100 TB
@@ -1210,24 +1376,53 @@ class SnapshotBucketedStore(
       s"$name has append-log generations; keyed delete targets bucketed tables")
     if (prev.isEmpty) return
     val v = prev.get.version + 1
-    val keyFrame = keys.select(col(keys.columns.head).as(keyCol)).distinct()
-    val touched = withBucket(keyFrame, keyCol)
-      .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
-    val bucketDirs = touched.flatMap(b =>
-      prev.get.buckets.get(b).map(b -> _))
+    val rawFrame = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+    // type discipline: bucket targeting hashes xxhash64(key) and the
+    // manifest Blooms are type-tagged the same way, so a keys frame
+    // whose column type differs from the table's (Int ids for a Long
+    // column) would hash into the WRONG buckets and silently no-op
+    // the delete. Cast the frame to the table's type when the cast
+    // round-trips losslessly for every key; otherwise degrade to
+    // rewriting every bucket with the ORIGINAL frame (Spark's own
+    // join coercion decides equality) — conservative, never a no-op.
+    val tableDt = columnTypeOf(name, prev.get, keyCol)
+    def withOrigType(dt: org.apache.spark.sql.types.DataType) = rawFrame
+      .select(col(keyCol).cast(tableDt.get).as(keyCol),
+        col(keyCol).as("graft_orig_"))
+      .withColumn("graft_lossy_",
+        !(col(keyCol).cast(dt) <=> col("graft_orig_")))
+    val (keyFrame, typeSafe) = tableDt match {
+      case Some(dt) if rawFrame.schema(keyCol).dataType == dt =>
+        (rawFrame, true)
+      case Some(_) =>
+        val probe = withOrigType(rawFrame.schema(keyCol).dataType)
+          .localCheckpoint()
+        if (probe.filter(col("graft_lossy_")).limit(1).count() > 0)
+          (rawFrame, false)
+        else (probe.select(keyCol), true)
+      case None => (rawFrame, false)
+    }
+    val bucketDirs: Seq[(Long, String)] =
+      if (typeSafe) {
+        val touched = withBucket(keyFrame, keyCol)
+          .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
+        touched.toSeq.flatMap(b => prev.get.buckets.get(b).map(b -> _))
+      } else prev.get.buckets.toSeq.sortBy(_._1)
     // membership-stats targeting: a touched bucket whose key Bloom
     // provably contains NONE of the doomed keys never held them —
     // skip its rewrite entirely (GDPR deletes of ids that mostly
     // never existed rewrite ~nothing). Applied only when the key
     // list is driver-small; the bucket-hash targeting above already
-    // bounds the worst case.
+    // bounds the worst case. Each dir's Bloom is deserialized ONCE
+    // and probed with every key hash.
     val touchedDirs =
-      if (!keyColumns.contains(keyCol)) bucketDirs
+      if (!typeSafe || !keyColumns.contains(keyCol)) bucketDirs
       else {
         val probe = keyFrame.limit(10001).collect().map(r => keyHash(r.get(0)))
         if (probe.length > 10000) bucketDirs
         else bucketDirs.filter { case (_, d) =>
-          probe.exists(h => survivesEq(prev.get.keys.get(d), keyCol, h))
+          dirBloom(prev.get.keys.get(d), keyCol)
+            .forall(bf => probe.exists(bf.mightContainLong))
         }
       }
     if (touchedDirs.isEmpty) return
@@ -1268,7 +1463,8 @@ class SnapshotBucketedStore(
           stageMeta.get(b).filter(_.stats.nonEmpty).map(rel -> _.stats) },
       prev.get.keys ++
         newBuckets.flatMap { case (b, rel) =>
-          stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) }))
+          stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) },
+      carriedStatsVersion(prev)))
   }
 
   /** Garbage collection: delete data dirs not referenced by any of the

@@ -175,4 +175,45 @@ class DataSkippingSpec extends SparkSpec {
     assert(store.pruneStats("log", "uuid", 0L, 999L).get == ((0, 1)))
     assert(store.readWhere("log", "uuid", 1000L, 2000L).get.count() == 10)
   }
+
+  test("pre-versioning (v1) manifests widen float stat bounds — no skip inside the string gap") {
+    // a manifest written before the float→double stat promotion holds
+    // float-shortest strings ("1.1" for 1.1f whose double promotion is
+    // 1.100000023841858...). A double probe INSIDE that gap must still
+    // scan the dir: v1 manifests (no statsver line) widen bounds by a
+    // relative epsilon at read time. Simulated by rewriting a fresh
+    // manifest into the legacy form.
+    val root = tmpDir("graft_skip_v1_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, 8, "parquet", Seq("score"))
+    Seq((1L, 1.1f)).toDF("uuid", "score")
+      .select($"uuid", $"score".cast("float").as("score"))
+      .write.mode("overwrite").parquet(s"$root/seed")
+    store.append("t", spark.read.parquet(s"$root/seed"))
+    val mf = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.matches("manifest-\\d+\\.txt")).maxBy(_.getName)
+    val txt = scala.io.Source.fromFile(mf, "UTF-8").mkString
+    // strip the version line and replace the (double-promoted) stat
+    // strings with the float-shortest legacy form
+    val legacy = txt.linesIterator
+      .filterNot(_.startsWith("statsver:"))
+      .map(l => if (l.startsWith("stats:"))
+        l.replaceAll("score:[^:,]+:[^:,]+", "score:1.1:1.1") else l)
+      .mkString("", "\n", "\n")
+    val w = new java.io.PrintWriter(mf, "UTF-8"); w.write(legacy); w.close()
+    // the true double promotion of 1.1f sits above the string "1.1" —
+    // a v1 reader that trusted the string would skip the dir
+    val lo = 1.1f.toDouble // 1.1000000238...
+    assert(store.pruneStats("t", "score", lo, 2.0).get == ((1, 1)),
+      "v1 stats must widen: the probe inside the float-string gap keeps the dir")
+    assert(store.readWhere("t", "score", lo, 2.0).get.count() == 1)
+    // a CURRENT manifest (statsver:2) does not widen: provably
+    // disjoint probes still skip
+    val store2root = tmpDir("graft_skip_v2_")
+    val store2 = new SnapshotBucketedStore(store2root, 8, "parquet", Seq("score"))
+    store2.append("t", spark.read.parquet(s"$root/seed"))
+    assert(store2.pruneStats("t", "score", 1.2, 2.0).get == ((0, 1)))
+    assert(store2.readWhere("t", "score", lo, 2.0).get.count() == 1,
+      "v2 records the double-promoted bound exactly — the in-gap probe matches")
+  }
 }

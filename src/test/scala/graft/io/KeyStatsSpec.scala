@@ -115,4 +115,68 @@ class KeyStatsSpec extends SparkSpec {
     assert(store.pruneEqStats("log", "name", "u5").get == ((2, 2)))
     assert(store.readWhereEq("log", "name", "u5").get.count() == 1)
   }
+
+  test("type-mismatched probes are cast to the column type — never a silent empty result") {
+    val root = tmpDir("graft_keys_typed_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, 8, "parquet", Nil, Seq("uuid"))
+    (0 until 4).foreach(g => store.append("log", rows(g * 100 until (g + 1) * 100, s"g$g")))
+    // xxhash64 is type-tagged: an Int probe of the Long column hashes
+    // differently from the recorded Blooms — the probe must be cast
+    // to Long first, matching read().filter's coercion semantics
+    val wantRows = store.read("log").get.filter($"uuid" === 250).collect().toSeq
+    assert(wantRows.size == 1)
+    assert(store.readWhereEq("log", "uuid", 250).get.collect().toSeq == wantRows,
+      "Int probe of a Long column must find the row")
+    // ...and still PRUNE (the cast probe hashes identically to the Bloom)
+    val (keptInt, totalInt) = store.pruneEqStats("log", "uuid", 250).get
+    assert(totalInt == 4 && keptInt <= 2, s"cast probe must still skip: $keptInt/$totalInt")
+    // a lossless Double probe behaves like the filter's coercion
+    assert(store.readWhereEq("log", "uuid", 250.0).get.collect().toSeq == wantRows)
+    // a LOSSY probe (no Long equals 250.5) degrades to keep-all dirs,
+    // and the residual filter still returns the coerced-exact answer
+    assert(store.pruneEqStats("log", "uuid", 250.5).get == ((4, 4)))
+    assert(store.readWhereEq("log", "uuid", 250.5).get.count() == 0)
+  }
+
+  test("delete with a type-mismatched keys frame still deletes (never a silent no-op)") {
+    val root = tmpDir("graft_keys_delty_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, 8, "parquet", Nil, Seq("uuid"))
+    store.upsert("tgt", rows(0 until 100, "v1"), "uuid")
+    // Int-typed keys frame against the Long key column: bucket hashes
+    // and Blooms are type-tagged, so without the cast this delete
+    // would target the WRONG buckets and leave the row in place
+    store.delete("tgt", "uuid", Seq(57).toDF("uuid"))
+    assert(store.read("tgt").get.filter($"uuid" === 57L).count() == 0,
+      "Int-keyed delete of a Long column must remove the row")
+    assert(store.read("tgt").get.count() == 99)
+    // a keys frame whose values can't losslessly cast degrades to the
+    // conservative full-bucket path — correct result, no silent miss
+    store.delete("tgt", "uuid", Seq("58").toDF("uuid"))
+    assert(store.read("tgt").get.filter($"uuid" === 58L).count() == 0)
+    assert(store.read("tgt").get.count() == 98)
+  }
+
+  test("readWhereEqAny: multi-probe pruning is a superset, one Bloom decode per dir") {
+    val root = tmpDir("graft_keys_any_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, 8, "parquet", Nil, Seq("uuid"))
+    (0 until 8).foreach(g => store.append("log", rows(g * 100 until (g + 1) * 100, s"g$g")))
+    // two live ids from two different generations + one absent id
+    val probes = Seq[Any](50L, 450L, 999999L)
+    val (kept, total) = store.pruneEqAnyStats("log", "uuid", probes).get
+    assert(total == 8 && kept <= 4, s"3 probes must skip most dirs: $kept/$total")
+    val got = store.readWhereEqAny("log", "uuid", probes).get
+    // superset contract: every row whose uuid is probed IS present
+    val hits = got.filter($"uuid".isin(50L, 450L, 999999L)).collect()
+    assert(hits.map(_.getLong(0)).toSet == Set(50L, 450L),
+      "multi-probe read must contain every probed live row")
+    // the anti-join caller's exactness: isin over the pruned read ==
+    // isin over the full read
+    assert(got.filter($"uuid".isin(probes.map(_.asInstanceOf[Long]): _*)).count() ==
+      store.read("log").get.filter($"uuid".isin(probes.map(_.asInstanceOf[Long]): _*)).count())
+    // type-mismatched probes keep everything (conservative), still a superset
+    assert(store.pruneEqAnyStats("log", "uuid", Seq(50.5)).get == ((8, 8)))
+  }
 }
