@@ -303,7 +303,8 @@ class SnapshotBucketedStore(
     fmt: String = "parquet",
     statsColumns: Seq[String] = Nil,
     keyColumns: Seq[String] = Nil,
-    keyExpectedItems: Long = 10000L)(
+    keyExpectedItems: Long = 10000L,
+    clusterColumn: Option[String] = None)(
     implicit spark: SparkSession)
     extends TableStore {
 
@@ -325,11 +326,31 @@ class SnapshotBucketedStore(
   private def tableDir(name: String) = new Path(s"$root/$name")
   private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def withBucket(df: DataFrame, key: String): DataFrame =
+  /** The physical bucket of a row: by default the hash of the upsert
+    * KEY (even spread, O(touched-buckets) keyed writes). With
+    * [[clusterColumn]] set, rows bucket by the hash of THAT column
+    * instead — decoupling physical layout from the logical key, the
+    * posting-list layout an IVF vector index needs: all rows of one
+    * cell land in one bucket dir, so the per-dir min/max stats on the
+    * cluster column become cell-narrow and a cell probe prunes to
+    * ~1/numBuckets of the table. Constraint (documented, the standard
+    * clustered-index trade): an upsert replaces a key's old row only
+    * when the new row lands in the SAME cluster bucket — a key whose
+    * cluster value CHANGES must be deleted first (for an ANN index:
+    * vectors are append+delete, never mutated in place — re-embedding
+    * a doc is a delete + insert). [[delete]] compensates by treating
+    * every bucket as touched when clustering is on (the key Blooms
+    * still narrow the rewrite set). */
+  private def withBucket(df: DataFrame, key: String): DataFrame = {
+    val bucketOf = clusterColumn match {
+      case Some(cc) if df.columns.contains(cc) => org.apache.spark.sql.functions.col(cc)
+      case _ => org.apache.spark.sql.functions.col(key)
+    }
     df.withColumn(BucketCol,
       org.apache.spark.sql.functions.pmod(
-        org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col(key)),
+        org.apache.spark.sql.functions.xxhash64(bucketOf),
         org.apache.spark.sql.functions.lit(numBuckets.toLong)))
+  }
 
   /** A committed snapshot: bucket → live data dir (table-relative),
     * plus append-log dirs, plus the highest streaming batch id applied
@@ -1402,8 +1423,11 @@ class SnapshotBucketedStore(
         else (probe.select(keyCol), true)
       case None => (rawFrame, false)
     }
+    // with a cluster column the keys frame can't compute its rows'
+    // buckets (they bucket by the CLUSTER value, absent here) — every
+    // bucket is a candidate and the key Blooms below do the narrowing
     val bucketDirs: Seq[(Long, String)] =
-      if (typeSafe) {
+      if (typeSafe && clusterColumn.isEmpty) {
         val touched = withBucket(keyFrame, keyCol)
           .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
         touched.toSeq.flatMap(b => prev.get.buckets.get(b).map(b -> _))

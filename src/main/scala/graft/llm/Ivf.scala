@@ -167,17 +167,52 @@ object Ivf {
       topK: Int,
       nprobe: Int,
       queryPred: org.apache.spark.sql.Column,
+  ): DataFrame =
+    searchPqIndexed(indexRows(df, idCol, embCol, centroids),
+      df, idCol, embCol, centroids, topK, nprobe, queryPred)
+
+  /** The AT-REST form of the IVF-PQ index: one row per vector,
+    * (id, cell: int, code: bigint) — the coarse cell plus the
+    * [[Similarity.pqPack]]ed 4-bit codes. 12 bytes of payload per
+    * vector against 256+ bytes of float32 components: THIS is what a
+    * 100 TB vector store persists and shuffles; the float vectors are
+    * only ever read once, at encode time. One map-side projection
+    * (broadcast centroid argmin + compiled encode), no shuffle beyond
+    * [[assign]]'s windowed argmin. */
+  def indexRows(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+  ): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(embCol).cast("array<double>").as("e"))
+    assign(v, centroids)
+      .select(col("id"), col("cell"),
+        Similarity.pqPack(Similarity.pqEncode(col("e"))).as("code"))
+  }
+
+  /** IVF-PQ search against a PREBUILT index table ((id, cell, code) —
+    * [[indexRows]]' shape, whether computed inline or read from a
+    * store): the cell equi-join carries the 8-byte packed codes, and
+    * decode happens ONLY in the post-join scoring projection — the
+    * build/stream sides of the candidate exchange never hold a
+    * decoded array, which is the PQ bandwidth win (a query-heavy
+    * batch would otherwise shuffle dims×8-byte arrays by cell,
+    * surrendering the 32× compression exactly where it matters).
+    * Candidates with a zero decoded norm drop post-join (cosine
+    * undefined), same result set as filtering them at encode time. */
+  def searchPqIndexed(
+      index: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      topK: Int,
+      nprobe: Int,
+      queryPred: org.apache.spark.sql.Column,
   ): DataFrame = {
     val v = Similarity.withNorm(df, idCol, embCol)
-    // corpus side: coarse cell + PQ codes, decoded in the same
-    // projection (at rest a table stores (id, cell, pqPack(codes)))
-    val corpus = assign(v, centroids)
-      .withColumn("graft_de_", Similarity.pqDecode(
-        Similarity.pqEncode(col("e"))))
-      .withColumn("graft_dn_",
-        sqrt(Similarity.dot(col("graft_de_"), col("graft_de_"))))
-      .filter(col("graft_dn_") > 0.0)
-      .select(col("id"), col("cell"), col("graft_de_"), col("graft_dn_"))
     // query side: exact floats, nprobe nearest cells each
     val w = Window.partitionBy(col("id")).orderBy(col("_d"), col("cell"))
     val q = v.filter(queryPred)
@@ -188,8 +223,14 @@ object Ivf {
       .select(col("id").as("query_id"), col("e").as("qe"),
         col("nrm").as("qn"), col("cell"))
     val joined = q
-      .join(corpus, Seq("cell"))
+      .join(index.select(col("id"), col("cell"), col("code")), Seq("cell"))
       .filter(col("query_id") =!= col("id"))
+      // decode AFTER the join: the exchange moved 8-byte codes
+      .withColumn("graft_de_", Similarity.pqDecode(
+        Similarity.pqUnpack(col("code"))))
+      .withColumn("graft_dn_",
+        sqrt(Similarity.dot(col("graft_de_"), col("graft_de_"))))
+      .filter(col("graft_dn_") > 0.0)
       .select(col("query_id"), col("id").as("neighbor_id"),
         (Similarity.dot(col("qe"), col("graft_de_")) /
           (col("qn") * col("graft_dn_"))).as("sim"))
@@ -200,5 +241,87 @@ object Ivf {
       .select(col("query_id"), posexplode(col("graft_top_")).as(Seq("graft_r_", "e")))
       .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
         col("e.sim").as("sim"), (col("graft_r_") + 1).cast("int").as("rank"))
+  }
+
+  /** Build (or incrementally refresh) the PERSISTED IVF-PQ index:
+    * [[indexRows]] upserted into a [[graft.io.SnapshotBucketedStore]]
+    * keyed by id — re-encoded vectors replace their old row,
+    * untouched buckets carry forward by reference. Configure the
+    * store with `keyColumns = Seq("id")` (point-lookup Blooms),
+    * `statsColumns = Seq("cell")` (min/max cell per generation dir,
+    * what [[searchPqFrom]] prunes with) and — the load-bearing bit —
+    * `clusterColumn = Some("cell")`: rows then bucket by CELL, the
+    * posting-list layout (all of one cell's codes in one dir), which
+    * is what makes the per-dir cell stats narrow enough to prune. An
+    * id-hash layout would mix every cell into every dir and the
+    * stats would never exclude anything. Vectors are append+delete
+    * (re-embedding = delete + insert), the clustered-store contract. */
+  def writeIndex(
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+  ): Unit = {
+    implicit val spark: SparkSession = df.sparkSession
+    store.upsert(table, indexRows(df, idCol, embCol, centroids), "id")
+  }
+
+  /** IVF-PQ search THROUGH the persisted index — the shape a vector
+    * store actually serves: cell assignment + PQ encode of the corpus
+    * happened ONCE at [[writeIndex]]/intake time; a search batch
+    * touches the stored (id, cell, code) rows, never the float
+    * vectors of the corpus. The read path prunes via the manifest
+    * cell stats: the query batch's probed cells are a ≤ k·nprobe
+    * driver-side set (k centroid rows — the same constant-size hop
+    * [[train]] already makes), so generation dirs whose recorded
+    * [min, max] cell range misses every probe are skipped before the
+    * scan, and the residual `isin` keeps exactness. Returns the same
+    * rows as [[searchPq]] over the vectors the index currently
+    * covers — the spec pins that equivalence bit-for-bit. */
+  def searchPqFrom(
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      topK: Int,
+      nprobe: Int,
+      queryPred: org.apache.spark.sql.Column,
+  ): DataFrame = {
+    val v = Similarity.withNorm(df, idCol, embCol)
+    // the probed-cell set: nprobe nearest cells per query, unioned —
+    // bounded by k (the centroid count), a constant-size driver hop
+    val w = Window.partitionBy(col("id")).orderBy(col("_d"), col("cell"))
+    val probedCells = v.filter(queryPred)
+      .crossJoin(broadcast(centroids))
+      .withColumn("_d", sqDist(col("e"), col("centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val index =
+      if (probedCells.isEmpty)
+        store.read(table).getOrElse(
+          return searchPqIndexed(emptyIndex(df.sparkSession), df, idCol,
+            embCol, centroids, topK, nprobe, queryPred))
+      else store.readWhere(table, "cell",
+          probedCells.head, probedCells.last)
+        .map(_.filter(col("cell").isin(probedCells: _*)))
+        .getOrElse(return searchPqIndexed(emptyIndex(df.sparkSession),
+          df, idCol, embCol, centroids, topK, nprobe, queryPred))
+    searchPqIndexed(index, df, idCol, embCol, centroids, topK, nprobe, queryPred)
+  }
+
+  /** Zero-row (id, cell, code) frame — the missing-table degrade of
+    * [[searchPqFrom]] (search over an empty index returns no rows,
+    * mirroring the store's missing-table→empty discipline). */
+  private def emptyIndex(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType), StructField("cell", IntegerType),
+        StructField("code", LongType))))
   }
 }

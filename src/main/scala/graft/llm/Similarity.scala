@@ -500,6 +500,16 @@ object Similarity {
         (acc.getField("b") * 16L).as("b")),
       acc => acc.getField("v"))
 
+  /** Inverse of [[pqPack]]: the BIGINT back to [[PqModel.m]] 4-bit
+    * codes (array<int>, [[pqDecode]]'s input type) — code_m =
+    * (packed >>> 4m) & 15, exact integer arithmetic, so
+    * pqUnpack(pqPack(codes)) ≡ codes for every valid code array.
+    * This is what lets the 8-byte packed form travel through joins
+    * and storage and decode ONLY in the final scoring projection. */
+  def pqUnpack(packed: Column): Column =
+    array((0 until PqModel.m).map(i =>
+      shiftrightunsigned(packed, 4 * i).bitwiseAND(lit(15L)).cast("int")): _*)
+
   /** ASYMMETRIC-DISTANCE top-k within a coarse label: queries stay
     * exact floats, the corpus side is PQ codes — sim(q, c) =
     * cosine(q, decode(codes)) (by linearity equal to the per-subvector

@@ -5155,6 +5155,37 @@ object LlmCatalog {
     },
   )
 
+  /** IVF-PQ search THROUGH THE PERSISTED INDEX (Ivf.writeIndex →
+    * SnapshotBucketedStore clustered by cell → Ivf.searchPqFrom):
+    * the corpus is assigned + PQ-encoded ONCE into a stored
+    * (id, cell, code) table — the posting-list layout, 12 bytes per
+    * vector — and the search batch reads codes back with manifest
+    * cell-stat pruning, never touching the corpus floats. Exactly
+    * q148's arithmetic with the codes coming from storage instead of
+    * a per-call re-encode (the difference between a demo and a
+    * servable 100 TB index), so the oracle is the SAME replay chain:
+    * a hash match proves the storage seam is bit-transparent. */
+  val ivfPqStoredQ = GraftQuery(
+    "q149_ivf_pq_stored",
+    (s, d) => {
+      implicit val sp = s
+      val emb = graft.Tables.embeddings(s, d)
+      val cents = graft.llm.IvfModel.df(s)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q149_ivfidx_").toString
+      val store = new graft.io.SnapshotBucketedStore(root, numBuckets = 16,
+        "parquet", statsColumns = Seq("cell"), keyColumns = Seq("id"),
+        clusterColumn = Some("cell"))
+      graft.llm.Ivf.writeIndex(store, "vs", emb, "vec_id", "embedding", cents)
+      graft.llm.Ivf.searchPqFrom(store, "vs", emb, "vec_id", "embedding",
+          cents, topK = 5, nprobe = 2,
+          queryPred = col("vec_id") % 50 === 0)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    ivfPqQ.oracle, // identical result contract: storage must be bit-transparent
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -5244,5 +5275,6 @@ object LlmCatalog {
     ncdLengthsQ,
     hybridRrfAnnQ,
     ivfPqQ,
+    ivfPqStoredQ,
   )
 }

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.llm.Ivf
+
+/** Streaming maintenance of the PERSISTED IVF-PQ vector index — the
+  * piece that turns [[graft.llm.Ivf.searchPq]]'s per-call corpus
+  * re-encode into a stored table a 100 TB search tier can actually
+  * serve from: vectors stream in, each micro-batch is assigned its
+  * coarse cell and PQ-encoded (one map-side projection against the
+  * broadcast frozen centroids/codebooks), and the resulting
+  * (id, cell, code) rows land in the index table via the keyed
+  * exactly-once upsert — changed ids replace their old row, untouched
+  * buckets carry forward by reference, and the batch mark commits in
+  * the SAME manifest rename as the data ([[graft.io.
+  * SnapshotBucketedStore.upsertWithBatch]]), so a replayed epoch is
+  * a no-op rather than a duplicate encode.
+  *
+  * State discipline mirrors [[AnnIntake]]: the float vectors are
+  * NEVER index state — 12 bytes/vector (cell + packed codes) is what
+  * accumulates; re-sent vectors (at-least-once transports) converge
+  * by key. The spec pins stream ≡ batch bit-equality: an index
+  * maintained across N drains equals [[Ivf.indexRows]] over the
+  * union of all drained vectors, and [[Ivf.searchPqFrom]] over it
+  * hash-matches [[Ivf.searchPq]]'s inline recompute. */
+object VectorIndexIntake {
+
+  /** Drain everything currently available (AvailableNow), upserting
+    * one index generation per micro-batch, exactly-once. The store
+    * should declare `keyColumns = Seq("id")` and
+    * `statsColumns = Seq("cell")` so the index read path gets point
+    * Blooms and cell-range pruning. */
+  def drainTo(
+      vectors: DataFrame,
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+      checkpoint: String,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      embCol: String = "embedding",
+  ): Unit = {
+    val q = vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(store, table, batch, batchId, centroids, idCol, embCol): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of index maintenance: assign + encode the batch
+    * and keyed-upsert it with the epoch mark. Returns false untouched
+    * for a replayed epoch (mark already ≥ batchId) — the exactly-once
+    * hinge a crash-recovered foreachBatch leans on. */
+  def applyBatch(
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+      batch: DataFrame,
+      batchId: Long,
+      centroids: DataFrame,
+      idCol: String,
+      embCol: String,
+  ): Boolean = {
+    if (store.lastAppliedBatch(table).exists(batchId <= _)) return false
+    store.upsertWithBatch(table,
+      Ivf.indexRows(batch, idCol, embCol, centroids), "id", batchId)
+    true
+  }
+}

@@ -104,4 +104,58 @@ class IvfSpec extends SparkSpec {
     // and PqSpec's re-rank ladder is the recovery path
     assert(exactRecall >= 0.12, s"IVFADC recall@5 vs exact = $exactRecall")
   }
+
+  test("pqUnpack inverts pqPack for every valid code array") {
+    val codes = Seq(
+      Seq(0, 0, 0, 0, 0, 0, 0, 0),
+      Seq(15, 15, 15, 15, 15, 15, 15, 15),
+      Seq(3, 14, 0, 7, 9, 1, 15, 2))
+      .toDF("codes")
+      .select(col("codes").cast("array<int>").as("codes"))
+    val rt = codes.select(col("codes"),
+      Similarity.pqUnpack(Similarity.pqPack(col("codes"))).as("rt"))
+      .as[(Seq[Int], Seq[Int])].collect()
+    rt.foreach { case (orig, back) => assert(back == orig, s"$orig -> $back") }
+  }
+
+  test("persisted index: searchPqFrom over the stored table ≡ inline searchPq, cell stats prune") {
+    implicit val s = spark
+    val cents = IvfModel.df(spark)
+    val pred = col("vec_id") % 10 === 0
+    val root = tmpDir("graft_ivfidx_")
+    // the posting-list layout: cluster by cell, key by id, stats+Blooms
+    val store = new graft.io.SnapshotBucketedStore(s"$root/vs", numBuckets = 16,
+      "parquet", statsColumns = Seq("cell"), keyColumns = Seq("id"),
+      clusterColumn = Some("cell"))
+    Ivf.writeIndex(store, "vs", emb, "vec_id", "embedding", cents)
+    // bit-for-bit: the stored read path changes WHERE codes come from,
+    // never what they are
+    val inline = Ivf.searchPq(emb, "vec_id", "embedding", cents,
+        topK = 5, nprobe = 2, queryPred = pred)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(inline.nonEmpty)
+    val stored = Ivf.searchPqFrom(store, "vs", emb, "vec_id", "embedding",
+        cents, topK = 5, nprobe = 2, queryPred = pred)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(stored == inline, "stored-index search must replay the inline result exactly")
+    // the cluster layout makes per-dir cell stats narrow: a one-cell
+    // probe prunes most of the table's dirs
+    val (kept, total) = store.pruneStats("vs", "cell", 0, 0).get
+    assert(total >= 4 && kept * 4 <= total,
+      s"cell-clustered dirs must prune a point probe: kept $kept/$total")
+    // incremental refresh: upsert a delta, search reflects it
+    val delta = emb.filter(col("vec_id") < 20)
+    Ivf.writeIndex(store, "vs", delta, "vec_id", "embedding", cents)
+    val after = Ivf.searchPqFrom(store, "vs", emb, "vec_id", "embedding",
+        cents, topK = 5, nprobe = 2, queryPred = pred)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(after == inline, "re-upserting identical vectors must not change results")
+    // GDPR delete: removed ids vanish from the candidate set
+    val victim = inline.head.getLong(1) // some neighbor id
+    store.delete("vs", "id", Seq(victim).toDF("id"))
+    val afterDel = Ivf.searchPqFrom(store, "vs", emb, "vec_id", "embedding",
+        cents, topK = 5, nprobe = 2, queryPred = pred)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!afterDel.contains(victim), "deleted vector must not be served")
+  }
 }

@@ -766,6 +766,82 @@ class PlanAuditSpec extends SparkSpec {
       s"decode must be a compiled projection:\n${p.take(800)}")
     assert(p.contains("partial_graft_top_k"),
       s"top-k must map-side k-reduce:\n${p.take(800)}")
+    // the PQ bandwidth claim, asserted on the tree: NO exchange
+    // anywhere in the plan moves the decoded codeword array — the
+    // cell join's build/stream sides carry the 8-byte packed BIGINT,
+    // and decode happens strictly post-join in the scoring projection
+    def walk(n: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      n +: kids.flatMap(walk)
+    }
+    val exchanges = walk(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.nonEmpty, "expected at least one exchange in the IVF-PQ plan")
+    exchanges.foreach { e =>
+      assert(!e.output.exists(_.name.startsWith("graft_de_")),
+        s"an exchange carries the DECODED array — the PQ bandwidth win is lost:\n$e")
+    }
+  }
+
+  private def noDecodedArrayInExchanges(
+      df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    def walk(n: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+        case other => other.children
+      }
+      n +: kids.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }.foreach { e =>
+      assert(!e.output.exists(_.name.startsWith("graft_de_")),
+        s"$what: an exchange carries the decoded array:\n$e")
+    }
+  }
+
+  test("q149 stored IVF-PQ: the persisted read path keeps the packed-code exchange discipline") {
+    val df = LlmCatalog.ivfPqStoredQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("partial_graft_top_k"),
+      s"top-k must map-side k-reduce:\n${p.take(800)}")
+    noDecodedArrayInExchanges(df, "q149")
+    // the pruning proof behind the stored read: a cell-clustered
+    // index answers a one-cell probe from ~1/numCells of its dirs
+    // (the IvfSpec persisted-index test asserts the pruneStats
+    // metric and bit-equality against the inline form)
+  }
+
+  test("IVF-PQ query-heavy regime: queries ≈ corpus stays an equi-join with packed-code exchanges") {
+    // the shape the decode-placement fix protects: when the query
+    // side is NOT broadcast-small, the cell join must still be an
+    // equi-join whose exchanges carry 8-byte codes, not decoded
+    // dims×8-byte arrays — otherwise a full-batch re-rank shuffles
+    // 32× more bytes than the PQ design budget
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = graft.llm.Ivf.searchPq(emb, "vec_id", "embedding",
+      graft.llm.IvfModel.df(spark), topK = 3, nprobe = 2,
+      queryPred = lit(true)) // EVERY vector is a query
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // (the only nested loops allowed are the bounded k-row centroid
+    // broadcasts, same as q148 — never a row-level cartesian)
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    noDecodedArrayInExchanges(df, "query-heavy searchPq")
   }
 
   test("q146 NCD lengths: two id-keyed joins, complexity is a map-side expression") {
