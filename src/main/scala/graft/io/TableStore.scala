@@ -625,7 +625,7 @@ class SnapshotBucketedStore(
     * All-null stats columns record nothing (such a dir is
     * conservatively KEPT — absence of stats never lies). */
   private def metaOf(df: DataFrame): DirMeta = {
-    import org.apache.spark.sql.functions.{min, max}
+    import org.apache.spark.sql.functions.{count, lit, min, max}
     val cols = statsColumns.filter(c =>
       df.columns.contains(c) && statType(df.schema(c).dataType))
     val kCols = keyColsOf(df)
@@ -633,7 +633,7 @@ class SnapshotBucketedStore(
     val aggs = cols.flatMap(c => Seq(
       min(statInput(df, c)).cast("string").as(s"graft_mn_$c"),
       max(statInput(df, c)).cast("string").as(s"graft_mx_$c"))) ++
-      kCols.map(bloomAgg)
+      kCols.map(bloomAgg) :+ count(lit(1)).as("graft_cnt_")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val stats = cols.zipWithIndex.flatMap { case (c, i) =>
       val mn = row.getString(2 * i); val mx = row.getString(2 * i + 1)
@@ -642,10 +642,27 @@ class SnapshotBucketedStore(
       else Some((c, mn, mx))
     }
     val base = 2 * cols.size
-    val keys = kCols.zipWithIndex.flatMap { case (c, i) =>
-      Option(row.getAs[Array[Byte]](base + i)).map(b => (c, encodeBloom(b)))
-    }
+    // a ZERO-ROW generation (a streaming epoch whose batch deduped to
+    // nothing still commits, to advance the batch mark) records an
+    // EMPTY Bloom per key column — it provably contains no key, so
+    // membership probes always skip it; leaving it unBloomed would
+    // conservatively keep it forever
+    val rowCount = row.getLong(base + kCols.size)
+    val keys =
+      if (rowCount == 0L && kCols.nonEmpty) kCols.map(_ -> encodeBloom(emptyBloomBytes))
+      else kCols.zipWithIndex.flatMap { case (c, i) =>
+        Option(row.getAs[Array[Byte]](base + i)).map(b => (c, encodeBloom(b)))
+      }
     DirMeta(stats, keys)
+  }
+
+  /** Serialized empty Bloom (contains nothing — every probe misses):
+    * the membership stat of a zero-row generation dir. */
+  private lazy val emptyBloomBytes: Array[Byte] = {
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(1L)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
   }
 
   /** Meta for one freshly-written generation dir, computed by

@@ -152,7 +152,27 @@ object CorpusIntake {
         val existingCols = store.read(table).map(_.columns.toSeq)
         val tableStamped = existingCols.forall(_.contains(FpCol))
         val stamped = batch.withColumn(FpCol, TextOps.fingerprint(col(textCol)))
-        val deduped = historyFingerprints(store, table, textCol) match {
+        // DIR-level prefilter (the tier ABOVE the map-side batch
+        // Bloom): when the store records per-generation key Blooms
+        // for the fp column (construct it with `keyColumns =
+        // Seq(CorpusIntake.FpCol)`), probe them with THIS batch's
+        // fingerprints first — generation dirs that provably never
+        // saw any of them aren't even opened, so the history scan
+        // touches ~the dirs that ever wrote a colliding fp instead
+        // of every generation ever appended. Driver-bounded: a batch
+        // with > 10000 distinct fps skips the probe (the map-side
+        // Bloom below still prunes row-wise). Conservative by the
+        // Bloom contract — a kept dir is a superset, the anti-join
+        // stays exact, so admit/reject decisions are IDENTICAL with
+        // the prefilter on or off (spec-pinned).
+        val probeFps: Option[Seq[Any]] = store match {
+          case _: graft.io.SnapshotBucketedStore if tableStamped =>
+            val vals = stamped.select(FpCol).distinct().limit(10001)
+              .collect().map(_.get(0)).toSeq
+            if (vals.length > 10000) None else Some(vals)
+          case _ => None
+        }
+        val deduped = historyFingerprints(store, table, textCol, probeFps) match {
           case Some(seen) =>
             // Bloom over the batch side (the small side): the filter
             // embeds as a literal in the history scan's filter, so
@@ -183,11 +203,24 @@ object CorpusIntake {
       store: graft.io.TableStore,
       table: String,
       textCol: String,
-  ): Option[DataFrame] =
-    store.read(table).map { existing =>
+      probeFps: Option[Seq[Any]] = None,
+  ): Option[DataFrame] = {
+    // with a probe set and a snapshot store, read only the generation
+    // dirs whose recorded fp Bloom might contain ≥ 1 batch fp — a
+    // conservative superset of the matchable history (the caller's
+    // anti-join supplies exactness); stores without fp keyColumns (or
+    // legacy unstamped tables) degrade to the full read inside
+    // readWhereEqAny's keep-all path
+    val hist = (store, probeFps) match {
+      case (s: graft.io.SnapshotBucketedStore, Some(fps)) =>
+        s.readWhereEqAny(table, FpCol, fps)
+      case _ => store.read(table)
+    }
+    hist.map { existing =>
       if (existing.columns.contains(FpCol)) existing.select(col(FpCol))
       else existing.select(TextOps.fingerprint(col(textCol)).as(FpCol))
     }
+  }
 
   /** One-time legacy-table migration to the stamped fast path: rewrite
     * the table with [[FpCol]] materialized (one full read + replace —

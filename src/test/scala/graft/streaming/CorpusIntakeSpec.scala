@@ -164,6 +164,56 @@ class CorpusIntakeSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 4L), ids.mkString(","))
   }
 
+  test("manifest fp-Blooms dir-prune the history scan; admit/reject decisions identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_intake_dirbloom_")
+    implicit val s = spark
+    // the store records per-generation key Blooms for the fp column —
+    // the prefilter's substrate
+    val store = new graft.io.SnapshotBucketedStore(s"$root/corpus", numBuckets = 4,
+      "parquet", Nil, Seq(CorpusIntake.FpCol))
+    // a twin store WITHOUT fp Blooms: same drains, the control for
+    // decision identity
+    val plain = new graft.io.SnapshotBucketedStore(s"$root/plain", numBuckets = 4)
+    def variant(i: Int) = good.replace("fox", s"beast$i")
+    val input = MemoryStream[Doc]
+    val docs = input.toDF().withColumn("ts", timestamp_millis(col("ts")))
+    val pinput = MemoryStream[Doc]
+    val pdocs = pinput.toDF().withColumn("ts", timestamp_millis(col("ts")))
+    // several generations of disjoint content
+    (0 until 4).foreach { g =>
+      input.addData(Doc(10L * g, B + g * 1000, variant(g)))
+      CorpusIntake.drainDedupedTo(docs, store, "c", s"$root/ckpt")
+      pinput.addData(Doc(10L * g, B + g * 1000, variant(g)))
+      CorpusIntake.drainDedupedTo(pdocs, plain, "c", s"$root/pckpt")
+    }
+    // the probing batch: one historic dup (variant 1) + one new doc
+    input.addData(Doc(100L, B + 9000, variant(1)), Doc(101L, B + 9500, variant(99)))
+    CorpusIntake.drainDedupedTo(docs, store, "c", s"$root/ckpt")
+    pinput.addData(Doc(100L, B + 9000, variant(1)), Doc(101L, B + 9500, variant(99)))
+    CorpusIntake.drainDedupedTo(pdocs, plain, "c", s"$root/pckpt")
+    // identical decisions with the prefilter on and off
+    val ids = store.read("c").get.select("doc_id").as[Long].collect().sorted.toSeq
+    val pids = plain.read("c").get.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids == pids, s"prefilter changed decisions: $ids vs $pids")
+    assert(ids == Seq(0L, 10L, 20L, 30L, 101L), ids.mkString(","))
+    // the pruning metric (X75 discipline): the dup's fp probes ~its
+    // own generation dir, not every generation ever appended
+    val dupFp = Seq(good).toDF("text")
+      .select(graft.llm.TextOps.fingerprint(
+        lit(variant(1))).as("fp")).as[Long].head()
+    val (kept, total) = store.pruneEqAnyStats("c", CorpusIntake.FpCol,
+      Seq(dupFp)).get
+    assert(total >= 4 && kept * 2 <= total,
+      s"fp Blooms must skip most generation dirs: kept $kept/$total")
+    // an absent fp skips (nearly) everything
+    val (keptNo, _) = store.pruneEqAnyStats("c", CorpusIntake.FpCol,
+      Seq(123456789L)).get
+    assert(keptNo <= 1, s"absent fp kept $keptNo dirs")
+  }
+
   test("legacy unstamped tables stay schema-consistent and migrate to the fast path once") {
     val spark2 = spark
     import spark2.implicits._
