@@ -648,16 +648,32 @@ object Graph {
       adj: DataFrame, degs: DataFrame, asg: DataFrame, m: Long): DataFrame =
     moveRound(adj, degs, asg, m)
 
-  /** One synchronous move round of [[refineCommunities]]. */
+  /** One synchronous move round of [[refineCommunities]] — the
+    * unweighted surface, delegating to [[weightedMoveRound]] with
+    * unit weights (identical values: Σ1 = count). */
   private def moveRound(
+      adj: DataFrame, degs: DataFrame, asg: DataFrame, m: Long): DataFrame =
+    weightedMoveRound(adj.withColumn("graft_w_", lit(1L)), degs, asg, m)
+
+  /** One synchronous move round over a WEIGHTED graph — the form the
+    * Louvain coarsening levels run, where contracted super-edges
+    * carry integer multiplicities: identical exact-integer gain
+    * arithmetic with k_uc = Σ w(u, c) and d/D/m weighted. `adj` is
+    * (node, nbr, graft_w_) WITHOUT self-loops (a self-loop moves with
+    * its node — its contribution to e_c is the same in every
+    * community it could join, so it cancels in ΔQ and must NOT count
+    * toward k_uc); `degs` carries full weighted degrees INCLUDING
+    * 2×self-loop weight; `m` is the total edge weight (self-loops
+    * once). */
+  private def weightedMoveRound(
       adj: DataFrame, degs: DataFrame, asg: DataFrame, m: Long): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    // k_uc: edges from u into community c (u's own membership frozen)
+    // k_uc: edge weight from u into community c (u's membership frozen)
     val k = adj
       .join(asg.select(col("node").as("nbr"), col("graft_lbl_").as("graft_c_")),
         Seq("nbr"))
       .groupBy(col("node"), col("graft_c_"))
-      .agg(count(lit(1)).as("graft_k_"))
+      .agg(sum(col("graft_w_")).as("graft_k_"))
     // D_c: frozen per-community degree sums
     val dsum = degs.join(asg, Seq("node"))
       .groupBy(col("graft_lbl_"))
@@ -695,6 +711,192 @@ object Graph {
     asg.join(best, Seq("node"), "left")
       .select(col("node"),
         coalesce(col("graft_mv_"), col("graft_lbl_")).as("graft_lbl_"))
+  }
+
+  /** COMMUNITY-GRAPH CONTRACTION — the coarsening phase that turns
+    * Blondel 2008's local-move sweep into the full multi-level
+    * Louvain method: every community becomes one super-node, the
+    * weight between two super-nodes is the total edge weight between
+    * their members, and intra-community weight folds into a
+    * SELF-LOOP (so the contracted graph's modularity landscape is
+    * exactly the original's restricted to whole-community moves).
+    * Input/output edge form: (a, b, graft_w_) canonical a ≤ b,
+    * self-loops as a = b — closed under contraction, so levels
+    * iterate. One labels⋈edges join pair + one grouped sum; the
+    * contracted graph has ≤ |communities| nodes, shrinking every
+    * level. */
+  private[graft] def contractGraph(e: DataFrame, asg: DataFrame): DataFrame = {
+    val la = asg.select(col("node").as("a"), col("graft_lbl_").as("graft_ca_"))
+    val lb = asg.select(col("node").as("b"), col("graft_lbl_").as("graft_cb_"))
+    e.join(la, Seq("a")).join(lb, Seq("b"))
+      .select(
+        least(col("graft_ca_"), col("graft_cb_")).as("a"),
+        greatest(col("graft_ca_"), col("graft_cb_")).as("b"),
+        col("graft_w_"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("graft_w_")).as("graft_w_"))
+  }
+
+  /** Adjacency of a weighted canonical edge set, EXCLUDING self-loops
+    * (they cancel in the move gain — see [[weightedMoveRound]]). */
+  private def weightedAdjacencyOf(e: DataFrame): DataFrame = {
+    val ns = e.filter(col("a") =!= col("b"))
+    ns.select(col("a").as("node"), col("b").as("nbr"), col("graft_w_"))
+      .unionByName(ns.select(col("b").as("node"), col("a").as("nbr"), col("graft_w_")))
+  }
+
+  /** Weighted degrees: Σ incident edge weight, self-loops counting
+    * TWICE (the A_uu = 2·w convention that keeps Σd = 2m). */
+  private def weightedDegreesOf(e: DataFrame): DataFrame = {
+    val ns = e.filter(col("a") =!= col("b"))
+    ns.select(col("a").as("node"), col("graft_w_"))
+      .unionByName(ns.select(col("b").as("node"), col("graft_w_")))
+      .unionByName(e.filter(col("a") === col("b"))
+        .select(col("a").as("node"), (col("graft_w_") * 2L).as("graft_w_")))
+      .groupBy("node").agg(sum(col("graft_w_")).as("deg"))
+  }
+
+  /** One EXACT GREEDY move on a weighted graph: compute every
+    * candidate move's exact integer gain (the [[weightedMoveRound]]
+    * ledger), apply ONLY the single globally-best strictly-positive
+    * one (ΔQ desc, then node asc, then target label asc — total
+    * deterministic order). Returns None at a fixed point. Modularity
+    * STRICTLY increases with every accepted move by construction —
+    * the property the synchronous sweep trades away (simultaneous
+    * moves judged against the frozen state can jointly DECREASE Q:
+    * on a symmetric ring every super-node ties toward the smallest
+    * label and non-adjacent communities merge). One 1-row driver hop
+    * per move — the coarse levels where this runs have ≤ |communities|
+    * nodes, Blondel's own argument for why phase 2 is cheap. */
+  private def bestMove(
+      adj: DataFrame, degs: DataFrame, asg: DataFrame, m: Long): Option[DataFrame] = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val k = adj
+      .join(asg.select(col("node").as("nbr"), col("graft_lbl_").as("graft_c_")),
+        Seq("nbr"))
+      .groupBy(col("node"), col("graft_c_"))
+      .agg(sum(col("graft_w_")).as("graft_k_"))
+    val dsum = degs.join(asg, Seq("node"))
+      .groupBy(col("graft_lbl_"))
+      .agg(sum(col("deg")).as("graft_D_"))
+    val own = asg
+      .join(degs, Seq("node"))
+      .join(dsum, Seq("graft_lbl_"))
+      .select(col("node"), col("graft_lbl_").as("graft_a_"),
+        col("deg").as("graft_du_"), col("graft_D_").as("graft_Da_"))
+      .join(
+        k.select(col("node"), col("graft_c_").as("graft_a_"),
+          col("graft_k_").as("graft_kua_")),
+        Seq("node", "graft_a_"), "left")
+      .withColumn("graft_kua_", coalesce(col("graft_kua_"), lit(0L)))
+    val cand = own
+      .join(k, Seq("node"))
+      .filter(col("graft_c_") =!= col("graft_a_"))
+      .join(
+        dsum.select(col("graft_lbl_").as("graft_c_"),
+          col("graft_D_").as("graft_Db_")),
+        Seq("graft_c_"))
+      .select(col("node"), col("graft_c_").as("graft_b_"),
+        (lit(4L).cast(dec) * lit(m) * (col("graft_k_") - col("graft_kua_")) -
+          lit(2L).cast(dec) * col("graft_du_") *
+            (col("graft_Db_") - col("graft_Da_") + col("graft_du_")))
+          .cast(dec).as("graft_dq_"))
+      .filter(col("graft_dq_") > 0)
+    val best = cand
+      .orderBy(col("graft_dq_").desc, col("node"), col("graft_b_"))
+      .limit(1).collect()
+    if (best.isEmpty) None
+    else {
+      val node = best.head.get(0)
+      val target = best.head.get(1)
+      Some(asg.select(col("node"),
+        when(col("node") === lit(node), lit(target))
+          .otherwise(col("graft_lbl_")).as("graft_lbl_")))
+    }
+  }
+
+  /** MULTI-LEVEL LOUVAIN (Blondel/Guillaume/Lambiotte/Lefebvre 2008,
+    * both phases): level 1 runs `roundsPerLevel` deterministic
+    * synchronous local-move sweeps ([[refineCommunities]]'s X170
+    * arithmetic — the form that scales to the full node grain), then
+    * the communities CONTRACT to super-nodes ([[contractGraph]],
+    * intra-weight as self-loops) and every COARSE level runs exact
+    * greedy [[bestMove]] steps — moving WHOLE communities at once,
+    * the step a single-level sweep cannot express, with modularity
+    * strictly increasing per accepted move (GraphSpec has the ring
+    * fixture where no single node move improves Q but community
+    * moves reach the pairs optimum). Labels expand back through the
+    * level mappings, so the result labels ORIGINAL nodes; isolated
+    * nodes keep their given label.
+    *
+    * Scale shape: level 1 is [[refineCommunities]]'s cost (equi-joins
+    * + grouped sums, nothing driver-side but the one m scalar); each
+    * coarse level runs on ≤ |communities| super-nodes — the classic
+    * Louvain property that total work is dominated by level 1 — and
+    * each greedy step is the same aggregate pass plus a 1-row argmax
+    * hop, capped at `coarseMoves` (early-stopped at the fixed
+    * point). Fully deterministic → the q150 oracle replays both
+    * phases CTE by CTE, gain ledger included. */
+  def louvain(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      assignment: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      levels: Int = 2,
+      roundsPerLevel: Int = 1,
+      coarseMoves: Int = 16,
+  ): DataFrame = {
+    require(levels >= 1 && roundsPerLevel >= 1 && coarseMoves >= 1,
+      s"need >= 1 level/round/move, got $levels/$roundsPerLevel/$coarseMoves")
+    var e = canonicalEdges(edges, srcCol, dstCol)
+      .withColumn("graft_w_", lit(1L)).localCheckpoint()
+    var asg = assignment
+      .select(col(nodeCol).as("node"), col(labelCol).as("graft_lbl_"))
+      .localCheckpoint()
+    // original node → current-level label (level 1 nodes ARE originals)
+    var mapping: DataFrame = null
+    for (lvl <- 1 to levels) {
+      val adj = weightedAdjacencyOf(e).localCheckpoint()
+      val degs = weightedDegreesOf(e).localCheckpoint()
+      val m = e.agg(sum(col("graft_w_"))).head().getLong(0)
+      var a2 = asg
+      if (lvl == 1)
+        for (_ <- 1 to roundsPerLevel)
+          a2 = weightedMoveRound(adj, degs, a2, m).localCheckpoint()
+      else {
+        var moves = 0
+        var done = false
+        while (moves < coarseMoves && !done)
+          bestMove(adj, degs, a2, m) match {
+            case Some(next) => a2 = next.localCheckpoint(); moves += 1
+            case None => done = true
+          }
+      }
+      mapping =
+        if (mapping == null) a2.localCheckpoint()
+        else mapping.join(
+            a2.select(col("node").as("graft_lbl_"),
+              col("graft_lbl_").as("graft_new_")),
+            Seq("graft_lbl_"), "left")
+          // a community absent from the contracted graph (isolated)
+          // keeps its label
+          .select(col("node"),
+            coalesce(col("graft_new_"), col("graft_lbl_")).as("graft_lbl_"))
+          .localCheckpoint()
+      if (lvl < levels) {
+        e = contractGraph(e, a2).localCheckpoint()
+        // each super-node (community) starts in its own community —
+        // the Louvain phase-2 convention
+        asg = e.select(col("a").as("node"))
+          .unionByName(e.select(col("b").as("node")))
+          .distinct()
+          .select(col("node"), col("node").as("graft_lbl_"))
+          .localCheckpoint()
+      }
+    }
+    mapping.select(col("node"), col("graft_lbl_").as(labelCol))
   }
 
   /** EXACT per-community MODULARITY — the standard quality score for a

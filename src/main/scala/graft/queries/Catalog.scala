@@ -2171,6 +2171,104 @@ object Catalog {
     """.trim),
   )
 
+  /** One exact greedy coarse-level move in SQL (the [[graft.ops.
+    * Graph]] `bestMove` mirror), unrolled per step over the
+    * contracted weighted graph CTEs (`wadj`, `wdeg`, `wm`): the full
+    * HUGEINT gain ledger, a GLOBAL argmax (dq DESC, node ASC, target
+    * ASC), and the single applied move. A step at the fixed point
+    * (no strictly-positive gain) applies nothing — mirroring the
+    * engine's early stop. MATERIALIZED per step: the chain s1→s4
+    * would otherwise re-inline exponentially (the wpRoundsSql
+    * lesson). */
+  private def louvainMovesSql(moves: Int): String =
+    (1 to moves).map { t =>
+      val prev = s"s${t - 1}"
+      s"""gk$t AS MATERIALIZED (SELECT wadj.node, p.lbl AS c,
+               CAST(SUM(wadj.w) AS BIGINT) AS k
+        FROM wadj JOIN $prev p ON wadj.nbr = p.node GROUP BY wadj.node, p.lbl),
+      gd$t AS MATERIALIZED (SELECT p.lbl, CAST(SUM(dg.deg) AS BIGINT) AS ds
+        FROM wdeg dg JOIN $prev p ON p.node = dg.node GROUP BY p.lbl),
+      go$t AS MATERIALIZED (SELECT p.node, p.lbl AS a, dg.deg AS du,
+               da.ds AS dsa, COALESCE(k.k, 0) AS kua
+        FROM $prev p JOIN wdeg dg ON dg.node = p.node
+             JOIN gd$t da ON da.lbl = p.lbl
+             LEFT JOIN gk$t k ON k.node = p.node AND k.c = p.lbl),
+      gc$t AS MATERIALIZED (SELECT o.node, k.c AS b,
+               CAST(4 AS HUGEINT) * wm.m * (k.k - o.kua)
+                 - CAST(2 AS HUGEINT) * o.du * (db.ds - o.dsa + o.du) AS dq
+        FROM go$t o JOIN gk$t k ON k.node = o.node AND k.c <> o.a
+             JOIN gd$t db ON db.lbl = k.c, wm),
+      gb$t AS MATERIALIZED (SELECT node, b FROM (
+        SELECT node, b, ROW_NUMBER() OVER (ORDER BY dq DESC, node ASC, b ASC) AS rn
+        FROM gc$t WHERE dq > 0) WHERE rn = 1),
+      s$t AS MATERIALIZED (SELECT p.node,
+               CASE WHEN gb.node IS NOT NULL THEN gb.b ELSE p.lbl END AS lbl
+        FROM $prev p LEFT JOIN gb$t gb ON gb.node = p.node)"""
+    }.mkString(",\n      ")
+
+  /** MULTI-LEVEL LOUVAIN on the co-presence graph (Graph.louvain,
+    * Blondel 2008 BOTH phases — the coarsening q131's single sweep
+    * lacks): the q121 LPA assignment gets one synchronous local-move
+    * sweep (level 1, exactly q131's r1), the communities CONTRACT to
+    * super-nodes (intra-weight as self-loops, inter-weight summed),
+    * and the coarse level applies up to 4 exact greedy best moves —
+    * whole communities moving at once, each move the global argmax
+    * of the HUGEINT gain ledger, modularity strictly increasing per
+    * accepted move. The oracle unrolls all of it: LPA ×4, the sweep,
+    * the contraction, and each greedy move's ledger + argmax +
+    * application — a hash match pins both Louvain phases CTE by
+    * CTE. */
+  val louvainQ = GraftQuery(
+    "q150_louvain_communities",
+    (s, d) => {
+      val ue = events(s, d)
+        .select(col("user_id").as("uid"), expr("ts div 60000000000").as("w"))
+        .distinct()
+      val e = ue.as("x").join(ue.as("y"),
+          col("x.w") === col("y.w") && col("x.uid") < col("y.uid"))
+        .select(col("x.uid").as("src"), col("y.uid").as("dst"))
+      val lpa = graft.ops.Graph.labelPropagation(e, "src", "dst", iterations = 4)
+        .select(col("node"), col("label").as("community"))
+      graft.ops.Graph.louvain(e, "src", "dst",
+          lpa, "node", "community",
+          levels = 2, roundsPerLevel = 1, coarseMoves = 4)
+        .select(col("node").as("user_id"), col("community"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH ue AS (SELECT DISTINCT user_id AS uid, epoch_ns(ts)//60000000000 AS w
+                  FROM events),
+      e0 AS MATERIALIZED (SELECT DISTINCT x.uid AS a, y.uid AS b
+             FROM ue x JOIN ue y ON x.w = y.w AND x.uid < y.uid),
+      adj AS MATERIALIZED (SELECT a AS node, b AS nbr FROM e0
+              UNION ALL SELECT b AS node, a AS nbr FROM e0),
+      deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+      mm AS (SELECT COUNT(*) AS m FROM e0),
+      l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+      ${lpaRoundsSql(4)},
+      ${refineRoundsSql(1, "l4")},
+      ce AS MATERIALIZED (
+        SELECT least(pa.lbl, pb.lbl) AS a, greatest(pa.lbl, pb.lbl) AS b,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM e0 JOIN r1 pa ON pa.node = e0.a JOIN r1 pb ON pb.node = e0.b
+        GROUP BY 1, 2),
+      wadj AS MATERIALIZED (
+        SELECT a AS node, b AS nbr, w FROM ce WHERE a <> b
+        UNION ALL SELECT b AS node, a AS nbr, w FROM ce WHERE a <> b),
+      wdeg AS MATERIALIZED (SELECT node, CAST(SUM(w) AS BIGINT) AS deg FROM (
+        SELECT a AS node, w FROM ce WHERE a <> b
+        UNION ALL SELECT b AS node, w FROM ce WHERE a <> b
+        UNION ALL SELECT a AS node, 2 * w AS w FROM ce WHERE a = b) GROUP BY node),
+      wm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM ce),
+      s0 AS MATERIALIZED (SELECT node, node AS lbl FROM (
+        SELECT DISTINCT a AS node FROM ce UNION SELECT DISTINCT b FROM ce)),
+      ${louvainMovesSql(4)}
+      SELECT r1.node AS user_id, COALESCE(s4.lbl, r1.lbl) AS community
+      FROM r1 LEFT JOIN s4 ON s4.node = r1.lbl
+      ORDER BY user_id
+    """.trim),
+  )
+
   /** Avro source/sink round-trip (io.AvroIo, X165): the lineitem
     * slice written as avro containers (one per partition, deflate),
     * read BACK through the splittable AvroKeyInputFormat path, and
@@ -2608,6 +2706,7 @@ object Catalog {
     avroRoundtripQ,
     modularityQ,
     refinedCommunitiesQ,
+    louvainQ,
     groupSketchQuantilesQ,
     tableDigestQ,
     fuzzyJoinQ,

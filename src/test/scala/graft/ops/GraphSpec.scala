@@ -457,4 +457,64 @@ class GraphSpec extends SparkSpec {
     val fixed = labelsOf(Graph.labelPropagation(e, "s", "d", iterations = 8))
     assert(conv == fixed, s"conv=$conv fixed=$fixed")
   }
+
+  // ring of `n` triangles: T_i = {3i, 3i+1, 3i+2} fully connected,
+  // bridge 3i+2 — 3(i+1) mod 3n. The classic Louvain resolution
+  // fixture: for n > 8 the modularity optimum groups ADJACENT
+  // TRIANGLE PAIRS, but from the per-triangle assignment NO single
+  // node move improves Q (moving any node out loses 2 intra edges
+  // for 1) — only the coarsened level, moving whole triangles, can
+  // get there.
+  private def triangleRing(n: Int) = {
+    val intra = (0 until n).flatMap { i =>
+      val b = 3 * i
+      Seq((b.toLong, (b + 1).toLong), (b.toLong, (b + 2).toLong),
+        ((b + 1).toLong, (b + 2).toLong))
+    }
+    val bridges = (0 until n).map { i =>
+      ((3 * i + 2).toLong, (3 * ((i + 1) % n)).toLong)
+    }
+    (intra ++ bridges).toDF("s", "d")
+  }
+
+  private def triangleAsg(n: Int) =
+    (0 until 3 * n).map(v => (v.toLong, (v / 3 * 3).toLong))
+      .toDF("node", "community")
+
+  test("louvain coarsening escapes the local optimum the one-level sweep cannot") {
+    val n = 10
+    val e = triangleRing(n)
+    val asg = triangleAsg(n)
+    def q(a: org.apache.spark.sql.DataFrame): BigInt =
+      Graph.communityModularity(e, "s", "d", a, "node", "community")
+        .select("q_num").collect().map(r => BigInt(r.getString(0))).sum
+    // the per-triangle assignment is a FIXED POINT of the one-level
+    // sweep: no single-node move has positive exact gain
+    val oneLevel = Graph.refineCommunities(e, "s", "d", asg, "node", "community")
+    assert(oneLevel.orderBy("node").collect().toSeq ==
+      asg.orderBy("node").collect().toSeq,
+      "single-node moves must all be non-improving on the triangle ring")
+    // the two-level form contracts triangles to super-nodes and moves
+    // them WHOLE — strictly higher exact modularity
+    val two = Graph.louvain(e, "s", "d", asg, "node", "community",
+      levels = 2, roundsPerLevel = 1)
+    val qOne = q(oneLevel); val qTwo = q(two)
+    assert(qTwo > qOne,
+      s"coarsened level must strictly improve: $qOne -> $qTwo")
+    // triangles never split: coarsening moves communities atomically
+    val byTriangle = two.withColumn("tri", (col("node") / 3).cast("long"))
+      .groupBy("tri").agg(countDistinct(col("community")).as("k"))
+      .select("k").as[Long].collect()
+    assert(byTriangle.forall(_ == 1L), "a triangle split across communities")
+  }
+
+  test("louvain with levels=1 is exactly the one-level sweep") {
+    val e = triangleRing(4)
+    val asg = triangleAsg(4)
+    val sweep = Graph.refineCommunities(e, "s", "d", asg, "node", "community",
+      rounds = 2).orderBy("node").collect().toSeq
+    val lv1 = Graph.louvain(e, "s", "d", asg, "node", "community",
+      levels = 1, roundsPerLevel = 2).orderBy("node").collect().toSeq
+    assert(lv1 == sweep)
+  }
 }
