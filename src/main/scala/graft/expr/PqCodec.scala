@@ -147,3 +147,98 @@ case class PqDecode(child: Expression, codebook: Seq[Seq[Seq[Double]]])
   override protected def withNewChildInternal(newChild: Expression): PqDecode =
     copy(child = newChild)
 }
+
+/** FUSED asymmetric-distance cosine: sim = dot(q, decode(packed)) /
+  * (qnorm · |decode(packed)|) computed in ONE compiled pass straight
+  * from the PACKED code BIGINT — no intermediate codes array, no
+  * decoded-codeword allocation, no three-expression chain. This is
+  * the ADC hot loop of the IVF-PQ candidate scorer: per candidate,
+  * 2·dims multiplies against codebook entries addressed by 4-bit
+  * shifts out of one long.
+  *
+  * BIT-EQUALITY CONTRACT (what makes this a drop-in for the oracled
+  * q148/q149 chain): both accumulations run sequentially left-to-
+  * right over the flat element order — exactly [[DotProduct]] over
+  * [[PqDecode]]'s output — so dot, norm, and the final division are
+  * the identical IEEE sequences the unfused form produces. Returns
+  * NULL when the decoded norm is zero (the unfused form's
+  * `dnrm > 0` filter becomes an isNotNull filter — same surviving
+  * rows, same values).
+  *
+  * Codes are masked to [0, K): a corrupted packed value scores
+  * against a wrong-but-in-range codeword rather than crashing the
+  * scan (the 4-bit mask makes out-of-range impossible for K = 16).
+  */
+case class PqCosineScore(
+    first: Expression, second: Expression, third: Expression,
+    codebook: Seq[Seq[Seq[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  private val m = codebook.length
+  private val k = codebook.head.length
+  private val sub = codebook.head.head.length
+  require(k <= 16, "packed 4-bit codes hold at most 16 centroids")
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType, org.apache.spark.sql.types.LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"expects (array<double> query, double qnorm, bigint packed), got $t")
+    }
+
+  @transient private lazy val flat: Array[Double] = {
+    val a = new Array[Double](m * k * sub)
+    var i = 0
+    for (mm <- 0 until m; kk <- 0 until k; j <- 0 until sub) {
+      a(i) = codebook(mm)(kk)(j); i += 1
+    }
+    a
+  }
+
+  override protected def nullSafeEval(q: Any, qn: Any, packed: Any): Any =
+    compute(q.asInstanceOf[ArrayData], qn.asInstanceOf[Double],
+      packed.asInstanceOf[Long])
+
+  /** Boxed Double (null for zero decoded norm). */
+  def compute(q: ArrayData, qn: Double, packed: Long): java.lang.Double = {
+    var dot = 0.0
+    var nrm2 = 0.0
+    var mm = 0
+    while (mm < m) {
+      val code = ((packed >>> (4 * mm)) & 15L).toInt % k
+      val base = (mm * k + code) * sub
+      var j = 0
+      while (j < sub) {
+        val c = flat(base + j)
+        dot += q.getDouble(mm * sub + j) * c
+        nrm2 += c * c
+        j += 1
+      }
+      mm += 1
+    }
+    val dnrm = java.lang.Math.sqrt(nrm2)
+    if (dnrm == 0.0) null else java.lang.Double.valueOf(dot / (qn * dnrm))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("pqCosine", this, classOf[PqCosineScore].getName)
+    val sim = ctx.freshName("graftPqSim")
+    nullSafeCodeGen(ctx, ev, (q, qn, p) => s"""
+       |java.lang.Double $sim = $ref.compute($q, $qn, $p);
+       |if ($sim == null) { ${ev.isNull} = true; }
+       |else { ${ev.value} = $sim.doubleValue(); }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): PqCosineScore =
+    copy(first = f, second = s, third = t)
+}

@@ -225,15 +225,14 @@ object Ivf {
     val joined = q
       .join(index.select(col("id"), col("cell"), col("code")), Seq("cell"))
       .filter(col("query_id") =!= col("id"))
-      // decode AFTER the join: the exchange moved 8-byte codes
-      .withColumn("graft_de_", Similarity.pqDecode(
-        Similarity.pqUnpack(col("code"))))
-      .withColumn("graft_dn_",
-        sqrt(Similarity.dot(col("graft_de_"), col("graft_de_"))))
-      .filter(col("graft_dn_") > 0.0)
+      // score AFTER the join, straight from the packed codes: the
+      // exchange moved 8-byte longs, and the fused ADC loop
+      // ([[Similarity.pqCosine]]) decodes+dots with zero allocation —
+      // bit-equal to the pqDecode → dot/dot/sqrt chain (null where
+      // that chain's dnrm > 0 filter dropped the row)
       .select(col("query_id"), col("id").as("neighbor_id"),
-        (Similarity.dot(col("qe"), col("graft_de_")) /
-          (col("qn") * col("graft_dn_"))).as("sim"))
+        Similarity.pqCosine(col("qe"), col("qn"), col("code")).as("sim"))
+      .filter(col("sim").isNotNull)
     val payload = struct(col("neighbor_id"), col("sim"))
     joined
       .groupBy(col("query_id"))

@@ -510,6 +510,20 @@ object Similarity {
     array((0 until PqModel.m).map(i =>
       shiftrightunsigned(packed, 4 * i).bitwiseAND(lit(15L)).cast("int")): _*)
 
+  /** FUSED ADC cosine straight from the packed code BIGINT: one
+    * compiled loop per candidate (2·dims multiplies, zero
+    * allocation) replacing the pqUnpack → pqDecode → dot/dot/sqrt
+    * chain, bit-equal by the sequential-accumulation contract
+    * ([[graft.expr.PqCosineScore]]); NULL where the unfused chain's
+    * `dnrm > 0` filter would drop the row. */
+  def pqCosine(qe: Column, qn: Column, packed: Column): Column =
+    org.apache.spark.sql.GraftBridge.toColumn(
+      graft.expr.PqCosineScore(
+        org.apache.spark.sql.GraftBridge.toExpr(qe),
+        org.apache.spark.sql.GraftBridge.toExpr(qn),
+        org.apache.spark.sql.GraftBridge.toExpr(packed),
+        PqModel.asSeq))
+
   /** ASYMMETRIC-DISTANCE top-k within a coarse label: queries stay
     * exact floats, the corpus side is PQ codes — sim(q, c) =
     * cosine(q, decode(codes)) (by linearity equal to the per-subvector

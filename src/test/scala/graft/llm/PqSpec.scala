@@ -138,4 +138,29 @@ class PqSpec extends SparkSpec {
     assert(full.exceptAll(bf).count() === 0L,
       "exact stage must reproduce brute-force scores bit-for-bit")
   }
+
+  test("fused packed-code ADC cosine is bit-equal to the pqDecode/dot/sqrt chain") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v = Similarity.withNorm(emb, "vec_id", "embedding")
+      .withColumn("code", Similarity.pqPack(Similarity.pqEncode(col("e"))))
+    // pair every 7th vector (as the "query") with itself+3 (as the
+    // "candidate") — arbitrary deterministic pairs covering the corpus
+    val q = v.filter(col("id") % 7 === 0)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = v.select((col("id") - 3).as("qid"), col("code"))
+    val pairs = q.join(c, Seq("qid"))
+    val unfused = pairs
+      .withColumn("de", Similarity.pqDecode(Similarity.pqUnpack(col("code"))))
+      .withColumn("dn", sqrt(Similarity.dot(col("de"), col("de"))))
+      .filter(col("dn") > 0.0)
+      .select(col("qid"),
+        (Similarity.dot(col("qe"), col("de")) / (col("qn") * col("dn"))).as("sim"))
+    val fused = pairs
+      .select(col("qid"), Similarity.pqCosine(col("qe"), col("qn"), col("code")).as("sim"))
+      .filter(col("sim").isNotNull)
+    val a = unfused.orderBy("qid").collect().toSeq
+    val b = fused.orderBy("qid").collect().toSeq
+    assert(a.nonEmpty && a == b,
+      "fused ADC cosine must replay the unfused chain bit-for-bit")
+  }
 }

@@ -762,8 +762,8 @@ class PlanAuditSpec extends SparkSpec {
     // vectors each query scores nprobe cells, never the corpus — and
     // the decoded-codeword scoring stays in the projection
     assert(!p.contains("CartesianProduct"), p.take(600))
-    assert(p.contains("graft_pq_decode") || p.contains("graft_de_"),
-      s"decode must be a compiled projection:\n${p.take(800)}")
+    assert(p.contains("graft_pq_cosine"),
+      s"scoring must be the fused compiled ADC projection:\n${p.take(800)}")
     assert(p.contains("partial_graft_top_k"),
       s"top-k must map-side k-reduce:\n${p.take(800)}")
     // the PQ bandwidth claim, asserted on the tree: NO exchange
