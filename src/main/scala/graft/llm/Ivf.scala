@@ -289,10 +289,28 @@ object Ivf {
       topK: Int,
       nprobe: Int,
       queryPred: org.apache.spark.sql.Column,
+  ): DataFrame =
+    searchPqIndexed(
+      readIndexPruned(store, table, df, idCol, embCol, centroids, nprobe, queryPred),
+      df, idCol, embCol, centroids, topK, nprobe, queryPred)
+
+  /** The stored index restricted (conservatively) to the query
+    * batch's probed cells: the probe set is ≤ k driver values (the
+    * constant-size centroid hop), manifest cell stats skip
+    * provably-disjoint generation dirs, and the residual `isin`
+    * keeps exactness. Missing table → empty index (the store's
+    * missing-table→empty discipline). */
+  private def readIndexPruned(
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      nprobe: Int,
+      queryPred: org.apache.spark.sql.Column,
   ): DataFrame = {
     val v = Similarity.withNorm(df, idCol, embCol)
-    // the probed-cell set: nprobe nearest cells per query, unioned —
-    // bounded by k (the centroid count), a constant-size driver hop
     val w = Window.partitionBy(col("id")).orderBy(col("_d"), col("cell"))
     val probedCells = v.filter(queryPred)
       .crossJoin(broadcast(centroids))
@@ -301,17 +319,55 @@ object Ivf {
       .filter(col("_rn") <= nprobe)
       .select(col("cell")).distinct()
       .collect().map(_.getInt(0)).sorted.toSeq
-    val index =
-      if (probedCells.isEmpty)
-        store.read(table).getOrElse(
-          return searchPqIndexed(emptyIndex(df.sparkSession), df, idCol,
-            embCol, centroids, topK, nprobe, queryPred))
-      else store.readWhere(table, "cell",
-          probedCells.head, probedCells.last)
-        .map(_.filter(col("cell").isin(probedCells: _*)))
-        .getOrElse(return searchPqIndexed(emptyIndex(df.sparkSession),
-          df, idCol, embCol, centroids, topK, nprobe, queryPred))
-    searchPqIndexed(index, df, idCol, embCol, centroids, topK, nprobe, queryPred)
+    if (probedCells.isEmpty)
+      store.read(table).getOrElse(emptyIndex(df.sparkSession))
+    else store.readWhere(table, "cell", probedCells.head, probedCells.last)
+      .map(_.filter(col("cell").isin(probedCells: _*)))
+      .getOrElse(emptyIndex(df.sparkSession))
+  }
+
+  /** IVFADC-R — the full production vector-search composition: coarse
+    * probing prunes WHICH vectors score, packed PQ codes prune WHAT
+    * the wide pass costs ([[searchPqFrom]] retrieving `poolK` ADC
+    * candidates from the STORED index), and an exact float cosine
+    * re-ranks the survivors to `topK` (the standard recall repair:
+    * quantization error can misorder near-ties, so retrieve wide and
+    * let the exact metric pick — scores come out bit-equal to brute
+    * force for every surviving pair). Stage 2 touches ONLY the
+    * |queries|·poolK pool — two id-keyed hash joins fetch the
+    * full-precision vectors for exactly the pairs that need them;
+    * the corpus floats are never scanned wholesale (the index serves
+    * the wide pass, the point of storing it). */
+  def searchPqRerankFrom(
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      topK: Int,
+      poolK: Int,
+      nprobe: Int,
+      queryPred: org.apache.spark.sql.Column,
+  ): DataFrame = {
+    require(poolK >= topK, s"poolK ($poolK) must cover topK ($topK)")
+    val pool = searchPqFrom(store, table, df, idCol, embCol, centroids,
+        poolK, nprobe, queryPred)
+      .select(col("query_id"), col("neighbor_id"))
+    val ex = Similarity.withNorm(df, idCol, embCol)
+    val q = ex.select(col("id").as("query_id"),
+      col("e").as("qe"), col("nrm").as("qn"))
+    val n = ex.select(col("id").as("neighbor_id"),
+      col("e").as("ne"), col("nrm").as("nn"))
+    val exact = pool
+      .join(q, Seq("query_id"))
+      .join(n, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("qe"), col("ne")) /
+          (col("qn") * col("nn"))).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 
   /** Zero-row (id, cell, code) frame — the missing-table degrade of

@@ -5079,33 +5079,18 @@ object LlmCatalog {
     },
   )
 
-  /** IVF-PQ search (Ivf.searchPq — q21's coarse probing over q95's
-    * PQ codes, the IVFADC composition every production vector store
-    * runs): coarse cells prune WHICH vectors score, 4-bit PQ codes
-    * prune WHAT each candidate costs (8 bytes at rest vs 256), and
-    * the asymmetric rank is cosine(exact query, decoded candidate).
-    * The oracle is the q21 probing chain composed with the q95
-    * encode chain plus an ORDER-BY-m flatten decode — coarse argmin,
-    * per-subspace encode argmin (lowest-index ties), reconstruction,
-    * sequential dot, and rank all hash-pinned, so the APPROXIMATION
-    * ITSELF is reproducible cross-engine. */
-  val ivfPqQ = GraftQuery(
-    "q148_ivf_pq_topk",
-    (s, d) => {
-      val emb = graft.Tables.embeddings(s, d)
-      graft.llm.Ivf.searchPq(emb, "vec_id", "embedding",
-          graft.llm.IvfModel.df(s), topK = 5, nprobe = 2,
-          queryPred = col("vec_id") % 50 === 0)
-        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some {
-      val sub = graft.llm.PqModel.sub
-      val distSql = (0 until sub).map { j =>
-        s"(e[m*$sub+${j + 1}]-c[${j + 1}])*(e[m*$sub+${j + 1}]-c[${j + 1}])"
-      }.mkString(" + ")
-      s"""
-      WITH cents(cell, c) AS (
+  /** The shared q148/q151 IVF-PQ oracle chain, up to the per-pair
+    * `cand` table (query_id, neighbor_id, sim — the ADC cosine of
+    * every probed-cell candidate): coarse assignment, per-subspace
+    * encode, reconstruction, probing, and the asymmetric score, all
+    * exact mirrors of the engine arithmetic. Also defines `v`
+    * (id, e, nrm) for the re-rank stage. */
+  private val ivfPqChainSql: String = {
+    val sub = graft.llm.PqModel.sub
+    val distSql = (0 until sub).map { j =>
+      s"(e[m*$sub+${j + 1}]-c[${j + 1}])*(e[m*$sub+${j + 1}]-c[${j + 1}])"
+    }.mkString(" + ")
+    s"""cents(cell, c) AS (
         VALUES ${graft.llm.IvfModel.valuesSql}
       ),
       cb(m, sub_cell, c) AS (VALUES
@@ -5157,7 +5142,31 @@ object LlmCatalog {
                list_dot_product(p.qe, co.de) / (p.qn * co.dnrm) AS sim
         FROM probes p JOIN corpus co USING (cell)
         WHERE p.query_id <> co.id
-      )
+      )""".trim
+  }
+
+  /** IVF-PQ search (Ivf.searchPq — q21's coarse probing over q95's
+    * PQ codes, the IVFADC composition every production vector store
+    * runs): coarse cells prune WHICH vectors score, 4-bit PQ codes
+    * prune WHAT each candidate costs (8 bytes at rest vs 256), and
+    * the asymmetric rank is cosine(exact query, decoded candidate).
+    * The oracle is the q21 probing chain composed with the q95
+    * encode chain plus an ORDER-BY-m flatten decode — coarse argmin,
+    * per-subspace encode argmin (lowest-index ties), reconstruction,
+    * sequential dot, and rank all hash-pinned, so the APPROXIMATION
+    * ITSELF is reproducible cross-engine. */
+  val ivfPqQ = GraftQuery(
+    "q148_ivf_pq_topk",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      graft.llm.Ivf.searchPq(emb, "vec_id", "embedding",
+          graft.llm.IvfModel.df(s), topK = 5, nprobe = 2,
+          queryPred = col("vec_id") % 50 === 0)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $ivfPqChainSql
       SELECT query_id, neighbor_id, sim, rank FROM (
         SELECT query_id, neighbor_id, sim,
                CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -5165,8 +5174,7 @@ object LlmCatalog {
         FROM cand)
       WHERE rank <= 5
       ORDER BY query_id, rank
-    """.trim
-    },
+    """.trim),
   )
 
   /** IVF-PQ search THROUGH THE PERSISTED INDEX (Ivf.writeIndex →
@@ -5198,6 +5206,61 @@ object LlmCatalog {
         .orderBy(col("query_id"), col("rank"))
     },
     ivfPqQ.oracle, // identical result contract: storage must be bit-transparent
+  )
+
+  /** IVFADC-R through the persisted index (Ivf.searchPqRerankFrom —
+    * the full production composition): the STORED packed codes serve
+    * the wide ADC pass (poolK = 10 candidates per query, q148's
+    * probing + scoring unchanged), then exact float cosine re-ranks
+    * the pool to the final top-5 — quantization error can misorder
+    * near-ties, so retrieve wide and let the exact metric pick.
+    * Stage 2's joins touch only the |queries|·poolK pool rows. The
+    * oracle extends the shared q148 chain with the pool pick and the
+    * exact re-score, so the hash pins the wide pass, the pool
+    * boundary, AND every exact re-ranked similarity. */
+  val ivfPqRerankQ = GraftQuery(
+    "q151_ivf_pq_rerank",
+    (s, d) => {
+      implicit val sp = s
+      val emb = graft.Tables.embeddings(s, d)
+      val cents = graft.llm.IvfModel.df(s)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q151_ivfidx_").toString
+      val store = new graft.io.SnapshotBucketedStore(root, numBuckets = 16,
+        "parquet", statsColumns = Seq("cell"), keyColumns = Seq("id"),
+        clusterColumn = Some("cell"))
+      graft.llm.Ivf.writeIndex(store, "vs", emb, "vec_id", "embedding", cents)
+      graft.llm.Ivf.searchPqRerankFrom(store, "vs", emb, "vec_id", "embedding",
+          cents, topK = 5, poolK = 10, nprobe = 2,
+          queryPred = col("vec_id") % 50 === 0)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $ivfPqChainSql,
+      pool AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM cand)
+        WHERE rnk <= 10
+      ),
+      exact AS (
+        SELECT p.query_id, p.neighbor_id,
+               list_dot_product(q.e, n.e) / (q.nrm * n.nrm) AS sim
+        FROM pool p
+        JOIN v q ON q.id = p.query_id
+        JOIN v n ON n.id = p.neighbor_id
+      )
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        FROM exact)
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim),
   )
 
   val all: Seq[GraftQuery] = Seq(
@@ -5290,5 +5353,6 @@ object LlmCatalog {
     hybridRrfAnnQ,
     ivfPqQ,
     ivfPqStoredQ,
+    ivfPqRerankQ,
   )
 }

@@ -158,4 +158,32 @@ class IvfSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(!afterDel.contains(victim), "deleted vector must not be served")
   }
+
+  test("IVFADC-R: exact re-rank repairs recall, to brute force at full probing + wide pool") {
+    implicit val s = spark
+    val cents = IvfModel.df(spark)
+    val pred = col("vec_id") % 25 === 0
+    val root = tmpDir("graft_ivfrr_")
+    val store = new graft.io.SnapshotBucketedStore(s"$root/vs", numBuckets = 16,
+      "parquet", statsColumns = Seq("cell"), keyColumns = Seq("id"),
+      clusterColumn = Some("cell"))
+    Ivf.writeIndex(store, "vs", emb, "vec_id", "embedding", cents)
+    val brute = Similarity.bruteForceTopK(emb, emb.filter(pred),
+        "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(nprobe: Int, poolK: Int): Double = {
+      val got = Ivf.searchPqRerankFrom(store, "vs", emb, "vec_id", "embedding",
+          cents, topK = 5, poolK = poolK, nprobe = nprobe, queryPred = pred)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (got & brute).size.toDouble / brute.size
+    }
+    // wider pool repairs quantization misordering at fixed probing
+    val narrow = recall(2, 5)
+    val wide = recall(2, 40)
+    assert(wide >= narrow, s"wider pool must not lose recall: $narrow -> $wide")
+    // full probing + corpus-wide pool = the exact brute force
+    val n = emb.count().toInt
+    assert(recall(IvfModel.k, n) > 0.999,
+      "full probing with a corpus-wide pool must equal brute force")
+  }
 }
