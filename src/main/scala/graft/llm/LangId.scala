@@ -128,8 +128,20 @@ object LangId {
       maxN: Int = DefaultMaxN,
       topK: Int = DefaultTopK,
       headChars: Int = DefaultHeadChars,
+  ): DataFrame =
+    predictFromScored(docs,
+      scoredTable(docs, profile, idCol, textCol, maxN, topK, headChars), idCol)
+
+  /** The argmax serve over a PRECOMPUTED scored table ([[scoredFor]])
+    * — the fit-once/score-once/serve-many split: the scored table is
+    * the expensive shared pass (per-doc ngram profiles + the profile
+    * joins); every downstream pick (argmax here, margin in
+    * [[predictWithMarginFromScored]]) is a cheap window over it. */
+  def predictFromScored(
+      docs: DataFrame,
+      scored: DataFrame,
+      idCol: String,
   ): DataFrame = {
-    val scored = scoredTable(docs, profile, idCol, textCol, maxN, topK, headChars)
     val pick = Window.partitionBy("_id").orderBy(col("dist"), col("lang"))
     val best = scored.withColumn("_rn", row_number().over(pick))
       .filter(col("_rn") === 1)
@@ -160,7 +172,20 @@ object LangId {
       headChars: Int = DefaultHeadChars,
   ): DataFrame = {
     require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
-    val scored = scoredTable(docs, profile, idCol, textCol, maxN, topK, headChars)
+    predictWithMarginFromScored(docs,
+      scoredTable(docs, profile, idCol, textCol, maxN, topK, headChars),
+      idCol, minMargin)
+  }
+
+  /** The margin serve over a PRECOMPUTED scored table ([[scoredFor]]):
+    * see [[predictFromScored]] for the split. */
+  def predictWithMarginFromScored(
+      docs: DataFrame,
+      scored: DataFrame,
+      idCol: String,
+      minMargin: Long,
+  ): DataFrame = {
+    require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
     val pick = Window.partitionBy("_id").orderBy(col("dist"), col("lang"))
     val top2 = scored.withColumn("_rn", row_number().over(pick))
       .filter(col("_rn") <= 2)
@@ -180,6 +205,22 @@ object LangId {
         coalesce(col("best_lang"), lit("und")).as("best_lang"),
         col("dist"), col("margin"))
   }
+
+  /** Public form of [[scoredTable]] — the shareable middle artifact
+    * of the langid pipeline: one expensive pass (per-doc ngram rank
+    * profiles + the broadcast profile joins) that EVERY serve
+    * (argmax, margin, any future calibration) picks from. Compute it
+    * once per (docs, profile), `localCheckpoint`, and hand it to the
+    * `*FromScored` serves. */
+  def scoredFor(
+      docs: DataFrame,
+      profile: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxN: Int = DefaultMaxN,
+      topK: Int = DefaultTopK,
+      headChars: Int = DefaultHeadChars,
+  ): DataFrame = scoredTable(docs, profile, idCol, textCol, maxN, topK, headChars)
 
   /** The per-(doc, lang) rank-order distance table both serves pick
     * from — everything up to (not including) the argmax. */

@@ -2946,6 +2946,18 @@ object LlmCatalog {
         documents(s, d).filter(length(col("source")) === 4), "lang", "text")
         .localCheckpoint())
 
+  /** The scored (doc × lang) distance table, ALSO shared: the
+    * expensive pass of a langid serve is not the fit (langs × topK
+    * rows) but the per-doc ngram profiling + profile joins — one
+    * corpus pass both q108's argmax and q140's margin pick from.
+    * Cached per (session, dataset) like the profile. */
+  private val langIdScoredCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), org.apache.spark.sql.DataFrame]()
+  private def langIdScored(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    langIdScoredCache.computeIfAbsent((System.identityHashCode(s), d), _ =>
+      graft.llm.LangId.scoredFor(documents(s, d), langIdProfile(s, d),
+        "doc_id", "text").localCheckpoint())
+
   /** The q108 rank-profile chain up to the per-(doc, lang) `scored`
     * table — shared by the q108 argmax and the q140 margin serve
     * (mirrors LangId.scoredTable one-for-one). */
@@ -3008,7 +3020,7 @@ object LlmCatalog {
     "q108_langid_rank_profiles",
     (s, d) => {
       val docs = documents(s, d)
-      graft.llm.LangId.predict(docs, langIdProfile(s, d), "doc_id", "text")
+      graft.llm.LangId.predictFromScored(docs, langIdScored(s, d), "doc_id")
         .orderBy(col("doc_id"))
     },
     Some(s"""
@@ -4475,8 +4487,8 @@ object LlmCatalog {
     "q140_langid_margin",
     (s, d) => {
       val docs = documents(s, d)
-      graft.llm.LangId.predictWithMargin(docs, langIdProfile(s, d),
-          "doc_id", "text", minMargin = 300L)
+      graft.llm.LangId.predictWithMarginFromScored(docs, langIdScored(s, d),
+          "doc_id", minMargin = 300L)
         .orderBy(col("doc_id"))
     },
     Some(s"""
