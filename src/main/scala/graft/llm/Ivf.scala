@@ -184,12 +184,15 @@ object Ivf {
       idCol: String,
       embCol: String,
       centroids: DataFrame,
+      passthrough: Seq[String] = Nil,
   ): DataFrame = {
-    val v = df.select(col(idCol).as("id"),
-      col(embCol).cast("array<double>").as("e"))
+    val v = df.select(
+      col(idCol).as("id") +: passthrough.map(col) :+
+        col(embCol).cast("array<double>").as("e"): _*)
     assign(v, centroids)
-      .select(col("id"), col("cell"),
-        Similarity.pqPack(Similarity.pqEncode(col("e"))).as("code"))
+      .select(col("id") +: col("cell") +:
+        Similarity.pqPack(Similarity.pqEncode(col("e"))).as("code") +:
+        passthrough.map(col): _*)
   }
 
   /** IVF-PQ search against a PREBUILT index table ((id, cell, code) —
@@ -262,9 +265,11 @@ object Ivf {
       idCol: String,
       embCol: String,
       centroids: DataFrame,
+      passthrough: Seq[String] = Nil,
   ): Unit = {
     implicit val spark: SparkSession = df.sparkSession
-    store.upsert(table, indexRows(df, idCol, embCol, centroids), "id")
+    store.upsert(table,
+      indexRows(df, idCol, embCol, centroids, passthrough), "id")
   }
 
   /** IVF-PQ search THROUGH the persisted index — the shape a vector
@@ -309,6 +314,7 @@ object Ivf {
       centroids: DataFrame,
       nprobe: Int,
       queryPred: org.apache.spark.sql.Column,
+      extraPreds: Seq[(String, Any, Any)] = Nil,
   ): DataFrame = {
     val v = Similarity.withNorm(df, idCol, embCol)
     val w = Window.partitionBy(col("id")).orderBy(col("_d"), col("cell"))
@@ -321,10 +327,44 @@ object Ivf {
       .collect().map(_.getInt(0)).sorted.toSeq
     if (probedCells.isEmpty)
       store.read(table).getOrElse(emptyIndex(df.sparkSession))
-    else store.readWhere(table, "cell", probedCells.head, probedCells.last)
+    else store.readWhereAll(table,
+        ("cell", probedCells.head, probedCells.last) +: extraPreds)
       .map(_.filter(col("cell").isin(probedCells: _*)))
       .getOrElse(emptyIndex(df.sparkSession))
   }
+
+  /** FILTERED ANN — attribute predicate + vector search in one pass
+    * (the "filtered vector search" every production vector store
+    * grows): search only the indexed vectors whose stored
+    * `attrCol` ∈ [lo, hi]. The filter applies to the CANDIDATE side
+    * BEFORE the cell join (map-side on the index scan, with X184
+    * conjunctive dir skipping when the manifest carries attr stats —
+    * dirs disjoint on EITHER the probed cell range OR the attribute
+    * range are never opened), so a selective filter shrinks the join
+    * itself rather than discarding scored candidates after the fact —
+    * post-filtering an unfiltered top-k would also UNDER-FILL results
+    * (k survivors of the filter ≠ top-k of the filtered corpus).
+    * Queries are unrestricted. Requires the index built with
+    * `passthrough = Seq(attrCol)`; declare attrCol in the store's
+    * `statsColumns` for the dir-skipping tier. */
+  def searchPqFromWhere(
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      topK: Int,
+      nprobe: Int,
+      queryPred: org.apache.spark.sql.Column,
+      attrCol: String,
+      lo: Any,
+      hi: Any,
+  ): DataFrame =
+    searchPqIndexed(
+      readIndexPruned(store, table, df, idCol, embCol, centroids, nprobe,
+        queryPred, Seq((attrCol, lo, hi))),
+      df, idCol, embCol, centroids, topK, nprobe, queryPred)
 
   /** IVFADC-R — the full production vector-search composition: coarse
     * probing prunes WHICH vectors score, packed PQ codes prune WHAT

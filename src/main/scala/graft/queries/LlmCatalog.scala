@@ -5275,6 +5275,52 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** FILTERED ANN through the persisted index (Ivf.searchPqFromWhere
+    * — attribute predicate + vector search in one pass): only indexed
+    * vectors with label ∈ [2, 5] are candidates, filtered on the
+    * index SCAN before the cell join (with X184 conjunctive dir
+    * skipping when the manifest carries label stats) — not by
+    * discarding scored candidates afterwards, which would under-fill
+    * the top-k. The oracle applies the same label window to the
+    * shared q148 candidate chain, so the hash pins that pre-join
+    * filtering ≡ the declarative filtered search. */
+  val ivfPqFilteredQ = GraftQuery(
+    "q152_ivf_pq_filtered",
+    (s, d) => {
+      implicit val sp = s
+      val emb = graft.Tables.embeddings(s, d)
+      val cents = graft.llm.IvfModel.df(s)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_q152_ivfidx_").toString
+      val store = new graft.io.SnapshotBucketedStore(root, numBuckets = 16,
+        "parquet", statsColumns = Seq("cell", "label"), keyColumns = Seq("id"),
+        clusterColumn = Some("cell"))
+      graft.llm.Ivf.writeIndex(store, "vs", emb, "vec_id", "embedding", cents,
+        passthrough = Seq("label"))
+      graft.llm.Ivf.searchPqFromWhere(store, "vs", emb, "vec_id", "embedding",
+          cents, topK = 5, nprobe = 2,
+          queryPred = col("vec_id") % 50 === 0,
+          attrCol = "label", lo = 2, hi = 5)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""
+      WITH $ivfPqChainSql,
+      fcand AS (
+        SELECT c.query_id, c.neighbor_id, c.sim
+        FROM cand c JOIN embeddings e2 ON e2.vec_id = c.neighbor_id
+        WHERE e2.label BETWEEN 2 AND 5
+      )
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT query_id, neighbor_id, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        FROM fcand)
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -5366,5 +5412,6 @@ object LlmCatalog {
     ivfPqQ,
     ivfPqStoredQ,
     ivfPqRerankQ,
+    ivfPqFilteredQ,
   )
 }

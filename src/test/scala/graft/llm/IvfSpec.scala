@@ -186,4 +186,38 @@ class IvfSpec extends SparkSpec {
     assert(recall(IvfModel.k, n) > 0.999,
       "full probing with a corpus-wide pool must equal brute force")
   }
+
+  test("filtered ANN: candidate-side attribute window, identical to searching the filtered index") {
+    implicit val s = spark
+    val cents = IvfModel.df(spark)
+    val pred = col("vec_id") % 10 === 0
+    val root = tmpDir("graft_ivffl_")
+    val store = new graft.io.SnapshotBucketedStore(s"$root/vs", numBuckets = 16,
+      "parquet", statsColumns = Seq("cell", "label"), keyColumns = Seq("id"),
+      clusterColumn = Some("cell"))
+    Ivf.writeIndex(store, "vs", emb, "vec_id", "embedding", cents,
+      passthrough = Seq("label"))
+    val got = Ivf.searchPqFromWhere(store, "vs", emb, "vec_id", "embedding",
+        cents, topK = 5, nprobe = 3, queryPred = pred,
+        attrCol = "label", lo = 2, hi = 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    // ≡ the inline search over an index restricted to the attribute
+    // window — the declarative semantics of a filtered vector search
+    val want = Ivf.searchPqIndexed(
+        Ivf.indexRows(emb, "vec_id", "embedding", cents, Seq("label"))
+          .filter(col("label").between(2, 5)),
+        emb, "vec_id", "embedding", cents, topK = 5, nprobe = 3,
+        queryPred = pred)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(got.nonEmpty && got == want)
+    // every served neighbor satisfies the window
+    val labels = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    got.foreach(r => assert((2 to 5).contains(labels(r.getLong(1)))))
+    // conjunctive pruning is never worse than the cell conjunct alone
+    val (keptBoth, total) = store.pruneStatsAll("vs",
+      Seq(("cell", 0, 0), ("label", 2, 5))).get
+    val (keptCell, _) = store.pruneStats("vs", "cell", 0, 0).get
+    assert(keptBoth <= keptCell && total >= 4)
+  }
 }
