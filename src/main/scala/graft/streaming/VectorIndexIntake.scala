@@ -40,12 +40,14 @@ object VectorIndexIntake {
       centroids: DataFrame,
       idCol: String = "vec_id",
       embCol: String = "embedding",
+      passthrough: Seq[String] = Nil,
   ): Unit = {
     val q = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(store, table, batch, batchId, centroids, idCol, embCol): Unit
+        applyBatch(store, table, batch, batchId, centroids, idCol, embCol,
+          passthrough): Unit
       }
       .start()
     q.awaitTermination()
@@ -63,10 +65,11 @@ object VectorIndexIntake {
       centroids: DataFrame,
       idCol: String,
       embCol: String,
+      passthrough: Seq[String] = Nil,
   ): Boolean = {
     if (store.lastAppliedBatch(table).exists(batchId <= _)) return false
     store.upsertWithBatch(table,
-      Ivf.indexRows(batch, idCol, embCol, centroids), "id", batchId)
+      Ivf.indexRows(batch, idCol, embCol, centroids, passthrough), "id", batchId)
     true
   }
 }
