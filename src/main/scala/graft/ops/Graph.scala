@@ -756,6 +756,48 @@ object Graph {
       .groupBy("node").agg(sum(col("graft_w_")).as("deg"))
   }
 
+  /** [[refineCommunities]] over a WEIGHTED graph — the form a
+    * co-occurrence graph actually wants: an edge's multiplicity (how
+    * many windows two users shared, how many docs two terms
+    * co-appear in) weights both k_uc and the degrees, so a community
+    * move is judged by tie STRENGTH, not tie existence (the
+    * unweighted form's `distinct()` collapses a 100-shared-minute
+    * pair and a 1-shared-minute pair to the same edge). Parallel
+    * input edges sum their weights; weights cast to long (the exact
+    * integer gain arithmetic is the point — fractional weights would
+    * reintroduce float drift). Same synchronous sweep semantics,
+    * determinism, and per-round shape as [[refineCommunities]]. */
+  def refineCommunitiesWeighted(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      assignment: DataFrame,
+      nodeCol: String,
+      labelCol: String,
+      rounds: Int = 1,
+  ): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol) && col(weightCol).cast("long") > 0L)
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
+        col(weightCol).cast("long").as("graft_w_"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("graft_w_")).as("graft_w_"))
+      .localCheckpoint()
+    val adj = weightedAdjacencyOf(e).localCheckpoint()
+    val degs = weightedDegreesOf(e).localCheckpoint()
+    val m = e.agg(sum(col("graft_w_"))).head().getLong(0)
+    var asg = assignment
+      .select(col(nodeCol).as("node"), col(labelCol).as("graft_lbl_"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds)
+      asg = weightedMoveRound(adj, degs, asg, m).localCheckpoint()
+    asg.select(col("node"), col("graft_lbl_").as(labelCol))
+  }
+
   /** One EXACT GREEDY move on a weighted graph: compute every
     * candidate move's exact integer gain (the [[weightedMoveRound]]
     * ledger), apply ONLY the single globally-best strictly-positive

@@ -2206,6 +2206,82 @@ object Catalog {
         FROM $prev p LEFT JOIN gb$t gb ON gb.node = p.node)"""
     }.mkString(",\n      ")
 
+  /** One synchronous WEIGHTED move round in SQL (the
+    * [[graft.ops.Graph.refineCommunitiesWeighted]] mirror): identical
+    * ledger to [[refineRoundsSql]] with k_uc = SUM(edge weight) and
+    * weighted degrees/m (`vadj`, `vdeg`, `vm` CTEs upstream). */
+  private def weightedRefineRoundsSql(rounds: Int, from: String): String =
+    (1 to rounds).map { t =>
+      val prev = if (t == 1) from else s"vr${t - 1}"
+      s"""vk$t AS MATERIALIZED (SELECT vadj.node, p.lbl AS c,
+               CAST(SUM(vadj.w) AS BIGINT) AS k
+        FROM vadj JOIN $prev p ON vadj.nbr = p.node
+        GROUP BY vadj.node, p.lbl),
+      vd$t AS MATERIALIZED (SELECT p.lbl, CAST(SUM(dg.deg) AS BIGINT) AS ds
+        FROM vdeg dg JOIN $prev p ON p.node = dg.node GROUP BY p.lbl),
+      vo$t AS MATERIALIZED (SELECT p.node, p.lbl AS a, dg.deg AS du,
+               da.ds AS dsa, COALESCE(k.k, 0) AS kua
+        FROM $prev p JOIN vdeg dg ON dg.node = p.node
+             JOIN vd$t da ON da.lbl = p.lbl
+             LEFT JOIN vk$t k ON k.node = p.node AND k.c = p.lbl),
+      vc$t AS MATERIALIZED (SELECT o.node, k.c AS b,
+               CAST(4 AS HUGEINT) * vm.m * (k.k - o.kua)
+                 - CAST(2 AS HUGEINT) * o.du * (db.ds - o.dsa + o.du) AS dq
+        FROM vo$t o JOIN vk$t k ON k.node = o.node AND k.c <> o.a
+             JOIN vd$t db ON db.lbl = k.c, vm),
+      vb$t AS MATERIALIZED (SELECT node, b FROM (
+        SELECT node, b, ROW_NUMBER() OVER (PARTITION BY node
+          ORDER BY dq DESC, b ASC) AS rn FROM vc$t WHERE dq > 0) WHERE rn = 1),
+      vr$t AS MATERIALIZED (SELECT p.node, COALESCE(vb.b, p.lbl) AS lbl
+        FROM $prev p LEFT JOIN vb$t vb ON vb.node = p.node)"""
+    }.mkString(",\n      ")
+
+  /** WEIGHTED community refinement on the co-presence graph
+    * (Graph.refineCommunitiesWeighted, the X170 arithmetic with edge
+    * MULTIPLICITIES): each user pair's edge weighs how many minute
+    * windows they shared — a community move is judged by tie
+    * strength, where q131's unweighted form collapses a
+    * 100-shared-minute pair and a 1-shared-minute pair to the same
+    * edge. Two synchronous sweeps from singleton communities; the
+    * oracle unrolls the weighted HUGEINT gain ledger round for
+    * round. */
+  val weightedCommunitiesQ = GraftQuery(
+    "q153_weighted_communities",
+    (s, d) => {
+      val ue = events(s, d)
+        .select(col("user_id").as("uid"), expr("ts div 60000000000").as("w"))
+        .distinct()
+      // one row per shared window — the operator sums multiplicities
+      val e = ue.as("x").join(ue.as("y"),
+          col("x.w") === col("y.w") && col("x.uid") < col("y.uid"))
+        .select(col("x.uid").as("src"), col("y.uid").as("dst"),
+          lit(1L).as("weight"))
+      val init = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct()
+        .select(col("node"), col("node").as("community"))
+      graft.ops.Graph.refineCommunitiesWeighted(e, "src", "dst", "weight",
+          init, "node", "community", rounds = 2)
+        .select(col("node").as("user_id"), col("community"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""
+      WITH ue AS (SELECT DISTINCT user_id AS uid, epoch_ns(ts)//60000000000 AS w
+                  FROM events),
+      pe AS MATERIALIZED (
+        SELECT x.uid AS a, y.uid AS b, CAST(COUNT(*) AS BIGINT) AS w
+        FROM ue x JOIN ue y ON x.w = y.w AND x.uid < y.uid
+        GROUP BY 1, 2),
+      vadj AS MATERIALIZED (SELECT a AS node, b AS nbr, w FROM pe
+              UNION ALL SELECT b AS node, a AS nbr, w FROM pe),
+      vdeg AS (SELECT node, CAST(SUM(w) AS BIGINT) AS deg FROM vadj GROUP BY node),
+      vm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM pe),
+      v0 AS (SELECT DISTINCT node, node AS lbl FROM vadj),
+      ${weightedRefineRoundsSql(2, "v0")}
+      SELECT node AS user_id, lbl AS community FROM vr2 ORDER BY user_id
+    """.trim),
+  )
+
   /** MULTI-LEVEL LOUVAIN on the co-presence graph (Graph.louvain,
     * Blondel 2008 BOTH phases — the coarsening q131's single sweep
     * lacks): the q121 LPA assignment gets one synchronous local-move
@@ -2707,6 +2783,7 @@ object Catalog {
     modularityQ,
     refinedCommunitiesQ,
     louvainQ,
+    weightedCommunitiesQ,
     groupSketchQuantilesQ,
     tableDigestQ,
     fuzzyJoinQ,

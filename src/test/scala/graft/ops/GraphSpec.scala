@@ -508,6 +508,34 @@ class GraphSpec extends SparkSpec {
     assert(byTriangle.forall(_ == 1L), "a triangle split across communities")
   }
 
+  test("weighted refinement follows tie STRENGTH where the unweighted sweep ties to the label") {
+    // node 5 has ONE strong edge (w=10) to node 9 and ONE weak edge
+    // (w=1) to node 1; a background clique keeps m large enough that
+    // moves improve. Unweighted both ties are a single edge → the
+    // deterministic tie-break sends 5 to the SMALLER label 1; the
+    // weighted gain prefers the 10× stronger tie to 9.
+    val clique = Seq((100L, 101L), (100L, 102L), (100L, 103L),
+      (101L, 102L), (101L, 103L), (102L, 103L)).map { case (a, b) => (a, b, 1L) }
+    val e = (Seq((5L, 9L, 10L), (5L, 1L, 1L)) ++ clique).toDF("s", "d", "w")
+    val nodes = Seq(1L, 5L, 9L, 100L, 101L, 102L, 103L)
+    val init = nodes.map(n => (n, n)).toDF("node", "community")
+    val weighted = Graph.refineCommunitiesWeighted(e, "s", "d", "w",
+        init, "node", "community")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(weighted(5L) == 9L, s"weighted must follow the strong tie: $weighted")
+    val unweighted = Graph.refineCommunities(e, "s", "d", init, "node", "community")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unweighted(5L) == 1L,
+      s"unweighted ties must break to the smaller label: $unweighted")
+    // parallel edges sum: two w=5 rows ≡ one w=10 row
+    val split = (Seq((5L, 9L, 5L), (5L, 9L, 5L), (5L, 1L, 1L)) ++ clique)
+      .toDF("s", "d", "w")
+    val summed = Graph.refineCommunitiesWeighted(split, "s", "d", "w",
+        init, "node", "community")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(summed == weighted, "parallel edge weights must sum")
+  }
+
   test("louvain with levels=1 is exactly the one-level sweep") {
     val e = triangleRing(4)
     val asg = triangleAsg(4)
