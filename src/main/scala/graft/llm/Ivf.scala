@@ -245,6 +245,49 @@ object Ivf {
         col("e.sim").as("sim"), (col("graft_r_") + 1).cast("int").as("rank"))
   }
 
+  /** Candidate near-duplicate PAIRS by ADC similarity: each query
+    * vector probes its `nprobe` nearest cells against an
+    * (id, cell, code) index and keeps every candidate whose
+    * asymmetric cosine (exact query vs stored codes, the fused
+    * [[Similarity.pqCosine]]) clears `threshold` — canonical
+    * (id_a < id_b), distinct. The EDGE GENERATOR of embedding-side
+    * streaming dedup ([[graft.streaming.VectorIndexIntake.
+    * updateDupLabels]]): a micro-batch of new vectors probes only
+    * its own cells, never the corpus, and what travels is 8-byte
+    * codes. Estimate tier, stated honestly: the score is quantized
+    * (reconstruction error shifts absolute cosines), so thresholds
+    * calibrate against the ADC scale, and the periodic exact batch
+    * pass ([[Dedup]] on the float vectors) remains the exact
+    * recompute — the [[graft.streaming.AnnIntake]] discipline. */
+  def adcPairsAbove(
+      index: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      nprobe: Int,
+      threshold: Double,
+      queryPred: org.apache.spark.sql.Column = lit(true),
+  ): DataFrame = {
+    val v = Similarity.withNorm(df, idCol, embCol)
+    val w = Window.partitionBy(col("id")).orderBy(col("_d"), col("cell"))
+    val q = v.filter(queryPred)
+      .crossJoin(broadcast(centroids))
+      .withColumn("_d", sqDist(col("e"), col("centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col("id").as("query_id"), col("e").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    q.join(index.select(col("id"), col("cell"), col("code")), Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        Similarity.pqCosine(col("qe"), col("qn"), col("code")).as("sim"))
+      .filter(col("sim").isNotNull && col("sim") >= threshold)
+      .select(least(col("query_id"), col("id")).as("id_a"),
+        greatest(col("query_id"), col("id")).as("id_b"))
+      .distinct()
+  }
+
   /** Build (or incrementally refresh) the PERSISTED IVF-PQ index:
     * [[indexRows]] upserted into a [[graft.io.SnapshotBucketedStore]]
     * keyed by id — re-encoded vectors replace their old row,

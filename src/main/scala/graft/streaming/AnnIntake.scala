@@ -148,7 +148,6 @@ object AnnIntake {
   ): Boolean = {
     val labelsTable = s"${table}_labels"
     if (store.lastAppliedBatch(labelsTable).exists(batchId <= _)) return false
-    val spark = batchBuckets.sparkSession
     val probe = batchBuckets.select("id", "band", "band_key").distinct()
     // width-cap ONLY the buckets this batch probes: semi-joining the
     // accumulated table to the batch's (band, band_key) keys first
@@ -182,45 +181,9 @@ object AnnIntake {
       .filter(agree.cast("double") / numHashes >= threshold)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint()
-    val idType = edges.schema("id_a").dataType
-    val frozen = store.read(labelsTable).getOrElse(
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", idType),
-          org.apache.spark.sql.types.StructField("component", idType)))))
-    // lift endpoints to frozen labels; drop already-merged pairs
-    val contracted = edges
-      .join(frozen.withColumnsRenamed(
-        Map("id" -> "id_a", "component" -> "graft_la_")), Seq("id_a"), "left")
-      .join(frozen.withColumnsRenamed(
-        Map("id" -> "id_b", "component" -> "graft_lb_")), Seq("id_b"), "left")
-      .select(coalesce(col("graft_la_"), col("id_a")).as("la"),
-        coalesce(col("graft_lb_"), col("id_b")).as("lb"))
-      .filter(col("la") =!= col("lb"))
-      .select(least(col("la"), col("lb")).as("id_a"),
-        greatest(col("la"), col("lb")).as("id_b"))
-      .distinct()
-      .localCheckpoint()
-    // local re-convergence on the affected-component graph only
-    val cc = graft.llm.Dedup.connectedComponentsConverged(contracted)
-    val remap = cc.withColumnsRenamed(
-      Map("id" -> "graft_l_", "component" -> "graft_r_"))
-    // ONLY the rows the batch actually changes are written — the
-    // O(affected) shape, not O(all labels): old rows whose component
-    // remapped to a different root, plus the batch's new
-    // edge-incident docs (min-id labels are themselves member ids,
-    // so every OLD contracted node already sits in the frozen table
-    // and the anti-join isolates exactly the inserts)
-    val changedOld = frozen
-      .join(remap, col("component") === col("graft_l_"))
-      .filter(col("graft_r_") =!= col("component"))
-      .select(col("id"), col("graft_r_").as("component"))
-    val inserts = cc.join(frozen.select("id"), Seq("id"), "left_anti")
-    // keyed exactly-once commit: merged buckets + the batch mark in
-    // ONE manifest rename; an empty delta still advances the mark
-    store.upsertWithBatch(labelsTable,
-      changedOld.unionByName(inserts), "id", batchId)
-    true
+    // the shared union-find-by-contraction core (factored to
+    // [[IncrementalCc.mergeEdges]], semantics unchanged)
+    IncrementalCc.mergeEdges(store, labelsTable, edges, batchId)
   }
 
   /** Candidate pairs over EVERYTHING streamed so far: self-join the

@@ -41,16 +41,64 @@ object VectorIndexIntake {
       idCol: String = "vec_id",
       embCol: String = "embedding",
       passthrough: Seq[String] = Nil,
+      maintainDupLabels: Boolean = false,
+      dupThreshold: Double = 0.5,
+      dupNprobe: Int = 1,
   ): Unit = {
     val q = vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // order matters: the index absorbs the batch FIRST, so the
+        // label pass sees batch-internal pairs too (a crash between
+        // the two commits replays into applyBatch's refusal and the
+        // label pass catches up — each table carries its own mark)
         applyBatch(store, table, batch, batchId, centroids, idCol, embCol,
           passthrough): Unit
+        if (maintainDupLabels)
+          updateDupLabels(store, table, batch, batchId, centroids,
+            idCol, embCol, dupThreshold, dupNprobe): Unit
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** INCREMENTAL embedding near-dup component labels through the
+    * vector index — the embedding-side twin of [[AnnIntake.
+    * updateLabels]]'s MinHash tier: per micro-batch, the batch's
+    * exact vectors probe their `dupNprobe` nearest cells against the
+    * stored codes ([[graft.llm.Ivf.adcPairsAbove]] — new vectors
+    * visit their own cells, never the corpus; 8-byte codes travel),
+    * candidates clearing the ADC threshold become edges, and the
+    * persisted `<table>_dup_labels` component table absorbs them via
+    * the shared contraction core ([[IncrementalCc.mergeEdges]] —
+    * O(affected) per batch, monotone labels, exactly-once by the
+    * batch-marked keyed upsert). After any drain sequence the label
+    * table ≡ batch CC over the union of all threshold edges — the
+    * spec's equivalence. ADC scores are the quantized ESTIMATE tier
+    * (reconstruction error shifts absolute cosines — calibrate the
+    * threshold on the ADC scale); the periodic exact batch dedup
+    * over float vectors remains the exact recompute. */
+  def updateDupLabels(
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+      batch: DataFrame,
+      batchId: Long,
+      centroids: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      nprobe: Int = 1,
+  ): Boolean = {
+    val labelsTable = s"${table}_dup_labels"
+    if (store.lastAppliedBatch(labelsTable).exists(batchId <= _)) return false
+    val index = store.read(table) match {
+      case Some(i) => i
+      case None => return false // no index yet: applyBatch runs first
+    }
+    val edges = Ivf.adcPairsAbove(index, batch, idCol, embCol, centroids,
+      nprobe, threshold).localCheckpoint()
+    IncrementalCc.mergeEdges(store, labelsTable, edges, batchId)
   }
 
   /** One micro-batch of index maintenance: assign + encode the batch

@@ -63,4 +63,67 @@ class VectorIndexIntakeSpec extends SparkSpec {
     assert(store.read("vs").get.select("id", "cell", "code")
       .as[(Long, Int, Long)].collect().sortBy(_._1).toSeq == batch)
   }
+
+  test("streaming dup labels through the index ≡ batch CC over the union of ADC edges") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val root = tmpDir("graft_vdup_")
+    val cents = IvfModel.df(spark)
+    val store = new graft.io.SnapshotBucketedStore(s"$root/vs", numBuckets = 16,
+      "parquet", statsColumns = Seq("cell"), keyColumns = Seq("id"),
+      clusterColumn = Some("cell"))
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val all = emb.as[VecRow].collect().sortBy(_.vec_id)
+    val byId = all.map(v => v.vec_id -> v.embedding).toMap
+    // measured ADC scale on this data: identical vectors score their
+    // reconstruction cosine ∈ [0.506, 0.761]; non-dup pairs ≤ 0.451
+    val thr = 0.48
+    val (first, second) = all.splitAt(all.length / 2)
+    // planted exact duplicates SPANNING drains (same vector, new id):
+    // copies of two drain-1 vectors arrive in drain 2, and a second
+    // copy of one of them in drain 3 — a cross-drain 3-chain
+    val dupA = first.head.vec_id; val dupB = first(3).vec_id
+    val input = MemoryStream[VecRow]
+    input.addData(first: _*)
+    VectorIndexIntake.drainTo(input.toDF(), store, "vs", s"$root/ckpt", cents,
+      maintainDupLabels = true, dupThreshold = thr)
+    input.addData(second ++ Seq(
+      VecRow(90001L, byId(dupA)), VecRow(90002L, byId(dupB))): _*)
+    VectorIndexIntake.drainTo(input.toDF(), store, "vs", s"$root/ckpt", cents,
+      maintainDupLabels = true, dupThreshold = thr)
+    input.addData(VecRow(90003L, byId(dupA)))
+    VectorIndexIntake.drainTo(input.toDF(), store, "vs", s"$root/ckpt", cents,
+      maintainDupLabels = true, dupThreshold = thr)
+
+    val labels = store.read("vs_dup_labels").get
+      .as[(Long, Long)].collect().toMap
+    // the cross-drain chains merged: {dupA, 90001, 90003} one
+    // component rooted at the min id, {dupB, 90002} another
+    assert(labels(90001L) == labels(dupA) && labels(90003L) == labels(dupA),
+      s"3-chain must share a component: $labels")
+    assert(labels(90002L) == labels(dupB))
+    assert(labels(dupA) != labels(dupB), "distinct vectors must not merge")
+
+    // stream ≡ batch: the label table equals batch CC over the ADC
+    // edges of the FULL index probed by the FULL corpus
+    val fullIndex = store.read("vs").get
+    val corpus = emb.unionByName(Seq(
+      (90001L, byId(dupA)), (90002L, byId(dupB)), (90003L, byId(dupA)))
+      .toDF("vec_id", "embedding"))
+    val edges = graft.llm.Ivf.adcPairsAbove(fullIndex, corpus,
+      "vec_id", "embedding", cents, nprobe = 1, threshold = thr)
+    val batchCc = graft.llm.Dedup.connectedComponentsConverged(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == batchCc,
+      s"streamed labels must equal batch CC: ${labels.size} vs ${batchCc.size}")
+
+    // replayed epoch refused untouched
+    val mark = store.lastAppliedBatch("vs_dup_labels").get
+    assert(!VectorIndexIntake.updateDupLabels(store, "vs",
+      emb.limit(3), mark, cents, "vec_id", "embedding", thr))
+    assert(store.read("vs_dup_labels").get.as[(Long, Long)].collect().toMap == labels)
+  }
 }
