@@ -889,11 +889,25 @@ object Graph {
       levels: Int = 2,
       roundsPerLevel: Int = 1,
       coarseMoves: Int = 16,
+      weightCol: Option[String] = None,
   ): DataFrame = {
     require(levels >= 1 && roundsPerLevel >= 1 && coarseMoves >= 1,
       s"need >= 1 level/round/move, got $levels/$roundsPerLevel/$coarseMoves")
-    var e = canonicalEdges(edges, srcCol, dstCol)
-      .withColumn("graft_w_", lit(1L)).localCheckpoint()
+    // weighted input (the X193 form): parallel edges sum, weights
+    // cast to long; unweighted input gets unit weights — either way
+    // the level graph is the closed canonical (a, b, graft_w_) form
+    var e = (weightCol match {
+      case Some(wc) => edges
+        .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+          col(srcCol) =!= col(dstCol) && col(wc).cast("long") > 0L)
+        .select(least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"),
+          col(wc).cast("long").as("graft_w_"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("graft_w_")).as("graft_w_"))
+      case None => canonicalEdges(edges, srcCol, dstCol)
+        .withColumn("graft_w_", lit(1L))
+    }).localCheckpoint()
     var asg = assignment
       .select(col(nodeCol).as("node"), col(labelCol).as("graft_lbl_"))
       .localCheckpoint()

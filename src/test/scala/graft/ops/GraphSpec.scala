@@ -545,4 +545,18 @@ class GraphSpec extends SparkSpec {
       levels = 1, roundsPerLevel = 2).orderBy("node").collect().toSeq
     assert(lv1 == sweep)
   }
+
+  test("weighted louvain at levels=1 is exactly the weighted sweep") {
+    val clique = Seq((100L, 101L), (100L, 102L), (100L, 103L),
+      (101L, 102L), (101L, 103L), (102L, 103L)).map { case (a, b) => (a, b, 1L) }
+    val e = (Seq((5L, 9L, 10L), (5L, 1L, 1L)) ++ clique).toDF("s", "d", "w")
+    val init = Seq(1L, 5L, 9L, 100L, 101L, 102L, 103L)
+      .map(n => (n, n)).toDF("node", "community")
+    val sweep = Graph.refineCommunitiesWeighted(e, "s", "d", "w",
+      init, "node", "community").orderBy("node").collect().toSeq
+    val lv1 = Graph.louvain(e, "s", "d", init, "node", "community",
+        levels = 1, roundsPerLevel = 1, weightCol = Some("w"))
+      .orderBy("node").collect().toSeq
+    assert(lv1 == sweep, "weighted level 1 must equal the weighted sweep")
+  }
 }
