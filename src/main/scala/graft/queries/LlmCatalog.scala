@@ -2946,6 +2946,19 @@ object LlmCatalog {
         documents(s, d).filter(length(col("source")) === 4), "lang", "text")
         .localCheckpoint())
 
+  /** Generic session-artifact memo — the shared-model discipline
+    * behind the langid caches, applied to every deterministic fit
+    * the catalog evaluates more than once (k-means model, unigram
+    * vocabulary, quality-fit weights): exact-arithmetic artifacts
+    * are what CAN be computed once and served everywhere
+    * bit-identically. */
+  private val artifactCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), AnyRef]()
+  private def artifact[T <: AnyRef](s: org.apache.spark.sql.SparkSession,
+      d: String, key: String)(build: => T): T =
+    artifactCache.computeIfAbsent((System.identityHashCode(s), d, key),
+      _ => build).asInstanceOf[T]
+
   /** The scored (doc × lang) distance table, ALSO shared: the
     * expensive pass of a langid serve is not the fit (langs × topK
     * rows) but the per-doc ngram profiling + profile joins — one
@@ -3373,14 +3386,16 @@ object LlmCatalog {
 
   private def qfFit(
       s: org.apache.spark.sql.SparkSession, d: String,
-  ): (org.apache.spark.sql.DataFrame, graft.llm.QualityFit.Fit) = {
-    val docs = documents(s, d)
-    val sig = graft.llm.CorpusStats.docSignals(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id"),
-        when(col("source") === "src0", 1L).otherwise(0L).as("y")),
-        Seq("doc_id"))
-    (sig, graft.llm.QualityFit.fit(sig, QfFeatures, "y"))
-  }
+  ): (org.apache.spark.sql.DataFrame, graft.llm.QualityFit.Fit) =
+    artifact(s, d, "qf_fit") {
+      val docs = documents(s, d)
+      val sig = graft.llm.CorpusStats.docSignals(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          when(col("source") === "src0", 1L).otherwise(0L).as("y")),
+          Seq("doc_id"))
+        .localCheckpoint()
+      (sig, graft.llm.QualityFit.fit(sig, QfFeatures, "y"))
+    }
 
   /** Trainable quality-filter FIT (QualityFit — VERDICT r12 missing
     * #1, the CCNet/fastText move): exact least squares of the curated
@@ -3552,8 +3567,9 @@ object LlmCatalog {
     "q126_kmeans_assign",
     (s, d) => {
       val emb = embeddings(s, d)
-      val model = graft.llm.KMeans.fit(emb, "vec_id", "embedding",
-        k = 8, iters = 2)
+      val model = artifact(s, d, "kmeans_k8_i2")(
+        graft.llm.KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+          .localCheckpoint())
       graft.llm.KMeans.assign(emb, model, "vec_id", "embedding")
         .select(col("id").as("vec_id"), col("cell"))
         .orderBy(col("vec_id"))
@@ -3584,8 +3600,9 @@ object LlmCatalog {
     "q129_kmeans_wcss",
     (s, d) => {
       val emb = embeddings(s, d)
-      val model = graft.llm.KMeans.fit(emb, "vec_id", "embedding",
-        k = 8, iters = 2)
+      val model = artifact(s, d, "kmeans_k8_i2")(
+        graft.llm.KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+          .localCheckpoint())
       graft.llm.KMeans.wcssByCell(emb, model, "vec_id", "embedding")
         .orderBy(col("cell"))
     },
@@ -3795,8 +3812,10 @@ object LlmCatalog {
   val unigramFitQ = GraftQuery(
     "q125_unigram_vocab",
     (s, d) =>
-      graft.llm.UnigramLm.fit(documents(s, d), "text",
+      artifact(s, d, "unigram_v500")(
+        graft.llm.UnigramLm.fit(documents(s, d), "text",
           vocabSize = 500, maxLen = 6, minSeedCount = 2L, iters = 2)
+          .localCheckpoint())
         .orderBy(col("piece")),
     Some(s"""
       $unigramFitChainSql
@@ -3824,8 +3843,10 @@ object LlmCatalog {
     "q130_unigram_segments",
     (s, d) => {
       val docs = documents(s, d)
-      val model = graft.llm.UnigramLm.fit(docs, "text",
-        vocabSize = 500, maxLen = 6, minSeedCount = 2L, iters = 2)
+      val model = artifact(s, d, "unigram_v500")(
+        graft.llm.UnigramLm.fit(docs, "text",
+          vocabSize = 500, maxLen = 6, minSeedCount = 2L, iters = 2)
+          .localCheckpoint())
       graft.llm.UnigramLm.segment(docs, model, "text", maxLen = 6)
         .select(col("doc_id"), col("n_pieces"),
           graft.llm.TextOps.hash60(concat_ws(" ", col("pieces")))
