@@ -5210,6 +5210,28 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** ONE persisted IVF-PQ index store per session+dataset, serving
+    * q149/q151/q152 — the production shape (an index is built once
+    * and answers every search), and exactly why X187 exists: the
+    * alternative, re-encoding per query, is what the stored table
+    * replaced. Built with the label passthrough and cell+label stats
+    * (a superset — q149/q151 read the same (id, cell, code) rows
+    * regardless of extra columns). */
+  private def ivfStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "ivf_index_store") {
+      implicit val sp = s
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivfidx_").toString
+      val store = new graft.io.SnapshotBucketedStore(root, numBuckets = 16,
+        "parquet", statsColumns = Seq("cell", "label"), keyColumns = Seq("id"),
+        clusterColumn = Some("cell"))
+      graft.llm.Ivf.writeIndex(store, "vs", graft.Tables.embeddings(s, d),
+        "vec_id", "embedding", graft.llm.IvfModel.df(s),
+        passthrough = Seq("label"))
+      store
+    }
+
   /** IVF-PQ search THROUGH THE PERSISTED INDEX (Ivf.writeIndex →
     * SnapshotBucketedStore clustered by cell → Ivf.searchPqFrom):
     * the corpus is assigned + PQ-encoded ONCE into a stored
@@ -5223,16 +5245,9 @@ object LlmCatalog {
   val ivfPqStoredQ = GraftQuery(
     "q149_ivf_pq_stored",
     (s, d) => {
-      implicit val sp = s
       val emb = graft.Tables.embeddings(s, d)
       val cents = graft.llm.IvfModel.df(s)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q149_ivfidx_").toString
-      val store = new graft.io.SnapshotBucketedStore(root, numBuckets = 16,
-        "parquet", statsColumns = Seq("cell"), keyColumns = Seq("id"),
-        clusterColumn = Some("cell"))
-      graft.llm.Ivf.writeIndex(store, "vs", emb, "vec_id", "embedding", cents)
-      graft.llm.Ivf.searchPqFrom(store, "vs", emb, "vec_id", "embedding",
+      graft.llm.Ivf.searchPqFrom(ivfStore(s, d), "vs", emb, "vec_id", "embedding",
           cents, topK = 5, nprobe = 2,
           queryPred = col("vec_id") % 50 === 0)
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
@@ -5254,17 +5269,10 @@ object LlmCatalog {
   val ivfPqRerankQ = GraftQuery(
     "q151_ivf_pq_rerank",
     (s, d) => {
-      implicit val sp = s
       val emb = graft.Tables.embeddings(s, d)
       val cents = graft.llm.IvfModel.df(s)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q151_ivfidx_").toString
-      val store = new graft.io.SnapshotBucketedStore(root, numBuckets = 16,
-        "parquet", statsColumns = Seq("cell"), keyColumns = Seq("id"),
-        clusterColumn = Some("cell"))
-      graft.llm.Ivf.writeIndex(store, "vs", emb, "vec_id", "embedding", cents)
-      graft.llm.Ivf.searchPqRerankFrom(store, "vs", emb, "vec_id", "embedding",
-          cents, topK = 5, poolK = 10, nprobe = 2,
+      graft.llm.Ivf.searchPqRerankFrom(ivfStore(s, d), "vs", emb, "vec_id",
+          "embedding", cents, topK = 5, poolK = 10, nprobe = 2,
           queryPred = col("vec_id") % 50 === 0)
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -5308,18 +5316,10 @@ object LlmCatalog {
   val ivfPqFilteredQ = GraftQuery(
     "q152_ivf_pq_filtered",
     (s, d) => {
-      implicit val sp = s
       val emb = graft.Tables.embeddings(s, d)
       val cents = graft.llm.IvfModel.df(s)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_q152_ivfidx_").toString
-      val store = new graft.io.SnapshotBucketedStore(root, numBuckets = 16,
-        "parquet", statsColumns = Seq("cell", "label"), keyColumns = Seq("id"),
-        clusterColumn = Some("cell"))
-      graft.llm.Ivf.writeIndex(store, "vs", emb, "vec_id", "embedding", cents,
-        passthrough = Seq("label"))
-      graft.llm.Ivf.searchPqFromWhere(store, "vs", emb, "vec_id", "embedding",
-          cents, topK = 5, nprobe = 2,
+      graft.llm.Ivf.searchPqFromWhere(ivfStore(s, d), "vs", emb, "vec_id",
+          "embedding", cents, topK = 5, nprobe = 2,
           queryPred = col("vec_id") % 50 === 0,
           attrCol = "label", lo = 2, hi = 5)
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rank"))
