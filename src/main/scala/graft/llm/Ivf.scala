@@ -459,6 +459,85 @@ object Ivf {
     exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
   }
 
+  /** Late-interaction (ColBERT-style) retrieval THROUGH the persisted
+    * IVF-PQ index — the PLAID-shaped composition (Santhanam et al.
+    * 2022, "PLAID: an efficient engine for late interaction
+    * retrieval"): the stored codes serve an APPROXIMATE MaxSim
+    * candidate stage, and the exact float chain re-ranks only the
+    * survivors. A "document" is a group of vectors under `groupCol`
+    * (the index must be built with `passthrough = Seq(groupCol)` so
+    * the doc key sits beside the codes — stage 1 touches ONLY the
+    * index). Stage 1: each query vector probes its `nprobe` nearest
+    * cells, ADC-scores the stored codes it meets there (packed longs
+    * through the cell join, the fused [[Similarity.pqCosine]] loop
+    * after it), and per (query doc, candidate doc) the per-query-
+    * vector maxima fold sequentially — an ESTIMATE of MaxSim that is
+    * doubly approximate (quantized cosines AND only probed-cell pairs
+    * contribute), exactly what makes it cheap; the top `candidates`
+    * docs per query survive, the query's own doc riding along
+    * (stage 1 excludes the diagonal, so the union is disjoint).
+    * Stage 2: the shared exact grid ([[Similarity.maxSimOverGrid]])
+    * re-scores ONLY surviving pairs — the corpus float table is
+    * touched through a doc-key hash join restricted to the grid,
+    * never scored wholesale. Surviving pairs come out bit-equal to
+    * [[Similarity.maxSimTopK]], so recall is monotone in
+    * `candidates`/`nprobe` and reaches the all-pairs form at full
+    * probing + doc-covering candidates (spec-pinned). */
+  def maxSimFrom(
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      groupCol: String,
+      centroids: DataFrame,
+      candidates: Int,
+      k: Int,
+      nprobe: Int,
+      queryPred: org.apache.spark.sql.Column,
+  ): DataFrame = {
+    require(candidates >= k, s"candidates ($candidates) must cover k ($k)")
+    val index = readIndexPruned(store, table, df, idCol, embCol, centroids,
+      nprobe, queryPred)
+    val qv = Similarity.withNorm(df.filter(queryPred), idCol, embCol,
+        extra = Seq(groupCol))
+      .select(col("id").as("qid"), col(groupCol).as("query_label"),
+        col("e").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("_d"), col("cell"))
+    val probes = qv.crossJoin(broadcast(centroids))
+      .withColumn("_d", sqDist(col("qe"), col("centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col("qid"), col("query_label"), col("qe"), col("qn"), col("cell"))
+    val adc = probes
+      .join(index.select(col("cell"), col("code"),
+        col(groupCol).as("doc_label")), Seq("cell"))
+      .filter(col("doc_label") =!= col("query_label"))
+      .select(col("query_label"), col("doc_label"), col("qid"),
+        Similarity.pqCosine(col("qe"), col("qn"), col("code")).as("sim"))
+      .filter(col("sim").isNotNull)
+      .groupBy(col("query_label"), col("doc_label"), col("qid"))
+      .agg(max(col("sim")).as("m"))
+    // the q141 sequential fold, on the ADC estimates
+    val approx = adc
+      .groupBy(col("query_label"), col("doc_label"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("qid"), col("m")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("m")).as("amaxsim"))
+    val wc = Window.partitionBy(col("query_label"))
+      .orderBy(col("amaxsim").desc, col("doc_label"))
+    val grid = approx.withColumn("_crank", row_number().over(wc))
+      .filter(col("_crank") <= candidates)
+      .select(col("query_label"), col("doc_label"))
+      .unionByName(qv.select(col("query_label")).distinct()
+        .select(col("query_label"), col("query_label").as("doc_label")))
+    val d = Similarity.withNorm(df, idCol, embCol, extra = Seq(groupCol))
+      .select(col(groupCol).as("doc_label"), col("e").as("de"),
+        col("nrm").as("dn"))
+    Similarity.maxSimOverGrid(qv, d, grid, k)
+  }
+
   /** Zero-row (id, cell, code) frame — the missing-table degrade of
     * [[searchPqFrom]] (search over an empty index returns no rows,
     * mirroring the store's missing-table→empty discipline). */

@@ -5342,6 +5342,99 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Late-interaction (ColBERT/PLAID) retrieval THROUGH the persisted
+    * IVF-PQ index (Ivf.maxSimFrom): stage 1 estimates MaxSim from the
+    * STORED codes only — each query vector probes its 2 nearest
+    * cells, ADC-scores the codes it meets, and the per-query-vector
+    * maxima fold into a doubly-approximate doc score (quantized
+    * cosines, probed-cell pairs only); the top-4 docs per query
+    * survive (own doc riding along) and stage 2 re-scores exactly
+    * those pairs through the exact q141 MaxSim chain. The oracle
+    * replays the shared q148 corpus chain (assignment, encode,
+    * reconstruction), the per-query-vector probing, the ADC max/fold,
+    * the candidate rank, the diagonal ride-along, and the exact
+    * stage-2 fold — the whole two-tier approximation hash-pinned. */
+  val maxSimIndexedQ = GraftQuery(
+    "q154_maxsim_indexed",
+    (s, d) => {
+      val emb = graft.Tables.embeddings(s, d)
+      graft.llm.Ivf.maxSimFrom(ivfStore(s, d), "vs", emb, "vec_id",
+          "embedding", "label", graft.llm.IvfModel.df(s),
+          candidates = 4, k = 3, nprobe = 2,
+          queryPred = col("vec_id") % 5 === 0)
+        .select(col("query_label"), col("doc_label"), col("maxsim"),
+          col("rank").cast("int").as("rank"))
+        .orderBy(col("query_label"), col("rank"))
+    },
+    Some(s"""
+      WITH $ivfPqChainSql,
+      mq AS (
+        SELECT v.id AS qid, e2.label AS query_label, v.e AS qe, v.nrm AS qn
+        FROM v JOIN embeddings e2 ON e2.vec_id = v.id
+        WHERE v.id % 5 = 0
+      ),
+      mprobes AS (
+        SELECT qid, query_label, qe, qn, cell FROM (
+          SELECT mq.qid, mq.query_label, mq.qe, mq.qn, cents.cell,
+                 ROW_NUMBER() OVER (PARTITION BY mq.qid ORDER BY
+                   list_dot_product(mq.qe, mq.qe)
+                     - 2.0 * list_dot_product(mq.qe, cents.c)
+                     + list_dot_product(cents.c, cents.c), cents.cell) AS rn
+          FROM mq CROSS JOIN cents)
+        WHERE rn <= 2
+      ),
+      madc AS (
+        SELECT p.query_label, e2.label AS doc_label, p.qid,
+               MAX(list_dot_product(p.qe, co.de) / (p.qn * co.dnrm)) AS m
+        FROM mprobes p
+        JOIN corpus co USING (cell)
+        JOIN embeddings e2 ON e2.vec_id = co.id
+        WHERE e2.label <> p.query_label
+        GROUP BY 1, 2, 3
+      ),
+      mapprox AS (
+        SELECT query_label, doc_label,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(m ORDER BY qid)), (a, b) -> a + b) AS amaxsim
+        FROM madc GROUP BY 1, 2
+      ),
+      mgrid AS (
+        SELECT query_label, doc_label FROM (
+          SELECT query_label, doc_label,
+                 ROW_NUMBER() OVER (PARTITION BY query_label
+                   ORDER BY amaxsim DESC, doc_label) AS rn
+          FROM mapprox) WHERE rn <= 4
+        UNION ALL
+        SELECT DISTINCT query_label, query_label FROM mq
+      ),
+      mdocs AS (
+        SELECT v.id, e2.label, v.e, v.nrm
+        FROM v JOIN embeddings e2 ON e2.vec_id = v.id
+      ),
+      mbest AS (
+        SELECT g.query_label, g.doc_label, q.qid,
+               MAX(list_dot_product(q.qe, c.e) / (q.qn * c.nrm)) AS m
+        FROM mgrid g
+        JOIN mq q ON q.query_label = g.query_label
+        JOIN mdocs c ON c.label = g.doc_label
+        GROUP BY 1, 2, 3
+      ),
+      mfold AS (
+        SELECT query_label, doc_label,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list(m ORDER BY qid)), (a, b) -> a + b) AS maxsim
+        FROM mbest GROUP BY 1, 2
+      )
+      SELECT query_label, doc_label, maxsim, CAST(rank AS INT) AS rank FROM (
+        SELECT query_label, doc_label, maxsim,
+               ROW_NUMBER() OVER (PARTITION BY query_label
+                 ORDER BY maxsim DESC, doc_label) AS rank
+        FROM mfold)
+      WHERE rank <= 3
+      ORDER BY query_label, rank
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -5434,5 +5527,6 @@ object LlmCatalog {
     ivfPqStoredQ,
     ivfPqRerankQ,
     ivfPqFilteredQ,
+    maxSimIndexedQ,
   )
 }

@@ -220,4 +220,52 @@ class IvfSpec extends SparkSpec {
     val (keptCell, _) = store.pruneStats("vs", "cell", 0, 0).get
     assert(keptBoth <= keptCell && total >= 4)
   }
+
+  test("stored-index MaxSim: exact at full coverage, candidate-monotone recall, surviving scores bit-equal") {
+    implicit val s = spark
+    val cents = IvfModel.df(spark)
+    val pred = col("vec_id") % 5 === 0
+    val root = tmpDir("graft_ivfms_")
+    val store = new graft.io.SnapshotBucketedStore(s"$root/vs", numBuckets = 16,
+      "parquet", statsColumns = Seq("cell"), keyColumns = Seq("id"),
+      clusterColumn = Some("cell"))
+    Ivf.writeIndex(store, "vs", emb, "vec_id", "embedding", cents,
+      passthrough = Seq("label"))
+    val groups = emb.select("label").distinct().count().toInt
+    // the all-pairs reference, EVERY pair's exact score (k = groups)
+    val allExact = Similarity.maxSimTopK(emb, "vec_id", "embedding", "label",
+        pred, k = groups)
+      .select("query_label", "doc_label", "maxsim").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val exactTop3 = Similarity.maxSimTopK(emb, "vec_id", "embedding", "label",
+        pred, k = 3)
+      .select("query_label", "doc_label").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    def run(candidates: Int, nprobe: Int) =
+      Ivf.maxSimFrom(store, "vs", emb, "vec_id", "embedding", "label",
+          cents, candidates = candidates, k = 3, nprobe = nprobe,
+          queryPred = pred)
+        .select("query_label", "doc_label", "maxsim").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+    // full probing + doc-covering candidates ⇒ ≡ maxSimTopK exactly
+    val full = run(candidates = groups, nprobe = IvfModel.k)
+    assert(full.map(_._1).toSet == exactTop3,
+      "full-coverage stored MaxSim must serve the all-pairs top-3 set")
+    // ...and EVERY surviving score, at any coverage, is the exact
+    // chain's score for that pair — stage 2 never re-approximates
+    def scoresExact(rows: Array[((Int, Int), Double)]): Unit =
+      rows.foreach { case (pair, sim) =>
+        assert(allExact(pair) == sim, s"stage-2 score drifted for $pair")
+      }
+    scoresExact(full)
+    val narrow = run(candidates = 3, nprobe = 2)
+    val wide = run(candidates = 6, nprobe = 2)
+    scoresExact(narrow); scoresExact(wide)
+    // recall against the exact top-3 is monotone in candidates
+    def recall(rows: Array[((Int, Int), Double)]) =
+      (rows.map(_._1).toSet & exactTop3).size.toDouble / exactTop3.size
+    assert(recall(wide) >= recall(narrow),
+      s"recall fell with more candidates: ${recall(narrow)} -> ${recall(wide)}")
+    assert(recall(wide) > 0.5, s"ADC candidates should find most of top-3: ${recall(wide)}")
+  }
 }

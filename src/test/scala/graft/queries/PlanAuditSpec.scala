@@ -826,6 +826,19 @@ class PlanAuditSpec extends SparkSpec {
     // metric and bit-equality against the inline form)
   }
 
+  test("q154 stored MaxSim: no cartesian, map-side ADC maxima, packed-code exchange discipline") {
+    val df = LlmCatalog.maxSimIndexedQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    noDecodedArrayInExchanges(df, "q154")
+    // stage 1's per-(pair, query-vector) MAX partial-aggregates before
+    // its shuffle — the ADC estimate never exchanges raw per-vector
+    // scores (the maxSimOverGrid discipline, on the candidate tier)
+    assert(p.contains("partial_max") || p.contains("partial_finishaggregation") ||
+      p.contains("HashAggregate"), s"stage 1 must partial-aggregate:\n${p.take(800)}")
+  }
+
   test("IVF-PQ query-heavy regime: queries ≈ corpus stays an equi-join with packed-code exchanges") {
     // the shape the decode-placement fix protects: when the query
     // side is NOT broadcast-small, the cell join must still be an
