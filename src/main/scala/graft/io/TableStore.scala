@@ -305,7 +305,7 @@ class SnapshotBucketedStore(
     keyColumns: Seq[String] = Nil,
     keyExpectedItems: Long = 10000L,
     clusterColumn: Option[String] = None)(
-    implicit spark: SparkSession)
+    implicit val spark: SparkSession)
     extends TableStore {
 
   import org.apache.hadoop.fs.Path

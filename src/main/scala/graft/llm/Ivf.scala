@@ -538,6 +538,64 @@ object Ivf {
     Similarity.maxSimOverGrid(qv, d, grid, k)
   }
 
+  /** Index health — the drift signal that tells an operator WHEN to
+    * [[reindex]]: per-cell occupancy of the STORED index, with each
+    * cell's fraction of the total. Centroids are frozen artifacts and
+    * corpora drift, so occupancy skews over time — a hot cell serves
+    * ever-bigger posting lists (nprobe candidate cost is the occupancy
+    * of the probed cells) until re-training rebalances. Reads only the
+    * 4-byte cell column of the stored table (column pruning to the
+    * scan), one map-side-combined count per cell, and the 1-row total
+    * joins back by broadcast — nothing here scales with dims or code
+    * width. Missing table → zero rows. */
+  def indexStats(
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+  ): DataFrame = {
+    val idx = store.read(table).getOrElse(return {
+      val s = store.spark
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("frac",
+            org.apache.spark.sql.types.DoubleType))))
+    })
+    val perCell = idx.groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+    val total = idx.agg(count(lit(1)).as("graft_tot_"))
+    perCell.crossJoin(broadcast(total))
+      .select(col("cell"), col("cnt"),
+        (col("cnt").cast("double") / col("graft_tot_")).as("frac"))
+  }
+
+  /** Re-encode the ENTIRE index under new centroids/codebooks as ONE
+    * atomic generation swap — the re-training rollout every IVF
+    * deployment eventually runs (the coarse quantizer is a frozen
+    * artifact; when [[indexStats]] shows the corpus has drifted away
+    * from it, you retrain and re-encode): [[indexRows]] under the new
+    * `centroids` is staged completely and committed via the store's
+    * full-replace manifest CAS, so searches serve the OLD index until
+    * the commit instant and the NEW one after — never a half-encoded
+    * mix; a crash mid-stage leaves the old index serving (the K3/K4
+    * staged-replace discipline), and the superseded generation stays
+    * readable via [[graft.io.SnapshotBucketedStore.readAt]] until
+    * vacuumed (rollback = serve the old version). Streaming intake
+    * ([[graft.streaming.VectorIndexIntake]]) must of course switch to
+    * the same new artifacts — mixed-artifact codes are exactly what
+    * the atomic swap exists to prevent. */
+  def reindex(
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      passthrough: Seq[String] = Nil,
+  ): Unit =
+    store.replace(table, indexRows(df, idCol, embCol, centroids, passthrough))
+
   /** Zero-row (id, cell, code) frame — the missing-table degrade of
     * [[searchPqFrom]] (search over an empty index returns no rows,
     * mirroring the store's missing-table→empty discipline). */

@@ -5435,6 +5435,30 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Index health over the persisted IVF-PQ index (Ivf.indexStats —
+    * the drift signal that schedules Ivf.reindex): per-cell occupancy
+    * with each cell's fraction of the corpus, read from the STORED
+    * (id, cell, code) table — the scan touches only the 4-byte cell
+    * column (column pruning), the count map-side-combines, and the
+    * 1-row total joins back by broadcast. The oracle replays the
+    * shared assignment chain and aggregates it — storage is
+    * bit-transparent (q149's proof), so stored occupancy ≡ assignment
+    * occupancy. */
+  val indexHealthQ = GraftQuery(
+    "q155_index_health",
+    (s, d) =>
+      graft.llm.Ivf.indexStats(ivfStore(s, d), "vs")
+        .orderBy(col("cell")),
+    Some(s"""
+      WITH $ivfPqChainSql
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM assigned) AS frac
+      FROM assigned
+      GROUP BY cell
+      ORDER BY cell
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -5528,5 +5552,6 @@ object LlmCatalog {
     ivfPqRerankQ,
     ivfPqFilteredQ,
     maxSimIndexedQ,
+    indexHealthQ,
   )
 }

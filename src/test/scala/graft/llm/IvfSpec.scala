@@ -268,4 +268,44 @@ class IvfSpec extends SparkSpec {
       s"recall fell with more candidates: ${recall(narrow)} -> ${recall(wide)}")
     assert(recall(wide) > 0.5, s"ADC candidates should find most of top-3: ${recall(wide)}")
   }
+
+  test("reindex: atomic re-encode under new centroids; old generation stays readable; stats track occupancy") {
+    implicit val s = spark
+    val cents8 = IvfModel.df(spark)
+    val pred = col("vec_id") % 10 === 0
+    val root = tmpDir("graft_ivfrx_")
+    val store = new graft.io.SnapshotBucketedStore(s"$root/vs", numBuckets = 16,
+      "parquet", statsColumns = Seq("cell"), keyColumns = Seq("id"),
+      clusterColumn = Some("cell"))
+    Ivf.writeIndex(store, "vs", emb, "vec_id", "embedding", cents8)
+    val before = Ivf.searchPqFrom(store, "vs", emb, "vec_id", "embedding",
+        cents8, topK = 5, nprobe = 2, queryPred = pred)
+      .orderBy("query_id", "rank").collect().toSeq
+    // occupancy stats: fractions partition the corpus
+    val stats = Ivf.indexStats(store, "vs").collect()
+    assert(stats.map(_.getLong(1)).sum == emb.count())
+    assert(math.abs(stats.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    // drift response: retrain a DIFFERENT quantizer and swap
+    val cents4 = Ivf.train(emb, "vec_id", "embedding", k = 4, iters = 2)
+    Ivf.reindex(store, "vs", emb, "vec_id", "embedding", cents4)
+    // the swapped index serves the new quantizer's exact inline result
+    val after = Ivf.searchPqFrom(store, "vs", emb, "vec_id", "embedding",
+        cents4, topK = 5, nprobe = 2, queryPred = pred)
+      .orderBy("query_id", "rank").collect().toSeq
+    val inline4 = Ivf.searchPq(emb, "vec_id", "embedding", cents4,
+        topK = 5, nprobe = 2, queryPred = pred)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(after.nonEmpty && after == inline4,
+      "post-reindex search must replay the new quantizer's inline form")
+    // every stored cell is now one of the 4 new cells
+    val newStats = Ivf.indexStats(store, "vs").collect()
+    assert(newStats.length <= 4 && newStats.map(_.getLong(1)).sum == emb.count())
+    // rollback surface: the superseded generation is still a complete,
+    // servable index under the OLD centroids (time travel, pre-vacuum)
+    val old = store.readAt("vs", store.snapshots("vs").init.last).get
+    val served = Ivf.searchPqIndexed(old, emb, "vec_id", "embedding",
+        cents8, topK = 5, nprobe = 2, queryPred = pred)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(served == before, "time-traveled index must serve the old results")
+  }
 }
