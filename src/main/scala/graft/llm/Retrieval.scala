@@ -69,18 +69,39 @@ object Retrieval {
       qtextCol: String = "qtext",
   ): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = docs.select(col(idCol).as("id"),
-      explode(split(col(textCol), " ")).as("term"))
-      .filter(length(col("term")) > 0)
+    val toks = TextIndex.tokens(docs, idCol, textCol)
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy("id").agg(count(lit(1)).as("dl"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val totals = dl.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum("dl"), lit(0L)).as("l_tot"))
-    val qterms = queries
+    val qterms = queryTerms(queries, qidCol, qtextCol)
+    scoreBm25(tf, dl, qterms, k, idCol)
+  }
+
+  /** Distinct (qid, term) pairs of a query frame — the shared query
+    * tokenization of the inline and stored BM25 paths. */
+  private[llm] def queryTerms(
+      queries: DataFrame, qidCol: String, qtextCol: String): DataFrame =
+    queries
       .select(col(qidCol).as("qid"),
         explode(array_distinct(split(col(qtextCol), " "))).as("term"))
       .filter(length(col("term")) > 0)
+
+  /** The shared BM25 scoring core — ONE arithmetic chain whether the
+    * postings come from the inline corpus scan ([[bm25TopK]]) or the
+    * persisted index ([[TextIndex.bm25From]]), which is what makes
+    * stored ≡ inline provable bit-for-bit. `tf` = (id, term, tf),
+    * `dl` = (id, dl); df and the (N, L) totals DERIVE from them (df
+    * over the postings restricted to queried terms is exact — a
+    * pruned read keeps every row of the terms it keeps). */
+  private[llm] def scoreBm25(
+      tf: DataFrame,
+      dl: DataFrame,
+      qterms: DataFrame,
+      k: Int,
+      idCol: String,
+  ): DataFrame = {
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum("dl"), lit(0L)).as("l_tot"))
     val scoredTerms = broadcast(qterms)
       .join(tf, Seq("term"))              // postings of queried terms only
       .join(dfT, Seq("term"))

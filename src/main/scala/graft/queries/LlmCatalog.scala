@@ -3212,26 +3212,7 @@ object LlmCatalog {
     """.trim),
   )
 
-  /** BM25 query→document retrieval (Retrieval.bm25TopK): the Okapi
-    * ranking in its exact-integer form (log swapped for the scaled
-    * df-ratio it wraps — the q110 surrogate rule), postings touched
-    * only for queried terms via the broadcast qterms equi-join, per-
-    * query top-5 through the TopKAgg bounded heap. The oracle replays
-    * tf/df/dl/totals and the integer idf·sat arithmetic term for
-    * term, so the hash pins the entire ranking — scores AND order —
-    * cross-engine; q4's unmatched vocabulary pins the no-evidence-
-    * no-rows rule. */
-  val bm25Q = GraftQuery(
-    "q112_bm25_topk",
-    (s, d) => {
-      import s.implicits._
-      val qs = Seq((1, "hash join strategy"), (2, "slow scan filter"),
-        (3, "vector index build"), (4, "zzz unmatched terms"))
-        .toDF("qid", "qtext")
-      graft.llm.Retrieval.bm25TopK(documents(s, d), qs, k = 5)
-        .orderBy(col("qid"), col("rank"))
-    },
-    Some(s"""
+  private val bm25OracleSql: String = s"""
       WITH q(qid, qtext) AS (VALUES (1, 'hash join strategy'),
         (2, 'slow scan filter'), (3, 'vector index build'),
         (4, 'zzz unmatched terms')),
@@ -3269,7 +3250,37 @@ object LlmCatalog {
       )
       SELECT qid, rank, doc_id, score FROM rk WHERE rank <= 5
       ORDER BY qid, rank
-    """.trim),
+    """.trim
+
+  /** The fixed BM25 query set shared by q112 (inline) and q156
+    * (through the persisted inverted index). */
+  private def bm25Queries(s: org.apache.spark.sql.SparkSession) = {
+    import s.implicits._
+    Seq((1, "hash join strategy"), (2, "slow scan filter"),
+      (3, "vector index build"), (4, "zzz unmatched terms"))
+      .toDF("qid", "qtext")
+  }
+
+  /** BM25 query→document retrieval (Retrieval.bm25TopK): the Okapi
+    * ranking in its exact-integer form (log swapped for the scaled
+    * df-ratio it wraps — the q110 surrogate rule), postings touched
+    * only for queried terms via the broadcast qterms equi-join, per-
+    * query top-5 through the TopKAgg bounded heap. The oracle replays
+    * tf/df/dl/totals and the integer idf·sat arithmetic term for
+    * term, so the hash pins the entire ranking — scores AND order —
+    * cross-engine; q4's unmatched vocabulary pins the no-evidence-
+    * no-rows rule. */
+  val bm25Q = GraftQuery(
+    "q112_bm25_topk",
+    (s, d) => {
+      import s.implicits._
+      val qs = Seq((1, "hash join strategy"), (2, "slow scan filter"),
+        (3, "vector index build"), (4, "zzz unmatched terms"))
+        .toDF("qid", "qtext")
+      graft.llm.Retrieval.bm25TopK(documents(s, d), qs, k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some(bm25OracleSql),
   )
 
   /** Temperature-mixed sampling at α = ½ (Splits.temperatureSample —
@@ -5459,6 +5470,40 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** ONE persisted inverted-index store per session+dataset (the
+    * ivfStore pattern on the text side): postings clustered + Bloomed
+    * + min/max-stat'd by term, doc lengths keyed by id — built once,
+    * serving q156. */
+  private def textStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "text_index_store") {
+      implicit val sp = s
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_tixidx_").toString
+      val store = new graft.io.SnapshotBucketedStore(root, numBuckets = 16,
+        "parquet", statsColumns = Seq("term"), keyColumns = Seq("term"),
+        clusterColumn = Some("term"))
+      graft.llm.TextIndex.writeIndex(store, "t", documents(s, d))
+      store
+    }
+
+  /** BM25 THROUGH the persisted inverted index (TextIndex.bm25From —
+    * the text-side twin of q149's stored vector search): tokenize/tf/
+    * dl ran ONCE at writeIndex time into term-clustered, term-Bloomed
+    * store tables; the query batch's distinct terms pick the posting
+    * dirs by membership Bloom (no false negatives, so the derived df
+    * stays exact) and the survivors run the SAME exact-integer
+    * idf·sat chain as q112. The oracle IS q112's — a hash match
+    * proves the storage seam is bit-transparent on the text side
+    * too. */
+  val bm25StoredQ = GraftQuery(
+    "q156_bm25_stored",
+    (s, d) =>
+      graft.llm.TextIndex.bm25From(textStore(s, d), "t", bm25Queries(s), k = 5)
+        .orderBy(col("qid"), col("rank")),
+    Some(bm25OracleSql),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -5553,5 +5598,6 @@ object LlmCatalog {
     ivfPqFilteredQ,
     maxSimIndexedQ,
     indexHealthQ,
+    bm25StoredQ,
   )
 }

@@ -405,6 +405,18 @@ class PlanAuditSpec extends SparkSpec {
       s"bounded-heap top-k must combine map-side:\n${p.take(800)}")
   }
 
+  test("q156 stored BM25 keeps q112's broadcast + bounded-heap shape on the pruned read") {
+    val df = LlmCatalog.bm25StoredQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"),
+      s"qterms must broadcast into the stored-postings join:\n${p.take(600)}")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_graft_top_k"),
+      s"bounded-heap top-k must combine map-side:\n${p.take(800)}")
+    // the dir-level pruning proof lives in TextIndexSpec's
+    // pruneEqAnyStats metric (kept < total for queried terms)
+  }
+
   test("q113 personalized pagerank keeps the q98 exchange-reuse shape") {
     val df = Catalog.personalizedPageRankQ.run(spark, sf)
     df.collect()
