@@ -1398,6 +1398,50 @@ class SnapshotBucketedStore(
       carriedStatsVersion(prev)))
   }
 
+  /** Atomic FULL REBUILD of a bucketed-upsert table: every bucket of
+    * `df` stages completely, then ONE manifest commit swaps the whole
+    * table — rows absent from `df` are gone from the new snapshot,
+    * and the superseded generation stays [[readAt]]-readable until
+    * [[vacuum]]. The bucketed twin of [[replace]], which this exists
+    * to avoid: replace writes an append-LOG generation, after which
+    * the table refuses keyed upserts — but an index rebuilt under new
+    * frozen artifacts (re-trained centroids, refit df model) must
+    * KEEP taking streaming upserts afterwards. A crash mid-stage
+    * leaves the previous snapshot serving (no manifest references the
+    * staged dirs); the streaming batch mark carries forward across
+    * the rebuild, same as [[replace]]. */
+  def rebuild(name: String, df: DataFrame, key: String): Unit = {
+    val prev = latestManifest(name)
+    val v = prev.map(_.version + 1).getOrElse(0)
+    val stage = new Path(tableDir(name), s"stage-$v")
+    val f = fs(stage)
+    val bucketed = withBucket(df, key)
+    val touched = bucketed
+      .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
+    bucketed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .format(fmt).save(stage.toString)
+    val stageMeta = metaForStage(stage.toString)
+    f.mkdirs(new Path(tableDir(name), "data"))
+    val newBuckets = touched.flatMap { b =>
+      val src = new Path(stage, s"$BucketCol=$b")
+      if (f.exists(src)) {
+        val rel = s"data/b$b-g$v"
+        val dst = new Path(tableDir(name), rel)
+        if (f.exists(dst)) f.delete(dst, true)
+        if (!f.rename(src, dst))
+          throw new java.io.IOException(s"bucket move failed: $src -> $dst")
+        Some(b -> rel)
+      } else None
+    }.toMap
+    f.delete(stage, true)
+    commit(name, Manifest(v, newBuckets, Nil,
+      prev.flatMap(_.lastBatch),
+      newBuckets.flatMap { case (b, rel) =>
+        stageMeta.get(b).filter(_.stats.nonEmpty).map(rel -> _.stats) }.toMap,
+      newBuckets.flatMap { case (b, rel) =>
+        stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) }.toMap))
+  }
+
   /** Keyed row deletion — the right-to-be-forgotten path a 100 TB
     * training-data warehouse needs: rewrite ONLY the buckets
     * containing the doomed keys (O(touched), same discipline as

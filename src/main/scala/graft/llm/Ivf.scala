@@ -594,7 +594,7 @@ object Ivf {
       centroids: DataFrame,
       passthrough: Seq[String] = Nil,
   ): Unit =
-    store.replace(table, indexRows(df, idCol, embCol, centroids, passthrough))
+    store.rebuild(table, indexRows(df, idCol, embCol, centroids, passthrough), "id")
 
   /** Zero-row (id, cell, code) frame — the missing-table degrade of
     * [[searchPqFrom]] (search over an empty index returns no rows,

@@ -209,13 +209,34 @@ object Retrieval {
         col(vecCol).as("graft_dv_"))
       .withColumn("graft_bkt_",
         Similarity.lshBuckets(col("graft_dv_"), dims, numPlanes))
+    rankProbedCandidates(
+      probedQueries(queryVecs, dims, numPlanes, probes, qidCol, vecCol),
+      d, k, idCol)
+  }
+
+  /** The probe-exploded query frame (qid, graft_qv_, graft_pb_) —
+    * one row per (query, probed bucket). Shared by the inline and
+    * stored ANN rankers. */
+  private[llm] def probedQueries(
+      queryVecs: DataFrame, dims: Int, numPlanes: Int, probes: Int,
+      qidCol: String, vecCol: String): DataFrame = {
     val masks = Similarity.probeMasks(numPlanes, probes)
-    val q = queryVecs.select(col(qidCol).as("qid"),
+    queryVecs.select(col(qidCol).as("qid"),
         col(vecCol).as("graft_qv_"))
       .withColumn("graft_qb_",
         Similarity.lshBuckets(col("graft_qv_"), dims, numPlanes))
       .withColumn("graft_pb_", explode(array_distinct(
         array(masks.map(m => col("graft_qb_").bitwiseXOR(lit(m))): _*))))
+  }
+
+  /** The shared candidate join + rank of the ANN vector rankers —
+    * ONE chain whether `d` comes from the inline bucketing
+    * ([[vectorTopKAnn]]) or a persisted bucket-clustered table
+    * ([[TextIndex.vectorTopKAnnFrom]]), which is what makes stored ≡
+    * inline provable. `q` = (qid, graft_qv_, graft_pb_); `d` =
+    * (graft_did_, graft_dv_, graft_bkt_). */
+  private[llm] def rankProbedCandidates(
+      q: DataFrame, d: DataFrame, k: Int, idCol: String): DataFrame = {
     val scored = q.join(d, col("graft_pb_") === col("graft_bkt_"))
       .select(col("qid"), col("graft_did_"),
         Similarity.dot(col("graft_qv_"), col("graft_dv_")).as("score"))

@@ -5050,27 +5050,7 @@ object LlmCatalog {
     },
   )
 
-  /** ANN-backed hybrid retrieval (Retrieval.hybridTopKAnn — q145's
-    * vector stage swapped for the bucket-pruned X57 pass, the "swap
-    * in an annTopK-derived candidate pass" doc made code): the
-    * corpus's TF-IDF vectors bucket once by 4 frozen hyperplanes,
-    * each query probes own-bucket + 1-bit flips, candidates score by
-    * the same dot chain, and the RRF fusion is unchanged. The oracle
-    * extends the shared q145 chain with the q138 bucket/probe replay
-    * APPLIED TO THE ENGINE-DERIVED VECTORS — buckets, probes,
-    * scores, ranks, and fusion all hash-pinned. */
-  val hybridRrfAnnQ = GraftQuery(
-    "q147_hybrid_rrf_ann",
-    (s, d) => {
-      import s.implicits._
-      val qs = Seq((1, "hash join strategy"), (2, "slow scan filter"),
-        (3, "vector index build"), (4, "zzz unmatched terms"))
-        .toDF("qid", "qtext")
-      graft.llm.Retrieval.hybridTopKAnn(documents(s, d), qs, k = 5,
-          dims = 64, poolK = 5, numPlanes = 4, probes = 1)
-        .orderBy(col("qid"), col("rank"))
-    },
-    Some {
+  private lazy val hybridAnnOracleSql: String = {
       val planes = Similarity.planeLiterals(dim = 64, numPlanes = 4)
       def bucketSql(vcol: String) = planes.zipWithIndex.map { case (p, i) =>
         val pl = p.mkString("[", ", ", "]")
@@ -5120,7 +5100,29 @@ object LlmCatalog {
       WHERE rank <= 5
       ORDER BY qid, rank
       """.trim
+    }
+
+  /** ANN-backed hybrid retrieval (Retrieval.hybridTopKAnn — q145's
+    * vector stage swapped for the bucket-pruned X57 pass, the "swap
+    * in an annTopK-derived candidate pass" doc made code): the
+    * corpus's TF-IDF vectors bucket once by 4 frozen hyperplanes,
+    * each query probes own-bucket + 1-bit flips, candidates score by
+    * the same dot chain, and the RRF fusion is unchanged. The oracle
+    * extends the shared q145 chain with the q138 bucket/probe replay
+    * APPLIED TO THE ENGINE-DERIVED VECTORS — buckets, probes,
+    * scores, ranks, and fusion all hash-pinned. */
+  val hybridRrfAnnQ = GraftQuery(
+    "q147_hybrid_rrf_ann",
+    (s, d) => {
+      import s.implicits._
+      val qs = Seq((1, "hash join strategy"), (2, "slow scan filter"),
+        (3, "vector index build"), (4, "zzz unmatched terms"))
+        .toDF("qid", "qtext")
+      graft.llm.Retrieval.hybridTopKAnn(documents(s, d), qs, k = 5,
+          dims = 64, poolK = 5, numPlanes = 4, probes = 1)
+        .orderBy(col("qid"), col("rank"))
     },
+    Some(hybridAnnOracleSql),
   )
 
   /** The shared q148/q151 IVF-PQ oracle chain, up to the per-pair
@@ -5504,6 +5506,41 @@ object LlmCatalog {
     Some(bm25OracleSql),
   )
 
+  /** The persisted SEMANTIC tier paired with [[textStore]]: TF-IDF
+    * doc vectors bucket-clustered by their sign-LSH bucket + the
+    * frozen df/corpus-size model, built once per session+dataset. */
+  private def vecStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "vec_index_store") {
+      implicit val sp = s
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_vecidx_").toString
+      val store = new graft.io.SnapshotBucketedStore(root, numBuckets = 16,
+        "parquet", statsColumns = Seq("bucket"), keyColumns = Seq("id"),
+        clusterColumn = Some("bucket"))
+      graft.llm.TextIndex.writeVectorIndex(store, "t", documents(s, d),
+        dims = 64, numPlanes = 4)
+      store
+    }
+
+  /** Hybrid retrieval ENTIRELY from storage (TextIndex.hybridFrom —
+    * q147's composition with BOTH corpus scans replaced by pruned
+    * index reads): BM25 over the term-Bloomed postings (q156's path)
+    * ∥ ANN TF-IDF cosine over bucket-clustered stored doc vectors
+    * (queries embed under the FROZEN stored df model; their probe-
+    * bucket set prunes dirs by min/max bucket stats) → exact-integer
+    * RRF. The oracle IS q147's — the hash match proves both storage
+    * seams bit-transparent at once. */
+  val hybridStoredQ = GraftQuery(
+    "q157_hybrid_stored",
+    (s, d) =>
+      graft.llm.TextIndex.hybridFrom(textStore(s, d), vecStore(s, d), "t",
+          bm25Queries(s), k = 5, poolK = 5, dims = 64, numPlanes = 4,
+          probes = 1)
+        .orderBy(col("qid"), col("rank")),
+    Some(hybridAnnOracleSql),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -5599,5 +5636,6 @@ object LlmCatalog {
     maxSimIndexedQ,
     indexHealthQ,
     bm25StoredQ,
+    hybridStoredQ,
   )
 }

@@ -78,4 +78,68 @@ class TextIndexSpec extends SparkSpec {
       Seq((9, "")).toDF("qid", "qtext"), k = 5)
     assert(none.count() == 0)
   }
+
+  private def newVecStore(root: String) =
+    new graft.io.SnapshotBucketedStore(root, numBuckets = 16, "parquet",
+      statsColumns = Seq("bucket"), keyColumns = Seq("id"),
+      clusterColumn = Some("bucket"))(spark)
+
+  test("stored vector tier: ANN ≡ inline, probe buckets prune dirs, hybrid entirely from storage ≡ inline") {
+    val tstore = newStore(tmpDir("graft_tixh_") + "/t")
+    val vstore = newVecStore(tmpDir("graft_tixv_") + "/v")
+    TextIndex.writeIndex(tstore, "t", docs)
+    TextIndex.writeVectorIndex(vstore, "t", docs)
+    // the full stored hybrid replays the inline composition exactly
+    val inlineH = Retrieval.hybridTopKAnn(docs, queries, k = 5, dims = 64,
+        poolK = 5, numPlanes = 4, probes = 1)
+      .orderBy("qid", "rank").collect().toSeq
+    val storedH = TextIndex.hybridFrom(tstore, vstore, "t", queries,
+        k = 5, poolK = 5, dims = 64, numPlanes = 4, probes = 1)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(inlineH.nonEmpty && storedH == inlineH,
+      "stored hybrid must replay the inline hybrid bit-for-bit")
+    // the semantic constituent alone, same equality
+    val tf = Vectorize.termFrequencies(docs, "doc_id", "text", 64)
+    val dfT = Vectorize.docFrequencies(tf)
+    val totals = Vectorize.corpusSize(docs)
+    val dv = Vectorize.toDense(
+      Vectorize.sparseNormalized(docs, "doc_id", "text", dfT, totals, 64),
+      docs, "doc_id", 64).withColumnRenamed("id", "doc_id")
+    val qv = Vectorize.embed(queries, "qid", "qtext", dfT, totals, 64)
+      .withColumnRenamed("id", "qid")
+    val inlineV = Retrieval.vectorTopKAnn(dv, qv, k = 5, dims = 64,
+        numPlanes = 4, probes = 1)
+      .orderBy("qid", "rank").collect().toSeq
+    val storedV = TextIndex.vectorTopKAnnFrom(vstore, "t", queries, k = 5,
+        dims = 64, numPlanes = 4, probes = 1)
+      .orderBy("qid", "rank").collect().toSeq
+    assert(storedV == inlineV)
+    // bucket clustering makes the dirs probe-prunable: a single
+    // own-bucket probe opens a fraction of them
+    val b = storedV.headOption.map(_ => vstore.read("t_docvecs").get
+      .select("bucket").head.getLong(0)).getOrElse(0L)
+    val (kept, total) = vstore.pruneStats("t_docvecs", "bucket", b, b).get
+    assert(total >= 4 && kept * 2 <= total,
+      s"bucket probe must prune dirs: kept $kept/$total")
+  }
+
+  test("appendVectors embeds under the FROZEN stored model; df does not move") {
+    val vstore = newVecStore(tmpDir("graft_tixf_") + "/v")
+    val (h1, h2) = (docs.filter($"doc_id" % 2 === 0), docs.filter($"doc_id" % 2 === 1))
+    TextIndex.writeVectorIndex(vstore, "t", h1)
+    val dfBefore = vstore.read("t_vecdf").get.orderBy("bucket")
+      .collect().toSeq
+    TextIndex.appendVectors(vstore, "t", h2)
+    // the model is untouched by the append
+    assert(vstore.read("t_vecdf").get.orderBy("bucket").collect().toSeq
+      == dfBefore, "append must not refit the frozen df model")
+    // every stored vector — both halves — is the h1-model embedding
+    val tf1 = Vectorize.termFrequencies(h1, "doc_id", "text", 64)
+    val want = Vectorize.embed(docs.select($"doc_id", $"text"), "doc_id",
+        "text", Vectorize.docFrequencies(tf1), Vectorize.corpusSize(h1), 64)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val got = vstore.read("t_docvecs").get.select("id", "vec")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    assert(got == want, "appended vectors must embed under the frozen model")
+  }
 }
