@@ -39,6 +39,33 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(dataDirs.count(_.endsWith("-g1")) < 8, "only touched buckets got a new generation")
   }
 
+  test("rebuild: atomic full swap survives a crash, drops absent rows, and keeps taking upserts") {
+    val root = tmpDir("graft_snap_rb_")
+    implicit val s = spark
+    val store = new CrashingStore(root, 8)
+    store.upsert("tgt", rows(0 until 100, "v1"), "uuid")
+    val before = store.read("tgt").get.orderBy("uuid").collect()
+    // crash after all buckets staged, before the manifest swap: the
+    // old snapshot serves, not a half-rebuilt mix
+    store.crashNext = true
+    intercept[RuntimeException] {
+      store.rebuild("tgt", rows(50 until 120, "v2"), "uuid")
+    }
+    assert(store.read("tgt").get.orderBy("uuid").collect().toSeq == before.toSeq)
+    // retry: the new snapshot is EXACTLY the rebuilt frame — rows
+    // absent from it are gone (full-replace semantics, bucketed form)
+    store.rebuild("tgt", rows(50 until 120, "v2"), "uuid")
+    assert(store.read("tgt").get.count() == 70)
+    assert(store.read("tgt").get.filter($"uuid" < 50).count() == 0)
+    // ...and unlike replace's append-log generation, the table still
+    // accepts keyed upserts (reindex-then-keep-streaming)
+    store.upsert("tgt", rows(118 until 125, "v3"), "uuid")
+    assert(store.read("tgt").get.count() == 75)
+    // the superseded snapshot stays time-travel readable
+    assert(store.readAt("tgt", 0).get.orderBy("uuid").collect().toSeq
+      == before.toSeq)
+  }
+
   test("a crash between data landing and commit leaves the OLD snapshot readable") {
     val root = tmpDir("graft_snap_crash_")
     implicit val s = spark

@@ -417,6 +417,21 @@ class PlanAuditSpec extends SparkSpec {
     // pruneEqAnyStats metric (kept < total for queried terms)
   }
 
+  test("q157 stored hybrid: no cartesian, equi-join ANN stage, bounded-heap top-k everywhere") {
+    val df = LlmCatalog.hybridStoredQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the probe-bucket residual reaches the PARQUET SCAN of the stored
+    // docvecs — dir-level stats pruned the file list, and the In/range
+    // predicates push into the footer filter (the only BNLJs in the
+    // plan are the bounded 1-row totals broadcasts, same as q145/q147)
+    assert(p.contains("In(bucket") || p.contains("EqualTo(bucket"),
+      s"probe buckets must push into the docvec scan:\n${p.take(800)}")
+    assert(p.contains("partial_graft_top_k"),
+      s"per-ranker and fused top-k must map-side k-reduce:\n${p.take(800)}")
+  }
+
   test("q113 personalized pagerank keeps the q98 exchange-reuse shape") {
     val df = Catalog.personalizedPageRankQ.run(spark, sf)
     df.collect()
