@@ -634,4 +634,171 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  // ---- binary (1-bit) quantization ---------------------------------
+
+  /** Binary quantization: one SIGN bit per component (bit = 1 iff the
+    * component is >= 0 — the same zero-inclusive sign rule as
+    * [[lshBuckets]]), packed into 32-bit words carried as
+    * `array<long>`; word w holds components [32w, 32w+32), component
+    * 32w+j on bit j. The bottom rung of the quantization ladder
+    * (float32 → int8 → PQ → 1 bit): 32× under float32, and similarity
+    * degrades to Hamming distance — cheap enough that xor+popcount
+    * over the packed words IS the candidate scorer. 32-bit words (not
+    * 64) keep every packed value, shifted slice, and block key in the
+    * non-negative BIGINT range, which both engines of the oracle pair
+    * handle identically (DuckDB refuses `1::BIGINT << 63` outright);
+    * physical width is 2 longs per 64 dims — still 16× under float32,
+    * and the Hamming arithmetic is word-width-agnostic. */
+  def binarizeWords(emb: Column, dim: Int): Column = {
+    require(dim >= 1, "dim must be positive")
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      val hi = math.min(32, dim - w * 32)
+      (0 until hi).map { j =>
+        when(element_at(emb, w * 32 + j + 1) >= 0.0, lit(1L << j))
+          .otherwise(lit(0L))
+      }.reduce[Column](_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed codes: Σ_w popcount(xor). */
+  def hammingWords(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("int")
+
+  /** Block keys for pigeonhole candidate generation over a packed
+    * code: the dim sign bits cut into `blocks` equal slices, each
+    * emitted as ONE combined long `(block << sliceBits) | slice` so
+    * the candidate join is a single-column equi-join. Slices must
+    * align within the 32-bit words ([[binarizeWords]] layout). By
+    * pigeonhole, any pair within Hamming distance ≤ blocks−1 agrees
+    * exactly on at least one slice — the [[graft.llm.Dedup
+    * .hammingNearDupPairs]] discipline generalized past 64 bits. */
+  def binaryBlockKeys(words: Column, dim: Int, blocks: Int): Column = {
+    require(blocks >= 1 && dim % blocks == 0,
+      s"blocks ($blocks) must divide dim ($dim)")
+    val s = dim / blocks
+    require(s <= 32 && 32 % s == 0,
+      s"slice width $s must align within 32-bit words")
+    array((0 until blocks).map { b =>
+      val w = (b * s) / 32
+      val off = (b * s) % 32
+      shiftright(element_at(words, w + 1), off)
+        .bitwiseAND(lit((1L << s) - 1)) + lit(b.toLong << s)
+    }: _*)
+  }
+
+  /** Embedding near-dup pairs by SIGN-FINGERPRINT Hamming distance —
+    * [[graft.llm.Dedup.hammingNearDupPairs]] for codes WIDER than one
+    * long (that form tops out at 64 bits; this one blocks over the
+    * [[binarizeWords]] word array at any dim). Pigeonhole: a pair
+    * within Hamming ≤ blocks−1 agrees exactly on ≥ 1 of the `blocks`
+    * slices, so candidates meet on the combined-key equi-join — never
+    * all pairs — and `maxHamming = blocks−1` loses nothing; a pair
+    * colliding on several slices collapses through the pair-grain
+    * min() (Hamming is collision-invariant). THRESHOLD regime only:
+    * sign codes of genuine near-duplicates differ in a few bits, which
+    * is exactly when exact-slice agreement has recall (top-k cosine
+    * neighbors at Hamming ~dim/2 do NOT block — that regime is
+    * [[binaryTopK]]'s scan). Returns (id_a, id_b, hamming), id_a <
+    * id_b. */
+  def binaryNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      blocks: Int = 4,
+      maxHamming: Int = 3,
+  ): DataFrame = {
+    val coded = df.select(col(idCol).as("id"),
+      binarizeWords(col(embCol).cast("array<double>"), dim).as("bw"))
+    val keyed = coded.withColumn("bkey",
+      explode(binaryBlockKeys(col("bw"), dim, blocks)))
+    val a = keyed.select(col("id").as("id_a"), col("bw").as("wa"), col("bkey"))
+    val b = keyed.select(col("id").as("id_b"), col("bw").as("wb"), col("bkey"))
+    a.join(b, Seq("bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingWords(col("wa"), col("wb")).as("h"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("h")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Stage 1 of [[binaryTopK]]: the Hamming candidate pool — an
+    * EXHAUSTIVE scan over packed codes, which is the production shape
+    * for binary quantization (the 32× compression is what makes the
+    * full scan affordable; xor+popcount per candidate is the whole
+    * scorer, and top-k cosine neighbors sit at Hamming ~dim/2 where
+    * no blocking scheme has recall). The query side reduces to
+    * (query_id, words) and broadcasts — the corpus streams through a
+    * BroadcastNestedLoopJoin with NO shuffle and NO float column in
+    * the subplan (asserted by the plan audit): at 100 TB the scan
+    * reads 8-byte words, not 256-byte vectors. Per query, the `pool`
+    * nearest-by-Hamming survive via the [[graft.expr.TopKAgg]]
+    * bounded heap (each map task reduces its corpus slice to `pool`
+    * entries before the single O(|q|·pool) exchange); ties by
+    * neighbor_id. Returns (query_id, neighbor_id, hamming). */
+  def binaryPool(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      queryPred: Column,
+      pool: Int,
+  ): DataFrame = {
+    val coded = df.select(col(idCol).as("id"), queryPred.as("is_q"),
+      binarizeWords(col(embCol).cast("array<double>"), dim).as("bw"))
+    val q = coded.filter(col("is_q"))
+      .select(col("id").as("query_id"), col("bw").as("qw"))
+    val scored = broadcast(q)
+      .join(coded, col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        hammingWords(col("qw"), col("bw")).as("hamming"))
+    val payload = struct(col("neighbor_id"), col("hamming"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.expr.TopKAgg.topK(-col("hamming").cast("long"), payload, pool)
+        .as("graft_bp_"))
+      .select(col("query_id"), explode(col("graft_bp_")).as("e"))
+      .select(col("query_id"), col("e.neighbor_id").as("neighbor_id"),
+        col("e.hamming").as("hamming"))
+  }
+
+  /** ANN top-k through BINARY quantization with exact re-rank: stage 1
+    * pools `pool` candidates per query by Hamming distance over the
+    * packed sign bits ([[binaryPool]] — 32× less bandwidth than the
+    * float embeddings), stage 2 fetches full-precision vectors for
+    * ONLY the |queries|·pool surviving pairs (two id-keyed hash
+    * joins — the [[pqTopKReranked]] discipline) and re-ranks by exact
+    * cosine, so surviving scores are bit-equal to brute force. The
+    * output carries both tiers: `hamming` pins stage 1, `sim`/`rank`
+    * pin stage 2. */
+  def binaryTopK(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      dim: Int,
+      k: Int,
+      queryPred: Column,
+      pool: Int = 32,
+  ): DataFrame = {
+    require(pool >= k, s"pool ($pool) must cover k ($k)")
+    val cand = binaryPool(df, idCol, embCol, dim, queryPred, pool)
+    val ex = withNorm(df, idCol, embCol)
+    val q = ex.select(col("id").as("query_id"),
+      col("e").as("qe"), col("nrm").as("qn"))
+    val n = ex.select(col("id").as("neighbor_id"),
+      col("e").as("ne"), col("nrm").as("nn"))
+    val exact = cand
+      .join(q, Seq("query_id"))
+      .join(n, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
 }

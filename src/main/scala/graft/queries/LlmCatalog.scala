@@ -5541,6 +5541,84 @@ object LlmCatalog {
     Some(hybridAnnOracleSql),
   )
 
+  /** Binary (1-bit) quantization ANN with exact re-rank
+    * (Similarity.binaryTopK, X202) — the bottom rung of the
+    * quantization ladder (q59 int8, q95/q148 PQ): sign bits packed
+    * into 32-bit words, stage 1 an exhaustive xor+popcount Hamming
+    * scan over the 32×-compressed codes (queries broadcast, corpus
+    * streamed, bounded-heap pool — the production binary-quantization
+    * shape: at Hamming ~dim/2 no blocking scheme has recall, the
+    * cheap scan IS the candidate generator), stage 2 exact cosine
+    * over only the |queries|·pool survivors. The oracle rebuilds the
+    * packed words from the same zero-inclusive sign rule (64 CASE
+    * terms per word pair — every value non-negative, the range both
+    * engines treat identically), replays the Hamming pool boundary
+    * (hamming ASC, neighbor_id ASC) and the exact re-rank, so the
+    * hash pins packing, pooling, AND both tie-break disciplines. */
+  val binaryTopKQ = GraftQuery(
+    "q158_binary_topk",
+    (s, d) =>
+      Similarity.binaryTopK(embeddings(s, d), "vec_id", "embedding",
+          dim = 64, k = 5, queryPred = col("vec_id") % 25 === 0, pool = 16)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"),
+          col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank")),
+    Some {
+      val words = (0 until 2).map { w =>
+        (0 until 32).map { j =>
+          s"(CASE WHEN e[${w * 32 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString("\n                 + ")
+      }
+      s"""
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                 AS nrm
+        FROM embeddings
+      ),
+      c AS (
+        SELECT id,
+               ${words(0)} AS w0,
+               ${words(1)} AS w1
+        FROM v
+      ),
+      q AS (
+        SELECT id AS query_id, w0 AS qw0, w1 AS qw1
+        FROM c WHERE id % 25 = 0
+      ),
+      ham AS (
+        SELECT q.query_id, c.id AS neighbor_id,
+               bit_count(xor(q.qw0, c.w0)) + bit_count(xor(q.qw1, c.w1))
+                 AS hamming
+        FROM q, c WHERE q.query_id <> c.id
+      ),
+      pool AS (
+        SELECT query_id, neighbor_id, hamming FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY hamming, neighbor_id) AS pr
+          FROM ham
+        ) WHERE pr <= 16
+      ),
+      rer AS (
+        SELECT p.query_id, p.neighbor_id, p.hamming,
+               list_dot_product(cq.e, cn.e) / (cq.nrm * cn.nrm) AS sim
+        FROM pool p
+        JOIN v cq ON cq.id = p.query_id
+        JOIN v cn ON cn.id = p.neighbor_id
+      )
+      SELECT query_id, neighbor_id, CAST(hamming AS INT) AS hamming, sim,
+             CAST(rank AS INT) AS rank
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rank
+        FROM rer
+      )
+      WHERE rank <= 5
+      ORDER BY query_id, rank
+      """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -5637,5 +5715,6 @@ object LlmCatalog {
     indexHealthQ,
     bm25StoredQ,
     hybridStoredQ,
+    binaryTopKQ,
   )
 }

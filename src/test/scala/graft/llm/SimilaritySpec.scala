@@ -270,4 +270,113 @@ class SimilaritySpec extends SparkSpec {
         s"query $q lost its own group to a worse candidate")
     }
   }
+
+  test("binarizeWords packs sign bits into 32-bit words exactly (Scala reference)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val got = emb.select($"vec_id", $"embedding",
+        Similarity.binarizeWords($"embedding".cast("array<double>"), 64).as("bw"))
+      .as[(Long, Array[Float], Array[Long])].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, e, bw) =>
+      assert(bw.length == 2, s"vec $id: ${bw.length} words")
+      val want = (0 until 2).map { w =>
+        (0 until 32).map(j => if (e(w * 32 + j) >= 0.0f) 1L << j else 0L).sum
+      }
+      assert(bw.toSeq == want, s"vec $id packed wrong")
+      bw.foreach(v => assert(v >= 0L, s"vec $id: word went negative"))
+    }
+    // an odd dim pads the top word with zero bits
+    val odd = Seq((1L, Array.fill(33)(1.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.binarizeWords($"embedding".cast("array<double>"), 33))
+      .as[Array[Long]].head()
+    assert(odd.toSeq == Seq(0xFFFFFFFFL, 1L))
+  }
+
+  test("hammingWords matches a popcount reference and pigeonhole blocking finds every close pair") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coded = emb.select($"vec_id",
+        Similarity.binarizeWords($"embedding".cast("array<double>"), 64).as("bw"))
+      .as[(Long, Array[Long])].collect().toMap
+    def ref(a: Array[Long], b: Array[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    val a = coded.keys.min; val b = coded.keys.max
+    val gotH = emb.filter($"vec_id" === a).crossJoin(
+        emb.filter($"vec_id" === b).select($"embedding".as("e2")))
+      .select(Similarity.hammingWords(
+        Similarity.binarizeWords($"embedding".cast("array<double>"), 64),
+        Similarity.binarizeWords($"e2".cast("array<double>"), 64)))
+      .as[Int].head()
+    assert(gotH == ref(coded(a), coded(b)))
+    // plant a near-duplicate of vector `a` with 3 sign flips: exactly
+    // Hamming 3 from `a`, so with blocks=4 (maxHamming=3) the
+    // pigeonhole guarantee says the pair MUST surface
+    val base = emb.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val src = base.filter($"vec_id" === a)
+      .select($"embedding").as[Array[Double]].head()
+    val planted = src.clone()
+    Seq(0, 21, 50).foreach(j => planted(j) = -(planted(j) + 1e-9))
+    val plantedId = coded.keys.max + 1000L
+    val df = base.union(Seq((plantedId, planted)).toDF("vec_id", "embedding"))
+    val pairs = Similarity.binaryNearDupPairs(df, "vec_id", "embedding",
+        dim = 64, blocks = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val hit = pairs.find(p => p._1 == a && p._2 == plantedId)
+    assert(hit.isDefined, s"planted 3-flip neighbor missed: ${pairs.toSeq}")
+    assert(hit.get._3 == 3, s"hamming ${hit.get._3} != 3 flips")
+    // and its plan blocks on the slice-key equi-join, never all pairs
+    val plan = Similarity.binaryNearDupPairs(df, "vec_id", "embedding", 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("binaryTopK: recall monotone in pool, surviving sims bit-equal brute force, code-only candidate exchanges") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pred = col("vec_id") % 10 === 0
+    val k = 5
+    val brute = Similarity.bruteForceTopK(
+        emb, emb.filter(pred), "vec_id", "embedding", k)
+      .select($"query_id", $"neighbor_id", $"sim")
+      .as[(Long, Long, Double)].collect()
+    val brutePairs = brute.map(r => (r._1, r._2)).toSet
+    val bruteSim = brute.map(r => (r._1, r._2) -> r._3).toMap
+    def run(pool: Int) = Similarity.binaryTopK(emb, "vec_id", "embedding",
+        dim = 64, k = k, queryPred = pred, pool = pool)
+      .select($"query_id", $"neighbor_id", $"sim")
+      .as[(Long, Long, Double)].collect()
+    val narrow = run(16); val wide = run(64); val full = run(499)
+    // exact re-rank: any pair both tiers kept scores identically
+    (narrow ++ wide ++ full).foreach { case (q, n, s) =>
+      bruteSim.get((q, n)).foreach(bs => assert(bs == s, s"($q,$n) drifted"))
+    }
+    def recall(got: Array[(Long, Long, Double)]): Double =
+      (got.map(r => (r._1, r._2)).toSet & brutePairs).size.toDouble / brutePairs.size
+    val rNarrow = recall(narrow); val rWide = recall(wide)
+    assert(rWide >= rNarrow, s"pool=64 recall $rWide < pool=16 $rNarrow")
+    assert(rNarrow > 0.3, s"pool=16 recall only $rNarrow")
+    // pool = corpus−1 keeps every candidate: the binary tier is a
+    // pass-through and the exact re-rank IS brute force, exactly
+    assert(full.map(r => (r._1, r._2, r._3)).sorted.toSeq ==
+      brute.map(r => (r._1, r._2, r._3)).sorted.toSeq,
+      "full-pool binaryTopK != brute force")
+    // the candidate tier moves packed words only: no double-array
+    // column crosses an exchange in the pool subplan
+    val poolPlan = Similarity.binaryPool(emb, "vec_id", "embedding",
+      64, pred, 32).queryExecution.executedPlan
+    assert(!poolPlan.toString.contains("CartesianProduct"), poolPlan.toString)
+    poolPlan.foreach {
+      case e: org.apache.spark.sql.execution.exchange.Exchange =>
+        e.output.foreach { a =>
+          assert(!a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+              || a.name == "bw" || a.name == "qw",
+            s"exchange carries a non-code array ${a.name}: ${a.dataType}")
+          a.dataType match {
+            case org.apache.spark.sql.types.ArrayType(et, _) =>
+              assert(et == org.apache.spark.sql.types.LongType,
+                s"exchange carries non-packed array ${a.name}: $et")
+            case _ =>
+          }
+        }
+      case _ =>
+    }
+  }
 }
