@@ -1165,6 +1165,51 @@ class SnapshotBucketedStore(
     }
   }
 
+  /** [[diffVersions]] WITH PAYLOAD — the CDC read an incremental
+    * downstream consumer actually applies: one row per key whose
+    * presence or payload differs between `since` and `upto` (default:
+    * latest), carrying `change` ∈ added|changed|removed plus the
+    * NEW-side payload columns (null for removed keys, whose only
+    * actionable content is the key itself). Cost scales with the
+    * TOUCHED fraction, same as [[diffVersions]]: the label pass
+    * prunes to buckets whose dir refs differ, and the payload fetch
+    * reads only the new side of those same buckets — never the whole
+    * table. None when either version is gone (never committed, or
+    * vacuumed — the consumer's signal to fall back to a full
+    * rebuild). Bucketed upsert tables only ([[appendsSince]] is the
+    * log-table form, where the delta needs no diff at all). */
+  def changesSince(
+      name: String,
+      since: Int,
+      key: String,
+      upto: Option[Int] = None): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    for {
+      end <- upto.orElse(snapshots(name).lastOption)
+      labels <- diffVersions(name, since, end, key)
+      m1 <- manifestAt(name, since)
+      m2 <- manifestAt(name, end)
+    } yield {
+      val touched = (m1.buckets.keySet ++ m2.buckets.keySet).toSeq
+        .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
+      val newDirs = dirsOf(name, m2, touched.flatMap(m2.buckets.get(_)))
+      val neu = if (newDirs.isEmpty) None else Some(readDirs(newDirs))
+      // payload schema donor for the all-removed edge (no new-side
+      // dirs in any touched bucket): the table's own schema at either
+      // end — planning-time footer reads only, never a data scan
+      val donor = neu
+        .orElse(readManifest(name, m2)).orElse(readManifest(name, m1))
+      val lab = labels.select(col(key), col("change"))
+      donor match {
+        case None => lab // both versions empty ⇒ labels is empty too
+        case Some(d) =>
+          // reserved-name guard already ran inside diffVersions: the
+          // payload cannot carry change/changed_cols columns
+          lab.join(neu.getOrElse(d.limit(0)), Seq(key), "left")
+      }
+    }
+  }
+
   /** Change-data capture for append-log tables: exactly the rows
     * appended after version `since`, as of version `upto` (default:
     * latest). Zero compute — appends only ever ADD log dirs, so the

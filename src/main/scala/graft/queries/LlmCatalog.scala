@@ -5541,6 +5541,81 @@ object LlmCatalog {
     Some(hybridAnnOracleSql),
   )
 
+  /** An incrementally maintained derived view over a keyed store
+    * table, built once per session+dataset through THREE refresh
+    * windows (initial build → adds + in-place revisions, some of them
+    * gate-crossing → source-side deletes), each applied by
+    * [[graft.io.ChangeFeed.refresh]] from the store's CDC read — the
+    * destination below is never recomputed from scratch after the
+    * first window. */
+  private def changeFeedStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "change_feed_store") {
+      implicit val sp = s
+      val src = new graft.io.SnapshotBucketedStore(
+        java.nio.file.Files.createTempDirectory("graft_cfsrc_").toString,
+        numBuckets = 16, "parquet")
+      val dst = new graft.io.SnapshotBucketedStore(
+        java.nio.file.Files.createTempDirectory("graft_cfdst_").toString,
+        numBuckets = 16, "parquet")
+      val docs = documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      def view(df: org.apache.spark.sql.DataFrame) =
+        df.filter(length(col("text")) >= 100)
+          .select(col("doc_id"), length(col("text")).as("len"),
+            upper(substring(col("text"), 1, 16)).as("head16"), col("lang"))
+      def refresh(): Unit =
+        graft.io.ChangeFeed.refresh(src, "docs", "doc_id", dst, "dview")(view)
+      // window 1: initial build over a partial corpus
+      src.upsert("docs", docs.filter(col("doc_id") % 3 =!= 0), "doc_id")
+      refresh()
+      // window 2: the %3 rows arrive, and every %5 row is REVISED in
+      // place (+7 chars — rows near the length gate cross it)
+      src.upsert("docs",
+        docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 =!= 0)
+          .unionByName(docs.filter(col("doc_id") % 5 === 0)
+            .withColumn("text", concat(col("text"), lit(" (rev2)")))),
+        "doc_id")
+      refresh()
+      // window 3: GDPR-style source deletes propagate out of the view
+      src.delete("docs", "doc_id",
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")))
+      refresh()
+      dst
+    }
+
+  /** Derived-view maintenance through the store's change feed
+    * (ChangeFeed.refresh + SnapshotBucketedStore.changesSince, X203):
+    * the destination table served below was maintained INCREMENTALLY
+    * across three CDC windows — adds, in-place revisions (including
+    * gate-crossing ones, which must DELETE downstream), and source
+    * deletes — with the source-version cursor riding the
+    * destination's batch mark. The oracle recomputes the view from
+    * the FINAL source state in plain SQL, so the hash match proves
+    * the incremental application converged exactly to
+    * transform(source) — the materialized-view contract. */
+  val changeFeedViewQ = GraftQuery(
+    "q159_change_feed_view",
+    (s, d) =>
+      changeFeedStore(s, d).read("dview").get
+        .select(col("doc_id"), col("len"), col("head16"), col("lang"))
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH fs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' (rev2)' ELSE text END
+                 AS text,
+               lang
+        FROM documents
+        WHERE doc_id % 7 <> 0
+      )
+      SELECT doc_id, CAST(length(text) AS INT) AS len,
+             upper(substr(text, 1, 16)) AS head16, lang
+      FROM fs
+      WHERE length(text) >= 100
+      ORDER BY doc_id
+    """.trim),
+  )
+
   /** Binary (1-bit) quantization ANN with exact re-rank
     * (Similarity.binaryTopK, X202) — the bottom rung of the
     * quantization ladder (q59 int8, q95/q148 PQ): sign bits packed
@@ -5716,5 +5791,6 @@ object LlmCatalog {
     bm25StoredQ,
     hybridStoredQ,
     binaryTopKQ,
+    changeFeedViewQ,
   )
 }
