@@ -103,4 +103,118 @@ object ChangeFeed {
         s"got ${images.columns.mkString(",")}")
     images
   }
+
+  /** Incremental view maintenance for a STAR JOIN — a destination
+    * table kept ≡ `transform(fact ⋈ dim)` (inner join on
+    * `fact.factDimCol = dim.dimKey`, one output row per fact key)
+    * when EITHER side changes:
+    *
+    *   - fact window: added/changed fact rows re-join the current dim
+    *     and upsert; removed fact keys delete downstream.
+    *   - dim window: every CURRENT fact row whose foreign key is in
+    *     the dim window re-joins — changed dim rows refresh their
+    *     facts' images, added dim keys resurrect previously
+    *     unmatched facts, removed dim keys drop their facts' rows
+    *     (inner-join semantics: no dim row, no view row).
+    *
+    * The dim-triggered fact fetch is the 100 TB heart of this: for a
+    * driver-bounded dim window (≤ 10k changed keys) the fact side is
+    * read through [[SnapshotBucketedStore.readWhereEqAny]] — per-dir
+    * membership Blooms on the foreign-key column prune every fact
+    * dir that provably holds none of the changed keys, so a
+    * dimension revision costs the MATCHING fact dirs, not a fact
+    * scan. (Record the fk column in the fact store's `keyColumns`
+    * to arm this; without it the probe keeps all dirs — correct,
+    * just unpruned.) A wider dim window degrades to one fact scan
+    * with a semi-join.
+    *
+    * The cursor packs BOTH source versions into the destination's
+    * one batch mark — `(factVersion << 32) | dimVersion` — which
+    * stays monotone because versions only grow; crash discipline and
+    * the vacuumed-cursor rebuild fallback are exactly [[refresh]]'s.
+    * Fact and dim column names must be disjoint (the joined row
+    * carries both sides). `transform` row-wise over the joined row,
+    * preserving `factKey`. */
+  def refreshJoined(
+      fact: SnapshotBucketedStore, factTable: String, factKey: String,
+      factDimCol: String,
+      dim: SnapshotBucketedStore, dimTable: String, dimKey: String,
+      dst: SnapshotBucketedStore, dstTable: String)
+      (transform: DataFrame => DataFrame): Boolean = {
+    val fLatest = fact.snapshots(factTable).lastOption match {
+      case Some(v) => v
+      case None => return false
+    }
+    val dLatest = dim.snapshots(dimTable).lastOption match {
+      case Some(v) => v
+      case None => return false
+    }
+    val mark = (fLatest.toLong << 32) | (dLatest.toLong & 0xFFFFFFFFL)
+    val cursor = dst.lastAppliedBatch(dstTable)
+    if (cursor.exists(_ >= mark)) return false
+    val dimNow = dim.readAt(dimTable, dLatest) match {
+      case Some(df) => df
+      case None => return false // dim unreadable: nothing to join against
+    }
+
+    def joinImages(factRows: DataFrame): DataFrame = {
+      val joined = factRows.join(dimNow,
+        factRows(factDimCol) === dimNow(dimKey))
+      checkedImages(transform(joined), factKey)
+    }
+
+    def fullBuild(): Boolean =
+      fact.readAt(factTable, fLatest) match {
+        case None => false
+        case Some(rows) =>
+          val images = joinImages(rows)
+          dst.rebuild(dstTable, images, factKey)
+          dst.upsertWithBatch(dstTable, images.limit(0), factKey, mark)
+          true
+      }
+
+    cursor match {
+      case None => fullBuild()
+      case Some(cm) =>
+        val fc = (cm >> 32).toInt
+        val dc = (cm & 0xFFFFFFFFL).toInt
+        (fact.changesSince(factTable, fc, factKey, Some(fLatest)),
+            dim.changesSince(dimTable, dc, dimKey, Some(dLatest))) match {
+          case (Some(fCh), Some(dCh)) =>
+            val factCols = fact.readAt(factTable, fLatest) match {
+              case Some(df) => df.columns.toSeq
+              case None => return fullBuild()
+            }
+            // dim-triggered candidates: current fact rows whose fk is
+            // in the dim window — Bloom-pruned when driver-bounded
+            val dimKeys = dCh.select(col(dimKey)).distinct()
+            val probe = dimKeys.limit(10001).collect().map(_.get(0)).toSeq
+            val dimTouched: Option[DataFrame] =
+              if (probe.isEmpty) None
+              else if (probe.size <= 10000)
+                fact.readWhereEqAny(factTable, factDimCol, probe)
+                  .map(_.filter(col(factDimCol).isin(probe: _*)))
+              else
+                fact.readAt(factTable, fLatest).map(
+                  _.join(dimKeys, col(factDimCol) === dimKeys(dimKey),
+                    "leftsemi"))
+            val factWinCand = fCh.filter(col("change") =!= "removed")
+              .select(factCols.map(col): _*)
+            val cands = dimTouched
+              .map(t => factWinCand.unionByName(t.select(factCols.map(col): _*)))
+              .getOrElse(factWinCand)
+              .dropDuplicates(factKey)
+            val images = joinImages(cands)
+            val gone = fCh.filter(col("change") === "removed")
+              .select(col(factKey))
+              .union(cands.select(col(factKey))
+                .except(images.select(col(factKey))))
+              .distinct()
+            dst.delete(dstTable, factKey, gone)(images.sparkSession)
+            dst.upsertWithBatch(dstTable, images, factKey, mark)
+            true
+          case _ => fullBuild() // either cursor snapshot vacuumed
+        }
+    }
+  }
 }

@@ -5616,6 +5616,104 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** A star-join view (orders ⋈ customer) maintained incrementally by
+    * [[graft.io.ChangeFeed.refreshJoined]] across fact-side AND
+    * dim-side CDC windows — never recomputed after the initial
+    * build. The fact store records membership Blooms on the foreign
+    * key, so the dim-wave refresh re-reads only fact dirs that might
+    * hold the touched customers. */
+  private def starViewStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "star_view_store") {
+      implicit val sp = s
+      def tmp(p: String) =
+        java.nio.file.Files.createTempDirectory(p).toString
+      val factS = new graft.io.SnapshotBucketedStore(tmp("graft_cfjf_"),
+        numBuckets = 16, "parquet", Nil, keyColumns = Seq("o_custkey"))
+      val dimS = new graft.io.SnapshotBucketedStore(tmp("graft_cfjd_"),
+        numBuckets = 16, "parquet")
+      val dst = new graft.io.SnapshotBucketedStore(tmp("graft_cfjv_"),
+        numBuckets = 16, "parquet")
+      val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+      val custs = customer(s, d).select(col("c_custkey"),
+        col("c_mktsegment"), col("c_nationkey"))
+      def view(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("o_totalprice") >= 250000.0)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("c_mktsegment"), col("c_nationkey"))
+      def refresh(): Unit = { graft.io.ChangeFeed.refreshJoined(
+        factS, "orders", "o_orderkey", "o_custkey",
+        dimS, "cust", "c_custkey", dst, "oview")(view); () }
+      // window 1: a partial fact load against the full dimension
+      factS.upsert("orders", ords.filter(col("o_orderkey") % 3 =!= 0),
+        "o_orderkey")
+      dimS.upsert("cust", custs, "c_custkey")
+      refresh()
+      // window 2 (fact side): the %3 orders arrive; every %5 order is
+      // revised to double its price (×2 is IEEE-exact — rows below
+      // the 250k gate cross it)
+      factS.upsert("orders",
+        ords.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 5 =!= 0)
+          .unionByName(ords.filter(col("o_orderkey") % 5 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2.0)),
+        "o_orderkey")
+      refresh()
+      // window 3 (both sides): %11 customers re-segment (their orders'
+      // images update), %13 customers churn out (their orders drop —
+      // inner-join semantics), %17 orders are deleted outright
+      dimS.upsert("cust",
+        custs.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_X"))),
+        "c_custkey")
+      dimS.delete("cust", "c_custkey",
+        custs.filter(col("c_custkey") % 13 === 0).select(col("c_custkey")))
+      factS.delete("orders", "o_orderkey",
+        ords.filter(col("o_orderkey") % 17 === 0).select(col("o_orderkey")))
+      refresh()
+      dst
+    }
+
+  /** Star-join incremental view maintenance
+    * (ChangeFeed.refreshJoined, X204): the served table was maintained
+    * across three CDC windows touching BOTH sides of orders ⋈
+    * customer — fact adds + in-place price revisions (gate-crossing),
+    * dim re-segmentations (fact images refresh through the fk-Bloom-
+    * pruned fact re-read), dim churn (inner-join rows drop), and fact
+    * deletes — with both source cursors packed into the destination's
+    * one batch mark. The oracle recomputes the view from the final
+    * state of both sides in plain SQL; the hash match proves the
+    * incremental maintenance converged exactly. */
+  val starViewQ = GraftQuery(
+    "q160_star_join_view",
+    (s, d) =>
+      starViewStore(s, d).read("oview").get
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("c_mktsegment"), col("c_nationkey"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      WITH fo AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 17 <> 0
+      ),
+      fc AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 11 = 0 THEN c_mktsegment || '_X'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               c_nationkey
+        FROM customer
+        WHERE c_custkey % 13 <> 0
+      )
+      SELECT o_orderkey, o_totalprice, c_mktsegment, c_nationkey
+      FROM fo JOIN fc ON fo.o_custkey = fc.c_custkey
+      WHERE o_totalprice >= 250000
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
   /** Binary (1-bit) quantization ANN with exact re-rank
     * (Similarity.binaryTopK, X202) — the bottom rung of the
     * quantization ladder (q59 int8, q95/q148 PQ): sign bits packed
@@ -5792,5 +5890,6 @@ object LlmCatalog {
     hybridStoredQ,
     binaryTopKQ,
     changeFeedViewQ,
+    starViewQ,
   )
 }

@@ -118,6 +118,108 @@ class ChangeFeedSpec extends SparkSpec {
     assert(got(dst) == expect(src))
   }
 
+  // ---- refreshJoined: star-join view maintenance ------------------
+
+  private def facts(rows: (Long, Long, Int)*): DataFrame =
+    rows.toDF("o_id", "c_id", "amount")
+
+  private def dims(rows: (Long, String)*): DataFrame =
+    rows.toDF("cust", "segment")
+
+  private def jview(df: DataFrame): DataFrame =
+    df.filter(col("amount") >= 10)
+      .select(col("o_id"), col("amount"), col("segment"))
+
+  private def jexpect(src: SnapshotBucketedStore,
+      dimS: SnapshotBucketedStore): Seq[(Long, Int, String)] = {
+    val f = src.read("orders").get
+    val d = dimS.read("cust").get
+    jview(f.join(d, f("c_id") === d("cust")))
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq
+  }
+
+  private def jgot(dst: SnapshotBucketedStore): Seq[(Long, Int, String)] =
+    dst.read("oview").map(_.select(col("o_id"), col("amount"), col("segment"))
+      .as[(Long, Int, String)].collect().sortBy(_._1).toSeq).getOrElse(Nil)
+
+  test("refreshJoined: fact-side and dim-side changes both converge to transform(fact join dim)") {
+    val root = tmpDir("graft_cfj_")
+    val factS = new SnapshotBucketedStore(s"$root/f", 8, "parquet",
+      Nil, keyColumns = Seq("c_id"))
+    val dimS = new SnapshotBucketedStore(s"$root/d", 8, "parquet")
+    val dst = new SnapshotBucketedStore(s"$root/v", 8, "parquet")
+    def refresh(): Boolean = ChangeFeed.refreshJoined(
+      factS, "orders", "o_id", "c_id", dimS, "cust", "cust",
+      dst, "oview")(jview)
+
+    factS.upsert("orders",
+      facts((1L, 100L, 20), (2L, 100L, 5), (3L, 200L, 15), (4L, 300L, 30)),
+      "o_id")
+    dimS.upsert("cust", dims((100L, "auto"), (200L, "mach")), "cust")
+    assert(refresh())
+    // order 2 gated out, order 4 has no dim row (inner join)
+    assert(jgot(dst) == jexpect(factS, dimS))
+    assert(jgot(dst).map(_._1) == Seq(1L, 3L))
+    assert(!refresh()) // current: packed two-source cursor refuses
+
+    // fact window only: add, change, remove
+    factS.upsert("orders", facts((2L, 200L, 50), (5L, 100L, 11)), "o_id")
+    factS.delete("orders", "o_id", Seq(1L).toDF("o_id"))
+    assert(refresh())
+    assert(jgot(dst) == jexpect(factS, dimS))
+    assert(jgot(dst).map(_._1) == Seq(2L, 3L, 5L))
+
+    // dim window only: revise a segment (its facts' images update),
+    // ADD the missing dim key (order 4 resurrects), REMOVE another
+    // (orders 2 and 3 drop — inner-join semantics)
+    dimS.upsert("cust", dims((100L, "auto2"), (300L, "food")), "cust")
+    dimS.delete("cust", "cust", Seq(200L).toDF("cust"))
+    assert(refresh())
+    assert(jgot(dst) == jexpect(factS, dimS))
+    assert(jgot(dst) == Seq((4L, 30, "food"), (5L, 11, "auto2")))
+
+    // both windows at once
+    factS.upsert("orders", facts((6L, 300L, 60), (5L, 300L, 12)), "o_id")
+    dimS.upsert("cust", dims((200L, "mach2")), "cust")
+    assert(refresh())
+    assert(jgot(dst) == jexpect(factS, dimS))
+    assert(jgot(dst).map(_._1) == Seq(2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("refreshJoined: a 1-key dim change probes the fact side through fk Blooms, pruning dirs") {
+    val root = tmpDir("graft_cfj_prune_")
+    val factS = new SnapshotBucketedStore(s"$root/f", 8, "parquet",
+      Nil, keyColumns = Seq("c_id"))
+    val dimS = new SnapshotBucketedStore(s"$root/d", 8, "parquet")
+    val dst = new SnapshotBucketedStore(s"$root/v", 8, "parquet")
+    // 8 upsert generations, each touching a DISJOINT customer range —
+    // the layout where fk membership Blooms shine
+    (0 until 8).foreach { g =>
+      factS.upsert("orders",
+        facts((g * 100 until g * 100 + 50).map(i =>
+          (i.toLong, (g * 1000 + i % 7).toLong, 20 + i % 5)): _*),
+        "o_id")
+    }
+    dimS.upsert("cust",
+      dims((0 until 8).flatMap(g => (0 until 7).map(i =>
+        ((g * 1000 + i).toLong, s"seg$g"))): _*), "cust")
+    def refresh(): Boolean = ChangeFeed.refreshJoined(
+      factS, "orders", "o_id", "c_id", dimS, "cust", "cust",
+      dst, "oview")(jview)
+    assert(refresh())
+    assert(jgot(dst) == jexpect(factS, dimS))
+    // one dim key changes: only generation 3's customers are touched
+    dimS.upsert("cust", dims((3002L, "seg3x")), "cust")
+    val (kept, total) = factS.pruneEqAnyStats("orders", "c_id",
+      Seq(3002L)).get
+    assert(total >= 8 && kept * 2 <= total,
+      s"fk probe must skip >= half the fact dirs: $kept/$total")
+    assert(refresh())
+    assert(jgot(dst) == jexpect(factS, dimS))
+    assert(jgot(dst).count(_._3 == "seg3x") ==
+      jexpect(factS, dimS).count(_._3 == "seg3x"))
+  }
+
   test("changesSince carries the new payload, labels every transition, and prunes to touched buckets") {
     val root = tmpDir("graft_cf_cdc_")
     val store = new SnapshotBucketedStore(root, 8, "parquet")
