@@ -5714,6 +5714,101 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** A governed table fed through write-time expectations
+    * ([[graft.io.Expectations.upsertChecked]]) in two epochs: the raw
+    * corpus, then a re-tag wave where every zh doc arrives re-labeled
+    * en — re-sent keys land clean by keyed upsert while the
+    * quarantine log KEEPS the epoch-1 rejects (append log = the audit
+    * trail). */
+  private def expectationsStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "expectations_store") {
+      implicit val sp = s
+      val store = new graft.io.SnapshotBucketedStore(
+        java.nio.file.Files.createTempDirectory("graft_expq_").toString,
+        numBuckets = 16, "parquet")
+      val rows = documents(s, d).select(col("doc_id"), col("lang"),
+        length(col("text")).as("len"))
+      val rules = Seq(
+        "text_min_len" -> (col("len") >= 60),
+        "lang_allowed" -> col("lang").isin("en", "de", "fr", "es"),
+        "not_blocklisted" -> (col("doc_id") % 10 =!= 7))
+      graft.io.Expectations.upsertChecked(store, "docs", "doc_id",
+        rows, rules, batchId = Some(1L))
+      graft.io.Expectations.upsertChecked(store, "docs", "doc_id",
+        rows.filter(col("lang") === "zh").withColumn("lang", lit("en")),
+        rules, batchId = Some(2L))
+      store
+    }
+
+  /** Write-time expectations with labeled quarantine
+    * (Expectations.check/upsertChecked, X205): every row of the
+    * governed table passed ALL three rules at write time; every
+    * reject sits in the quarantine log with the comma-joined names of
+    * exactly the rules it failed, in declared order, across both
+    * epochs (the re-tag wave fixes the lang violations by keyed
+    * upsert; epoch-1 quarantine rows persist as audit). The oracle
+    * replays both epochs' rule evaluation — including null-fails-
+    * closed and the multi-violation labels — in plain SQL. */
+  val expectationsQ = GraftQuery(
+    "q161_expectations",
+    (s, d) => {
+      val st = expectationsStore(s, d)
+      val clean = st.read("docs").get
+        .select(col("doc_id"), col("lang"), col("len"),
+          lit("").as("violated"))
+      val quar = st.read("docs__quarantine").get
+        .select(col("doc_id"), col("lang"), col("len"), col("violated"))
+      clean.unionByName(quar)
+        .select(col("doc_id"), col("lang"), col("len"), col("violated"),
+          when(col("violated") === "", lit("clean"))
+            .otherwise(lit("quarantined")).as("status"))
+        .orderBy(col("doc_id"), col("violated"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, CAST(length(text) AS INT) AS len
+        FROM documents
+      ),
+      w1 AS (
+        SELECT doc_id, lang, len,
+               concat_ws(',',
+                 CASE WHEN NOT (len >= 60) THEN 'text_min_len' END,
+                 CASE WHEN NOT (lang IN ('en','de','fr','es'))
+                      THEN 'lang_allowed' END,
+                 CASE WHEN NOT (doc_id % 10 <> 7)
+                      THEN 'not_blocklisted' END) AS violated
+        FROM d
+      ),
+      w2 AS (
+        SELECT doc_id, 'en' AS lang, len,
+               concat_ws(',',
+                 CASE WHEN NOT (len >= 60) THEN 'text_min_len' END,
+                 CASE WHEN NOT (doc_id % 10 <> 7)
+                      THEN 'not_blocklisted' END) AS violated
+        FROM d WHERE lang = 'zh'
+      ),
+      clean AS (
+        SELECT doc_id, lang, len FROM w1 WHERE violated = ''
+        UNION ALL
+        SELECT doc_id, lang, len FROM w2 WHERE violated = ''
+      ),
+      quar AS (
+        SELECT doc_id, lang, len, violated FROM w1 WHERE violated <> ''
+        UNION ALL
+        SELECT doc_id, lang, len, violated FROM w2 WHERE violated <> ''
+      )
+      SELECT doc_id, lang, len, violated, status FROM (
+        SELECT doc_id, lang, len, '' AS violated, 'clean' AS status
+        FROM clean
+        UNION ALL
+        SELECT doc_id, lang, len, violated, 'quarantined' AS status
+        FROM quar
+      )
+      ORDER BY doc_id, violated
+    """.trim),
+  )
+
   /** Binary (1-bit) quantization ANN with exact re-rank
     * (Similarity.binaryTopK, X202) — the bottom rung of the
     * quantization ladder (q59 int8, q95/q148 PQ): sign bits packed
@@ -5891,5 +5986,6 @@ object LlmCatalog {
     binaryTopKQ,
     changeFeedViewQ,
     starViewQ,
+    expectationsQ,
   )
 }
