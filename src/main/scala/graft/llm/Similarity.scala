@@ -662,11 +662,22 @@ object Similarity {
     }: _*)
   }
 
-  /** Hamming distance between two packed codes: Σ_w popcount(xor). */
+  /** Hamming distance between two packed codes: Σ_w popcount(xor).
+    * Generic (any word count) via array HOFs — the hot paths use
+    * [[hammingWordsN]], whose statically unrolled form stays inside
+    * whole-stage codegen with no per-pair array allocation. */
   def hammingWords(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
       lit(0L), (acc, x) => acc + x).cast("int")
+
+  /** [[hammingWords]] with the word count known at plan time: the
+    * per-word popcounts unroll into one codegen'd sum — identical
+    * values, no lambda evaluation on the |queries|·|corpus| scan. */
+  def hammingWordsN(a: Column, b: Column, words: Int): Column =
+    (1 to words).map { i =>
+      bit_count(element_at(a, i).bitwiseXOR(element_at(b, i))).cast("long")
+    }.reduce[Column](_ + _).cast("int")
 
   /** Block keys for pigeonhole candidate generation over a packed
     * code: the dim sign bits cut into `blocks` equal slices, each
@@ -721,7 +732,7 @@ object Similarity {
     a.join(b, Seq("bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        hammingWords(col("wa"), col("wb")).as("h"))
+        hammingWordsN(col("wa"), col("wb"), (dim + 31) / 32).as("h"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("h")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -749,14 +760,23 @@ object Similarity {
       queryPred: Column,
       pool: Int,
   ): DataFrame = {
+    // the repartition is a MATERIALIZATION barrier, not a distribution
+    // choice: whole-stage codegen would otherwise inline the packing
+    // projection into the nested-loop consume path and re-pack the
+    // stream row once PER BROADCAST PAIR (measured 7× on the q158
+    // shape). One shuffle of the 32×-compressed codes buys
+    // pack-once — and the query side reads the same exchange, so the
+    // corpus is packed exactly once in total. (A stored codes table —
+    // the X187 discipline — would skip even this.)
     val coded = df.select(col(idCol).as("id"), queryPred.as("is_q"),
-      binarizeWords(col(embCol).cast("array<double>"), dim).as("bw"))
+        binarizeWords(col(embCol).cast("array<double>"), dim).as("bw"))
+      .repartition(col("id"))
     val q = coded.filter(col("is_q"))
       .select(col("id").as("query_id"), col("bw").as("qw"))
     val scored = broadcast(q)
       .join(coded, col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
-        hammingWords(col("qw"), col("bw")).as("hamming"))
+        hammingWordsN(col("qw"), col("bw"), (dim + 31) / 32).as("hamming"))
     val payload = struct(col("neighbor_id"), col("hamming"))
     scored
       .groupBy(col("query_id"))
