@@ -134,7 +134,11 @@ object Similarity {
       embCol: String,
       k: Int,
   ): DataFrame = {
-    val c = withNorm(corpus, idCol, embCol)
+    // materialization barrier (the binaryPool lesson): without it,
+    // whole-stage codegen inlines the norm projection into the
+    // nested-loop consume path and recomputes each corpus row's
+    // l2norm once per broadcast query
+    val c = withNorm(corpus, idCol, embCol).repartition(col("id"))
     val q = withNorm(queries, idCol, embCol)
       .withColumnsRenamed(Map("id" -> "query_id", "e" -> "qe", "nrm" -> "qn"))
     val joined = broadcast(q)
