@@ -5541,6 +5541,48 @@ object LlmCatalog {
     Some(hybridAnnOracleSql),
   )
 
+  /** Embedding near-dup pairs by sign-fingerprint Hamming distance
+    * (Similarity.binaryNearDupPairs, X202's threshold tier): the
+    * corpus packs to 32-bit sign words, candidates meet on the
+    * 16-slice pigeonhole equi-join, and pairs within Hamming ≤ 15
+    * (= blocks − 1, the lossless setting) survive. The oracle
+    * deliberately does NOT replay the blocking: it computes the naive
+    * all-pairs quadratic and filters — the hash match is therefore a
+    * data-level proof that the pigeonhole candidate generation lost
+    * nothing (the q44 SimHash discipline on the embedding tier). */
+  val binaryNearDupQ = GraftQuery(
+    "q162_binary_near_dup",
+    (s, d) =>
+      Similarity.binaryNearDupPairs(embeddings(s, d), "vec_id", "embedding",
+          dim = 64, blocks = 16, maxHamming = 15)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val words = (0 until 2).map { w =>
+        (0 until 32).map { j =>
+          s"(CASE WHEN e[${w * 32 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
+        }.mkString("\n                 + ")
+      }
+      s"""
+      WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+      ),
+      c AS (
+        SELECT id,
+               ${words(0)} AS w0,
+               ${words(1)} AS w1
+        FROM v
+      )
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1))
+               AS INT) AS hamming
+      FROM c a JOIN c b ON a.id < b.id
+      WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 15
+      ORDER BY id_a, id_b
+      """.trim
+    },
+  )
+
   /** An incrementally maintained derived view over a keyed store
     * table, built once per session+dataset through THREE refresh
     * windows (initial build → adds + in-place revisions, some of them
@@ -5987,5 +6029,6 @@ object LlmCatalog {
     changeFeedViewQ,
     starViewQ,
     expectationsQ,
+    binaryNearDupQ,
   )
 }
