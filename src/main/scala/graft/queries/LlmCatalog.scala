@@ -5865,15 +5865,7 @@ object LlmCatalog {
     * engines treat identically), replays the Hamming pool boundary
     * (hamming ASC, neighbor_id ASC) and the exact re-rank, so the
     * hash pins packing, pooling, AND both tie-break disciplines. */
-  val binaryTopKQ = GraftQuery(
-    "q158_binary_topk",
-    (s, d) =>
-      Similarity.binaryTopK(embeddings(s, d), "vec_id", "embedding",
-          dim = 64, k = 5, queryPred = col("vec_id") % 25 === 0, pool = 16)
-        .select(col("query_id"), col("neighbor_id"), col("hamming"),
-          col("sim"), col("rank"))
-        .orderBy(col("query_id"), col("rank")),
-    Some {
+  private val binaryTopKOracleSql: String = {
       val words = (0 until 2).map { w =>
         (0 until 32).map { j =>
           s"(CASE WHEN e[${w * 32 + j + 1}] >= 0 THEN ${1L << j} ELSE 0 END)"
@@ -5926,7 +5918,51 @@ object LlmCatalog {
       WHERE rank <= 5
       ORDER BY query_id, rank
       """.trim
-    },
+  }
+
+  val binaryTopKQ = GraftQuery(
+    "q158_binary_topk",
+    (s, d) =>
+      Similarity.binaryTopK(embeddings(s, d), "vec_id", "embedding",
+          dim = 64, k = 5, queryPred = col("vec_id") % 25 === 0, pool = 16)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"),
+          col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank")),
+    Some(binaryTopKOracleSql),
+  )
+
+  /** The persisted binary-codes index, packed once per
+    * session+dataset ([[graft.llm.BinaryIndex.writeIndex]]). */
+  private def binaryIndexStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "binary_index_store") {
+      implicit val sp = s
+      val store = new graft.io.SnapshotBucketedStore(
+        java.nio.file.Files.createTempDirectory("graft_bix_").toString,
+        numBuckets = 16, "parquet")
+      graft.llm.BinaryIndex.writeIndex(store, "bix", embeddings(s, d),
+        "vec_id", "embedding", 64)
+      store
+    }
+
+  /** Binary ANN THROUGH the stored codes table
+    * (BinaryIndex.searchFrom, X207 — the X187 storage discipline on
+    * the 1-bit tier): sign packing ran ONCE at writeIndex time; the
+    * query batch packs on the broadcast side and scans the
+    * materialized `(id, bw)` rows, never the corpus floats, with the
+    * exact re-rank touching only the |queries|·pool survivors. The
+    * oracle IS q158's SQL — the hash match proves the storage seam
+    * bit-transparent on this tier too. */
+  val binaryStoredQ = GraftQuery(
+    "q163_binary_stored",
+    (s, d) =>
+      graft.llm.BinaryIndex.searchFrom(binaryIndexStore(s, d), "bix",
+          embeddings(s, d), "vec_id", "embedding", dim = 64, k = 5,
+          queryPred = col("vec_id") % 25 === 0, pool = 16)
+        .select(col("query_id"), col("neighbor_id"), col("hamming"),
+          col("sim"), col("rank"))
+        .orderBy(col("query_id"), col("rank")),
+    Some(binaryTopKOracleSql),
   )
 
   val all: Seq[GraftQuery] = Seq(
@@ -6030,5 +6066,6 @@ object LlmCatalog {
     starViewQ,
     expectationsQ,
     binaryNearDupQ,
+    binaryStoredQ,
   )
 }
