@@ -1210,6 +1210,127 @@ class SnapshotBucketedStore(
     }
   }
 
+  /** Is the dir's recorded range provably CONTAINED in [lower,
+    * upper]? The drop-side dual of [[survives]]: containment must be
+    * certain, so missing/unparseable stats answer NO, and legacy
+    * float-string widening makes the test strictly harder (a widened
+    * range inside the bounds implies the true range is). */
+  private def engulfedBy(
+      stats: Option[Seq[(String, String, String)]],
+      column: String,
+      lower: BigDecimal,
+      upper: BigDecimal,
+      legacyStats: Boolean): Boolean =
+    stats.flatMap(_.find(_._1 == column)) match {
+      case None => false
+      case Some((_, mn, mx)) =>
+        (scala.util.Try(BigDecimal(mn)), scala.util.Try(BigDecimal(mx))) match {
+          case (scala.util.Success(lo0), scala.util.Success(hi0)) =>
+            val eps = SnapshotBucketedStore.LegacyStatsEps
+            val lo = if (legacyStats) lo0 - lo0.abs * eps else lo0
+            val hi = if (legacyStats) hi0 + hi0.abs * eps else hi0
+            lo >= lower && hi <= upper
+          case _ => false
+        }
+    }
+
+  /** Range DELETE with manifest-level classification — the TTL /
+    * retention sweep (`DELETE WHERE column BETWEEN lower AND upper`,
+    * null rows never match, standard SQL semantics). Every generation
+    * dir classifies by its recorded min/max:
+    *
+    *   - DISJOINT from the range: untouched — not even listed.
+    *   - CONTAINED in the range: candidate for a METADATA-ONLY drop —
+    *     the dir reference leaves the manifest, no data moves. Since
+    *     min/max ignore nulls, containment alone cannot prove a dir
+    *     holds no null rows (which must survive); a one-column probe
+    *     over the contained dirs checks, and a dir carrying nulls
+    *     demotes to the rewrite path. On the 100 TB time-ordered
+    *     table this sweep exists for, expired generations drop for
+    *     the cost of reading ONE column of already-doomed dirs — or,
+    *     with a non-nullable column, effectively the manifest write.
+    *   - STRADDLING (or stats missing/unparseable): rewritten without
+    *     the matching rows (nulls kept via the three-valued-logic
+    *     coalesce), staged as new generation dirs.
+    *
+    * One manifest commit applies drops and rewrites atomically; a
+    * crash mid-stage leaves the previous snapshot serving and only
+    * orphan dirs behind (the upsert discipline). Superseded dirs stay
+    * time-travel-readable until [[vacuum]]. Returns
+    * (dropped, rewritten, untouched) dir counts — the X75-style
+    * metric surface; None when the table doesn't exist. */
+  def deleteRange(
+      name: String,
+      column: String,
+      lower: Any,
+      upper: Any): Option[(Int, Int, Int)] = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, not, regexp_extract}
+    latestManifest(name).map { m =>
+      val legacy = m.statsVersion < SnapshotBucketedStore.CurrentStatsVersion
+      val lo = boundDecimal(lower); val hi = boundDecimal(upper)
+      val entries: Seq[(Option[Long], String)] =
+        m.buckets.toSeq.sortBy(_._1).map { case (b, d) => (Option(b), d) } ++
+          m.logs.map(d => (None: Option[Long], d))
+      def cls(d: String): Int =
+        if (!survives(m.stats.get(d), column, lo, hi, legacy)) 0
+        else if (engulfedBy(m.stats.get(d), column, lo, hi, legacy)) 1
+        else 2
+      val byCls = entries.groupBy(e => cls(e._2))
+      val disjoint = byCls.getOrElse(0, Nil)
+      val contained = byCls.getOrElse(1, Nil)
+      val straddle = byCls.getOrElse(2, Nil)
+      // null probe: count null `column` rows per contained dir (one
+      // narrow scan); only a provably null-free dir may drop
+      val nullsByDir: Map[String, Long] =
+        if (contained.isEmpty) Map.empty
+        else readDirs(dirsOf(name, m, contained.map(_._2)))
+          .select(col(column).as("graft_c_"),
+            regexp_extract(input_file_name(), "(data/[^/]+)/[^/]+$", 1)
+              .as("graft_d_"))
+          .groupBy(col("graft_d_"))
+          .agg((count(lit(1)) - count(col("graft_c_"))).as("graft_n_"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // a contained dir absent from the probe result produced no rows
+      // at all (empty generation) — dropping it is trivially safe
+      val (dropped, demoted) = contained.partition(e =>
+        nullsByDir.getOrElse(e._2, 0L) == 0L)
+      val rewrites = straddle ++ demoted
+      val v = m.version + 1
+      val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
+      var bucketMap = m.buckets
+      var logList = m.logs
+      var statsMap = m.stats
+      var keysMap = m.keys
+      dropped.foreach { case (ob, d) =>
+        ob match {
+          case Some(b) => bucketMap -= b
+          case None => logList = logList.filterNot(_ == d)
+        }
+        statsMap -= d; keysMap -= d
+      }
+      rewrites.zipWithIndex.foreach { case ((ob, d), i) =>
+        val kept = readDirs(dirsOf(name, m, Seq(d)))
+          .filter(not(coalesce(pred, lit(false))))
+        val rel = ob match {
+          case Some(b) => s"data/b$b-g$v"
+          case None => s"data/del$i-g$v"
+        }
+        writeDir(kept, new Path(tableDir(name), rel).toString)
+        val dm = metaForDir(name, rel)
+        ob match {
+          case Some(b) => bucketMap += b -> rel
+          case None => logList = logList.map(x => if (x == d) rel else x)
+        }
+        statsMap -= d; keysMap -= d
+        statsMap = statsMap ++ statsPart(dm)
+        keysMap = keysMap ++ keysPart(dm)
+      }
+      commit(name, Manifest(v, bucketMap, logList, m.lastBatch,
+        statsMap, keysMap, carriedStatsVersion(Some(m))))
+      (dropped.size, rewrites.size, disjoint.size)
+    }
+  }
+
   /** Change-data capture for append-log tables: exactly the rows
     * appended after version `since`, as of version `upto` (default:
     * latest). Zero compute — appends only ever ADD log dirs, so the

@@ -5541,6 +5541,67 @@ object LlmCatalog {
     Some(hybridAnnOracleSql),
   )
 
+  /** A time-ordered events store swept by two [[graft.io
+    * .SnapshotBucketedStore.deleteRange]] TTL windows: four
+    * time-chunked append generations (disjoint ts ranges — the layout
+    * retention sweeps exist for), then one window aligned to a whole
+    * generation (metadata-only drop) and one straddling window
+    * (rewrite). All boundary arithmetic is exact long division,
+    * replayed identically by the oracle. */
+  private def ttlStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "ttl_store") {
+      implicit val sp = s
+      val store = new graft.io.SnapshotBucketedStore(
+        java.nio.file.Files.createTempDirectory("graft_ttl_").toString,
+        numBuckets = 16, "parquet", statsColumns = Seq("ts"))
+      val ev = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+      val Array(mn, mx) = ev.agg(min(col("ts")), max(col("ts"))).head() match {
+        case r => Array(r.getLong(0), r.getLong(1))
+      }
+      val step = (mx - mn) / 4
+      val (b1, b2, b3) = (mn + step, mn + 2 * step, mn + 3 * step)
+      store.append("ev", ev.filter(col("ts") < b1))
+      store.append("ev", ev.filter(col("ts") >= b1 && col("ts") < b2))
+      store.append("ev", ev.filter(col("ts") >= b2 && col("ts") < b3))
+      store.append("ev", ev.filter(col("ts") >= b3))
+      store.deleteRange("ev", "ts", b1, b2 - 1)          // whole-gen drop
+      store.deleteRange("ev", "ts", b3, b3 + (mx - b3) / 2) // straddler
+      store
+    }
+
+  /** TTL / retention sweep (SnapshotBucketedStore.deleteRange, X208):
+    * the served table survived two range deletes — one aligned to a
+    * whole time-chunked generation (a METADATA-ONLY drop: the dir
+    * reference left the manifest, nothing was read but one probe
+    * column), one straddling a generation (rewritten without the
+    * matching rows). The oracle recomputes the survivors from the raw
+    * events with the identical exact-long boundary arithmetic; the
+    * hash match proves both sweep paths row-exact. */
+  val ttlSweepQ = GraftQuery(
+    "q164_ttl_sweep",
+    (s, d) =>
+      ttlStore(s, d).read("ev").get
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .orderBy(col("event_id")),
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS ts FROM events
+      ),
+      b AS (
+        SELECT min(ts) AS mn, max(ts) AS mx,
+               (max(ts) - min(ts)) // 4 AS step
+        FROM e
+      )
+      SELECT e.event_id, e.user_id, e.ts
+      FROM e CROSS JOIN b
+      WHERE NOT (e.ts BETWEEN b.mn + b.step AND b.mn + 2 * b.step - 1)
+        AND NOT (e.ts BETWEEN b.mn + 3 * b.step
+                          AND b.mn + 3 * b.step + (b.mx - (b.mn + 3 * b.step)) // 2)
+      ORDER BY event_id
+    """.trim),
+  )
+
   /** Embedding near-dup pairs by sign-fingerprint Hamming distance
     * (Similarity.binaryNearDupPairs, X202's threshold tier): the
     * corpus packs to 32-bit sign words, candidates meet on the
@@ -6067,5 +6128,6 @@ object LlmCatalog {
     expectationsQ,
     binaryNearDupQ,
     binaryStoredQ,
+    ttlSweepQ,
   )
 }
