@@ -6026,6 +6026,105 @@ object LlmCatalog {
     Some(binaryTopKOracleSql),
   )
 
+  /** The trigram Stupid Backoff model, fit once per session+dataset
+    * ([[graft.llm.NgramLm.fit]] — the artifact discipline: the gram
+    * table localCheckpoints at fit, every serve reads counts). */
+  private def ngramLmModel(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.llm.NgramLmModel =
+    artifact(s, d, "ngram_lm3") {
+      graft.llm.NgramLm.fit(documents(s, d), minCount = 2)
+    }
+
+  /** Per-doc Stupid Backoff LM scores (NgramLm.docScores, X209 —
+    * Brants 2007's distributed trigram LM serving the CCNet
+    * perplexity-gate role): hashed gram counts (the q13 affine
+    * family — 8-byte shuffle keys, never gram strings) with
+    * count-cutoff pruning at orders ≥ 2, and a PURE-INTEGER score —
+    * bit-length count ratios (`length(bin(cnt))`, the q84 freq-bits
+    * discipline) with an integer backoff penalty per skipped order —
+    * so the whole fit+serve chain replays in DuckDB bit-for-bit:
+    * tokenize → positional window hashes for orders 1..3 → pruned
+    * count tables → per-position five-role left joins → the backoff
+    * CASE → per-doc sum and one IEEE mean division. */
+  val lmDocScoresQ = GraftQuery(
+    "q165_lm_doc_scores",
+    (s, d) =>
+      graft.llm.NgramLm.docScores(documents(s, d), ngramLmModel(s, d))
+        .orderBy(col("doc_id")),
+    Some {
+      val Seq(c1, c2, c3) = TextOps.ShingleC.take(3)
+      val m = TextOps.ShingleM
+      val mc = 2 // minCount — must match ngramLmModel's fit
+      val p = 2  // penaltyBits — NgramLm default
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM documents
+      ),
+      arrs AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(th)),
+                 i -> (th[i]*$c1) % $m) AS u1,
+               CASE WHEN len(th) >= 2 THEN
+                 list_transform(generate_series(1, len(th)-1),
+                   i -> (th[i]*$c1 + th[i+1]*$c2) % $m)
+               ELSE []::BIGINT[] END AS u2,
+               CASE WHEN len(th) >= 3 THEN
+                 list_transform(generate_series(1, len(th)-2),
+                   i -> (th[i]*$c1 + th[i+1]*$c2 + th[i+2]*$c3) % $m)
+               ELSE []::BIGINT[] END AS u3
+        FROM toks
+      ),
+      g1 AS (SELECT h, COUNT(*) AS cnt
+             FROM (SELECT unnest(u1) AS h FROM arrs) GROUP BY h),
+      g2 AS (SELECT h, COUNT(*) AS cnt
+             FROM (SELECT unnest(u2) AS h FROM arrs) GROUP BY h
+             HAVING COUNT(*) >= $mc),
+      g3 AS (SELECT h, COUNT(*) AS cnt
+             FROM (SELECT unnest(u3) AS h FROM arrs) GROUP BY h
+             HAVING COUNT(*) >= $mc),
+      tot AS (SELECT SUM(len(u1))::BIGINT AS t FROM arrs),
+      pos AS (
+        SELECT doc_id, p,
+               u1[p] AS ug,
+               CASE WHEN p >= 2 THEN u2[p-1] END AS bg,
+               CASE WHEN p >= 2 THEN u1[p-1] END AS bgc,
+               CASE WHEN p >= 3 THEN u3[p-2] END AS tg,
+               CASE WHEN p >= 3 THEN u2[p-2] END AS tgc
+        FROM (SELECT doc_id, u1, u2, u3,
+                     unnest(generate_series(1, len(u1))) AS p
+              FROM arrs)
+      ),
+      scored AS (
+        SELECT s.doc_id,
+          CASE
+            WHEN c3.cnt IS NOT NULL AND c2x.cnt IS NOT NULL
+              THEN length(bin(c3.cnt)) - length(bin(c2x.cnt))
+            WHEN c2.cnt IS NOT NULL AND c1x.cnt IS NOT NULL
+              THEN length(bin(c2.cnt)) - length(bin(c1x.cnt))
+                     - $p*(LEAST(s.p, 3) - 2)
+            ELSE length(bin(COALESCE(c1.cnt, 1)))
+                   - length(bin((SELECT t FROM tot)))
+                   - $p*(LEAST(s.p, 3) - 1)
+          END AS sb
+        FROM pos s
+        LEFT JOIN g3 c3  ON c3.h  = s.tg
+        LEFT JOIN g2 c2x ON c2x.h = s.tgc
+        LEFT JOIN g2 c2  ON c2.h  = s.bg
+        LEFT JOIN g1 c1x ON c1x.h = s.bgc
+        LEFT JOIN g1 c1  ON c1.h  = s.ug
+      )
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(sb)::BIGINT AS sum_bits,
+             SUM(sb)::DOUBLE / COUNT(*) AS mean_bits
+      FROM scored
+      GROUP BY doc_id
+      ORDER BY doc_id
+      """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6129,5 +6228,6 @@ object LlmCatalog {
     binaryNearDupQ,
     binaryStoredQ,
     ttlSweepQ,
+    lmDocScoresQ,
   )
 }

@@ -336,6 +336,51 @@ object CorpusIntake {
     q.awaitTermination()
   }
 
+  /** [[drainTo]] with the TRIGRAM-LM PERPLEXITY BAND gate (X210 —
+    * the CCNet middle-of-the-distribution keep rule, streamed): each
+    * micro-batch is scored against a FROZEN Stupid Backoff model
+    * ([[graft.llm.NgramLm.fit]] over the reference corpus — counts
+    * localCheckpointed at fit, reused across batches) and a document
+    * lands iff its mean score-bits sits in [lo, hi] — drop the
+    * improbable tail (junk) and, with a finite hi, the too-probable
+    * head (boilerplate). Frozen-model soundness, same argument as
+    * [[drainScoredTo]]: every score depends only on the document and
+    * the artifact (hashed gram counts + one total), so the streamed
+    * corpus equals the one-shot batch [[graft.llm.NgramLm
+    * .bandFilter]] BIT-FOR-BIT, batch boundaries invisible
+    * (spec-pinned) — scoring a batch against its own counts would
+    * let a junk-heavy drop redefine "probable" for itself. The score
+    * is pure integer until one final IEEE division, so the gate
+    * decision replays identically in both engines and across replays.
+    * Same exactly-once sink discipline as [[drainTo]]. */
+  def drainLmBandTo(
+      docs: DataFrame,
+      store: graft.io.TableStore,
+      table: String,
+      model: graft.llm.NgramLmModel,
+      lo: Double,
+      hi: Double,
+      checkpoint: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      penaltyBits: Int = 2,
+  ): Unit = {
+    require(lo <= hi, s"lo ($lo) must be <= hi ($hi)")
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keepers = graft.llm.NgramLm
+          .docScores(batch, model, idCol, textCol, penaltyBits)
+          .filter(col("mean_bits") >= lo && col("mean_bits") <= hi)
+          .select(col(idCol))
+        store.appendIfNew(table,
+          batch.join(keepers, Seq(idCol), "left_semi"), batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** [[drainTo]] with the FITTED-TOKENIZER gate (X162): each
     * micro-batch is segmented under a FROZEN unigram-LM model table
     * ([[graft.llm.UnigramLm.fit]] output, served by

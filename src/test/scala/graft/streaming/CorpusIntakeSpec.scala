@@ -428,4 +428,54 @@ class CorpusIntakeSpec extends SparkSpec {
     assert(kept.contains(3L) && kept.contains(5L), kept)
     assert(!kept.contains(2L) && !kept.contains(4L), kept)
   }
+
+  test("LM-band drain: frozen trigram model, batch boundaries invisible") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_intake_lm_")
+    implicit val s = spark
+    import graft.llm.NgramLm
+    val store = new graft.io.SnapshotBucketedStore(s"$root/corpus", numBuckets = 4)
+
+    // frozen reference: clean prose, repeated so its grams clear the
+    // pruning threshold — junk scores against IT, never against the
+    // batch it happens to arrive in
+    val ref = Seq(
+      (100L, good), (101L, good),
+      (102L, good.replace("fox", "wolf")),
+    ).toDF("doc_id", "text")
+    val model = NgramLm.fit(ref, minCount = 2)
+
+    val junkA = Seq.fill(25)("qqq www eee").mkString(" ")
+    val junkB = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val all = Seq(
+      Doc(1L, B, good),                                // in-distribution
+      Doc(2L, B + 1000, junkA),                        // unseen-token junk
+      Doc(3L, B + 2000, good.replace("dog", "cat")),   // near-reference
+      Doc(4L, B + 3000, junkB),                        // all-unseen junk
+    )
+    val (half1, half2) = all.splitAt(2)
+    val input = MemoryStream[Doc]
+    val docs = input.toDF().select(col("doc_id"), col("text"))
+    input.addData(half1: _*)
+    CorpusIntake.drainLmBandTo(docs, store, "corpus", model,
+      lo = -4.0, hi = 0.0, s"$root/ckpt")
+    input.addData(half2: _*)
+    CorpusIntake.drainLmBandTo(docs, store, "corpus", model,
+      lo = -4.0, hi = 0.0, s"$root/ckpt")
+
+    val streamed = store.read("corpus").get
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    // batch twin: same frozen model, same band, one shot
+    val batchDf = all.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+    val batch = NgramLm.bandFilter(batchDf, model, lo = -4.0, hi = 0.0)
+      .select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(streamed == batch,
+      s"batch boundaries must be invisible: $streamed vs $batch")
+    // the band actually separates: reference prose in, unseen junk out
+    val kept = streamed.map(_._1)
+    assert(kept.contains(1L) && kept.contains(3L), kept)
+    assert(!kept.contains(2L) && !kept.contains(4L), kept)
+  }
 }
