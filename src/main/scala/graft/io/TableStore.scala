@@ -318,6 +318,10 @@ class SnapshotBucketedStore(
   // every generation read goes through the same format seam as
   // FileDirStore, so the atomic-commit/GDPR-delete machinery is
   // format-agnostic (both bundled columnar formats honor mergeSchema)
+  /** The store's physical bucket fan-out — public so bucket-grain
+    * tooling ([[Repair]]) can mirror the layout it will rewrite. */
+  def bucketCount: Int = numBuckets
+
   private def readDirs(dirs: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").format(fmt).load(dirs: _*)
   private def writeDir(df: DataFrame, dest: String): Unit =

@@ -6125,6 +6125,64 @@ object LlmCatalog {
     },
   )
 
+  /** A derived store table driven out of convergence THREE ways
+    * (changed row, phantom extra row, lost row) and re-converged by
+    * ONE anti-entropy pass ([[graft.io.Repair.repair]]) — built once
+    * per session+dataset; the repair rewrites only the divergent
+    * buckets (the clean remainder carries forward by manifest
+    * reference). */
+  private def repairedStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "repaired_store") {
+      implicit val sp = s
+      val store = new graft.io.SnapshotBucketedStore(
+        java.nio.file.Files.createTempDirectory("graft_rep_").toString,
+        numBuckets = 16, "parquet")
+      val expected = documents(s, d)
+        .select(col("doc_id"), upper(col("source")).as("src_u"),
+          col("n_chars"), col("lang"))
+      store.upsert("dview", expected, "doc_id")
+      // silent divergence, all three transition classes
+      store.upsert("dview",
+        documents(s, d).filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id"), lit("CORRUPT").as("src_u"),
+            lit(-1L).as("n_chars"), col("lang")), "doc_id")
+      store.upsert("dview",
+        documents(s, d).limit(1)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("PHANTOM").as("src_u"), lit(0L).as("n_chars"),
+            col("lang")), "doc_id")
+      store.delete("dview", "doc_id",
+        documents(s, d).filter(col("doc_id") % 101 === 0)
+          .select(col("doc_id")))
+      val stats = graft.io.Repair.repair(store, "dview", expected, "doc_id")
+      require(stats.divergent > 0 && stats.divergent < stats.bucketsCompared,
+        s"fixture must diverge in SOME but not ALL buckets: $stats")
+      store
+    }
+
+  /** Anti-entropy bucket-digest repair (Repair.repair, X211 — the
+    * Dynamo/Cassandra Merkle-repair discipline at the lake): a
+    * derived table was corrupted out-of-line (changed + phantom +
+    * lost rows), detected via per-bucket XOR multiset digests
+    * (numBuckets driver rows a side), and re-converged by rewriting
+    * ONLY the divergent buckets. The oracle recomputes the expected
+    * table in plain SQL — the hash match proves the digest
+    * detection + delete-first/upsert-second repair converged
+    * bit-for-bit. */
+  val repairQ = GraftQuery(
+    "q166_antientropy_repair",
+    (s, d) =>
+      repairedStore(s, d).read("dview").get
+        .select(col("doc_id"), col("src_u"), col("n_chars"), col("lang"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, upper(source) AS src_u, n_chars, lang
+      FROM documents
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6229,5 +6287,6 @@ object LlmCatalog {
     binaryStoredQ,
     ttlSweepQ,
     lmDocScoresQ,
+    repairQ,
   )
 }
