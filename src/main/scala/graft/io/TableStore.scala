@@ -323,7 +323,83 @@ class SnapshotBucketedStore(
   def bucketCount: Int = numBuckets
 
   private def readDirs(dirs: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").format(fmt).load(dirs: _*)
+    try spark.read.option("mergeSchema", "true").format(fmt).load(dirs: _*)
+    catch {
+      case scala.util.control.NonFatal(e) if dirs.length > 1 =>
+        readDirsWidened(dirs, e)
+    }
+
+  /** NUMERIC TYPE-WIDENING schema evolution at read (X212 — the
+    * Iceberg type-promotion matrix: byte→short→int→long,
+    * float→double, decimal precision at fixed scale; metadata-only,
+    * no rewrite): parquet's own mergeSchema refuses footers whose
+    * column types conflict, so a widening upsert would strand every
+    * pre-widening generation. This fallback (entered only when the
+    * one-scan merge fails — zero cost on the common path) probes
+    * each dir's schema, folds the per-field PROMOTION lattice
+    * (recursing through arrays/structs; a non-promotable conflict —
+    * int vs string — refuses loudly with the merge error attached),
+    * and reads each dir cast to the widened shape, union'd by name
+    * with missing columns null (mergeSchema's add-column semantics
+    * preserved). Honest costs: one plan branch per dir (a heavily
+    * widened table reads through an O(generations) union until the
+    * next [[rebuild]] re-compacts it to one schema — the documented
+    * remedy), and the cast on a filtered column sits between the
+    * filter and the parquet scan, so pushdown on THAT column
+    * degrades to a post-scan filter until rebuild. */
+  private def readDirsWidened(dirs: Seq[String], cause: Throwable): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types._
+    val loaded = dirs.map(d => d -> spark.read.format(fmt).load(d))
+    def promote(a: DataType, b: DataType): Option[DataType] = (a, b) match {
+      case (x, y) if x == y => Some(x)
+      case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
+        Some(DecimalType(math.max(x.precision, y.precision), x.scale))
+      case (ArrayType(x, n1), ArrayType(y, n2)) =>
+        promote(x, y).map(ArrayType(_, n1 || n2))
+      case (StructType(fa), StructType(fb))
+          if fa.map(_.name).sameElements(fb.map(_.name)) =>
+        val fs = fa.zip(fb).map { case (x, y) =>
+          promote(x.dataType, y.dataType)
+            .map(t => StructField(x.name, t, x.nullable || y.nullable))
+        }
+        if (fs.forall(_.isDefined)) Some(StructType(fs.map(_.get))) else None
+      case _ =>
+        val rank = Map[DataType, Int](ByteType -> 1, ShortType -> 2,
+          IntegerType -> 3, LongType -> 4)
+        val frac = Map[DataType, Int](FloatType -> 1, DoubleType -> 2)
+        if (rank.contains(a) && rank.contains(b))
+          Some(if (rank(a) >= rank(b)) a else b)
+        else if (frac.contains(a) && frac.contains(b))
+          Some(if (frac(a) >= frac(b)) a else b)
+        else None
+    }
+    // union field names in first-seen order, fold each through the lattice
+    val names = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    loaded.foreach { case (d, df) =>
+      df.schema.fields.foreach { f =>
+        names.get(f.name) match {
+          case None => names(f.name) = f
+          case Some(prev) =>
+            val t = promote(prev.dataType, f.dataType).getOrElse(
+              throw new IllegalArgumentException(
+                s"cannot widen column '${f.name}': ${prev.dataType.simpleString} " +
+                  s"vs ${f.dataType.simpleString} (dir $d) is outside the " +
+                  "numeric promotion lattice", cause))
+            names(f.name) = StructField(f.name, t, prev.nullable || f.nullable)
+        }
+      }
+    }
+    val target = names.values.toSeq
+    loaded.map { case (_, df) =>
+      val have = df.columns.toSet
+      df.select(target.map { f =>
+        if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }: _*)
+    }.reduce(_ unionByName _)
+  }
+
   private def writeDir(df: DataFrame, dest: String): Unit =
     df.write.mode(SaveMode.Overwrite).format(fmt).save(dest)
   private val BucketCol = "graft_bucket"
@@ -907,17 +983,52 @@ class SnapshotBucketedStore(
       if (lit.dataType == dt) lit
       else if (!Cast.canCast(lit.dataType, dt)) return None
       else {
-        val v = Cast(lit, dt, Some("UTC")).eval(InternalRow.empty)
+        // ANSI sessions make Cast THROW on overflow (a sibling probe
+        // downcasting 123456789L to TINYINT) — same meaning as the
+        // null result: no value of dt equals the probe
+        val v =
+          try Cast(lit, dt, Some("UTC")).eval(InternalRow.empty)
+          catch { case scala.util.control.NonFatal(_) => return None }
         if (v == null) return None // cast failed: no value of dt equals the probe... keep dirs anyway
         // lossless round-trip check: cast back to the probe's own
         // type and compare — an overflow-wrapped or truncated cast
         // must not hash (it would target the WRONG value's dirs)
-        val back = Cast(Literal(v, dt), lit.dataType, Some("UTC")).eval(InternalRow.empty)
+        val back =
+          try Cast(Literal(v, dt), lit.dataType, Some("UTC")).eval(InternalRow.empty)
+          catch { case scala.util.control.NonFatal(_) => return None }
         if (back == null || back != lit.value) return None
         Literal(v, dt)
       }
     Some(new XxHash64(Seq(typed))
       .eval(InternalRow.empty).asInstanceOf[Long])
+  }
+
+  /** Every hash a probe value may carry across the type-widening
+    * lattice (X212): a widened column's OLD generations recorded
+    * Blooms at the NARROWER physical type (xxhash64 is type-tagged),
+    * so probing only the merged read-schema type would falsely prune
+    * dirs written before the widening — a false NEGATIVE, breaking
+    * the membership contract. The probe therefore hashes at the
+    * column's current type AND every narrower same-family sibling
+    * the value round-trips through losslessly; a dir survives if ANY
+    * hash might be contained. Extra hashes only ever KEEP more dirs
+    * (false positives scan; never a miss). Decimals hash by unscaled
+    * value — precision-invariant within the ≤18 / >18 encoding split,
+    * so only that boundary needs a sibling. None = unhashable probe,
+    * callers keep every dir. */
+  private def typedKeyHashes(value: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Seq[Long]] = {
+    import org.apache.spark.sql.types._
+    val siblings: Seq[DataType] = dt match {
+      case LongType => Seq(ByteType, ShortType, IntegerType)
+      case IntegerType => Seq(ByteType, ShortType)
+      case ShortType => Seq(ByteType)
+      case DoubleType => Seq(FloatType)
+      case d: DecimalType if d.precision > 18 => Seq(DecimalType(18, d.scale))
+      case _ => Nil
+    }
+    typedKeyHash(value, dt).map(h =>
+      (h +: siblings.flatMap(typedKeyHash(value, _))).distinct)
   }
 
   /** The read-schema type of `column` for the snapshot `m` describes
@@ -944,16 +1055,6 @@ class SnapshotBucketedStore(
       catch { case scala.util.control.NonFatal(_) => None }
     }
 
-  /** Might this dir contain the probed key? No recorded Bloom (or an
-    * undecodable one) keeps the dir — membership stats, like range
-    * stats, only ever EXCLUDE provably-absent dirs (no false
-    * negatives by the Bloom contract; false positives just scan). */
-  private def survivesEq(
-      keys: Option[Seq[(String, String)]],
-      column: String,
-      hash: Long): Boolean =
-    dirBloom(keys, column).forall(_.mightContainLong(hash))
-
   /** POINT-LOOKUP read with membership skipping: returns exactly
     * `read(name).filter(column === value)`, scanning ONLY the
     * generation dirs whose recorded key Bloom might contain the
@@ -969,10 +1070,13 @@ class SnapshotBucketedStore(
       val all = (m.buckets.values ++ m.logs).toSeq
       if (all.isEmpty) return None
       // probe cast to the column's own type before hashing (xxhash64
-      // is type-tagged); an uncastable/lossy probe keeps every dir
-      val hOpt = columnTypeOf(name, m, column).flatMap(typedKeyHash(value, _))
+      // is type-tagged), PLUS every narrower widening sibling — old
+      // generations of a widened column recorded narrow-typed Blooms
+      // ([[typedKeyHashes]]); an uncastable/lossy probe keeps every dir
+      val hOpt = columnTypeOf(name, m, column).flatMap(typedKeyHashes(value, _))
       val kept = hOpt match {
-        case Some(h) => all.filter(d => survivesEq(m.keys.get(d), column, h))
+        case Some(hs) => all.filter(d => dirBloom(m.keys.get(d), column)
+          .forall(bf => hs.exists(bf.mightContainLong)))
         case None => all
       }
       val pred = col(column) === lit(value)
@@ -987,9 +1091,10 @@ class SnapshotBucketedStore(
   def pruneEqStats(name: String, column: String, value: Any): Option[(Int, Int)] =
     latestManifest(name).map { m =>
       val all = (m.buckets.values ++ m.logs).toSeq
-      columnTypeOf(name, m, column).flatMap(typedKeyHash(value, _)) match {
-        case Some(h) =>
-          (all.count(d => survivesEq(m.keys.get(d), column, h)), all.size)
+      columnTypeOf(name, m, column).flatMap(typedKeyHashes(value, _)) match {
+        case Some(hs) =>
+          (all.count(d => dirBloom(m.keys.get(d), column)
+            .forall(bf => hs.exists(bf.mightContainLong))), all.size)
         case None => (all.size, all.size)
       }
     }
@@ -1030,11 +1135,11 @@ class SnapshotBucketedStore(
       column: String, values: Seq[Any]): Seq[String] = {
     if (values.isEmpty) return Nil
     val dtOpt = columnTypeOf(name, m, column)
-    val hashes = dtOpt.map(dt => values.map(typedKeyHash(_, dt)))
+    val hashes = dtOpt.map(dt => values.map(typedKeyHashes(_, dt)))
       .getOrElse(Seq(None))
     if (hashes.exists(_.isEmpty)) all
     else {
-      val hs = hashes.flatten
+      val hs = hashes.flatten.flatten
       all.filter(d => dirBloom(m.keys.get(d), column)
         .forall(bf => hs.exists(bf.mightContainLong)))
     }
@@ -1519,6 +1624,36 @@ class SnapshotBucketedStore(
     val prev = latestManifest(name)
     require(prev.forall(_.logs.isEmpty),
       s"$name has append-log generations; bucketed upsert targets are upsert-only")
+    // BUCKET-COLUMN TYPE STABILITY (X212's hard boundary): bucket
+    // assignment and key Blooms hash xxhash64(bucket column), and
+    // xxhash64 is type-tagged — an upsert whose key (or cluster)
+    // column arrives at a WIDER type would bucket the same logical
+    // keys into different dirs than their existing rows (silent key
+    // splits, missed replacements, wrong delete targeting). Value
+    // columns widen freely (the read path reconciles); the bucket
+    // column must migrate through one atomic [[rebuild]] at the new
+    // type. One footer-schema probe per upsert; an unreadable dir
+    // defers to the loud failure the data read will raise anyway.
+    prev.foreach { m =>
+      val bucketBy = clusterColumn
+        .filter(incoming.columns.contains).getOrElse(key)
+      m.buckets.values.headOption.foreach { d =>
+        val stored =
+          try Some(spark.read.format(fmt)
+            .load(new Path(tableDir(name), d).toString).schema)
+          catch { case scala.util.control.NonFatal(_) => None }
+        for {
+          sch <- stored
+          f <- sch.fields.find(_.name == bucketBy)
+          in <- incoming.schema.fields.find(_.name == bucketBy)
+        } require(f.dataType == in.dataType,
+          s"$name: bucket column '$bucketBy' type drift " +
+            s"(stored ${f.dataType.simpleString}, incoming " +
+            s"${in.dataType.simpleString}): bucket/Bloom hashes are " +
+            "type-tagged — migrate the bucket column through one " +
+            "atomic rebuild() at the new type instead")
+      }
+    }
     val v = prev.map(_.version + 1).getOrElse(0)
     val stage = new Path(tableDir(name), s"stage-$v")
     val f = fs(stage)

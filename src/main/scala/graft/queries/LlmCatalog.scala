@@ -6183,6 +6183,56 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** A store table whose value column was WIDENED int→long by a
+    * later upsert — pre-widening generations are never rewritten;
+    * the read path reconciles them through the promotion lattice. */
+  private def evolvedStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "evolved_store") {
+      implicit val sp = s
+      val store = new graft.io.SnapshotBucketedStore(
+        java.nio.file.Files.createTempDirectory("graft_evo_").toString,
+        numBuckets = 16, "parquet")
+      val docs = documents(s, d)
+      // generation 1: n_chars recorded at INT
+      store.upsert("t",
+        docs.select(col("doc_id"),
+          col("n_chars").cast("int").as("nv"), col("source")), "doc_id")
+      // generation 2: every %10 doc revised with a LONG value past
+      // int range — touched buckets rewrite wide, the rest stay int
+      store.upsert("t",
+        docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"),
+            (col("n_chars") * 10000000000L).as("nv"), col("source")),
+        "doc_id")
+      store
+    }
+
+  /** Numeric type-widening schema evolution at the store
+    * (SnapshotBucketedStore readDirsWidened, X212 — the Iceberg
+    * type-promotion matrix, metadata-only): generation 1 wrote the
+    * value column at INT, generation 2 widened it to LONG without
+    * rewriting untouched buckets; the read reconciles both through
+    * the promotion lattice (parquet's own mergeSchema refuses
+    * conflicting footers). The oracle recomputes the final state in
+    * plain SQL — the hash match proves old-generation values survive
+    * the widening bit-for-bit at the wide type. */
+  val schemaEvolutionQ = GraftQuery(
+    "q167_schema_evolution",
+    (s, d) =>
+      evolvedStore(s, d).read("t").get
+        .select(col("doc_id"), col("nv"), col("source"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN n_chars * 10000000000
+                  ELSE n_chars END AS nv,
+             source
+      FROM documents
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6288,5 +6338,6 @@ object LlmCatalog {
     ttlSweepQ,
     lmDocScoresQ,
     repairQ,
+    schemaEvolutionQ,
   )
 }

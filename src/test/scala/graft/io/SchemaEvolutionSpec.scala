@@ -1,0 +1,119 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Numeric type-widening schema evolution (X212): a widening upsert
+  * is metadata-only — pre-widening generations reconcile at read
+  * through the promotion lattice; membership pruning keeps its
+  * no-false-negative contract via multi-type probe hashes; the
+  * bucket column itself is type-frozen (migrate via rebuild). */
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bucketOf(k: Long, nb: Int): Long =
+    spark.range(1).select(pmod(xxhash64(lit(k)), lit(nb.toLong))).as[Long].head()
+
+  test("value column int→long widens at read; old generations intact") {
+    val root = tmpDir("graft_evo_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    val gen1 = (0L until 100L).map(i => (i, i.toInt)).toDF("uuid", "val")
+    store.upsert("t", gen1, "uuid")
+    // widen: revised + new keys carry LONG values past int range
+    val gen2 = Seq((10L, 5000000000L), (200L, 6000000000L))
+      .toDF("uuid", "val")
+    store.upsert("t", gen2, "uuid")
+    val got = store.read("t").get
+    assert(got.schema("val").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val expect = ((0L until 100L).filter(_ != 10L).map(i => (i, i))
+      ++ Seq((10L, 5000000000L), (200L, 6000000000L))).sortBy(_._1)
+    assert(got.orderBy("uuid").as[(Long, Long)].collect().toSeq == expect)
+  }
+
+  test("widening + add-column compose: missing columns null, both types reconcile") {
+    val root = tmpDir("graft_evo_add_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", Seq((1L, 1.5f)).toDF("uuid", "score"), "uuid")
+    // find a key in a DIFFERENT bucket so gen1's dir is untouched
+    val other = (2L until 50L).find(k => bucketOf(k, 4) != bucketOf(1L, 4)).get
+    store.upsert("t",
+      Seq((other, 2.5d, "tagged")).toDF("uuid", "score", "note"), "uuid")
+    val got = store.read("t").get.orderBy("uuid")
+      .select("uuid", "score", "note").collect()
+    assert(got.length == 2)
+    assert(got(0).getDouble(1) == 1.5d && got(0).isNullAt(2))
+    assert(got(1).getDouble(1) == 2.5d && got(1).getString(2) == "tagged")
+  }
+
+  test("point lookup across a widened Bloom column: no false negatives, still prunes") {
+    val root = tmpDir("graft_evo_bloom_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      keyColumns = Seq("tag"))
+    // gen1: tag is INT — its dir Blooms record int-tagged hashes
+    store.upsert("t",
+      (0L until 40L).map(i => (i, (i * 7).toInt)).toDF("uuid", "tag"), "uuid")
+    // gen2: tag widens to LONG on other keys
+    val other = (1000L until 1050L).find(k => bucketOf(k, 4) != bucketOf(7L, 4)).get
+    store.upsert("t",
+      Seq((other, 9000000000L)).toDF("uuid", "tag"), "uuid")
+    // probe a tag that lives ONLY in a pre-widening dir: the long-typed
+    // probe must still find it (multi-type sibling hashes)
+    val hit = store.readWhereEq("t", "tag", 49L).get.collect()
+    assert(hit.length == 1 && hit.head.getLong(0) == 7L,
+      s"widened probe lost the pre-widening row: ${hit.toSeq}")
+    // equivalence with the unpruned filter, both probe types
+    val all = store.read("t").get.filter(col("tag") === 49L).collect()
+    assert(hit.toSeq == all.toSeq)
+    // and pruning still does work: an absent tag keeps ~no dirs
+    val (kept, total) = store.pruneEqStats("t", "tag", 123456789L).get
+    assert(kept < total, s"membership pruning dead after widening: $kept/$total")
+  }
+
+  test("non-promotable conflict refuses loudly at read") {
+    val root = tmpDir("graft_evo_bad_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", Seq((1L, 5)).toDF("uuid", "val"), "uuid")
+    val other = (2L until 50L).find(k => bucketOf(k, 4) != bucketOf(1L, 4)).get
+    store.upsert("t", Seq((other, "five")).toDF("uuid", "val"), "uuid")
+    val e = intercept[IllegalArgumentException] {
+      store.read("t").get.collect()
+    }
+    assert(e.getMessage.contains("cannot widen column 'val'"), e.getMessage)
+  }
+
+  test("bucket-column type drift refused; rebuild migrates and upserts resume") {
+    val root = tmpDir("graft_evo_key_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", Seq((1, "a"), (2, "b")).toDF("uuid", "val"), "uuid")
+    val e = intercept[IllegalArgumentException] {
+      store.upsert("t", Seq((3L, "c")).toDF("uuid", "val"), "uuid")
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // the sanctioned migration: one atomic rebuild at the wide type
+    store.rebuild("t",
+      Seq((1L, "a"), (2L, "b")).toDF("uuid", "val"), "uuid")
+    store.upsert("t", Seq((3L, "c")).toDF("uuid", "val"), "uuid")
+    assert(store.read("t").get.orderBy("uuid").as[(Long, String)]
+      .collect().toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("array element widening: float embeddings reconcile as double") {
+    val root = tmpDir("graft_evo_arr_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t",
+      Seq((1L, Seq(1.5f, 2.5f))).toDF("uuid", "vec"), "uuid")
+    val other = (2L until 50L).find(k => bucketOf(k, 4) != bucketOf(1L, 4)).get
+    store.upsert("t",
+      Seq((other, Seq(3.5d, 4.5d))).toDF("uuid", "vec"), "uuid")
+    val got = store.read("t").get.orderBy("uuid")
+      .as[(Long, Seq[Double])].collect().toSeq
+    assert(got == Seq((1L, Seq(1.5d, 2.5d)), (other, Seq(3.5d, 4.5d))))
+  }
+}
