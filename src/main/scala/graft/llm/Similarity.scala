@@ -825,4 +825,58 @@ object Similarity {
       .orderBy(col("sim").desc, col("neighbor_id"))
     exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** MMR diversity re-rank (Carbonell/Goldstein 1998) of a candidate
+    * pool: from each query's `pool` rows (query_id, neighbor_id, sim —
+    * ANY search tier's output: [[topKWithinLabel]], Ivf.searchPqFrom,
+    * [[binaryTopK]]), greedily select `k` maximizing
+    * λ·rel − (1−λ)·max-sim-to-already-selected — near-duplicate hits
+    * crowd a plain top-k; MMR buys coverage with an explicit
+    * relevance/redundancy trade. Shapes at scale: candidate vectors
+    * arrive by ONE id-keyed hash join; the pairwise grid is an
+    * equi-join on query_id with bounded multiplicity (|pool|² per
+    * query — constant, never corpus-squared); the greedy fold runs in
+    * the compiled [[graft.expr.MmrSelect]] (O(k·n²) per query inside
+    * whole-stage codegen). Output: (query_id, neighbor_id, mmr_score,
+    * rank) in pick order — every arithmetic step a fixed-shape IEEE
+    * expression the oracle replays pick-for-pick. */
+  def mmrRerank(
+      pool: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      k: Int,
+      lambda: Double = 0.5,
+  ): DataFrame = {
+    val v = withNorm(df, idCol, embCol)
+    val cand = pool.select(col("query_id"), col("neighbor_id").as("id"),
+      col("sim").as("rel"))
+    val withVec = cand.join(v, Seq("id"))
+      .select(col("query_id"), col("id"), col("rel"), col("e"), col("nrm"))
+    val a = withVec.select(col("query_id"), col("id").as("a"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val b = withVec.select(col("query_id"), col("id").as("b"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("query_id"))
+      .filter(col("a") < col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        cosine(col("ea"), col("eb"), col("na"), col("nb")).as("s"))
+    val cands = withVec.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("id"), col("rel")))).as("cands"))
+    val ps = pairs.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(col("a"), col("b"), col("s")))).as("pairs"))
+    val empty = array().cast(
+      "array<struct<a: bigint, b: bigint, s: double>>")
+    val picked = cands.join(ps, Seq("query_id"), "left")
+      .select(col("query_id"),
+        org.apache.spark.sql.GraftBridge.toColumn(graft.expr.MmrSelect(
+          org.apache.spark.sql.GraftBridge.toExpr(col("cands")),
+          org.apache.spark.sql.GraftBridge.toExpr(coalesce(col("pairs"), empty)),
+          k, lambda)).as("sel"))
+    picked
+      .select(col("query_id"), posexplode(col("sel")))
+      .select(col("query_id"), col("col.id").as("neighbor_id"),
+        col("col.score").as("mmr_score"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

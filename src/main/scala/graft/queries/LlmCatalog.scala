@@ -6233,6 +6233,96 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** MMR diversity re-rank (Similarity.mmrRerank + the compiled
+    * graft.expr.MmrSelect, X213 — Carbonell/Goldstein 1998): the
+    * q07-family within-label top-8 pool per query, greedily re-picked
+    * to 4 under λ·rel − (1−λ)·max-sim-to-selected with λ=0.5. The
+    * oracle unrolls the four greedy picks as MATERIALIZED CTEs (the
+    * q150 discipline): each step scores the remaining pool against
+    * the union of prior picks, ROW_NUMBER (score DESC, id) takes the
+    * argmax — every pick's score is the same fixed-shape IEEE
+    * expression, so the hash match pins the whole selection path. */
+  val mmrRerankQ = GraftQuery(
+    "q168_mmr_rerank",
+    (s, d) => {
+      val pool = Similarity.topKWithinLabel(
+          embeddings(s, d), "vec_id", "embedding", "label",
+          k = 8, queryPred = col("vec_id") % 25 === 0)
+        .select(col("query_id"), col("neighbor_id"), col("sim"))
+      Similarity.mmrRerank(pool, embeddings(s, d), "vec_id", "embedding",
+          k = 4, lambda = 0.5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some {
+      val steps = (1 to 4).map { t =>
+        s"""
+      step$t AS MATERIALIZED (
+        SELECT query_id, nid, score, $t AS rnk FROM (
+          SELECT p.query_id, p.neighbor_id AS nid,
+                 0.5 * p.sim - 0.5 * COALESCE(mx.pen, 0.0) AS score,
+                 ROW_NUMBER() OVER (PARTITION BY p.query_id
+                   ORDER BY 0.5 * p.sim - 0.5 * COALESCE(mx.pen, 0.0) DESC,
+                            p.neighbor_id) AS rn
+          FROM pool p
+          LEFT JOIN selu${t - 1} sp
+            ON sp.query_id = p.query_id AND sp.nid = p.neighbor_id
+          LEFT JOIN (
+            SELECT x.query_id, x.cid, MAX(x.s) AS pen FROM (
+              SELECT cp.query_id,
+                     CASE WHEN cp.a = su.nid THEN cp.b ELSE cp.a END AS cid,
+                     cp.s
+              FROM cp JOIN selu${t - 1} su
+                ON cp.query_id = su.query_id
+               AND (cp.a = su.nid OR cp.b = su.nid)
+            ) x GROUP BY x.query_id, x.cid
+          ) mx ON mx.query_id = p.query_id AND mx.cid = p.neighbor_id
+          WHERE sp.nid IS NULL
+        ) WHERE rn = 1
+      ),
+      selu$t AS MATERIALIZED (
+        SELECT * FROM selu${t - 1} UNION ALL SELECT * FROM step$t
+      )""".stripMargin
+      }.mkString(",")
+      s"""
+      WITH v AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings
+      ),
+      pool AS MATERIALIZED (
+        SELECT query_id, neighbor_id, sim FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e) / (q.nrm * c.nrm) AS sim,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.e, c.e) / (q.nrm * c.nrm) DESC,
+                            c.vec_id) AS rnk
+          FROM v q JOIN v c ON q.label = c.label AND q.vec_id <> c.vec_id
+          WHERE q.vec_id % 25 = 0
+        ) WHERE rnk <= 8
+      ),
+      cp AS MATERIALIZED (
+        SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+               list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm) AS s
+        FROM pool p1
+        JOIN pool p2 ON p1.query_id = p2.query_id
+                    AND p1.neighbor_id < p2.neighbor_id
+        JOIN v va ON va.vec_id = p1.neighbor_id
+        JOIN v vb ON vb.vec_id = p2.neighbor_id
+      ),
+      selu0 AS MATERIALIZED (
+        SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS BIGINT) AS nid,
+               CAST(NULL AS DOUBLE) AS score, CAST(NULL AS INT) AS rnk
+        WHERE 1 = 0
+      ),
+      $steps
+      SELECT query_id, nid AS neighbor_id, score AS mmr_score,
+             CAST(rnk AS INT) AS rank
+      FROM selu4
+      ORDER BY query_id, rank
+      """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6339,5 +6429,6 @@ object LlmCatalog {
     lmDocScoresQ,
     repairQ,
     schemaEvolutionQ,
+    mmrRerankQ,
   )
 }
