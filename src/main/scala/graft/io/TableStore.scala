@@ -447,7 +447,8 @@ class SnapshotBucketedStore(
       lastBatch: Option[Long] = None,
       stats: Map[String, Seq[(String, String, String)]] = Map.empty,
       keys: Map[String, Seq[(String, String)]] = Map.empty,
-      statsVersion: Int = SnapshotBucketedStore.CurrentStatsVersion) {
+      statsVersion: Int = SnapshotBucketedStore.CurrentStatsVersion,
+      rows: Map[String, Long] = Map.empty) {
     /** Stats restricted to dirs this manifest still references — the
       * carry-forward rule every commit applies to its predecessor's
       * stats (superseded generations take their stats with them). */
@@ -460,6 +461,11 @@ class SnapshotBucketedStore(
     def liveKeys: Map[String, Seq[(String, String)]] = {
       val live = buckets.values.toSet ++ logs
       keys.filter { case (d, _) => live(d) }
+    }
+    /** Per-dir row counts, live-filtered like stats/keys (X214). */
+    def liveRows: Map[String, Long] = {
+      val live = buckets.values.toSet ++ logs
+      rows.filter { case (d, _) => live(d) }
     }
   }
 
@@ -502,7 +508,11 @@ class SnapshotBucketedStore(
     // float-string gap can never wrongly skip a dir
     val statsVer = entries.collectFirst { case s if s.startsWith("statsver:") =>
       s.stripPrefix("statsver:").toInt }.getOrElse(1)
-    Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines, statsVer))
+    val rowLines = entries.collect { case s if s.startsWith("rows:") =>
+      val Array(d, n) = s.stripPrefix("rows:").split("=", 2)
+      d -> n.toLong
+    }.toMap
+    Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines, statsVer, rowLines))
   }
 
   /** The stats version a NEW commit records: stats carried forward
@@ -576,7 +586,8 @@ class SnapshotBucketedStore(
             case (d, cs) if cs.nonEmpty =>
               s"keys:$d=" +
                 cs.map { case (c, b) => s"$c:$b" }.mkString(",")
-          }
+          } ++
+          m.liveRows.toSeq.sortBy(_._1).map { case (d, n) => s"rows:$d=$n" }
       out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
     beforeCommit()
@@ -670,8 +681,9 @@ class SnapshotBucketedStore(
     * Both come out of the SAME aggregate job over the dir. */
   private final case class DirMeta(
       stats: Seq[(String, String, String)],
-      keys: Seq[(String, String)]) {
-    def isEmpty: Boolean = stats.isEmpty && keys.isEmpty
+      keys: Seq[(String, String)],
+      rows: Option[Long] = None) {
+    def isEmpty: Boolean = stats.isEmpty && keys.isEmpty && rows.isEmpty
   }
 
   /** Key columns eligible for a membership Bloom: equality probing
@@ -709,7 +721,9 @@ class SnapshotBucketedStore(
     val cols = statsColumns.filter(c =>
       df.columns.contains(c) && statType(df.schema(c).dataType))
     val kCols = keyColsOf(df)
-    if (cols.isEmpty && kCols.isEmpty) return DirMeta(Nil, Nil)
+    // rows are ALWAYS counted (X214 metadata-only aggregates): for a
+    // store with no stats/key columns this is one count-only job —
+    // parquet answers it from footer metadata, no column scan
     val aggs = cols.flatMap(c => Seq(
       min(statInput(df, c)).cast("string").as(s"graft_mn_$c"),
       max(statInput(df, c)).cast("string").as(s"graft_mx_$c"))) ++
@@ -733,7 +747,7 @@ class SnapshotBucketedStore(
       else kCols.zipWithIndex.flatMap { case (c, i) =>
         Option(row.getAs[Array[Byte]](base + i)).map(b => (c, encodeBloom(b)))
       }
-    DirMeta(stats, keys)
+    DirMeta(stats, keys, Some(rowCount))
   }
 
   /** Serialized empty Bloom (contains nothing — every probe misses):
@@ -747,15 +761,15 @@ class SnapshotBucketedStore(
 
   /** Meta for one freshly-written generation dir, computed by
     * reading it back (never by re-running the caller's plan). */
-  private def metaForDir(name: String, rel: String): Map[String, DirMeta] =
-    if (statsColumns.isEmpty && keyColumns.isEmpty) Map.empty
-    else {
-      val m = metaOf(readDirs(Seq(new Path(tableDir(name), rel).toString)))
-      if (m.isEmpty) Map.empty else Map(rel -> m)
-    }
+  private def metaForDir(name: String, rel: String): Map[String, DirMeta] = {
+    val m = metaOf(readDirs(Seq(new Path(tableDir(name), rel).toString)))
+    if (m.isEmpty) Map.empty else Map(rel -> m)
+  }
 
   private def statsPart(m: Map[String, DirMeta]): Map[String, Seq[(String, String, String)]] =
     m.collect { case (d, dm) if dm.stats.nonEmpty => d -> dm.stats }
+  private def rowsPart(m: Map[String, DirMeta]): Map[String, Long] =
+    m.collect { case (d, dm) if dm.rows.isDefined => d -> dm.rows.get }
   private def keysPart(m: Map[String, DirMeta]): Map[String, Seq[(String, String)]] =
     m.collect { case (d, dm) if dm.keys.nonEmpty => d -> dm.keys }
 
@@ -764,8 +778,9 @@ class SnapshotBucketedStore(
     * min/max + Bloom aggregate yields every bucket's entry at once
     * (≤ numBuckets result rows — driver-safe). */
   private def metaForStage(stagePath: String): Map[Long, DirMeta] = {
-    import org.apache.spark.sql.functions.{col, min, max}
-    if (statsColumns.isEmpty && keyColumns.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, count, lit, min, max}
+    // (no early-out on empty stats/key columns: per-bucket row counts
+    // are recorded for every store — X214 metadata-only aggregates)
     // An empty staged write (empty-delta upsertWithBatch that only
     // advances the batch mark, or a delete that emptied every touched
     // bucket) has no data files — schema inference would throw and
@@ -792,11 +807,13 @@ class SnapshotBucketedStore(
     val cols = statsColumns.filter(c =>
       df.columns.contains(c) && statType(df.schema(c).dataType))
     val kCols = keyColsOf(df)
-    if (cols.isEmpty && kCols.isEmpty) return Map.empty
+    // rows counted per bucket unconditionally (X214) — a staged
+    // bucket dir always holds >= 1 row, and the count rides the same
+    // grouped job as the stats/Blooms (footer-cheap when it is alone)
     val aggs = cols.flatMap(c => Seq(
       min(statInput(df, c)).cast("string").as(s"graft_mn_$c"),
       max(statInput(df, c)).cast("string").as(s"graft_mx_$c"))) ++
-      kCols.map(bloomAgg)
+      kCols.map(bloomAgg) :+ count(lit(1)).as("graft_cnt_")
     // the partition-dir read infers graft_bucket as INT — normalize
     df.groupBy(col(BucketCol).cast("long").as(BucketCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -813,7 +830,7 @@ class SnapshotBucketedStore(
         val keys = kCols.zipWithIndex.flatMap { case (c, i) =>
           Option(row.getAs[Array[Byte]](base + i)).map(x => (c, encodeBloom(x)))
         }
-        b -> DirMeta(stats, keys)
+        b -> DirMeta(stats, keys, Some(row.getLong(base + kCols.size)))
       }
       .filter(!_._2.isEmpty)
       .toMap
@@ -1128,6 +1145,62 @@ class SnapshotBucketedStore(
       (keptForAny(name, m, all, column, values).size, all.size)
     }
 
+  /** METADATA-ONLY COUNT(*) (X214 — the Delta-style numRecords
+    * trick): Σ per-dir recorded row counts, answered from the
+    * manifest alone — no data file is opened, so the answer costs
+    * milliseconds at ANY table size. Every commit since row counting
+    * records its new dirs' counts in the same manifest rename as the
+    * dirs (counts can never disagree with the data they describe);
+    * None when any live dir lacks one (tables last written by older
+    * code) — callers fall back to a scan, the conservative degrade
+    * every metadata tier here shares. */
+  def metadataCount(name: String): Option[Long] =
+    latestManifest(name).flatMap { m =>
+      val live = (m.buckets.values ++ m.logs).toSeq
+      val counts = live.map(m.rows.get)
+      if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
+    }
+
+  /** METADATA-ONLY MIN/MAX of a stats column — EXACT, not a bound:
+    * per-dir min/max are computed from the data at commit (and
+    * rewritten dirs recompute), so the fold over live dirs is the
+    * true global extremum over non-null values (SQL MIN/MAX
+    * semantics — nulls never enter dir stats). Served only when the
+    * manifest's stats format is current (v1 float-shortest strings
+    * are approximations — [[SnapshotBucketedStore.LegacyStatsEps]])
+    * and every live dir either records stats for the column or is
+    * provably empty (recorded rows == 0); a dir with rows but no
+    * recorded stats (all-null column, non-stat column, unparseable
+    * NaN stat) makes the answer unknowable from metadata → None,
+    * scan fallback. All-empty table → None (SQL's NULL MIN). */
+  def metadataMinMax(name: String,
+      column: String): Option[(BigDecimal, BigDecimal)] =
+    latestManifest(name).flatMap { m =>
+      if (m.statsVersion != SnapshotBucketedStore.CurrentStatsVersion) None
+      else {
+        val live = (m.buckets.values ++ m.logs).toSeq
+        // per dir: Some(Some(bounds)) usable, Some(None) blocks
+        // serving, None contributes nothing (provably empty dir)
+        val per: Seq[Option[(BigDecimal, BigDecimal)]] = live.flatMap { d =>
+          m.stats.get(d).flatMap(_.find(_._1 == column)) match {
+            case Some((_, mn, mx)) =>
+              (scala.util.Try(BigDecimal(mn)), scala.util.Try(BigDecimal(mx))) match {
+                case (scala.util.Success(a), scala.util.Success(b)) =>
+                  Seq(Some((a, b)))
+                case _ => Seq(None)
+              }
+            case None =>
+              if (m.rows.get(d).contains(0L)) Nil else Seq(None)
+          }
+        }
+        if (per.exists(_.isEmpty) || per.isEmpty) None
+        else {
+          val vals = per.flatten
+          Some((vals.map(_._1).min, vals.map(_._2).max))
+        }
+      }
+    }
+
   /** Dirs surviving an any-of membership probe: each dir's Bloom is
     * deserialized ONCE and probed with every hash (never per
     * (hash, dir) pair). Any unhashable probe value → keep all. */
@@ -1195,7 +1268,8 @@ class SnapshotBucketedStore(
         s"$name has no snapshot v$version (vacuumed, or never committed)"))
     val cur = latestManifest(name).get // target existing ⇒ table exists
     commit(name, Manifest(cur.version + 1, target.buckets, target.logs,
-      cur.lastBatch, target.stats, target.keys))
+      cur.lastBatch, target.stats, target.keys, target.statsVersion,
+      target.rows))
   }
 
   /** Keyed diff of two retained snapshots (`added`/`removed`/
@@ -1410,12 +1484,13 @@ class SnapshotBucketedStore(
       var logList = m.logs
       var statsMap = m.stats
       var keysMap = m.keys
+      var rowsMap = m.rows
       dropped.foreach { case (ob, d) =>
         ob match {
           case Some(b) => bucketMap -= b
           case None => logList = logList.filterNot(_ == d)
         }
-        statsMap -= d; keysMap -= d
+        statsMap -= d; keysMap -= d; rowsMap -= d
       }
       rewrites.zipWithIndex.foreach { case ((ob, d), i) =>
         val kept = readDirs(dirsOf(name, m, Seq(d)))
@@ -1430,12 +1505,13 @@ class SnapshotBucketedStore(
           case Some(b) => bucketMap += b -> rel
           case None => logList = logList.map(x => if (x == d) rel else x)
         }
-        statsMap -= d; keysMap -= d
+        statsMap -= d; keysMap -= d; rowsMap -= d
         statsMap = statsMap ++ statsPart(dm)
         keysMap = keysMap ++ keysPart(dm)
+        rowsMap = rowsMap ++ rowsPart(dm)
       }
       commit(name, Manifest(v, bucketMap, logList, m.lastBatch,
-        statsMap, keysMap, carriedStatsVersion(Some(m))))
+        statsMap, keysMap, carriedStatsVersion(Some(m)), rowsMap))
       (dropped.size, rewrites.size, disjoint.size)
     }
   }
@@ -1500,7 +1576,7 @@ class SnapshotBucketedStore(
     writeDir(df, new Path(tableDir(name), rel).toString)
     val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), Some(batchId),
-      statsPart(dm), keysPart(dm)))
+      statsPart(dm), keysPart(dm), rows = rowsPart(dm)))
   }
 
   /** K2 append as a committed log generation: new dir + new manifest.
@@ -1533,7 +1609,8 @@ class SnapshotBucketedStore(
       batchId.orElse(prev.flatMap(_.lastBatch)),
       prev.map(_.stats).getOrElse(Map.empty) ++ statsPart(dm),
       prev.map(_.keys).getOrElse(Map.empty) ++ keysPart(dm),
-      carriedStatsVersion(prev)))
+      carriedStatsVersion(prev),
+      prev.map(_.rows).getOrElse(Map.empty) ++ rowsPart(dm)))
   }
 
   /** Log-structured compaction for append-mode tables: fold the
@@ -1575,7 +1652,7 @@ class SnapshotBucketedStore(
         try {
           val dm = metaForDir(name, rel)
           commit(name, Manifest(v, Map.empty, Seq(rel), base.lastBatch,
-            statsPart(dm), keysPart(dm)))
+            statsPart(dm), keysPart(dm), rows = rowsPart(dm)))
           return true
         } catch { case _: ConcurrentCommitException => () } // lost the race
       }
@@ -1598,7 +1675,7 @@ class SnapshotBucketedStore(
     writeDir(df, new Path(tableDir(name), rel).toString)
     val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), prev.flatMap(_.lastBatch),
-      statsPart(dm), keysPart(dm)))
+      statsPart(dm), keysPart(dm), rows = rowsPart(dm)))
   }
 
   override def upsert(name: String, incoming: DataFrame, key: String)(implicit s: SparkSession): Unit =
@@ -1700,7 +1777,10 @@ class SnapshotBucketedStore(
       prev.map(_.keys).getOrElse(Map.empty) ++
         newBuckets.flatMap { case (b, rel) =>
           stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) },
-      carriedStatsVersion(prev)))
+      carriedStatsVersion(prev),
+      prev.map(_.rows).getOrElse(Map.empty) ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).flatMap(_.rows).map(rel -> _) }))
   }
 
   /** Atomic FULL REBUILD of a bucketed-upsert table: every bucket of
@@ -1744,7 +1824,9 @@ class SnapshotBucketedStore(
       newBuckets.flatMap { case (b, rel) =>
         stageMeta.get(b).filter(_.stats.nonEmpty).map(rel -> _.stats) }.toMap,
       newBuckets.flatMap { case (b, rel) =>
-        stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) }.toMap))
+        stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) }.toMap,
+      rows = newBuckets.flatMap { case (b, rel) =>
+        stageMeta.get(b).flatMap(_.rows).map(rel -> _) }.toMap))
   }
 
   /** Keyed row deletion — the right-to-be-forgotten path a 100 TB
@@ -1854,7 +1936,10 @@ class SnapshotBucketedStore(
       prev.get.keys ++
         newBuckets.flatMap { case (b, rel) =>
           stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) },
-      carriedStatsVersion(prev)))
+      carriedStatsVersion(prev),
+      prev.get.rows ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).flatMap(_.rows).map(rel -> _) }))
   }
 
   /** Garbage collection: delete data dirs not referenced by any of the

@@ -6323,6 +6323,59 @@ object LlmCatalog {
     },
   )
 
+  /** A stats-tracked store table carried through three commit
+    * families (full load → revision wave → GDPR delete) whose
+    * COUNT/MIN/MAX the query answers FROM THE MANIFEST ALONE. */
+  private def metaAggStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "meta_agg_store") {
+      implicit val sp = s
+      val store = new graft.io.SnapshotBucketedStore(
+        java.nio.file.Files.createTempDirectory("graft_magg_").toString,
+        numBuckets = 16, "parquet", statsColumns = Seq("nv"))
+      val docs = documents(s, d)
+      store.upsert("t",
+        docs.select(col("doc_id"), col("n_chars").as("nv")), "doc_id")
+      store.upsert("t",
+        docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), (col("n_chars") + 1000000L).as("nv")),
+        "doc_id")
+      store.delete("t", "doc_id",
+        docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+      store
+    }
+
+  /** Metadata-only aggregates (SnapshotBucketedStore.metadataCount/
+    * metadataMinMax, X214 — the Delta numRecords trick): COUNT(*),
+    * MIN, MAX of a 3-generation store table answered from per-dir
+    * row counts and min/max stats recorded in the manifest — no data
+    * file is opened (MetadataAggSpec proves it by deleting them).
+    * The oracle recomputes the same aggregates from the replicated
+    * final state in plain SQL — exactness, not bounds: per-dir stats
+    * are computed from data at commit and rewritten dirs recompute. */
+  val metadataAggQ = GraftQuery(
+    "q169_metadata_aggregates",
+    (s, d) => {
+      val store = metaAggStore(s, d)
+      val cnt = store.metadataCount("t")
+        .getOrElse(sys.error("metadata count must serve"))
+      val (mn, mx) = store.metadataMinMax("t", "nv")
+        .getOrElse(sys.error("metadata min/max must serve"))
+      import s.implicits._
+      Seq((cnt, mn.toLongExact, mx.toLongExact)).toDF("cnt", "mn", "mx")
+    },
+    Some("""
+      WITH fs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000000
+                    ELSE n_chars END AS nv
+        FROM documents
+        WHERE doc_id % 13 <> 0
+      )
+      SELECT COUNT(*) AS cnt, MIN(nv) AS mn, MAX(nv) AS mx FROM fs
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6430,5 +6483,6 @@ object LlmCatalog {
     repairQ,
     schemaEvolutionQ,
     mmrRerankQ,
+    metadataAggQ,
   )
 }
