@@ -953,4 +953,46 @@ object Dedup {
         coalesce(col("component"), col(idCol)).as("component"),
         (coalesce(col("component"), col(idCol)) === col(idCol)).as("keep"))
   }
+
+  /** WINNOWED near-dup candidate pairs (Schleimer 2003 — the MOSS
+    * pipeline at corpus scale): docs pair when they share at least
+    * `minShared` winnowing fingerprints ([[TextOps.winnowHashes]] —
+    * each w-window's minimum k-gram hash). The scale trade vs the
+    * full shingle join (q49's decontamination shape): the posting
+    * table is ~2/(w+1) the size — a w-fold smaller shuffle — while
+    * the paper's guarantee keeps a detection FLOOR (any shared run
+    * of ≥ w + k − 1 tokens still collides; runs shorter than that
+    * MAY be missed, the stated trade). Same discipline as the
+    * MinHash tier: 8-byte fingerprint keys shuffle (never text), a
+    * degenerate fingerprint shared by > maxBucketWidth docs
+    * (boilerplate minima) is dropped wholesale — candidate
+    * generation stays near-linear under template floods — and exact
+    * verification belongs to the caller ([[editDistancePairs]] /
+    * jaccard on the candidates). Output: (id_a, id_b, n_shared),
+    * canonical id_a < id_b. */
+  def winnowedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 2,
+      maxBucketWidth: Int = 100,
+  ): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = df
+      .select(col(idCol).as("id"),
+        explode(TextOps.winnowHashes(col(textCol), k, w)).as("fp"))
+    val width = Window.partitionBy(col("fp"))
+    val capped = fps
+      .withColumn("_bw", count(lit(1)).over(width))
+      .filter(col("_bw") <= maxBucketWidth)
+      .drop("_bw")
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

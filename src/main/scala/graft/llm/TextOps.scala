@@ -237,6 +237,30 @@ object TextOps {
         distinct = false))
   }
 
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003 — the
+    * MOSS fingerprint selection): over the positional k-gram hashes,
+    * slide a w-wide window and keep each window's MINIMUM; the
+    * distinct selected values are the document's fingerprint set.
+    * The two properties the paper proves and sparse sampling alone
+    * lacks: GUARANTEE — any shared token run of length ≥ w + k − 1
+    * contributes at least one shared fingerprint (the shared run
+    * holds a full window; both docs keep that window's minimum) —
+    * and DENSITY ~ 2/(w+1) of positions, so the inverted index is a
+    * w-fold smaller posting table than full shingle sets at a known
+    * detection floor. Value-set form: tied minima collapse (the set
+    * is what the pairing join keys on). Docs with fewer than k
+    * tokens fingerprint empty; with fewer than w windows, the single
+    * global minimum. O(L·w) per row, all inside one projection. */
+  def winnowHashes(text: Column, k: Int, w: Int): Column = {
+    require(w >= 1, s"window w must be >= 1, got $w")
+    val th = windowHashesPositional(text, k)
+    when(size(th) === 0, array().cast("array<bigint>"))
+      .when(size(th) < w, array(array_min(th)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(th) - w),
+        i => array_min(slice(th, i + 1, lit(w))))))
+  }
+
   /** Hashes of the ONE-DELETION neighborhood of the text's n-gram
     * shingles (each window's n (n−1)-token deletion variants, affine
     * family, distinct) — the join key for near-miss decontamination:

@@ -6376,6 +6376,65 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Winnowed near-dup candidate pairs (Dedup.winnowedPairs +
+    * TextOps.winnowHashes, X215 — Schleimer 2003's MOSS selection):
+    * each 4-window's minimum 3-gram hash fingerprint, pairs sharing
+    * ≥ 2 fingerprints. The oracle replays the whole chain — token
+    * hashes → positional gram hashes → window minima (list_min over
+    * slices) → distinct → width-capped posting join — so the
+    * fingerprint SELECTION itself is hash-pinned, not just the pair
+    * list. */
+  val winnowedPairsQ = GraftQuery(
+    "q170_winnowed_pairs",
+    (s, d) =>
+      Dedup.winnowedPairs(documents(s, d), "doc_id", "text",
+          k = 3, w = 4, minShared = 2, maxBucketWidth = 100)
+        .orderBy(col("id_a"), col("id_b")),
+    Some {
+      val Seq(c1, c2, c3) = TextOps.ShingleC.take(3)
+      val m = TextOps.ShingleM
+      s"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              t -> ('0x'||substr(md5(t),1,7))::BIGINT) AS th
+        FROM documents
+      ),
+      grams AS (
+        SELECT doc_id,
+               CASE WHEN len(th) >= 3 THEN
+                 list_transform(generate_series(1, len(th)-2),
+                   i -> (th[i]*$c1 + th[i+1]*$c2 + th[i+2]*$c3) % $m)
+               ELSE []::BIGINT[] END AS g
+        FROM toks
+      ),
+      fps AS (
+        SELECT doc_id, unnest(fp) AS fp FROM (
+          SELECT doc_id,
+                 CASE WHEN len(g) = 0 THEN []::BIGINT[]
+                      WHEN len(g) < 4 THEN [list_min(g)]
+                      ELSE list_distinct(list_transform(
+                        generate_series(1, len(g)-3),
+                        i -> list_min(g[i:i+3])))
+                 END AS fp
+          FROM grams
+        )
+      ),
+      capped AS (
+        SELECT doc_id, fp FROM fps
+        QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 100
+      )
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*) AS n_shared
+      FROM capped a JOIN capped b
+        ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= 2
+      ORDER BY id_a, id_b
+      """.trim
+    },
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6484,5 +6543,6 @@ object LlmCatalog {
     schemaEvolutionQ,
     mmrRerankQ,
     metadataAggQ,
+    winnowedPairsQ,
   )
 }
