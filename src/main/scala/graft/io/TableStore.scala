@@ -295,6 +295,13 @@ object SnapshotBucketedStore {
     * most half a float ULP (~6e-8 relative); 1e-6 is safely past it
     * and costs almost nothing in pruning power. */
   val LegacyStatsEps: BigDecimal = BigDecimal("0.000001")
+
+  /** lgK of the per-dir HLL NDV sketches (X216): 2^12 registers,
+    * ~1.6% relative standard error, ~4 KB dense per (dir, column) —
+    * the Iceberg-puffin operating point. Frozen: sketches with
+    * different lgK do not union losslessly, so changing this would
+    * orphan recorded sketches (hll_union_agg would refuse). */
+  val NdvLgK: Int = 12
 }
 
 class SnapshotBucketedStore(
@@ -304,17 +311,22 @@ class SnapshotBucketedStore(
     statsColumns: Seq[String] = Nil,
     keyColumns: Seq[String] = Nil,
     keyExpectedItems: Long = 10000L,
-    clusterColumn: Option[String] = None)(
+    clusterColumn: Option[String] = None,
+    ndvColumns: Seq[String] = Nil)(
     implicit val spark: SparkSession)
     extends TableStore {
 
   import org.apache.hadoop.fs.Path
+  import SnapshotBucketedStore.NdvLgK
   require(statsColumns.forall(_.matches("[A-Za-z0-9_]+")),
     s"stats column names must be [A-Za-z0-9_]+ (manifest line syntax): " +
       statsColumns.mkString(", "))
   require(keyColumns.forall(_.matches("[A-Za-z0-9_]+")),
     s"key column names must be [A-Za-z0-9_]+ (manifest line syntax): " +
       keyColumns.mkString(", "))
+  require(ndvColumns.forall(_.matches("[A-Za-z0-9_]+")),
+    s"ndv column names must be [A-Za-z0-9_]+ (manifest line syntax): " +
+      ndvColumns.mkString(", "))
   // every generation read goes through the same format seam as
   // FileDirStore, so the atomic-commit/GDPR-delete machinery is
   // format-agnostic (both bundled columnar formats honor mergeSchema)
@@ -448,7 +460,8 @@ class SnapshotBucketedStore(
       stats: Map[String, Seq[(String, String, String)]] = Map.empty,
       keys: Map[String, Seq[(String, String)]] = Map.empty,
       statsVersion: Int = SnapshotBucketedStore.CurrentStatsVersion,
-      rows: Map[String, Long] = Map.empty) {
+      rows: Map[String, Long] = Map.empty,
+      ndv: Map[String, Seq[(String, String)]] = Map.empty) {
     /** Stats restricted to dirs this manifest still references — the
       * carry-forward rule every commit applies to its predecessor's
       * stats (superseded generations take their stats with them). */
@@ -466,6 +479,11 @@ class SnapshotBucketedStore(
     def liveRows: Map[String, Long] = {
       val live = buckets.values.toSet ++ logs
       rows.filter { case (d, _) => live(d) }
+    }
+    /** Per-dir HLL sketches (X216), live-filtered like stats/keys. */
+    def liveNdv: Map[String, Seq[(String, String)]] = {
+      val live = buckets.values.toSet ++ logs
+      ndv.filter { case (d, _) => live(d) }
     }
   }
 
@@ -512,7 +530,14 @@ class SnapshotBucketedStore(
       val Array(d, n) = s.stripPrefix("rows:").split("=", 2)
       d -> n.toLong
     }.toMap
-    Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines, statsVer, rowLines))
+    val ndvLines = entries.collect { case s if s.startsWith("ndv:") =>
+      val Array(d, cs) = s.stripPrefix("ndv:").split("=", 2)
+      d -> cs.split(",").toSeq.map { t =>
+        val Array(c, b) = t.split(":", 2); (c, b)
+      }
+    }.toMap
+    Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines, statsVer,
+      rowLines, ndvLines))
   }
 
   /** The stats version a NEW commit records: stats carried forward
@@ -587,7 +612,11 @@ class SnapshotBucketedStore(
               s"keys:$d=" +
                 cs.map { case (c, b) => s"$c:$b" }.mkString(",")
           } ++
-          m.liveRows.toSeq.sortBy(_._1).map { case (d, n) => s"rows:$d=$n" }
+          m.liveRows.toSeq.sortBy(_._1).map { case (d, n) => s"rows:$d=$n" } ++
+          m.liveNdv.toSeq.sortBy(_._1).collect {
+            case (d, cs) if cs.nonEmpty =>
+              s"ndv:$d=" + cs.map { case (c, b) => s"$c:$b" }.mkString(",")
+          }
       out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
     beforeCommit()
@@ -682,8 +711,10 @@ class SnapshotBucketedStore(
   private final case class DirMeta(
       stats: Seq[(String, String, String)],
       keys: Seq[(String, String)],
-      rows: Option[Long] = None) {
-    def isEmpty: Boolean = stats.isEmpty && keys.isEmpty && rows.isEmpty
+      rows: Option[Long] = None,
+      ndv: Seq[(String, String)] = Nil) {
+    def isEmpty: Boolean =
+      stats.isEmpty && keys.isEmpty && rows.isEmpty && ndv.isEmpty
   }
 
   /** Key columns eligible for a membership Bloom: equality probing
@@ -721,13 +752,17 @@ class SnapshotBucketedStore(
     val cols = statsColumns.filter(c =>
       df.columns.contains(c) && statType(df.schema(c).dataType))
     val kCols = keyColsOf(df)
+    val nCols = ndvColumns.filter(df.columns.contains)
     // rows are ALWAYS counted (X214 metadata-only aggregates): for a
     // store with no stats/key columns this is one count-only job —
     // parquet answers it from footer metadata, no column scan
     val aggs = cols.flatMap(c => Seq(
       min(statInput(df, c)).cast("string").as(s"graft_mn_$c"),
       max(statInput(df, c)).cast("string").as(s"graft_mx_$c"))) ++
-      kCols.map(bloomAgg) :+ count(lit(1)).as("graft_cnt_")
+      kCols.map(bloomAgg) ++
+      nCols.map(c => org.apache.spark.sql.functions
+        .hll_sketch_agg(org.apache.spark.sql.functions.col(c), NdvLgK)
+        .as(s"graft_nv_$c")) :+ count(lit(1)).as("graft_cnt_")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val stats = cols.zipWithIndex.flatMap { case (c, i) =>
       val mn = row.getString(2 * i); val mx = row.getString(2 * i + 1)
@@ -741,13 +776,17 @@ class SnapshotBucketedStore(
     // EMPTY Bloom per key column — it provably contains no key, so
     // membership probes always skip it; leaving it unBloomed would
     // conservatively keep it forever
-    val rowCount = row.getLong(base + kCols.size)
+    val rowCount = row.getLong(base + kCols.size + nCols.size)
     val keys =
       if (rowCount == 0L && kCols.nonEmpty) kCols.map(_ -> encodeBloom(emptyBloomBytes))
       else kCols.zipWithIndex.flatMap { case (c, i) =>
         Option(row.getAs[Array[Byte]](base + i)).map(b => (c, encodeBloom(b)))
       }
-    DirMeta(stats, keys, Some(rowCount))
+    val ndv = nCols.zipWithIndex.flatMap { case (c, i) =>
+      Option(row.getAs[Array[Byte]](base + kCols.size + i))
+        .map(b => (c, encodeBloom(b)))
+    }
+    DirMeta(stats, keys, Some(rowCount), ndv)
   }
 
   /** Serialized empty Bloom (contains nothing — every probe misses):
@@ -770,6 +809,8 @@ class SnapshotBucketedStore(
     m.collect { case (d, dm) if dm.stats.nonEmpty => d -> dm.stats }
   private def rowsPart(m: Map[String, DirMeta]): Map[String, Long] =
     m.collect { case (d, dm) if dm.rows.isDefined => d -> dm.rows.get }
+  private def ndvPart(m: Map[String, DirMeta]): Map[String, Seq[(String, String)]] =
+    m.collect { case (d, dm) if dm.ndv.nonEmpty => d -> dm.ndv }
   private def keysPart(m: Map[String, DirMeta]): Map[String, Seq[(String, String)]] =
     m.collect { case (d, dm) if dm.keys.nonEmpty => d -> dm.keys }
 
@@ -807,13 +848,17 @@ class SnapshotBucketedStore(
     val cols = statsColumns.filter(c =>
       df.columns.contains(c) && statType(df.schema(c).dataType))
     val kCols = keyColsOf(df)
+    val nCols = ndvColumns.filter(df.columns.contains)
     // rows counted per bucket unconditionally (X214) — a staged
     // bucket dir always holds >= 1 row, and the count rides the same
     // grouped job as the stats/Blooms (footer-cheap when it is alone)
     val aggs = cols.flatMap(c => Seq(
       min(statInput(df, c)).cast("string").as(s"graft_mn_$c"),
       max(statInput(df, c)).cast("string").as(s"graft_mx_$c"))) ++
-      kCols.map(bloomAgg) :+ count(lit(1)).as("graft_cnt_")
+      kCols.map(bloomAgg) ++
+      nCols.map(c => org.apache.spark.sql.functions
+        .hll_sketch_agg(col(c), NdvLgK).as(s"graft_nv_$c")) :+
+      count(lit(1)).as("graft_cnt_")
     // the partition-dir read infers graft_bucket as INT — normalize
     df.groupBy(col(BucketCol).cast("long").as(BucketCol))
       .agg(aggs.head, aggs.tail: _*)
@@ -830,7 +875,12 @@ class SnapshotBucketedStore(
         val keys = kCols.zipWithIndex.flatMap { case (c, i) =>
           Option(row.getAs[Array[Byte]](base + i)).map(x => (c, encodeBloom(x)))
         }
-        b -> DirMeta(stats, keys, Some(row.getLong(base + kCols.size)))
+        val ndv = nCols.zipWithIndex.flatMap { case (c, i) =>
+          Option(row.getAs[Array[Byte]](base + kCols.size + i))
+            .map(x => (c, encodeBloom(x)))
+        }
+        b -> DirMeta(stats, keys,
+          Some(row.getLong(base + kCols.size + nCols.size)), ndv)
       }
       .filter(!_._2.isEmpty)
       .toMap
@@ -1201,6 +1251,46 @@ class SnapshotBucketedStore(
       }
     }
 
+  /** METADATA-ONLY approximate distinct count of an [[ndvColumns]]
+    * column (X216 — the Iceberg-puffin NDV trick): every commit
+    * records a per-dir HLL sketch (Apache DataSketches, lgK =
+    * [[SnapshotBucketedStore.NdvLgK]] — ~1.6% standard error, ~4 KB
+    * per dir) in the same manifest rename as the dir; the answer is
+    * one union-and-estimate over the live dirs' sketches — no data
+    * file opened, and the union is EXACTLY the sketch of the
+    * concatenated streams (HLL registers max-merge), so the estimate
+    * equals sketching the whole table directly. Estimate tier,
+    * stated honestly: this is the planner/monitoring answer (join
+    * sizing, growth dashboards, cardinality regressions); an exact
+    * distinct still scans. None when any live non-empty dir lacks a
+    * recorded sketch (legacy tables, non-ndv column) — scan
+    * fallback, the conservative degrade the metadata tier shares. */
+  def metadataApproxDistinct(name: String, column: String): Option[Long] =
+    latestManifest(name).flatMap { m =>
+      val live = (m.buckets.values ++ m.logs).toSeq
+      val per: Seq[Option[String]] = live.flatMap { d =>
+        m.ndv.get(d).flatMap(_.find(_._1 == column)) match {
+          case Some((_, b64)) => Seq(Some(b64))
+          case None =>
+            if (m.rows.get(d).contains(0L)) Nil else Seq(None)
+        }
+      }
+      if (per.exists(_.isEmpty)) None
+      else if (per.isEmpty) Some(0L)
+      else {
+        import org.apache.spark.sql.functions.{col, hll_sketch_estimate, hll_union_agg}
+        val sketches = per.flatten.map(b64 =>
+          org.apache.spark.sql.Row(java.util.Base64.getDecoder.decode(b64)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(sketches, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("s",
+              org.apache.spark.sql.types.BinaryType))))
+        Some(df.agg(hll_sketch_estimate(hll_union_agg(col("s"), false)))
+          .head().getLong(0))
+      }
+    }
+
   /** Dirs surviving an any-of membership probe: each dir's Bloom is
     * deserialized ONCE and probed with every hash (never per
     * (hash, dir) pair). Any unhashable probe value → keep all. */
@@ -1269,7 +1359,7 @@ class SnapshotBucketedStore(
     val cur = latestManifest(name).get // target existing ⇒ table exists
     commit(name, Manifest(cur.version + 1, target.buckets, target.logs,
       cur.lastBatch, target.stats, target.keys, target.statsVersion,
-      target.rows))
+      target.rows, target.ndv))
   }
 
   /** Keyed diff of two retained snapshots (`added`/`removed`/
@@ -1485,12 +1575,13 @@ class SnapshotBucketedStore(
       var statsMap = m.stats
       var keysMap = m.keys
       var rowsMap = m.rows
+      var ndvMap = m.ndv
       dropped.foreach { case (ob, d) =>
         ob match {
           case Some(b) => bucketMap -= b
           case None => logList = logList.filterNot(_ == d)
         }
-        statsMap -= d; keysMap -= d; rowsMap -= d
+        statsMap -= d; keysMap -= d; rowsMap -= d; ndvMap -= d
       }
       rewrites.zipWithIndex.foreach { case ((ob, d), i) =>
         val kept = readDirs(dirsOf(name, m, Seq(d)))
@@ -1505,13 +1596,14 @@ class SnapshotBucketedStore(
           case Some(b) => bucketMap += b -> rel
           case None => logList = logList.map(x => if (x == d) rel else x)
         }
-        statsMap -= d; keysMap -= d; rowsMap -= d
+        statsMap -= d; keysMap -= d; rowsMap -= d; ndvMap -= d
         statsMap = statsMap ++ statsPart(dm)
         keysMap = keysMap ++ keysPart(dm)
         rowsMap = rowsMap ++ rowsPart(dm)
+        ndvMap = ndvMap ++ ndvPart(dm)
       }
       commit(name, Manifest(v, bucketMap, logList, m.lastBatch,
-        statsMap, keysMap, carriedStatsVersion(Some(m)), rowsMap))
+        statsMap, keysMap, carriedStatsVersion(Some(m)), rowsMap, ndvMap))
       (dropped.size, rewrites.size, disjoint.size)
     }
   }
@@ -1576,7 +1668,7 @@ class SnapshotBucketedStore(
     writeDir(df, new Path(tableDir(name), rel).toString)
     val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), Some(batchId),
-      statsPart(dm), keysPart(dm), rows = rowsPart(dm)))
+      statsPart(dm), keysPart(dm), rows = rowsPart(dm), ndv = ndvPart(dm)))
   }
 
   /** K2 append as a committed log generation: new dir + new manifest.
@@ -1610,7 +1702,8 @@ class SnapshotBucketedStore(
       prev.map(_.stats).getOrElse(Map.empty) ++ statsPart(dm),
       prev.map(_.keys).getOrElse(Map.empty) ++ keysPart(dm),
       carriedStatsVersion(prev),
-      prev.map(_.rows).getOrElse(Map.empty) ++ rowsPart(dm)))
+      prev.map(_.rows).getOrElse(Map.empty) ++ rowsPart(dm),
+      prev.map(_.ndv).getOrElse(Map.empty) ++ ndvPart(dm)))
   }
 
   /** Log-structured compaction for append-mode tables: fold the
@@ -1652,7 +1745,8 @@ class SnapshotBucketedStore(
         try {
           val dm = metaForDir(name, rel)
           commit(name, Manifest(v, Map.empty, Seq(rel), base.lastBatch,
-            statsPart(dm), keysPart(dm), rows = rowsPart(dm)))
+            statsPart(dm), keysPart(dm), rows = rowsPart(dm),
+            ndv = ndvPart(dm)))
           return true
         } catch { case _: ConcurrentCommitException => () } // lost the race
       }
@@ -1675,7 +1769,7 @@ class SnapshotBucketedStore(
     writeDir(df, new Path(tableDir(name), rel).toString)
     val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), prev.flatMap(_.lastBatch),
-      statsPart(dm), keysPart(dm), rows = rowsPart(dm)))
+      statsPart(dm), keysPart(dm), rows = rowsPart(dm), ndv = ndvPart(dm)))
   }
 
   override def upsert(name: String, incoming: DataFrame, key: String)(implicit s: SparkSession): Unit =
@@ -1780,7 +1874,10 @@ class SnapshotBucketedStore(
       carriedStatsVersion(prev),
       prev.map(_.rows).getOrElse(Map.empty) ++
         newBuckets.flatMap { case (b, rel) =>
-          stageMeta.get(b).flatMap(_.rows).map(rel -> _) }))
+          stageMeta.get(b).flatMap(_.rows).map(rel -> _) },
+      prev.map(_.ndv).getOrElse(Map.empty) ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) }))
   }
 
   /** Atomic FULL REBUILD of a bucketed-upsert table: every bucket of
@@ -1826,7 +1923,9 @@ class SnapshotBucketedStore(
       newBuckets.flatMap { case (b, rel) =>
         stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) }.toMap,
       rows = newBuckets.flatMap { case (b, rel) =>
-        stageMeta.get(b).flatMap(_.rows).map(rel -> _) }.toMap))
+        stageMeta.get(b).flatMap(_.rows).map(rel -> _) }.toMap,
+      ndv = newBuckets.flatMap { case (b, rel) =>
+        stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) }.toMap))
   }
 
   /** Keyed row deletion — the right-to-be-forgotten path a 100 TB
@@ -1939,7 +2038,10 @@ class SnapshotBucketedStore(
       carriedStatsVersion(prev),
       prev.get.rows ++
         newBuckets.flatMap { case (b, rel) =>
-          stageMeta.get(b).flatMap(_.rows).map(rel -> _) }))
+          stageMeta.get(b).flatMap(_.rows).map(rel -> _) },
+      prev.get.ndv ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) }))
   }
 
   /** Garbage collection: delete data dirs not referenced by any of the
