@@ -634,6 +634,119 @@ object Multimodal {
     }
   }
 
+  /** 64-bit DCT perceptual hash (pHash) — the FREQUENCY-domain tier
+    * above [[averageHash]] (the widely documented pHash method: decode,
+    * box-average luminance onto a 32×32 grid, 2-D DCT-II, keep the
+    * top-left 8×8 LOW-FREQUENCY coefficients, one bit per coefficient —
+    * set iff it exceeds the MEDIAN of the 63 AC coefficients; the DC
+    * slot is excluded from the median and its bit stays 0, so the hash
+    * carries 63 informative structure bits and NO absolute-brightness
+    * bit at all). What the DCT buys over per-cell brightness: the
+    * comparison set is the image's coarse SPATIAL-FREQUENCY mix, so a
+    * smooth illumination change (vignette, lighting ramp, brightness/
+    * contrast move) lands almost entirely in one or two low-order
+    * coefficients and the median barely moves — while [[averageHash]]
+    * compares every cell against the GLOBAL mean, which an illumination
+    * ramp drags through half the cells (spec-pinned: a luminance ramp
+    * flips aHash far wide of pHash on the same raster). Affine
+    * luminance maps (s·lum + o, s>0) are exactly invariant: DCT is
+    * linear, the offset is pure DC, every AC coefficient scales by s,
+    * and the median scales with them. Deterministic per input bytes:
+    * fixed 32×32 grid, fixed-shape sequential IEEE double arithmetic,
+    * strict `>` (a constant image has all-zero AC → hash 0). None for
+    * payloads the JDK registry can't read. */
+  def dctHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val w = im.getWidth; val h = im.getHeight
+      val n = 32
+      val sums = new Array[Long](n * n)
+      val cnts = new Array[Long](n * n)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          val k = (y * n / h) * n + (x * n / w)
+          sums(k) += lum
+          cnts(k) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val g = Array.tabulate(n * n)(k =>
+        if (cnts(k) > 0) sums(k).toDouble / cnts(k) else 0.0)
+      // cos((2t+1)·u·π/(2n)) for t in [0,n), u in [0,8) — the only
+      // basis rows the 8×8 block needs; orthonormal α(u) applied below
+      val cos = Array.tabulate(8, n)((u, t) =>
+        math.cos((2 * t + 1) * u * math.Pi / (2.0 * n)))
+      val a0 = math.sqrt(1.0 / n); val a1 = math.sqrt(2.0 / n)
+      val c = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var u = 0
+        while (u < 8) {
+          var acc = 0.0
+          var yy = 0
+          while (yy < n) {
+            var rowAcc = 0.0
+            var xx = 0
+            while (xx < n) { rowAcc += g(yy * n + xx) * cos(u)(xx); xx += 1 }
+            acc += rowAcc * cos(v)(yy)
+            yy += 1
+          }
+          val scaled = acc *
+            (if (u == 0) a0 else a1) * (if (v == 0) a0 else a1)
+          // structurally-zero frequencies leave ~1e-11 float residue
+          // (Σ cos over a full period); clamp so a constant image
+          // hashes to 0, not to the residue's sign noise
+          c(v * 8 + u) = if (math.abs(scaled) < 1e-9) 0.0 else scaled
+          u += 1
+        }
+        v += 1
+      }
+      val ac = new Array[Double](63)
+      System.arraycopy(c, 1, ac, 0, 63)
+      java.util.Arrays.sort(ac)
+      val median = ac(31) // true middle of 63: 31 below, 31 above
+      var hash = 0L
+      var k = 1 // DC slot excluded — bit 0 stays 0
+      while (k < 64) {
+        if (c(k) > median) hash |= (1L << k)
+        k += 1
+      }
+      hash
+    }
+  }
+
+  /** DCT-hash table → (media_id, dhash) for image payloads;
+    * undecodable payloads drop. The [[imageHashes]] discipline on the
+    * [[dctHash]] tier — persist beside the media or feed straight to
+    * [[imageDctNearDupPairs]]. */
+  def imageDctHashes(ds: Dataset[MediaRecord]): DataFrame = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+        dctHash(r.bytes).map(hh => (r.media_id, hh))))
+      .toDF("media_id", "dhash")
+  }
+
+  /** Image near-dup pairs over a (media_id, dhash) table — the X67
+    * block-LSH pigeonhole discipline ([[graft.llm.Dedup.
+    * hammingNearDupPairs]]) on the DCT hash: pairs within `maxHamming`
+    * agree on ≥ 1 of `blocks` slices, so candidates come from an
+    * equi-join on (block, slice), never all-pairs. */
+  def imageDctNearDupPairs(
+      hashes: DataFrame,
+      blocks: Int = 4,
+      maxHamming: Int = 3,
+  ): DataFrame =
+    Dedup.hammingNearDupPairs(hashes, "media_id", "dhash",
+      bits = 64, blocks = blocks, maxHamming = maxHamming)
+
   /** 64-bit energy-envelope fingerprint of an audio payload — the
     * audio analogue of [[averageHash]] (the third modality's near-dup
     * tier: text X67, image X143, audio here): mean-|amplitude| over

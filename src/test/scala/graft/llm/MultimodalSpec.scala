@@ -464,6 +464,82 @@ class MultimodalSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)), pairs.toString)
   }
+  test("DCT hash: container/offset invariant, ramp-robust where aHash drifts, paired") {
+    import java.awt.image.BufferedImage
+    val spark2 = spark
+    import spark2.implicits._
+    def textured(f: (Int, Int) => Int): BufferedImage = {
+      val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val v = math.max(0, math.min(255, f(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    // synthesize FROM a deterministic pseudo-random 8×8 spectrum, so
+    // every low-frequency coefficient has a real margin from the
+    // median (a photo-like spectrum; a pure high-frequency texture
+    // would leave the whole comparison set in noise)
+    def base(seed: Int)(x: Int, y: Int): Int = {
+      var s = 128.0
+      for (u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0) {
+        val m = (u * 31 + v * 17 + seed * 29) % 22
+        val amp = (if ((u * 7 + v * 13 + seed) % 2 == 0) 1 else -1) * (4 + m) / 8.0
+        s += amp * math.cos((2 * x + 1) * u * math.Pi / 64.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 64.0)
+      }
+      s.toInt
+    }
+    val a = textured(base(0))
+
+    // identical raster through different containers agrees
+    val hPng = Multimodal.dctHash(enc(a, "png")).get
+    val hBmp = Multimodal.dctHash(enc(a, "bmp")).get
+    assert(hPng == hBmp, "same raster, different codec must agree")
+    assert((hPng & 1L) == 0L, "DC slot bit must stay 0")
+
+    // constant image: all-zero AC, strict > ⇒ hash 0
+    assert(Multimodal.dctHash(enc(textured((_, _) => 128), "png")).get == 0L)
+
+    // exact invariance under a global brightness offset (pure DC move)
+    val hOff = Multimodal.dctHash(enc(textured((x, y) => base(0)(x, y) + 30), "png")).get
+    assert(hOff == hPng, "brightness offset must not touch the AC comparisons")
+
+    // an illumination RAMP (lighting change): pHash stays near, aHash drifts —
+    // the ramp is low-frequency energy in one or two coefficients for the
+    // DCT, but it drags half the cells across aHash's global-mean threshold
+    val rampPng = enc(textured((x, y) => base(0)(x, y) + x * 60 / 31), "png")
+    val dP = java.lang.Long.bitCount(hPng ^ Multimodal.dctHash(rampPng).get)
+    val dA = java.lang.Long.bitCount(
+      Multimodal.averageHash(enc(a, "png")).get ^ Multimodal.averageHash(rampPng).get)
+    assert(dP <= 4, s"pHash drifted $dP bits under the illumination ramp")
+    assert(dA > dP && dA >= 12, s"aHash should drift wide (got $dA vs pHash $dP)")
+
+    // undecodable payloads yield None
+    assert(Multimodal.dctHash(Array[Byte](1, 2, 3)).isEmpty)
+
+    // end to end: a near-copy pairs, different structure does not
+    val b = textured(base(0))
+    for (i <- 0 until 4) b.setRGB(i, 0, 0xffffff)
+    val c = textured(base(3))
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", enc(a, "png"), "mem://1"),
+      Multimodal.MediaRecord(2L, "image", enc(b, "bmp"), "mem://2"),
+      Multimodal.MediaRecord(3L, "image", enc(c, "png"), "mem://3"),
+      Multimodal.MediaRecord(4L, "image", Array[Byte](9, 9), "mem://4"),
+    ).toDS()
+    val hashes = Multimodal.imageDctHashes(media)
+    assert(hashes.count() == 3L, "undecodable payloads drop")
+    val pairs = Multimodal.imageDctNearDupPairs(hashes)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+  }
+
   test("audio envelope hash: bit-depth invariant shape, tone-position sensitive, paired") {
     import javax.sound.sampled._
     val spark2 = spark
