@@ -1,0 +1,131 @@
+package graft.expr
+
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType}
+
+/** KLL quantile-sketch aggregate (Karnin/Lang/Liberty 2016, via the
+  * Apache DataSketches heap implementation): folds a double column
+  * into one serialized KLL sketch — the mergeable order-statistics
+  * summary the manifest quantile tier (X218) records per generation
+  * dir. A TypedImperativeAggregate like [[TopKAgg]]: map-side
+  * partials are sketches (O(k log n) state regardless of input
+  * size), merges are sketch merges, and the exchange carries
+  * kilobytes per (mapper, group) instead of the column.
+  *
+  * The result is the sketch's BINARY image (not a quantile): the
+  * caller decides the ranks at READ time, and recorded images
+  * compose by merge — exactly what a per-dir manifest stat needs
+  * (per-dir sketches at commit, one driver-side merge at serve).
+  *
+  * Honesty: KLL compaction flips random coins, so two aggregations
+  * of the same data may record DIFFERENT (all individually valid)
+  * sketch images — this is a recorded ESTIMATE artifact with an
+  * error bound (~1.65% normalized rank error at the default k=200,
+  * 99% confidence), not a replayable value; specs assert rank-error
+  * bands against exact order statistics, never bit equality. Nulls
+  * and NaN are skipped (NaN has no place in an order statistic);
+  * ±Infinity participates — it IS an honest extreme order stat. */
+case class KllSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0,
+) extends TypedImperativeAggregate[KllDoublesSketch] {
+
+  require(k >= 8, s"KLL k must be >= 8, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = BinaryType
+
+  override def prettyName: String = "graft_kll_sketch"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"input must be double (cast numerics explicitly), got ${child.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): KllDoublesSketch =
+    KllDoublesSketch.newHeapInstance(k)
+
+  @transient private lazy val childProj = UnsafeProjection.create(Array(child))
+
+  override def update(
+      buf: KllDoublesSketch,
+      input: InternalRow): KllDoublesSketch = {
+    val r = childProj(input)
+    if (!r.isNullAt(0)) {
+      val v = r.getDouble(0)
+      if (!java.lang.Double.isNaN(v)) buf.update(v)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: KllDoublesSketch,
+      other: KllDoublesSketch): KllDoublesSketch = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: KllDoublesSketch): Any = buf.toByteArray
+
+  override def serialize(buf: KllDoublesSketch): Array[Byte] = buf.toByteArray
+
+  override def deserialize(bytes: Array[Byte]): KllDoublesSketch = {
+    // heapified images may come back read-only shaped; merging into a
+    // fresh updatable instance is the documented-safe rehydration
+    val s = KllDoublesSketch.newHeapInstance(k)
+    s.merge(KllDoublesSketch.heapify(Memory.wrap(bytes)))
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): KllSketchAgg =
+    copy(child = newChildren(0))
+}
+
+object KllSketchAgg {
+
+  /** The DataSketches default accuracy point: ~1.65% normalized rank
+    * error at 99% confidence, ~3 KB serialized at stream lengths the
+    * manifest tier sees. Frozen for recorded artifacts the same way
+    * [[graft.io.SnapshotBucketedStore.NdvLgK]] is: images of
+    * different k still merge (KLL downgrades to the smaller k), but
+    * a stable k keeps every dir's error bound uniform. */
+  val DefaultK: Int = 200
+
+  /** Column form: `kllSketch(col)` aggregates a DOUBLE column to the
+    * serialized KLL sketch binary. Cast numerics explicitly — the
+    * double promotion is the caller's stated, visible choice (ints
+    * beyond 2^53 round; same caveat as any double quantile path). */
+  def kllSketch(c: org.apache.spark.sql.Column,
+      k: Int = DefaultK): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpr}
+    toColumn(KllSketchAgg(toExpr(c), k).toAggregateExpression())
+  }
+
+  /** Driver-side union of recorded sketch images (merge order fixed
+    * by the caller for a deterministic structure GIVEN the images);
+    * None when every image is empty — no data, no order statistic. */
+  def mergeImages(images: Seq[Array[Byte]], k: Int = DefaultK): Option[KllDoublesSketch] = {
+    val u = KllDoublesSketch.newHeapInstance(k)
+    images.foreach(b => u.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+    if (u.isEmpty) None else Some(u)
+  }
+}

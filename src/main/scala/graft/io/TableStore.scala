@@ -312,7 +312,8 @@ class SnapshotBucketedStore(
     keyColumns: Seq[String] = Nil,
     keyExpectedItems: Long = 10000L,
     clusterColumn: Option[String] = None,
-    ndvColumns: Seq[String] = Nil)(
+    ndvColumns: Seq[String] = Nil,
+    quantileColumns: Seq[String] = Nil)(
     implicit val spark: SparkSession)
     extends TableStore {
 
@@ -327,6 +328,9 @@ class SnapshotBucketedStore(
   require(ndvColumns.forall(_.matches("[A-Za-z0-9_]+")),
     s"ndv column names must be [A-Za-z0-9_]+ (manifest line syntax): " +
       ndvColumns.mkString(", "))
+  require(quantileColumns.forall(_.matches("[A-Za-z0-9_]+")),
+    s"quantile column names must be [A-Za-z0-9_]+ (manifest line syntax): " +
+      quantileColumns.mkString(", "))
   // every generation read goes through the same format seam as
   // FileDirStore, so the atomic-commit/GDPR-delete machinery is
   // format-agnostic (both bundled columnar formats honor mergeSchema)
@@ -461,7 +465,8 @@ class SnapshotBucketedStore(
       keys: Map[String, Seq[(String, String)]] = Map.empty,
       statsVersion: Int = SnapshotBucketedStore.CurrentStatsVersion,
       rows: Map[String, Long] = Map.empty,
-      ndv: Map[String, Seq[(String, String)]] = Map.empty) {
+      ndv: Map[String, Seq[(String, String)]] = Map.empty,
+      qsk: Map[String, Seq[(String, String)]] = Map.empty) {
     /** Stats restricted to dirs this manifest still references — the
       * carry-forward rule every commit applies to its predecessor's
       * stats (superseded generations take their stats with them). */
@@ -484,6 +489,11 @@ class SnapshotBucketedStore(
     def liveNdv: Map[String, Seq[(String, String)]] = {
       val live = buckets.values.toSet ++ logs
       ndv.filter { case (d, _) => live(d) }
+    }
+    /** Per-dir KLL quantile sketches (X218), live-filtered alike. */
+    def liveQsk: Map[String, Seq[(String, String)]] = {
+      val live = buckets.values.toSet ++ logs
+      qsk.filter { case (d, _) => live(d) }
     }
   }
 
@@ -536,8 +546,14 @@ class SnapshotBucketedStore(
         val Array(c, b) = t.split(":", 2); (c, b)
       }
     }.toMap
+    val qskLines = entries.collect { case s if s.startsWith("qsk:") =>
+      val Array(d, cs) = s.stripPrefix("qsk:").split("=", 2)
+      d -> cs.split(",").toSeq.map { t =>
+        val Array(c, b) = t.split(":", 2); (c, b)
+      }
+    }.toMap
     Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines, statsVer,
-      rowLines, ndvLines))
+      rowLines, ndvLines, qskLines))
   }
 
   /** The stats version a NEW commit records: stats carried forward
@@ -616,6 +632,10 @@ class SnapshotBucketedStore(
           m.liveNdv.toSeq.sortBy(_._1).collect {
             case (d, cs) if cs.nonEmpty =>
               s"ndv:$d=" + cs.map { case (c, b) => s"$c:$b" }.mkString(",")
+          } ++
+          m.liveQsk.toSeq.sortBy(_._1).collect {
+            case (d, cs) if cs.nonEmpty =>
+              s"qsk:$d=" + cs.map { case (c, b) => s"$c:$b" }.mkString(",")
           }
       out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
@@ -712,9 +732,10 @@ class SnapshotBucketedStore(
       stats: Seq[(String, String, String)],
       keys: Seq[(String, String)],
       rows: Option[Long] = None,
-      ndv: Seq[(String, String)] = Nil) {
+      ndv: Seq[(String, String)] = Nil,
+      qsk: Seq[(String, String)] = Nil) {
     def isEmpty: Boolean =
-      stats.isEmpty && keys.isEmpty && rows.isEmpty && ndv.isEmpty
+      stats.isEmpty && keys.isEmpty && rows.isEmpty && ndv.isEmpty && qsk.isEmpty
   }
 
   /** Key columns eligible for a membership Bloom: equality probing
@@ -753,6 +774,7 @@ class SnapshotBucketedStore(
       df.columns.contains(c) && statType(df.schema(c).dataType))
     val kCols = keyColsOf(df)
     val nCols = ndvColumns.filter(df.columns.contains)
+    val qCols = quantileColsOf(df)
     // rows are ALWAYS counted (X214 metadata-only aggregates): for a
     // store with no stats/key columns this is one count-only job —
     // parquet answers it from footer metadata, no column scan
@@ -762,7 +784,10 @@ class SnapshotBucketedStore(
       kCols.map(bloomAgg) ++
       nCols.map(c => org.apache.spark.sql.functions
         .hll_sketch_agg(org.apache.spark.sql.functions.col(c), NdvLgK)
-        .as(s"graft_nv_$c")) :+ count(lit(1)).as("graft_cnt_")
+        .as(s"graft_nv_$c")) ++
+      qCols.map(c => graft.expr.KllSketchAgg.kllSketch(
+        org.apache.spark.sql.functions.col(c).cast("double"))
+        .as(s"graft_qs_$c")) :+ count(lit(1)).as("graft_cnt_")
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val stats = cols.zipWithIndex.flatMap { case (c, i) =>
       val mn = row.getString(2 * i); val mx = row.getString(2 * i + 1)
@@ -776,7 +801,7 @@ class SnapshotBucketedStore(
     // EMPTY Bloom per key column — it provably contains no key, so
     // membership probes always skip it; leaving it unBloomed would
     // conservatively keep it forever
-    val rowCount = row.getLong(base + kCols.size + nCols.size)
+    val rowCount = row.getLong(base + kCols.size + nCols.size + qCols.size)
     val keys =
       if (rowCount == 0L && kCols.nonEmpty) kCols.map(_ -> encodeBloom(emptyBloomBytes))
       else kCols.zipWithIndex.flatMap { case (c, i) =>
@@ -786,7 +811,11 @@ class SnapshotBucketedStore(
       Option(row.getAs[Array[Byte]](base + kCols.size + i))
         .map(b => (c, encodeBloom(b)))
     }
-    DirMeta(stats, keys, Some(rowCount), ndv)
+    val qsk = qCols.zipWithIndex.flatMap { case (c, i) =>
+      Option(row.getAs[Array[Byte]](base + kCols.size + nCols.size + i))
+        .map(b => (c, encodeBloom(b)))
+    }
+    DirMeta(stats, keys, Some(rowCount), ndv, qsk)
   }
 
   /** Serialized empty Bloom (contains nothing — every probe misses):
@@ -811,6 +840,15 @@ class SnapshotBucketedStore(
     m.collect { case (d, dm) if dm.rows.isDefined => d -> dm.rows.get }
   private def ndvPart(m: Map[String, DirMeta]): Map[String, Seq[(String, String)]] =
     m.collect { case (d, dm) if dm.ndv.nonEmpty => d -> dm.ndv }
+  private def qskPart(m: Map[String, DirMeta]): Map[String, Seq[(String, String)]] =
+    m.collect { case (d, dm) if dm.qsk.nonEmpty => d -> dm.qsk }
+
+  /** Quantile-sketch eligibility: declared, present, and NUMERIC —
+    * the sketch is over the double promotion, a visible cast
+    * (ints past 2^53 round; the stats min/max tier keeps exactness). */
+  private def quantileColsOf(df: DataFrame): Seq[String] =
+    quantileColumns.filter(c => df.columns.contains(c) &&
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
   private def keysPart(m: Map[String, DirMeta]): Map[String, Seq[(String, String)]] =
     m.collect { case (d, dm) if dm.keys.nonEmpty => d -> dm.keys }
 
@@ -849,6 +887,7 @@ class SnapshotBucketedStore(
       df.columns.contains(c) && statType(df.schema(c).dataType))
     val kCols = keyColsOf(df)
     val nCols = ndvColumns.filter(df.columns.contains)
+    val qCols = quantileColsOf(df)
     // rows counted per bucket unconditionally (X214) — a staged
     // bucket dir always holds >= 1 row, and the count rides the same
     // grouped job as the stats/Blooms (footer-cheap when it is alone)
@@ -857,7 +896,9 @@ class SnapshotBucketedStore(
       max(statInput(df, c)).cast("string").as(s"graft_mx_$c"))) ++
       kCols.map(bloomAgg) ++
       nCols.map(c => org.apache.spark.sql.functions
-        .hll_sketch_agg(col(c), NdvLgK).as(s"graft_nv_$c")) :+
+        .hll_sketch_agg(col(c), NdvLgK).as(s"graft_nv_$c")) ++
+      qCols.map(c => graft.expr.KllSketchAgg.kllSketch(
+        col(c).cast("double")).as(s"graft_qs_$c")) :+
       count(lit(1)).as("graft_cnt_")
     // the partition-dir read infers graft_bucket as INT — normalize
     df.groupBy(col(BucketCol).cast("long").as(BucketCol))
@@ -879,8 +920,12 @@ class SnapshotBucketedStore(
           Option(row.getAs[Array[Byte]](base + kCols.size + i))
             .map(x => (c, encodeBloom(x)))
         }
+        val qsk = qCols.zipWithIndex.flatMap { case (c, i) =>
+          Option(row.getAs[Array[Byte]](base + kCols.size + nCols.size + i))
+            .map(x => (c, encodeBloom(x)))
+        }
         b -> DirMeta(stats, keys,
-          Some(row.getLong(base + kCols.size + nCols.size)), ndv)
+          Some(row.getLong(base + kCols.size + nCols.size + qCols.size)), ndv, qsk)
       }
       .filter(!_._2.isEmpty)
       .toMap
@@ -1291,6 +1336,50 @@ class SnapshotBucketedStore(
       }
     }
 
+  /** METADATA-ONLY approximate quantiles of a [[quantileColumns]]
+    * column (X218 — per-dir KLL sketches on the X214/X216 substrate):
+    * every commit records a per-dir Apache DataSketches KLL quantile
+    * sketch (k = [[graft.expr.KllSketchAgg.DefaultK]] — ~1.65%
+    * normalized rank error at 99% confidence, ~3 KB per dir·column)
+    * in the same manifest rename as the dir; the answer is one
+    * driver-side merge over the live dirs' sketch images (KLL merges
+    * losslessly in error bound, so the generation structure only
+    * costs the bound, never correctness of the bound) — no data file
+    * opened. This is the percentile-dashboard / histogram-boundary /
+    * range-partitioner answer a 100 TB table wants in milliseconds;
+    * exact quantiles still cost the X113 distributed rank walk.
+    * Honesty, stated twice: (1) KLL compaction is RANDOMIZED — two
+    * commits of identical data may record different (all valid)
+    * images, so this tier's contract is an error BAND, not a value;
+    * (2) sketches live over the DOUBLE promotion of the column.
+    * Merge order is fixed (sorted images) so the answer is
+    * deterministic GIVEN a manifest. None when any live non-empty
+    * dir lacks a recorded sketch (legacy tables, undeclared or
+    * non-numeric column) — scan fallback, the metadata tier's shared
+    * conservative degrade; an all-null column merges to an empty
+    * union → None (no data, no order statistic). */
+  def metadataApproxQuantiles(
+      name: String,
+      column: String,
+      probs: Seq[Double]): Option[Seq[Double]] = {
+    require(probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"ranks must be in [0, 1]: ${probs.mkString(", ")}")
+    latestManifest(name).flatMap { m =>
+      val live = (m.buckets.values ++ m.logs).toSeq
+      val per: Seq[Option[String]] = live.flatMap { d =>
+        m.qsk.get(d).flatMap(_.find(_._1 == column)) match {
+          case Some((_, b64)) => Seq(Some(b64))
+          case None =>
+            if (m.rows.get(d).contains(0L)) Nil else Seq(None)
+        }
+      }
+      if (per.exists(_.isEmpty)) None
+      else graft.expr.KllSketchAgg.mergeImages(
+          per.flatten.sorted.map(java.util.Base64.getDecoder.decode))
+        .map(u => probs.map(u.getQuantile))
+    }
+  }
+
   /** Dirs surviving an any-of membership probe: each dir's Bloom is
     * deserialized ONCE and probed with every hash (never per
     * (hash, dir) pair). Any unhashable probe value → keep all. */
@@ -1359,7 +1448,7 @@ class SnapshotBucketedStore(
     val cur = latestManifest(name).get // target existing ⇒ table exists
     commit(name, Manifest(cur.version + 1, target.buckets, target.logs,
       cur.lastBatch, target.stats, target.keys, target.statsVersion,
-      target.rows, target.ndv))
+      target.rows, target.ndv, target.qsk))
   }
 
   /** Keyed diff of two retained snapshots (`added`/`removed`/
@@ -1576,12 +1665,13 @@ class SnapshotBucketedStore(
       var keysMap = m.keys
       var rowsMap = m.rows
       var ndvMap = m.ndv
+      var qskMap = m.qsk
       dropped.foreach { case (ob, d) =>
         ob match {
           case Some(b) => bucketMap -= b
           case None => logList = logList.filterNot(_ == d)
         }
-        statsMap -= d; keysMap -= d; rowsMap -= d; ndvMap -= d
+        statsMap -= d; keysMap -= d; rowsMap -= d; ndvMap -= d; qskMap -= d
       }
       rewrites.zipWithIndex.foreach { case ((ob, d), i) =>
         val kept = readDirs(dirsOf(name, m, Seq(d)))
@@ -1596,14 +1686,15 @@ class SnapshotBucketedStore(
           case Some(b) => bucketMap += b -> rel
           case None => logList = logList.map(x => if (x == d) rel else x)
         }
-        statsMap -= d; keysMap -= d; rowsMap -= d; ndvMap -= d
+        statsMap -= d; keysMap -= d; rowsMap -= d; ndvMap -= d; qskMap -= d
         statsMap = statsMap ++ statsPart(dm)
         keysMap = keysMap ++ keysPart(dm)
         rowsMap = rowsMap ++ rowsPart(dm)
         ndvMap = ndvMap ++ ndvPart(dm)
+        qskMap = qskMap ++ qskPart(dm)
       }
       commit(name, Manifest(v, bucketMap, logList, m.lastBatch,
-        statsMap, keysMap, carriedStatsVersion(Some(m)), rowsMap, ndvMap))
+        statsMap, keysMap, carriedStatsVersion(Some(m)), rowsMap, ndvMap, qskMap))
       (dropped.size, rewrites.size, disjoint.size)
     }
   }
@@ -1668,7 +1759,8 @@ class SnapshotBucketedStore(
     writeDir(df, new Path(tableDir(name), rel).toString)
     val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), Some(batchId),
-      statsPart(dm), keysPart(dm), rows = rowsPart(dm), ndv = ndvPart(dm)))
+      statsPart(dm), keysPart(dm), rows = rowsPart(dm), ndv = ndvPart(dm),
+      qsk = qskPart(dm)))
   }
 
   /** K2 append as a committed log generation: new dir + new manifest.
@@ -1703,7 +1795,8 @@ class SnapshotBucketedStore(
       prev.map(_.keys).getOrElse(Map.empty) ++ keysPart(dm),
       carriedStatsVersion(prev),
       prev.map(_.rows).getOrElse(Map.empty) ++ rowsPart(dm),
-      prev.map(_.ndv).getOrElse(Map.empty) ++ ndvPart(dm)))
+      prev.map(_.ndv).getOrElse(Map.empty) ++ ndvPart(dm),
+      prev.map(_.qsk).getOrElse(Map.empty) ++ qskPart(dm)))
   }
 
   /** Log-structured compaction for append-mode tables: fold the
@@ -1746,7 +1839,7 @@ class SnapshotBucketedStore(
           val dm = metaForDir(name, rel)
           commit(name, Manifest(v, Map.empty, Seq(rel), base.lastBatch,
             statsPart(dm), keysPart(dm), rows = rowsPart(dm),
-            ndv = ndvPart(dm)))
+            ndv = ndvPart(dm), qsk = qskPart(dm)))
           return true
         } catch { case _: ConcurrentCommitException => () } // lost the race
       }
@@ -1769,7 +1862,8 @@ class SnapshotBucketedStore(
     writeDir(df, new Path(tableDir(name), rel).toString)
     val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), prev.flatMap(_.lastBatch),
-      statsPart(dm), keysPart(dm), rows = rowsPart(dm), ndv = ndvPart(dm)))
+      statsPart(dm), keysPart(dm), rows = rowsPart(dm), ndv = ndvPart(dm),
+      qsk = qskPart(dm)))
   }
 
   override def upsert(name: String, incoming: DataFrame, key: String)(implicit s: SparkSession): Unit =
@@ -1877,7 +1971,10 @@ class SnapshotBucketedStore(
           stageMeta.get(b).flatMap(_.rows).map(rel -> _) },
       prev.map(_.ndv).getOrElse(Map.empty) ++
         newBuckets.flatMap { case (b, rel) =>
-          stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) }))
+          stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) },
+      prev.map(_.qsk).getOrElse(Map.empty) ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) }))
   }
 
   /** Atomic FULL REBUILD of a bucketed-upsert table: every bucket of
@@ -1925,7 +2022,9 @@ class SnapshotBucketedStore(
       rows = newBuckets.flatMap { case (b, rel) =>
         stageMeta.get(b).flatMap(_.rows).map(rel -> _) }.toMap,
       ndv = newBuckets.flatMap { case (b, rel) =>
-        stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) }.toMap))
+        stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) }.toMap,
+      qsk = newBuckets.flatMap { case (b, rel) =>
+        stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) }.toMap))
   }
 
   /** Keyed row deletion — the right-to-be-forgotten path a 100 TB
@@ -2041,7 +2140,10 @@ class SnapshotBucketedStore(
           stageMeta.get(b).flatMap(_.rows).map(rel -> _) },
       prev.get.ndv ++
         newBuckets.flatMap { case (b, rel) =>
-          stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) }))
+          stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) },
+      prev.get.qsk ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) }))
   }
 
   /** Garbage collection: delete data dirs not referenced by any of the

@@ -1,0 +1,101 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Metadata-only approximate quantiles (X218): per-dir KLL sketches
+  * merge on the driver and answer rank queries within the k=200
+  * normalized-rank-error band against exact order statistics, across
+  * upserts and deletes; the answer serves without data files; nulls
+  * skip; undeclared / non-numeric columns and legacy manifests
+  * degrade to None. KLL is randomized, so every assertion is an
+  * error band — never a value pin (the documented honesty of the
+  * tier, unlike HLL's exact union equivalence). */
+class MetadataQuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // rank error for k=200 is ~1.65% at 99% confidence; assert at 3%
+  // so the randomized compaction never flakes the suite
+  private val RankEps = 0.03
+
+  private def rows(r: Range) =
+    r.map(i => (i.toLong, (i * 7 % 1000).toDouble, s"s${i % 11}"))
+      .toDF("uuid", "v", "src")
+
+  private def exactQuantile(vals: Seq[Double], p: Double): (Double, Double) = {
+    // the band check: the served value must sit between the exact
+    // order statistics at ranks p ± RankEps
+    val sorted = vals.sorted
+    def at(r: Double) =
+      sorted(math.max(0, math.min(sorted.size - 1, (r * sorted.size).toInt)))
+    (at(math.max(0.0, p - RankEps)), at(math.min(1.0, p + RankEps)))
+  }
+
+  test("served quantiles sit in the rank band across generations and deletes") {
+    val root = tmpDir("graft_qsk_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      quantileColumns = Seq("v"))
+    store.upsert("t", rows(0 until 500), "uuid")
+    store.upsert("t", rows(480 until 600), "uuid") // revision generation
+    store.delete("t", "uuid", (0L until 100L).toDF("uuid"))
+    val live = store.read("t").get.select("v").as[Double].collect().toSeq
+    val probs = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val served = store.metadataApproxQuantiles("t", "v", probs).get
+    probs.zip(served).foreach { case (p, got) =>
+      val (lo, hi) = exactQuantile(live, p)
+      assert(got >= lo && got <= hi,
+        s"quantile($p) = $got outside exact-rank band [$lo, $hi]")
+    }
+  }
+
+  test("serves without data files; nulls skip; empty union is None") {
+    val root = tmpDir("graft_qsk_gone_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      quantileColumns = Seq("v", "allnull"))
+    val withNulls = rows(0 until 200)
+      .withColumn("v", when(col("uuid") % 5 === 0, lit(null)).otherwise(col("v")))
+      .withColumn("allnull", lit(null).cast("double"))
+    store.upsert("t", withNulls, "uuid")
+    val live = store.read("t").get.select("v")
+      .filter(col("v").isNotNull).as[Double].collect().toSeq
+    // wipe the data; the manifest alone must still answer
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(): Unit
+    }
+    wipe(new java.io.File(s"$root/t/data"))
+    val served = store.metadataApproxQuantiles("t", "v", Seq(0.5)).get.head
+    val (lo, hi) = exactQuantile(live, 0.5)
+    assert(served >= lo && served <= hi,
+      s"null-skipping median $served outside [$lo, $hi]")
+    // a column that is null EVERYWHERE has no order statistic
+    assert(store.metadataApproxQuantiles("t", "allnull", Seq(0.5)).isEmpty)
+  }
+
+  test("undeclared / non-numeric columns and legacy manifests degrade to None") {
+    val root = tmpDir("graft_qsk_none_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      quantileColumns = Seq("v", "src"))
+    store.upsert("t", rows(0 until 50), "uuid")
+    assert(store.metadataApproxQuantiles("t", "uuid", Seq(0.5)).isEmpty,
+      "uuid is not a quantile column")
+    assert(store.metadataApproxQuantiles("t", "src", Seq(0.5)).isEmpty,
+      "src is declared but non-numeric — never sketched, must refuse")
+    // strip the qsk lines → legacy manifest → None; counts unharmed
+    val dir = new java.io.File(s"$root/t")
+    val mf = dir.listFiles().filter(_.getName.matches("manifest-\\d+\\.txt"))
+      .maxBy(_.getName)
+    val txt = scala.io.Source.fromFile(mf).mkString
+    java.nio.file.Files.writeString(mf.toPath,
+      txt.linesIterator.filterNot(_.startsWith("qsk:")).mkString("", "\n", "\n"))
+    assert(store.metadataApproxQuantiles("t", "v", Seq(0.5)).isEmpty)
+    assert(store.metadataCount("t").contains(50L))
+    // out-of-range rank refuses loudly
+    intercept[IllegalArgumentException] {
+      store.metadataApproxQuantiles("t", "v", Seq(1.5))
+    }
+  }
+}
