@@ -1380,6 +1380,48 @@ class SnapshotBucketedStore(
     }
   }
 
+  /** METADATA-ONLY approximate count of rows with `lo <= col <= hi`
+    * (the X218 sketches answering the OTHER planner question —
+    * range-predicate SELECTIVITY): merged-sketch
+    * `n * (rank≤(hi) - rank<(lo))`, where n is the exact non-null
+    * update count the sketch carries and the two ranks share the
+    * recorded ~1.65% normalized-rank-error band. This is the
+    * join-sizing / shuffle-partition-count / skew-probe estimate a
+    * 100 TB planner wants before committing to a plan; the exact
+    * count still scans (or, for whole-dir-contained ranges, prunes
+    * via the exact min/max stats first). Same gates as
+    * [[metadataApproxQuantiles]]: any live non-empty dir without a
+    * sketch → None; an all-null column has no in-range rows → 0.
+    * NOTE the estimate counts NON-NULL rows only (nulls never enter
+    * an order statistic — same as SQL `BETWEEN` semantics). */
+  def metadataRangeCount(
+      name: String,
+      column: String,
+      lo: Double,
+      hi: Double): Option[Long] = {
+    require(lo <= hi, s"empty range: lo=$lo > hi=$hi")
+    latestManifest(name).flatMap { m =>
+      val live = (m.buckets.values ++ m.logs).toSeq
+      val per: Seq[Option[String]] = live.flatMap { d =>
+        m.qsk.get(d).flatMap(_.find(_._1 == column)) match {
+          case Some((_, b64)) => Seq(Some(b64))
+          case None =>
+            if (m.rows.get(d).contains(0L)) Nil else Seq(None)
+        }
+      }
+      if (per.exists(_.isEmpty)) None
+      else graft.expr.KllSketchAgg.mergeImages(
+          per.flatten.sorted.map(java.util.Base64.getDecoder.decode)) match {
+        case None => Some(0L) // no non-null values anywhere
+        case Some(u) =>
+          import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+          val below = u.getRank(lo, QuantileSearchCriteria.EXCLUSIVE)
+          val upTo = u.getRank(hi, QuantileSearchCriteria.INCLUSIVE)
+          Some(math.round(u.getN * math.max(0.0, upTo - below)))
+      }
+    }
+  }
+
   /** Dirs surviving an any-of membership probe: each dir's Bloom is
     * deserialized ONCE and probed with every hash (never per
     * (hash, dir) pair). Any unhashable probe value → keep all. */

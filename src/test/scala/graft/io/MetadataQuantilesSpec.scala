@@ -74,6 +74,35 @@ class MetadataQuantilesSpec extends SparkSpec {
     assert(store.metadataApproxQuantiles("t", "allnull", Seq(0.5)).isEmpty)
   }
 
+  test("range count sits in the rank band; all-null is 0; empty range refused") {
+    val root = tmpDir("graft_qsk_rc_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      quantileColumns = Seq("v", "allnull"))
+    val df = rows(0 until 500)
+      .withColumn("allnull", lit(null).cast("double"))
+    store.upsert("t", df, "uuid")
+    store.delete("t", "uuid", (0L until 50L).toDF("uuid"))
+    val live = store.read("t").get.select("v").as[Double].collect().toSeq
+    val (lo, hi) = (100.0, 700.0)
+    val exact = live.count(v => v >= lo && v <= hi)
+    val got = store.metadataRangeCount("t", "v", lo, hi).get
+    // both rank estimates carry the k=200 band; allow 2×RankEps of n
+    val slack = (2 * RankEps * live.size).ceil.toLong
+    assert(math.abs(got - exact) <= slack,
+      s"range count $got vs exact $exact (slack $slack)")
+    // the whole domain ≡ the non-null row count, within band
+    val all = store.metadataRangeCount("t", "v",
+      Double.NegativeInfinity, Double.PositiveInfinity).get
+    assert(math.abs(all - live.size) <= slack)
+    assert(store.metadataRangeCount("t", "allnull", 0.0, 1.0).contains(0L))
+    assert(store.metadataRangeCount("t", "uuid", 0.0, 1.0).isEmpty,
+      "undeclared column refuses to estimate")
+    intercept[IllegalArgumentException] {
+      store.metadataRangeCount("t", "v", 2.0, 1.0)
+    }
+  }
+
   test("undeclared / non-numeric columns and legacy manifests degrade to None") {
     val root = tmpDir("graft_qsk_none_")
     implicit val s = spark
