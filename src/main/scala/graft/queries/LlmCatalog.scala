@@ -6435,6 +6435,39 @@ object LlmCatalog {
     },
   )
 
+  /** Blocklist screening via the compiled Aho–Corasick automaton
+    * (expr/BlocklistHits, X219): one text pass matches ALL terms —
+    * the oracle replays the declarative form (documents × terms
+    * contains-join), which is exactly the nested-loop rescan the
+    * automaton exists to avoid at scale. Terms chosen to exercise the
+    * hard cases on real fixture text: 'art'/'indow' hit INSIDE
+    * 'part'/'window' (substring semantics), 'scan slow'/'slow fast'
+    * overlap at 'slow' (overlapping matches both surface), 'vector'
+    * is rare (sparse hits). Exploded so every (doc, term) decision is
+    * hash-pinned, not just the per-doc screening bit. */
+  val blocklistScreenQ = {
+    val terms = Seq("merge batch", "slow fast", "art", "indow",
+      "scan slow", "vector")
+    GraftQuery(
+      "q171_blocklist_screen",
+      (s, d) =>
+        documents(s, d).select(col("doc_id"),
+            explode(graft.expr.BlocklistHits.blocklistHits(col("text"), terms))
+              .as("term"))
+          .orderBy(col("doc_id"), col("term")),
+      Some {
+        val vals = terms.map(t => s"('$t')").mkString(", ")
+        s"""
+        SELECT d.doc_id, t.term
+        FROM documents d
+        JOIN (VALUES $vals) t(term)
+          ON contains(d.text, t.term)
+        ORDER BY d.doc_id, t.term
+        """.trim
+      },
+    )
+  }
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6544,5 +6577,6 @@ object LlmCatalog {
     mmrRerankQ,
     metadataAggQ,
     winnowedPairsQ,
+    blocklistScreenQ,
   )
 }
