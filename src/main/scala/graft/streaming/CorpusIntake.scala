@@ -402,6 +402,63 @@ object CorpusIntake {
     * once on the driver and rides every batch's plan as a
     * constant-folded map literal; same exactly-once sink discipline
     * as [[drainTo]]. */
+  /** The quarantine-side attribution column [[drainScreenedTo]]
+    * stamps: the sorted distinct blocklist terms that blocked the
+    * document — WHY a row was dropped, recorded where an auditor can
+    * query it (the K5 quarantine discipline applied to content). */
+  val BlockedTermsCol = "_blocked_terms"
+
+  /** [[drainTo]] with the BLOCKLIST gate (X219 streamed — the
+    * banned-term screen that runs FIRST over raw crawl): each
+    * micro-batch's texts take ONE compiled Aho–Corasick pass
+    * ([[graft.expr.BlocklistHits]] — O(|text| + hits) per row
+    * regardless of blocklist size, the automaton built once per
+    * executor from the broadcast term list); clean documents
+    * (zero hits) append to `table`, hit documents are NOT silently
+    * dropped — they land in `quarantineTable` with the matched terms
+    * as [[BlockedTermsCol]], the drop-attribution an auditable
+    * pipeline must keep (the reference's quarantine move,
+    * lambda.py:131-139, at the content grain).
+    *
+    * Frozen-artifact soundness, the gate family's shared argument:
+    * the decision depends only on the document and the frozen term
+    * list, so the streamed split equals the one-shot batch split
+    * BIT-FOR-BIT — batch boundaries invisible (spec-pinned). Match
+    * semantics are [[graft.expr.BlocklistHits]]'s, stated there:
+    * substring on code units, no folding (compose `lower`/normalize
+    * upstream), overlaps all surface.
+    *
+    * Exactly-once across TWO tables: both appends share the epoch's
+    * batchId and [[graft.io.TableStore.appendIfNew]] is idempotent
+    * per (table, batchId) — a crash between the clean append and the
+    * quarantine append replays the epoch, the clean table recognizes
+    * the batch mark and skips, the quarantine table lands its half;
+    * no row is ever double-counted on either side. */
+  def drainScreenedTo(
+      docs: DataFrame,
+      store: graft.io.TableStore,
+      table: String,
+      quarantineTable: String,
+      terms: Seq[String],
+      checkpoint: String,
+      textCol: String = "text",
+  ): Unit = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val hits = batch.withColumn(BlockedTermsCol,
+          graft.expr.BlocklistHits.blocklistHits(col(textCol), terms))
+        store.appendIfNew(table,
+          hits.filter(size(col(BlockedTermsCol)) === 0)
+            .drop(BlockedTermsCol), batchId): Unit
+        store.appendIfNew(quarantineTable,
+          hits.filter(size(col(BlockedTermsCol)) > 0), batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def drainTokenGatedTo(
       docs: DataFrame,
       store: graft.io.TableStore,

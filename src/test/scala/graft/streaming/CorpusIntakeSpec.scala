@@ -429,6 +429,54 @@ class CorpusIntakeSpec extends SparkSpec {
     assert(!kept.contains(2L) && !kept.contains(4L), kept)
   }
 
+  test("blocklist-screened drain: clean/quarantine split, attribution, batch ≡ stream") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_intake_screen_")
+    implicit val s = spark
+    val store = new graft.io.SnapshotBucketedStore(s"$root/corpus", numBuckets = 4)
+    val terms = Seq("badger", "rm -rf", "lazy dog")
+
+    val all = Seq(
+      Doc(1L, B, good), // contains 'lazy dog' → quarantined
+      Doc(2L, B + 1000, "a clean document about rivers and stones"),
+      Doc(3L, B + 2000, "echo hi; rm -rf / # badger badger"), // two terms
+      Doc(4L, B + 3000, "another clean one"),
+      Doc(5L, B + 4000, "the badgers dig") // 'badger' inside 'badgers' hits
+    )
+    val (half1, half2) = all.splitAt(2)
+    val input = MemoryStream[Doc]
+    val docs = input.toDF().select(col("doc_id"), col("text"))
+    input.addData(half1: _*)
+    CorpusIntake.drainScreenedTo(docs, store, "corpus", "blocked", terms,
+      s"$root/ckpt")
+    input.addData(half2: _*)
+    CorpusIntake.drainScreenedTo(docs, store, "corpus", "blocked", terms,
+      s"$root/ckpt")
+
+    val clean = store.read("corpus").get
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L))
+    val blocked = store.read("blocked").get
+      .select(col("doc_id"), col(CorpusIntake.BlockedTermsCol))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(blocked.keySet == Set(1L, 3L, 5L))
+    assert(blocked(1L) == Seq("lazy dog"))
+    assert(blocked(3L) == Seq("badger", "rm -rf")) // sorted, distinct
+    assert(blocked(5L) == Seq("badger")) // substring semantics
+    // batch twin: same frozen terms, one-shot split ≡ streamed split
+    val batchDf = all.map(d => (d.doc_id, d.text)).toDF("doc_id", "text")
+      .withColumn("h",
+        graft.expr.BlocklistHits.blocklistHits(col("text"), terms))
+    val batchClean = batchDf.filter(size(col("h")) === 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == batchClean,
+      s"batch boundaries must be invisible: $clean vs $batchClean")
+    // no row lost or duplicated across the two tables
+    assert(clean.size + blocked.size == all.size)
+  }
+
   test("LM-band drain: frozen trigram model, batch boundaries invisible") {
     val spark2 = spark
     import spark2.implicits._
