@@ -682,8 +682,17 @@ class SnapshotBucketedStore(
     } else renameCas()
   }
 
+  /** Physical location of one manifest dir entry. Entries are
+    * table-relative (`data/b3-g7`) except zero-copy CLONE references
+    * (X221), which are store-root-relative with an `@` marker
+    * (`@srcTable/data/b3-g7`) — a cloned table reads the original
+    * owner's dirs until copy-on-write rewrites replace the refs. */
+  private def resolveDir(name: String, d: String): String =
+    if (d.startsWith("@")) new Path(new Path(root), d.drop(1)).toString
+    else new Path(tableDir(name), d).toString
+
   private def dirsOf(name: String, m: Manifest, dirs: Iterable[String]): Seq[String] =
-    dirs.map(d => new Path(tableDir(name), d).toString).toSeq
+    dirs.map(resolveDir(name, _)).toSeq
 
   // ----------------------------------------------------------------
   // Data-skipping statistics (file-level min/max in the manifest)
@@ -1493,6 +1502,58 @@ class SnapshotBucketedStore(
       target.rows, target.ndv, target.qsk))
   }
 
+  /** ZERO-COPY table clone (X221 — Delta's SHALLOW CLONE / Iceberg's
+    * snapshot-ref discipline): `dst` is born as ONE manifest whose
+    * dir entries REFERENCE `src`'s generation dirs (`@src/<rel>` —
+    * store-root-relative, resolved by [[resolveDir]]), carrying the
+    * source's stats/Blooms/rows/NDV/quantile sketches verbatim —
+    * they describe the dirs, and the dirs are the same bytes. O(one
+    * manifest write) at ANY table size: the 100 TB fork (a dev copy
+    * to test a migration, a frozen training-set snapshot with its
+    * own retention, an experiment branch) costs milliseconds and
+    * zero storage until the copies DIVERGE — every write to either
+    * side is copy-on-write by construction (all commit families
+    * rewrite touched buckets into the writing table's OWN dirs and
+    * drop the refs; untouched buckets keep referencing the shared
+    * bytes). Pass `version` to clone a historic snapshot (time-travel
+    * fork — the retained-manifest horizon applies).
+    *
+    * The lifecycle contract that makes sharing safe: [[vacuum]] on
+    * the SOURCE keeps any dir referenced by a clone's on-disk
+    * manifests (the cross-table keep-scan), and a clone's own vacuum
+    * only ever lists its own data dir — neither side can reclaim the
+    * other's bytes. A clone-of-a-clone re-points at the ORIGINAL
+    * owner, so reference chains never deepen and the keep-scan's
+    * `@owner/` match finds every borrower. The streaming batch mark
+    * carries over: the clone CONTAINS those epochs, so re-draining
+    * the same source into it stays exactly-once. GDPR discipline,
+    * stated loudly: a keyed [[delete]] on one side does NOT touch the
+    * other — right-to-be-forgotten must be applied to every clone
+    * (and the shared bytes are only physically reclaimed once no
+    * manifest anywhere references them). */
+  def cloneTable(src: String, dst: String, version: Option[Int] = None): Unit = {
+    require(src != dst, s"cannot clone '$src' onto itself")
+    require(latestManifest(dst).isEmpty, s"clone target '$dst' already exists")
+    val m = version match {
+      case Some(v) => manifestAt(src, v).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"$src has no snapshot v$v (vacuumed, or never committed)"))
+      case None => latestManifest(src).getOrElse(
+        throw new java.util.NoSuchElementException(s"no such table: $src"))
+    }
+    def ref(d: String) = if (d.startsWith("@")) d else s"@$src/$d"
+    commit(dst, Manifest(0,
+      m.buckets.map { case (b, d) => b -> ref(d) },
+      m.logs.map(ref),
+      m.lastBatch,
+      m.liveStats.map { case (d, s) => ref(d) -> s },
+      m.liveKeys.map { case (d, s) => ref(d) -> s },
+      m.statsVersion,
+      m.liveRows.map { case (d, n) => ref(d) -> n },
+      m.liveNdv.map { case (d, s) => ref(d) -> s },
+      m.liveQsk.map { case (d, s) => ref(d) -> s }))
+  }
+
   /** Keyed diff of two retained snapshots (`added`/`removed`/
     * `changed` + changed-column list per key, [[graft.ops.Diff.keyed]]
     * semantics) with MANIFEST-LEVEL pruning: a bucket whose dir
@@ -1947,7 +2008,7 @@ class SnapshotBucketedStore(
       m.buckets.values.headOption.foreach { d =>
         val stored =
           try Some(spark.read.format(fmt)
-            .load(new Path(tableDir(name), d).toString).schema)
+            .load(resolveDir(name, d)).schema)
           catch { case scala.util.control.NonFatal(_) => None }
         for {
           sch <- stored
@@ -1970,7 +2031,7 @@ class SnapshotBucketedStore(
     // manifest-level pruning: ONLY the touched buckets' dirs are even
     // named, let alone listed or read
     val existingDirs = prev.toSeq.flatMap(m =>
-      touched.flatMap(b => m.buckets.get(b).map(d => new Path(tableDir(name), d).toString)))
+      touched.flatMap(b => m.buckets.get(b).map(d => resolveDir(name, d))))
     val existing =
       if (existingDirs.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
@@ -2143,7 +2204,7 @@ class SnapshotBucketedStore(
     // inference could pick an OLD generation and rewrite the bucket
     // without the later-added columns, destroying them in the snapshot
     val existing = readDirs(
-      touchedDirs.map(d => new Path(tableDir(name), d._2).toString))
+      touchedDirs.map(d => resolveDir(name, d._2)))
     val remaining = withBucket(
       existing.join(
         org.apache.spark.sql.functions.broadcast(keyFrame), Seq(keyCol), "left_anti"),
@@ -2206,9 +2267,27 @@ class SnapshotBucketedStore(
       val retained = (keepFrom to m.version).flatMap(manifestAt(name, _))
       // qualify both sides — listStatus returns scheme-qualified paths
       // (file:/...), a bare string compare would mark everything dead
-      val live = retained
+      val own = retained
         .flatMap(r => r.buckets.values ++ r.logs)
+        .filterNot(_.startsWith("@")) // borrowed refs live under their owner
         .map(d => f.makeQualified(new Path(dir, d)).toString).toSet
+      // dirs of THIS table still referenced by OTHER tables' on-disk
+      // manifests (zero-copy clones, X221): every borrower's ref names
+      // the original owner (`@<name>/<rel>`), so one marker scan over
+      // sibling manifests finds every outstanding borrow. ALL on-disk
+      // manifests count, not just each sibling's latest — any of them
+      // can still be read (readAt) or restored.
+      val marker = s"@$name/"
+      val rootP = new Path(root)
+      val borrowed = fs(rootP).listStatus(rootP).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(_ == name)
+        .flatMap(t => snapshots(t).flatMap(v => manifestAt(t, v)))
+        .flatMap(r => r.buckets.values ++ r.logs)
+        .filter(_.startsWith(marker))
+        .map(d => f.makeQualified(new Path(dir, d.stripPrefix(marker))).toString)
+        .toSet
+      val live = own ++ borrowed
       val dataDir = new Path(dir, "data")
       if (f.exists(dataDir))
         f.listStatus(dataDir).foreach { st =>

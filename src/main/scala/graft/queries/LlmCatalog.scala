@@ -6468,6 +6468,69 @@ object LlmCatalog {
     )
   }
 
+  /** A zero-copy clone fork carried through copy-on-write divergence
+    * on BOTH sides: base loads, fork is cloned (one manifest, no
+    * bytes), fork revises every fifth document, base deletes every
+    * eleventh — each side must see exactly its own history. */
+  private def cloneStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "clone_store") {
+      implicit val sp = s
+      val store = new graft.io.SnapshotBucketedStore(
+        java.nio.file.Files.createTempDirectory("graft_clone_").toString,
+        numBuckets = 16)
+      val docs = documents(s, d)
+      store.upsert("base",
+        docs.select(col("doc_id"), col("n_chars").cast("long").as("nv")),
+        "doc_id")
+      store.cloneTable("base", "fork")
+      store.upsert("fork",
+        docs.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            (col("n_chars").cast("long") + 500000L).as("nv")),
+        "doc_id")
+      store.delete("base", "doc_id",
+        docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
+      store
+    }
+
+  /** Zero-copy table clone (SnapshotBucketedStore.cloneTable, X221 —
+    * shallow-clone semantics): the fork is born as one manifest
+    * referencing the base's dirs; divergence is copy-on-write in both
+    * directions (the fork's revisions never reach the base, the
+    * base's GDPR delete never reaches the fork). The oracle
+    * recomputes both sides' final states in plain SQL from the
+    * shared source table — every row of both histories hash-pinned.
+    * Zero-copy-ness itself and vacuum reference-safety are the
+    * CloneSpec's proofs (filesystem facts, outside SQL's reach). */
+  val cloneForkQ = GraftQuery(
+    "q172_zero_copy_clone",
+    (s, d) => {
+      val store = cloneStore(s, d)
+      store.read("base").get.select(lit("base").as("side"),
+          col("doc_id"), col("nv"))
+        .unionByName(store.read("fork").get.select(lit("fork").as("side"),
+          col("doc_id"), col("nv")))
+        .orderBy(col("side"), col("doc_id"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS nv
+        FROM documents WHERE doc_id % 11 <> 0
+      ),
+      fork AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN CAST(n_chars AS BIGINT) + 500000
+                    ELSE CAST(n_chars AS BIGINT) END AS nv
+        FROM documents
+      )
+      SELECT 'base' AS side, doc_id, nv FROM base
+      UNION ALL
+      SELECT 'fork' AS side, doc_id, nv FROM fork
+      ORDER BY side, doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6578,5 +6641,6 @@ object LlmCatalog {
     metadataAggQ,
     winnowedPairsQ,
     blocklistScreenQ,
+    cloneForkQ,
   )
 }
