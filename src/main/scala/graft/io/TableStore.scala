@@ -1373,20 +1373,27 @@ class SnapshotBucketedStore(
       probs: Seq[Double]): Option[Seq[Double]] = {
     require(probs.forall(p => p >= 0.0 && p <= 1.0),
       s"ranks must be in [0, 1]: ${probs.mkString(", ")}")
-    latestManifest(name).flatMap { m =>
-      val live = (m.buckets.values ++ m.logs).toSeq
-      val per: Seq[Option[String]] = live.flatMap { d =>
-        m.qsk.get(d).flatMap(_.find(_._1 == column)) match {
-          case Some((_, b64)) => Seq(Some(b64))
-          case None =>
-            if (m.rows.get(d).contains(0L)) Nil else Seq(None)
-        }
+    latestManifest(name).flatMap(qskMerged(_, column))
+      .map(u => probs.map(u.getQuantile))
+  }
+
+  /** The live dirs' recorded KLL images of `column`, merged (fixed
+    * sorted order — deterministic GIVEN the manifest). None when any
+    * live non-empty dir lacks an image (the metadata tier's shared
+    * gate) or every image is empty (all-null column). */
+  private def qskMerged(m: Manifest,
+      column: String): Option[org.apache.datasketches.kll.KllDoublesSketch] = {
+    val live = (m.buckets.values ++ m.logs).toSeq
+    val per: Seq[Option[String]] = live.flatMap { d =>
+      m.qsk.get(d).flatMap(_.find(_._1 == column)) match {
+        case Some((_, b64)) => Seq(Some(b64))
+        case None =>
+          if (m.rows.get(d).contains(0L)) Nil else Seq(None)
       }
-      if (per.exists(_.isEmpty)) None
-      else graft.expr.KllSketchAgg.mergeImages(
-          per.flatten.sorted.map(java.util.Base64.getDecoder.decode))
-        .map(u => probs.map(u.getQuantile))
     }
+    if (per.exists(_.isEmpty)) None
+    else graft.expr.KllSketchAgg.mergeImages(
+      per.flatten.sorted.map(java.util.Base64.getDecoder.decode))
   }
 
   /** METADATA-ONLY approximate count of rows with `lo <= col <= hi`
@@ -1411,16 +1418,12 @@ class SnapshotBucketedStore(
     require(lo <= hi, s"empty range: lo=$lo > hi=$hi")
     latestManifest(name).flatMap { m =>
       val live = (m.buckets.values ++ m.logs).toSeq
-      val per: Seq[Option[String]] = live.flatMap { d =>
-        m.qsk.get(d).flatMap(_.find(_._1 == column)) match {
-          case Some((_, b64)) => Seq(Some(b64))
-          case None =>
-            if (m.rows.get(d).contains(0L)) Nil else Seq(None)
-        }
+      val missing = live.exists { d =>
+        m.qsk.get(d).flatMap(_.find(_._1 == column)).isEmpty &&
+          !m.rows.get(d).contains(0L)
       }
-      if (per.exists(_.isEmpty)) None
-      else graft.expr.KllSketchAgg.mergeImages(
-          per.flatten.sorted.map(java.util.Base64.getDecoder.decode)) match {
+      if (missing) None
+      else qskMerged(m, column) match {
         case None => Some(0L) // no non-null values anywhere
         case Some(u) =>
           import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
@@ -1428,6 +1431,70 @@ class SnapshotBucketedStore(
           val upTo = u.getRank(hi, QuantileSearchCriteria.INCLUSIVE)
           Some(math.round(u.getN * math.max(0.0, upTo - below)))
       }
+    }
+  }
+
+  /** METADATA-ONLY distribution drift between two tables' numeric
+    * columns (X222 — the monitoring tier's last answer): POPULATION
+    * STABILITY INDEX over `buckets` equal-probability bins whose
+    * boundaries come from the REFERENCE side's merged KLL sketch —
+    * PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ), the standard drift score (common
+    * operating points: < 0.1 stable, 0.1–0.25 investigate, > 0.25
+    * shifted). Served from two manifests, no file opened — the
+    * "did this week's corpus shift under the model?" answer at 100 TB
+    * in milliseconds. Bin probabilities are rank differences on each
+    * side's own sketch (clamped at 1e-6 — an empty bin is evidence,
+    * not a division by zero) and inherit the recorded rank-error
+    * band; the score is an ESTIMATE, specs assert separation (same
+    * distribution ≈ 0, planted shift large), never a pinned value.
+    * Gates as [[metadataApproxQuantiles]]; all-null on either side →
+    * None (no distribution, no drift). */
+  def metadataDrift(
+      reference: String,
+      current: String,
+      column: String,
+      buckets: Int = 10): Option[Double] =
+    for {
+      ma <- latestManifest(reference)
+      mb <- latestManifest(current)
+      d <- driftOf(ma, mb, column, buckets)
+    } yield d
+
+  /** [[metadataDrift]] between two RETAINED VERSIONS of one table —
+    * the self-monitoring form (this snapshot vs last week's). */
+  def metadataDriftVersions(
+      name: String,
+      referenceVersion: Int,
+      currentVersion: Int,
+      column: String,
+      buckets: Int = 10): Option[Double] =
+    for {
+      ma <- manifestAt(name, referenceVersion)
+      mb <- manifestAt(name, currentVersion)
+      d <- driftOf(ma, mb, column, buckets)
+    } yield d
+
+  private def driftOf(ma: Manifest, mb: Manifest, column: String,
+      buckets: Int): Option[Double] = {
+    require(buckets >= 2, s"need >= 2 bins, got $buckets")
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    for {
+      sa <- qskMerged(ma, column)
+      sb <- qskMerged(mb, column)
+    } yield {
+      val bounds = (1 until buckets).map(i => sa.getQuantile(i.toDouble / buckets))
+      def binProbs(s: org.apache.datasketches.kll.KllDoublesSketch): Seq[Double] = {
+        val cum = 0.0 +: bounds.map(b =>
+          s.getRank(b, QuantileSearchCriteria.INCLUSIVE)) :+ 1.0
+        // ranks are monotone in the bound, but guard the float edge
+        cum.sliding(2).map(p => math.max(0.0, p(1) - p(0))).toSeq
+      }
+      val eps = 1e-6
+      binProbs(sa).zip(binProbs(sb)).map { case (p, q) =>
+        val pc = math.max(p, eps)
+        val qc = math.max(q, eps)
+        (pc - qc) * math.log(pc / qc)
+      }.sum
     }
   }
 

@@ -103,6 +103,35 @@ class MetadataQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("PSI drift: same distribution ~0, planted shift large, gates hold") {
+    val root = tmpDir("graft_qsk_drift_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      quantileColumns = Seq("v"))
+    // reference and a same-distribution twin (different rows, same law)
+    store.upsert("ref", rows(0 until 2000), "uuid")
+    store.upsert("same", rows(2000 until 4000), "uuid")
+    // a shifted current: the upper half of the domain only
+    val shifted = rows(0 until 2000)
+      .withColumn("v", col("v") / 2 + 500.0)
+    store.upsert("shift", shifted, "uuid")
+    val psiSame = store.metadataDrift("ref", "same", "v").get
+    val psiShift = store.metadataDrift("ref", "shift", "v").get
+    assert(psiSame < 0.05, s"identical law must score stable, got $psiSame")
+    assert(psiShift > 0.5, s"planted shift must score large, got $psiShift")
+    // version-to-version self-monitoring: a skewed revision drifts
+    val v1 = store.snapshots("ref").max
+    store.upsert("ref", shifted, "uuid") // full revision to the shifted law
+    val v2 = store.snapshots("ref").max
+    val psiVer = store.metadataDriftVersions("ref", v1, v2, "v").get
+    assert(psiVer > 0.5, s"version drift must surface, got $psiVer")
+    // gates: undeclared column and bad bin count refuse
+    assert(store.metadataDrift("ref", "same", "uuid").isEmpty)
+    intercept[IllegalArgumentException] {
+      store.metadataDrift("ref", "same", "v", buckets = 1)
+    }
+  }
+
   test("undeclared / non-numeric columns and legacy manifests degrade to None") {
     val root = tmpDir("graft_qsk_none_")
     implicit val s = spark
