@@ -72,5 +72,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         },
       )
     )
+    // graft_blocklist_hits(text, term, term, ...): the Aho–Corasick
+    // screen (X219); terms must be string literals — the automaton is
+    // built once at plan time from the frozen list
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_blocklist_hits"),
+        new ExpressionInfo(classOf[graft.expr.BlocklistHits].getName,
+          "graft_blocklist_hits"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length >= 2 && exprs.tail.forall(_.foldable),
+            "usage: graft_blocklist_hits(text, <literal term>, ...)")
+          graft.expr.BlocklistHits(exprs(0),
+            exprs.tail.map(_.eval().toString))
+        },
+      )
+    )
+    // graft_unicode_normalize(text, <literal form>): NFC/NFKC/NFD/NFKD
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_unicode_normalize"),
+        new ExpressionInfo(classOf[graft.expr.UnicodeNormalize].getName,
+          "graft_unicode_normalize"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2 && exprs(1).foldable,
+            "usage: graft_unicode_normalize(text, <literal form>)")
+          graft.expr.UnicodeNormalize(exprs(0), exprs(1).eval().toString)
+        },
+      )
+    )
+    // graft_deflate_len(text): compressed-size signal (X148 family)
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_deflate_len"),
+        new ExpressionInfo(classOf[graft.expr.DeflateLen].getName,
+          "graft_deflate_len"),
+        (exprs: Seq[Expression]) => graft.expr.DeflateLen(exprs(0)),
+      )
+    )
+    // graft_kll_sketch(x[, <literal k>]): mergeable quantile-sketch
+    // aggregate over a double column (X218's recording primitive)
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_kll_sketch"),
+        new ExpressionInfo(classOf[graft.expr.KllSketchAgg].getName,
+          "graft_kll_sketch"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 1 || (exprs.length == 2 && exprs(1).foldable),
+            "usage: graft_kll_sketch(x[, <literal k>])")
+          val k =
+            if (exprs.length == 2) exprs(1).eval().asInstanceOf[Number].intValue()
+            else graft.expr.KllSketchAgg.DefaultK
+          graft.expr.KllSketchAgg(exprs(0), k)
+        },
+      )
+    )
   }
 }

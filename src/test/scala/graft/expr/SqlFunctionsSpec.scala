@@ -1,0 +1,58 @@
+package graft.expr
+
+import graft.SparkSpec
+import org.apache.spark.sql.AnalysisException
+
+/** The SQL surface of the expression family (GraftExtensions): every
+  * registered function runs from a SQL text and matches its
+  * DataFrame-API twin; literal-argument contracts refuse loudly. */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft_blocklist_hits from SQL matches the DataFrame form") {
+    Seq((1L, "ushers walk"), (2L, "clean"))
+      .toDF("id", "text").createOrReplaceTempView("bl_docs")
+    val sql = spark.sql(
+      "SELECT id, graft_blocklist_hits(text, 'he', 'she', 'hers') AS h " +
+        "FROM bl_docs ORDER BY id")
+      .as[(Long, Seq[String])].collect().toSeq
+    assert(sql == Seq(1L -> Seq("he", "hers", "she"), 2L -> Seq()))
+    // non-literal terms refuse at analysis
+    intercept[Exception] {
+      spark.sql("SELECT graft_blocklist_hits(text, text) FROM bl_docs").collect()
+    }
+  }
+
+  test("graft_unicode_normalize and graft_deflate_len run from SQL") {
+    val got = spark.sql(
+      "SELECT graft_unicode_normalize('é', 'NFC') AS n, " +
+        "graft_deflate_len(repeat('ab', 100)) AS z, " +
+        "graft_deflate_len(uuid()) IS NOT NULL AS u")
+      .collect().head
+    assert(got.getString(0) == "é")
+    // highly repetitive text compresses far below its raw length
+    assert(got.getInt(1) < 60)
+    assert(got.getBoolean(2))
+  }
+
+  test("graft_kll_sketch aggregates from SQL; served rank is sane") {
+    spark.range(0, 1000).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("kll_in")
+    val img = spark.sql("SELECT graft_kll_sketch(v) FROM kll_in")
+      .collect().head.getAs[Array[Byte]](0)
+    val s = KllSketchAgg.mergeImages(Seq(img)).get
+    assert(s.getN == 1000L)
+    val med = s.getQuantile(0.5)
+    assert(med > 400.0 && med < 600.0, s"median $med")
+    // explicit-k form parses too
+    val img2 = spark.sql("SELECT graft_kll_sketch(v, 128) FROM kll_in")
+      .collect().head.getAs[Array[Byte]](0)
+    assert(KllSketchAgg.mergeImages(Seq(img2), k = 128).get.getN == 1000L)
+  }
+
+  test("unknown function still errors (registry not overreaching)") {
+    intercept[AnalysisException] {
+      spark.sql("SELECT graft_nope(1)").collect()
+    }
+  }
+}
