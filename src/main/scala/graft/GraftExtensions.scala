@@ -88,6 +88,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         },
       )
     )
+    // graft_blocklist_redact(text, term, term, ...): the masking
+    // sibling — every matched span's code units become '*'
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_blocklist_redact"),
+        new ExpressionInfo(classOf[graft.expr.BlocklistRedact].getName,
+          "graft_blocklist_redact"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length >= 2 && exprs.tail.forall(_.foldable),
+            "usage: graft_blocklist_redact(text, <literal term>, ...)")
+          graft.expr.BlocklistRedact(exprs(0),
+            exprs.tail.map(_.eval().toString))
+        },
+      )
+    )
     // graft_unicode_normalize(text, <literal form>): NFC/NFKC/NFD/NFKD
     ext.injectFunction(
       (

@@ -148,6 +148,25 @@ object BlocklistHits {
       }
       hits
     }
+
+    /** Code-unit positions covered by ANY match — the union of all
+      * match intervals (overlapping and nested spans merge for
+      * free in the bitset). `rankLen(r)` = length of term rank r. */
+    def coverMask(s: String, rankLen: Array[Int]): java.util.BitSet = {
+      val covered = new java.util.BitSet(s.length)
+      var state = 0
+      var i = 0
+      while (i < s.length) {
+        state = step(state, s.charAt(i))
+        var o = if (termRank(state) >= 0) state else outLink(state)
+        while (o >= 0) {
+          covered.set(i - rankLen(termRank(o)) + 1, i + 1)
+          o = outLink(o)
+        }
+        i += 1
+      }
+      covered
+    }
   }
 
   /** Classic build: trie insert, BFS fail links, then freeze the
@@ -228,4 +247,81 @@ object BlocklistHits {
     import org.apache.spark.sql.GraftBridge.{toColumn, toExpr}
     toColumn(BlocklistHits(toExpr(text), terms))
   }
+
+  /** Column form of [[BlocklistRedact]]: every matched span masked. */
+  def blocklistRedact(text: org.apache.spark.sql.Column,
+      terms: Seq[String], mask: Char = '*'): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpr}
+    toColumn(BlocklistRedact(toExpr(text), terms, mask))
+  }
+}
+
+/** Blocklist REDACTION — [[BlocklistHits]]'s masking sibling: every
+  * code unit covered by ANY term match is replaced by `mask`, one
+  * automaton pass per row. The interval UNION is the semantic (in
+  * "scan slow fast" with terms "scan slow" and "slow fast" the whole
+  * overlap masks — partial redaction of an overlapping banned span
+  * would leak it); length in code units is preserved, so downstream
+  * offset-based features (chunk boundaries, span labels) stay
+  * aligned. Same match contract as [[BlocklistHits]] (substring on
+  * code units, no folding — normalize upstream); a supplementary
+  * character inside a span masks as TWO mask units (stated, spec'd
+  * — length preservation wins over codepoint aesthetics). Null →
+  * null; no match → the input unchanged (no copy). */
+case class BlocklistRedact(
+    child: Expression,
+    terms: Seq[String],
+    mask: Char = '*',
+) extends UnaryExpression {
+
+  require(terms.nonEmpty, "blocklist must not be empty")
+  require(terms.forall(_.nonEmpty), "blocklist terms must be non-empty")
+  require(terms.distinct.length == terms.length,
+    "blocklist terms must be distinct")
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "graft_blocklist_redact"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(s"expects string input, got $t")
+    }
+
+  @transient private lazy val sortedTerms: Array[String] =
+    terms.map(UTF8String.fromString).sorted.map(_.toString).toArray
+
+  @transient private lazy val rankLen: Array[Int] = sortedTerms.map(_.length)
+
+  @transient private lazy val automaton: BlocklistHits.Automaton =
+    BlocklistHits.build(sortedTerms)
+
+  override protected def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  def compute(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val covered = automaton.coverMask(s, rankLen)
+    if (covered.isEmpty) return input
+    val arr = s.toCharArray
+    var i = covered.nextSetBit(0)
+    while (i >= 0) {
+      arr(i) = mask
+      i = covered.nextSetBit(i + 1)
+    }
+    UTF8String.fromString(new String(arr))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("blocklistRedact", this,
+      classOf[BlocklistRedact].getName)
+    nullSafeCodeGen(ctx, ev, input => s"${ev.value} = $ref.compute($input);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BlocklistRedact =
+    copy(child = newChild)
 }

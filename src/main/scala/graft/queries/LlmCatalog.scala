@@ -6468,6 +6468,65 @@ object LlmCatalog {
     )
   }
 
+  /** Blocklist span redaction (expr/BlocklistRedact, X219's masking
+    * sibling): every code unit covered by ANY term match masks — the
+    * INTERVAL UNION, so overlapping banned phrases can't partially
+    * leak — in one automaton pass per document. The oracle rebuilds
+    * every redacted string char by char in SQL: all (position, term)
+    * matches via substring probes, exploded to covered positions,
+    * distinct-unioned, then string_agg in position order — the union
+    * semantic itself is what gets hash-pinned, full text equality. */
+  val blocklistRedactQ = {
+    val terms = Seq("scan slow", "slow fast", "merge batch")
+    GraftQuery(
+      "q173_blocklist_redact",
+      (s, d) =>
+        documents(s, d).select(col("doc_id"),
+            graft.expr.BlocklistHits
+              .blocklistRedact(col("text"), terms).as("redacted"))
+          .orderBy(col("doc_id")),
+      Some {
+        val vals = terms.map(t => s"('$t')").mkString(", ")
+        s"""
+        WITH t(term) AS (VALUES $vals),
+        m AS MATERIALIZED (
+          SELECT d.doc_id, g.pos, len(t.term) AS l
+          FROM documents d
+          JOIN t ON true
+          JOIN LATERAL (
+            SELECT unnest(generate_series(1,
+              greatest(len(d.text) - len(t.term) + 1, 0))) AS pos
+          ) g ON true
+          WHERE substr(d.text, g.pos, len(t.term)) = t.term
+        ),
+        cov AS MATERIALIZED (
+          SELECT DISTINCT doc_id, u.i
+          FROM m JOIN LATERAL (
+            SELECT unnest(generate_series(m.pos, m.pos + m.l - 1)) AS i
+          ) u ON true
+        ),
+        chars AS (
+          SELECT d.doc_id, g.i,
+                 CASE WHEN c.i IS NOT NULL THEN '*'
+                      ELSE substr(d.text, g.i, 1) END AS ch
+          FROM documents d
+          JOIN LATERAL (
+            SELECT unnest(generate_series(1, len(d.text))) AS i
+          ) g ON true
+          LEFT JOIN cov c ON c.doc_id = d.doc_id AND c.i = g.i
+        )
+        SELECT d.doc_id, coalesce(r.redacted, '') AS redacted
+        FROM documents d
+        LEFT JOIN (
+          SELECT doc_id, string_agg(ch, '' ORDER BY i) AS redacted
+          FROM chars GROUP BY doc_id
+        ) r USING (doc_id)
+        ORDER BY d.doc_id
+        """.trim
+      },
+    )
+  }
+
   /** A zero-copy clone fork carried through copy-on-write divergence
     * on BOTH sides: base loads, fork is cloned (one manifest, no
     * bytes), fork revises every fifth document, base deletes every
@@ -6642,5 +6701,6 @@ object LlmCatalog {
     winnowedPairsQ,
     blocklistScreenQ,
     cloneForkQ,
+    blocklistRedactQ,
   )
 }

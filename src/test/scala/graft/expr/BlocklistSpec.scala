@@ -85,6 +85,57 @@ class BlocklistSpec extends SparkSpec {
     assert(kept == Seq("clean text here", "fine"))
   }
 
+  private def naiveRedact(text: String, terms: Seq[String], mask: Char): String = {
+    val covered = new Array[Boolean](text.length)
+    terms.foreach { t =>
+      var from = 0
+      var at = text.indexOf(t, from)
+      while (at >= 0) {
+        (at until at + t.length).foreach(covered(_) = true)
+        from = at + 1 // overlapping occurrences too
+        at = text.indexOf(t, from)
+      }
+    }
+    text.zipWithIndex.map { case (c, i) => if (covered(i)) mask else c }.mkString
+  }
+
+  test("redaction masks the interval union; overlaps merge; lengths preserved") {
+    val terms = Seq("scan slow", "slow fast", "bad")
+    val texts = Seq(
+      "a scan slow fast path", // two overlapping phrase hits merge
+      "badbadbad", // adjacent + repeated
+      "clean text", "", "embadded") // 'bad' inside a word
+    val got = texts.toDF("text")
+      .select(col("text"),
+        BlocklistHits.blocklistRedact(col("text"), terms).as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    texts.foreach { t =>
+      assert(got(t) == naiveRedact(t, terms, '*'), s"text '$t'")
+      assert(got(t).length == t.length, "code-unit length must be preserved")
+    }
+    assert(got("a scan slow fast path") == "a ************** path")
+    assert(got("clean text") == "clean text")
+  }
+
+  test("redaction random cross-check; custom mask; null passes through") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abc "
+    val terms = Seq("ab", "bc a", "ca", "b b")
+    val texts = (0 until 150).map(_ =>
+      (0 until rnd.nextInt(50)).map(_ => alphabet(rnd.nextInt(4))).mkString)
+    val got = texts.toDF("text")
+      .select(col("text"),
+        BlocklistHits.blocklistRedact(col("text"), terms, mask = '#').as("r"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    got.foreach { case (t, r) =>
+      assert(r == naiveRedact(t, terms, '#'), s"text '$t'")
+    }
+    val n = Seq[(Int, String)]((1, null)).toDF("id", "text")
+      .select(BlocklistHits.blocklistRedact(col("text"), terms))
+      .collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("constructor contracts refuse loudly") {
     intercept[IllegalArgumentException] {
       BlocklistHits.blocklistHits(col("text"), Nil)

@@ -21,6 +21,11 @@ class SqlFunctionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_blocklist_hits(text, text) FROM bl_docs").collect()
     }
+    val red = spark.sql(
+      "SELECT graft_blocklist_redact('ushers walk', 'she', 'hers')")
+      .collect().head.getString(0)
+    // 'she' covers [1,3], 'hers' covers [2,5] — the union masks 1..5
+    assert(red == "u***** walk")
   }
 
   test("graft_unicode_normalize and graft_deflate_len run from SQL") {
