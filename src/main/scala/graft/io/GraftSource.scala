@@ -1,0 +1,178 @@
+package graft.io
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SQLContext}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The `graft` DataSource (X224): the snapshot store surfaced through
+  * Spark's standard source seams, so a user reaches it the way they
+  * reach parquet or JDBC —
+  *
+  *   spark.read.format("graft")
+  *     .option("root", "/lake").option("table", "corpus").load()
+  *
+  *   df.write.format("graft").option("root", "/lake")
+  *     .option("table", "corpus").option("key", "doc_id")
+  *     .mode("append").save()
+  *
+  *   CREATE TEMPORARY VIEW corpus USING graft
+  *     OPTIONS (root '/lake', "table" 'corpus')        -- then plain SQL
+  *
+  * Reads push MANIFEST-LEVEL pruning through the V1
+  * [[PrunedFilteredScan]] seam: equality filters probe the recorded
+  * key Blooms ([[SnapshotBucketedStore.readWhereEq]]) and two-sided
+  * range filters the min/max stats (conjunctive,
+  * [[SnapshotBucketedStore.readWhereAll]]) — a selective SQL WHERE
+  * over a 100 TB graft table opens the dirs that might match, not
+  * the table. Every filter is reported UNHANDLED (`unhandledFilters`
+  * returns all): pruning only ever EXCLUDES provably-disjoint dirs,
+  * Spark re-applies the exact predicate on survivors, and the
+  * residual ALSO reaches the underlying parquet scan (the store
+  * applies it inside the pruned read), so correctness never rests on
+  * the skip logic. Column pruning flows through `requiredColumns`.
+  *
+  * Writes map SaveMode onto the store's commit families:
+  * `overwrite` → atomic [[TableStore.replace]]; `append` with a
+  * `key` option → bucketed exactly-keyed [[TableStore.upsert]]
+  * (SCD-1 keep-last); `append` without → log append;
+  * `errorifexists`/`ignore` honor their contracts against table
+  * existence. Store-shape options (`buckets`, `format`, stats/key/
+  * ndv/quantile columns) parameterize the
+  * [[SnapshotBucketedStore]] underneath — read-side they are
+  * irrelevant (the manifest is self-describing).
+  */
+class GraftSource
+    extends RelationProvider
+    with CreatableRelationProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def storeOf(sqlContext: SQLContext,
+      parameters: Map[String, String]): (SnapshotBucketedStore, String) = {
+    val root = parameters.getOrElse("root",
+      throw new IllegalArgumentException("graft source requires option 'root'"))
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException("graft source requires option 'table'"))
+    def cols(k: String): Seq[String] =
+      parameters.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    val store = new SnapshotBucketedStore(
+      root,
+      numBuckets = parameters.get("buckets").map(_.toInt).getOrElse(64),
+      fmt = parameters.getOrElse("format", "parquet"),
+      statsColumns = cols("statscolumns"),
+      keyColumns = cols("keycolumns"),
+      clusterColumn = parameters.get("clustercolumn"),
+      ndvColumns = cols("ndvcolumns"),
+      quantileColumns = cols("quantilecolumns"),
+    )(sqlContext.sparkSession)
+    (store, table)
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val (store, table) = storeOf(sqlContext, parameters)
+    new GraftRelation(sqlContext, store, table)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val (store, table) = storeOf(sqlContext, parameters)
+    implicit val spark = sqlContext.sparkSession
+    val exists = store.read(table).isDefined
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"graft table '$table' already exists (mode errorifexists)")
+      case SaveMode.Ignore if exists => () // contract: leave untouched
+      case SaveMode.Overwrite => store.replace(table, data)
+      case _ => // Append, or first write in any non-refusing mode
+        parameters.get("key") match {
+          case Some(k) => store.upsert(table, data, k)
+          case None => store.append(table, data)
+        }
+    }
+    new GraftRelation(sqlContext, store, table)
+  }
+}
+
+object GraftSource {
+  /** Test/metrics seam: (dirs scanned, total dirs) of the most recent
+    * pruned [[GraftRelation.buildScan]] on this JVM. Observability
+    * only — never consulted by the scan itself. */
+  @volatile var lastPrune: Option[(Int, Int)] = None
+}
+
+/** V1 relation over one snapshot-store table. Filters prune dirs (see
+  * [[GraftSource]]); all filters are re-applied by Spark above the
+  * scan, so the translation here can stay conservative. */
+class GraftRelation(
+    val sqlContext: SQLContext,
+    store: SnapshotBucketedStore,
+    table: String,
+) extends BaseRelation with PrunedFilteredScan {
+
+  override def schema: StructType =
+    store.read(table).map(_.schema).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"graft table '$table' does not exist"))
+
+  // pruning only excludes provably-disjoint dirs — Spark must still
+  // evaluate every predicate on the surviving rows
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val df = prunedRead(filters)
+    GraftSource.lastPrune = pruneMetric(filters)
+    // an empty projection (COUNT(*) shape) still needs row multiplicity
+    val projected =
+      if (requiredColumns.isEmpty) df
+      else df.select(requiredColumns.map(org.apache.spark.sql.functions.col): _*)
+    projected.rdd
+  }
+
+  /** Equality filters → Bloom membership pruning; two-sided ranges →
+    * conjunctive min/max pruning; anything else → full read. The
+    * chosen path returns rows ⊇ the exact answer (the store's reads
+    * apply their own residual predicate on survivors). */
+  private def prunedRead(filters: Array[Filter]): DataFrame = {
+    val eqs = filters.collect { case EqualTo(c, v) => (c, v) }
+    val ranges = rangesOf(filters)
+    val base =
+      if (eqs.nonEmpty) store.readWhereEq(table, eqs.head._1, eqs.head._2)
+      else if (ranges.nonEmpty) store.readWhereAll(table, ranges)
+      else store.read(table)
+    base.getOrElse(throw new java.util.NoSuchElementException(
+      s"graft table '$table' does not exist"))
+  }
+
+  private def pruneMetric(filters: Array[Filter]): Option[(Int, Int)] = {
+    val eqs = filters.collect { case EqualTo(c, v) => (c, v) }
+    val ranges = rangesOf(filters)
+    if (eqs.nonEmpty) store.pruneEqStats(table, eqs.head._1, eqs.head._2)
+    else if (ranges.nonEmpty) store.pruneStatsAll(table, ranges)
+    else None
+  }
+
+  /** Columns with BOTH a lower and an upper bound among the pushed
+    * filters (min/max pruning needs a closed interval; one-sided
+    * bounds fall back to the full read, still correct). Equality
+    * doubles as the degenerate [v, v] interval. */
+  private def rangesOf(filters: Array[Filter]): Seq[(String, Any, Any)] = {
+    val lowers = scala.collection.mutable.Map[String, Any]()
+    val uppers = scala.collection.mutable.Map[String, Any]()
+    filters.foreach {
+      case GreaterThan(c, v) => lowers(c) = v
+      case GreaterThanOrEqual(c, v) => lowers(c) = v
+      case LessThan(c, v) => uppers(c) = v
+      case LessThanOrEqual(c, v) => uppers(c) = v
+      case EqualTo(c, v) => lowers(c) = v; uppers(c) = v
+      case _ => ()
+    }
+    (lowers.keySet intersect uppers.keySet).toSeq.sorted
+      .map(c => (c, lowers(c), uppers(c)))
+  }
+}

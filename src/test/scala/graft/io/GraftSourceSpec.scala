@@ -1,0 +1,91 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The `graft` DataSource (X224): format("graft") round-trips through
+  * the store's commit families, SQL reaches tables via USING graft,
+  * reads prune dirs from pushed filters (Bloom for equality, min/max
+  * for ranges) while Spark re-applies the exact predicate, and
+  * SaveMode contracts hold. */
+class GraftSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(r: Range, tag: String = "x") =
+    r.map(i => (i.toLong, i * 2L, tag)).toDF("uuid", "v", "tag")
+
+  test("write/read round-trip: append+key is upsert, overwrite replaces") {
+    val root = tmpDir("graft_src_")
+    rows(0 until 100).write.format("graft")
+      .option("root", root).option("table", "t").option("key", "uuid")
+      .mode("append").save()
+    rows(50 until 150, tag = "y").write.format("graft")
+      .option("root", root).option("table", "t").option("key", "uuid")
+      .mode("append").save()
+    val read = spark.read.format("graft")
+      .option("root", root).option("table", "t").load()
+    val m = read.select("uuid", "tag").as[(Long, String)].collect().toMap
+    assert(m.size == 150)
+    assert(m(10L) == "x" && m(75L) == "y" && m(149L) == "y") // keep-last
+    // overwrite = atomic replace
+    rows(0 until 5, tag = "z").write.format("graft")
+      .option("root", root).option("table", "t").option("key", "uuid")
+      .mode("overwrite").save()
+    assert(spark.read.format("graft").option("root", root)
+      .option("table", "t").load().count() == 5)
+  }
+
+  test("SQL surface: USING graft view, WHERE prunes via stats/Blooms") {
+    val root = tmpDir("graft_src_sql_")
+    implicit val s = spark
+    // a store with stats + Blooms, generations roughly sorted on v
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      statsColumns = Seq("v"), keyColumns = Seq("uuid"))
+    (0 until 8).foreach { g =>
+      store.append("t", rows(g * 100 until (g + 1) * 100))
+    }
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW graft_t
+         |USING graft OPTIONS (root '$root', `table` 't')""".stripMargin)
+    // range predicate: answers exactly, and the scan pruned dirs
+    val got = spark.sql(
+      "SELECT uuid, v FROM graft_t WHERE v >= 100 AND v <= 198 ORDER BY uuid")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == (50L until 100L).map(i => i -> i * 2))
+    val (kept, total) = GraftSource.lastPrune.get
+    assert(total == 8 && kept <= 2, s"range must prune: $kept/$total")
+    // equality predicate: Bloom pruning path
+    val one = spark.sql("SELECT tag FROM graft_t WHERE uuid = 420")
+      .as[String].collect().toSeq
+    assert(one == Seq("x"))
+    val (keptEq, totalEq) = GraftSource.lastPrune.get
+    assert(totalEq == 8 && keptEq <= 2, s"eq must prune: $keptEq/$totalEq")
+    // column pruning reaches the scan: a COUNT(*) still counts rows
+    assert(spark.sql("SELECT COUNT(*) FROM graft_t").head().getLong(0) == 800L)
+  }
+
+  test("SaveMode contracts: errorifexists refuses, ignore leaves intact") {
+    val root = tmpDir("graft_src_mode_")
+    rows(0 until 10).write.format("graft")
+      .option("root", root).option("table", "t")
+      .mode("errorifexists").save()
+    intercept[IllegalArgumentException] {
+      rows(0 until 10).write.format("graft")
+        .option("root", root).option("table", "t")
+        .mode("errorifexists").save()
+    }
+    rows(90 until 95).write.format("graft")
+      .option("root", root).option("table", "t").mode("ignore").save()
+    assert(spark.read.format("graft").option("root", root)
+      .option("table", "t").load().count() == 10)
+    // missing options refuse loudly
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("root", root).load()
+    }
+    // missing table refuses loudly at read
+    intercept[java.util.NoSuchElementException] {
+      spark.read.format("graft").option("root", root)
+        .option("table", "ghost").load().schema
+    }
+  }
+}
