@@ -1527,6 +1527,35 @@ class SnapshotBucketedStore(
     else Some(readDirs(all))
   }
 
+  /** Commit HISTORY as a queryable frame (the `DESCRIBE HISTORY`
+    * answer): one row per retained snapshot — version, the streaming
+    * batch mark, bucket/log generation counts, and the row count
+    * served from the manifest's recorded per-dir counts (X214; null
+    * for legacy manifests with unstatted live dirs — the shared
+    * honest degrade, never a wrong number). Metadata-only: the audit
+    * of a 100 TB table's whole lifetime costs its manifest files.
+    * None when the table doesn't exist. */
+  def history(name: String): Option[DataFrame] = {
+    val vs = snapshots(name)
+    if (vs.isEmpty) return None
+    val rows = vs.flatMap(manifestAt(name, _)).map { m =>
+      val live = (m.buckets.values ++ m.logs).toSeq
+      val n: Option[Long] =
+        if (live.forall(m.rows.contains)) Some(live.map(m.rows).sum) else None
+      org.apache.spark.sql.Row(m.version, m.lastBatch.map(Long.box).orNull,
+        m.buckets.size, m.logs.size, n.map(Long.box).orNull)
+    }
+    import org.apache.spark.sql.types._
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("last_batch", LongType),
+        StructField("n_buckets", IntegerType, nullable = false),
+        StructField("n_logs", IntegerType, nullable = false),
+        StructField("row_count", LongType)))))
+  }
+
   /** Committed snapshot versions still on disk, ascending. What's
     * listable is what [[vacuum]]'s retention window kept — retention
     * IS the time-travel horizon. */

@@ -6590,6 +6590,32 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Table history (SnapshotBucketedStore.history, X225 — the
+    * DESCRIBE HISTORY answer, metadata-only): one row per retained
+    * snapshot of the q169 store's 3-commit lifetime (full load →
+    * revision wave → GDPR delete), row counts served from the
+    * manifest's recorded per-dir counts. The oracle recomputes each
+    * version's cardinality in plain SQL from the replicated commit
+    * history — the lineage ledger is data, not trust. */
+  val tableHistoryQ = GraftQuery(
+    "q174_table_history",
+    (s, d) => {
+      val store = metaAggStore(s, d)
+      store.history("t").get
+        .select(col("version"), col("row_count"))
+        .orderBy(col("version"))
+    },
+    Some("""
+      WITH v0 AS (SELECT COUNT(*) AS c FROM documents),
+      v1 AS (SELECT COUNT(*) AS c FROM documents),
+      v2 AS (SELECT COUNT(*) AS c FROM documents WHERE doc_id % 13 <> 0)
+      SELECT 0 AS version, (SELECT c FROM v0) AS row_count
+      UNION ALL SELECT 1, (SELECT c FROM v1)
+      UNION ALL SELECT 2, (SELECT c FROM v2)
+      ORDER BY version
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6702,5 +6728,6 @@ object LlmCatalog {
     blocklistScreenQ,
     cloneForkQ,
     blocklistRedactQ,
+    tableHistoryQ,
   )
 }

@@ -132,6 +132,26 @@ class MetadataQuantilesSpec extends SparkSpec {
     }
   }
 
+  test("history ledger: one row per retained snapshot, metadata-only counts") {
+    val root = tmpDir("graft_hist_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", rows(0 until 100), "uuid")
+    store.upsertWithBatch("t", rows(100 until 120), "uuid", batchId = 7L)
+    store.delete("t", "uuid", (0L until 10L).toDF("uuid"))
+    val h = store.history("t").get
+      .orderBy("version")
+      .collect()
+      .map(r => (r.getInt(0), Option(r.get(1)), r.getLong(4)))
+    assert(h.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(h.map(_._3).toSeq == Seq(100L, 120L, 110L))
+    assert(h(1)._2.contains(7L), "batch mark must surface in the ledger")
+    // vacuum trims the horizon; the ledger follows
+    store.vacuum("t", retainSnapshots = 1)
+    assert(store.history("t").get.count() == 1)
+    assert(store.history("ghost").isEmpty)
+  }
+
   test("undeclared / non-numeric columns and legacy manifests degrade to None") {
     val root = tmpDir("graft_qsk_none_")
     implicit val s = spark
