@@ -45,9 +45,51 @@ import org.apache.spark.sql.types.StructType
 class GraftSource
     extends RelationProvider
     with CreatableRelationProvider
+    with StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** `df.writeStream.format("graft")` — the store as a STREAMING
+    * sink with the exactly-once discipline built in: each epoch's
+    * batchId rides the store's atomic batch mark
+    * ([[TableStore.appendIfNew]] / keyed
+    * [[SnapshotBucketedStore.upsertWithBatch]] with a `key` option),
+    * so a crash between the store commit and the streaming
+    * checkpoint commit replays the epoch and the store recognizes
+    * and skips it — the [[graft.streaming.CorpusIntake]] foreachBatch
+    * discipline, reachable through the standard API with zero user
+    * code. Complete mode maps to atomic [[TableStore.replace]]
+    * (replaying a replace of the same complete result is idempotent
+    * by value). */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val (store, table) = storeOf(sqlContext, parameters)
+    val key = parameters.get("key")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long,
+          data: DataFrame): Unit = {
+        val spark = sqlContext.sparkSession
+        // detach from the epoch's IncrementalExecution: copy the
+        // internal rows into a fresh batch frame the store can plan
+        // actions over (the ForeachBatchSink technique)
+        val rows = data.queryExecution.toRdd.mapPartitions(_.map(_.copy()))
+        val fresh = org.apache.spark.sql.GraftBridge
+          .internalCreateDataFrame(spark, rows, data.schema)
+        implicit val s = spark
+        if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
+          store.replace(table, fresh)
+        else key match {
+          case Some(k) => store.upsertWithBatch(table, fresh, k, batchId): Unit
+          case None => store.appendIfNew(table, fresh, batchId): Unit
+        }
+      }
+      override def toString: String = s"GraftSink(table=$table)"
+    }
+  }
 
   private def storeOf(sqlContext: SQLContext,
       parameters: Map[String, String]): (SnapshotBucketedStore, String) = {

@@ -64,6 +64,41 @@ class GraftSourceSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) FROM graft_t").head().getLong(0) == 800L)
   }
 
+  test("streaming sink: writeStream.format(graft) is exactly-once keyed") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("graft_src_stream_")
+    val input = MemoryStream[(Long, Long, String)]
+    val docs = input.toDF().toDF("uuid", "v", "tag")
+    def drain(): Unit = {
+      val q = docs.writeStream.format("graft")
+        .option("checkpointLocation", s"$root/ckpt")
+        .option("root", root).option("table", "t").option("key", "uuid")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    input.addData((1L, 10L, "a"), (2L, 20L, "a"))
+    drain()
+    input.addData((2L, 21L, "b"), (3L, 30L, "b")) // revises key 2
+    drain()
+    val m = spark.read.format("graft").option("root", root)
+      .option("table", "t").load()
+      .select("uuid", "v", "tag").as[(Long, Long, String)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m == Map(1L -> ((10L, "a")), 2L -> ((21L, "b")), 3L -> ((30L, "b"))))
+    // a third drain with no new data commits nothing new
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 64)
+    val versionsBefore = store.snapshots("t")
+    drain()
+    assert(store.snapshots("t") == versionsBefore,
+      "an empty drain must not commit a generation")
+  }
+
   test("SaveMode contracts: errorifexists refuses, ignore leaves intact") {
     val root = tmpDir("graft_src_mode_")
     rows(0 until 10).write.format("graft")
