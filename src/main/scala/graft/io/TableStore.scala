@@ -313,7 +313,8 @@ class SnapshotBucketedStore(
     keyExpectedItems: Long = 10000L,
     clusterColumn: Option[String] = None,
     ndvColumns: Seq[String] = Nil,
-    quantileColumns: Seq[String] = Nil)(
+    quantileColumns: Seq[String] = Nil,
+    sortColumns: Seq[String] = Nil)(
     implicit val spark: SparkSession)
     extends TableStore {
 
@@ -416,8 +417,28 @@ class SnapshotBucketedStore(
     }.reduce(_ unionByName _)
   }
 
+  /** WITHIN-FILE sort order ([[sortColumns]] — the Delta
+    * OPTIMIZE-style layout knob at write time): rows sort WITHIN
+    * tasks by (bucket, sortColumns∩schema) before every data write,
+    * so each parquet file's row groups and pages carry TIGHT min/max
+    * on those columns and the format's own predicate pushdown skips
+    * inside files — the third pruning tier under the manifest's
+    * dir-level stats (X165/X184) and Blooms (X185). Pure layout:
+    * zero extra shuffle (sortWithinPartitions is narrow), no
+    * manifest record, no read-path change, and absent columns are
+    * ignored (a table whose schema predates the knob still writes). */
+  private def sortedForWrite(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val cols = sortColumns.filter(df.columns.contains)
+    if (cols.isEmpty) df
+    else {
+      val keys = (if (df.columns.contains(BucketCol)) Seq(BucketCol) else Nil) ++ cols
+      df.sortWithinPartitions(keys.map(col): _*)
+    }
+  }
+
   private def writeDir(df: DataFrame, dest: String): Unit =
-    df.write.mode(SaveMode.Overwrite).format(fmt).save(dest)
+    sortedForWrite(df).write.mode(SaveMode.Overwrite).format(fmt).save(dest)
   private val BucketCol = "graft_bucket"
   private def tableDir(name: String) = new Path(s"$root/$name")
   private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2133,7 +2154,7 @@ class SnapshotBucketedStore(
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
       else readDirs(existingDirs)
     val merged = withBucket(graft.ops.Upsert.upsert(existing, incoming, key), key)
-    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
+    sortedForWrite(merged).write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
     // per-bucket data-skipping stats + key Blooms, ONE grouped agg
     // over the stage (before the renames — the staged layout still
     // carries the bucket partition column)
@@ -2196,7 +2217,7 @@ class SnapshotBucketedStore(
     val bucketed = withBucket(df, key)
     val touched = bucketed
       .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
-    bucketed.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+    sortedForWrite(bucketed).write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .format(fmt).save(stage.toString)
     val stageMeta = metaForStage(stage.toString)
     f.mkdirs(new Path(tableDir(name), "data"))
@@ -2307,7 +2328,7 @@ class SnapshotBucketedStore(
       keyCol)
     val stage = new Path(tableDir(name), s"stage-$v")
     val f = fs(stage)
-    remaining.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
+    sortedForWrite(remaining).write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
     val stageMeta = metaForStage(stage.toString)
     f.mkdirs(new Path(tableDir(name), "data"))
     // a touched bucket may become empty (every row deleted): it then
