@@ -182,9 +182,12 @@ class GraftRelation(
     * apply their own residual predicate on survivors). */
   private def prunedRead(filters: Array[Filter]): DataFrame = {
     val eqs = filters.collect { case EqualTo(c, v) => (c, v) }
+    val ins = filters.collect { case In(c, vs) => (c, vs.toSeq) }
     val ranges = rangesOf(filters)
     val base =
       if (eqs.nonEmpty) store.readWhereEq(table, eqs.head._1, eqs.head._2)
+      else if (ins.nonEmpty) // multi-probe Bloom: superset, Spark re-filters
+        store.readWhereEqAny(table, ins.head._1, ins.head._2)
       else if (ranges.nonEmpty) store.readWhereAll(table, ranges)
       else store.read(table)
     base.getOrElse(throw new java.util.NoSuchElementException(
@@ -193,8 +196,10 @@ class GraftRelation(
 
   private def pruneMetric(filters: Array[Filter]): Option[(Int, Int)] = {
     val eqs = filters.collect { case EqualTo(c, v) => (c, v) }
+    val ins = filters.collect { case In(c, vs) => (c, vs.toSeq) }
     val ranges = rangesOf(filters)
     if (eqs.nonEmpty) store.pruneEqStats(table, eqs.head._1, eqs.head._2)
+    else if (ins.nonEmpty) store.pruneEqAnyStats(table, ins.head._1, ins.head._2)
     else if (ranges.nonEmpty) store.pruneStatsAll(table, ranges)
     else None
   }

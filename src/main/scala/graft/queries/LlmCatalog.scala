@@ -6616,6 +6616,36 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Random sign projection (llm/Projection, X227 — Achlioptas'
+    * database-friendly JL family): 64-dim embeddings down to 16 via
+    * a deterministic ±1 matrix (md5 parity of "j_i" — regenerated in
+    * SQL, never trusted), scaled 1/√16 = 0.25 (exact in IEEE). Both
+    * engines compute the identical sequential double dot
+    * (graft_dot ≡ list_dot_product, the q07-proven equivalence), so
+    * every projected coordinate is hash-pinned bit-for-bit. */
+  val signProjectionQ = GraftQuery(
+    "q175_sign_projection",
+    (s, d) =>
+      graft.llm.Projection.project(embeddings(s, d), "vec_id", "embedding",
+          k = 16, d = 64)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("j", "v")))
+        .orderBy(col("vec_id"), col("j")),
+    Some("""
+      WITH s AS MATERIALIZED (
+        SELECT j.j,
+               list(CASE WHEN ('0x'||substr(md5(j.j||'_'||i.i),1,7))::BIGINT
+                              % 2 = 0
+                         THEN 1.0 ELSE -1.0 END ORDER BY i.i) AS signs
+        FROM generate_series(0, 15) j(j), generate_series(0, 63) i(i)
+        GROUP BY j.j
+      )
+      SELECT e.vec_id, CAST(s.j AS INT) AS j,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), s.signs) * 0.25 AS v
+      FROM embeddings e, s
+      ORDER BY e.vec_id, j
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6729,5 +6759,6 @@ object LlmCatalog {
     cloneForkQ,
     blocklistRedactQ,
     tableHistoryQ,
+    signProjectionQ,
   )
 }

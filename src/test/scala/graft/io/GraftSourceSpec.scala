@@ -60,6 +60,13 @@ class GraftSourceSpec extends SparkSpec {
     assert(one == Seq("x"))
     val (keptEq, totalEq) = GraftSource.lastPrune.get
     assert(totalEq == 8 && keptEq <= 2, s"eq must prune: $keptEq/$totalEq")
+    // IN-list predicate: multi-probe Bloom pruning path
+    val two = spark.sql(
+      "SELECT uuid FROM graft_t WHERE uuid IN (5, 505) ORDER BY uuid")
+      .as[Long].collect().toSeq
+    assert(two == Seq(5L, 505L))
+    val (keptIn, totalIn) = GraftSource.lastPrune.get
+    assert(totalIn == 8 && keptIn <= 4, s"IN must prune: $keptIn/$totalIn")
     // column pruning reaches the scan: a COUNT(*) still counts rows
     assert(spark.sql("SELECT COUNT(*) FROM graft_t").head().getLong(0) == 800L)
   }
