@@ -142,5 +142,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         },
       )
     )
+    // graft_kll_quantile(sketch, p): serve a rank from a recorded
+    // KLL image — the read half of graft_kll_sketch
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_kll_quantile"),
+        new ExpressionInfo(classOf[graft.expr.KllQuantile].getName,
+          "graft_kll_quantile"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 2,
+            "usage: graft_kll_quantile(sketch, rank)")
+          graft.expr.KllQuantile(exprs(0), exprs(1))
+        },
+      )
+    )
   }
 }

@@ -100,7 +100,72 @@ case class KllSketchAgg(
     copy(child = newChildren(0))
 }
 
+/** Scalar serve of a KLL sketch image: `graft_kll_quantile(sketch,
+  * p)` → the sketch's value at normalized rank p — the read half of
+  * the [[KllSketchAgg]] workflow, so GROUP-BY quantile dashboards
+  * stay in one SQL text:
+  *
+  *   SELECT grp, graft_kll_quantile(graft_kll_sketch(v), 0.5)
+  *   FROM t GROUP BY grp
+  *
+  * Same honesty as the aggregate: the served value carries the
+  * sketch's ~1.65%-rank-error band and the image itself is
+  * randomized — spec assertions are bands, never bits. Empty sketch
+  * (all-null input) → null (no data, no order statistic). */
+case class KllQuantile(
+    left: Expression,
+    right: Expression,
+) extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "graft_kll_quantile"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"expects (binary sketch, double rank), got ($l, $r)")
+    }
+
+  override protected def nullSafeEval(img: Any, p: Any): Any =
+    compute(img.asInstanceOf[Array[Byte]], p.asInstanceOf[Double])
+
+  def compute(img: Array[Byte], rank: Double): java.lang.Double = {
+    if (rank < 0.0 || rank > 1.0)
+      throw new IllegalArgumentException(s"rank must be in [0, 1]: $rank")
+    val s = KllDoublesSketch.heapify(Memory.wrap(img))
+    if (s.isEmpty) null else java.lang.Double.valueOf(s.getQuantile(rank))
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode,
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("kllQuantile", this,
+      classOf[KllQuantile].getName)
+    nullSafeCodeGen(ctx, ev, (img, p) => s"""
+      java.lang.Double ${ev.value}Boxed = $ref.compute($img, $p);
+      if (${ev.value}Boxed == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}Boxed.doubleValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllQuantile =
+    copy(left = newLeft, right = newRight)
+}
+
 object KllSketchAgg {
+
+  /** Column form of [[KllQuantile]]. */
+  def kllQuantile(sketch: org.apache.spark.sql.Column,
+      p: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftBridge.{toColumn, toExpr}
+    toColumn(KllQuantile(toExpr(sketch), toExpr(p)))
+  }
 
   /** The DataSketches default accuracy point: ~1.65% normalized rank
     * error at 99% confidence, ~3 KB serialized at stream lengths the

@@ -723,6 +723,71 @@ object Multimodal {
     }
   }
 
+  /** Deterministic BILINEAR image resize (the preprocessing step a
+    * multimodal training pipeline runs on every image: normalize to
+    * the model's input resolution): decode via the JDK registry,
+    * hand-rolled center-aligned bilinear sampling (NOT Graphics2D —
+    * its interpolation is renderer-dependent; this loop is fixed
+    * double arithmetic, so the SAME bytes resize to the SAME bytes
+    * on every executor and replay — the [[MediaDecoder]] determinism
+    * contract), re-encoded as PNG (lossless, deterministic writer).
+    * Pure per-payload map work; None for undecodable bytes. The
+    * quality argument is spec-pinned where it matters for dedup: a
+    * 2× downscale moves the [[dctHash]] only a few bits (coarse
+    * spatial frequencies survive resampling), so near-dup pairing
+    * still catches resized copies — the reason pipelines hash AFTER
+    * normalization. */
+  def resizeBilinear(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    require(w >= 1 && h >= 1, s"target dims must be >= 1: ${w}x$h")
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val sw = im.getWidth
+      val sh = im.getHeight
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        val fy = (y + 0.5) * sh / h - 0.5
+        val y0 = math.max(0, math.min(sh - 1, math.floor(fy).toInt))
+        val y1 = math.min(sh - 1, y0 + 1)
+        val wy = math.max(0.0, math.min(1.0, fy - y0))
+        var x = 0
+        while (x < w) {
+          val fx = (x + 0.5) * sw / w - 0.5
+          val x0 = math.max(0, math.min(sw - 1, math.floor(fx).toInt))
+          val x1 = math.min(sw - 1, x0 + 1)
+          val wx = math.max(0.0, math.min(1.0, fx - x0))
+          val p00 = im.getRGB(x0, y0); val p10 = im.getRGB(x1, y0)
+          val p01 = im.getRGB(x0, y1); val p11 = im.getRGB(x1, y1)
+          def ch(s: Int): Int = {
+            val v =
+              ((p00 >> s) & 0xff) * (1 - wx) * (1 - wy) +
+                ((p10 >> s) & 0xff) * wx * (1 - wy) +
+                ((p01 >> s) & 0xff) * (1 - wx) * wy +
+                ((p11 >> s) & 0xff) * wx * wy
+            math.max(0, math.min(255, math.round(v).toInt))
+          }
+          out.setRGB(x, y, (ch(16) << 16) | (ch(8) << 8) | ch(0))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Frame form: every image payload resized to (w, h) PNG;
+    * undecodable payloads drop (the quarantine-upstream contract). */
+  def resizeImages(ds: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions(_.flatMap(r =>
+      resizeBilinear(r.bytes, w, h).map(b => r.copy(bytes = b))))
+  }
+
   /** DCT-hash table → (media_id, dhash) for image payloads;
     * undecodable payloads drop. The [[imageHashes]] discipline on the
     * [[dctHash]] tier — persist beside the media or feed straight to

@@ -55,6 +55,29 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(KllSketchAgg.mergeImages(Seq(img2), k = 128).get.getN == 1000L)
   }
 
+  test("graft_kll_quantile serves per-group medians in one SQL text") {
+    spark.range(0, 2000)
+      .selectExpr("id % 2 AS grp", "CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("kllq_in")
+    val got = spark.sql(
+      "SELECT grp, graft_kll_quantile(graft_kll_sketch(v), 0.5d) AS med " +
+        "FROM kllq_in GROUP BY grp ORDER BY grp")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // evens' median ≈ 999±, odds' ≈ 1000± — band assertion (KLL)
+    assert(math.abs(got(0L) - 999.0) < 120.0, got(0L).toString)
+    assert(math.abs(got(1L) - 1000.0) < 120.0, got(1L).toString)
+    // empty sketch serves null
+    val n = spark.sql(
+      "SELECT graft_kll_quantile(graft_kll_sketch(CAST(NULL AS DOUBLE)), 0.5d)")
+      .collect().head
+    assert(n.isNullAt(0))
+    // out-of-range rank refuses
+    intercept[Exception] {
+      spark.sql("SELECT graft_kll_quantile(graft_kll_sketch(1.0d), 1.5d)")
+        .collect()
+    }
+  }
+
   test("unknown function still errors (registry not overreaching)") {
     intercept[AnalysisException] {
       spark.sql("SELECT graft_nope(1)").collect()

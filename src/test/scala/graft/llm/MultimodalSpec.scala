@@ -685,4 +685,60 @@ class MultimodalSpec extends SparkSpec {
     // 4 shared frames of 6 distinct: jaccard 2/3
     assert(math.abs(pairs.head._3 - 4.0 / 6.0) < 1e-12, pairs.head._3.toString)
   }
+
+  test("bilinear resize: deterministic, exact dims, pHash survives downscale") {
+    import java.awt.image.BufferedImage
+    val spark2 = spark
+    import spark2.implicits._
+    def textured(seed: Int, n: Int): BufferedImage = {
+      val img = new BufferedImage(n, n, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until n; x <- 0 until n) {
+        var s = 128.0
+        for (u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0) {
+          val m = (u * 31 + v * 17 + seed * 29) % 22
+          val amp = (if ((u * 7 + v * 13 + seed) % 2 == 0) 1 else -1) * (4 + m) / 8.0
+          s += amp * math.cos((2 * x + 1) * u * math.Pi / (2.0 * n)) *
+            math.cos((2 * y + 1) * v * math.Pi / (2.0 * n))
+        }
+        val p = math.max(0, math.min(255, s.toInt))
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+      }
+      img
+    }
+    def enc(img: BufferedImage): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val big = enc(textured(0, 64))
+    val down = Multimodal.resizeBilinear(big, 32, 32).get
+    // exact output dims; deterministic bytes
+    val meta = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(down))
+    assert(meta.getWidth == 32 && meta.getHeight == 32)
+    assert(java.util.Arrays.equals(down,
+      Multimodal.resizeBilinear(big, 32, 32).get))
+    // coarse spatial frequencies survive resampling: the pHash of the
+    // downscaled copy stays near, while a different spectrum sits far
+    val h0 = Multimodal.dctHash(big).get
+    val hD = Multimodal.dctHash(down).get
+    val other = Multimodal.dctHash(enc(textured(3, 32))).get
+    val near = java.lang.Long.bitCount(h0 ^ hD)
+    val far = java.lang.Long.bitCount(h0 ^ other)
+    assert(near <= 10, s"downscale moved pHash $near bits")
+    assert(far >= 24, s"different spectrum must stay far, got $far")
+    // frame form drops undecodables and keeps ids
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "image", big, "mem://big"),
+      Multimodal.MediaRecord(2L, "image", Array[Byte](1, 2, 3), "mem://junk"),
+    ).toDS()
+    val resized = Multimodal.resizeImages(ds, 16, 16).collect()
+    assert(resized.map(_.media_id).toSeq == Seq(1L))
+    // upscale works too (interpolated, no crash, right dims)
+    val up = Multimodal.resizeBilinear(enc(textured(0, 16)), 48, 48).get
+    val upMeta = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(up))
+    assert(upMeta.getWidth == 48 && upMeta.getHeight == 48)
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeBilinear(big, 0, 10)
+    }
+  }
 }
