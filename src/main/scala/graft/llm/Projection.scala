@@ -53,4 +53,69 @@ object Projection {
   def project(df: DataFrame, idCol: String, vecCol: String,
       k: Int, d: Int, outCol: String = "proj"): DataFrame =
     df.select(col(idCol), projectColumn(col(vecCol), k, d).as(outCol))
+
+  /** Projected-pool ANN with EXACT re-rank — the X191 recipe with the
+    * JL projection as the cheap tier: score candidates by cosine in
+    * `projK` dims (a projK/d-sized dot per pair — the bandwidth and
+    * FLOP win), keep a `poolK`-wide pool per query
+    * ([[graft.expr.TopKAgg]], map-side k-reduction), then re-rank
+    * ONLY the pool by full-dimension cosine (two id-keyed hash joins
+    * fetch exactly the |queries|·poolK vectors that need precision —
+    * the corpus floats are never scanned wholesale a second time).
+    * Candidates come from the same coarse-cell equi-join as
+    * [[Similarity.topKWithinLabel]] (`labelCol`) — never all-pairs.
+    * Recall honesty: the projection misorders near-ties (JL is a
+    * (1±ε) guarantee, not an ordering one), so pool wider than you
+    * serve: the spec pins recall@k monotone in poolK with the
+    * corpus-wide pool ≡ exact search. Fully deterministic — the
+    * matrix is the md5-parity constant, sims tie-break (sim DESC,
+    * id ASC), and every arithmetic step is a fixed-shape IEEE
+    * expression both engines share (the q175/q07-proven pair). */
+  def annProjectedRerank(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int,
+      poolK: Int,
+      projK: Int,
+      d: Int,
+      queryPred: Column,
+  ): DataFrame = {
+    require(poolK >= k, s"pool must be at least k: poolK=$poolK k=$k")
+    val e = col(vecCol).cast("array<double>")
+    val base = df.select(
+      col(idCol).as("id"), col(labelCol).as("lbl"),
+      e.as("e"), Similarity.l2norm(e).as("nrm"),
+      projectColumn(col(vecCol), projK, d).as("p"))
+      .withColumn("pnrm", Similarity.l2norm(col("p")))
+    val queries = df.filter(queryPred).select(col(idCol).as("qid"))
+    val qSide = base.join(queries, col("id") === col("qid"), "left_semi")
+    // stage 1: projected-cosine pool, per-query TopKAgg k-reduction
+    val pool = qSide.as("q")
+      .join(base.as("c"),
+        col("q.lbl") === col("c.lbl") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        (Similarity.dot(col("q.p"), col("c.p")) /
+          (col("q.pnrm") * col("c.pnrm"))).as("psim"))
+      .groupBy(col("query_id"))
+      .agg(graft.expr.TopKAgg.topK(col("psim"),
+        struct(col("neighbor_id"), col("psim")), poolK).as("graft_pool_"))
+      .select(col("query_id"),
+        explode(col("graft_pool_.neighbor_id")).as("neighbor_id"))
+    // stage 2: exact full-dim re-rank of the pool only
+    val vecs = base.select(col("id"), col("e"), col("nrm"))
+    pool
+      .join(vecs.as("qv"), col("query_id") === col("qv.id"))
+      .join(vecs.as("cv"), col("neighbor_id") === col("cv.id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (Similarity.dot(col("qv.e"), col("cv.e")) /
+          (col("qv.nrm") * col("cv.nrm"))).as("sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.expr.TopKAgg.topK(col("sim"),
+        struct(col("neighbor_id"), col("sim")), k).as("graft_top_"))
+      .select(col("query_id"), posexplode(col("graft_top_")).as(Seq("graft_r_", "x")))
+      .select(col("query_id"), col("x.neighbor_id").as("neighbor_id"),
+        col("x.sim").as("sim"), (col("graft_r_") + 1).cast("int").as("rank"))
+  }
 }

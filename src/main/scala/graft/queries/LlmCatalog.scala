@@ -6646,6 +6646,73 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Projected-pool ANN with exact re-rank (Projection
+    * .annProjectedRerank, X229 — the JL projection as the cheap
+    * search tier, X191's re-rank discipline on top): pool by cosine
+    * in 16 projected dims, re-rank the pool by full 64-dim cosine.
+    * The oracle replays the WHOLE chain — matrix regeneration,
+    * projection, projected-cosine pool pick, exact re-rank — so the
+    * recall trade is pinned where it lives (the pool boundary), not
+    * trusted. */
+  val projectedRerankQ = GraftQuery(
+    "q176_projected_rerank",
+    (s, d) =>
+      graft.llm.Projection.annProjectedRerank(embeddings(s, d),
+          "vec_id", "embedding", "label",
+          k = 4, poolK = 8, projK = 16, d = 64,
+          queryPred = col("vec_id") % 25 === 0)
+        .orderBy(col("query_id"), col("rank")),
+    Some("""
+      WITH s AS MATERIALIZED (
+        SELECT j.j,
+               list(CASE WHEN ('0x'||substr(md5(j.j||'_'||i.i),1,7))::BIGINT
+                              % 2 = 0
+                         THEN 1.0 ELSE -1.0 END ORDER BY i.i) AS signs
+        FROM generate_series(0, 15) j(j), generate_series(0, 63) i(i)
+        GROUP BY j.j
+      ),
+      v AS MATERIALIZED (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+      ),
+      p AS MATERIALIZED (
+        SELECT v.vec_id,
+               list(list_dot_product(v.e, s.signs) * 0.25 ORDER BY s.j) AS p
+        FROM v, s GROUP BY v.vec_id
+      ),
+      pn AS MATERIALIZED (
+        SELECT vec_id, p, sqrt(list_dot_product(p, p)) AS pnrm FROM p
+      ),
+      pool AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(qp.p, cp.p)
+                              / (qp.pnrm * cp.pnrm) DESC,
+                            c.vec_id) AS rnk
+          FROM v q
+          JOIN v c ON q.label = c.label AND q.vec_id <> c.vec_id
+          JOIN pn qp ON qp.vec_id = q.vec_id
+          JOIN pn cp ON cp.vec_id = c.vec_id
+          WHERE q.vec_id % 25 = 0
+        ) WHERE rnk <= 8
+      )
+      SELECT query_id, neighbor_id, sim, CAST(rnk AS INT) AS rank FROM (
+        SELECT pool.query_id, pool.neighbor_id,
+               list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY pool.query_id
+                 ORDER BY list_dot_product(qv.e, cv.e) / (qv.nrm * cv.nrm) DESC,
+                          pool.neighbor_id) AS rnk
+        FROM pool
+        JOIN v qv ON qv.vec_id = pool.query_id
+        JOIN v cv ON cv.vec_id = pool.neighbor_id
+      ) WHERE rnk <= 4
+      ORDER BY query_id, rank
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6760,5 +6827,6 @@ object LlmCatalog {
     blocklistRedactQ,
     tableHistoryQ,
     signProjectionQ,
+    projectedRerankQ,
   )
 }

@@ -59,6 +59,34 @@ class ProjectionSpec extends SparkSpec {
     assert(math.abs(meanSelf - 1.0) < 0.3, s"mean self-norm² drifted: $meanSelf")
   }
 
+  test("projected-rerank ANN: recall monotone in pool, full pool ≡ exact") {
+    val d = 64
+    val rnd = new scala.util.Random(5)
+    // clustered vectors so neighborhoods are meaningful
+    val centers = Array.fill(4)(Array.fill(d)(rnd.nextGaussian()))
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      val raw = c.zip(Array.fill(d)(rnd.nextGaussian() * 0.3)).map(t => t._1 + t._2)
+      val n = math.sqrt(raw.map(x => x * x).sum)
+      (i.toLong, raw.map(x => (x / n).toFloat), i % 2) // 2 label cells
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val pred = col("vec_id") % 10 === 0
+    val exact = Similarity.topKWithinLabel(df, "vec_id", "embedding", "label",
+        k = 5, queryPred = pred)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def servedAt(poolK: Int): Set[(Long, Long)] =
+      Projection.annProjectedRerank(df, "vec_id", "embedding", "label",
+          k = 5, poolK = poolK, projK = 16, d = d, queryPred = pred)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val r8 = (servedAt(8) intersect exact).size.toDouble / exact.size
+    val r20 = (servedAt(20) intersect exact).size.toDouble / exact.size
+    assert(r20 >= r8, s"recall must not fall as the pool widens: $r8 -> $r20")
+    assert(r8 > 0.5, s"projected pool at 8 should already recall half: $r8")
+    // corpus-wide pool: stage 1 cannot lose anyone → exact equality
+    assert(servedAt(120) == exact, "full pool must reproduce exact search")
+  }
+
   test("contracts refuse: bad dims") {
     intercept[IllegalArgumentException] {
       Projection.projectColumn(col("e"), 0, 8)
