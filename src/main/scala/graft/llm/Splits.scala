@@ -379,6 +379,42 @@ object Splits {
       .drop("cum", "graft_a_", "graft_b_")
   }
 
+  /** Weighted PRIORITY sample without replacement (Efraimidis &
+    * Spirakis 2006, the one-pass weighted-reservoir rule): every row
+    * draws a deterministic uniform u from the md5 family
+    * (u = (hash28(id‖salt) + 0.5) / 2²⁸ ∈ (0,1)) and is keyed by
+    * ln(u)/w — the monotone-log form of the paper's u^(1/w) — and the
+    * k LARGEST keys win. The paper's guarantee: inclusion follows the
+    * sequential weighted draw without replacement (P(i drawn first) =
+    * wᵢ/Σw, then recurse), so heavy rows are proportionally favored
+    * but never certain — the weighted subsample a corpus mixer wants
+    * when quality/length should BIAS, not dictate. Deterministic per
+    * (id, salt): replays identically across runs and engines (the
+    * fixed dyadic u's log is equally well-conditioned in both — the
+    * q71 discipline); vary `salt` for fresh draws. Selection is ONE
+    * global [[graft.expr.TopKAgg]] — map-side k-reduction, the
+    * exchange carries O(k) per mapper, never the corpus; non-positive
+    * weights are excluded (u^(1/w) is undefined there — stated, not
+    * silent: they can never win anyway). */
+  def weightedPrioritySample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "",
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (TextOps.hash28(concat(col(idCol).cast("string"), lit(salt)))
+      .cast("double") + lit(0.5)) / lit(268435456.0) // 2^28
+    val key = log(u) / col(weightCol).cast("double")
+    val picked = df.filter(col(weightCol) > 0)
+      .select(col(idCol).as("graft_id_"), key.as("graft_key_"))
+      .agg(graft.expr.TopKAgg.topK(col("graft_key_"), col("graft_id_"), k)
+        .as("graft_ids_"))
+      .select(explode(col("graft_ids_")).as(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
+
   /** Exact integer square root of a non-negative long column that
     * fits in a double's 53-bit mantissa (required and guarded by the
     * CALLER — above 2⁵³ the seed itself is unrepresentable). IEEE

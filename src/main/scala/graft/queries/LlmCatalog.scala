@@ -6713,6 +6713,33 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Weighted priority sample (Splits.weightedPrioritySample, X230 —
+    * Efraimidis–Spirakis 2006): 50 documents drawn without
+    * replacement with n_chars as mass, keys ln(u)/w over md5-derived
+    * dyadic uniforms. The oracle replays the draw — uniform, log key,
+    * ROW_NUMBER top-k with the (key DESC, id ASC) tie rule — so the
+    * selection law itself is hash-pinned, not trusted. */
+  val weightedSampleQ = GraftQuery(
+    "q177_weighted_sample",
+    (s, d) =>
+      graft.llm.Splits.weightedPrioritySample(
+          documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", k = 50)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln((('0x'||substr(md5(doc_id::VARCHAR),1,7))::BIGINT + 0.5)
+                    / 268435456.0)
+                 / CAST(n_chars AS DOUBLE) AS key
+        FROM documents WHERE n_chars > 0
+      )
+      SELECT doc_id, n_chars FROM keyed
+      QUALIFY ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) <= 50
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6828,5 +6855,6 @@ object LlmCatalog {
     tableHistoryQ,
     signProjectionQ,
     projectedRerankQ,
+    weightedSampleQ,
   )
 }

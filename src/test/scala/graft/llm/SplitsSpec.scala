@@ -310,6 +310,35 @@ class SplitsSpec extends SparkSpec {
     }
   }
 
+  test("weightedPrioritySample: deterministic, weight-biased, exact edges") {
+    val df = (1L to 200L).map(i => (i, if (i <= 20) 50L else 1L))
+      .toDF("doc_id", "w")
+    // deterministic: same (data, salt) → same set, twice
+    val s1 = Splits.weightedPrioritySample(df, "doc_id", "w", k = 30)
+      .select("doc_id").as[Long].collect().toSet
+    val s2 = Splits.weightedPrioritySample(df, "doc_id", "w", k = 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 30)
+    // Efraimidis–Spirakis bias: across salts, the 50×-weighted tenth
+    // is picked far above its uniform share
+    val heavyRate = (0 until 8).map { s =>
+      val got = Splits.weightedPrioritySample(df, "doc_id", "w", k = 30,
+        salt = s"s$s").select("doc_id").as[Long].collect()
+      got.count(_ <= 20).toDouble / 30.0
+    }.sum / 8
+    // uniform share would be 10%; with 50× weight expect well over 30%
+    assert(heavyRate > 0.3, s"heavy rows under-sampled: $heavyRate")
+    // k >= survivors returns every positive-weight row; nonpositive drop
+    val edge = Seq((1L, 5L), (2L, 0L), (3L, -4L), (4L, 2L))
+      .toDF("doc_id", "w")
+    val all = Splits.weightedPrioritySample(edge, "doc_id", "w", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(1L, 4L))
+    intercept[IllegalArgumentException] {
+      Splits.weightedPrioritySample(edge, "doc_id", "w", k = 0)
+    }
+  }
+
   test("isqrt: exact at perfect squares, their neighbors, and the 2^53 boundary") {
     // k²−1 must floor to k−1; k² and k²+1 to k — including the largest
     // k whose square still fits the 53-bit caller guard
