@@ -46,9 +46,47 @@ class GraftSource
     extends RelationProvider
     with CreatableRelationProvider
     with StreamSinkProvider
+    with StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (store, table) = storeOf(sqlContext, parameters)
+    (shortName(), schema.getOrElse(
+      store.read(table).map(_.schema).getOrElse(
+        throw new java.util.NoSuchElementException(
+          s"graft table '$table' does not exist (streaming source needs " +
+            "an existing table or an explicit schema)"))))
+  }
+
+  /** `spark.readStream.format("graft")` — the store's CHANGE FEED as
+    * a streaming source: OFFSETS ARE MANIFEST VERSIONS, so a batch is
+    * `appendsSince(startVersion, endVersion)` — the X203 dir-level
+    * capture, which reads only the log generations committed in the
+    * window (never a rescan) and refuses loudly across compaction
+    * (dir-level capture is only sound on compaction-free ranges —
+    * pause compaction on tables being tailed, the documented
+    * contract). The FIRST batch reads the whole table at the
+    * then-latest version (initial load), after which each trigger
+    * ships exactly the new appends. Append-log tables only — the
+    * grain where "new rows" is well-defined without keys; keyed
+    * tables want [[SnapshotBucketedStore.diffVersions]] semantics a
+    * CDC consumer should drive explicitly. Offsets serialize as the
+    * plain version number, so checkpoints survive restarts. */
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val (store, table) = storeOf(sqlContext, parameters)
+    new GraftStreamSource(sqlContext, store, table,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+  }
 
   /** `df.writeStream.format("graft")` — the store as a STREAMING
     * sink with the exactly-once discipline built in: each epoch's
@@ -138,6 +176,69 @@ class GraftSource
     }
     new GraftRelation(sqlContext, store, table)
   }
+}
+
+/** V1 streaming source over one append-log store table (see
+  * [[GraftSource.createSource]] for the contract). */
+class GraftStreamSource(
+    sqlContext: SQLContext,
+    store: SnapshotBucketedStore,
+    table: String,
+    override val schema: StructType,
+) extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private def versionOf(o: V1Offset): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case other => other.json.trim.toInt // SerializedOffset after restart
+  }
+
+  /** AvailableNow fencepost: the version captured when the trigger
+    * started — commits racing the drain wait for the next run. */
+  @volatile private var fence: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    fence = store.snapshots(table).lastOption.map(_.toLong)
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getOffset: Option[V1Offset] = {
+    val latest = store.snapshots(table).lastOption.map(_.toLong)
+    fence match {
+      case Some(f) => latest.map(v => LongOffset(math.min(v, f)))
+      case None => latest.map(LongOffset(_))
+    }
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): org.apache.spark.sql.DataFrame = {
+    val endV = versionOf(end)
+    val spark = sqlContext.sparkSession
+    val batch = start match {
+      // first batch: the whole table as of the end version
+      case None => store.readAt(table, endV)
+      // subsequent: exactly the log dirs committed in (start, end]
+      case Some(s) => store.appendsSince(table, versionOf(s), Some(endV))
+    }
+    val df = batch.getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"graft table '$table' lost versions needed by the stream " +
+          s"(vacuum retention must cover the trigger interval)"))
+    org.apache.spark.sql.GraftBridge.internalCreateStreamingDataFrame(
+      spark,
+      df.queryExecution.toRdd.mapPartitions(_.map(_.copy())),
+      df.schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource(table=$table)"
 }
 
 object GraftSource {

@@ -26,4 +26,13 @@ object GraftBridge {
       rows: RDD[InternalRow],
       schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rows, schema)
+
+  /** STREAMING-flagged variant: what a V1 streaming `Source.getBatch`
+    * must return (MicroBatchExecution rejects non-streaming frames). */
+  def internalCreateStreamingDataFrame(
+      spark: SparkSession,
+      rows: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rows, schema, isStreaming = true)
 }

@@ -106,6 +106,37 @@ class GraftSourceSpec extends SparkSpec {
       "an empty drain must not commit a generation")
   }
 
+  test("streaming source: readStream tails the append log incrementally") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("graft_src_tail_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.append("t", rows(0 until 100))
+    store.append("t", rows(100 until 150))
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", "t").load()
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = b.select("uuid", "v").as[(Long, Long)].collect()
+          seen.synchronized { seen ++= got }: Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain() // initial load: both generations
+    assert(seen.map(_._1).sorted == (0L until 150L))
+    store.append("t", rows(150 until 170))
+    drain() // incremental: ONLY the new generation's rows
+    assert(seen.size == 170, s"expected 170 total, got ${seen.size} (re-read?)")
+    assert(seen.map(_._1).sorted == (0L until 170L))
+    drain() // no new data: nothing arrives
+    assert(seen.size == 170)
+  }
+
   test("SaveMode contracts: errorifexists refuses, ignore leaves intact") {
     val root = tmpDir("graft_src_mode_")
     rows(0 until 10).write.format("graft")
