@@ -137,6 +137,36 @@ class GraftSourceSpec extends SparkSpec {
     assert(seen.size == 170)
   }
 
+  test("lake-to-lake: source → transform → sink, all standard API") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("graft_src_chain_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.append("raw", rows(0 until 100))
+    def pump(): Unit = {
+      // the whole pipeline is declarative: tail raw, filter+project,
+      // keyed exactly-once upsert into clean — zero custom glue
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", "raw").load()
+        .filter(col("v") % 4 === 0)
+        .withColumn("tag", upper(col("tag")))
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$root/ckpt")
+        .option("root", root).option("table", "clean").option("key", "uuid")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pump()
+    store.append("raw", rows(100 until 160))
+    pump()
+    val clean = store.read("clean").get
+      .select("uuid", "tag").as[(Long, String)].collect().toMap
+    // v = uuid*2, v%4==0 ⇔ uuid even; both generations flowed through
+    assert(clean.keySet == (0L until 160L by 2).toSet)
+    assert(clean.values.forall(_ == "X"))
+  }
+
   test("SaveMode contracts: errorifexists refuses, ignore leaves intact") {
     val root = tmpDir("graft_src_mode_")
     rows(0 until 10).write.format("graft")
