@@ -415,6 +415,36 @@ object Splits {
     df.join(picked, Seq(idCol), "left_semi")
   }
 
+  /** Per-group [[weightedPrioritySample]] — the STRATIFIED weighted
+    * draw (k per stratum, weights biasing within each): same
+    * Efraimidis–Spirakis key, one TopKAgg per group key instead of
+    * one global — the grouped aggregate shuffles O(k) per (mapper,
+    * group), so a million strata cost a normal groupBy, never a
+    * per-group job. Groups with fewer than k positive-weight rows
+    * return what they have (the stratum IS small — stated, not
+    * padded). */
+  def weightedSamplePerGroup(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      groupCol: String,
+      kPerGroup: Int,
+      salt: String = "",
+  ): DataFrame = {
+    require(kPerGroup >= 1, s"kPerGroup must be >= 1, got $kPerGroup")
+    val u = (TextOps.hash28(concat(col(idCol).cast("string"), lit(salt)))
+      .cast("double") + lit(0.5)) / lit(268435456.0)
+    val key = log(u) / col(weightCol).cast("double")
+    val picked = df.filter(col(weightCol) > 0)
+      .select(col(groupCol).as("graft_g_"), col(idCol).as("graft_id_"),
+        key.as("graft_key_"))
+      .groupBy(col("graft_g_"))
+      .agg(graft.expr.TopKAgg.topK(col("graft_key_"), col("graft_id_"),
+        kPerGroup).as("graft_ids_"))
+      .select(explode(col("graft_ids_")).as(idCol))
+    df.join(picked, Seq(idCol), "left_semi")
+  }
+
   /** Exact integer square root of a non-negative long column that
     * fits in a double's 53-bit mantissa (required and guarded by the
     * CALLER — above 2⁵³ the seed itself is unrepresentable). IEEE

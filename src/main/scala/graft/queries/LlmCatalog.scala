@@ -6740,6 +6740,33 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Stratified weighted sample (Splits.weightedSamplePerGroup, X231
+    * — the per-stratum Efraimidis–Spirakis draw): 10 documents per
+    * source, n_chars-weighted within each. Oracle replays the draw
+    * with a PARTITIONED ROW_NUMBER — per-group selection law
+    * hash-pinned. */
+  val weightedGroupSampleQ = GraftQuery(
+    "q178_weighted_group_sample",
+    (s, d) =>
+      graft.llm.Splits.weightedSamplePerGroup(
+          documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "n_chars", "source", kPerGroup = 10)
+        .orderBy(col("doc_id")),
+    Some("""
+      WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               ln((('0x'||substr(md5(doc_id::VARCHAR),1,7))::BIGINT + 0.5)
+                    / 268435456.0)
+                 / CAST(n_chars AS DOUBLE) AS key
+        FROM documents WHERE n_chars > 0
+      )
+      SELECT doc_id, source, n_chars FROM keyed
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY key DESC, doc_id) <= 10
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6856,5 +6883,6 @@ object LlmCatalog {
     signProjectionQ,
     projectedRerankQ,
     weightedSampleQ,
+    weightedGroupSampleQ,
   )
 }

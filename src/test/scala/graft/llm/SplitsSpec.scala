@@ -339,6 +339,25 @@ class SplitsSpec extends SparkSpec {
     }
   }
 
+  test("weightedSamplePerGroup: k per stratum, short strata unpadded") {
+    val df = ((1L to 100L).map(i => (i, "a", 1L)) ++
+      (101L to 104L).map(i => (i, "b", 1L)) ++
+      Seq((200L, "c", 0L))) // c has NO positive-weight rows
+      .toDF("doc_id", "g", "w")
+    val got = Splits.weightedSamplePerGroup(df, "doc_id", "w", "g", kPerGroup = 10)
+      .select("g", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(got("a") == 10, s"full stratum must serve k: $got")
+    assert(got("b") == 4, "short stratum returns what it has")
+    assert(!got.contains("c"), "zero-weight stratum returns nothing")
+    // deterministic
+    val twice = Splits.weightedSamplePerGroup(df, "doc_id", "w", "g", 10)
+      .select("doc_id").as[Long].collect().toSet
+    val again = Splits.weightedSamplePerGroup(df, "doc_id", "w", "g", 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(twice == again)
+  }
+
   test("isqrt: exact at perfect squares, their neighbors, and the 2^53 boundary") {
     // k²−1 must floor to k−1; k² and k²+1 to k — including the largest
     // k whose square still fits the 53-bit caller guard
