@@ -193,4 +193,28 @@ object KllSketchAgg {
     images.foreach(b => u.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
     if (u.isEmpty) None else Some(u)
   }
+
+  /** Population Stability Index between two sketches: equal-probability
+    * bin boundaries from the REFERENCE, bin probabilities as rank
+    * differences on each side, Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) with 1e-6 clamps
+    * (an empty bin is evidence, not a division by zero). The standard
+    * drift score (< 0.1 stable, 0.1–0.25 investigate, > 0.25 shifted);
+    * inherits both sketches' rank-error bands — an estimate,
+    * band-specced, never value-pinned. */
+  def psi(ref: KllDoublesSketch, cur: KllDoublesSketch, buckets: Int = 10): Double = {
+    require(buckets >= 2, s"need >= 2 bins, got $buckets")
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    val bounds = (1 until buckets).map(i => ref.getQuantile(i.toDouble / buckets))
+    def binProbs(s: KllDoublesSketch): Seq[Double] = {
+      val cum = 0.0 +: bounds.map(b =>
+        s.getRank(b, QuantileSearchCriteria.INCLUSIVE)) :+ 1.0
+      cum.sliding(2).map(p => math.max(0.0, p(1) - p(0))).toSeq
+    }
+    val eps = 1e-6
+    binProbs(ref).zip(binProbs(cur)).map { case (p, q) =>
+      val pc = math.max(p, eps)
+      val qc = math.max(q, eps)
+      (pc - qc) * math.log(pc / qc)
+    }.sum
+  }
 }

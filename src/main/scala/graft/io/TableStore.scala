@@ -1496,28 +1496,11 @@ class SnapshotBucketedStore(
     } yield d
 
   private def driftOf(ma: Manifest, mb: Manifest, column: String,
-      buckets: Int): Option[Double] = {
-    require(buckets >= 2, s"need >= 2 bins, got $buckets")
-    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+      buckets: Int): Option[Double] =
     for {
       sa <- qskMerged(ma, column)
       sb <- qskMerged(mb, column)
-    } yield {
-      val bounds = (1 until buckets).map(i => sa.getQuantile(i.toDouble / buckets))
-      def binProbs(s: org.apache.datasketches.kll.KllDoublesSketch): Seq[Double] = {
-        val cum = 0.0 +: bounds.map(b =>
-          s.getRank(b, QuantileSearchCriteria.INCLUSIVE)) :+ 1.0
-        // ranks are monotone in the bound, but guard the float edge
-        cum.sliding(2).map(p => math.max(0.0, p(1) - p(0))).toSeq
-      }
-      val eps = 1e-6
-      binProbs(sa).zip(binProbs(sb)).map { case (p, q) =>
-        val pc = math.max(p, eps)
-        val qc = math.max(q, eps)
-        (pc - qc) * math.log(pc / qc)
-      }.sum
-    }
-  }
+    } yield graft.expr.KllSketchAgg.psi(sa, sb, buckets)
 
   /** Dirs surviving an any-of membership probe: each dir's Bloom is
     * deserialized ONCE and probed with every hash (never per

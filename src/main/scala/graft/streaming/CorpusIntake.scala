@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -454,6 +454,75 @@ object CorpusIntake {
             .drop(BlockedTermsCol), batchId): Unit
         store.appendIfNew(quarantineTable,
           hits.filter(size(col(BlockedTermsCol)) > 0), batchId): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The quarantine-side drift score [[drainDriftGatedTo]] stamps:
+    * the batch's PSI against the frozen reference — WHY a whole
+    * micro-batch was diverted, queryable by an auditor. */
+  val BatchPsiCol = "_batch_psi"
+
+  /** [[drainTo]] with the DISTRIBUTION-DRIFT gate (X222 streamed —
+    * the PSI monitor as an intake circuit breaker, seventh member of
+    * the gate family): each micro-batch sketches its `value` column
+    * (one KLL aggregate — map-side mergeable, O(kB) driver hop) and
+    * scores POPULATION STABILITY against a FROZEN reference sketch
+    * image (recorded by [[graft.expr.KllSketchAgg.kllSketch]] over
+    * the corpus the consumers were built on, or lifted from a store
+    * manifest's qsk line); a batch within `maxPsi` lands, a shifted
+    * batch is diverted WHOLE to `quarantineTable` with its PSI
+    * stamped ([[BatchPsiCol]]) — the upstream-broke-something
+    * circuit breaker (scraper regression, schema drift upstream, a
+    * source gone spammy) that per-document gates can't see, because
+    * every individual document looks fine.
+    *
+    * Deliberately BATCH-grain, stated loudly: unlike the per-document
+    * gates, batch boundaries are SEMANTIC here (the batch IS the
+    * monitored population), so there is no batch ≡ stream identity —
+    * the spec pins the decision law (in-distribution lands, planted
+    * shift diverts) instead. Small batches score noisier PSI (the
+    * KLL band + sampling noise); set `maxPsi` with headroom (the
+    * 0.25 "shifted" convention is calibrated for thousands of rows).
+    * Rows with null value are invisible to the sketch (order
+    * statistics, X218 rule) but flow with their batch. Empty batches
+    * land (no distribution, no drift evidence). Exactly-once across
+    * the two tables: the [[drainScreenedTo]] argument verbatim. */
+  def drainDriftGatedTo(
+      docs: DataFrame,
+      store: graft.io.TableStore,
+      table: String,
+      quarantineTable: String,
+      referenceSketch: Array[Byte],
+      value: Column,
+      maxPsi: Double,
+      checkpoint: String,
+      buckets: Int = 10,
+  ): Unit = {
+    require(maxPsi > 0.0, s"maxPsi must be positive, got $maxPsi")
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val ref = KllDoublesSketch.heapify(Memory.wrap(referenceSketch))
+    require(!ref.isEmpty, "reference sketch is empty — no distribution to gate against")
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val img = batch.agg(
+          graft.expr.KllSketchAgg.kllSketch(value.cast("double")))
+          .head().getAs[Array[Byte]](0)
+        val cur = KllDoublesSketch.heapify(Memory.wrap(img))
+        if (cur.isEmpty) // no values → no drift evidence: land
+          store.appendIfNew(table, batch, batchId): Unit
+        else {
+          val psi = graft.expr.KllSketchAgg.psi(ref, cur, buckets)
+          if (psi <= maxPsi)
+            store.appendIfNew(table, batch, batchId): Unit
+          else
+            store.appendIfNew(quarantineTable,
+              batch.withColumn(BatchPsiCol, lit(psi)), batchId): Unit
+        }
       }
       .start()
     q.awaitTermination()

@@ -477,6 +477,50 @@ class CorpusIntakeSpec extends SparkSpec {
     assert(clean.size + blocked.size == all.size)
   }
 
+  test("drift-gated drain: in-band batch lands, shifted batch diverts with PSI") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("graft_intake_drift_")
+    implicit val s = spark
+    val store = new graft.io.SnapshotBucketedStore(s"$root/corpus", numBuckets = 4)
+    // frozen reference: doc lengths distributed like short prose
+    val rnd = new scala.util.Random(3)
+    val refDocs = (0 until 2000).map(_ => "w " * (20 + rnd.nextInt(30)))
+    val refImg = refDocs.toDF("text")
+      .agg(graft.expr.KllSketchAgg.kllSketch(length(col("text")).cast("double")))
+      .head().getAs[Array[Byte]](0)
+
+    // batch 1: same law as the reference → lands
+    val okDocs = (0 until 300).map(i =>
+      Doc(i.toLong, B + i, "w " * (20 + rnd.nextInt(30))))
+    val input = MemoryStream[Doc]
+    val docs = input.toDF().select(col("doc_id"), col("text"))
+    def drain(): Unit = CorpusIntake.drainDriftGatedTo(docs, store,
+      "corpus", "drifted", refImg, length(col("text")), maxPsi = 0.25,
+      s"$root/ckpt")
+    input.addData(okDocs: _*)
+    drain()
+    assert(store.read("corpus").get.count() == 300)
+    assert(store.read("drifted").isEmpty)
+
+    // batch 2: upstream broke — everything arrives 10× longer → diverts
+    val longDocs = (1000 until 1200).map(i =>
+      Doc(i.toLong, B + i, "w " * (300 + rnd.nextInt(100))))
+    input.addData(longDocs: _*)
+    drain()
+    assert(store.read("corpus").get.count() == 300,
+      "the drifted batch must not reach the corpus")
+    val drifted = store.read("drifted").get
+    assert(drifted.count() == 200)
+    val psi = drifted.select(CorpusIntake.BatchPsiCol).head().getDouble(0)
+    assert(psi > 0.25, s"stamped PSI must exceed the gate: $psi")
+    // an empty epoch (no new data) is a no-op on both tables
+    drain()
+    assert(store.read("corpus").get.count() == 300)
+    assert(store.read("drifted").get.count() == 200)
+  }
+
   test("LM-band drain: frozen trigram model, batch boundaries invisible") {
     val spark2 = spark
     import spark2.implicits._
