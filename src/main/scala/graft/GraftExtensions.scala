@@ -142,6 +142,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         },
       )
     )
+    // graft_sign_project(vec, <literal k>, <literal d>): JL sign
+    // projection — the matrix is a plan-time constant (X227)
+    ext.injectFunction(
+      (
+        FunctionIdentifier("graft_sign_project"),
+        new ExpressionInfo(classOf[graft.llm.Projection.type].getName,
+          "graft_sign_project"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+            "usage: graft_sign_project(vec, <literal k>, <literal d>)")
+          // a RESOLVED catalyst tree (the Column bridge would leave
+          // unresolved array/* nodes the registry seam can't plan)
+          import org.apache.spark.sql.catalyst.expressions.{Cast, CreateArray, Literal, Multiply}
+          import org.apache.spark.sql.types.{ArrayType, DoubleType}
+          val k = exprs(1).eval().asInstanceOf[Number].intValue()
+          val d = exprs(2).eval().asInstanceOf[Number].intValue()
+          require(k >= 1 && d >= 1, s"need k, d >= 1: k=$k d=$d")
+          val signs = graft.llm.Projection.signMatrix(k, d)
+          val scale = Literal(1.0 / math.sqrt(k.toDouble))
+          val v = Cast(exprs(0), ArrayType(DoubleType))
+          CreateArray((0 until k).map { j =>
+            Multiply(
+              graft.expr.DotProduct(v,
+                Literal.create(signs(j), ArrayType(DoubleType, containsNull = false))),
+              scale)
+          })
+        },
+      )
+    )
     // graft_kll_quantile(sketch, p): serve a rank from a recorded
     // KLL image — the read half of graft_kll_sketch
     ext.injectFunction(

@@ -78,6 +78,21 @@ class SqlFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("graft_sign_project from SQL matches the DataFrame form") {
+    import org.apache.spark.sql.functions.col
+    Seq((1L, Array.tabulate(8)(i => (i + 1).toFloat)))
+      .toDF("id", "e").createOrReplaceTempView("proj_in")
+    val sql = spark.sql("SELECT graft_sign_project(e, 4, 8) FROM proj_in")
+      .head().getSeq[Double](0)
+    val api = spark.table("proj_in")
+      .select(graft.llm.Projection.projectColumn(col("e"), 4, 8))
+      .head().getSeq[Double](0)
+    assert(sql == api)
+    intercept[Exception] {
+      spark.sql("SELECT graft_sign_project(e, id, 8) FROM proj_in").collect()
+    }
+  }
+
   test("unknown function still errors (registry not overreaching)") {
     intercept[AnalysisException] {
       spark.sql("SELECT graft_nope(1)").collect()
