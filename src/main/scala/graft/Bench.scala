@@ -57,12 +57,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    // failures are RECORDED, never silent: a query that throws still
+    // contributes a timing sample (the cost was paid), but its name
+    // lands in the JSON's "errors" list — r17's q166 fixture threw at
+    // sf0.1 on every pass and the old blanket catch mis-reported the
+    // failure as a slow query.
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val samples = (1 to Passes).flatMap { _ =>
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try
           fn(spark, sfDir).write.mode("overwrite").parquet(s"$sinkRoot/$name")
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(_) => failed += name }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -72,8 +78,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$Passes}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$Passes,"errors":$errs}"""
     println(json)
     // Also persist the record: stdout alone gets truncated/interleaved by
     // sbt in the driver's capture (every BENCH_r*.json parsed null), so

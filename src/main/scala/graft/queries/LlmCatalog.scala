@@ -6142,9 +6142,16 @@ object LlmCatalog {
         .select(col("doc_id"), upper(col("source")).as("src_u"),
           col("n_chars"), col("lang"))
       store.upsert("dview", expected, "doc_id")
-      // silent divergence, all three transition classes
+      // silent divergence, all three transition classes. Corruption is
+      // BUCKET-BOUNDED (the store's own hash: pmod(xxhash64(doc_id),
+      // 16)) so the divergent-but-not-everywhere invariant holds at
+      // EVERY scale factor — the r17 form corrupted doc_id % 97,
+      // which at sf0.1 touched all 16 buckets and tripped the require
+      // below on every bench pass (the failure Bench then swallowed
+      // and mis-reported as a 6.9 s query).
+      val bucketOf = pmod(xxhash64(col("doc_id")), lit(16L))
       store.upsert("dview",
-        documents(s, d).filter(col("doc_id") % 97 === 0)
+        documents(s, d).filter(bucketOf === 0 && col("doc_id") % 7 === 0)
           .select(col("doc_id"), lit("CORRUPT").as("src_u"),
             lit(-1L).as("n_chars"), col("lang")), "doc_id")
       store.upsert("dview",
@@ -6153,7 +6160,7 @@ object LlmCatalog {
             lit("PHANTOM").as("src_u"), lit(0L).as("n_chars"),
             col("lang")), "doc_id")
       store.delete("dview", "doc_id",
-        documents(s, d).filter(col("doc_id") % 101 === 0)
+        documents(s, d).filter(bucketOf === 1 && col("doc_id") % 5 === 0)
           .select(col("doc_id")))
       val stats = graft.io.Repair.repair(store, "dview", expected, "doc_id")
       require(stats.divergent > 0 && stats.divergent < stats.bucketsCompared,
