@@ -357,10 +357,18 @@ object TextOps {
     * duplicates dropped, longest-entry cap none) for [[subwordCount]] —
     * the deployment path for real BPE/WordPiece vocab exports. The
     * file is read ONCE on the driver and shipped inside the expression
-    * (vocabularies are KBs; they ride the task closure, not a join). */
-  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
-    spark.read.textFile(path).collect().toSeq
-      .map(_.trim).filter(_.nonEmpty).distinct
+    * (vocabularies are KBs; they ride the task closure, not a join) —
+    * which is exactly why the read is BOUNDED: a path that turns out
+    * to be a corpus, not a vocab export, must refuse loudly here, not
+    * OOM the driver or bloat every task closure
+    * ([[DriverArtifact.collectBounded]]). Real tokenizer vocabs are
+    * 30k–256k entries; the default bound leaves generous headroom. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxEntries: Int = 1000000): Seq[String] =
+    DriverArtifact.collectBounded(
+        spark.read.textFile(path).toDF("line"),
+        maxEntries, s"vocabulary file $path")
+      .map(_.getString(0).trim).filter(_.nonEmpty).distinct.toSeq
 
   /** Canonical form for exact-match hygiene ops (decontamination):
     * lowercase, collapse every non-alphanumeric run to one space,

@@ -144,9 +144,16 @@ object UnigramLm {
       model: DataFrame,
       textCol: String = "text",
       maxLen: Int = 6,
+      maxVocab: Int = 1000000,
   ): DataFrame = {
-    val costed = model.select(col("piece"), col("cost").cast("long"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // the model is CALLER-provided, so its vocab-sized shape is a
+    // contract, not a construction guarantee — bounded collect
+    // (DriverArtifact): a corpus table passed by mistake refuses
+    // loudly instead of riding every task closure
+    val costed = DriverArtifact.collectBounded(
+        model.select(col("piece"), col("cost").cast("long")),
+        maxVocab, "unigram-LM model table")
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
     val seg = org.apache.spark.sql.GraftBridge.toColumn(
       graft.expr.UnigramSegment(
         org.apache.spark.sql.GraftBridge.toExpr(
