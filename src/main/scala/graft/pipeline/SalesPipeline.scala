@@ -89,9 +89,11 @@ final class SalesPipeline(
         df.withColumn(c, date_format(col(c), SalesSchema.outputDateFormat))
       }
       store.append("sales", out) // K2 raw log
-      // K3: keyed upsert — reference semantics (full rewrite) by
-      // default; O(touched-partitions) when the store is bucketed
-      // (BucketedParquetDirStore, docs/SCALE.md §2).
+      // K3: keyed upsert — O(touched-buckets) with ONE-rename atomic
+      // commits on the default [[SnapshotBucketedStore]]
+      // ([[SalesPipeline.apply]]); the reference's full-rewrite
+      // semantics survive behind any other [[TableStore]] a caller
+      // passes explicitly (docs/SCALE.md §2).
       store.upsert("sales_tgt", out, SalesSchema.keyColumn)(spark)
 
       val summarySource =
@@ -111,4 +113,30 @@ final class SalesPipeline(
         PipelineResult.Failed(e.getMessage)
     }
   }
+}
+
+object SalesPipeline {
+
+  /** The DEFAULT warehouse for a root path: the snapshot store —
+    * every table commit (log append, keyed upsert, summary replace)
+    * is ONE manifest rename, so a crash anywhere mid-run leaves the
+    * previous complete snapshot serving, never a mixed state. The
+    * plain-layout stores ([[graft.io.ParquetDirStore]],
+    * [[graft.io.BucketedParquetDirStore]]) remain constructible
+    * explicitly for Hive-partition-dir layout compatibility — their
+    * multi-rename swap windows are documented at the class. */
+  def defaultStore(warehouseRoot: String)(
+      implicit spark: SparkSession): TableStore =
+    new graft.io.SnapshotBucketedStore(warehouseRoot)
+
+  /** Pipeline over the default (snapshot) warehouse at
+    * `warehouseRoot` — the recommended construction; pass a
+    * [[TableStore]] to the class constructor only when the layout
+    * compatibility trade is deliberate. */
+  def apply(warehouseRoot: String, lake: String,
+      notifier: Notifier = Notifier.Logging,
+      summaryFromTarget: Boolean = false)(
+      implicit spark: SparkSession): SalesPipeline =
+    new SalesPipeline(defaultStore(warehouseRoot), lake, notifier,
+      summaryFromTarget)
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.io.{ParquetDirStore, Readers}
+import graft.io.{ParquetDirStore, Readers, SnapshotBucketedStore}
 import graft.pipeline.{Notifier, PipelineResult, SalesPipeline}
 import graft.schema.SalesSchema
 
@@ -10,10 +10,12 @@ class PipelineSpec extends SparkSpec {
 
   import spark.implicits._
 
+  /** The DEFAULT construction ([[SalesPipeline.apply]]): snapshot
+    * store — what a user gets without choosing a layout. */
   private def newPipeline(root: String) = {
     implicit val s = spark
-    (new SalesPipeline(new ParquetDirStore(s"$root/warehouse"), s"$root/lake", Notifier.Noop),
-      new ParquetDirStore(s"$root/warehouse"))
+    (SalesPipeline(s"$root/warehouse", s"$root/lake", Notifier.Noop),
+      new SnapshotBucketedStore(s"$root/warehouse"))
   }
 
   test("happy path: csv → lake parquet + 3 tables, raw deleted") {
@@ -105,6 +107,45 @@ class PipelineSpec extends SparkSpec {
       case other => fail(s"expected failure, got $other")
     }
     assert(store.read("sales").isEmpty)
+  }
+
+  test("plain-layout compatibility: the pipeline still runs over ParquetDirStore") {
+    implicit val s = spark
+    val root = tmpDir("pipe_compat")
+    val raw = TestSales.writeCsv(s"$root/batch1.csv", 12)
+    val pipe = new SalesPipeline(
+      new ParquetDirStore(s"$root/warehouse"), s"$root/lake", Notifier.Noop)
+    assert(pipe.run(spark, raw).isInstanceOf[PipelineResult.Success])
+    val store = new ParquetDirStore(s"$root/warehouse")
+    assert(store.read("sales_tgt").get.count() == 12)
+  }
+
+  test("crash mid-upsert on the default store leaves the previous snapshot serving") {
+    implicit val s = spark
+    val root = tmpDir("pipe_crash")
+    // a store whose manifest commit can be killed right before the
+    // rename — the largest window the protocol must survive
+    var crash = false
+    val store = new SnapshotBucketedStore(s"$root/warehouse") {
+      override protected def beforeCommit(): Unit =
+        if (crash) throw new RuntimeException("injected crash before manifest rename")
+    }
+    val pipe = new SalesPipeline(store, s"$root/lake", Notifier.Noop)
+    TestSales.writeCsv(s"$root/b1.csv", 30)
+    assert(pipe.run(spark, s"$root/b1.csv").isInstanceOf[PipelineResult.Success])
+    val before = store.read("sales_tgt").get.orderBy("uuid").collect().toSeq
+    // second batch dies before ANY table's commit point
+    crash = true
+    TestSales.writeCsv(s"$root/b2.csv", 45)
+    assert(pipe.run(spark, s"$root/b2.csv").isInstanceOf[PipelineResult.Failed])
+    crash = false
+    assert(store.read("sales_tgt").get.orderBy("uuid").collect().toSeq == before,
+      "interrupted upsert must not surface a mixed snapshot")
+    assert(store.read("sales").get.count() == 30, "raw log snapshot intact")
+    // the rerun converges: same batch applies cleanly after the crash
+    TestSales.writeCsv(s"$root/b2.csv", 45)
+    assert(pipe.run(spark, s"$root/b2.csv").isInstanceOf[PipelineResult.Success])
+    assert(store.read("sales_tgt").get.count() == 45)
   }
 
   test("format sniffing routes array vs ndjson correctly") {
