@@ -2400,6 +2400,75 @@ class SnapshotBucketedStore(
       })
     }
   }
+
+  // ----------------------------------------------------------------
+  // Table lifecycle (the catalog surface: SHOW/DROP/RENAME)
+  // ----------------------------------------------------------------
+
+  /** Tables under this store root: directories holding at least one
+    * committed manifest — metadata-only (one listing + one manifest
+    * existence probe per dir, no data touched). */
+  def tableNames: Seq[String] = {
+    val rootP = new Path(root)
+    val f = fs(rootP)
+    if (!f.exists(rootP)) return Nil
+    f.listStatus(rootP).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filter(t => snapshots(t).nonEmpty).sorted
+  }
+
+  /** Tables whose on-disk manifests BORROW generation dirs from
+    * `name` (zero-copy clones, X221 — refs spell `@name/<rel>`).
+    * Same marker scan as [[vacuum]]'s cross-table keep set; ALL
+    * retained manifests count, since any of them can still be read
+    * or restored. */
+  def borrowers(name: String): Seq[String] = {
+    val marker = s"@$name/"
+    val rootP = new Path(root)
+    val f = fs(rootP)
+    if (!f.exists(rootP)) return Nil
+    f.listStatus(rootP).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_ == name)
+      .filter(t => snapshots(t).flatMap(v => manifestAt(t, v))
+        .exists(m => (m.buckets.values ++ m.logs).exists(_.startsWith(marker))))
+      .sorted
+  }
+
+  /** DROP TABLE: every manifest and data dir, physically. Refuses
+    * while zero-copy clones still borrow this table's generation
+    * dirs — dropping the owner would silently break every borrower's
+    * reads (drop or [[rebuild]] the borrowers first; their refs
+    * resolve against the OWNER's name). Returns false when the table
+    * never existed (the [[org.apache.spark.sql.connector.catalog
+    * .TableCatalog.dropTable]] contract). */
+  def dropTable(name: String): Boolean = {
+    if (latestManifest(name).isEmpty) return false
+    val bs = borrowers(name)
+    require(bs.isEmpty,
+      s"cannot drop '$name': ${bs.mkString(", ")} still reference its " +
+        "generation dirs (zero-copy clones) — drop or rebuild the " +
+        "borrowers first")
+    val dir = tableDir(name)
+    fs(dir).delete(dir, true)
+  }
+
+  /** RENAME TABLE: ONE filesystem rename of the table dir — manifest
+    * entries are table-relative, so every committed snapshot survives
+    * under the new name, including time travel. Refuses when the
+    * target exists and when borrowers reference the OLD name (their
+    * `@from/...` refs would dangle); a table that itself borrows
+    * renames freely — its refs name the original owners. */
+  def renameTable(from: String, to: String): Unit = {
+    require(latestManifest(from).isDefined, s"no such table: $from")
+    val toDir = tableDir(to)
+    require(!fs(toDir).exists(toDir), s"rename target '$to' already exists")
+    val bs = borrowers(from)
+    require(bs.isEmpty,
+      s"cannot rename '$from': ${bs.mkString(", ")} still reference its " +
+        "generation dirs (zero-copy clones) — their @$from/ refs would dangle")
+    val fromDir = tableDir(from)
+    if (!fs(fromDir).rename(fromDir, toDir))
+      throw new java.io.IOException(s"table rename failed: $from -> $to")
+  }
 }
 
 /** Partitioned-read spec for JDBC scans: Spark issues `numPartitions`
@@ -2446,8 +2515,76 @@ final class JdbcStore(
   override def append(name: String, df: DataFrame): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, name, props)
 
-  override def replace(name: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Overwrite).jdbc(url, name, props)
+  private def withConnection[T](f: java.sql.Connection => T): T = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  private def dropIfExists(conn: java.sql.Connection, table: String): Unit =
+    try { conn.createStatement().execute(s"DROP TABLE $table"); () }
+    catch { case _: java.sql.SQLException => () } // absent → nothing to drop
+
+  /** K3/K4 full replace, STAGED: the naive `mode(Overwrite).jdbc`
+    * truncates the live table and repopulates it row by row — a
+    * concurrent reader in that window sees an empty or partial
+    * warehouse table (docs/SCALE.md §8 item 1; the reference has the
+    * same gap, lambda.py:184-190). Here the new content lands fully
+    * in `<name>_graft_replace_stage` first, then swaps in via TWO
+    * RENAMEs INSIDE ONE TRANSACTION (DDL is transactional on Derby/
+    * Postgres-family engines) — a reader is either before the commit
+    * (complete old table) or after it (complete new table), never in
+    * between. Dialects whose RENAME cannot ride a transaction
+    * (MySQL autocommits DDL — though its multi-name `RENAME TABLE a
+    * TO b, c TO a` is itself atomic) fall back to DELETE+INSERT-
+    * SELECT in one transaction: same no-gap guarantee through the
+    * engine's isolation instead of the catalog. The staging also
+    * makes self-replace safe (a plan reading `name` while replacing
+    * it) — the read materializes into the stage before the target is
+    * touched. First write of a table skips the dance: there is no
+    * reader-visible gap on a table that doesn't exist yet. */
+  override def replace(name: String, df: DataFrame): Unit = {
+    if (read(name).isEmpty) {
+      df.write.mode(SaveMode.Overwrite).jdbc(url, name, props)
+      return
+    }
+    val stage = name + "_graft_replace_stage"
+    val old = name + "_graft_replace_old"
+    withConnection { conn =>
+      // crash debris from a previous attempt: the live table exists,
+      // so any leftover stage/old tables are safe to clear
+      dropIfExists(conn, stage)
+      dropIfExists(conn, old)
+    }
+    df.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
+    withConnection { conn =>
+      conn.setAutoCommit(false)
+      val swapped =
+        try {
+          val st = conn.createStatement()
+          st.execute(s"RENAME TABLE $name TO $old")
+          st.execute(s"RENAME TABLE $stage TO $name")
+          conn.commit()
+          true
+        } catch {
+          case _: java.sql.SQLException =>
+            conn.rollback(); false
+        }
+      if (!swapped) {
+        // transactional-RENAME-less dialect: one DELETE + INSERT-SELECT
+        // transaction — readers under READ COMMITTED (or stricter)
+        // never observe the in-between state
+        val st = conn.createStatement()
+        st.executeUpdate(s"DELETE FROM $name")
+        st.executeUpdate(s"INSERT INTO $name SELECT * FROM $stage")
+        conn.commit()
+      }
+      conn.setAutoCommit(true)
+      // post-commit cleanup; a crash here leaves only debris tables,
+      // cleared by the next replace
+      dropIfExists(conn, old)
+      dropIfExists(conn, stage)
+    }
+  }
 
   /** The trait's read-merge-replace default is UNSAFE over JDBC: the
     * read is lazy, so the overwrite truncates the target while the

@@ -71,6 +71,70 @@ class JdbcStoreSpec extends SparkSpec {
     assert(back.filter($"uuid" === 3L).select("name").as[String].head() == "old")
   }
 
+  test("staged replace: a concurrent reader never observes an empty or partial table") {
+    implicit val s: SparkSession = spark
+    val store = new JdbcStore(url, props)
+    store.replace("sales_swap", rows(0 until 400, "v1"))
+
+    // a raw-JDBC reader hammering the table from its own connection
+    // while replaces run: every observation must be a COMPLETE
+    // version — (400, only v1) or (150, only v2/v3) — never 0 rows,
+    // never a mix, never a missing table
+    val observed = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      val conn = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = conn.createStatement()
+        while (!stop.get()) {
+          try {
+            // Spark's JDBC writer quotes column identifiers (they stay
+            // lowercase in Derby's catalog) — the raw reader must too
+            val rs = st.executeQuery(
+              "SELECT COUNT(*), COUNT(DISTINCT \"name\"), MAX(\"name\") FROM sales_swap")
+            rs.next()
+            observed.add((rs.getLong(1), rs.getLong(2), rs.getString(3)))
+            rs.close()
+          } catch {
+            case e: java.sql.SQLException => errors.add(e.getMessage)
+          }
+        }
+      } finally conn.close()
+    })
+    reader.start()
+    try {
+      store.replace("sales_swap", rows(0 until 150, "v2"))
+      store.replace("sales_swap", rows(0 until 150, "v3"))
+    } finally {
+      stop.set(true)
+      reader.join(30000)
+    }
+    assert(errors.isEmpty, s"reader saw errors: ${errors.toArray.take(3).toSeq}")
+    import scala.jdk.CollectionConverters._
+    val obs = observed.asScala.toSeq
+    assert(obs.nonEmpty, "reader never got a sample in the window")
+    val legal = Set((400L, 1L, "v1"), (150L, 1L, "v2"), (150L, 1L, "v3"))
+    val illegal = obs.filterNot(legal)
+    assert(illegal.isEmpty, s"reader observed partial states: ${illegal.take(5)}")
+    // and the final state is the last replace, exactly
+    val back = store.read("sales_swap").get
+    assert(back.count() == 150)
+    assert(back.select("name").distinct().as[String].collect().toSeq == Seq("v3"))
+  }
+
+  test("staged replace survives self-replace (the plan reads the table it replaces)") {
+    implicit val s: SparkSession = spark
+    val store = new JdbcStore(url, props)
+    store.replace("sales_self", rows(0 until 60, "x"))
+    val doubled = store.read("sales_self").get
+      .withColumn("m", $"m" * 2)
+    store.replace("sales_self", doubled)
+    val back = store.read("sales_self").get
+    assert(back.count() == 60)
+    assert(back.filter($"uuid" === 10L).select("m").as[Double].head() == 30.0)
+  }
+
   test("partitioned read slices the scan into numPartitions range queries") {
     implicit val s: SparkSession = spark
     val plain = new JdbcStore(url, props)
