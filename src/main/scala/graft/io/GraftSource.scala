@@ -243,9 +243,86 @@ class GraftStreamSource(
 
 object GraftSource {
   /** Test/metrics seam: (dirs scanned, total dirs) of the most recent
-    * pruned [[GraftRelation.buildScan]] on this JVM. Observability
-    * only — never consulted by the scan itself. */
+    * pruned [[GraftRelation.buildScan]] (or V2 [[GraftCatalog]] scan)
+    * on this JVM. Observability only — never consulted by the scan
+    * itself. */
   @volatile var lastPrune: Option[(Int, Int)] = None
+}
+
+/** The filter→manifest-pruning translation shared by the V1 relation
+  * ([[GraftRelation]]) and the V2 catalog scan
+  * ([[GraftCatalog]]/[[GraftScan]]): one place decides which store
+  * read family a pushed filter set maps onto, so both SQL surfaces
+  * prune identically. Pruning only ever EXCLUDES provably-disjoint
+  * dirs — every caller re-applies the exact predicate on survivors. */
+private[io] object GraftPruning {
+
+  /** Equality filters → Bloom membership pruning; two-sided ranges →
+    * conjunctive min/max pruning; anything else → full read. The
+    * chosen path returns rows ⊇ the exact answer (the store's reads
+    * apply their own residual predicate on survivors). */
+  def prunedRead(store: SnapshotBucketedStore, table: String,
+      filters: Array[Filter]): org.apache.spark.sql.DataFrame = {
+    val eqs = filters.collect { case EqualTo(c, v) => (c, v) }
+    val ins = filters.collect { case In(c, vs) => (c, vs.toSeq) }
+    val ranges = rangesOf(filters)
+    val base =
+      if (eqs.nonEmpty) store.readWhereEq(table, eqs.head._1, eqs.head._2)
+      else if (ins.nonEmpty) // multi-probe Bloom: superset, Spark re-filters
+        store.readWhereEqAny(table, ins.head._1, ins.head._2)
+      else if (ranges.nonEmpty) store.readWhereAll(table, ranges)
+      else store.read(table)
+    base.getOrElse(throw new java.util.NoSuchElementException(
+      s"graft table '$table' does not exist"))
+  }
+
+  /** (dirs kept, total dirs) the same filter set prunes to — the X75
+    * observability twin of [[prunedRead]]. */
+  def pruneMetric(store: SnapshotBucketedStore, table: String,
+      filters: Array[Filter]): Option[(Int, Int)] = {
+    val eqs = filters.collect { case EqualTo(c, v) => (c, v) }
+    val ins = filters.collect { case In(c, vs) => (c, vs.toSeq) }
+    val ranges = rangesOf(filters)
+    if (eqs.nonEmpty) store.pruneEqStats(table, eqs.head._1, eqs.head._2)
+    else if (ins.nonEmpty) store.pruneEqAnyStats(table, ins.head._1, ins.head._2)
+    else if (ranges.nonEmpty) store.pruneStatsAll(table, ranges)
+    else None
+  }
+
+  /** The subset of `filters` the pruning paths above can act on —
+    * what a V2 scan REPORTS as pushed (its `PushedFilters` line in
+    * explain). Reporting is conservative-exact: only filters that
+    * actually reach a Bloom or stats probe are claimed. */
+  def prunableSubset(filters: Array[Filter]): Array[Filter] = {
+    val rangeCols = rangesOf(filters).map(_._1).toSet
+    filters.filter {
+      case EqualTo(_, _) | In(_, _) => true
+      case GreaterThan(c, _) => rangeCols(c)
+      case GreaterThanOrEqual(c, _) => rangeCols(c)
+      case LessThan(c, _) => rangeCols(c)
+      case LessThanOrEqual(c, _) => rangeCols(c)
+      case _ => false
+    }
+  }
+
+  /** Columns with BOTH a lower and an upper bound among the pushed
+    * filters (min/max pruning needs a closed interval; one-sided
+    * bounds fall back to the full read, still correct). Equality
+    * doubles as the degenerate [v, v] interval. */
+  def rangesOf(filters: Array[Filter]): Seq[(String, Any, Any)] = {
+    val lowers = scala.collection.mutable.Map[String, Any]()
+    val uppers = scala.collection.mutable.Map[String, Any]()
+    filters.foreach {
+      case GreaterThan(c, v) => lowers(c) = v
+      case GreaterThanOrEqual(c, v) => lowers(c) = v
+      case LessThan(c, v) => uppers(c) = v
+      case LessThanOrEqual(c, v) => uppers(c) = v
+      case EqualTo(c, v) => lowers(c) = v; uppers(c) = v
+      case _ => ()
+    }
+    (lowers.keySet intersect uppers.keySet).toSeq.sorted
+      .map(c => (c, lowers(c), uppers(c)))
+  }
 }
 
 /** V1 relation over one snapshot-store table. Filters prune dirs (see
@@ -268,59 +345,12 @@ class GraftRelation(
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val df = prunedRead(filters)
-    GraftSource.lastPrune = pruneMetric(filters)
+    val df = GraftPruning.prunedRead(store, table, filters)
+    GraftSource.lastPrune = GraftPruning.pruneMetric(store, table, filters)
     // an empty projection (COUNT(*) shape) still needs row multiplicity
     val projected =
       if (requiredColumns.isEmpty) df
       else df.select(requiredColumns.map(org.apache.spark.sql.functions.col): _*)
     projected.rdd
-  }
-
-  /** Equality filters → Bloom membership pruning; two-sided ranges →
-    * conjunctive min/max pruning; anything else → full read. The
-    * chosen path returns rows ⊇ the exact answer (the store's reads
-    * apply their own residual predicate on survivors). */
-  private def prunedRead(filters: Array[Filter]): DataFrame = {
-    val eqs = filters.collect { case EqualTo(c, v) => (c, v) }
-    val ins = filters.collect { case In(c, vs) => (c, vs.toSeq) }
-    val ranges = rangesOf(filters)
-    val base =
-      if (eqs.nonEmpty) store.readWhereEq(table, eqs.head._1, eqs.head._2)
-      else if (ins.nonEmpty) // multi-probe Bloom: superset, Spark re-filters
-        store.readWhereEqAny(table, ins.head._1, ins.head._2)
-      else if (ranges.nonEmpty) store.readWhereAll(table, ranges)
-      else store.read(table)
-    base.getOrElse(throw new java.util.NoSuchElementException(
-      s"graft table '$table' does not exist"))
-  }
-
-  private def pruneMetric(filters: Array[Filter]): Option[(Int, Int)] = {
-    val eqs = filters.collect { case EqualTo(c, v) => (c, v) }
-    val ins = filters.collect { case In(c, vs) => (c, vs.toSeq) }
-    val ranges = rangesOf(filters)
-    if (eqs.nonEmpty) store.pruneEqStats(table, eqs.head._1, eqs.head._2)
-    else if (ins.nonEmpty) store.pruneEqAnyStats(table, ins.head._1, ins.head._2)
-    else if (ranges.nonEmpty) store.pruneStatsAll(table, ranges)
-    else None
-  }
-
-  /** Columns with BOTH a lower and an upper bound among the pushed
-    * filters (min/max pruning needs a closed interval; one-sided
-    * bounds fall back to the full read, still correct). Equality
-    * doubles as the degenerate [v, v] interval. */
-  private def rangesOf(filters: Array[Filter]): Seq[(String, Any, Any)] = {
-    val lowers = scala.collection.mutable.Map[String, Any]()
-    val uppers = scala.collection.mutable.Map[String, Any]()
-    filters.foreach {
-      case GreaterThan(c, v) => lowers(c) = v
-      case GreaterThanOrEqual(c, v) => lowers(c) = v
-      case LessThan(c, v) => uppers(c) = v
-      case LessThanOrEqual(c, v) => uppers(c) = v
-      case EqualTo(c, v) => lowers(c) = v; uppers(c) = v
-      case _ => ()
-    }
-    (lowers.keySet intersect uppers.keySet).toSeq.sorted
-      .map(c => (c, lowers(c), uppers(c)))
   }
 }

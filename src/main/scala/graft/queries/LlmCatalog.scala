@@ -6774,6 +6774,66 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** A snapshot-store copy of orders committed as 8 orderkey-ranged
+    * log generations (min/max stats on o_orderkey, key Blooms on
+    * o_custkey), REGISTERED AS A DSv2 SQL CATALOG
+    * ([[graft.io.GraftCatalog]]) — built once per session+dataset;
+    * the returned name addresses the store in plain SQL
+    * (`SELECT ... FROM <cat>.orders_s`). Catalog names embed the
+    * root hash because CatalogManager caches plugin instances by
+    * name. */
+  private def sqlCatalogFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    artifact(s, d, "sql_catalog") {
+      implicit val sp = s
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlcat_").toString
+      val store = new graft.io.SnapshotBucketedStore(root,
+        numBuckets = 16, "parquet",
+        statsColumns = Seq("o_orderkey"), keyColumns = Seq("o_custkey"))
+      val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+      val maxKey = ords.agg(max(col("o_orderkey"))).head().getLong(0)
+      val step = maxKey / 8 + 1
+      (0 until 8).foreach { g =>
+        store.append("orders_s", ords.filter(
+          col("o_orderkey") >= g * step && col("o_orderkey") < (g + 1) * step))
+      }
+      val cat = "graftsql" + math.abs(root.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.statscolumns", "o_orderkey")
+      s.conf.set(s"spark.sql.catalog.$cat.keycolumns", "o_custkey")
+      cat
+    }
+
+  /** SQL-by-name over the snapshot store (graft.io.GraftCatalog,
+    * X233 — the DSv2 TableCatalog + SupportsRead seam): the query is
+    * LITERALLY `spark.sql("SELECT ... FROM <catalog>.orders_s WHERE
+    * o_orderkey BETWEEN ...")` — name resolution, filter pushdown
+    * (closed range → manifest min/max pruning: the scan opens ~1 of
+    * the 8 orderkey-ranged generations, plan-pinned in
+    * PlanAuditSpec), and column pruning all flow through the V2
+    * catalog. The oracle runs the same predicate over the raw orders
+    * parquet, so the hash match proves the catalog read path serves
+    * exactly the table — no row lost to pruning, none invented. */
+  val sqlCatalogQ = GraftQuery(
+    "q179_sql_catalog_read",
+    (s, d) => {
+      val cat = sqlCatalogFor(s, d)
+      s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice " +
+        s"FROM $cat.orders_s " +
+        "WHERE o_orderkey >= 1000 AND o_orderkey <= 9000 " +
+        "ORDER BY o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_orderkey >= 1000 AND o_orderkey <= 9000
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6891,5 +6951,6 @@ object LlmCatalog {
     projectedRerankQ,
     weightedSampleQ,
     weightedGroupSampleQ,
+    sqlCatalogQ,
   )
 }

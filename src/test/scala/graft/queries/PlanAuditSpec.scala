@@ -914,4 +914,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_count"),
       s"pair/unigram counts must map-side combine:\n${p.take(800)}")
   }
+
+  test("q179 SQL catalog: the V2 scan reports its pushed filters and reads only surviving dirs") {
+    val df = LlmCatalog.sqlCatalogQ.run(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the executed plan names the V2 scan with BOTH its pruning list
+    // and Spark's own pushed-filter report
+    assert(p.contains("GraftScan(table=orders_s"), p.take(900))
+    assert(p.contains("pruning=[GreaterThanOrEqual(o_orderkey,1000)"), p.take(900))
+    assert(p.contains("PushedFilters: [") &&
+      p.contains("GreaterThanOrEqual(o_orderkey,1000)") &&
+      p.contains("LessThanOrEqual(o_orderkey,9000)"), p.take(900))
+    // and the manifest pruning actually FIRED: the store committed 8
+    // orderkey-ranged generations (step = maxKey/8+1); the kept count
+    // must equal EXACTLY the generations whose key range intersects
+    // [1000, 9000] (X75 pruning-metric style — dirs read, not rows)
+    df.collect()
+    val (kept, total) = graft.io.GraftSource.lastPrune.get
+    assert(total == 8, s"expected 8 generations, saw $total")
+    val maxKey = spark.read.parquet(s"$sf/orders.parquet")
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    val step = maxKey / 8 + 1
+    val expected = (0 until 8).count(g =>
+      g * step <= 9000L && (g + 1) * step - 1 >= 1000L)
+    assert(kept == expected && kept < total,
+      s"V2 scan must read only surviving dirs: $kept/$total (expected $expected)")
+  }
 }
