@@ -487,7 +487,8 @@ class SnapshotBucketedStore(
       statsVersion: Int = SnapshotBucketedStore.CurrentStatsVersion,
       rows: Map[String, Long] = Map.empty,
       ndv: Map[String, Seq[(String, String)]] = Map.empty,
-      qsk: Map[String, Seq[(String, String)]] = Map.empty) {
+      qsk: Map[String, Seq[(String, String)]] = Map.empty,
+      tombs: Map[String, (String, Seq[String])] = Map.empty) {
     /** Stats restricted to dirs this manifest still references — the
       * carry-forward rule every commit applies to its predecessor's
       * stats (superseded generations take their stats with them). */
@@ -516,6 +517,20 @@ class SnapshotBucketedStore(
       val live = buckets.values.toSet ++ logs
       qsk.filter { case (d, _) => live(d) }
     }
+    /** Outstanding MERGE-ON-READ key tombstones (X234): data dir →
+      * (key column, tombstone-sidecar dirs to anti-join at read).
+      * Same carry-forward rule — a rewritten/dropped data dir takes
+      * its tombstones with it (the rewrite already applied them). */
+    def liveTombs: Map[String, (String, Seq[String])] = {
+      val live = buckets.values.toSet
+      tombs.filter { case (d, _) => live(d) }
+    }
+    /** Any tombstones outstanding? Gates the manifest-served
+      * metadata aggregates: recorded per-dir counts/stats/sketches
+      * describe PHYSICAL rows, which over-count a logically-deleted
+      * snapshot — the shared honest degrade is a scan fallback,
+      * never a wrong number. */
+    def hasTombs: Boolean = liveTombs.nonEmpty
   }
 
   private val ManifestName = "manifest-(\\d+)\\.txt".r
@@ -573,8 +588,16 @@ class SnapshotBucketedStore(
         val Array(c, b) = t.split(":", 2); (c, b)
       }
     }.toMap
+    // tomb lines: `tomb:<dir>=<keyCol>:<t1>,<t2>` — key columns are
+    // [A-Za-z0-9_]+ and dir rels carry no ':' or ',', the same
+    // delimiter discipline as stats/keys lines
+    val tombLines = entries.collect { case s if s.startsWith("tomb:") =>
+      val Array(d, rest) = s.stripPrefix("tomb:").split("=", 2)
+      val Array(k, list) = rest.split(":", 2)
+      d -> (k, list.split(",").toSeq.filter(_.nonEmpty))
+    }.toMap
     Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines, statsVer,
-      rowLines, ndvLines, qskLines))
+      rowLines, ndvLines, qskLines, tombLines))
   }
 
   /** The stats version a NEW commit records: stats carried forward
@@ -657,6 +680,10 @@ class SnapshotBucketedStore(
           m.liveQsk.toSeq.sortBy(_._1).collect {
             case (d, cs) if cs.nonEmpty =>
               s"qsk:$d=" + cs.map { case (c, b) => s"$c:$b" }.mkString(",")
+          } ++
+          m.liveTombs.toSeq.sortBy(_._1).collect {
+            case (d, (k, ts)) if ts.nonEmpty =>
+              s"tomb:$d=$k:${ts.mkString(",")}"
           }
       out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
@@ -1017,7 +1044,7 @@ class SnapshotBucketedStore(
       if (kept.isEmpty)
         // every dir provably disjoint: zero rows, schema preserved
         readManifest(name, m).map(_.limit(0).filter(pred))
-      else Some(readDirs(dirsOf(name, m, kept)).filter(pred))
+      else Some(readDataDirs(name, m, kept).filter(pred))
     }
   }
 
@@ -1058,7 +1085,7 @@ class SnapshotBucketedStore(
         col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
       if (kept.isEmpty)
         readManifest(name, m).map(_.limit(0).filter(pred))
-      else Some(readDirs(dirsOf(name, m, kept)).filter(pred))
+      else Some(readDataDirs(name, m, kept).filter(pred))
     }
   }
 
@@ -1224,7 +1251,7 @@ class SnapshotBucketedStore(
       val pred = col(column) === lit(value)
       if (kept.isEmpty)
         readManifest(name, m).map(_.limit(0).filter(pred))
-      else Some(readDirs(dirsOf(name, m, kept)).filter(pred))
+      else Some(readDataDirs(name, m, kept).filter(pred))
     }
   }
 
@@ -1259,7 +1286,7 @@ class SnapshotBucketedStore(
       if (all.isEmpty) return None
       val kept = keptForAny(name, m, all, column, values)
       if (kept.isEmpty) readManifest(name, m).map(_.limit(0))
-      else Some(readDirs(dirsOf(name, m, kept)))
+      else Some(readDataDirs(name, m, kept))
     }
 
   /** The skip metric behind [[readWhereEqAny]]. */
@@ -1281,6 +1308,7 @@ class SnapshotBucketedStore(
     * every metadata tier here shares. */
   def metadataCount(name: String): Option[Long] =
     latestManifest(name).flatMap { m =>
+      if (m.hasTombs) return None // physical counts over-count → scan
       val live = (m.buckets.values ++ m.logs).toSeq
       val counts = live.map(m.rows.get)
       if (counts.exists(_.isEmpty)) None else Some(counts.flatten.sum)
@@ -1302,6 +1330,7 @@ class SnapshotBucketedStore(
       column: String): Option[(BigDecimal, BigDecimal)] =
     latestManifest(name).flatMap { m =>
       if (m.statsVersion != SnapshotBucketedStore.CurrentStatsVersion) None
+      else if (m.hasTombs) None // stats describe physical rows → scan
       else {
         val live = (m.buckets.values ++ m.logs).toSeq
         // per dir: Some(Some(bounds)) usable, Some(None) blocks
@@ -1342,6 +1371,7 @@ class SnapshotBucketedStore(
     * fallback, the conservative degrade the metadata tier shares. */
   def metadataApproxDistinct(name: String, column: String): Option[Long] =
     latestManifest(name).flatMap { m =>
+      if (m.hasTombs) return None // sketches describe physical rows → scan
       val live = (m.buckets.values ++ m.logs).toSeq
       val per: Seq[Option[String]] = live.flatMap { d =>
         m.ndv.get(d).flatMap(_.find(_._1 == column)) match {
@@ -1404,6 +1434,7 @@ class SnapshotBucketedStore(
     * gate) or every image is empty (all-null column). */
   private def qskMerged(m: Manifest,
       column: String): Option[org.apache.datasketches.kll.KllDoublesSketch] = {
+    if (m.hasTombs) return None // sketches describe physical rows → scan
     val live = (m.buckets.values ++ m.logs).toSeq
     val per: Seq[Option[String]] = live.flatMap { d =>
       m.qsk.get(d).flatMap(_.find(_._1 == column)) match {
@@ -1438,6 +1469,10 @@ class SnapshotBucketedStore(
       hi: Double): Option[Long] = {
     require(lo <= hi, s"empty range: lo=$lo > hi=$hi")
     latestManifest(name).flatMap { m =>
+      // gate BEFORE the merged-sketch branch: qskMerged's None means
+      // "all-null column" (→ 0) there, which a tombstoned snapshot
+      // must not masquerade as
+      if (m.hasTombs) return None
       val live = (m.buckets.values ++ m.logs).toSeq
       val missing = live.exists { d =>
         m.qsk.get(d).flatMap(_.find(_._1 == column)).isEmpty &&
@@ -1522,13 +1557,45 @@ class SnapshotBucketedStore(
   override def read(name: String): Option[DataFrame] =
     latestManifest(name).flatMap(readManifest(name, _))
 
+  /** Read generation dirs of snapshot `m` with OUTSTANDING KEY
+    * TOMBSTONES applied (merge-on-read deletes, X234 — the
+    * deletion-vector discipline Delta/Iceberg grew for exactly the
+    * single-key-delete-on-a-100 TB-table case): dirs without
+    * tombstones read in ONE multi-dir scan exactly as before (zero
+    * cost on the common path); each tombstoned dir anti-joins its
+    * OWN sidecar key set (broadcast — tombstones are delete batches,
+    * driver-small by the [[deleteLazy]] contract). Per-dir — never a
+    * union across dirs — because a key deleted from generation A and
+    * later re-upserted lands in a NEW dir carrying no tombstone; a
+    * union anti-join would kill the resurrected row. Honest limit:
+    * a tombstoned dir reads through its own plan branch, so a table
+    * combining outstanding tombstones WITH a numeric type-widening
+    * upsert reconciles via unionByName and refuses loudly on a
+    * cross-generation type conflict until [[applyDeletes]] (or the
+    * widening [[rebuild]]) clears one of the two. */
+  private def readDataDirs(name: String, m: Manifest, rels: Seq[String]): DataFrame = {
+    val tombed = rels.filter(m.liveTombs.contains)
+    if (tombed.isEmpty) return readDirs(dirsOf(name, m, rels))
+    val clean = rels.filterNot(m.liveTombs.contains)
+    val parts =
+      (if (clean.nonEmpty) Seq(readDirs(dirsOf(name, m, clean))) else Nil) ++
+        tombed.map { d =>
+          val (k, ts) = m.liveTombs(d)
+          val doomed = readDirs(dirsOf(name, m, ts)).select(k).distinct()
+          readDirs(dirsOf(name, m, Seq(d)))
+            .join(org.apache.spark.sql.functions.broadcast(doomed),
+              Seq(k), "left_anti")
+        }
+    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   private def readManifest(name: String, m: Manifest): Option[DataFrame] = {
-    val all = dirsOf(name, m, m.buckets.values) ++ dirsOf(name, m, m.logs)
+    val all = (m.buckets.values ++ m.logs).toSeq
     // generations may differ in schema after a widening upsert —
     // mergeSchema unions the footers (old-generation rows read null
     // in later-added columns)
     if (all.isEmpty) None
-    else Some(readDirs(all))
+    else Some(readDataDirs(name, m, all))
   }
 
   /** Commit HISTORY as a queryable frame (the `DESCRIBE HISTORY`
@@ -1544,8 +1611,11 @@ class SnapshotBucketedStore(
     if (vs.isEmpty) return None
     val rows = vs.flatMap(manifestAt(name, _)).map { m =>
       val live = (m.buckets.values ++ m.logs).toSeq
+      // outstanding tombstones → recorded physical counts over-count
+      // the logical snapshot: null, the shared honest degrade
       val n: Option[Long] =
-        if (live.forall(m.rows.contains)) Some(live.map(m.rows).sum) else None
+        if (m.hasTombs || !live.forall(m.rows.contains)) None
+        else Some(live.map(m.rows).sum)
       org.apache.spark.sql.Row(m.version, m.lastBatch.map(Long.box).orNull,
         m.buckets.size, m.logs.size, n.map(Long.box).orNull)
     }
@@ -1599,7 +1669,10 @@ class SnapshotBucketedStore(
     val cur = latestManifest(name).get // target existing ⇒ table exists
     commit(name, Manifest(cur.version + 1, target.buckets, target.logs,
       cur.lastBatch, target.stats, target.keys, target.statsVersion,
-      target.rows, target.ndv, target.qsk))
+      target.rows, target.ndv, target.qsk,
+      // the restored version's OUTSTANDING tombstones restore with it —
+      // dropping them would silently resurrect merge-on-read deletes
+      target.tombs))
   }
 
   /** ZERO-COPY table clone (X221 — Delta's SHALLOW CLONE / Iceberg's
@@ -1651,7 +1724,11 @@ class SnapshotBucketedStore(
       m.statsVersion,
       m.liveRows.map { case (d, n) => ref(d) -> n },
       m.liveNdv.map { case (d, s) => ref(d) -> s },
-      m.liveQsk.map { case (d, s) => ref(d) -> s }))
+      m.liveQsk.map { case (d, s) => ref(d) -> s },
+      // outstanding tombstones clone BY REFERENCE like the data dirs
+      // they mask — both sides of the (dir, sidecar) pair re-point at
+      // the owner, and vacuum's borrow scan protects both
+      m.liveTombs.map { case (d, (k, ts)) => ref(d) -> (k, ts.map(ref)) }))
   }
 
   /** Keyed diff of two retained snapshots (`added`/`removed`/
@@ -1688,13 +1765,20 @@ class SnapshotBucketedStore(
       require(m1.logs.isEmpty && m2.logs.isEmpty,
         s"$name has append-log generations; keyed diff targets bucketed " +
           "upsert tables — use appendsSince for log tables")
+      // a bucket is unchanged only when BOTH its dir ref and its
+      // outstanding tombstones match — same bytes under different
+      // merge-on-read deletes is different content
+      def sameBucket(b: Long): Boolean =
+        m1.buckets.get(b) == m2.buckets.get(b) &&
+          m1.buckets.get(b).flatMap(m1.liveTombs.get) ==
+            m2.buckets.get(b).flatMap(m2.liveTombs.get)
       val touched =
         if (includeUnchanged) (m1.buckets.keySet ++ m2.buckets.keySet).toSeq.sorted
         else (m1.buckets.keySet ++ m2.buckets.keySet).toSeq
-          .filter(b => m1.buckets.get(b) != m2.buckets.get(b)).sorted
+          .filterNot(sameBucket).sorted
       def side(m: Manifest): Option[DataFrame] = {
-        val dirs = dirsOf(name, m, touched.flatMap(m.buckets.get(_)))
-        if (dirs.isEmpty) None else Some(readDirs(dirs))
+        val rels = touched.flatMap(m.buckets.get(_))
+        if (rels.isEmpty) None else Some(readDataDirs(name, m, rels))
       }
       (side(m1), side(m2)) match {
         case (None, None) =>
@@ -1755,10 +1839,16 @@ class SnapshotBucketedStore(
       m1 <- manifestAt(name, since)
       m2 <- manifestAt(name, end)
     } yield {
+      // tombstone-aware touch test, same rule as diffVersions: a
+      // bucket with the same dir but different merge-on-read deletes
+      // HAS changed
       val touched = (m1.buckets.keySet ++ m2.buckets.keySet).toSeq
-        .filter(b => m1.buckets.get(b) != m2.buckets.get(b))
-      val newDirs = dirsOf(name, m2, touched.flatMap(m2.buckets.get(_)))
-      val neu = if (newDirs.isEmpty) None else Some(readDirs(newDirs))
+        .filter(b => m1.buckets.get(b) != m2.buckets.get(b) ||
+          m1.buckets.get(b).flatMap(m1.liveTombs.get) !=
+            m2.buckets.get(b).flatMap(m2.liveTombs.get))
+      val newRels = touched.flatMap(m2.buckets.get(_))
+      val neu = if (newRels.isEmpty) None
+        else Some(readDataDirs(name, m2, newRels))
       // payload schema donor for the all-removed edge (no new-side
       // dirs in any touched bucket): the table's own schema at either
       // end — planning-time footer reads only, never a data scan
@@ -1877,7 +1967,9 @@ class SnapshotBucketedStore(
         statsMap -= d; keysMap -= d; rowsMap -= d; ndvMap -= d; qskMap -= d
       }
       rewrites.zipWithIndex.foreach { case ((ob, d), i) =>
-        val kept = readDirs(dirsOf(name, m, Seq(d)))
+        // tombstone-aware read: the rewrite applies outstanding
+        // merge-on-read deletes too (free physical erasure)
+        val kept = readDataDirs(name, m, Seq(d))
           .filter(not(coalesce(pred, lit(false))))
         val rel = ob match {
           case Some(b) => s"data/b$b-g$v"
@@ -1897,7 +1989,8 @@ class SnapshotBucketedStore(
         qskMap = qskMap ++ qskPart(dm)
       }
       commit(name, Manifest(v, bucketMap, logList, m.lastBatch,
-        statsMap, keysMap, carriedStatsVersion(Some(m)), rowsMap, ndvMap, qskMap))
+        statsMap, keysMap, carriedStatsVersion(Some(m)), rowsMap, ndvMap,
+        qskMap, m.tombs)) // liveTombs drops entries of rewritten/dropped dirs
       (dropped.size, rewrites.size, disjoint.size)
     }
   }
@@ -2129,13 +2222,16 @@ class SnapshotBucketedStore(
     val touched = withBucket(incoming, key)
       .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
     // manifest-level pruning: ONLY the touched buckets' dirs are even
-    // named, let alone listed or read
-    val existingDirs = prev.toSeq.flatMap(m =>
-      touched.flatMap(b => m.buckets.get(b).map(d => resolveDir(name, d))))
+    // named, let alone listed or read. Tombstone-aware: the merge must
+    // not resurrect rows a lazy delete already removed — the rewrite
+    // applies the outstanding sidecars and the new generation carries
+    // none (liveTombs drops them with the superseded dirs)
+    val existingRels = prev.toSeq.flatMap(m =>
+      touched.flatMap(b => m.buckets.get(b)))
     val existing =
-      if (existingDirs.isEmpty)
+      if (existingRels.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
-      else readDirs(existingDirs)
+      else readDataDirs(name, prev.get, existingRels)
     val merged = withBucket(graft.ops.Upsert.upsert(existing, incoming, key), key)
     sortedForWrite(merged).write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
     // per-bucket data-skipping stats + key Blooms, ONE grouped agg
@@ -2177,7 +2273,8 @@ class SnapshotBucketedStore(
           stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) },
       prev.map(_.qsk).getOrElse(Map.empty) ++
         newBuckets.flatMap { case (b, rel) =>
-          stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) }))
+          stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) },
+      prev.map(_.tombs).getOrElse(Map.empty))) // untouched buckets keep theirs
   }
 
   /** Atomic FULL REBUILD of a bucketed-upsert table: every bucket of
@@ -2240,71 +2337,20 @@ class SnapshotBucketedStore(
     * physical erasure, not just logical. `keys` is a one-column frame
     * of key values (broadcast into the anti-join). */
   def delete(name: String, keyCol: String, keys: DataFrame)(implicit s: SparkSession): Unit = {
-    import org.apache.spark.sql.functions.col
     val prev = latestManifest(name)
     require(prev.forall(_.logs.isEmpty),
       s"$name has append-log generations; keyed delete targets bucketed tables")
     if (prev.isEmpty) return
     val v = prev.get.version + 1
-    val rawFrame = keys.select(col(keys.columns.head).as(keyCol)).distinct()
-    // type discipline: bucket targeting hashes xxhash64(key) and the
-    // manifest Blooms are type-tagged the same way, so a keys frame
-    // whose column type differs from the table's (Int ids for a Long
-    // column) would hash into the WRONG buckets and silently no-op
-    // the delete. Cast the frame to the table's type when the cast
-    // round-trips losslessly for every key; otherwise degrade to
-    // rewriting every bucket with the ORIGINAL frame (Spark's own
-    // join coercion decides equality) — conservative, never a no-op.
-    val tableDt = columnTypeOf(name, prev.get, keyCol)
-    def withOrigType(dt: org.apache.spark.sql.types.DataType) = rawFrame
-      .select(col(keyCol).cast(tableDt.get).as(keyCol),
-        col(keyCol).as("graft_orig_"))
-      .withColumn("graft_lossy_",
-        !(col(keyCol).cast(dt) <=> col("graft_orig_")))
-    val (keyFrame, typeSafe) = tableDt match {
-      case Some(dt) if rawFrame.schema(keyCol).dataType == dt =>
-        (rawFrame, true)
-      case Some(_) =>
-        val probe = withOrigType(rawFrame.schema(keyCol).dataType)
-          .localCheckpoint()
-        if (probe.filter(col("graft_lossy_")).limit(1).count() > 0)
-          (rawFrame, false)
-        else (probe.select(keyCol), true)
-      case None => (rawFrame, false)
-    }
-    // with a cluster column the keys frame can't compute its rows'
-    // buckets (they bucket by the CLUSTER value, absent here) — every
-    // bucket is a candidate and the key Blooms below do the narrowing
-    val bucketDirs: Seq[(Long, String)] =
-      if (typeSafe && clusterColumn.isEmpty) {
-        val touched = withBucket(keyFrame, keyCol)
-          .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
-        touched.toSeq.flatMap(b => prev.get.buckets.get(b).map(b -> _))
-      } else prev.get.buckets.toSeq.sortBy(_._1)
-    // membership-stats targeting: a touched bucket whose key Bloom
-    // provably contains NONE of the doomed keys never held them —
-    // skip its rewrite entirely (GDPR deletes of ids that mostly
-    // never existed rewrite ~nothing). Applied only when the key
-    // list is driver-small; the bucket-hash targeting above already
-    // bounds the worst case. Each dir's Bloom is deserialized ONCE
-    // and probed with every key hash.
-    val touchedDirs =
-      if (!typeSafe || !keyColumns.contains(keyCol)) bucketDirs
-      else {
-        val probe = keyFrame.limit(10001).collect().map(r => keyHash(r.get(0)))
-        if (probe.length > 10000) bucketDirs
-        else bucketDirs.filter { case (_, d) =>
-          dirBloom(prev.get.keys.get(d), keyCol)
-            .forall(bf => probe.exists(bf.mightContainLong))
-        }
-      }
+    val (keyFrame, touchedDirs) = deleteTargeting(name, prev.get, keyCol, keys)
     if (touchedDirs.isEmpty) return
     // mergeSchema like read/upsert: after a widening upsert the touched
     // buckets span generations with different schemas — a single-footer
     // inference could pick an OLD generation and rewrite the bucket
-    // without the later-added columns, destroying them in the snapshot
-    val existing = readDirs(
-      touchedDirs.map(d => resolveDir(name, d._2)))
+    // without the later-added columns, destroying them in the snapshot.
+    // Tombstone-aware: the rewrite also applies outstanding
+    // merge-on-read sidecars (physical erasure rides along).
+    val existing = readDataDirs(name, prev.get, touchedDirs.map(_._2))
     val remaining = withBucket(
       existing.join(
         org.apache.spark.sql.functions.broadcast(keyFrame), Seq(keyCol), "left_anti"),
@@ -2346,7 +2392,160 @@ class SnapshotBucketedStore(
           stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) },
       prev.get.qsk ++
         newBuckets.flatMap { case (b, rel) =>
-          stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) }))
+          stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) },
+      prev.get.tombs)) // rewritten dirs' tombstones drop via liveTombs
+  }
+
+  /** The delete-targeting pass shared by [[delete]] and
+    * [[deleteLazy]]: (typed key frame, the (bucket, dir) pairs that
+    * might hold any doomed key). Type discipline: bucket targeting
+    * hashes xxhash64(key) and the manifest Blooms are type-tagged the
+    * same way, so a keys frame whose column type differs from the
+    * table's (Int ids for a Long column) would hash into the WRONG
+    * buckets and silently no-op the delete. The frame is cast to the
+    * table's type when the cast round-trips losslessly for every key;
+    * otherwise every bucket is a candidate with the ORIGINAL frame
+    * (Spark's own join coercion decides equality) — conservative,
+    * never a no-op. With a cluster column the keys frame can't
+    * compute its rows' buckets (they bucket by the CLUSTER value,
+    * absent here) — every bucket is a candidate and the key Blooms
+    * do the narrowing. Membership-stats narrowing (a candidate whose
+    * key Bloom provably contains NONE of the doomed keys is skipped)
+    * applies when the key list is driver-small (≤10k — the X189
+    * probe bound); each dir's Bloom deserializes ONCE. */
+  private def deleteTargeting(name: String, m: Manifest, keyCol: String,
+      keys: DataFrame): (DataFrame, Seq[(Long, String)]) = {
+    import org.apache.spark.sql.functions.col
+    val rawFrame = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+    val tableDt = columnTypeOf(name, m, keyCol)
+    def withOrigType(dt: org.apache.spark.sql.types.DataType) = rawFrame
+      .select(col(keyCol).cast(tableDt.get).as(keyCol),
+        col(keyCol).as("graft_orig_"))
+      .withColumn("graft_lossy_",
+        !(col(keyCol).cast(dt) <=> col("graft_orig_")))
+    val (keyFrame, typeSafe) = tableDt match {
+      case Some(dt) if rawFrame.schema(keyCol).dataType == dt =>
+        (rawFrame, true)
+      case Some(_) =>
+        val probe = withOrigType(rawFrame.schema(keyCol).dataType)
+          .localCheckpoint()
+        if (probe.filter(col("graft_lossy_")).limit(1).count() > 0)
+          (rawFrame, false)
+        else (probe.select(keyCol), true)
+      case None => (rawFrame, false)
+    }
+    val bucketDirs: Seq[(Long, String)] =
+      if (typeSafe && clusterColumn.isEmpty) {
+        val touched = withBucket(keyFrame, keyCol)
+          .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
+        touched.toSeq.flatMap(b => m.buckets.get(b).map(b -> _))
+      } else m.buckets.toSeq.sortBy(_._1)
+    val touchedDirs =
+      if (!typeSafe || !keyColumns.contains(keyCol)) bucketDirs
+      else {
+        val probe = keyFrame.limit(10001).collect().map(r => keyHash(r.get(0)))
+        if (probe.length > 10000) bucketDirs
+        else bucketDirs.filter { case (_, d) =>
+          dirBloom(m.keys.get(d), keyCol)
+            .forall(bf => probe.exists(bf.mightContainLong))
+        }
+      }
+    (keyFrame, touchedDirs)
+  }
+
+  /** MERGE-ON-READ keyed deletion (X234 — the deletion-vector tier
+    * [[delete]] lacks): commits a per-snapshot KEY-TOMBSTONE SIDECAR
+    * instead of rewriting the touched buckets, so the commit costs
+    * O(tombstone write + one manifest rename) — a single-key GDPR
+    * delete on a 100 TB table stops paying a full bucket rewrite per
+    * key hit. Reads anti-join each tombstoned dir's sidecars
+    * ([[readDataDirs]]) for AFFECTED dirs only; the untouched rest of
+    * the table reads exactly as before. Logical-delete semantics are
+    * IDENTICAL to [[delete]] (SnapshotStoreSpec pins lazy ≡ eager
+    * bit-for-bit); what differs is WHEN the bytes move:
+    * [[applyDeletes]] (or any upsert/delete/deleteRange touching the
+    * dir) physically applies outstanding tombstones, and [[vacuum]]
+    * then reclaims the superseded generations — run both when the
+    * point is physical erasure. While tombstones are outstanding the
+    * manifest-served metadata aggregates (COUNT/MIN/MAX/NDV/
+    * quantiles) honestly refuse (scan fallback) — recorded per-dir
+    * figures describe physical rows. Same targeting and type
+    * discipline as [[delete]] ([[deleteTargeting]]); a re-upsert of
+    * a tombstoned key RESURRECTS it (the new row lands in a fresh
+    * generation carrying no tombstone — keep-last semantics hold). */
+  def deleteLazy(name: String, keyCol: String, keys: DataFrame)(implicit s: SparkSession): Unit = {
+    require(keyCol.matches("[A-Za-z0-9_]+"),
+      s"tombstone key column must be [A-Za-z0-9_]+ (manifest line syntax): $keyCol")
+    val prev = latestManifest(name)
+    require(prev.forall(_.logs.isEmpty),
+      s"$name has append-log generations; keyed delete targets bucketed tables")
+    if (prev.isEmpty) return
+    val m = prev.get
+    m.liveTombs.values.map(_._1).toSet.foreach { (k: String) =>
+      require(k == keyCol,
+        s"$name has outstanding tombstones keyed on '$k'; a lazy delete " +
+          s"keyed on '$keyCol' cannot mix — applyDeletes first")
+    }
+    val (keyFrame, touchedDirs) = deleteTargeting(name, m, keyCol, keys)
+    if (touchedDirs.isEmpty) return
+    val v = m.version + 1
+    val rel = s"data/tomb-g$v"
+    writeDir(keyFrame, new Path(tableDir(name), rel).toString)
+    val newTombs = m.tombs ++ touchedDirs.map { case (_, d) =>
+      val ts = m.tombs.get(d).map(_._2).getOrElse(Nil)
+      d -> (keyCol, ts :+ rel)
+    }
+    commit(name, Manifest(v, m.buckets, m.logs, m.lastBatch, m.stats,
+      m.keys, carriedStatsVersion(Some(m)), m.rows, m.ndv, m.qsk, newTombs))
+  }
+
+  /** Physically apply every outstanding tombstone: each tombstoned
+    * dir rewrites WITHOUT its doomed keys (O(tombstoned dirs), the
+    * rest of the table untouched), one manifest commit drops the
+    * sidecar references, and the superseded generations await
+    * [[vacuum]]. Returns the number of dirs rewritten. The compaction
+    * half of the merge-on-read trade — run it on the maintenance
+    * cadence, like log compaction. */
+  def applyDeletes(name: String): Int = {
+    val m = latestManifest(name) match {
+      case None => return 0
+      case Some(x) => x
+    }
+    val tombed = m.liveTombs
+    if (tombed.isEmpty) return 0
+    val v = m.version + 1
+    val relToBucket = m.buckets.map(_.swap)
+    var buckets = m.buckets
+    var stats = m.stats; var keysM = m.keys; var rows = m.rows
+    var ndv = m.ndv; var qsk = m.qsk
+    tombed.keys.toSeq.sorted.foreach { d =>
+      val b = relToBucket(d)
+      val rel = s"data/b$b-g$v"
+      val dst = new Path(tableDir(name), rel)
+      val f = fs(dst)
+      if (f.exists(dst)) f.delete(dst, true) // crash orphan at this version
+      writeDir(readDataDirs(name, m, Seq(d)), dst.toString)
+      stats -= d; keysM -= d; rows -= d; ndv -= d; qsk -= d
+      // an all-deleted dir writes no data files: the bucket drops out
+      val hasData = f.exists(dst) && f.listStatus(dst).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }
+      if (!hasData) {
+        f.delete(dst, true)
+        buckets -= b
+      } else {
+        buckets += b -> rel
+        val dm = metaForDir(name, rel)
+        stats = stats ++ statsPart(dm); keysM = keysM ++ keysPart(dm)
+        rows = rows ++ rowsPart(dm); ndv = ndv ++ ndvPart(dm)
+        qsk = qsk ++ qskPart(dm)
+      }
+    }
+    commit(name, Manifest(v, buckets, m.logs, m.lastBatch, stats, keysM,
+      carriedStatsVersion(Some(m)), rows, ndv, qsk,
+      m.tombs)) // all applied dirs left `buckets` → liveTombs drops them
+    tombed.size
   }
 
   /** Garbage collection: delete data dirs not referenced by any of the
@@ -2368,7 +2567,8 @@ class SnapshotBucketedStore(
       // qualify both sides — listStatus returns scheme-qualified paths
       // (file:/...), a bare string compare would mark everything dead
       val own = retained
-        .flatMap(r => r.buckets.values ++ r.logs)
+        .flatMap(r => r.buckets.values ++ r.logs ++
+          r.tombs.values.flatMap(_._2)) // tombstone sidecars are data too
         .filterNot(_.startsWith("@")) // borrowed refs live under their owner
         .map(d => f.makeQualified(new Path(dir, d)).toString).toSet
       // dirs of THIS table still referenced by OTHER tables' on-disk
@@ -2383,7 +2583,8 @@ class SnapshotBucketedStore(
         .filter(_.isDirectory).map(_.getPath.getName)
         .filterNot(_ == name)
         .flatMap(t => snapshots(t).flatMap(v => manifestAt(t, v)))
-        .flatMap(r => r.buckets.values ++ r.logs)
+        .flatMap(r => r.buckets.values ++ r.logs ++
+          r.tombs.values.flatMap(_._2)) // cloned tombstone refs too
         .filter(_.startsWith(marker))
         .map(d => f.makeQualified(new Path(dir, d.stripPrefix(marker))).toString)
         .toSet
@@ -2429,7 +2630,8 @@ class SnapshotBucketedStore(
     f.listStatus(rootP).toSeq.filter(_.isDirectory).map(_.getPath.getName)
       .filterNot(_ == name)
       .filter(t => snapshots(t).flatMap(v => manifestAt(t, v))
-        .exists(m => (m.buckets.values ++ m.logs).exists(_.startsWith(marker))))
+        .exists(m => (m.buckets.values ++ m.logs ++
+          m.tombs.values.flatMap(_._2)).exists(_.startsWith(marker))))
       .sorted
   }
 

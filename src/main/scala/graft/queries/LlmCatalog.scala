@@ -6834,6 +6834,57 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** A keyed store table carrying OUTSTANDING merge-on-read
+    * tombstones at read time (X234): full corpus upserted, %13 keys
+    * lazy-deleted, %26 keys re-upserted REVISED (resurrection across
+    * a tombstone), then %11 keys lazy-deleted on top (stacked
+    * sidecars) — nothing applied, so the final read exercises the
+    * anti-join read path itself, not a rewritten table. */
+  private def lazyDeleteStore(s: org.apache.spark.sql.SparkSession,
+      d: String): graft.io.SnapshotBucketedStore =
+    artifact(s, d, "lazy_delete_store") {
+      implicit val sp = s
+      val store = new graft.io.SnapshotBucketedStore(
+        java.nio.file.Files.createTempDirectory("graft_dv_").toString,
+        numBuckets = 16, "parquet", keyColumns = Seq("doc_id"))
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      store.upsert("t", docs, "doc_id")
+      store.deleteLazy("t", "doc_id",
+        docs.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+      store.upsert("t",
+        docs.filter(col("doc_id") % 26 === 0)
+          .withColumn("source", lit("REV")), "doc_id")
+      store.deleteLazy("t", "doc_id",
+        docs.filter(col("doc_id") % 11 === 0).select(col("doc_id")))
+      store
+    }
+
+  /** Merge-on-read deletes served THROUGH the read path
+    * (SnapshotBucketedStore.deleteLazy + the per-dir tombstone
+    * anti-join, X234): the table below still carries every sidecar —
+    * no bucket was rewritten (the lazy commits cost O(keys), which
+    * is the whole point at 100 TB) — so the hash match proves the
+    * anti-join read reconstructs exactly delete-then-upsert-then-
+    * delete semantics: %13 gone, %26 resurrected REVISED through the
+    * first tombstone, %11 gone on top of both. */
+  val lazyDeleteQ = GraftQuery(
+    "q180_merge_on_read_deletes",
+    (s, d) =>
+      lazyDeleteStore(s, d).read("t").get
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 26 = 0 THEN 'REV' ELSE source END AS source,
+             n_chars, lang
+      FROM documents
+      WHERE (doc_id % 13 <> 0 OR doc_id % 26 = 0)
+        AND doc_id % 11 <> 0
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -6952,5 +7003,6 @@ object LlmCatalog {
     weightedSampleQ,
     weightedGroupSampleQ,
     sqlCatalogQ,
+    lazyDeleteQ,
   )
 }

@@ -940,4 +940,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(kept == expected && kept < total,
       s"V2 scan must read only surviving dirs: $kept/$total (expected $expected)")
   }
+
+  test("q180 merge-on-read: tombstone sidecars anti-join as broadcasts") {
+    val df = LlmCatalog.lazyDeleteQ.run(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // each tombstoned dir anti-joins its (driver-small) sidecar keys
+    // broadcast — never a shuffled join of table against tombstones
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      p.take(900))
+    assert(!p.contains("SortMergeJoin"), p.take(900))
+    assert(!p.contains("CartesianProduct"), p.take(900))
+  }
 }
