@@ -23,13 +23,23 @@ import graft.llm.{Dedup, TextOps}
   * map-side + one partial-agg shuffle per batch; both compact with
   * [[graft.io.SnapshotBucketedStore.compactLogs]].
   *
-  * The streaming trade, stated honestly: verification is the MinHash
-  * ESTIMATE of Jaccard (share of agreeing signature slots), not the
-  * exact n-gram Jaccard the batch miner re-computes from text
-  * ([[Dedup.nearDupPairs]]) — the stream retains no text to verify
-  * against. Estimated-verified pairs feed the same downstream
-  * keep-min / CC machinery; run the batch miner as the periodic
-  * exact pass. */
+  * The streaming trade, stated honestly: by default verification is
+  * the MinHash ESTIMATE of Jaccard (share of agreeing signature
+  * slots), not the exact n-gram Jaccard the batch miner re-computes
+  * from text ([[Dedup.nearDupPairs]]) — the stream retains no text
+  * to verify against, and the batch miner remains the periodic exact
+  * pass. `exactWindow > 0` narrows that trade (SCALE.md §8 item 12):
+  * each doc's DISTINCT SHINGLE-HASH SET — all exact n-gram Jaccard
+  * needs, no raw text — is retained for the last `exactWindow`
+  * drains in `<table>_grams`, candidates incident to each batch
+  * verify EXACTLY in-stream against the window (bit-equal to the
+  * batch miner's verdict, AnnIntakeSpec), verified pairs accumulate
+  * monotonically in `<table>_pairs`, and expired gram generations
+  * drop at the window edge ([[graft.io.SnapshotBucketedStore
+  * .deleteRange]] on the batch stamp — metadata-only when `stamp` is
+  * a stats column), so state stays BOUNDED by the window. Pairs
+  * whose counterpart expired before meeting fall to the periodic
+  * batch pass — the residual (and now much narrower) trade. */
 object AnnIntake {
 
   /** Signature + bucket rows for one batch of documents (also the
@@ -74,15 +84,19 @@ object AnnIntake {
       maintainLabels: Boolean = false,
       threshold: Double = 0.5,
       maxBucketWidth: Int = 100,
+      exactWindow: Int = 0,
   ): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     require(!maintainLabels || store.isInstanceOf[graft.io.SnapshotBucketedStore],
       "label maintenance needs SnapshotBucketedStore's batch-marked replace")
+    require(exactWindow == 0 || store.isInstanceOf[graft.io.SnapshotBucketedStore],
+      "the exact-verify window needs SnapshotBucketedStore's stamp-ranged deleteRange")
     val q = docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val sig = signatures(batch, idCol, textCol, n, numHashes)
+        val b = batch.localCheckpoint() // shared by signature + gram passes
+        val sig = signatures(b, idCol, textCol, n, numHashes)
           .localCheckpoint() // two consumers, one signature pass
         store.appendIfNew(table, sig, batchId): Unit
         val buckets = sig
@@ -93,6 +107,10 @@ object AnnIntake {
         if (maintainLabels)
           updateLabels(store.asInstanceOf[graft.io.SnapshotBucketedStore],
             table, buckets, batchId, numHashes, threshold, maxBucketWidth): Unit
+        if (exactWindow > 0)
+          verifyExactWindow(store.asInstanceOf[graft.io.SnapshotBucketedStore],
+            table, b, buckets, batchId, idCol, textCol, n, threshold,
+            maxBucketWidth, exactWindow)
       }
       .start()
     q.awaitTermination()
@@ -148,29 +166,7 @@ object AnnIntake {
   ): Boolean = {
     val labelsTable = s"${table}_labels"
     if (store.lastAppliedBatch(labelsTable).exists(batchId <= _)) return false
-    val probe = batchBuckets.select("id", "band", "band_key").distinct()
-    // width-cap ONLY the buckets this batch probes: semi-joining the
-    // accumulated table to the batch's (band, band_key) keys first
-    // keeps the per-batch cost O(probed buckets), not an O(corpus)
-    // window shuffle per micro-batch — the per-key count inside the
-    // semi-joined set is identical to the global count for those keys
-    val probedKeys = probe.select("band", "band_key").distinct()
-    val probedBuckets = store.read(s"${table}_buckets").get
-      .select("id", "band", "band_key").distinct()
-      .join(broadcast(probedKeys), Seq("band", "band_key"), "left_semi")
-    val wCount = Window.partitionBy(col("band"), col("band_key"))
-    val capped = probedBuckets
-      .withColumn("graft_bw_", count(lit(1)).over(wCount))
-      .filter(col("graft_bw_") <= maxBucketWidth)
-      .drop("graft_bw_")
-    val rawPairs = probe.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.id") =!= col("b.id"))
-      .select(least(col("a.id"), col("b.id")).as("id_a"),
-        greatest(col("a.id"), col("b.id")).as("id_b"))
-      .distinct()
+    val rawPairs = batchCandidates(store, table, batchBuckets, maxBucketWidth)
     val sig = store.read(table).get.dropDuplicates("id")
     val agree = (0 until numHashes).map(i =>
       when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
@@ -185,6 +181,106 @@ object AnnIntake {
     // [[IncrementalCc.mergeEdges]], semantics unchanged)
     IncrementalCc.mergeEdges(store, labelsTable, edges, batchId)
   }
+
+  /** Candidate pairs INCIDENT TO ONE BATCH: the batch's bucket
+    * memberships probe the accumulated bucket table (keyed equi-join
+    * — new docs visit only their own buckets, never the corpus),
+    * normalized to id_a < id_b. Width-cap applies ONLY over the
+    * buckets this batch probes: semi-joining the accumulated table to
+    * the batch's (band, band_key) keys first keeps the per-batch cost
+    * O(probed buckets), not an O(corpus) window shuffle per
+    * micro-batch — the per-key count inside the semi-joined set is
+    * identical to the global count for those keys. Shared by
+    * [[updateLabels]] and [[verifyExactWindow]]. */
+  private def batchCandidates(
+      store: graft.io.TableStore,
+      table: String,
+      batchBuckets: DataFrame,
+      maxBucketWidth: Int): DataFrame = {
+    val probe = batchBuckets.select("id", "band", "band_key").distinct()
+    val probedKeys = probe.select("band", "band_key").distinct()
+    val probedBuckets = store.read(s"${table}_buckets").get
+      .select("id", "band", "band_key").distinct()
+      .join(broadcast(probedKeys), Seq("band", "band_key"), "left_semi")
+    val wCount = Window.partitionBy(col("band"), col("band_key"))
+    val capped = probedBuckets
+      .withColumn("graft_bw_", count(lit(1)).over(wCount))
+      .filter(col("graft_bw_") <= maxBucketWidth)
+      .drop("graft_bw_")
+    probe.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+  }
+
+  /** EXACT in-stream verification over a bounded retention window
+    * (SCALE.md §8 item 12, closed): retain each doc's distinct
+    * shingle-hash set — all exact n-gram Jaccard needs, no raw text —
+    * for `window` drains in `<table>_grams` (one exactly-once
+    * generation per batch, stamped with the epoch), verify THIS
+    * batch's candidate edges exactly against the retained sets, and
+    * append survivors to `<table>_pairs`. The verdict is bit-equal to
+    * [[Dedup.nearDupPairs]] on the same docs (same shingling, same
+    * set-Jaccard expression, same width cap — AnnIntakeSpec pins the
+    * equality); a candidate whose counterpart expired before meeting
+    * simply doesn't verify here and falls to the periodic batch pass.
+    * State stays bounded: after each batch, gram generations with
+    * stamp ≤ batchId − window drop via [[graft.io
+    * .SnapshotBucketedStore.deleteRange]] — METADATA-ONLY when
+    * `stamp` is one of the store's statsColumns (each generation is
+    * one batch, so its stamp range is a point). All three commits are
+    * epoch-marked, so crash-replays skip whatever already landed. */
+  def verifyExactWindow(
+      store: graft.io.SnapshotBucketedStore,
+      table: String,
+      batch: DataFrame,
+      batchBuckets: DataFrame,
+      batchId: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxBucketWidth: Int = 100,
+      window: Int = 3,
+  ): Unit = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val gramsTable = s"${table}_grams"
+    val pairsTable = s"${table}_pairs"
+    val grams = batch
+      .select(col(idCol).as("id"),
+        array_distinct(TextOps.shingleHashes(col(textCol), n)).as("sh"),
+        lit(batchId).as("stamp"))
+      .filter(size(col("sh")) > 0)
+      .localCheckpoint()
+    // verification set = retained window ∪ this batch (its own
+    // generation may not have landed yet on a crash-replay)
+    val sets = store.read(gramsTable)
+      .map(_.unionByName(grams)).getOrElse(grams)
+      .select("id", "sh").dropDuplicates("id")
+    val verified = batchCandidates(store, table, batchBuckets, maxBucketWidth)
+      .join(sets.withColumnsRenamed(Map("id" -> "id_a", "sh" -> "sh_a")), "id_a")
+      .join(sets.withColumnsRenamed(Map("id" -> "id_b", "sh" -> "sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint()
+    store.appendIfNew(pairsTable, verified, batchId): Unit
+    store.appendIfNew(gramsTable, grams.dropDuplicates("id"), batchId): Unit
+    if (batchId - window >= 0)
+      store.deleteRange(gramsTable, "stamp", 0L, batchId - window): Unit
+  }
+
+  /** Exactly-verified pairs accumulated by [[verifyExactWindow]] —
+    * deduped on read (an at-least-once re-send can rediscover a pair
+    * in a later epoch with the identical jaccard). */
+  def verifiedPairs(
+      store: graft.io.TableStore,
+      table: String): Option[DataFrame] =
+    store.read(s"${table}_pairs").map(_.dropDuplicates("id_a", "id_b"))
 
   /** Candidate pairs over EVERYTHING streamed so far: self-join the
     * accumulated band buckets (width-capped, same quadratic-cliff

@@ -145,4 +145,79 @@ class AnnIntakeSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(streamed == exact, s"streamed $streamed vs exact $exact")
   }
+
+  test("exact-verify window: in-stream verdicts ≡ the batch miner bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val root = tmpDir("graft_ann_ew_")
+    // stamp is a stats column so the window sweep drops whole
+    // generations metadata-only
+    val store = new graft.io.SnapshotBucketedStore(s"$root/ann",
+      numBuckets = 4, statsColumns = Seq("stamp"))
+    val input = MemoryStream[AnnDoc]
+    val chaff2 = "entirely different content about astronomy telescopes and distant galaxies tonight"
+    val d1 = Seq(AnnDoc(1L, base),
+      AnnDoc(2L, "words about ships and harbors and tides rolling in slowly this evening"),
+      AnnDoc(3L, chaff2))
+    val d2 = Seq(AnnDoc(102L, base.replace("lazy", "sleepy")), // cross-drain 1↔102
+      AnnDoc(105L, base.replace("quick", "rapid"))) // cross 1↔105, within 102↔105
+    val d3 = Seq(AnnDoc(201L, chaff2.replace("tonight", "today"))) // cross 3↔201
+    input.addData(d1: _*)
+    AnnIntake.drainTo(input.toDF(), store, "ann", s"$root/ckpt", exactWindow = 5)
+    input.addData(d2: _*)
+    AnnIntake.drainTo(input.toDF(), store, "ann", s"$root/ckpt", exactWindow = 5)
+    input.addData(d3: _*)
+    AnnIntake.drainTo(input.toDF(), store, "ann", s"$root/ckpt", exactWindow = 5)
+
+    val streamed = AnnIntake.verifiedPairs(store, "ann").get
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val batch = graft.llm.Dedup.nearDupPairs(
+        (d1 ++ d2 ++ d3).toDF(), "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    // the window covered every arrival, so the in-stream decisions —
+    // pairs AND their exact jaccard values — equal the batch pass
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    // the two-edits-apart 102↔105 pair falls below 0.5 in BOTH
+    // engines — only the single-edit pairs verify
+    assert(streamed.map(p => (p._1, p._2)) ==
+      Set((1L, 102L), (1L, 105L), (3L, 201L)),
+      s"planted pairs must verify: $streamed")
+  }
+
+  test("exact-verify window: state stays bounded, expired pairs fall to the batch pass") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    implicit val s = spark
+    val root = tmpDir("graft_ann_bw_")
+    val store = new graft.io.SnapshotBucketedStore(s"$root/ann",
+      numBuckets = 4, statsColumns = Seq("stamp"))
+    val input = MemoryStream[AnnDoc]
+    input.addData(AnnDoc(1L, base),
+      AnnDoc(2L, "ships and harbors and tides rolling in slowly this quiet evening today"))
+    AnnIntake.drainTo(input.toDF(), store, "ann", s"$root/ckpt", exactWindow = 1)
+    input.addData(AnnDoc(9L, "totally unrelated filler about orchards apples cider presses and autumn"))
+    AnnIntake.drainTo(input.toDF(), store, "ann", s"$root/ckpt", exactWindow = 1)
+    input.addData(AnnDoc(102L, base.replace("lazy", "sleepy")),
+      AnnDoc(103L, base.replace("lazy", "sleepy").replace("quick", "rapid")))
+    AnnIntake.drainTo(input.toDF(), store, "ann", s"$root/ckpt", exactWindow = 1)
+    // BOUNDED: only the newest drain's gram generation survives the sweep
+    val stamps = store.read("ann_grams").get
+      .select("stamp").distinct().as[Long].collect().toSet
+    assert(stamps.size == 1, s"window=1 must retain one drain, got $stamps")
+    // within-window pair verified exactly; the cross-window 1↔102 pair
+    // expired before meeting — the documented fall-to-batch residue
+    val got = AnnIntake.verifiedPairs(store, "ann").get
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((102L, 103L)), s"got $got")
+    // the estimate tier still sees the cross-window candidate, so the
+    // periodic batch pass knows where to look
+    val est = AnnIntake.nearDupPairsEstimated(store, "ann", threshold = 0.5).get
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(est.contains((1L, 102L)), s"estimate tier lost the candidate: $est")
+  }
 }
