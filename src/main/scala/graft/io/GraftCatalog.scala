@@ -4,12 +4,13 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThanOrEqual, In, InsertableRelation, LessThanOrEqual, TableScan}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSourceV2 `TableCatalog` over a [[SnapshotBucketedStore]] root
@@ -116,6 +117,29 @@ class GraftCatalog extends TableCatalog {
     new GraftV2Table(store, ident.name)
   }
 
+  /** TIME TRAVEL by snapshot version — `SELECT ... FROM cat.t VERSION
+    * AS OF 3`: the pinned table serves [[SnapshotBucketedStore
+    * .readAt]] exactly (read-only; writes and manifest pruning are
+    * latest-snapshot concepts, so the pinned scan reads the full
+    * version and leaves filtering to Spark). The vacuum retention
+    * window is the travel horizon, as everywhere else. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = try version.toInt catch {
+      case _: NumberFormatException => throw new NoSuchTableException(
+        Seq(ident.name, s"@v$version (versions are integers)"))
+    }
+    if (ident.namespace.nonEmpty || store.snapshots(ident.name).isEmpty)
+      throw new NoSuchTableException(ident)
+    if (!store.snapshots(ident.name).contains(v))
+      throw new NoSuchTableException(
+        Seq(ident.name, s"@v$v (vacuumed, or never committed)"))
+    new GraftV2Table(store, ident.name, Some(v))
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft snapshots are versioned, not timestamped — use VERSION AS OF")
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     requireFlat(ident.namespace)
@@ -148,38 +172,118 @@ class GraftCatalog extends TableCatalog {
   }
 }
 
-/** One snapshot-store table behind the V2 [[Table]] seam. */
-private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String)
-    extends Table with SupportsRead with SupportsWrite {
+/** One snapshot-store table behind the V2 [[Table]] seam —
+  * optionally PINNED to a snapshot version (time travel, read-only).
+  * Unpinned tables also speak SQL DELETE ([[SupportsDelete]]):
+  *
+  *   - `WHERE col = v` / `WHERE col IN (...)` on a keyed table →
+  *     MERGE-ON-READ tombstones ([[SnapshotBucketedStore
+  *     .deleteLazy]]) with conservative all-bucket targeting (the
+  *     predicate column need not be the upsert key — Blooms narrow
+  *     when it has them), so a SQL DELETE costs O(keys + manifest),
+  *     never a table rewrite;
+  *   - `WHERE col >= lo AND col <= hi` (one closed range) →
+  *     [[SnapshotBucketedStore.deleteRange]] — the TTL sweep, with
+  *     metadata-only whole-generation drops where stats allow.
+  *
+  * Anything else answers `canDeleteWhere = false`, so Spark refuses
+  * loudly instead of this catalog guessing at row-level semantics it
+  * can't serve. */
+private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String,
+    version: Option[Int] = None)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
-  override def name(): String = table
+  override def name(): String =
+    version.map(v => s"$table@v$v").getOrElse(table)
 
-  override def schema(): StructType =
-    store.read(table).map(_.schema).getOrElse(
-      throw new NoSuchTableException(Seq(table)))
+  override def schema(): StructType = {
+    val df = version match {
+      case Some(v) => store.readAt(table, v)
+      case None => store.read(table)
+    }
+    df.map(_.schema).getOrElse(throw new NoSuchTableException(Seq(name())))
+  }
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
+    if (version.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(store, table, schema())
+    new GraftScanBuilder(store, table, schema(), version)
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(version.isEmpty, s"$table is pinned to v${version.get} — time-travel reads are read-only")
     new GraftWriteBuilder(store, table)
+  }
+
+  /** The executable plan for a SQL DELETE filter set, or None when
+    * this catalog cannot serve it exactly (see class doc). */
+  private def deletePlan(filters: Array[Filter]): Option[() => Unit] = {
+    if (version.isDefined) return None
+    val (nBuckets, nLogs) = store.tableKind(table).getOrElse((0, 0))
+    implicit val spark: SparkSession = SparkSession.active
+    def keysFrame(c: String, vs: Seq[Any]): Option[org.apache.spark.sql.DataFrame] =
+      schema().fields.find(_.name == c).map { f =>
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(vs.map(org.apache.spark.sql.Row(_)), 1),
+          StructType(Seq(StructField(c, f.dataType))))
+      }
+    filters match {
+      case Array(EqualTo(c, v)) if nLogs == 0 && nBuckets > 0 =>
+        keysFrame(c, Seq(v)).map(kf =>
+          () => store.deleteLazy(table, c, kf, targetByKeyHash = false))
+      case Array(In(c, vs)) if nLogs == 0 && nBuckets > 0 =>
+        keysFrame(c, vs.toSeq).map(kf =>
+          () => store.deleteLazy(table, c, kf, targetByKeyHash = false))
+      case _ =>
+        // exactly one CLOSED range (inclusive both sides — deleteRange's
+        // contract; strict bounds would over-delete the boundary)
+        val ranges = GraftPruning.rangesOf(filters)
+        val strictOrOther = filters.exists {
+          case GreaterThanOrEqual(_, _) | LessThanOrEqual(_, _) => false
+          case _ => true
+        }
+        if (ranges.length == 1 && !strictOrOther && filters.length == 2) {
+          val (c, lo, hi) = ranges.head
+          Some(() => { store.deleteRange(table, c, lo, hi): Unit })
+        } else None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    deletePlan(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    deletePlan(filters).getOrElse(throw new UnsupportedOperationException(
+      s"graft DELETE serves one equality/IN predicate (merge-on-read " +
+        s"tombstones) or one closed range (generation-dropping sweep); " +
+        s"got: ${filters.mkString(", ")}"))()
 }
 
 /** Pushdown seams: filters land for manifest pruning (all reported
   * back as residual — see class doc), required columns land for the
-  * projection under the V1 scan. */
+  * projection under the V1 scan, and whole-table COUNT(*)/MIN/MAX
+  * aggregations push COMPLETELY into the manifest's metadata tier
+  * (X214): `SELECT COUNT(*) FROM cat.t` on a 100 TB table answers in
+  * milliseconds without opening one data file. Aggregate pushdown is
+  * accepted ONLY when the manifest can serve it EXACTLY — no pushed
+  * filters, no grouping, every live dir statted, no outstanding
+  * merge-on-read tombstones ([[SnapshotBucketedStore.metadataCount]]/
+  * [[SnapshotBucketedStore.metadataMinMax]] enforce those gates and
+  * answer None otherwise, which declines the pushdown and the plain
+  * scan computes the truth). */
 private[io] class GraftScanBuilder(
-    store: SnapshotBucketedStore, table: String, full: StructType)
+    store: SnapshotBucketedStore, table: String, full: StructType,
+    version: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var served: Option[(StructType, Seq[Any])] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -188,29 +292,112 @@ private[io] class GraftScanBuilder(
   }
 
   override def pushedFilters(): Array[Filter] =
-    GraftPruning.prunableSubset(pushed)
+    if (version.isDefined) Array.empty
+    else GraftPruning.prunableSubset(pushed)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(store, table, pushed, required)
+  /** Evaluate the aggregation from the manifest NOW (driver-side,
+    * metadata-only — milliseconds) or decline. Complete-only: a
+    * partial pushdown would hand Spark physical per-dir figures that
+    * tombstones/row-dups could skew; the metadata tier's contract is
+    * exact-or-refuse. */
+  private def serveFromManifest(agg: Aggregation): Option[(StructType, Seq[Any])] = {
+    if (version.isDefined || pushed.nonEmpty || agg.groupByExpressions.nonEmpty)
+      return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
+      e match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          full.fields.find(_.name == nr.fieldNames.head)
+        case _ => None
+      }
+    def asExternal(v: BigDecimal, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+      import org.apache.spark.sql.types._
+      try Some(dt match {
+        case ByteType => v.toByteExact
+        case ShortType => v.toShortExact
+        case IntegerType => v.toIntExact
+        case LongType => v.toLongExact
+        case FloatType => v.toFloat
+        case DoubleType => v.toDouble
+        case d: DecimalType => v.bigDecimal.setScale(d.scale)
+        case _ => return None
+      }) catch { case _: ArithmeticException => None }
+    }
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    agg.aggregateExpressions.zipWithIndex.foreach { case (f: AggregateFunc, i) =>
+      f match {
+        case _: CountStar =>
+          store.metadataCount(table) match {
+            case Some(n) =>
+              fields += StructField(s"agg$i", LongType, nullable = false)
+              values += n
+            case None => return None
+          }
+        case m: Min =>
+          (for {
+            sf <- colOf(m.column)
+            (mn, _) <- store.metadataMinMax(table, sf.name)
+            v <- asExternal(mn, sf.dataType)
+          } yield (sf, v)) match {
+            case Some((sf, v)) =>
+              fields += StructField(s"agg$i", sf.dataType); values += v
+            case None => return None
+          }
+        case m: Max =>
+          (for {
+            sf <- colOf(m.column)
+            (_, mx) <- store.metadataMinMax(table, sf.name)
+            v <- asExternal(mx, sf.dataType)
+          } yield (sf, v)) match {
+            case Some((sf, v)) =>
+              fields += StructField(s"agg$i", sf.dataType); values += v
+            case None => return None
+          }
+        case _ => return None
+      }
+    }
+    Some((StructType(fields.result()), values.result()))
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    serveFromManifest(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // complete-or-nothing: when the manifest can't serve exactly the
+    // pushdown is declined and the plain scan aggregates the truth
+    served = serveFromManifest(agg)
+    served.isDefined
+  }
+
+  override def build(): Scan = served match {
+    case Some((sch, vals)) => new GraftAggServe(table, sch, vals)
+    case None => new GraftScan(store, table,
+      if (version.isDefined) Array.empty else pushed, required, version)
+  }
 }
 
-/** The scan: manifest-pruned store read, bridged to execution via
+/** The scan: manifest-pruned store read (or a version-pinned
+  * [[SnapshotBucketedStore.readAt]]), bridged to execution via
   * [[V1Scan]] (the store's DataFrame already carries parquet pushdown
   * and columnar reads — see [[GraftCatalog]] class doc). */
 private[io] class GraftScan(
     store: SnapshotBucketedStore,
     table: String,
     filters: Array[Filter],
-    required: StructType)
+    required: StructType,
+    version: Option[Int] = None)
     extends V1Scan {
 
   override def readSchema(): StructType = required
 
-  override def description(): String =
-    s"GraftScan(table=$table, " +
+  override def description(): String = version match {
+    case Some(v) => s"GraftScan(table=$table, version=$v)"
+    case None => s"GraftScan(table=$table, " +
       s"pruning=[${GraftPruning.prunableSubset(filters).mkString(", ")}])"
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: org.apache.spark.sql.SQLContext): T =
@@ -222,14 +409,45 @@ private[io] class GraftScan(
       // pin both without digging into the wrapper
       override def toString: String = GraftScan.this.description()
       override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-        val df = GraftPruning.prunedRead(store, table, filters)
-        GraftSource.lastPrune = GraftPruning.pruneMetric(store, table, filters)
+        val df = version match {
+          case Some(v) => store.readAt(table, v).getOrElse(
+            throw new java.util.NoSuchElementException(
+              s"graft table '$table' lost v$v (vacuumed)"))
+          case None =>
+            GraftSource.lastPrune = GraftPruning.pruneMetric(store, table, filters)
+            GraftPruning.prunedRead(store, table, filters)
+        }
         val projected =
           if (required.isEmpty) df
           else df.select(required.fieldNames
             .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
         projected.rdd
       }
+    }.asInstanceOf[T]
+}
+
+/** A COMPLETELY-pushed aggregation served from the manifest: one row,
+  * zero data files opened — the values were resolved at pushdown time
+  * from metadata that commits in the same rename as the dirs it
+  * describes. */
+private[io] class GraftAggServe(
+    table: String, sch: StructType, values: Seq[Any])
+    extends V1Scan {
+
+  override def readSchema(): StructType = sch
+
+  override def description(): String =
+    s"GraftAggServe(table=$table, metadata-only)"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: org.apache.spark.sql.SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = context
+      override def schema: StructType = sch
+      override def toString: String = GraftAggServe.this.description()
+      override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+        context.sparkSession.sparkContext.parallelize(
+          Seq(org.apache.spark.sql.Row(values: _*)), 1)
     }.asInstanceOf[T]
 }
 

@@ -488,7 +488,7 @@ class SnapshotBucketedStore(
       rows: Map[String, Long] = Map.empty,
       ndv: Map[String, Seq[(String, String)]] = Map.empty,
       qsk: Map[String, Seq[(String, String)]] = Map.empty,
-      tombs: Map[String, (String, Seq[String])] = Map.empty) {
+      tombs: Map[String, Seq[(String, String)]] = Map.empty) {
     /** Stats restricted to dirs this manifest still references — the
       * carry-forward rule every commit applies to its predecessor's
       * stats (superseded generations take their stats with them). */
@@ -518,10 +518,12 @@ class SnapshotBucketedStore(
       qsk.filter { case (d, _) => live(d) }
     }
     /** Outstanding MERGE-ON-READ key tombstones (X234): data dir →
-      * (key column, tombstone-sidecar dirs to anti-join at read).
-      * Same carry-forward rule — a rewritten/dropped data dir takes
-      * its tombstones with it (the rewrite already applied them). */
-    def liveTombs: Map[String, (String, Seq[String])] = {
+      * (key column, tombstone-sidecar dir) pairs to anti-join at
+      * read — pairs may mix key columns (SQL DELETEs target whatever
+      * column the predicate names). Same carry-forward rule — a
+      * rewritten/dropped data dir takes its tombstones with it (the
+      * rewrite already applied them). */
+    def liveTombs: Map[String, Seq[(String, String)]] = {
       val live = buckets.values.toSet
       tombs.filter { case (d, _) => live(d) }
     }
@@ -588,13 +590,14 @@ class SnapshotBucketedStore(
         val Array(c, b) = t.split(":", 2); (c, b)
       }
     }.toMap
-    // tomb lines: `tomb:<dir>=<keyCol>:<t1>,<t2>` — key columns are
-    // [A-Za-z0-9_]+ and dir rels carry no ':' or ',', the same
-    // delimiter discipline as stats/keys lines
+    // tomb lines: `tomb:<dir>=<k1>:<t1>,<k2>:<t2>` — each sidecar
+    // carries its own key column ([A-Za-z0-9_]+); dir rels carry no
+    // ':' or ',', the same delimiter discipline as stats/keys lines
     val tombLines = entries.collect { case s if s.startsWith("tomb:") =>
       val Array(d, rest) = s.stripPrefix("tomb:").split("=", 2)
-      val Array(k, list) = rest.split(":", 2)
-      d -> (k, list.split(",").toSeq.filter(_.nonEmpty))
+      d -> rest.split(",").toSeq.filter(_.nonEmpty).map { t =>
+        val Array(k, rel) = t.split(":", 2); (k, rel)
+      }
     }.toMap
     Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines, statsVer,
       rowLines, ndvLines, qskLines, tombLines))
@@ -682,8 +685,8 @@ class SnapshotBucketedStore(
               s"qsk:$d=" + cs.map { case (c, b) => s"$c:$b" }.mkString(",")
           } ++
           m.liveTombs.toSeq.sortBy(_._1).collect {
-            case (d, (k, ts)) if ts.nonEmpty =>
-              s"tomb:$d=$k:${ts.mkString(",")}"
+            case (d, ts) if ts.nonEmpty =>
+              s"tomb:$d=" + ts.map { case (k, rel) => s"$k:$rel" }.mkString(",")
           }
       out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
@@ -1580,11 +1583,17 @@ class SnapshotBucketedStore(
     val parts =
       (if (clean.nonEmpty) Seq(readDirs(dirsOf(name, m, clean))) else Nil) ++
         tombed.map { d =>
-          val (k, ts) = m.liveTombs(d)
-          val doomed = readDirs(dirsOf(name, m, ts)).select(k).distinct()
-          readDirs(dirsOf(name, m, Seq(d)))
-            .join(org.apache.spark.sql.functions.broadcast(doomed),
-              Seq(k), "left_anti")
+          // sidecars group by their key column: one anti-join per
+          // column (SQL DELETEs may target different columns), each
+          // over the union of that column's sidecar dirs
+          m.liveTombs(d).groupBy(_._1).toSeq.sortBy(_._1)
+            .foldLeft(readDirs(dirsOf(name, m, Seq(d)))) {
+              case (df, (k, ts)) =>
+                val doomed = readDirs(dirsOf(name, m, ts.map(_._2)))
+                  .select(k).distinct()
+                df.join(org.apache.spark.sql.functions.broadcast(doomed),
+                  Seq(k), "left_anti")
+            }
         }
     parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
   }
@@ -1728,7 +1737,8 @@ class SnapshotBucketedStore(
       // outstanding tombstones clone BY REFERENCE like the data dirs
       // they mask — both sides of the (dir, sidecar) pair re-point at
       // the owner, and vacuum's borrow scan protects both
-      m.liveTombs.map { case (d, (k, ts)) => ref(d) -> (k, ts.map(ref)) }))
+      m.liveTombs.map { case (d, ts) =>
+        ref(d) -> ts.map { case (k, rel) => (k, ref(rel)) } }))
   }
 
   /** Keyed diff of two retained snapshots (`added`/`removed`/
@@ -2414,7 +2424,7 @@ class SnapshotBucketedStore(
     * applies when the key list is driver-small (≤10k — the X189
     * probe bound); each dir's Bloom deserializes ONCE. */
   private def deleteTargeting(name: String, m: Manifest, keyCol: String,
-      keys: DataFrame): (DataFrame, Seq[(Long, String)]) = {
+      keys: DataFrame, targetByKeyHash: Boolean = true): (DataFrame, Seq[(Long, String)]) = {
     import org.apache.spark.sql.functions.col
     val rawFrame = keys.select(col(keys.columns.head).as(keyCol)).distinct()
     val tableDt = columnTypeOf(name, m, keyCol)
@@ -2434,8 +2444,13 @@ class SnapshotBucketedStore(
         else (probe.select(keyCol), true)
       case None => (rawFrame, false)
     }
+    // `targetByKeyHash = false` is the arbitrary-column contract (SQL
+    // DELETE on a non-key column): rows matching the predicate live in
+    // buckets assigned by the UPSERT key's hash, not this column's, so
+    // hash targeting would silently miss them — every bucket is a
+    // candidate and only the Blooms (when this column has them) narrow
     val bucketDirs: Seq[(Long, String)] =
-      if (typeSafe && clusterColumn.isEmpty) {
+      if (targetByKeyHash && typeSafe && clusterColumn.isEmpty) {
         val touched = withBucket(keyFrame, keyCol)
           .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
         touched.toSeq.flatMap(b => m.buckets.get(b).map(b -> _))
@@ -2473,7 +2488,8 @@ class SnapshotBucketedStore(
     * discipline as [[delete]] ([[deleteTargeting]]); a re-upsert of
     * a tombstoned key RESURRECTS it (the new row lands in a fresh
     * generation carrying no tombstone — keep-last semantics hold). */
-  def deleteLazy(name: String, keyCol: String, keys: DataFrame)(implicit s: SparkSession): Unit = {
+  def deleteLazy(name: String, keyCol: String, keys: DataFrame,
+      targetByKeyHash: Boolean = true)(implicit s: SparkSession): Unit = {
     require(keyCol.matches("[A-Za-z0-9_]+"),
       s"tombstone key column must be [A-Za-z0-9_]+ (manifest line syntax): $keyCol")
     val prev = latestManifest(name)
@@ -2481,19 +2497,14 @@ class SnapshotBucketedStore(
       s"$name has append-log generations; keyed delete targets bucketed tables")
     if (prev.isEmpty) return
     val m = prev.get
-    m.liveTombs.values.map(_._1).toSet.foreach { (k: String) =>
-      require(k == keyCol,
-        s"$name has outstanding tombstones keyed on '$k'; a lazy delete " +
-          s"keyed on '$keyCol' cannot mix — applyDeletes first")
-    }
-    val (keyFrame, touchedDirs) = deleteTargeting(name, m, keyCol, keys)
+    val (keyFrame, touchedDirs) =
+      deleteTargeting(name, m, keyCol, keys, targetByKeyHash)
     if (touchedDirs.isEmpty) return
     val v = m.version + 1
     val rel = s"data/tomb-g$v"
     writeDir(keyFrame, new Path(tableDir(name), rel).toString)
     val newTombs = m.tombs ++ touchedDirs.map { case (_, d) =>
-      val ts = m.tombs.get(d).map(_._2).getOrElse(Nil)
-      d -> (keyCol, ts :+ rel)
+      d -> (m.tombs.getOrElse(d, Nil) :+ (keyCol -> rel))
     }
     commit(name, Manifest(v, m.buckets, m.logs, m.lastBatch, m.stats,
       m.keys, carriedStatsVersion(Some(m)), m.rows, m.ndv, m.qsk, newTombs))
@@ -2568,7 +2579,7 @@ class SnapshotBucketedStore(
       // (file:/...), a bare string compare would mark everything dead
       val own = retained
         .flatMap(r => r.buckets.values ++ r.logs ++
-          r.tombs.values.flatMap(_._2)) // tombstone sidecars are data too
+          r.tombs.values.flatten.map(_._2)) // tombstone sidecars are data too
         .filterNot(_.startsWith("@")) // borrowed refs live under their owner
         .map(d => f.makeQualified(new Path(dir, d)).toString).toSet
       // dirs of THIS table still referenced by OTHER tables' on-disk
@@ -2584,7 +2595,7 @@ class SnapshotBucketedStore(
         .filterNot(_ == name)
         .flatMap(t => snapshots(t).flatMap(v => manifestAt(t, v)))
         .flatMap(r => r.buckets.values ++ r.logs ++
-          r.tombs.values.flatMap(_._2)) // cloned tombstone refs too
+          r.tombs.values.flatten.map(_._2)) // cloned tombstone refs too
         .filter(_.startsWith(marker))
         .map(d => f.makeQualified(new Path(dir, d.stripPrefix(marker))).toString)
         .toSet
@@ -2617,6 +2628,12 @@ class SnapshotBucketedStore(
       .filter(t => snapshots(t).nonEmpty).sorted
   }
 
+  /** (bucket-dir count, log-dir count) of the current snapshot — the
+    * table-ROLE probe (keyed upsert target vs append log) the SQL
+    * surfaces need before choosing a commit family. Metadata-only. */
+  def tableKind(name: String): Option[(Int, Int)] =
+    latestManifest(name).map(m => (m.buckets.size, m.logs.size))
+
   /** Tables whose on-disk manifests BORROW generation dirs from
     * `name` (zero-copy clones, X221 — refs spell `@name/<rel>`).
     * Same marker scan as [[vacuum]]'s cross-table keep set; ALL
@@ -2631,7 +2648,7 @@ class SnapshotBucketedStore(
       .filterNot(_ == name)
       .filter(t => snapshots(t).flatMap(v => manifestAt(t, v))
         .exists(m => (m.buckets.values ++ m.logs ++
-          m.tombs.values.flatMap(_._2)).exists(_.startsWith(marker))))
+          m.tombs.values.flatten.map(_._2)).exists(_.startsWith(marker))))
       .sorted
   }
 

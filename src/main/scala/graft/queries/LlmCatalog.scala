@@ -6885,6 +6885,48 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Manifest-served aggregate pushdown through the SQL catalog
+    * (GraftScanBuilder SupportsPushDownAggregates, X240): COUNT(*)/
+    * MIN/MAX answer from the manifest's recorded per-dir rows and
+    * min/max stats — ZERO data files opened (PlanAuditSpec pins the
+    * `GraftAggServe` plan with no data scan); the oracle recomputes
+    * the same aggregates by actually scanning, so the hash match
+    * proves the metadata answers are the true ones. */
+  val sqlCatalogAggQ = GraftQuery(
+    "q181_sql_catalog_agg",
+    (s, d) => {
+      val cat = sqlCatalogFor(s, d)
+      s.sql(s"SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key, " +
+        s"MAX(o_orderkey) AS max_key FROM $cat.orders_s")
+    },
+    Some("""
+      SELECT COUNT(*) AS n, MIN(o_orderkey) AS min_key,
+             MAX(o_orderkey) AS max_key
+      FROM orders
+    """.trim),
+  )
+
+  /** SQL time travel through the catalog (GraftCatalog.loadTable
+    * versioned, X238): `VERSION AS OF 3` = the first FOUR of the
+    * eight orderkey-ranged append generations — the oracle recomputes
+    * that prefix from the slicing law (step = max/8 + 1), so the hash
+    * match proves the pinned read serves exactly the committed
+    * snapshot, not the current one. */
+  val sqlCatalogTravelQ = GraftQuery(
+    "q182_sql_catalog_travel",
+    (s, d) => {
+      val cat = sqlCatalogFor(s, d)
+      s.sql(s"SELECT o_orderkey, o_custkey, o_totalprice " +
+        s"FROM $cat.orders_s VERSION AS OF 3 ORDER BY o_orderkey")
+    },
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      WHERE o_orderkey < 4 * ((SELECT MAX(o_orderkey) FROM orders) // 8 + 1)
+      ORDER BY o_orderkey
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -7004,5 +7046,7 @@ object LlmCatalog {
     weightedGroupSampleQ,
     sqlCatalogQ,
     lazyDeleteQ,
+    sqlCatalogAggQ,
+    sqlCatalogTravelQ,
   )
 }

@@ -156,15 +156,25 @@ class DeletionVectorSpec extends SparkSpec {
     assert(store.read("fork").get.count() == 118)
   }
 
-  test("mixed-key lazy deletes refuse; log tables refuse") {
+  test("lazy deletes on DIFFERENT columns stack per-sidecar; log tables refuse") {
     implicit val s = spark
     val store = newStore(tmpDir("dv_guard_"))
-    store.upsert("t", rows(0 until 50), "uuid")
-    store.deleteLazy("t", "uuid", Seq(1L).toDF("uuid"))
-    val e = intercept[IllegalArgumentException] {
-      store.deleteLazy("t", "tag", Seq("x").toDF("tag"))
-    }
-    assert(e.getMessage.contains("applyDeletes"), e.getMessage)
+    store.upsert("t",
+      rows(0 until 50).withColumn("tag",
+        when($"uuid" < 5, "doom").otherwise($"tag")), "uuid")
+    store.deleteLazy("t", "uuid", Seq(10L).toDF("uuid"))
+    // a second lazy delete keyed on a NON-key column (the SQL DELETE
+    // shape): conservative all-bucket targeting, sidecar carries its
+    // own key column, both anti-joins compose at read
+    store.deleteLazy("t", "tag", Seq("doom").toDF("tag"),
+      targetByKeyHash = false)
+    val left = store.read("t").get.select("uuid").as[Long].collect().toSet
+    assert(left == (0L until 50L).toSet -- Set(10L) -- (0L until 5L).toSet,
+      s"got $left")
+    // apply clears both sidecar families
+    assert(store.applyDeletes("t") > 0)
+    assert(store.read("t").get.count() == 44)
+    assert(store.metadataCount("t").contains(44L))
     store.append("log", rows(0 until 10))
     val l = intercept[IllegalArgumentException] {
       store.deleteLazy("log", "uuid", Seq(1L).toDF("uuid"))

@@ -125,6 +125,87 @@ class GraftCatalogSpec extends SparkSpec {
     assert(store.tableNames.isEmpty)
   }
 
+  test("VERSION AS OF time travel reads retained snapshots; pinned tables are read-only") {
+    val root = tmpDir("graft_cat_tt_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", rows(0 until 50), "uuid") // v0
+    store.upsert("t", rows(0 until 10, tag = "y"), "uuid") // v1
+    val cat = register(root)
+    val v0 = spark.sql(s"SELECT tag FROM $cat.t VERSION AS OF 0 WHERE uuid = 3")
+      .as[String].collect().toSeq
+    val v1 = spark.sql(s"SELECT tag FROM $cat.t VERSION AS OF 1 WHERE uuid = 3")
+      .as[String].collect().toSeq
+    assert(v0 == Seq("x") && v1 == Seq("y"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t VERSION AS OF 0")
+      .head().getLong(0) == 50L)
+    val gone = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 99").collect())
+    assert(gone.getMessage.contains("99"), gone.getMessage)
+    val ro = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.t VERSION AS OF 0 SELECT id, id, 'z' FROM range(1)"))
+    assert(ro != null)
+  }
+
+  test("SQL DELETE: equality/IN → merge-on-read tombstones, closed range → generation sweep") {
+    val root = tmpDir("graft_cat_del_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      statsColumns = Seq("v"), keyColumns = Seq("uuid"))
+    store.upsert("t", rows(0 until 200), "uuid")
+    val cat = register(root)
+
+    // equality on the KEY column
+    spark.sql(s"DELETE FROM $cat.t WHERE uuid = 7")
+    assert(spark.sql(s"SELECT * FROM $cat.t WHERE uuid = 7").count() == 0)
+    // IN-list on a NON-key column: conservative targeting still exact
+    spark.sql(s"DELETE FROM $cat.t WHERE tag IN ('nope')")
+    spark.sql(s"DELETE FROM $cat.t WHERE v IN (20, 40)") // uuids 10, 20
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 197L)
+    assert(spark.sql(s"SELECT * FROM $cat.t WHERE uuid IN (10, 20)").count() == 0)
+    // the deletes were LAZY: no bucket rewrite — tomb sidecars exist
+    val dirs = new java.io.File(s"$root/t/data").listFiles().map(_.getName)
+    assert(dirs.exists(_.startsWith("tomb-")), dirs.toSeq.toString)
+    // closed range → deleteRange sweep
+    spark.sql(s"DELETE FROM $cat.t WHERE v >= 300 AND v <= 398") // uuids 150..199
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 147L)
+    // unsupported shapes refuse loudly rather than half-delete
+    val e = intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.t WHERE tag = 'x' AND uuid = 3"))
+    assert(e != null)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 147L)
+  }
+
+  test("COUNT(*)/MIN/MAX push into the manifest: metadata-only, and refuse under tombstones") {
+    val root = tmpDir("graft_cat_agg_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      statsColumns = Seq("v"), keyColumns = Seq("uuid"))
+    (0 until 4).foreach(g => store.append("t", rows(g * 100 until (g + 1) * 100)))
+    val cat = register(root)
+    val q = spark.sql(s"SELECT COUNT(*), MIN(v), MAX(v) FROM $cat.t")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggServe"), plan.take(900))
+    assert(!plan.contains("GraftScan(table="), "no data scan may remain: " + plan.take(900))
+    val row = q.head()
+    assert(row.getLong(0) == 400L && row.getLong(1) == 0L && row.getLong(2) == 798L)
+    // an unservable aggregate (AVG) falls back to the true scan
+    val avg = spark.sql(s"SELECT AVG(v) FROM $cat.t")
+    assert(avg.queryExecution.executedPlan.toString.contains("GraftScan(table="))
+    assert(avg.head().getDouble(0) == 399.0)
+    // outstanding tombstones: pushdown declines, the scan computes truth
+    val store2 = new SnapshotBucketedStore(s"${root}2", numBuckets = 4,
+      statsColumns = Seq("v"), keyColumns = Seq("uuid"))
+    store2.upsert("t", rows(0 until 100), "uuid")
+    store2.deleteLazy("t", "uuid", Seq(0L, 1L).toDF("uuid"))
+    val cat2 = register(s"${root}2")
+    val q2 = spark.sql(s"SELECT COUNT(*), MIN(v) FROM $cat2.t")
+    assert(q2.queryExecution.executedPlan.toString.contains("GraftScan(table="),
+      "tombstoned table must scan, not serve stale metadata")
+    val r2 = q2.head()
+    assert(r2.getLong(0) == 98L && r2.getLong(1) == 4L)
+  }
+
   test("missing table and missing root option fail loudly") {
     val root = tmpDir("graft_cat_err_")
     val cat = register(root)

@@ -941,6 +941,14 @@ class PlanAuditSpec extends SparkSpec {
       s"V2 scan must read only surviving dirs: $kept/$total (expected $expected)")
   }
 
+  test("q181 catalog aggregates: served from the manifest, no data scan in the plan") {
+    val df = LlmCatalog.sqlCatalogAggQ.run(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("GraftAggServe"), p.take(900))
+    assert(!p.contains("GraftScan(table="),
+      "COUNT/MIN/MAX must not open data files: " + p.take(900))
+  }
+
   test("q180 merge-on-read: tombstone sidecars anti-join as broadcasts") {
     val df = LlmCatalog.lazyDeleteQ.run(spark, sf)
     df.collect()
