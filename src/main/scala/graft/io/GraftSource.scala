@@ -56,11 +56,15 @@ class GraftSource
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val (store, table) = storeOf(sqlContext, parameters)
-    (shortName(), schema.getOrElse(
+    val base = schema.getOrElse(
       store.read(table).map(_.schema).getOrElse(
         throw new java.util.NoSuchElementException(
           s"graft table '$table' does not exist (streaming source needs " +
-            "an existing table or an explicit schema)"))))
+            "an existing table or an explicit schema)")))
+    (shortName(), parameters.get("key") match {
+      case Some(k) => GraftKeyedStreamSource.cdcSchema(base, k)
+      case None => base
+    })
   }
 
   /** `spark.readStream.format("graft")` — the store's CHANGE FEED as
@@ -84,8 +88,16 @@ class GraftSource
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val (store, table) = storeOf(sqlContext, parameters)
-    new GraftStreamSource(sqlContext, store, table,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2)
+    val sch = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    parameters.get("key") match {
+      // `key` option → the KEYED CDC stream (X241): offsets are still
+      // manifest versions, but a batch is the keyed CHANGE SET
+      // between them (changesSince) — added/changed/removed rows with
+      // the new-side payload, the feed a downstream index/view
+      // maintainer applies incrementally
+      case Some(k) => new GraftKeyedStreamSource(sqlContext, store, table, k, sch)
+      case None => new GraftStreamSource(sqlContext, store, table, sch)
+    }
   }
 
   /** `df.writeStream.format("graft")` — the store as a STREAMING
@@ -239,6 +251,95 @@ class GraftStreamSource(
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStreamSource(table=$table)"
+}
+
+object GraftKeyedStreamSource {
+  /** CDC row shape: key, change ∈ added|changed|removed, then the
+    * NEW-side payload columns (null for removed keys). */
+  def cdcSchema(base: StructType, key: String): StructType = {
+    val kf = base.fields.find(_.name == key).getOrElse(
+      throw new IllegalArgumentException(
+        s"key column '$key' not in the table schema ${base.simpleString}"))
+    StructType(kf +:
+      org.apache.spark.sql.types.StructField("change",
+        org.apache.spark.sql.types.StringType, nullable = false) +:
+      base.fields.filterNot(_.name == key).toSeq)
+  }
+}
+
+/** V1 streaming source over one KEYED (bucketed-upsert) store table
+  * (X241 — the CDC twin of [[GraftStreamSource]]): offsets are
+  * manifest versions; the FIRST batch is the whole table at the
+  * then-latest version labeled `added` (initial load), after which
+  * each trigger ships [[SnapshotBucketedStore.changesSince]] between
+  * the checkpointed and current versions — added/changed/removed per
+  * key with the new-side payload (null payload for removed), pruned
+  * to the buckets whose dir refs (or tombstones) actually differ, so
+  * tailing a 100 TB table costs the touched fraction per trigger,
+  * never a rescan. Vacuum retention must cover the trigger interval
+  * (the checkpointed version's manifest must still resolve) — the
+  * same horizon contract as the log source, refused loudly. */
+class GraftKeyedStreamSource(
+    sqlContext: SQLContext,
+    store: SnapshotBucketedStore,
+    table: String,
+    key: String,
+    override val schema: StructType,
+) extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private def versionOf(o: V1Offset): Int = o match {
+    case l: LongOffset => l.offset.toInt
+    case other => other.json.trim.toInt
+  }
+
+  @volatile private var fence: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    fence = store.snapshots(table).lastOption.map(_.toLong)
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getOffset: Option[V1Offset] = {
+    val latest = store.snapshots(table).lastOption.map(_.toLong)
+    fence match {
+      case Some(f) => latest.map(v => LongOffset(math.min(v, f)))
+      case None => latest.map(LongOffset(_))
+    }
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val endV = versionOf(end)
+    val spark = sqlContext.sparkSession
+    val batch = start match {
+      // initial load: the whole table as of end, every key `added`
+      case None => store.readAt(table, endV)
+        .map(_.withColumn("change", lit("added")))
+      // incremental: the keyed change set in (start, end]
+      case Some(s) => store.changesSince(table, versionOf(s), key, Some(endV))
+    }
+    val df = batch.getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"graft table '$table' lost versions needed by the CDC stream " +
+          s"(vacuum retention must cover the trigger interval)"))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    org.apache.spark.sql.GraftBridge.internalCreateStreamingDataFrame(
+      spark,
+      df.queryExecution.toRdd.mapPartitions(_.map(_.copy())),
+      df.schema)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftKeyedStreamSource(table=$table, key=$key)"
 }
 
 object GraftSource {

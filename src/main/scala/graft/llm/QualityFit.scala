@@ -175,15 +175,26 @@ object QualityFit {
     * feature name. The freezable model artifact (X134 fit/serve rule)
     * and the q119 oracle surface. */
   def weightsDf(spark: SparkSession, f: Fit): DataFrame = {
-    import spark.implicits._
-    f.features.zip(f.nums)
-      .map { case (name, n) =>
-        (name, new java.math.BigDecimal(n.bigInteger),
-          new java.math.BigDecimal(f.den.bigInteger))
-      }
-      .toDF("feature", "num", "den")
-      .select(col("feature"), col("num").cast(DecimalType(38, 0)).as("num"),
-        col("den").cast(DecimalType(38, 0)).as("den"))
+    // EXPLICIT DECIMAL(38,0) schema — the tuple-encoder default is
+    // DECIMAL(38,18), whose 20 integral digits overflow on corpora
+    // past a few thousand rows (dets grow ~ (N·scale²)^k: the sf0.01
+    // fit encoded, the sf0.1 fit threw at encoding time — the silent
+    // bench casualty the r18 error ledger surfaced). The guard keeps
+    // the refusal loud if a fit ever outgrows 38 digits outright.
+    (f.nums :+ f.den).foreach(n => require(n.abs < BigInt(10).pow(38),
+      s"det-scaled weight $n exceeds DECIMAL(38,0) — rescale the fit " +
+        "(lower scale, fewer features) or serve weightsDouble instead"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("feature",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("num", DecimalType(38, 0)),
+      org.apache.spark.sql.types.StructField("den", DecimalType(38, 0))))
+    val rows = f.features.zip(f.nums).map { case (name, n) =>
+      org.apache.spark.sql.Row(name,
+        new java.math.BigDecimal(n.bigInteger),
+        new java.math.BigDecimal(f.den.bigInteger))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
       .orderBy("feature")
   }
 

@@ -137,6 +137,52 @@ class GraftSourceSpec extends SparkSpec {
     assert(seen.size == 170)
   }
 
+  test("keyed CDC source: readStream with key tails added/changed/removed per trigger") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = tmpDir("graft_src_cdc_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("t", rows(0 until 50), "uuid") // v0
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Long])]()
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", root).option("table", "t").option("key", "uuid").load()
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val got = b.select("uuid", "change", "v")
+            .collect().map(r => (r.getLong(0), r.getString(1),
+              if (r.isNullAt(2)) None else Some(r.getLong(2))))
+          seen.synchronized { seen ++= got }: Unit
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain() // initial load: everything `added`
+    assert(seen.size == 50 && seen.forall(_._2 == "added"))
+    assert(seen.map(_._1).sorted == (0L until 50L))
+    seen.clear()
+    // a revision wave + new keys + a keyed delete, across TWO commits
+    store.upsert("t", rows(10 until 12, tag = "y")
+      .unionByName(rows(50 until 55)), "uuid") // v1
+    store.delete("t", "uuid", Seq(3L).toDF("uuid")) // v2
+    drain() // ONE trigger ships the fused change set v0 → v2
+    val byId = seen.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(10L) == (("changed", Some(20L))) &&
+      byId(11L) == (("changed", Some(22L))), byId.toString)
+    assert((50L until 55L).forall(i => byId(i) == (("added", Some(i * 2)))))
+    assert(byId(3L)._1 == "removed" && byId(3L)._2.isEmpty)
+    assert(seen.size == 8, s"untouched keys must not re-ship: $seen")
+    seen.clear()
+    drain() // no new commits: nothing arrives
+    assert(seen.isEmpty)
+    // a LAZY delete is CDC-visible too (tombstone-aware touch test)
+    store.deleteLazy("t", "uuid", Seq(7L).toDF("uuid"))
+    drain()
+    assert(seen.toList == List((7L, "removed", None)), seen.toString)
+  }
+
   test("lake-to-lake: source → transform → sink, all standard API") {
     import org.apache.spark.sql.streaming.Trigger
     val root = tmpDir("graft_src_chain_")

@@ -115,4 +115,26 @@ class QualityFitSpec extends SparkSpec {
       assert(lhs == 0, s"orthogonality violated at feature $i")
     }
   }
+
+  test("weightsDf encodes det-scaled integers past 20 digits (the sf0.1 regression)") {
+    // dets grow ~ (N·scale²)^k: real fits exceed DECIMAL(38,18)'s 20
+    // integral digits fast — the artifact table must carry (38,0)
+    val wide = BigInt("123456789012345678901234567890") // 30 digits
+    val f = QualityFit.Fit(Seq("intercept", "a"), Seq(wide, -wide), wide * 7,
+      nRows = 10L, scale = 100L)
+    val got = QualityFit.weightsDf(spark, f)
+      .select(col("feature"), col("num").cast("string"),
+        col("den").cast("string"))
+      .as[(String, String, String)].collect().toList
+    assert(got == List(
+      ("a", (-wide).toString, (wide * 7).toString),
+      ("intercept", wide.toString, (wide * 7).toString)), got.toString)
+    // a fit past 38 digits refuses loudly instead of corrupting
+    val over = BigInt(10).pow(39)
+    val e = intercept[IllegalArgumentException] {
+      QualityFit.weightsDf(spark,
+        QualityFit.Fit(Seq("intercept"), Seq(over), over, 1L, 100L))
+    }
+    assert(e.getMessage.contains("DECIMAL(38,0)"), e.getMessage)
+  }
 }
