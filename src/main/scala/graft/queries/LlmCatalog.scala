@@ -6927,6 +6927,58 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** A catalog-registered documents table that took ALL THREE SQL
+    * DELETE families (X239) — key equality → merge-on-read tombstone,
+    * non-key IN → conservative-targeted tombstone, closed range →
+    * the deleteRange sweep (whose rewrites also APPLY the earlier
+    * tombstones en passant) — built once per session+dataset. */
+  private def sqlDeleteCatalog(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    artifact(s, d, "sql_delete_catalog") {
+      implicit val sp = s
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqldel_").toString
+      val store = new graft.io.SnapshotBucketedStore(root,
+        numBuckets = 16, "parquet",
+        statsColumns = Seq("n_chars"), keyColumns = Seq("doc_id"))
+      store.upsert("docs_d", documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang")),
+        "doc_id")
+      val cat = "graftdel" + math.abs(root.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.statscolumns", "n_chars")
+      s.conf.set(s"spark.sql.catalog.$cat.keycolumns", "doc_id")
+      s.sql(s"DELETE FROM $cat.docs_d WHERE doc_id = 42")
+      s.sql(s"DELETE FROM $cat.docs_d WHERE source IN ('src1', 'src2')")
+      s.sql(s"DELETE FROM $cat.docs_d WHERE n_chars >= 100 AND n_chars <= 199")
+      cat
+    }
+
+  /** SQL DELETE end to end (X239/X234 through the catalog): the read
+    * below follows a key-equality tombstone, a non-key IN tombstone
+    * (conservative all-bucket targeting — the predicate column is
+    * NOT the upsert key), and a closed-range sweep, composed in
+    * order; the oracle applies the three predicates' complement to
+    * the raw table, so the hash match proves SQL DELETE semantics
+    * land exactly — no row half-deleted, none over-deleted. */
+  val sqlDeleteQ = GraftQuery(
+    "q183_sql_delete",
+    (s, d) => {
+      val cat = sqlDeleteCatalog(s, d)
+      s.sql(s"SELECT doc_id, source, n_chars, lang FROM $cat.docs_d " +
+        "ORDER BY doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, n_chars, lang
+      FROM documents
+      WHERE doc_id <> 42
+        AND source NOT IN ('src1', 'src2')
+        AND NOT (n_chars >= 100 AND n_chars <= 199)
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -7048,5 +7100,6 @@ object LlmCatalog {
     lazyDeleteQ,
     sqlCatalogAggQ,
     sqlCatalogTravelQ,
+    sqlDeleteQ,
   )
 }
