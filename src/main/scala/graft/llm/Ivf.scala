@@ -73,14 +73,14 @@ object Ivf {
       val assigned = assign(v, cents)
       // update: mean per (cell, dimension) — explode is dim-linear,
       // partial aggregation collapses before the shuffle. EXACT
-      // DECIMAL(27,9) sums (the KMeans.fit/q103 discipline): a float
-      // avg() would depend on partial-merge order, so two runs of the
-      // same training job could emit different centroids — the two
-      // trainers now share one determinism contract
+      // floor-quantized integer sums (Similarity.quant9Mean, the
+      // KMeans.fit/q103 discipline): a float avg() would depend on
+      // partial-merge order, so two runs of the same training job
+      // could emit different centroids — the two trainers share one
+      // determinism contract
       val dims = assigned.select(col("cell"), posexplode(col("e")))
       val means = dims.groupBy(col("cell"), col("pos")).agg(
-        (sum(col("col").cast(org.apache.spark.sql.types.DecimalType(27, 9)))
-          .cast("double") / count(lit(1))).as("m"))
+        Similarity.quant9Mean(col("col")).as("m"))
       // k×dim values → driver → new broadcastable centroid table
       val byCell = means.collect()
         .groupBy(_.getInt(0))

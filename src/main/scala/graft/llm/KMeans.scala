@@ -132,7 +132,7 @@ object KMeans {
     * that makes a trained model judgeable (the X166 modularity move
     * for clustering): per cell, Σ |v − c|² over the members, each
     * squared distance computed by the q21 IEEE chain and summed as
-    * DECIMAL(27,9) (the q103 recipe — order-free where a float sum
+    * floor-quantized integer sums (the q103 recipe — order-free where a float sum
     * drifts by partition count), returned as the identical-in-both-
     * engines double. Lower total = tighter clustering at the same k;
     * comparing min-id vs maximin fits is exactly what this column is
@@ -153,8 +153,8 @@ object KMeans {
       .select(col("cell"), d2.as("graft_d2_"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"),
-        sum(col("graft_d2_").cast(DecimalType(27, 9))).cast("double")
-          .as("wcss"))
+        (sum(Similarity.quant9(col("graft_d2_"))).cast("double") /
+          lit(1.0e9)).as("wcss"))
   }
 
   private def fitWithMeans(
@@ -189,15 +189,16 @@ object KMeans {
     var flat: DataFrame = null
     for (_ <- 1 to iters) {
       val assigned = Ivf.assign(v, cents)
-      // exact decimal means per (cell, dim) — the q103 recipe: float
-      // sources carry ≤ 9 significant decimals, DECIMAL(27,9) sums
-      // them exactly and order-free; the final /n is one IEEE divide
+      // exact quantized means per (cell, dim) — the q103 recipe
+      // (Similarity.quant9Mean): floor-quantized integer sums, order-
+      // free and IEEE-identical in both engines; the former
+      // DECIMAL(27,9) cast rounded half-boundaries differently across
+      // engines (the r18 sf0.1 audit catch)
       flat = assigned
         .select(col("cell"), posexplode(col("e")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg(
-          (sum(col("x").cast(DecimalType(27, 9))).cast("double") /
-            count(lit(1))).as("centroid"),
+          Similarity.quant9Mean(col("x")).as("centroid"),
           count(lit(1)).as("n"))
         .localCheckpoint() // k·dim rows; also cuts the per-iter lineage
       val byCell = flat.collect()

@@ -292,7 +292,7 @@ object Similarity {
 
   /** The exact-centroid per-group vector, assembled dim-ordered with
     * its norm — stage 1's summary of a multi-vector document (the
-    * q103 DECIMAL(27,9) order-free mean, so the summary itself
+    * q103 quant9 order-free mean, so the summary itself
     * hash-replays). */
   private def centroidVectors(
       df: DataFrame, idCol: String, embCol: String, groupCol: String): DataFrame =
@@ -581,20 +581,38 @@ object Similarity {
     * partial-agg groupBy over |labels|·dims keys. Output:
     * (label, dim, centroid, n), centroid = exact sum / count as one
     * fixed double division. */
+  /** Engine-shared 9-decimal quantization of a double:
+    * floor(x·10⁹ + ½) as an exact integer, summed in DECIMAL(38,0)
+    * (exact at any corpus size — ~10²⁸ rows of unit-scale values
+    * before 38 digits run out). Pure IEEE steps — multiply, add,
+    * floor — which both engines evaluate bit-identically, REPLACING
+    * the former `cast(DECIMAL(27,9))` whose half-boundary rounding
+    * differed between Spark (shortest-decimal-string HALF_UP) and
+    * DuckDB (binary-value rounding): at sf0.1 three centroid values
+    * across the k-means family disagreed by exactly one unit at the
+    * 9th decimal — the r18 sf0.1 oracle audit's catch. The floor
+    * form is the q119 integer-surrogate discipline applied here. */
+  def quant9(c: Column): Column =
+    floor(c * lit(1.0e9) + lit(0.5))
+      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+
+  /** Mean of [[quant9]]-quantized values as one fixed IEEE shape —
+    * (exact-integer sum → double) / 10⁹ / n — the order-free,
+    * engine-replayable mean the centroid family shares. */
+  def quant9Mean(c: Column): Column =
+    sum(quant9(c)).cast("double") / lit(1.0e9) / count(lit(1))
+
   def centroidByLabel(
       df: DataFrame,
       labelCol: String,
       embCol: String,
-  ): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(27, 9)
+  ): DataFrame =
     df.select(col(labelCol).as("label"),
         posexplode(col(embCol)).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
       .agg(
-        (sum(col("x").cast("double").cast(dec)).cast("double") /
-          count(lit(1))).as("centroid"),
+        quant9Mean(col("x").cast("double")).as("centroid"),
         count(lit(1)).as("n"))
-  }
 
   /** TWO-STAGE search: PQ asymmetric distance retrieves `candidates`
     * per query (cheap — 8-byte codes), exact float cosine re-ranks

@@ -1975,8 +1975,9 @@ object LlmCatalog {
         .orderBy(col("label"), col("dim")),
     Some("""
       SELECT label, i AS dim,
-             CAST(CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE)
-                      AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+             CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+                      * 1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+                  / 1000000000.0 / COUNT(*) AS DOUBLE)
                AS centroid,
              COUNT(*) AS n
       FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i)
@@ -3485,8 +3486,9 @@ object LlmCatalog {
                    + list_dot_product(c.c, c.c), c.cell) AS rn
         FROM v CROSS JOIN c${t - 1} c) WHERE rn = 1),
       m$t AS (SELECT cell, i AS dim,
-          CAST(CAST(SUM(CAST(e[i + 1] AS DECIMAL(27,9))) AS DOUBLE)
-            / COUNT(*) AS DOUBLE) AS centroid,
+          CAST(CAST(SUM(CAST(FLOOR(e[i + 1] * 1000000000.0 + 0.5)
+              AS HUGEINT)) AS DOUBLE)
+            / 1000000000.0 / COUNT(*) AS DOUBLE) AS centroid,
           COUNT(*) AS n
         FROM a$t, (SELECT unnest(generate_series(0, ${dims - 1})) AS i)
         GROUP BY cell, i),
@@ -3636,7 +3638,8 @@ object LlmCatalog {
                      + list_dot_product(c.c, c.c) AS d2
             FROM serve s JOIN c2 c ON s.cell = c.cell)
       SELECT cell, COUNT(*) AS n,
-             CAST(SUM(CAST(d2 AS DECIMAL(27,9))) AS DOUBLE) AS wcss
+             CAST(CAST(SUM(CAST(FLOOR(d2 * 1000000000.0 + 0.5) AS HUGEINT))
+               AS DOUBLE) / 1000000000.0 AS DOUBLE) AS wcss
       FROM j GROUP BY cell ORDER BY cell
     """.trim),
   )
@@ -4623,8 +4626,9 @@ object LlmCatalog {
       qv AS (SELECT * FROM v WHERE vec_id % 5 = 0),
       cent AS (
         SELECT label, i AS dim,
-               CAST(CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE)
-                        AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+               CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+                        * 1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+                    / 1000000000.0 / COUNT(*) AS DOUBLE)
                  AS centroid
         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i)
         GROUP BY label, i
@@ -4710,8 +4714,9 @@ object LlmCatalog {
       qv AS (SELECT * FROM v WHERE vec_id % 5 = 0),
       cent AS (
         SELECT label, i AS dim,
-               CAST(CAST(SUM(CAST(CAST(embedding[i + 1] AS DOUBLE)
-                        AS DECIMAL(27,9))) AS DOUBLE) / COUNT(*) AS DOUBLE)
+               CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE)
+                        * 1000000000.0 + 0.5) AS HUGEINT)) AS DOUBLE)
+                    / 1000000000.0 / COUNT(*) AS DOUBLE)
                  AS centroid
         FROM embeddings, (SELECT unnest(generate_series(0, 63)) AS i)
         GROUP BY label, i
