@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
@@ -79,24 +79,46 @@ class GraftCatalog extends TableCatalog {
 
   override def name(): String = catalogName
 
-  /** The store, bound to the ACTIVE session at call time (a catalog
-    * instance is per-session in practice, but the contract keeps it
-    * stateless): same shape options as [[GraftSource]]. */
-  private def store: SnapshotBucketedStore = {
+  /** The catalog-default store, bound to the ACTIVE session at call
+    * time (a catalog instance is per-session in practice, but the
+    * contract keeps it stateless): same shape options as
+    * [[GraftSource]]. Shape-independent metadata ops (SHOW/EXISTS/
+    * DROP/RENAME/props) run here; data paths run on [[storeFor]],
+    * which overlays the table's OWN recorded properties — one catalog
+    * serves differently-shaped tables (X243). */
+  private def store: SnapshotBucketedStore = storeWith(Map.empty)
+
+  /** The store shaped for ONE table: catalog options overlaid with the
+    * table's `props.txt` sidecar (table wins; `key` is sugar for a
+    * one-column `keycolumns`). */
+  private def storeFor(table: String): SnapshotBucketedStore =
+    storeWith(store.tableProps(table))
+
+  private def storeWith(tableProps: Map[String, String]): SnapshotBucketedStore = {
     implicit val spark: SparkSession = SparkSession.active
+    val merged = opts ++
+      tableProps.get("key").map(k => "keycolumns" -> k).toMap ++
+      (tableProps - "key" - "insert")
     def cols(k: String): Seq[String] =
-      opts.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      merged.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Nil)
     new SnapshotBucketedStore(
       rootPath,
-      numBuckets = opts.get("buckets").map(_.toInt).getOrElse(64),
-      fmt = opts.getOrElse("format", "parquet"),
+      numBuckets = merged.get("buckets").map(_.toInt).getOrElse(64),
+      fmt = merged.getOrElse("format", "parquet"),
       statsColumns = cols("statscolumns"),
       keyColumns = cols("keycolumns"),
-      clusterColumn = opts.get("clustercolumn"),
+      clusterColumn = merged.get("clustercolumn"),
       ndvColumns = cols("ndvcolumns"),
       quantileColumns = cols("quantilecolumns"),
       sortColumns = cols("sortcolumns"))
+  }
+
+  /** The SQL write contract of a table: (upsert key if the table was
+    * created with one, INSERT INTO maps to keyed upsert?). */
+  private def sqlWriteShape(table: String): (Option[String], Boolean) = {
+    val tp = store.tableProps(table)
+    (tp.get("key"), tp.get("insert").contains("upsert"))
   }
 
   /** Flat namespace: the store root holds tables directly. */
@@ -114,7 +136,8 @@ class GraftCatalog extends TableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new GraftV2Table(store, ident.name)
+    val (key, insertUpsert) = sqlWriteShape(ident.name)
+    new GraftV2Table(storeFor(ident.name), ident.name, None, key, insertUpsert)
   }
 
   /** TIME TRAVEL by snapshot version — `SELECT ... FROM cat.t VERSION
@@ -133,27 +156,87 @@ class GraftCatalog extends TableCatalog {
     if (!store.snapshots(ident.name).contains(v))
       throw new NoSuchTableException(
         Seq(ident.name, s"@v$v (vacuumed, or never committed)"))
-    new GraftV2Table(store, ident.name, Some(v))
+    new GraftV2Table(storeFor(ident.name), ident.name, Some(v))
   }
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft snapshots are versioned, not timestamped — use VERSION AS OF")
+  /** TIME TRAVEL by wall clock — `SELECT ... FROM cat.t TIMESTAMP AS
+    * OF '...'` (X242): Spark hands the instant in MICROseconds since
+    * epoch; it resolves to the newest snapshot whose commit stamp
+    * ([[SnapshotBucketedStore.versionAt]], a manifest `ts:` line that
+    * rides the same atomic rename as everything else) is at or before
+    * it — so travel-by-timestamp ≡ travel-by-version for the resolved
+    * version. A timestamp before the first retained commit (or past
+    * the vacuum horizon — retention IS the travel horizon) refuses
+    * loudly naming the instant, never a silent fallback. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (ident.namespace.nonEmpty || store.snapshots(ident.name).isEmpty)
+      throw new NoSuchTableException(ident)
+    val millis = Math.floorDiv(timestamp, 1000L)
+    // not NoSuchTableException: the analyzer would swallow the message
+    // into a generic not-found — this refusal must NAME the instant
+    val v = store.versionAt(ident.name, millis).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft table '${ident.name}' has no snapshot at or before " +
+          s"${java.time.Instant.ofEpochMilli(millis)} — the instant predates " +
+          "the first retained commit (vacuum retention is the time-travel " +
+          "horizon)"))
+    new GraftV2Table(storeFor(ident.name), ident.name, Some(v))
+  }
+
+  /** Graft-meaningful TBLPROPERTIES — each maps onto a store-shape
+    * option, so DDL is self-contained: `key` (single upsert-key
+    * column — the table becomes a bucketed keyed table speaking
+    * MERGE/UPDATE/keyed DELETE), `buckets`, `format`, the stats
+    * families, `clustercolumn`, `sortcolumns`, and `insert`
+    * (`append` default | `upsert`: INSERT INTO means keyed upsert). */
+  private val KnownProps = Set("key", "keycolumns", "buckets", "format",
+    "statscolumns", "ndvcolumns", "quantilecolumns", "sortcolumns",
+    "clustercolumn", "insert")
+
+  /** Properties Spark itself attaches to DDL (owner etc.) — not user
+    * shape intent, passed over rather than refused. */
+  private val ReservedProps = Set(TableCatalog.PROP_OWNER,
+    TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+    TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
+    TableCatalog.PROP_IS_MANAGED_LOCATION, "transient_lastDdlTime")
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     requireFlat(ident.namespace)
     require(partitions.isEmpty,
       "graft tables take no partition transforms: bucketing is an " +
-        "upsert-key property of the store (keyColumns/clusterColumn " +
-        "catalog options), not DDL")
+        "upsert-key property of the store (the `key`/`clustercolumn` " +
+        "table properties or catalog options), not a partition clause")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val s = SparkSession.active
-    // an empty one-partition frame writes a footer-only file, so the
-    // created table reads back with the declared schema and 0 rows
-    store.append(ident.name, s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1))
-    new GraftV2Table(store, ident.name)
+    import scala.jdk.CollectionConverters._
+    val user = properties.asScala.toMap
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v } --
+      ReservedProps.map(_.toLowerCase(java.util.Locale.ROOT))
+    val unknown = user.keySet -- KnownProps
+    require(unknown.isEmpty,
+      s"unknown graft table properties: ${unknown.toSeq.sorted.mkString(", ")} " +
+        s"— known: ${KnownProps.toSeq.sorted.mkString(", ")}")
+    user.get("buckets").foreach(b => require(b.matches("[0-9]+") && b.toInt > 0,
+      s"buckets must be a positive integer: $b"))
+    user.get("insert").foreach { m =>
+      require(m == "append" || m == "upsert",
+        s"insert property must be 'append' or 'upsert': $m")
+      require(m != "upsert" || user.contains("key"),
+        "insert='upsert' needs a 'key' table property")
+    }
+    require(!(user.contains("key") && user.contains("keycolumns")),
+      "give either 'key' (single upsert key) or 'keycolumns', not both")
+    user.get("key").foreach(k => require(!k.contains(","),
+      s"'key' names ONE upsert-key column (got '$k') — membership-only " +
+        "Bloom columns go in 'keycolumns'"))
+    val st = storeWith(user)
+    // sidecar BEFORE the first commit: a reader can never observe a
+    // committed table without its shape (crash between leaves an
+    // orphan sidecar under a table that does not exist yet)
+    if (user.nonEmpty) store.writeTableProps(ident.name, user)
+    st.createTable(ident.name, schema, user.get("key"))
+    new GraftV2Table(st, ident.name, None, user.get("key"),
+      user.get("insert").contains("upsert"))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
@@ -190,18 +273,41 @@ class GraftCatalog extends TableCatalog {
   * loudly instead of this catalog guessing at row-level semantics it
   * can't serve. */
 private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String,
-    version: Option[Int] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    version: Option[Int] = None,
+    sqlKey: Option[String] = None,
+    insertUpsert: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
 
   override def name(): String =
     version.map(v => s"$table@v$v").getOrElse(table)
+
+  /** The row-level upsert key this table's SQL writes merge on: its
+    * own `key` property, else the single catalog-level Bloom column
+    * (the pre-DDL keyed-catalog convention). */
+  private def effectiveKey: Option[String] = sqlKey.orElse(store.keyColumns match {
+    case Seq(one) => Some(one)
+    case _ => None
+  })
+
+  private def keyedBucketed: Boolean =
+    store.tableKind(table).exists { case (b, l) => l == 0 && b > 0 }
 
   override def schema(): StructType = {
     val df = version match {
       case Some(v) => store.readAt(table, v)
       case None => store.read(table)
     }
-    df.map(_.schema).getOrElse(throw new NoSuchTableException(Seq(name())))
+    val raw = df.map(_.schema).getOrElse(throw new NoSuchTableException(Seq(name())))
+    // a bucketed keyed table's upsert key is non-null by the store's
+    // own contract (rows bucket by xxhash64(key)) — declared, because
+    // the row-level rewrite refuses nullable row ids
+    effectiveKey match {
+      case Some(k) if keyedBucketed && raw.fieldNames.contains(k) =>
+        StructType(raw.fields.map(f =>
+          if (f.name == k) f.copy(nullable = false) else f))
+      case _ => raw
+    }
   }
 
   override def capabilities(): util.Set[TableCapability] =
@@ -214,7 +320,34 @@ private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty, s"$table is pinned to v${version.get} — time-travel reads are read-only")
-    new GraftWriteBuilder(store, table)
+    new GraftWriteBuilder(store, table, sqlKey, insertUpsert)
+  }
+
+  /** SQL MERGE INTO / UPDATE / arbitrary-predicate DELETE (X244): the
+    * delta-based row-level path ([[GraftRowLevelOperation]]). Needs a
+    * keyed bucketed table — the key comes from the table's own `key`
+    * property, falling back to a single catalog-level Bloom column
+    * (the pre-DDL keyed-catalog convention). Refuses loudly otherwise:
+    * row-level SQL on a keyless log table has no row identity to
+    * stand on. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(version.isEmpty,
+      s"$table is pinned to v${version.get} — time-travel reads are read-only")
+    val key = effectiveKey.getOrElse(throw new UnsupportedOperationException(
+      s"${info.command} needs a keyed graft table: create '$table' with " +
+        "TBLPROPERTIES('key'='<column>') (or register the catalog with one " +
+        "keycolumns entry) so rows have an identity to merge on"))
+    val (nBuckets, nLogs) = store.tableKind(table).getOrElse((0, 0))
+    require(nLogs == 0 && nBuckets > 0,
+      s"'$table' has append-log generations — row-level SQL writes target " +
+        "keyed bucketed tables (CREATE TABLE ... TBLPROPERTIES('key'=...), " +
+        "or migrate via rebuild)")
+    val sch = schema()
+    require(sch.fieldNames.contains(key),
+      s"upsert key '$key' is not a column of '$table'")
+    () => new GraftRowLevelOperation(store, table, key, info.command, sch)
   }
 
   /** The executable plan for a SQL DELETE filter set, or None when
@@ -452,8 +585,16 @@ private[io] class GraftAggServe(
 }
 
 /** V1-bridge writes: append / truncate-overwrite onto the store's
-  * atomic commit families. */
-private[io] class GraftWriteBuilder(store: SnapshotBucketedStore, table: String)
+  * atomic commit families. On a KEYED table (created with a `key`
+  * table property) the append-vs-upsert trap is impossible to hit
+  * silently: `INSERT INTO` refuses with guidance — an append would
+  * duplicate keys — unless the table opted in with `insert`=`upsert`,
+  * which maps INSERT to the keyed upsert; `INSERT OVERWRITE` maps to
+  * the bucketed [[SnapshotBucketedStore.rebuild]] (a plain replace
+  * would write a log generation and strip the table of its keyed
+  * write paths). */
+private[io] class GraftWriteBuilder(store: SnapshotBucketedStore, table: String,
+    sqlKey: Option[String] = None, insertUpsert: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -464,9 +605,21 @@ private[io] class GraftWriteBuilder(store: SnapshotBucketedStore, table: String)
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.DataFrame,
-            overwriteFlag: Boolean): Unit =
-          if (overwrite || overwriteFlag) store.replace(table, data)
-          else store.append(table, data)
+            overwriteFlag: Boolean): Unit = sqlKey match {
+          case Some(k) =>
+            implicit val s: SparkSession = data.sparkSession
+            if (overwrite || overwriteFlag) store.rebuild(table, data, k)
+            else if (insertUpsert) store.upsert(table, data, k)
+            else throw new UnsupportedOperationException(
+              s"'$table' is a keyed graft table (key=$k): INSERT INTO " +
+                "appends and would silently duplicate keys — use MERGE " +
+                "INTO (WHEN NOT MATCHED THEN INSERT), or create the " +
+                "table with TBLPROPERTIES('insert'='upsert') to make " +
+                "INSERT mean keyed upsert")
+          case None =>
+            if (overwrite || overwriteFlag) store.replace(table, data)
+            else store.append(table, data)
+        }
       }
     override def toString: String = s"GraftWrite(table=$table, overwrite=$overwrite)"
   }

@@ -309,9 +309,9 @@ class SnapshotBucketedStore(
     numBuckets: Int = 64,
     fmt: String = "parquet",
     statsColumns: Seq[String] = Nil,
-    keyColumns: Seq[String] = Nil,
+    val keyColumns: Seq[String] = Nil,
     keyExpectedItems: Long = 10000L,
-    clusterColumn: Option[String] = None,
+    val clusterColumn: Option[String] = None,
     ndvColumns: Seq[String] = Nil,
     quantileColumns: Seq[String] = Nil,
     sortColumns: Seq[String] = Nil)(
@@ -364,7 +364,16 @@ class SnapshotBucketedStore(
     * remedy), and the cast on a filtered column sits between the
     * filter and the parquet scan, so pushdown on THAT column
     * degrades to a post-scan filter until rebuild. */
-  private def readDirsWidened(dirs: Seq[String], cause: Throwable): DataFrame = {
+  private def readDirsWidened(dirs: Seq[String], cause: Throwable): DataFrame =
+    widenedFrames(dirs, cause).map(_._3).reduce(_ unionByName _)
+
+  /** The per-dir decomposition of [[readDirsWidened]]: each dir's
+    * RAW footer schema plus its frame CAST to the folded promotion
+    * target — exposed so the tombstone-aware read ([[readDataDirs]])
+    * can widen and still anti-join each dir's own sidecars (the
+    * tombstones × widening composition, docs/SCALE.md §8 item 14). */
+  private def widenedFrames(
+      dirs: Seq[String], cause: Throwable): Seq[(String, StructType, DataFrame)] = {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.types._
     val loaded = dirs.map(d => d -> spark.read.format(fmt).load(d))
@@ -408,13 +417,13 @@ class SnapshotBucketedStore(
       }
     }
     val target = names.values.toSeq
-    loaded.map { case (_, df) =>
+    loaded.map { case (d, df) =>
       val have = df.columns.toSet
-      df.select(target.map { f =>
+      (d, df.schema, df.select(target.map { f =>
         if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
         else lit(null).cast(f.dataType).as(f.name)
-      }: _*)
-    }.reduce(_ unionByName _)
+      }: _*))
+    }
   }
 
   /** WITHIN-FILE sort order ([[sortColumns]] — the Delta
@@ -458,7 +467,10 @@ class SnapshotBucketedStore(
     * a doc is a delete + insert). [[delete]] compensates by treating
     * every bucket as touched when clustering is on (the key Blooms
     * still narrow the rewrite set). */
-  private def withBucket(df: DataFrame, key: String): DataFrame = {
+  private def withBucket(df: DataFrame, key: String): DataFrame =
+    withBucketN(df, key, numBuckets)
+
+  private def withBucketN(df: DataFrame, key: String, fan: Int): DataFrame = {
     val bucketOf = clusterColumn match {
       case Some(cc) if df.columns.contains(cc) => org.apache.spark.sql.functions.col(cc)
       case _ => org.apache.spark.sql.functions.col(key)
@@ -466,8 +478,18 @@ class SnapshotBucketedStore(
     df.withColumn(BucketCol,
       org.apache.spark.sql.functions.pmod(
         org.apache.spark.sql.functions.xxhash64(bucketOf),
-        org.apache.spark.sql.functions.lit(numBuckets.toLong)))
+        org.apache.spark.sql.functions.lit(fan.toLong)))
   }
+
+  /** The bucket fan-out keyed writes against this table MUST use: the
+    * manifest's recorded modulus when present, else this store's
+    * configured `numBuckets` (legacy tables predate the record —
+    * their writers must keep the discipline of matching stores; every
+    * new commit records the truth going forward). The configured
+    * value applies to NEW tables, and to [[rebuild]] — the documented
+    * fan-out migration point. */
+  private def fanoutFor(prev: Option[Manifest]): Int =
+    prev.flatMap(_.fanout).getOrElse(numBuckets)
 
   /** A committed snapshot: bucket → live data dir (table-relative),
     * plus append-log dirs, plus the highest streaming batch id applied
@@ -488,7 +510,9 @@ class SnapshotBucketedStore(
       rows: Map[String, Long] = Map.empty,
       ndv: Map[String, Seq[(String, String)]] = Map.empty,
       qsk: Map[String, Seq[(String, String)]] = Map.empty,
-      tombs: Map[String, Seq[(String, String)]] = Map.empty) {
+      tombs: Map[String, Seq[(String, String)]] = Map.empty,
+      commitMillis: Option[Long] = None,
+      fanout: Option[Int] = None) {
     /** Stats restricted to dirs this manifest still references — the
       * carry-forward rule every commit applies to its predecessor's
       * stats (superseded generations take their stats with them). */
@@ -599,8 +623,19 @@ class SnapshotBucketedStore(
         val Array(k, rel) = t.split(":", 2); (k, rel)
       }
     }.toMap
+    // commit wall-clock stamp (epoch millis) — absent on legacy
+    // manifests, which time travel then cannot resolve BY TIME (only
+    // by version); never guessed
+    val tsLine = entries.collectFirst { case s if s.startsWith("ts:") =>
+      s.stripPrefix("ts:").toLong }
+    // recorded bucket FAN-OUT: the modulus rows were hashed into dirs
+    // with — keyed writes adopt it over the store's configured
+    // numBuckets, so a store opened with a different default can never
+    // silently mis-target buckets (absent on legacy manifests)
+    val fanLine = entries.collectFirst { case s if s.startsWith("fanout:") =>
+      s.stripPrefix("fanout:").toInt }
     Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines, statsVer,
-      rowLines, ndvLines, qskLines, tombLines))
+      rowLines, ndvLines, qskLines, tombLines, tsLine, fanLine))
   }
 
   /** The stats version a NEW commit records: stats carried forward
@@ -687,7 +722,14 @@ class SnapshotBucketedStore(
           m.liveTombs.toSeq.sortBy(_._1).collect {
             case (d, ts) if ts.nonEmpty =>
               s"tomb:$d=" + ts.map { case (k, rel) => s"$k:$rel" }.mkString(",")
-          }
+          } ++
+          m.fanout.map(f => s"fanout:$f").toSeq ++
+          // the commit wall-clock stamp, taken HERE (never carried from
+          // the Manifest the caller built) so every commit family gets
+          // TIMESTAMP AS OF resolution for free; resolution applies a
+          // monotone envelope, so a clock step backwards can never make
+          // a later version resolve earlier than its predecessor
+          Seq(s"ts:${System.currentTimeMillis()}")
       out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
     } finally out.close()
     beforeCommit()
@@ -1570,32 +1612,59 @@ class SnapshotBucketedStore(
     * driver-small by the [[deleteLazy]] contract). Per-dir — never a
     * union across dirs — because a key deleted from generation A and
     * later re-upserted lands in a NEW dir carrying no tombstone; a
-    * union anti-join would kill the resurrected row. Honest limit:
-    * a tombstoned dir reads through its own plan branch, so a table
-    * combining outstanding tombstones WITH a numeric type-widening
-    * upsert reconciles via unionByName and refuses loudly on a
-    * cross-generation type conflict until [[applyDeletes]] (or the
-    * widening [[rebuild]]) clears one of the two. */
+    * union anti-join would kill the resurrected row. A dir whose
+    * footer schema LACKS a sidecar's key column skips that anti-join
+    * — exact, because an absent column reads as NULL and an
+    * equality/IN predicate never matches NULL — so a conservative
+    * all-bucket SQL DELETE cannot strand generations that predate a
+    * later-added column. Tombstones COMPOSE with numeric
+    * type-widening: when the plain assembly hits a cross-generation
+    * type conflict, every dir folds through [[widenedFrames]]'s
+    * promotion lattice and each tombstoned dir anti-joins its own
+    * sidecars on the WIDENED frame (the cast commutes with key
+    * equality — sidecar keys coerce in the join), so a widening
+    * upsert over a tombstoned table reads instead of refusing
+    * (docs/SCALE.md §8 item 14). */
   private def readDataDirs(name: String, m: Manifest, rels: Seq[String]): DataFrame = {
     val tombed = rels.filter(m.liveTombs.contains)
     if (tombed.isEmpty) return readDirs(dirsOf(name, m, rels))
     val clean = rels.filterNot(m.liveTombs.contains)
-    val parts =
-      (if (clean.nonEmpty) Seq(readDirs(dirsOf(name, m, clean))) else Nil) ++
-        tombed.map { d =>
-          // sidecars group by their key column: one anti-join per
-          // column (SQL DELETEs may target different columns), each
-          // over the union of that column's sidecar dirs
-          m.liveTombs(d).groupBy(_._1).toSeq.sortBy(_._1)
-            .foldLeft(readDirs(dirsOf(name, m, Seq(d)))) {
-              case (df, (k, ts)) =>
-                val doomed = readDirs(dirsOf(name, m, ts.map(_._2)))
-                  .select(k).distinct()
-                df.join(org.apache.spark.sql.functions.broadcast(doomed),
-                  Seq(k), "left_anti")
-            }
+    // sidecars group by their key column: one anti-join per column
+    // (SQL DELETEs may target different columns), each over the union
+    // of that column's sidecar dirs
+    def antiJoined(d: String, df: DataFrame, raw: StructType): DataFrame =
+      m.liveTombs(d).groupBy(_._1).toSeq.sortBy(_._1).foldLeft(df) {
+        case (acc, (k, ts)) =>
+          if (!raw.fieldNames.contains(k)) acc // predates column: exact skip
+          else {
+            val doomed = readDirs(dirsOf(name, m, ts.map(_._2)))
+              .select(k).distinct()
+            acc.join(org.apache.spark.sql.functions.broadcast(doomed),
+              Seq(k), "left_anti")
+          }
+      }
+    def plain(): DataFrame = {
+      val parts =
+        (if (clean.nonEmpty) Seq(readDirs(dirsOf(name, m, clean))) else Nil) ++
+          tombed.map { d =>
+            val df = readDirs(dirsOf(name, m, Seq(d)))
+            antiJoined(d, df, df.schema)
+          }
+      parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    }
+    try plain()
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val byRel = rels.map(r => r -> resolveDir(name, r))
+        val widened = widenedFrames(byRel.map(_._2), e)
+          .zip(byRel).map { case ((_, raw, df), (rel, _)) => rel -> (raw, df) }
+          .toMap
+        val parts = clean.map(r => widened(r)._2) ++ tombed.map { d =>
+          val (raw, df) = widened(d)
+          antiJoined(d, df, raw)
         }
-    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+        parts.reduce(_ unionByName _)
+    }
   }
 
   private def readManifest(name: String, m: Manifest): Option[DataFrame] = {
@@ -1652,6 +1721,25 @@ class SnapshotBucketedStore(
     }).sorted
   }
 
+  /** TIMESTAMP → version resolution for time travel: the NEWEST
+    * retained snapshot committed at-or-before `millis` (epoch
+    * milliseconds), by each manifest's own commit stamp under a
+    * monotone envelope (versions are ordered truth; a wall clock that
+    * stepped backwards between commits never reorders them). None when
+    * every retained stamp is later than `millis` — asking for a time
+    * before the first (retained) commit is a caller error to surface
+    * loudly, not a silent latest-version fallback; [[vacuum]]'s
+    * retention window is the travel horizon here exactly as it is for
+    * version travel. Legacy manifests without a stamp cannot be
+    * resolved by time and are skipped (version travel still serves
+    * them). */
+  def versionAt(name: String, millis: Long): Option[Int] = {
+    var env = Long.MinValue
+    snapshots(name).flatMap(manifestAt(name, _)).flatMap { m =>
+      m.commitMillis.map { ts => env = math.max(env, ts); (m.version, env) }
+    }.takeWhile(_._2 <= millis).lastOption.map(_._1)
+  }
+
   /** TIME-TRAVEL read: the table exactly as committed at `version`.
     * Retained snapshots are useless write-only weight otherwise — a
     * user paying [[vacuum]]'s retention cost gets to read, diff
@@ -1678,7 +1766,8 @@ class SnapshotBucketedStore(
     val cur = latestManifest(name).get // target existing ⇒ table exists
     commit(name, Manifest(cur.version + 1, target.buckets, target.logs,
       cur.lastBatch, target.stats, target.keys, target.statsVersion,
-      target.rows, target.ndv, target.qsk,
+      target.rows, target.ndv, target.qsk, fanout = target.fanout,
+      tombs =
       // the restored version's OUTSTANDING tombstones restore with it —
       // dropping them would silently resurrect merge-on-read deletes
       target.tombs))
@@ -1724,6 +1813,11 @@ class SnapshotBucketedStore(
         throw new java.util.NoSuchElementException(s"no such table: $src"))
     }
     def ref(d: String) = if (d.startsWith("@")) d else s"@$src/$d"
+    // the clone inherits the source's recorded SHAPE (props sidecar):
+    // it borrows the source's bucket layout byte-for-byte, so serving
+    // it under a different key/bucket shape would be silently wrong
+    val srcProps = tableProps(src)
+    if (srcProps.nonEmpty) writeTableProps(dst, srcProps)
     commit(dst, Manifest(0,
       m.buckets.map { case (b, d) => b -> ref(d) },
       m.logs.map(ref),
@@ -1738,7 +1832,8 @@ class SnapshotBucketedStore(
       // they mask — both sides of the (dir, sidecar) pair re-point at
       // the owner, and vacuum's borrow scan protects both
       m.liveTombs.map { case (d, ts) =>
-        ref(d) -> ts.map { case (k, rel) => (k, ref(rel)) } }))
+        ref(d) -> ts.map { case (k, rel) => (k, ref(rel)) } },
+      fanout = m.fanout))
   }
 
   /** Keyed diff of two retained snapshots (`added`/`removed`/
@@ -2000,7 +2095,8 @@ class SnapshotBucketedStore(
       }
       commit(name, Manifest(v, bucketMap, logList, m.lastBatch,
         statsMap, keysMap, carriedStatsVersion(Some(m)), rowsMap, ndvMap,
-        qskMap, m.tombs)) // liveTombs drops entries of rewritten/dropped dirs
+        qskMap, m.tombs, // liveTombs drops entries of rewritten/dropped dirs
+        fanout = m.fanout))
       (dropped.size, rewrites.size, disjoint.size)
     }
   }
@@ -2066,7 +2162,7 @@ class SnapshotBucketedStore(
     val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), Some(batchId),
       statsPart(dm), keysPart(dm), rows = rowsPart(dm), ndv = ndvPart(dm),
-      qsk = qskPart(dm)))
+      qsk = qskPart(dm), fanout = prev.flatMap(_.fanout)))
   }
 
   /** K2 append as a committed log generation: new dir + new manifest.
@@ -2097,12 +2193,13 @@ class SnapshotBucketedStore(
     commit(name, Manifest(v, prev.map(_.buckets).getOrElse(Map.empty),
       prev.map(_.logs).getOrElse(Nil) :+ rel,
       batchId.orElse(prev.flatMap(_.lastBatch)),
-      prev.map(_.stats).getOrElse(Map.empty) ++ statsPart(dm),
-      prev.map(_.keys).getOrElse(Map.empty) ++ keysPart(dm),
-      carriedStatsVersion(prev),
-      prev.map(_.rows).getOrElse(Map.empty) ++ rowsPart(dm),
-      prev.map(_.ndv).getOrElse(Map.empty) ++ ndvPart(dm),
-      prev.map(_.qsk).getOrElse(Map.empty) ++ qskPart(dm)))
+      fanout = prev.flatMap(_.fanout),
+      stats = prev.map(_.stats).getOrElse(Map.empty) ++ statsPart(dm),
+      keys = prev.map(_.keys).getOrElse(Map.empty) ++ keysPart(dm),
+      statsVersion = carriedStatsVersion(prev),
+      rows = prev.map(_.rows).getOrElse(Map.empty) ++ rowsPart(dm),
+      ndv = prev.map(_.ndv).getOrElse(Map.empty) ++ ndvPart(dm),
+      qsk = prev.map(_.qsk).getOrElse(Map.empty) ++ qskPart(dm)))
   }
 
   /** Log-structured compaction for append-mode tables: fold the
@@ -2145,7 +2242,7 @@ class SnapshotBucketedStore(
           val dm = metaForDir(name, rel)
           commit(name, Manifest(v, Map.empty, Seq(rel), base.lastBatch,
             statsPart(dm), keysPart(dm), rows = rowsPart(dm),
-            ndv = ndvPart(dm), qsk = qskPart(dm)))
+            ndv = ndvPart(dm), qsk = qskPart(dm), fanout = base.fanout))
           return true
         } catch { case _: ConcurrentCommitException => () } // lost the race
       }
@@ -2169,7 +2266,7 @@ class SnapshotBucketedStore(
     val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), prev.flatMap(_.lastBatch),
       statsPart(dm), keysPart(dm), rows = rowsPart(dm), ndv = ndvPart(dm),
-      qsk = qskPart(dm)))
+      qsk = qskPart(dm), fanout = prev.flatMap(_.fanout)))
   }
 
   override def upsert(name: String, incoming: DataFrame, key: String)(implicit s: SparkSession): Unit =
@@ -2228,8 +2325,11 @@ class SnapshotBucketedStore(
     val v = prev.map(_.version + 1).getOrElse(0)
     val stage = new Path(tableDir(name), s"stage-$v")
     val f = fs(stage)
-    // buckets the batch touches: ≤ numBuckets values, driver-safe
-    val touched = withBucket(incoming, key)
+    // the RECORDED fan-out wins over this store's configured default —
+    // a mismatched modulus would hash keys into the wrong dirs
+    val fan = fanoutFor(prev)
+    // buckets the batch touches: ≤ fan values, driver-safe
+    val touched = withBucketN(incoming, key, fan)
       .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
     // manifest-level pruning: ONLY the touched buckets' dirs are even
     // named, let alone listed or read. Tombstone-aware: the merge must
@@ -2242,7 +2342,7 @@ class SnapshotBucketedStore(
       if (existingRels.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], incoming.schema)
       else readDataDirs(name, prev.get, existingRels)
-    val merged = withBucket(graft.ops.Upsert.upsert(existing, incoming, key), key)
+    val merged = withBucketN(graft.ops.Upsert.upsert(existing, incoming, key), key, fan)
     sortedForWrite(merged).write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
     // per-bucket data-skipping stats + key Blooms, ONE grouped agg
     // over the stage (before the renames — the staged layout still
@@ -2284,7 +2384,8 @@ class SnapshotBucketedStore(
       prev.map(_.qsk).getOrElse(Map.empty) ++
         newBuckets.flatMap { case (b, rel) =>
           stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) },
-      prev.map(_.tombs).getOrElse(Map.empty))) // untouched buckets keep theirs
+      prev.map(_.tombs).getOrElse(Map.empty), // untouched buckets keep theirs
+      fanout = Some(fan)))
   }
 
   /** Atomic FULL REBUILD of a bucketed-upsert table: every bucket of
@@ -2334,7 +2435,10 @@ class SnapshotBucketedStore(
       ndv = newBuckets.flatMap { case (b, rel) =>
         stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) }.toMap,
       qsk = newBuckets.flatMap { case (b, rel) =>
-        stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) }.toMap))
+        stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) }.toMap,
+      // rebuild is the fan-out MIGRATION point: the whole table was
+      // just rehashed under this store's configured modulus
+      fanout = Some(numBuckets)))
   }
 
   /** Keyed row deletion — the right-to-be-forgotten path a 100 TB
@@ -2361,10 +2465,10 @@ class SnapshotBucketedStore(
     // Tombstone-aware: the rewrite also applies outstanding
     // merge-on-read sidecars (physical erasure rides along).
     val existing = readDataDirs(name, prev.get, touchedDirs.map(_._2))
-    val remaining = withBucket(
+    val remaining = withBucketN(
       existing.join(
         org.apache.spark.sql.functions.broadcast(keyFrame), Seq(keyCol), "left_anti"),
-      keyCol)
+      keyCol, prev.get.fanout.getOrElse(numBuckets))
     val stage = new Path(tableDir(name), s"stage-$v")
     val f = fs(stage)
     sortedForWrite(remaining).write.mode(SaveMode.Overwrite).partitionBy(BucketCol).format(fmt).save(stage.toString)
@@ -2403,8 +2507,98 @@ class SnapshotBucketedStore(
       prev.get.qsk ++
         newBuckets.flatMap { case (b, rel) =>
           stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) },
-      prev.get.tombs)) // rewritten dirs' tombstones drop via liveTombs
+      prev.get.tombs, // rewritten dirs' tombstones drop via liveTombs
+      fanout = prev.get.fanout.orElse(Some(numBuckets))))
   }
+
+  /** ONE-COMMIT row-level delta (X244 — what SQL MERGE INTO / UPDATE
+    * resolve to through [[GraftV2Table]]'s `SupportsDelta` write):
+    * apply `upserts` (keep-last keyed replace + inserts) AND remove
+    * `deleteKeys`, atomically — a reader is entirely before or
+    * entirely after the merge, never between its update and delete
+    * halves (two chained commits would expose exactly that seam).
+    * Cost shape is the keyed-write contract: touched buckets =
+    * buckets(upsert keys) ∪ buckets(delete keys), only those rewrite
+    * (O(touched), plan-audited), untouched buckets carry over by
+    * reference; an emptied bucket drops out of the manifest. The
+    * rewrite applies outstanding merge-on-read tombstones on the
+    * dirs it touches, like every bucket rewrite. `deleteKeys` joins
+    * un-forced (AQE picks broadcast vs shuffle) — an arbitrary-
+    * predicate SQL DELETE can doom millions of keys, which is
+    * exactly when a forced broadcast would fall over. */
+  def applyDelta(name: String, upserts: DataFrame, deleteKeys: DataFrame,
+      key: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val prev = latestManifest(name).getOrElse(
+      throw new java.util.NoSuchElementException(s"no such table: $name"))
+    require(prev.logs.isEmpty,
+      s"$name has append-log generations; row-level SQL writes target " +
+        "keyed bucketed tables")
+    require(clusterColumn.isEmpty,
+      "row-level SQL writes target key-bucketed tables — cluster-bucketed " +
+        "indexes are append+delete surfaces (re-embed = delete + insert)")
+    val delKeys = deleteKeys.select(col(deleteKeys.columns.head).as(key)).distinct()
+    val fan = prev.fanout.getOrElse(numBuckets)
+    val touched = withBucketN(
+      upserts.select(col(key)).union(delKeys.select(col(key))), key, fan)
+      .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return
+    val v = prev.version + 1
+    val existingRels = touched.flatMap(b => prev.buckets.get(b)).toSeq
+    val existing =
+      if (existingRels.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], upserts.schema)
+      else readDataDirs(name, prev, existingRels)
+    val kept = existing.join(delKeys, Seq(key), "left_anti")
+    val merged = withBucketN(graft.ops.Upsert.upsert(kept, upserts, key), key, fan)
+    val stage = new Path(tableDir(name), s"stage-$v")
+    val f = fs(stage)
+    sortedForWrite(merged).write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol).format(fmt).save(stage.toString)
+    val stageMeta = metaForStage(stage.toString)
+    f.mkdirs(new Path(tableDir(name), "data"))
+    val newBuckets = touched.flatMap { b =>
+      val src = new Path(stage, s"$BucketCol=$b")
+      if (f.exists(src)) {
+        val rel = s"data/b$b-g$v"
+        val dst = new Path(tableDir(name), rel)
+        if (f.exists(dst)) f.delete(dst, true)
+        if (!f.rename(src, dst))
+          throw new java.io.IOException(s"bucket move failed: $src -> $dst")
+        Some(b -> rel)
+      } else None // the merge emptied this bucket: it drops out
+    }.toMap
+    f.delete(stage, true)
+    commit(name, Manifest(v,
+      prev.buckets -- touched ++ newBuckets, Nil,
+      prev.lastBatch,
+      prev.stats ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).filter(_.stats.nonEmpty).map(rel -> _.stats) },
+      prev.keys ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).filter(_.keys.nonEmpty).map(rel -> _.keys) },
+      carriedStatsVersion(Some(prev)),
+      prev.rows ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).flatMap(_.rows).map(rel -> _) },
+      prev.ndv ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).filter(_.ndv.nonEmpty).map(rel -> _.ndv) },
+      prev.qsk ++
+        newBuckets.flatMap { case (b, rel) =>
+          stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) },
+      prev.tombs, // rewritten dirs' tombstones drop via liveTombs
+      fanout = Some(fan)))
+  }
+
+  /** Scratch dir for one SQL row-level write's delta files — under
+    * the table dir with the `stage-` prefix, so a crashed query's
+    * debris is swept by [[vacuum]] like every other stage. */
+  def deltaStagePath(name: String, id: String): String =
+    new Path(tableDir(name),
+      s"stage-delta-${id.replaceAll("[^A-Za-z0-9_-]", "_")}").toString
 
   /** The delete-targeting pass shared by [[delete]] and
     * [[deleteLazy]]: (typed key frame, the (bucket, dir) pairs that
@@ -2451,7 +2645,7 @@ class SnapshotBucketedStore(
     // candidate and only the Blooms (when this column has them) narrow
     val bucketDirs: Seq[(Long, String)] =
       if (targetByKeyHash && typeSafe && clusterColumn.isEmpty) {
-        val touched = withBucket(keyFrame, keyCol)
+        val touched = withBucketN(keyFrame, keyCol, m.fanout.getOrElse(numBuckets))
           .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
         touched.toSeq.flatMap(b => m.buckets.get(b).map(b -> _))
       } else m.buckets.toSeq.sortBy(_._1)
@@ -2497,8 +2691,27 @@ class SnapshotBucketedStore(
       s"$name has append-log generations; keyed delete targets bucketed tables")
     if (prev.isEmpty) return
     val m = prev.get
-    val (keyFrame, touchedDirs) =
+    val (keyFrame, targeted) =
       deleteTargeting(name, m, keyCol, keys, targetByKeyHash)
+    // a dir whose footer schema predates the predicate column can hold
+    // no matching row — attaching a tombstone there would only gate the
+    // metadata serves and cost [[applyDeletes]] a no-op rewrite. The
+    // footer probe runs ONLY on the arbitrary-column path (SQL DELETE):
+    // a keyed table's every generation was written BY a keyed upsert,
+    // so the upsert-key column is always present. A dir the manifest
+    // already stats/Blooms on this column provably has it (no probe);
+    // an unreadable footer conservatively attaches (the read-side skip
+    // in [[readDataDirs]] stays the correctness net either way).
+    val touchedDirs =
+      if (targetByKeyHash && keyColumns.contains(keyCol)) targeted
+      else targeted.filter { case (_, d) =>
+        m.stats.getOrElse(d, Nil).exists(_._1 == keyCol) ||
+          m.keys.getOrElse(d, Nil).exists(_._1 == keyCol) ||
+          m.ndv.getOrElse(d, Nil).exists(_._1 == keyCol) ||
+          (try spark.read.format(fmt).load(resolveDir(name, d))
+            .schema.fieldNames.contains(keyCol)
+          catch { case scala.util.control.NonFatal(_) => true })
+      }
     if (touchedDirs.isEmpty) return
     val v = m.version + 1
     val rel = s"data/tomb-g$v"
@@ -2507,7 +2720,8 @@ class SnapshotBucketedStore(
       d -> (m.tombs.getOrElse(d, Nil) :+ (keyCol -> rel))
     }
     commit(name, Manifest(v, m.buckets, m.logs, m.lastBatch, m.stats,
-      m.keys, carriedStatsVersion(Some(m)), m.rows, m.ndv, m.qsk, newTombs))
+      m.keys, carriedStatsVersion(Some(m)), m.rows, m.ndv, m.qsk, newTombs,
+      fanout = m.fanout))
   }
 
   /** Physically apply every outstanding tombstone: each tombstoned
@@ -2537,17 +2751,22 @@ class SnapshotBucketedStore(
       if (f.exists(dst)) f.delete(dst, true) // crash orphan at this version
       writeDir(readDataDirs(name, m, Seq(d)), dst.toString)
       stats -= d; keysM -= d; rows -= d; ndv -= d; qsk -= d
-      // an all-deleted dir writes no data files: the bucket drops out
-      val hasData = f.exists(dst) && f.listStatus(dst).exists { st =>
+      // an all-deleted dir drops its bucket out of the manifest —
+      // decided by the REWRITTEN frame's row count, not by probing for
+      // part files: the eager non-partitioned writer leaves a
+      // footer-only file for an empty frame (the same behavior
+      // GraftCatalog.createTable relies on), which a file probe would
+      // mis-read as live data and retain empty generations forever
+      val hasFiles = f.exists(dst) && f.listStatus(dst).exists { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith(".") && !n.startsWith("_")
       }
-      if (!hasData) {
+      val dm = if (hasFiles) metaForDir(name, rel) else Map.empty[String, DirMeta]
+      if (dm.get(rel).flatMap(_.rows).getOrElse(0L) == 0L) {
         f.delete(dst, true)
         buckets -= b
       } else {
         buckets += b -> rel
-        val dm = metaForDir(name, rel)
         stats = stats ++ statsPart(dm); keysM = keysM ++ keysPart(dm)
         rows = rows ++ rowsPart(dm); ndv = ndv ++ ndvPart(dm)
         qsk = qsk ++ qskPart(dm)
@@ -2555,7 +2774,8 @@ class SnapshotBucketedStore(
     }
     commit(name, Manifest(v, buckets, m.logs, m.lastBatch, stats, keysM,
       carriedStatsVersion(Some(m)), rows, ndv, qsk,
-      m.tombs)) // all applied dirs left `buckets` → liveTombs drops them
+      m.tombs, // all applied dirs left `buckets` → liveTombs drops them
+      fanout = m.fanout))
     tombed.size
   }
 
@@ -2616,6 +2836,64 @@ class SnapshotBucketedStore(
   // ----------------------------------------------------------------
   // Table lifecycle (the catalog surface: SHOW/DROP/RENAME)
   // ----------------------------------------------------------------
+
+  /** Immutable per-table SHAPE sidecar (X243 — what makes one catalog
+    * serve differently-shaped tables): `props.txt` under the table
+    * dir, `k=v` lines, written ONCE before the table's first commit
+    * (a crash between leaves an orphan sidecar under a table that
+    * does not exist yet — the next CREATE overwrites it). Shape is
+    * immutable by design: key/bucket changes migrate through
+    * [[rebuild]], the same discipline as bucket-column type drift. */
+  def writeTableProps(name: String, props: Map[String, String]): Unit = {
+    require(props.forall { case (k, v) =>
+      k.matches("[A-Za-z0-9_.]+") && !v.contains("\n") && !v.contains("\r") },
+      s"table property keys must be [A-Za-z0-9_.]+ and values line-free: $props")
+    val p = new Path(tableDir(name), "props.txt")
+    val out = fs(p).create(p, true)
+    try out.write(props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table's recorded shape properties — empty for tables created
+    * before (or without) the DDL surface. */
+  def tableProps(name: String): Map[String, String] = {
+    val p = new Path(tableDir(name), "props.txt")
+    val f = fs(p)
+    if (!f.exists(p)) return Map.empty
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
+      val Array(k, v) = l.split("=", 2); k -> v
+    }.toMap
+  }
+
+  /** CREATE TABLE: commit generation 0 carrying the declared schema
+    * and zero rows. With `keyed` set (the upsert-key column) it
+    * commits as an empty BUCKET generation — the table is keyed from
+    * birth: upserts, MERGE and keyed deletes work before the first
+    * row lands; keyless it commits an append-log generation. Either
+    * way the schema reads back from a footer-only file, atomically. */
+  def createTable(name: String, schema: StructType,
+      keyed: Option[String] = None): Unit = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema).repartition(1)
+    keyed match {
+      case Some(k) =>
+        require(schema.fieldNames.contains(k),
+          s"upsert key '$k' is not a column of the declared schema: " +
+            schema.fieldNames.mkString(", "))
+        clusterColumn.foreach(cc => require(schema.fieldNames.contains(cc),
+          s"cluster column '$cc' is not a column of the declared schema"))
+        val prev = latestManifest(name)
+        val v = prev.map(_.version + 1).getOrElse(0)
+        val rel = s"data/b0-g$v"
+        writeDir(empty, new Path(tableDir(name), rel).toString)
+        commit(name, Manifest(v, Map(0L -> rel), Nil,
+          fanout = Some(numBuckets)))
+      case None => append(name, empty)
+    }
+  }
 
   /** Tables under this store root: directories holding at least one
     * committed manifest — metadata-only (one listing + one manifest
@@ -2708,6 +2986,7 @@ final class JdbcStore(
     url: String,
     props: java.util.Properties,
     partitioning: Option[JdbcPartitioning] = None,
+    renameSwap: Boolean = true, // test seam: false forces the DELETE+INSERT fallback
 )(implicit spark: SparkSession)
     extends TableStore {
 
@@ -2743,6 +3022,20 @@ final class JdbcStore(
     try { conn.createStatement().execute(s"DROP TABLE $table"); () }
     catch { case _: java.sql.SQLException => () } // absent → nothing to drop
 
+  private def tableExistsOn(conn: java.sql.Connection, table: String): Boolean =
+    try { conn.createStatement().executeQuery(s"SELECT * FROM $table WHERE 1=0").close(); true }
+    catch { case _: java.sql.SQLException => false }
+
+  /** Column names of a live table, in its physical order — read from
+    * the zero-row result's metadata, so it works on any dialect. */
+  private def columnsOf(conn: java.sql.Connection, table: String): Seq[String] = {
+    val rs = conn.createStatement().executeQuery(s"SELECT * FROM $table WHERE 1=0")
+    try {
+      val md = rs.getMetaData
+      (1 to md.getColumnCount).map(md.getColumnName)
+    } finally rs.close()
+  }
+
   /** K3/K4 full replace, STAGED: the naive `mode(Overwrite).jdbc`
     * truncates the live table and repopulates it row by row — a
     * concurrent reader in that window sees an empty or partial
@@ -2777,7 +3070,7 @@ final class JdbcStore(
     df.write.mode(SaveMode.Overwrite).jdbc(url, stage, props)
     withConnection { conn =>
       conn.setAutoCommit(false)
-      val swapped =
+      val swapped = renameSwap && {
         try {
           val st = conn.createStatement()
           st.execute(s"RENAME TABLE $name TO $old")
@@ -2786,18 +3079,49 @@ final class JdbcStore(
           true
         } catch {
           case _: java.sql.SQLException =>
-            conn.rollback(); false
+            conn.rollback()
+            // a dialect whose RENAME autocommits strands the live table
+            // under `old` when the SECOND rename fails (the rollback
+            // undoes nothing) — put it back before any fallback, which
+            // targets `name`
+            if (!tableExistsOn(conn, name) && tableExistsOn(conn, old)) {
+              conn.createStatement().execute(s"RENAME TABLE $old TO $name")
+              conn.commit()
+            }
+            false
         }
+      }
       if (!swapped) {
         // transactional-RENAME-less dialect: one DELETE + INSERT-SELECT
         // transaction — readers under READ COMMITTED (or stricter)
-        // never observe the in-between state
-        val st = conn.createStatement()
-        st.executeUpdate(s"DELETE FROM $name")
-        st.executeUpdate(s"INSERT INTO $name SELECT * FROM $stage")
-        conn.commit()
-      }
-      conn.setAutoCommit(true)
+        // never observe the in-between state. Only sound when live and
+        // stage agree on COLUMNS: replace semantics allow a schema
+        // change, and a positional SELECT * would silently transpose
+        // same-typed columns — the column list is explicit and checked.
+        val liveCols = columnsOf(conn, name)
+        val stageCols = columnsOf(conn, stage)
+        if (liveCols.map(_.toLowerCase).sorted == stageCols.map(_.toLowerCase).sorted) {
+          val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+          val cols = liveCols.map(dialect.quoteIdentifier).mkString(", ")
+          val st = conn.createStatement()
+          st.executeUpdate(s"DELETE FROM $name")
+          st.executeUpdate(s"INSERT INTO $name ($cols) SELECT $cols FROM $stage")
+          conn.commit()
+          conn.setAutoCommit(true)
+        } else {
+          // schema changed AND the transactional swap was refused: no
+          // gap-free path exists on this dialect — honest degrade to
+          // drop + publish (the pre-staging replace semantics, with
+          // the gap bounded to two DDL statements, never a silently
+          // transposed table)
+          conn.setAutoCommit(true)
+          dropIfExists(conn, name)
+          val renamed =
+            try { conn.createStatement().execute(s"RENAME TABLE $stage TO $name"); true }
+            catch { case _: java.sql.SQLException => false }
+          if (!renamed) df.write.mode(SaveMode.Overwrite).jdbc(url, name, props)
+        }
+      } else conn.setAutoCommit(true)
       // post-commit cleanup; a crash here leaves only debris tables,
       // cleared by the next replace
       dropIfExists(conn, old)

@@ -6984,6 +6984,108 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** A DDL-created keyed table (TBLPROPERTIES key/buckets/insert,
+    * X243) that took ONE four-clause SQL MERGE and ONE SQL UPDATE
+    * through the DSv2 row-level path (SupportsRowLevelOperations →
+    * SupportsDelta → delta writers → applyDelta one-commit merge,
+    * X244) — built once per session+dataset. Seeding goes through
+    * `INSERT INTO` itself (the table opted into insert='upsert'). */
+  private def sqlMergeCatalog(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    artifact(s, d, "sql_merge_catalog") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlmrg_").toString
+      val cat = "graftmrg" + math.abs(root.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      docs.createOrReplaceTempView("graft_merge_seed")
+      Seq("docs_m", "docs_u").foreach { t =>
+        s.sql(s"CREATE TABLE $cat.$t (doc_id BIGINT, source STRING, " +
+          "n_chars BIGINT, lang STRING) TBLPROPERTIES('key'='doc_id', " +
+          "'buckets'='16', 'statscolumns'='n_chars', 'insert'='upsert')")
+        s.sql(s"INSERT INTO $cat.$t SELECT * FROM graft_merge_seed")
+      }
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      // the merge source: matched-deletes (%10=3), matched-updates
+      // (%10=7, revised n_chars), and brand-new ids past the max
+      docs.filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id"), lit("del").as("flag"), col("n_chars"), col("lang"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 7)
+          .select(col("doc_id"), lit("upd").as("flag"),
+            (col("n_chars") + 1000L).as("n_chars"), col("lang")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + mx + 1L).as("doc_id"), lit("new").as("flag"),
+            col("n_chars"), col("lang")))
+        .createOrReplaceTempView("graft_merge_src")
+      s.sql(
+        s"""MERGE INTO $cat.docs_m t USING graft_merge_src s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.flag = 'del' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET n_chars = s.n_chars, source = 'UPD'
+           |WHEN NOT MATCHED THEN INSERT (doc_id, source, n_chars, lang)
+           |  VALUES (s.doc_id, 'NEW', s.n_chars, s.lang)
+           |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 97 = 0 THEN DELETE
+           |""".stripMargin)
+      s.sql(s"UPDATE $cat.docs_u SET source = 'BIG', n_chars = n_chars * 2 " +
+        "WHERE n_chars % 3 = 0")
+      cat
+    }
+
+  /** SQL MERGE INTO end to end (X244): all FOUR clause families fired
+    * through the catalog — matched-conditional DELETE, matched
+    * UPDATE, not-matched INSERT, not-matched-by-source conditional
+    * DELETE — resolved by Spark's own row-level rewrite onto the
+    * store's one-commit keyed delta ([[graft.io.SnapshotBucketedStore
+    * .applyDelta]]); the oracle recomputes the merge algebraically
+    * from the raw table, so the hash match proves every clause landed
+    * on exactly its rows (GraftCatalogSpec additionally pins SQL ≡
+    * the MergeInto API form and that only affected buckets rewrote). */
+  val sqlMergeQ = GraftQuery(
+    "q184_sql_merge",
+    (s, d) => {
+      val cat = sqlMergeCatalog(s, d)
+      s.sql(s"SELECT doc_id, source, n_chars, lang FROM $cat.docs_m " +
+        "ORDER BY doc_id")
+    },
+    Some("""
+      WITH m AS (SELECT MAX(doc_id) AS mx FROM documents)
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 7 THEN 'UPD' ELSE source END AS source,
+             CASE WHEN doc_id % 10 = 7 THEN n_chars + 1000 ELSE n_chars END AS n_chars,
+             lang
+      FROM documents
+      WHERE doc_id % 10 <> 3
+        AND NOT (doc_id % 97 = 0 AND doc_id % 10 <> 7)
+      UNION ALL
+      SELECT d.doc_id + m.mx + 1 AS doc_id, 'NEW' AS source, d.n_chars, d.lang
+      FROM documents d, m
+      WHERE d.doc_id % 5 = 0
+      ORDER BY doc_id
+    """.trim),
+  )
+
+  /** SQL UPDATE end to end (X244, same delta path as q184 — update =
+    * delete + reinsert split at the writer, one snapshot commit): the
+    * oracle applies the SET/WHERE algebra to the raw table. */
+  val sqlUpdateQ = GraftQuery(
+    "q185_sql_update",
+    (s, d) => {
+      val cat = sqlMergeCatalog(s, d)
+      s.sql(s"SELECT doc_id, source, n_chars, lang FROM $cat.docs_u " +
+        "ORDER BY doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN n_chars % 3 = 0 THEN 'BIG' ELSE source END AS source,
+             CASE WHEN n_chars % 3 = 0 THEN n_chars * 2 ELSE n_chars END AS n_chars,
+             lang
+      FROM documents
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -7106,5 +7208,7 @@ object LlmCatalog {
     sqlCatalogAggQ,
     sqlCatalogTravelQ,
     sqlDeleteQ,
+    sqlMergeQ,
+    sqlUpdateQ,
   )
 }

@@ -95,7 +95,11 @@ object AnnIntake {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.localCheckpoint() // shared by signature + gram passes
+        // the raw batch has a second consumer (the exact-verify gram
+        // pass) only when the window is on — checkpoint it then;
+        // the plain path hands the batch straight to the one
+        // signature pass, no eager materialization
+        val b = if (exactWindow > 0) batch.localCheckpoint() else batch
         val sig = signatures(b, idCol, textCol, n, numHashes)
           .localCheckpoint() // two consumers, one signature pass
         store.appendIfNew(table, sig, batchId): Unit

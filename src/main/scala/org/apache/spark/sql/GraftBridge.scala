@@ -35,4 +35,17 @@ object GraftBridge {
       schema: StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(rows, schema, isStreaming = true)
+
+  /** The session's Hadoop configuration boxed for task serialization —
+    * `SerializableConfiguration` is Spark's own answer to Configuration
+    * not being Serializable, scoped `private[spark]`; the pair of
+    * adapters keeps the private type out of graft signatures. Used by
+    * the delta writers ([[graft.io.GraftDeltaWrite]]), which persist
+    * changed-row runs from executors onto the store's filesystem. */
+  def confBox(spark: SparkSession): AnyRef with java.io.Serializable =
+    new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+
+  def confOf(box: AnyRef): org.apache.hadoop.conf.Configuration =
+    box.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
 }

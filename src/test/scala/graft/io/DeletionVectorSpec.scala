@@ -156,6 +156,90 @@ class DeletionVectorSpec extends SparkSpec {
     assert(store.read("fork").get.count() == 118)
   }
 
+  test("SQL-shaped delete on a later-added column never bricks pre-column generations") {
+    implicit val s = spark
+    val root = tmpDir("dv_precol_")
+    val store = newStore(root)
+    // gen A predates the `extra` column entirely
+    store.upsert("t", rows(0 until 60), "uuid")
+    val dirsA = dataDirs(root, "t")
+    // gen B adds `extra` on fresh keys (add-column upsert)
+    store.upsert("t",
+      (100 until 160).map(i => (i.toLong, i * 2L, "x", s"e$i"))
+        .toDF("uuid", "v", "tag", "extra"), "uuid")
+    // conservative all-bucket DELETE on the later-added column: the
+    // footer probe must skip attaching tombstones to pre-column dirs
+    store.deleteLazy("t", "extra", Seq("e100", "e101").toDF("extra"),
+      targetByKeyHash = false)
+    val manifest = new java.io.File(s"$root/t").listFiles()
+      .filter(_.getName.matches("manifest-\\d+\\.txt"))
+      .maxBy(_.getName.stripPrefix("manifest-").stripSuffix(".txt").toInt)
+    val tombLines = scala.io.Source.fromFile(manifest).getLines()
+      .filter(_.startsWith("tomb:")).toSeq
+    assert(tombLines.forall(l => !dirsA.exists(d => l.contains(d))),
+      s"tombstones attached to pre-column dirs: $tombLines vs $dirsA")
+    // reads work (the old read-path threw AnalysisException here) and
+    // are exact: only the two matching rows are gone
+    val got = store.read("t").get.select("uuid").as[Long].collect().toSet
+    assert(got == ((0L until 60L) ++ (102L until 160L)).toSet)
+    // applyDeletes clears without touching pre-column dirs
+    store.applyDeletes("t")
+    assert(store.read("t").get.count() == 118)
+    assert(dirsA.subsetOf(dataDirs(root, "t")),
+      "pre-column generations must survive apply untouched")
+  }
+
+  test("a delete that empties a bucket drops it from the manifest on apply") {
+    implicit val s = spark
+    val root = tmpDir("dv_empty_")
+    val store = newStore(root)
+    store.upsert("t", rows(0 until 64), "uuid")
+    // doom EVERY key: all buckets rewrite to zero rows
+    store.deleteLazy("t", "uuid", (0 until 64).map(_.toLong).toDF("uuid"))
+    assert(store.applyDeletes("t") > 0)
+    assert(store.read("t").isEmpty,
+      "an all-deleted table must read as absent (no live dirs), not as " +
+        "retained footer-only generations")
+    store.vacuum("t")
+    assert(dataDirs(root, "t").isEmpty, s"dead dirs retained: ${dataDirs(root, "t")}")
+    // and the table comes back on the next upsert
+    store.upsert("t", rows(0 until 5), "uuid")
+    assert(store.read("t").get.count() == 5)
+  }
+
+  test("applyDelta: upserts + deletes land in ONE commit, tombstone-aware, buckets drop") {
+    implicit val s = spark
+    val root = tmpDir("dv_delta_")
+    val store = newStore(root)
+    store.upsert("t", rows(0 until 200), "uuid") // v0
+    // an OUTSTANDING tombstone on a dir the delta will touch: the
+    // rewrite must apply it en passant, never resurrect key 4
+    store.deleteLazy("t", "uuid", Seq(4L).toDF("uuid")) // v1
+    val vBefore = store.snapshots("t").size
+    val upserts = ((0 until 3).map(i => (i.toLong, -1L, "upd")) ++
+      Seq((500L, 500L, "new"))).toDF("uuid", "v", "tag")
+    val deletes = Seq(7L, 8L).toDF("uuid")
+    store.applyDelta("t", upserts, deletes, "uuid")
+    assert(store.snapshots("t").size == vBefore + 1, "one delta = one commit")
+    val got = store.read("t").get.orderBy("uuid").as[(Long, Long, String)]
+      .collect().toSeq
+    val expect = ((0L until 200L).filterNot(Set(4L, 7L, 8L))
+      .map(i => if (i < 3) (i, -1L, "upd") else (i, i * 2, "x")) :+
+      ((500L, 500L, "new"))).sortBy(_._1)
+    assert(got == expect)
+    // a delta that DELETES every key of some bucket drops the bucket
+    store.applyDelta("t",
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        upserts.schema),
+      (0 until 501).map(_.toLong).toDF("uuid"), "uuid")
+    assert(store.read("t").isEmpty, "all keys doomed → no live dirs")
+    // log tables refuse the row-level path loudly
+    store.append("logt", rows(0 until 5))
+    val e = intercept[IllegalArgumentException](
+      store.applyDelta("logt", upserts, deletes, "uuid"))
+    assert(e.getMessage.contains("append-log"), e.getMessage)
+  }
+
   test("lazy deletes on DIFFERENT columns stack per-sidecar; log tables refuse") {
     implicit val s = spark
     val store = newStore(tmpDir("dv_guard_"))

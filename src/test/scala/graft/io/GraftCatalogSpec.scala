@@ -147,6 +147,102 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ro != null)
   }
 
+  test("TIMESTAMP AS OF resolves by commit stamp ≡ the version it names; pre-history refuses") {
+    val root = tmpDir("graft_cat_ts_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    val before = System.currentTimeMillis()
+    Thread.sleep(5)
+    store.upsert("t", rows(0 until 50), "uuid") // v0
+    Thread.sleep(5)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    store.upsert("t", rows(0 until 10, tag = "y"), "uuid") // v1
+    Thread.sleep(5)
+    val afterMs = System.currentTimeMillis()
+    val cat = register(root)
+    def tsLit(ms: Long): String = // session tz is UTC in specs
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochMilli(ms))
+    // travel-by-timestamp ≡ travel-by-version, both instants
+    val atBetween = spark.sql(
+      s"SELECT * FROM $cat.t TIMESTAMP AS OF '${tsLit(betweenMs)}' ORDER BY uuid")
+    val v0 = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 0 ORDER BY uuid")
+    assert(atBetween.collect().toSeq == v0.collect().toSeq)
+    val atAfter = spark.sql(
+      s"SELECT tag FROM $cat.t TIMESTAMP AS OF '${tsLit(afterMs)}' WHERE uuid = 3")
+      .as[String].collect().toSeq
+    assert(atAfter == Seq("y"))
+    // an instant before the first commit refuses loudly NAMING the
+    // instant, never serves latest
+    def rootCause(t: Throwable): Throwable =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.last
+    val e = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.t TIMESTAMP AS OF '${tsLit(before)}'").collect())
+    assert(rootCause(e).getMessage.contains("retained commit"), e.getMessage)
+    assert(rootCause(e).getMessage.contains(
+      java.time.Instant.ofEpochMilli(before).toString.take(19)), e.getMessage)
+    // vacuumed horizon: after vacuum only the newest stamp survives
+    store.vacuum("t")
+    val h = intercept[Exception](spark.sql(
+      s"SELECT * FROM $cat.t TIMESTAMP AS OF '${tsLit(betweenMs)}'").collect())
+    assert(rootCause(h).getMessage.contains("retained commit"), h.getMessage)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.t TIMESTAMP AS OF '${tsLit(afterMs)}'")
+      .head().getLong(0) == 50L)
+  }
+
+  test("per-table TBLPROPERTIES: two keyed shapes under one catalog; unknown props refuse") {
+    val root = tmpDir("graft_cat_props_")
+    implicit val s = spark
+    val cat = register(root) // catalog-global keycolumns=uuid are only DEFAULTS
+    spark.sql(s"CREATE TABLE $cat.docs (doc_id BIGINT, n_chars BIGINT, lang STRING) " +
+      "TBLPROPERTIES('key'='doc_id', 'buckets'='4', 'statscolumns'='n_chars')")
+    spark.sql(s"CREATE TABLE $cat.users (user_id BIGINT, score BIGINT, region STRING) " +
+      "TBLPROPERTIES('key'='user_id', 'buckets'='2', 'insert'='upsert')")
+    // the shapes persisted and differ
+    val probe = new SnapshotBucketedStore(root)
+    assert(probe.tableProps("docs") == Map(
+      "key" -> "doc_id", "buckets" -> "4", "statscolumns" -> "n_chars"))
+    assert(probe.tableProps("users")("buckets") == "2")
+    // keyed from birth: MERGE-free writes go through the keyed paths —
+    // users opted into insert='upsert', so INSERT means keyed upsert
+    spark.sql(s"INSERT INTO $cat.users SELECT id, id, 'eu' FROM range(10)")
+    spark.sql(s"INSERT INTO $cat.users SELECT id, id + 100, 'us' FROM range(5)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.users").head().getLong(0) == 10L,
+      "INSERT on insert='upsert' must keep-last, not append-duplicate")
+    assert(spark.sql(s"SELECT region FROM $cat.users WHERE user_id = 3")
+      .as[String].head() == "us")
+    // docs did NOT opt in: INSERT INTO refuses with guidance
+    val refuse = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.docs SELECT id, id, 'en' FROM range(3)"))
+    assert(refuse.getMessage.contains("MERGE"), refuse.getMessage)
+    // keyed SQL DELETE honors each table's OWN key (bucket targeting)
+    val docsStore = new SnapshotBucketedStore(root, numBuckets = 4,
+      keyColumns = Seq("doc_id"), statsColumns = Seq("n_chars"))
+    docsStore.upsert("docs",
+      (0 until 40).map(i => (i.toLong, i * 10L, "en")).toDF("doc_id", "n_chars", "lang"),
+      "doc_id")
+    spark.sql(s"DELETE FROM $cat.docs WHERE doc_id = 7")
+    spark.sql(s"DELETE FROM $cat.users WHERE user_id IN (1, 2)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.docs").head().getLong(0) == 39L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.users").head().getLong(0) == 8L)
+    // INSERT OVERWRITE on a keyed table rebuilds, keeping it keyed
+    spark.sql(s"INSERT OVERWRITE $cat.users SELECT id, id, 'apac' FROM range(3)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.users").head().getLong(0) == 3L)
+    spark.sql(s"INSERT INTO $cat.users SELECT id, id, 'x' FROM range(2)")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.users").head().getLong(0) == 3L,
+      "the rebuilt table must still upsert by key")
+    // unknown non-reserved properties refuse loudly at CREATE
+    val bad = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.bad (a BIGINT) TBLPROPERTIES('zorp'='1')"))
+    assert(bad.getMessage.contains("zorp"), bad.getMessage)
+    val multi = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.bad2 (a BIGINT, b BIGINT) TBLPROPERTIES('key'='a,b')"))
+    assert(multi.getMessage.contains("ONE"), multi.getMessage)
+  }
+
   test("SQL DELETE: equality/IN → merge-on-read tombstones, closed range → generation sweep") {
     val root = tmpDir("graft_cat_del_")
     implicit val s = spark
@@ -169,11 +265,103 @@ class GraftCatalogSpec extends SparkSpec {
     // closed range → deleteRange sweep
     spark.sql(s"DELETE FROM $cat.t WHERE v >= 300 AND v <= 398") // uuids 150..199
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 147L)
-    // unsupported shapes refuse loudly rather than half-delete
-    val e = intercept[Exception](
-      spark.sql(s"DELETE FROM $cat.t WHERE tag = 'x' AND uuid = 3"))
-    assert(e != null)
-    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 147L)
+    // a compound predicate is beyond the metadata tier — it now falls
+    // through to the ROW-LEVEL delta path (X244) instead of refusing
+    spark.sql(s"DELETE FROM $cat.t WHERE tag = 'x' AND uuid = 3")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 146L)
+    assert(spark.sql(s"SELECT * FROM $cat.t WHERE uuid = 3").count() == 0)
+  }
+
+  test("SQL MERGE INTO ≡ the MergeInto API form; only affected buckets rewrite") {
+    val root = tmpDir("graft_cat_merge_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 8,
+      statsColumns = Seq("v"), keyColumns = Seq("uuid"))
+    store.upsert("t", rows(0 until 400), "uuid")
+    val cat = register(root)
+    val src = ((0 until 10).map(i => (i.toLong, i * 100L, "upd")) ++
+      (10 until 15).map(i => (i.toLong, 0L, "del")) ++
+      (1000 until 1005).map(i => (i.toLong, i * 2L, "new")))
+      .toDF("uuid", "nv", "flag")
+    src.createOrReplaceTempView("graft_merge_src_spec")
+    val dirsBefore = new java.io.File(s"$root/t/data").listFiles()
+      .map(_.getName).toSet
+    val versionsBefore = store.snapshots("t").size
+
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING graft_merge_src_spec s ON t.uuid = s.uuid
+         |WHEN MATCHED AND s.flag = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.nv, tag = 'U'
+         |WHEN NOT MATCHED THEN INSERT (uuid, v, tag) VALUES (s.uuid, s.nv, 'N')
+         |""".stripMargin)
+
+    // ≡ the API form (graft.ops.MergeInto, q42's operator) on the same inputs
+    val api = graft.ops.MergeInto.merge(
+      rows(0 until 400), src, "uuid",
+      updateSet = Map("v" -> graft.ops.MergeInto.src("nv"), "tag" -> lit("U")),
+      deleteWhen = Some(graft.ops.MergeInto.src("flag") === "del"),
+      insertSet = Map("uuid" -> graft.ops.MergeInto.src("uuid"),
+        "v" -> graft.ops.MergeInto.src("nv"), "tag" -> lit("N")))
+    val viaSql = spark.sql(s"SELECT uuid, v, tag FROM $cat.t ORDER BY uuid")
+      .collect().toSeq
+    assert(viaSql == api.select("uuid", "v", "tag").orderBy("uuid").collect().toSeq,
+      "SQL MERGE and the MergeInto operator must agree row-for-row")
+    assert(viaSql.size == 400 - 5 + 5)
+    // exactly-once: the whole four-clause merge is ONE snapshot commit
+    assert(store.snapshots("t").size == versionsBefore + 1,
+      "merge must commit update+delete+insert in one manifest rename")
+    // plan audit: only the buckets holding CHANGED keys gained a new
+    // generation — untouched buckets carried over by reference
+    val changedKeys = (0L until 15L) ++ (1000L until 1005L)
+    val expectedBuckets = spark.createDataset(changedKeys)
+      .select(pmod(xxhash64(col("value")), lit(8L))).as[Long].collect().toSet
+    val newDirs = new java.io.File(s"$root/t/data").listFiles()
+      .map(_.getName).toSet -- dirsBefore
+    val newBucketIds = newDirs.map(_.stripPrefix("b").takeWhile(_ != '-').toLong)
+    assert(newDirs.nonEmpty && newBucketIds.subsetOf(expectedBuckets),
+      s"merge rewrote unaffected buckets: $newBucketIds vs $expectedBuckets")
+  }
+
+  test("SQL UPDATE: one-commit delete+reinsert, including a KEY-moving update") {
+    val root = tmpDir("graft_cat_upd_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 8,
+      statsColumns = Seq("v"), keyColumns = Seq("uuid"))
+    store.upsert("t", rows(0 until 100), "uuid")
+    val cat = register(root)
+    val v0 = store.snapshots("t").size
+    spark.sql(s"UPDATE $cat.t SET tag = 'big', v = v + 1 WHERE v >= 100")
+    assert(store.snapshots("t").size == v0 + 1, "one UPDATE = one commit")
+    val got = spark.sql(s"SELECT uuid, v, tag FROM $cat.t ORDER BY uuid")
+      .as[(Long, Long, String)].collect().toSeq
+    val expect = (0L until 100L).map(i =>
+      if (i * 2 >= 100) (i, i * 2 + 1, "big") else (i, i * 2, "x"))
+    assert(got == expect)
+    // an UPDATE that reassigns the KEY itself: the delete+reinsert
+    // split moves the row to its new bucket, no duplicate, no ghost
+    spark.sql(s"UPDATE $cat.t SET uuid = uuid + 1000 WHERE uuid = 3")
+    assert(spark.sql(s"SELECT * FROM $cat.t WHERE uuid = 3").count() == 0)
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE uuid = 1003")
+      .as[Long].head() == 6L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 100L)
+  }
+
+  test("row-level SQL on a keyless or log table refuses with guidance") {
+    val root = tmpDir("graft_cat_nokey_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root) // no key columns at all
+    store.append("logt", rows(0 until 20))
+    val cat = "lakenk" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    rows(0 until 5).createOrReplaceTempView("graft_nokey_src")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO $cat.logt t USING graft_nokey_src s ON t.uuid = s.uuid
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |""".stripMargin))
+    def rootCause(t: Throwable): Throwable =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq.last
+    assert(rootCause(e).getMessage.contains("key"), e.getMessage)
   }
 
   test("COUNT(*)/MIN/MAX push into the manifest: metadata-only, and refuse under tombstones") {

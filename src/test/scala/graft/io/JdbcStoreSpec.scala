@@ -135,6 +135,37 @@ class JdbcStoreSpec extends SparkSpec {
     assert(back.filter($"uuid" === 10L).select("m").as[Double].head() == 30.0)
   }
 
+  test("DELETE+INSERT fallback: explicit column list survives a column-order change") {
+    implicit val s: SparkSession = spark
+    val store = new JdbcStore(url, props, renameSwap = false)
+    store.replace("sales_fb", rows(0 until 40, "v1"))
+    // same columns, DIFFERENT order: a positional `INSERT SELECT *`
+    // would transpose uuid into m — the checked column list must not
+    val reordered = rows(0 until 25, "v2").select("m", "uuid", "name")
+    store.replace("sales_fb", reordered)
+    val back = store.read("sales_fb").get
+    assert(back.count() == 25)
+    assert(back.filter($"uuid" === 10L).select("m").as[Double].head() == 15.0)
+    assert(back.select("name").distinct().as[String].collect().toSeq == Seq("v2"))
+  }
+
+  test("DELETE+INSERT fallback: schema CHANGE degrades to drop+publish, never transposes") {
+    implicit val s: SparkSession = spark
+    val store = new JdbcStore(url, props, renameSwap = false)
+    store.replace("sales_fb2", rows(0 until 40, "v1"))
+    // replacement drops a column and adds another — the fallback must
+    // detect the mismatch and recreate instead of mis-inserting
+    val changed = (0 until 12).map(i => (i.toLong, s"v$i", i * 3L))
+      .toDF("uuid", "name", "quality")
+    store.replace("sales_fb2", changed)
+    val back = store.read("sales_fb2").get
+    assert(back.columns.toSet == Set("uuid", "name", "quality"))
+    assert(back.count() == 12)
+    // and the store keeps working after the degraded path
+    store.replace("sales_fb2", rows(0 until 7, "v3"))
+    assert(store.read("sales_fb2").get.count() == 7)
+  }
+
   test("partitioned read slices the scan into numPartitions range queries") {
     implicit val s: SparkSession = spark
     val plain = new JdbcStore(url, props)

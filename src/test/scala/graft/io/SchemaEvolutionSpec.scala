@@ -73,6 +73,38 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(kept < total, s"membership pruning dead after widening: $kept/$total")
   }
 
+  test("outstanding tombstones compose with a widening upsert (§8 item 14)") {
+    implicit val s = spark
+    def build(root: String): SnapshotBucketedStore = {
+      val store = new SnapshotBucketedStore(root, numBuckets = 4,
+        keyColumns = Seq("uuid"))
+      // gen1: val is INT across all four buckets
+      store.upsert("t",
+        (0L until 80L).map(i => (i, i.toInt)).toDF("uuid", "val"), "uuid")
+      // gen2 widens val to LONG on a strict subset of buckets, so the
+      // table mixes int and long generations
+      store.upsert("t",
+        Seq((10L, 5000000000L)).toDF("uuid", "val"), "uuid")
+      store
+    }
+    // lazy ordering: delete stays outstanding over the widened table
+    val lazyS = build(tmpDir("evo_tomb_l_"))
+    lazyS.deleteLazy("t", "uuid", Seq(3L, 10L, 77L).toDF("uuid"))
+    // eager ordering: same delete, physically applied first
+    val eagerS = build(tmpDir("evo_tomb_e_"))
+    eagerS.deleteLazy("t", "uuid", Seq(3L, 10L, 77L).toDF("uuid"))
+    eagerS.applyDeletes("t")
+    val l = lazyS.read("t").get.orderBy("uuid").collect().toSeq
+    val e = eagerS.read("t").get.orderBy("uuid").collect().toSeq
+    assert(l == e, "tombstoned read must equal the applyDeletes-first ordering")
+    assert(l.size == 77)
+    assert(lazyS.read("t").get.schema("val").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // the pruned families agree over the composed state too
+    assert(lazyS.readWhereEq("t", "uuid", 10L).get.collect().isEmpty)
+    assert(lazyS.readWhereEq("t", "uuid", 11L).get.collect().map(_.getLong(0)).toSeq == Seq(11L))
+  }
+
   test("non-promotable conflict refuses loudly at read") {
     val root = tmpDir("graft_evo_bad_")
     implicit val s = spark
