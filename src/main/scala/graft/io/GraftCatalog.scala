@@ -313,14 +313,15 @@ private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String,
   override def capabilities(): util.Set[TableCapability] =
     if (version.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store, table, schema(), version)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty, s"$table is pinned to v${version.get} — time-travel reads are read-only")
-    new GraftWriteBuilder(store, table, sqlKey, insertUpsert)
+    new GraftWriteBuilder(store, table, sqlKey, insertUpsert, info)
   }
 
   /** SQL MERGE INTO / UPDATE / arbitrary-predicate DELETE (X244): the
@@ -594,7 +595,8 @@ private[io] class GraftAggServe(
   * would write a log generation and strip the table of its keyed
   * write paths). */
 private[io] class GraftWriteBuilder(store: SnapshotBucketedStore, table: String,
-    sqlKey: Option[String] = None, insertUpsert: Boolean = false)
+    sqlKey: Option[String] = None, insertUpsert: Boolean = false,
+    info: LogicalWriteInfo = null)
     extends WriteBuilder with SupportsTruncate {
 
   private var overwrite = false
@@ -602,6 +604,11 @@ private[io] class GraftWriteBuilder(store: SnapshotBucketedStore, table: String,
   override def truncate(): WriteBuilder = { overwrite = true; this }
 
   override def build(): Write = new V1Write {
+    // `writeStream.toTable("cat.t")` — the exactly-once streaming sink
+    // (X246); epoch ids become the store's batch marks
+    override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new GraftStreamingWrite(store, table, sqlKey, insertUpsert,
+        info.schema(), info.queryId(), overwrite)
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.DataFrame,

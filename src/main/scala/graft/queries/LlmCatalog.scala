@@ -7086,6 +7086,63 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** A keyed DDL table fed ENTIRELY through the exactly-once
+    * streaming SQL sink (X246 — `writeStream.toTable`): one watched
+    * dir, two drains on one checkpoint (initial load, then a
+    * revision batch that keyed-upserts %9 docs), epoch ids as the
+    * store's batch marks. */
+  private def streamSinkCatalog(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    artifact(s, d, "stream_sink_catalog") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_strsink_").toString
+      val cat = "graftstr" + math.abs(root.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.docs_s (doc_id BIGINT, source STRING, " +
+        "n_chars BIGINT, lang STRING) TBLPROPERTIES('key'='doc_id', " +
+        "'buckets'='16', 'insert'='upsert')")
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      val incoming = s"$root/incoming"
+      docs.write.mode("append").parquet(incoming)
+      def drain(): Unit =
+        s.readStream.schema(docs.schema).parquet(incoming)
+          .writeStream.option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.docs_s").awaitTermination()
+      drain()
+      // the revision wave lands as NEW files in the watched dir; the
+      // same checkpoint picks up only them, as epoch(s) past the first
+      docs.filter(col("doc_id") % 9 === 0)
+        .withColumn("source", lit("REV2"))
+        .write.mode("append").parquet(incoming)
+      drain()
+      cat
+    }
+
+  /** The exactly-once streaming SQL sink end to end (X246): the table
+    * below was never written by a batch API — every row arrived
+    * through `writeStream.toTable` epochs, the revision wave
+    * keyed-upserting over the initial load; the oracle recomputes the
+    * keep-last algebra from the raw table, so the hash match proves
+    * the epochs landed exactly once with upsert semantics. */
+  val streamSinkQ = GraftQuery(
+    "q186_stream_sink",
+    (s, d) => {
+      val cat = streamSinkCatalog(s, d)
+      s.sql(s"SELECT doc_id, source, n_chars, lang FROM $cat.docs_s " +
+        "ORDER BY doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN 'REV2' ELSE source END AS source,
+             n_chars, lang
+      FROM documents
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -7210,5 +7267,6 @@ object LlmCatalog {
     sqlDeleteQ,
     sqlMergeQ,
     sqlUpdateQ,
+    streamSinkQ,
   )
 }
