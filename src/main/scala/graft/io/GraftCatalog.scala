@@ -239,10 +239,33 @@ class GraftCatalog extends TableCatalog {
       user.get("insert").contains("upsert"))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables evolve through writes (numeric type-widening " +
-        "upserts), not ALTER TABLE")
+  /** `ALTER TABLE ... ADD COLUMNS (...)` — metadata-only (X247): a
+    * zero-row schema generation declares the columns before any data
+    * carries them ([[SnapshotBucketedStore.addColumns]]); existing
+    * rows read null there. Everything else still evolves through
+    * writes (numeric type-widening upserts) and refuses here. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    require(adds.length == changes.length,
+      "graft ALTER TABLE serves ADD COLUMNS only — types evolve through " +
+        "numeric type-widening upserts; renames/drops would need a rewrite " +
+        "(use rebuild)")
+    val fields = adds.map { a =>
+      require(a.fieldNames.length == 1,
+        s"ADD COLUMNS adds top-level columns, got nested ${a.fieldNames.mkString(".")}")
+      require(a.position() == null,
+        "graft column order is footer-merge order — positions are not served")
+      require(a.isNullable,
+        s"added column '${a.fieldNames.head}' must be nullable: existing " +
+          "rows have no value for it")
+      StructField(a.fieldNames.head, a.dataType, nullable = true)
+    }
+    val st = storeFor(ident.name)
+    st.addColumns(ident.name, fields)
+    val (key, insertUpsert) = sqlWriteShape(ident.name)
+    new GraftV2Table(st, ident.name, None, key, insertUpsert)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     ident.namespace.isEmpty && store.dropTable(ident.name)
@@ -321,7 +344,13 @@ private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty, s"$table is pinned to v${version.get} — time-travel reads are read-only")
-    new GraftWriteBuilder(store, table, sqlKey, insertUpsert, info)
+    // keyed upsert tables additionally accept streaming UPDATE mode:
+    // the update-mode delta (changed keys) keyed-upserts per epoch —
+    // exact; plain tables keep Spark's own update-mode refusal
+    if (sqlKey.isDefined && insertUpsert)
+      new GraftWriteBuilder(store, table, sqlKey, insertUpsert, info)
+        with org.apache.spark.sql.GraftUpdateAsAppend
+    else new GraftWriteBuilder(store, table, sqlKey, insertUpsert, info)
   }
 
   /** SQL MERGE INTO / UPDATE / arbitrary-predicate DELETE (X244): the

@@ -2593,6 +2593,52 @@ class SnapshotBucketedStore(
       fanout = Some(fan)))
   }
 
+  /** ALTER TABLE ADD COLUMNS, metadata-only (X247): commit a ZERO-ROW
+    * "schema generation" — a footer-only dir carrying the EXTENDED
+    * schema — under the reserved bucket id -1 (pmod never produces
+    * it, so no keyed write ever touches or rewrites it). Reads merge
+    * it like any generation: existing rows show the new columns as
+    * null, exactly the add-column semantics a widening upsert already
+    * has — this is the DDL spelling for declaring the column BEFORE
+    * any data carries it. O(one footer write + one manifest rename)
+    * at any table size. Works on bucketed and log tables alike;
+    * [[replace]]/[[rebuild]] supersede it wholesale (a full rewrite
+    * is the new schema truth). New columns are nullable by
+    * construction — existing rows have no value for them. */
+  def addColumns(name: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Unit = {
+    val prev = latestManifest(name).getOrElse(
+      throw new java.util.NoSuchElementException(s"no such table: $name"))
+    val cur = readManifest(name, prev).getOrElse(
+      throw new java.util.NoSuchElementException(s"no such table: $name")).schema
+    val dup = cols.map(_.name).filter(cur.fieldNames.contains)
+    require(dup.isEmpty,
+      s"$name already has column(s): ${dup.mkString(", ")}")
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val extended = StructType(cur.fields ++ cols.map(_.copy(nullable = true)))
+    val v = prev.version + 1
+    val rel = s"data/schema-g$v"
+    writeDir(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], extended)
+      .repartition(1), new Path(tableDir(name), rel).toString)
+    val dm = metaForDir(name, rel)
+    commit(name, Manifest(v, prev.buckets + (SchemaBucket -> rel), prev.logs,
+      prev.lastBatch,
+      prev.stats ++ statsPart(dm), prev.keys ++ keysPart(dm),
+      carriedStatsVersion(Some(prev)),
+      // rows: 0 recorded explicitly — the zero-row record is what lets
+      // delete targeting skip this dir and metadata counts stay exact
+      prev.rows ++ rowsPart(dm) + (rel -> 0L),
+      prev.ndv ++ ndvPart(dm), prev.qsk ++ qskPart(dm),
+      prev.tombs, fanout = prev.fanout))
+  }
+
+  /** The reserved bucket id of zero-row schema generations —
+    * `pmod(xxhash64(...), fan)` is non-negative, so no keyed write
+    * ever computes it: schema gens are never "touched", never
+    * rewritten, and carry across every keyed commit untouched. */
+  private val SchemaBucket = -1L
+
   /** Scratch dir for one SQL row-level write's delta files — under
     * the table dir with the `stage-` prefix, so a crashed query's
     * debris is swept by [[vacuum]] like every other stage. */
@@ -2644,11 +2690,16 @@ class SnapshotBucketedStore(
     // hash targeting would silently miss them — every bucket is a
     // candidate and only the Blooms (when this column has them) narrow
     val bucketDirs: Seq[(Long, String)] =
-      if (targetByKeyHash && typeSafe && clusterColumn.isEmpty) {
+      (if (targetByKeyHash && typeSafe && clusterColumn.isEmpty) {
         val touched = withBucketN(keyFrame, keyCol, m.fanout.getOrElse(numBuckets))
           .select(BucketCol).distinct().collect().map(_.getLong(0)).sorted
         touched.toSeq.flatMap(b => m.buckets.get(b).map(b -> _))
-      } else m.buckets.toSeq.sortBy(_._1)
+      } else m.buckets.toSeq.sortBy(_._1))
+        // a dir RECORDED as zero rows provably holds no doomed key —
+        // skipping is exact, and keeps the conservative all-bucket path
+        // from rewriting (and thereby dropping) zero-row schema
+        // generations (addColumns) and empty batch-mark epochs
+        .filterNot { case (_, d) => m.rows.get(d).contains(0L) }
     val touchedDirs =
       if (!typeSafe || !keyColumns.contains(keyCol)) bucketDirs
       else {

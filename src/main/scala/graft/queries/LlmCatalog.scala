@@ -7143,6 +7143,54 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** A keyed DDL table that took an `ALTER TABLE ADD COLUMNS` (X247 —
+    * a zero-row schema generation under the reserved bucket id)
+    * followed by a keyed upsert FILLING the declared column for a
+    * subset — built once per session+dataset. */
+  private def sqlAlterCatalog(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    artifact(s, d, "sql_alter_catalog") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqlalt_").toString
+      val cat = "graftalt" + math.abs(root.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.sql(s"CREATE TABLE $cat.docs_a (doc_id BIGINT, source STRING, " +
+        "n_chars BIGINT, lang STRING) TBLPROPERTIES('key'='doc_id', " +
+        "'buckets'='16', 'insert'='upsert')")
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView("graft_alter_seed")
+      s.sql(s"INSERT INTO $cat.docs_a SELECT * FROM graft_alter_seed")
+      s.sql(s"ALTER TABLE $cat.docs_a ADD COLUMNS (quality BIGINT)")
+      // fill the declared column for a subset via the keyed upsert
+      s.sql(s"INSERT INTO $cat.docs_a SELECT doc_id, source, n_chars, " +
+        "lang, n_chars * 7 FROM graft_alter_seed WHERE doc_id % 6 = 0")
+      cat
+    }
+
+  /** ALTER TABLE ADD COLUMNS end to end (X247): the column was
+    * DECLARED metadata-only (no bucket rewritten — the spec pins
+    * that), pre-declaration rows read null, and the follow-up keyed
+    * upsert fills it for %6 docs; the oracle recomputes the fill
+    * algebra from the raw table, so the hash match proves the
+    * declared column reads exactly right across old and new
+    * generations. */
+  val sqlAlterQ = GraftQuery(
+    "q187_sql_add_columns",
+    (s, d) => {
+      val cat = sqlAlterCatalog(s, d)
+      s.sql(s"SELECT doc_id, source, n_chars, lang, quality " +
+        s"FROM $cat.docs_a ORDER BY doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, n_chars, lang,
+             CASE WHEN doc_id % 6 = 0 THEN n_chars * 7 ELSE NULL END AS quality
+      FROM documents
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -7268,5 +7316,6 @@ object LlmCatalog {
     sqlMergeQ,
     sqlUpdateQ,
     streamSinkQ,
+    sqlAlterQ,
   )
 }

@@ -49,3 +49,13 @@ object GraftBridge {
   def confOf(box: AnyRef): org.apache.hadoop.conf.Configuration =
     box.asInstanceOf[org.apache.spark.util.SerializableConfiguration].value
 }
+
+/** Public face of Spark's `private[sql]` marker that lets a streaming
+  * sink accept UPDATE output mode as per-epoch appends. Mixed into
+  * [[graft.io.GraftWriteBuilder]] ONLY for keyed `insert`=`upsert`
+  * tables, where "append the changed keys" IS the exact semantics
+  * (each epoch keyed-upserts the update-mode delta); plain tables
+  * keep Spark's own update-mode refusal — update-as-append would
+  * silently duplicate rows there. */
+trait GraftUpdateAsAppend
+  extends internal.connector.SupportsStreamingUpdateAsAppend

@@ -346,6 +346,71 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 100L)
   }
 
+  test("MERGE over an embedding table: array columns flow through the delta writers") {
+    val root = tmpDir("graft_cat_vec_")
+    implicit val s = spark
+    val cat = register(root)
+    spark.sql(s"CREATE TABLE $cat.emb (id BIGINT, vec ARRAY<FLOAT>, model STRING) " +
+      "TBLPROPERTIES('key'='id', 'buckets'='4', 'insert'='upsert')")
+    spark.sql(s"INSERT INTO $cat.emb SELECT id, array(CAST(id AS FLOAT), 1.0F), 'm1' " +
+      "FROM range(20)")
+    // re-embedding wave: delete stale ids, upsert revised vectors, add new
+    spark.sql("SELECT id, array(CAST(id * 2 AS FLOAT), 2.0F) AS vec FROM range(5, 25)")
+      .createOrReplaceTempView("graft_reembed_src")
+    spark.sql(
+      s"""MERGE INTO $cat.emb t USING graft_reembed_src s ON t.id = s.id
+         |WHEN MATCHED AND t.id < 8 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET vec = s.vec, model = 'm2'
+         |WHEN NOT MATCHED THEN INSERT (id, vec, model) VALUES (s.id, s.vec, 'm2')
+         |""".stripMargin)
+    val got = spark.sql(s"SELECT id, vec, model FROM $cat.emb ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList, r.getString(2)))
+    val expect =
+      (0L until 5L).map(i => (i, List(i.toFloat, 1.0f), "m1")) ++
+        (8L until 25L).map(i => (i, List(i * 2.0f, 2.0f), "m2"))
+    assert(got.toSeq == expect)
+  }
+
+  test("ALTER TABLE ADD COLUMNS: metadata-only, survives keyed writes and deletes") {
+    val root = tmpDir("graft_cat_alter_")
+    implicit val s = spark
+    val cat = register(root)
+    spark.sql(s"CREATE TABLE $cat.t (uuid BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('key'='uuid', 'buckets'='4', 'insert'='upsert')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 2 FROM range(40)")
+    val dirsBefore = new java.io.File(s"$root/t/data").listFiles().map(_.getName).toSet
+
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (note STRING, score BIGINT)")
+    // metadata-only: no pre-existing dir rewritten
+    val after = new java.io.File(s"$root/t/data").listFiles().map(_.getName).toSet
+    assert(dirsBefore.subsetOf(after))
+    assert((after -- dirsBefore).forall(_.startsWith("schema-")), (after -- dirsBefore).toString)
+    // existing rows read null in the declared columns
+    assert(spark.sql(s"SELECT * FROM $cat.t").columns.toSeq ==
+      Seq("uuid", "v", "note", "score"))
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE note IS NULL")
+      .head().getLong(0) == 40L)
+    // the declared column is immediately writable through every path
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id, 'tagged', id * 10 FROM range(3)")
+    assert(spark.sql(s"SELECT score FROM $cat.t WHERE uuid = 2").as[Long].head() == 20L)
+    spark.sql(s"UPDATE $cat.t SET note = 'upd' WHERE uuid = 10")
+    assert(spark.sql(s"SELECT note FROM $cat.t WHERE uuid = 10").as[String].head() == "upd")
+    // a conservative non-key DELETE must neither brick nor drop the
+    // declared schema (the zero-row schema gen is skipped exactly)
+    spark.sql(s"DELETE FROM $cat.t WHERE v IN (14)")
+    assert(spark.sql(s"SELECT * FROM $cat.t").columns.length == 4)
+    // 40 initial; the 3-row INSERT keyed-upserts over uuids 0..2
+    // (count unchanged); the DELETE kills uuid 7 (v=14)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0) == 39L)
+    // duplicates and non-ADD changes refuse loudly
+    val dup = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t ADD COLUMNS (v BIGINT)"))
+    assert(dup.getMessage.contains("already"), dup.getMessage)
+    val ren = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO w"))
+    assert(ren.getMessage.contains("ADD COLUMNS"), ren.getMessage)
+  }
+
   test("row-level SQL on a keyless or log table refuses with guidance") {
     val root = tmpDir("graft_cat_nokey_")
     implicit val s = spark

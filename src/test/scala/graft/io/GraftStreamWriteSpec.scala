@@ -91,6 +91,47 @@ class GraftStreamWriteSpec extends SparkSpec {
     assert(rootCause(e).getMessage.contains("upsert"), e.getMessage)
   }
 
+  test("update mode: a stateful aggregation keyed-upserts its changed keys per epoch") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmpDir("gsw_update_")
+    val cat = register(root)
+    spark.sql(s"CREATE TABLE $cat.cnt (id BIGINT, n BIGINT) " +
+      "TBLPROPERTIES('key'='id', 'buckets'='4', 'insert'='upsert')")
+    val in = MemoryStream[(Long, Long)]
+    val df = in.toDF().toDF("id", "v")
+      .groupBy("id").agg(org.apache.spark.sql.functions.count("v").as("n"))
+    def drain(): Unit =
+      df.writeStream.option("checkpointLocation", s"$root/ckpt")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).toTable(s"$cat.cnt")
+        .awaitTermination()
+
+    in.addData((1L, 1L), (1L, 2L), (2L, 1L))
+    drain()
+    assert(spark.sql(s"SELECT id, n FROM $cat.cnt ORDER BY id")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 2L), (2L, 1L)))
+    // second epoch changes ONLY keys 2 and 3 — key 1's row must be the
+    // UNTOUCHED original (update mode ships changed keys; the keyed
+    // upsert replaces exactly them)
+    in.addData((2L, 2L), (3L, 1L))
+    drain()
+    assert(spark.sql(s"SELECT id, n FROM $cat.cnt ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 2L), (2L, 2L), (3L, 1L)))
+
+    // update mode on a PLAIN table keeps Spark's own refusal — the
+    // update-as-append marker is keyed-upsert-only (appending changed
+    // rows would silently duplicate)
+    spark.sql(s"CREATE TABLE $cat.plain (id BIGINT, n BIGINT)")
+    val e = intercept[Exception] {
+      df.writeStream.option("checkpointLocation", s"$root/ckpt_p")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow()).toTable(s"$cat.plain")
+        .awaitTermination()
+    }
+    assert(e.getMessage.toLowerCase.contains("update"), e.getMessage)
+  }
+
   test("complete mode: each epoch atomically replaces with the recomputation") {
     implicit val sqlCtx = spark.sqlContext
     val root = tmpDir("gsw_complete_")

@@ -949,6 +949,33 @@ class PlanAuditSpec extends SparkSpec {
       "COUNT/MIN/MAX must not open data files: " + p.take(900))
   }
 
+  test("SQL MERGE: a keyed join over the graft scan under the delta write — no cartesian") {
+    implicit val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_pa_merge_").toString
+    val store = new graft.io.SnapshotBucketedStore(root, numBuckets = 4,
+      keyColumns = Seq("uuid"))
+    store.upsert("t", (0L until 100L).map(i => (i, i * 2L)).toDF("uuid", "v"), "uuid")
+    val cat = "graftpam" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.keycolumns", "uuid")
+    Seq((5L, 500L), (200L, 2L)).toDF("uuid", "nv")
+      .createOrReplaceTempView("graft_pa_merge_src")
+    val df = spark.sql(
+      s"""MERGE INTO $cat.t t USING graft_pa_merge_src s ON t.uuid = s.uuid
+         |WHEN MATCHED THEN UPDATE SET v = s.nv
+         |WHEN NOT MATCHED THEN INSERT (uuid, v) VALUES (s.uuid, s.nv)
+         |""".stripMargin)
+    val p = df.queryExecution.executedPlan.toString
+    // the write is the DELTA path over OUR scan, and the target⋈source
+    // join is keyed — a cartesian here would scan the table per source row
+    assert(p.contains("WriteDelta"), p.take(900))
+    assert(p.contains("GraftScan(table=t"), p.take(900))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(900))
+  }
+
   test("q180 merge-on-read: tombstone sidecars anti-join as broadcasts") {
     val df = LlmCatalog.lazyDeleteQ.run(spark, sf)
     df.collect()
