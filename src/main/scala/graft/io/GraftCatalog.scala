@@ -135,6 +135,27 @@ class GraftCatalog extends TableCatalog {
     ident.namespace.isEmpty && store.snapshots(ident.name).nonEmpty
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style METADATA TABLES (X249): `SELECT * FROM
+    // cat.`t$history`` / `t$files` serve the commit log and the live
+    // manifest entries as frames — the 100 TB audit surface, costing
+    // only manifest reads. Read-only by construction.
+    ident.name.split("\\$", 2) match {
+      case Array(base, meta) if meta.nonEmpty && ident.namespace.isEmpty &&
+          store.snapshots(base).nonEmpty =>
+        val st = storeFor(base)
+        val frame = meta match {
+          case "history" => st.history(base)
+          case "files" => st.manifestEntries(base)
+          case other => throw new IllegalArgumentException(
+            // not NoSuchTableException: the analyzer would swallow the
+            // message — name the known set loudly
+            s"unknown graft metadata table '$base$$$other' — known: " +
+              s"$base$$history, $base$$files")
+        }
+        return new GraftMetaTable(ident.name,
+          frame.getOrElse(throw new NoSuchTableException(ident)))
+      case _ => ()
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val (key, insertUpsert) = sqlWriteShape(ident.name)
     new GraftV2Table(storeFor(ident.name), ident.name, None, key, insertUpsert)
@@ -422,6 +443,37 @@ private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String,
       s"graft DELETE serves one equality/IN predicate (merge-on-read " +
         s"tombstones) or one closed range (generation-dropping sweep); " +
         s"got: ${filters.mkString(", ")}"))()
+}
+
+/** A read-only METADATA TABLE (`t$history` / `t$files`, X249): serves
+  * a driver-built manifest-derived frame — rows are already resolved
+  * (metadata-scale, ≤ generations), so the scan is the plain V1
+  * bridge over it. */
+private[io] class GraftMetaTable(tableName: String,
+    frame: org.apache.spark.sql.DataFrame)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = frame.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = frame.schema
+        override def description(): String = s"GraftMetaTable($tableName)"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = context
+            override def schema: StructType = frame.schema
+            override def toString: String = s"GraftMetaTable($tableName)"
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+              frame.rdd
+          }.asInstanceOf[T]
+      }
+    }
 }
 
 /** Pushdown seams: filters land for manifest pruning (all reported

@@ -1708,6 +1708,35 @@ class SnapshotBucketedStore(
         StructField("row_count", LongType)))))
   }
 
+  /** The current snapshot's MANIFEST ENTRIES as a queryable frame
+    * (the `t$files` metadata table): one row per live generation dir —
+    * kind (bucket/log), bucket id, recorded row count, and any
+    * outstanding tombstone sidecars attached to it. Metadata-only:
+    * auditing WHAT a 100 TB table physically is costs its manifest.
+    * None when the table doesn't exist. */
+  def manifestEntries(name: String): Option[DataFrame] =
+    latestManifest(name).map { m =>
+      val tombsOf = m.liveTombs
+      val rows =
+        m.buckets.toSeq.sortBy(_._1).map { case (b, d) =>
+          org.apache.spark.sql.Row(d, "bucket", Long.box(b),
+            m.rows.get(d).map(Long.box).orNull,
+            tombsOf.getOrElse(d, Nil).map { case (k, rel) => s"$k:$rel" }
+              .mkString(",") match { case "" => null; case s => s })
+        } ++
+          m.logs.map(d => org.apache.spark.sql.Row(d, "log", null,
+            m.rows.get(d).map(Long.box).orNull, null))
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("dir", StringType, nullable = false),
+          StructField("kind", StringType, nullable = false),
+          StructField("bucket", LongType),
+          StructField("row_count", LongType),
+          StructField("tombstones", StringType))))
+    }
+
   /** Committed snapshot versions still on disk, ascending. What's
     * listable is what [[vacuum]]'s retention window kept — retention
     * IS the time-travel horizon. */

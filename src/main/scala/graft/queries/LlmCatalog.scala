@@ -7191,6 +7191,45 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** CTAS through the catalog (X248): the table IS the materialized
+    * query — a keyed CTAS whose seed write lands as the table's own
+    * keyed upsert — built once per session+dataset. */
+  private def ctasCatalog(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    artifact(s, d, "ctas_catalog") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ctas_").toString
+      val cat = "graftcts" + math.abs(root.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView("graft_ctas_seed")
+      s.sql(s"CREATE TABLE $cat.docs_c TBLPROPERTIES('key'='doc_id', " +
+        "'buckets'='16', 'insert'='upsert') AS " +
+        "SELECT doc_id, source, n_chars * 2 AS n2, lang " +
+        "FROM graft_ctas_seed WHERE n_chars >= 100")
+      cat
+    }
+
+  /** CREATE TABLE AS SELECT end to end (X248): the keyed table was
+    * born FROM a query (filter + projection), its seed landing
+    * through the keyed upsert path; the oracle recomputes the same
+    * query over the raw table. */
+  val ctasQ = GraftQuery(
+    "q188_ctas",
+    (s, d) => {
+      val cat = ctasCatalog(s, d)
+      s.sql(s"SELECT doc_id, source, n2, lang FROM $cat.docs_c ORDER BY doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, n_chars * 2 AS n2, lang
+      FROM documents
+      WHERE n_chars >= 100
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -7317,5 +7356,6 @@ object LlmCatalog {
     sqlUpdateQ,
     streamSinkQ,
     sqlAlterQ,
+    ctasQ,
   )
 }

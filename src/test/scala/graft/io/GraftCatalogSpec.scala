@@ -459,6 +459,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(r2.getLong(0) == 98L && r2.getLong(1) == 4L)
   }
 
+  test("metadata tables: t$history and t$files serve the audit surface in SQL") {
+    val root = tmpDir("graft_cat_meta_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      keyColumns = Seq("uuid"))
+    store.upsert("t", rows(0 until 100), "uuid") // v0
+    store.upsert("t", rows(0 until 10, tag = "y"), "uuid") // v1
+    store.deleteLazy("t", "uuid", Seq(3L).toDF("uuid")) // v2 (tombstone)
+    val cat = register(root)
+    val hist = spark.sql(s"SELECT version, n_buckets FROM $cat.`t$$history` ORDER BY version")
+      .as[(Int, Int)].collect().toSeq
+    assert(hist.map(_._1) == Seq(0, 1, 2), hist.toString)
+    val files = spark.sql(s"SELECT kind, bucket, row_count, tombstones FROM $cat.`t$$files`")
+      .collect()
+    assert(files.nonEmpty && files.forall(_.getString(0) == "bucket"))
+    // the outstanding tombstone is visible on its dir
+    assert(files.exists(r => !r.isNullAt(3) && r.getString(3).startsWith("uuid:")),
+      files.mkString("; "))
+    // recorded physical row counts sum to the pre-delete total (the
+    // tombstone is merge-on-read; physical rows unchanged)
+    assert(files.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum == 100L)
+    // unknown metadata suffix refuses naming the known set
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.`t$$bogus`").collect())
+    assert(e.getMessage.contains("history"), e.getMessage)
+    // metadata tables are read-only
+    val w = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.`t$$files` VALUES ('x', 'bucket', 0, 0, null)"))
+    assert(w != null)
+  }
+
   test("missing table and missing root option fail loudly") {
     val root = tmpDir("graft_cat_err_")
     val cat = register(root)
