@@ -21,12 +21,21 @@ TABLES = [
 ]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def connect(sf_dir: str):
     con = duckdb.connect()
+    # allow out-of-core: the heavy recursive-CTE oracles at sf0.1 can
+    # otherwise tip a long-lived session over (observed: q117 OOM'ing
+    # ONLY when run after 100+ earlier queries in one connection)
+    con.execute("PRAGMA temp_directory='/tmp/graft_duck_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+    return con
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = connect(sf_dir)
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
 
@@ -36,9 +45,16 @@ def main(sf_dir: str, out_dir: str) -> int:
         try:
             want = con.execute(sql).df()
         except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            failures += 1
-            continue
+            # a memory failure is SESSION state, not a verdict: retry
+            # once on a fresh connection before recording a failure
+            try:
+                con.close()
+                con = connect(sf_dir)
+                want = con.execute(sql).df()
+            except Exception:
+                print(f"FAIL {name}: duckdb error: {e}")
+                failures += 1
+                continue
         try:
             got = pd.read_parquet(f"{out_dir}/{name}")
         except Exception as e:
