@@ -240,6 +240,38 @@ class DeletionVectorSpec extends SparkSpec {
     assert(e.getMessage.contains("append-log"), e.getMessage)
   }
 
+  test("applyDelta crash-injection: a death before the rename leaves the old snapshot; retry lands once") {
+    implicit val s = spark
+    val root = tmpDir("dv_delta_crash_")
+    class CrashingStore extends SnapshotBucketedStore(root, 8, "parquet",
+      statsColumns = Seq("v"), keyColumns = Seq("uuid")) {
+      var crashNext = false
+      override protected def beforeCommit(): Unit =
+        if (crashNext) { crashNext = false; throw new RuntimeException("injected crash") }
+    }
+    val store = new CrashingStore
+    store.upsert("t", rows(0 until 100), "uuid")
+    val before = store.read("t").get.orderBy("uuid").collect().toSeq
+    val upserts = Seq((1L, -1L, "upd"), (300L, 300L, "new")).toDF("uuid", "v", "tag")
+    val deletes = Seq(5L, 6L).toDF("uuid")
+    // die at the widest window: every staged bucket landed, manifest not
+    store.crashNext = true
+    intercept[RuntimeException](store.applyDelta("t", upserts, deletes, "uuid"))
+    assert(store.read("t").get.orderBy("uuid").collect().toSeq == before,
+      "a crashed merge must leave the previous snapshot byte-identical")
+    // the retry commits the WHOLE delta exactly once
+    store.applyDelta("t", upserts, deletes, "uuid")
+    val got = store.read("t").get.orderBy("uuid").as[(Long, Long, String)]
+      .collect().toSeq
+    val expect = ((0L until 100L).filterNot(Set(5L, 6L))
+      .map(i => if (i == 1L) (i, -1L, "upd") else (i, i * 2, "x")) :+
+      ((300L, 300L, "new"))).sortBy(_._1)
+    assert(got == expect)
+    // and vacuum clears the crash debris (orphaned staged generations)
+    store.vacuum("t")
+    assert(store.read("t").get.count() == 99)
+  }
+
   test("lazy deletes on DIFFERENT columns stack per-sidecar; log tables refuse") {
     implicit val s = spark
     val store = newStore(tmpDir("dv_guard_"))
