@@ -60,7 +60,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * delegate to the store's lifecycle ops, which refuse while
   * zero-copy clones still borrow the table's dirs.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var rootPath: String = _
@@ -75,6 +76,13 @@ class GraftCatalog extends TableCatalog {
     import scala.jdk.CollectionConverters._
     opts = options.asCaseSensitiveMap().asScala.toMap
       .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    // X250: the stats-forwarding rewrite must run AFTER Spark's scan
+    // pushdown; "User Provided Optimizers" (experimental
+    // .extraOptimizations) is the one post-pushdown seam — registered
+    // here (first use of the catalog in a session), idempotently
+    val exp = SparkSession.active.experimental
+    if (!exp.extraOptimizations.contains(GraftStatsRule))
+      exp.extraOptimizations = exp.extraOptimizations :+ GraftStatsRule
   }
 
   override def name(): String = catalogName
@@ -288,6 +296,31 @@ class GraftCatalog extends TableCatalog {
     new GraftV2Table(st, ident.name, None, key, insertUpsert)
   }
 
+  /** MAINTENANCE SQL (X251): `CALL <cat>.system.<proc>(...)` — the
+    * store's lifecycle ops (apply_deletes / vacuum / compact_logs /
+    * restore / rebuild / clone_table) as stored procedures, each
+    * delegating to the store method that owns the semantics and
+    * running against the TABLE'S OWN shape ([[storeFor]] — a keyed
+    * table's rebuild adopts its recorded properties). Unknown names
+    * refuse loudly naming the known set. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!(ident.namespace sameElements Array(GraftProcedures.Namespace)))
+      throw new IllegalArgumentException(
+        s"graft procedures live under the '${GraftProcedures.Namespace}' " +
+          s"namespace: CALL $catalogName.${GraftProcedures.Namespace}" +
+          s".${ident.name}(...)")
+    GraftProcedures.load(ident.name, storeFor)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] = {
+    if (namespace.nonEmpty &&
+        !(namespace sameElements Array(GraftProcedures.Namespace)))
+      throw new NoSuchNamespaceException(Array(catalogName) ++ namespace)
+    GraftProcedures.names
+      .map(Identifier.of(Array(GraftProcedures.Namespace), _)).toArray
+  }
+
   override def dropTable(ident: Identifier): Boolean =
     ident.namespace.isEmpty && store.dropTable(ident.name)
 
@@ -358,7 +391,7 @@ private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String,
     if (version.isDefined) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(store, table, schema(), version)
@@ -597,16 +630,64 @@ private[io] class GraftScanBuilder(
 /** The scan: manifest-pruned store read (or a version-pinned
   * [[SnapshotBucketedStore.readAt]]), bridged to execution via
   * [[V1Scan]] (the store's DataFrame already carries parquet pushdown
-  * and columnar reads — see [[GraftCatalog]] class doc). */
+  * and columnar reads — see [[GraftCatalog]] class doc).
+  *
+  * Reports MANIFEST-SERVED STATISTICS (X250,
+  * [[SupportsReportStatistics]]): row count and file bytes of the
+  * dirs surviving this scan's pruning, so Spark's join planner can
+  * AUTO-BROADCAST the small side of a SQL join over catalog tables —
+  * without them a V1-bridge relation reports `defaultSizeInBytes`
+  * (effectively "huge") and a dim⋈fact join sort-merge-shuffles both
+  * sides at any scale. Figures are whole-dir (pre-residual-filter)
+  * upper bounds and degrade to "unknown", never to an understated
+  * size ([[SnapshotBucketedStore.scanEstimate]]). */
 private[io] class GraftScan(
     store: SnapshotBucketedStore,
     table: String,
     filters: Array[Filter],
     required: StructType,
     version: Option[Int] = None)
-    extends V1Scan {
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val est = GraftPruning.scanEstimate(store, table, filters, version)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        est.flatMap(_._2).fold(java.util.OptionalLong.empty)(
+          java.util.OptionalLong.of)
+      override def numRows(): java.util.OptionalLong =
+        est.flatMap(_._1).fold(java.util.OptionalLong.empty)(
+          java.util.OptionalLong.of)
+    }
+  }
+
+  /** `spark.readStream.table("cat.t")` (X252): the append-log change
+    * feed as a DSv2 micro-batch stream — manifest versions as
+    * offsets, one partition per new data file, executor-side parquet
+    * decode ([[GraftMicroBatchStream]]). Keyed/bucketed tables refuse
+    * with guidance (their change feed is the V1 keyed CDC source —
+    * merge-on-read tombstones and keep-last dedup don't render as
+    * file partitions); so do non-parquet stores and pinned reads. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(version.isEmpty,
+      s"$table is pinned to v${version.get} — time-travel reads are batch-only")
+    val (nBuckets, _) = store.tableKind(table).getOrElse((0, 0))
+    require(nBuckets == 0,
+      s"'$table' has bucketed keyed generations — the SQL streaming " +
+        "source tails append-log tables; keyed CDC streams through " +
+        "spark.readStream.format(\"graft\").option(\"key\", ...)")
+    require(store.storageFormat == "parquet",
+      s"the SQL streaming source reads parquet generations; '$table' " +
+        s"stores '${store.storageFormat}' — tail it through " +
+        "spark.readStream.format(\"graft\")")
+    new GraftMicroBatchStream(store, table, required,
+      GraftMicroBatchStream.readerConf(
+        org.apache.spark.sql.SparkSession.active))
+  }
 
   override def description(): String = version match {
     case Some(v) => s"GraftScan(table=$table, version=$v)"
@@ -647,9 +728,20 @@ private[io] class GraftScan(
   * describes. */
 private[io] class GraftAggServe(
     table: String, sch: StructType, values: Seq[Any])
-    extends V1Scan {
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = sch
+
+  /** One row by construction — reported so a metadata-served
+    * aggregate used as a join side broadcasts. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(sch.defaultSize.toLong)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(1L)
+    }
 
   override def description(): String =
     s"GraftAggServe(table=$table, metadata-only)"

@@ -390,6 +390,22 @@ private[io] object GraftPruning {
     else None
   }
 
+  /** Planning statistics for the dirs [[prunedRead]] would open under
+    * the same filter set (X250) — (rows, bytes), each None when the
+    * manifest can't vouch for it. Same family precedence as
+    * [[prunedRead]], so the estimate describes the actual scan. */
+  def scanEstimate(store: SnapshotBucketedStore, table: String,
+      filters: Array[Filter],
+      version: Option[Int] = None): Option[(Option[Long], Option[Long])] = {
+    val eqs = filters.collect { case EqualTo(c, v) => (c, v) }
+    val ins = filters.collect { case In(c, vs) => (c, vs.toSeq) }
+    store.scanEstimate(table,
+      eq = eqs.headOption,
+      inSet = if (eqs.isEmpty) ins.headOption else None,
+      ranges = if (eqs.isEmpty && ins.isEmpty) rangesOf(filters) else Nil,
+      version = version)
+  }
+
   /** The subset of `filters` the pruning paths above can act on —
     * what a V2 scan REPORTS as pushed (its `PushedFilters` line in
     * explain). Reporting is conservative-exact: only filters that
@@ -439,6 +455,13 @@ class GraftRelation(
     store.read(table).map(_.schema).getOrElse(
       throw new java.util.NoSuchElementException(
         s"graft table '$table' does not exist"))
+
+  /** Manifest-served table bytes (X250) so the V1 surface gets the
+    * same auto-broadcast planning as the catalog scan; unknown →
+    * Spark's default (huge — the safe direction). Unfiltered: V1
+    * relations size before filter pushdown. */
+  override def sizeInBytes: Long =
+    store.scanEstimate(table).flatMap(_._2).getOrElse(super.sizeInBytes)
 
   // pruning only excludes provably-disjoint dirs — Spark must still
   // evaluate every predicate on the surviving rows

@@ -1342,6 +1342,74 @@ class SnapshotBucketedStore(
       (keptForAny(name, m, all, column, values).size, all.size)
     }
 
+  /** MANIFEST-SERVED PLANNING STATISTICS (X250): (row count if every
+    * surviving dir records one, total file bytes if every surviving
+    * dir lists) for the generation dirs a pushed filter set leaves
+    * after pruning — the numbers a COST-BASED JOIN PLANNER needs to
+    * auto-broadcast the small side of a SQL join over catalog tables.
+    * Without them the V1-bridge scan reports "unknown" and Spark
+    * assumes the worst (`defaultSizeInBytes` = never broadcast), so a
+    * dim⋈fact SQL join over the store sort-merge-shuffles BOTH sides
+    * at any scale. Estimate semantics, biased only in the SAFE
+    * direction: rows/bytes describe whole surviving dirs before the
+    * residual predicate (an OVERestimate keeps a big table from being
+    * wrongly broadcast; it never causes one), tombstoned dirs count
+    * physical rows (same upper bound), and any dir whose row count or
+    * file listing is unavailable yields None for that figure — the
+    * caller reports "unknown" and planning falls back to Spark's
+    * defaults, never to an understated size. The family precedence
+    * (eq, then IN, then closed ranges) mirrors the pruned read
+    * exactly, so the estimate describes the dirs that scan would
+    * open. O(surviving dirs) manifest lookups + file listings at
+    * plan time — metadata-scale, no data file opened. */
+  def scanEstimate(name: String,
+      eq: Option[(String, Any)] = None,
+      inSet: Option[(String, Seq[Any])] = None,
+      ranges: Seq[(String, Any, Any)] = Nil,
+      version: Option[Int] = None): Option[(Option[Long], Option[Long])] = {
+    val mOpt = version match {
+      case Some(v) => manifestAt(name, v)
+      case None => latestManifest(name)
+    }
+    mOpt.map { m =>
+      val all = (m.buckets.values ++ m.logs).toSeq
+      val kept: Seq[String] =
+        if (version.isDefined) all // pinned reads serve the full snapshot
+        else eq match {
+          case Some((c, v)) =>
+            columnTypeOf(name, m, c).flatMap(typedKeyHashes(v, _)) match {
+              case Some(hs) => all.filter(d => dirBloom(m.keys.get(d), c)
+                .forall(bf => hs.exists(bf.mightContainLong)))
+              case None => all
+            }
+          case None => inSet match {
+            case Some((c, vs)) => keptForAny(name, m, all, c, vs)
+            case None if ranges.nonEmpty =>
+              val decs = ranges.map { case (c, lo, hi) =>
+                (c, boundDecimal(lo), boundDecimal(hi)) }
+              all.filter(d => decs.forall { case (c, lo, hi) =>
+                survives(m.stats.get(d), c, lo, hi,
+                  m.statsVersion < SnapshotBucketedStore.CurrentStatsVersion) })
+            case None => all
+          }
+        }
+      val rows =
+        if (kept.forall(m.rows.contains)) Some(kept.flatMap(m.rows.get).sum)
+        else None
+      val bytes = kept.foldLeft(Option(0L)) { (acc, d) =>
+        acc.flatMap { sum =>
+          val p = new Path(resolveDir(name, d))
+          try Some(sum + fs(p).listStatus(p).filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith(".") && !n.startsWith("_")
+          }.map(_.getLen).sum)
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+      (rows, bytes)
+    }
+  }
+
   /** METADATA-ONLY COUNT(*) (X214 — the Delta-style numRecords
     * trick): Σ per-dir recorded row counts, answered from the
     * manifest alone — no data file is opened, so the answer costs
@@ -2163,6 +2231,56 @@ class SnapshotBucketedStore(
         readManifest(name, m2).map(_.limit(0)).getOrElse(
           readDirs(dirsOf(name, m1, m1.logs)).limit(0))
       else readDirs(dirsOf(name, m2, fresh))
+    }
+
+  /** The generation format this store reads/writes — the SQL
+    * streaming source (X252) is a direct parquet-file reader and must
+    * refuse other formats loudly instead of mis-decoding. */
+  def storageFormat: String = fmt
+
+  /** DIR-LEVEL twin of [[appendsSince]] for the DSv2 streaming source
+    * (X252): the RELATIVE log dirs committed in (since, upto] — same
+    * append-log-only and compaction-refusal contract (rewritten
+    * history would double-count), but returning the dirs themselves
+    * so a file-granular reader can plan partitions without a
+    * driver-side DataFrame. `since < 0` means "nothing consumed":
+    * the whole log at `upto` (the initial load). */
+  def appendDirsSince(name: String, since: Int, upto: Int): Seq[String] = {
+    val m2 = manifestAt(name, upto).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"graft table '$name' lost v$upto (vacuumed? retention must " +
+          "cover the trigger interval)"))
+    require(m2.buckets.isEmpty,
+      s"$name has bucketed upsert generations; the streaming source " +
+        "tails append-log tables")
+    if (since < 0) return m2.logs
+    val m1 = manifestAt(name, since).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"graft table '$name' lost v$since needed by the stream " +
+          "(vacuum retention must cover the trigger interval)"))
+    require(m2.version >= m1.version,
+      s"backwards capture range: v$since → v${m2.version}")
+    val rewritten = m1.logs.filterNot(m2.logs.contains)
+    require(rewritten.isEmpty,
+      s"$name log history was compacted between v$since and v$upto " +
+        s"(${rewritten.mkString(",")} superseded); dir-level capture " +
+        "is only sound across compaction-free ranges")
+    m2.logs.filterNot(m1.logs.contains)
+  }
+
+  /** The DATA FILES of the given relative dirs, resolved to full
+    * paths — partition planning for the file-granular streaming
+    * reader. Hidden/metadata files excluded, same filter as every
+    * other dir walk here. */
+  def dataFilePaths(name: String, dirs: Seq[String]): Seq[String] =
+    dirs.flatMap { d =>
+      val p = new Path(resolveDir(name, d))
+      val f = fs(p)
+      if (!f.exists(p)) Nil
+      else f.listStatus(p).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }.map(_.getPath.toString)
     }
 
   /** The streaming/refresh high-water mark: the highest batch id an

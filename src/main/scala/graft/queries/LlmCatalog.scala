@@ -7230,6 +7230,109 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** Catalog pair for the X250 stats-driven broadcast join: a fact
+    * table of the documents and a CTAS'd per-source dim, both
+    * SQL-addressable — the dim's manifest-served size lets Spark's
+    * static planner auto-broadcast it (plan pinned in ScanStatsSpec;
+    * this query pins the VALUES through the oracle). */
+  private def statsJoinCatalog(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    artifact(s, d, "stats_join_catalog") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bjoin_").toString
+      val cat = "graftbx" + math.abs(root.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("graft_bjoin_seed")
+      s.sql(s"CREATE TABLE $cat.factb (doc_id BIGINT, source STRING, " +
+        "n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.factb SELECT * FROM graft_bjoin_seed")
+      s.sql(s"CREATE TABLE $cat.dimb AS SELECT source, " +
+        "CAST(length(source) AS BIGINT) AS src_len " +
+        "FROM graft_bjoin_seed GROUP BY source")
+      cat
+    }
+
+  /** SQL join over two catalog tables (X250 end to end): the dim side
+    * is small and its manifest reports real row/byte figures, so the
+    * static plan broadcasts it (the ScanStatsSpec plan pin); the
+    * oracle recomputes the join algebra over the raw table, proving
+    * the stats machinery changed the PLAN, never the rows. */
+  val statsJoinQ = GraftQuery(
+    "q189_stats_broadcast_join",
+    (s, d) => {
+      val cat = statsJoinCatalog(s, d)
+      s.sql(s"SELECT f.source, d.src_len, COUNT(*) AS n_docs, " +
+        s"SUM(f.n_chars) AS chars FROM $cat.factb f " +
+        s"JOIN $cat.dimb d ON f.source = d.source " +
+        "GROUP BY f.source, d.src_len ORDER BY f.source")
+    },
+    Some("""
+      WITH dim AS (
+        SELECT source, CAST(length(source) AS BIGINT) AS src_len
+        FROM documents GROUP BY source
+      )
+      SELECT f.source, d.src_len, COUNT(*) AS n_docs,
+             CAST(SUM(f.n_chars) AS BIGINT) AS chars
+      FROM documents f JOIN dim d ON f.source = d.source
+      GROUP BY f.source, d.src_len
+      ORDER BY f.source
+    """.trim),
+  )
+
+  /** A lake-to-lake SQL streaming chain (X252 source → X246 sink):
+    * the source table fills in three appends, `readStream.table`
+    * tails it by manifest-version offsets and `writeStream.toTable`
+    * lands each drain exactly once — the target is never written by
+    * a batch API and never re-ships the initial load. */
+  private def streamTailCatalog(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    artifact(s, d, "stream_tail_catalog") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_strtail_").toString
+      val cat = "grafttl" + math.abs(root.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      implicit val sess = s
+      val store = new graft.io.SnapshotBucketedStore(root)
+      s.sql(s"CREATE TABLE $cat.docs_t (doc_id BIGINT, source STRING, " +
+        "n_chars BIGINT, lang STRING)")
+      def pump(): Unit =
+        s.readStream.table(s"$cat.docs_src").writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.docs_t").awaitTermination()
+      store.append("docs_src", docs.filter(col("doc_id") % 3 === 0))
+      pump() // initial load at the then-latest version
+      store.append("docs_src", docs.filter(col("doc_id") % 3 === 1))
+      store.append("docs_src", docs.filter(col("doc_id") % 3 === 2))
+      pump() // ships exactly the two new generations
+      cat
+    }
+
+  /** `readStream.table` end to end (X252): every row of the target
+    * arrived through the SQL streaming chain — initial load, then
+    * dir-level capture of exactly the new generations — so the hash
+    * match against the raw table proves the version-offset source
+    * re-shipped nothing and missed nothing. */
+  val streamTailQ = GraftQuery(
+    "q190_stream_source_tail",
+    (s, d) => {
+      val cat = streamTailCatalog(s, d)
+      s.sql(s"SELECT doc_id, source, n_chars, lang FROM $cat.docs_t " +
+        "ORDER BY doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, n_chars, lang
+      FROM documents
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -7357,5 +7460,7 @@ object LlmCatalog {
     streamSinkQ,
     sqlAlterQ,
     ctasQ,
+    statsJoinQ,
+    streamTailQ,
   )
 }
