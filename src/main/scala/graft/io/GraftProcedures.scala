@@ -140,6 +140,26 @@ private[io] object GraftProcedures {
         Seq(u(t), st.snapshots(t).last)
       }),
     Spec(
+      "zorder",
+      "rewrite an append-log table along the Morton curve of the " +
+        "given stats columns, as z-range slab generations whose " +
+        "recorded min/max boxes are narrow in EVERY listed dimension " +
+        "— conjunctive stats pruning then skips slabs for predicates " +
+        "on any of them (OPTIMIZE ZORDER BY)",
+      Seq(in("table", StringType, "append-log graft table name"),
+        in("columns", StringType,
+          "comma-separated stats columns to interleave"),
+        in("slabs", IntegerType, "z-range generations to write (>= 2)")),
+      new StructType().add("table", StringType, nullable = false)
+        .add("slabs_written", IntegerType, nullable = false),
+      (args, storeFor) => {
+        val t = args.getUTF8String(0).toString
+        val st = storeFor(t); requireTable(st, t)
+        val cols = args.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        Seq(u(t), st.rewriteClustered(t, cols, slabs = args.getInt(2)))
+      }),
+    Spec(
       "clone_table",
       "zero-copy clone: the new table borrows the source's current " +
         "generation dirs by reference until copy-on-write diverges them",

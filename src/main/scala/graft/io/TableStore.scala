@@ -2588,6 +2588,110 @@ class SnapshotBucketedStore(
       fanout = Some(numBuckets)))
   }
 
+  /** Z-ORDER CLUSTERING REWRITE (X253 — the store surface for
+    * [[graft.ops.ZOrder]], the hand-rolled OPTIMIZE ZORDER BY): lay
+    * an append-log table out along the Morton curve of `cols` and
+    * commit it as `slabs` LOG GENERATIONS, each a contiguous z-range
+    * — so every slab's recorded min/max box is NARROW in EVERY listed
+    * dimension and the existing conjunctive stats pruning
+    * ([[readWhereAll]], and the SQL catalog scan through it) skips
+    * most slabs for a predicate on ANY of the columns. A linear sort
+    * can only make ONE column's ranges narrow; time-ordered ingest
+    * makes none. Dimensions are MIN/MAX-NORMALIZED into the z domain
+    * (decimal-exact affine map — monotone, so locality holds for any
+    * integral range; a pmod fold would co-locate values 2^bits apart
+    * and scramble the very stats pruning reads). One shuffle
+    * (range-partition by z) + one manifest rename; the batch mark
+    * carries forward. Like [[compactLogs]], this REWRITES log
+    * history: dir-level streaming capture across it refuses (the
+    * standing contract). `cols` must be recorded stats columns —
+    * clustering a column the manifest doesn't stat would change
+    * nothing, refused loudly — and integral/date/timestamp (z-space
+    * is integer bit-interleaving). Returns the slab count written. */
+  def rewriteClustered(name: String, cols: Seq[String], bits: Int = 16,
+      slabs: Int = 16): Int = {
+    import org.apache.spark.sql.functions.{col, greatest, lit, max, min, spark_partition_id}
+    require(cols.nonEmpty && cols.size * bits <= 62,
+      s"need 1+ columns and columns*bits <= 62 (got ${cols.size} * $bits)")
+    require(slabs >= 2, "clustering into < 2 slabs prunes nothing")
+    val missing = cols.filterNot(statsColumns.contains)
+    require(missing.isEmpty,
+      s"z-order columns must be recorded stats columns (pruning reads " +
+        s"the manifest boxes): ${missing.mkString(", ")} not in " +
+        s"statscolumns [${statsColumns.mkString(", ")}]")
+    val prev = latestManifest(name).getOrElse(
+      throw new java.util.NoSuchElementException(s"graft table '$name' does not exist"))
+    require(prev.buckets.isEmpty,
+      s"$name has bucketed keyed generations — z-order rewrites " +
+        "append-log tables; keyed tables cluster within buckets via " +
+        "the sortcolumns store shape")
+    val df = readManifest(name, prev).getOrElse(
+      throw new java.util.NoSuchElementException(s"graft table '$name' is unreadable"))
+    cols.foreach { c =>
+      require(df.columns.contains(c), s"'$c' is not a column of '$name'")
+      import org.apache.spark.sql.types._
+      val ok = df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | DateType |
+             TimestampType => true
+        case _ => false
+      }
+      require(ok, s"z-order needs an integral/date/timestamp column; " +
+        s"'$c' is ${df.schema(c).dataType.simpleString}")
+    }
+    val v = prev.version + 1
+    // min/max-normalize each dimension into [0, 2^bits): exact decimal
+    // affine map, monotone by construction
+    val longs = cols.map(c => col(c).cast("long"))
+    val boundsRow = df.agg(longs.map(min).head,
+      (longs.map(min).tail ++ longs.map(max)): _*).collect().head
+    // empty table or an all-null dimension: no curve to lay out
+    if (cols.indices.exists(i => boundsRow.isNullAt(i))) return 0
+    val mns = cols.indices.map(boundsRow.getLong)
+    val mxs = cols.indices.map(i => boundsRow.getLong(cols.size + i))
+    val top = (1L << bits) - 1
+    val dims = cols.zipWithIndex.map { case (c, i) =>
+      val span = math.max(1L, mxs(i) - mns(i))
+      ((col(c).cast("long") - lit(mns(i)))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+        * lit(top) / lit(span)).cast("long")
+    }
+    val clustered = graft.ops.ZOrder.layout(df, dims, bits, slabs)
+      .withColumn(BucketCol, spark_partition_id().cast("long"))
+    val stage = new Path(tableDir(name), s"stage-$v")
+    val f = fs(stage)
+    clustered.write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .format(fmt).save(stage.toString)
+    val stageMeta = metaForStage(stage.toString)
+    f.mkdirs(new Path(tableDir(name), "data"))
+    val written = (0 until slabs).flatMap { i =>
+      val src = new Path(stage, s"$BucketCol=$i")
+      if (f.exists(src)) {
+        val rel = s"data/z$i-g$v"
+        val dst = new Path(tableDir(name), rel)
+        if (f.exists(dst)) f.delete(dst, true)
+        if (!f.rename(src, dst))
+          throw new java.io.IOException(s"slab move failed: $src -> $dst")
+        Some(i.toLong -> rel)
+      } else None
+    }
+    f.delete(stage, true)
+    commit(name, Manifest(v, Map.empty, written.map(_._2),
+      prev.lastBatch,
+      written.flatMap { case (i, rel) =>
+        stageMeta.get(i).filter(_.stats.nonEmpty).map(rel -> _.stats) }.toMap,
+      written.flatMap { case (i, rel) =>
+        stageMeta.get(i).filter(_.keys.nonEmpty).map(rel -> _.keys) }.toMap,
+      carriedStatsVersion(Some(prev)),
+      rows = written.flatMap { case (i, rel) =>
+        stageMeta.get(i).flatMap(_.rows).map(rel -> _) }.toMap,
+      ndv = written.flatMap { case (i, rel) =>
+        stageMeta.get(i).filter(_.ndv.nonEmpty).map(rel -> _.ndv) }.toMap,
+      qsk = written.flatMap { case (i, rel) =>
+        stageMeta.get(i).filter(_.qsk.nonEmpty).map(rel -> _.qsk) }.toMap,
+      fanout = prev.fanout))
+    written.size
+  }
+
   /** Keyed row deletion — the right-to-be-forgotten path a 100 TB
     * training-data warehouse needs: rewrite ONLY the buckets
     * containing the doomed keys (O(touched), same discipline as

@@ -7333,6 +7333,56 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** An append-log catalog table Z-ORDERED through maintenance SQL
+    * (X253 via the X251 CALL surface): doc_id × n_chars interleave
+    * into Morton slabs, so the 2-D box query below prunes on BOTH
+    * dimensions (ZOrderStoreSpec pins the metric; this pins values). */
+  private def zorderCatalog(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    artifact(s, d, "zorder_catalog") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_zord_").toString
+      val cat = "graftzo" + math.abs(root.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.statscolumns", "doc_id,n_chars")
+      implicit val sess = s
+      val store = new graft.io.SnapshotBucketedStore(root,
+        statsColumns = Seq("doc_id", "n_chars"))
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+      // four ingest-order generations, then the z rewrite through SQL
+      (0 until 4).foreach(i =>
+        store.append("docs_z", docs.filter(col("doc_id") % 4 === i)))
+      s.sql(s"CALL $cat.system.zorder('docs_z', 'doc_id,n_chars', 8)")
+      cat
+    }
+
+  /** Z-ordered scan end to end (X253): the 2-D box predicate runs over
+    * the slab generations the CALL rewrite committed — the oracle
+    * recomputes the box algebra over the raw table, so the hash match
+    * proves the one-shuffle clustering rewrite changed the LAYOUT and
+    * not one row. */
+  val zorderQ = GraftQuery(
+    "q191_zorder_box_scan",
+    (s, d) => {
+      val cat = zorderCatalog(s, d)
+      s.sql(s"SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars " +
+        s"FROM $cat.docs_z " +
+        "WHERE doc_id >= 100 AND doc_id <= 260 " +
+        "AND n_chars >= 200 AND n_chars <= 2000 " +
+        "GROUP BY lang ORDER BY lang")
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents
+      WHERE doc_id >= 100 AND doc_id <= 260
+        AND n_chars >= 200 AND n_chars <= 2000
+      GROUP BY lang
+      ORDER BY lang
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -7462,5 +7512,6 @@ object LlmCatalog {
     ctasQ,
     statsJoinQ,
     streamTailQ,
+    zorderQ,
   )
 }
