@@ -560,19 +560,8 @@ private[io] class GraftScanBuilder(
           full.fields.find(_.name == nr.fieldNames.head)
         case _ => None
       }
-    def asExternal(v: BigDecimal, dt: org.apache.spark.sql.types.DataType): Option[Any] = {
-      import org.apache.spark.sql.types._
-      try Some(dt match {
-        case ByteType => v.toByteExact
-        case ShortType => v.toShortExact
-        case IntegerType => v.toIntExact
-        case LongType => v.toLongExact
-        case FloatType => v.toFloat
-        case DoubleType => v.toDouble
-        case d: DecimalType => v.bigDecimal.setScale(d.scale)
-        case _ => return None
-      }) catch { case _: ArithmeticException => None }
-    }
+    def asExternal(v: BigDecimal, dt: org.apache.spark.sql.types.DataType): Option[Any] =
+      GraftExternal.convert(v, dt)
     val fields = Seq.newBuilder[StructField]
     val values = Seq.newBuilder[Any]
     agg.aggregateExpressions.zipWithIndex.foreach { case (f: AggregateFunc, i) =>
@@ -627,6 +616,26 @@ private[io] class GraftScanBuilder(
   }
 }
 
+/** Decimal→external-type conversion shared by the metadata aggregate
+  * serve and the CBO column stats: exact or None (an overflowing
+  * narrow cast must not masquerade as a bound). */
+private[io] object GraftExternal {
+  def convert(v: BigDecimal,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    try Some(dt match {
+      case ByteType => v.toByteExact
+      case ShortType => v.toShortExact
+      case IntegerType => v.toIntExact
+      case LongType => v.toLongExact
+      case FloatType => v.toFloat
+      case DoubleType => v.toDouble
+      case d: DecimalType => v.bigDecimal.setScale(d.scale)
+      case _ => return None
+    }) catch { case _: ArithmeticException => None }
+  }
+}
+
 /** The scan: manifest-pruned store read (or a version-pinned
   * [[SnapshotBucketedStore.readAt]]), bridged to execution via
   * [[V1Scan]] (the store's DataFrame already carries parquet pushdown
@@ -654,6 +663,45 @@ private[io] class GraftScan(
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val est = GraftPruning.scanEstimate(store, table, filters, version)
+    // CBO tier (X254): per-column min/max/NDV from the manifest —
+    // whole-table figures, so served only when no pruning filters are
+    // in play (a filter-scoped row count under whole-table column
+    // bounds would skew selectivity estimates); computed only when
+    // the session opted into CBO — the manifest fold + driver HLL
+    // union is metadata-cheap, but plan time should stay free for
+    // the default path
+    val colStats: java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (version.isEmpty && filters.isEmpty &&
+          org.apache.spark.sql.SparkSession.active.conf
+            .get("spark.sql.cbo.enabled", "false") == "true") {
+        val served = store.columnStatsServe(table)
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        required.fields.foreach { f =>
+          served.get(f.name).foreach { case (mm, nd) =>
+            val mn = mm.flatMap(b => GraftExternal.convert(b._1, f.dataType))
+            val mx = mm.flatMap(b => GraftExternal.convert(b._2, f.dataType))
+            if (mn.isDefined || mx.isDefined || nd.isDefined)
+              m.put(
+                org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def min(): java.util.Optional[Object] =
+                    mn.fold(java.util.Optional.empty[Object])(v =>
+                      java.util.Optional.of(v.asInstanceOf[Object]))
+                  override def max(): java.util.Optional[Object] =
+                    mx.fold(java.util.Optional.empty[Object])(v =>
+                      java.util.Optional.of(v.asInstanceOf[Object]))
+                  override def distinctCount(): java.util.OptionalLong =
+                    nd.fold(java.util.OptionalLong.empty)(
+                      java.util.OptionalLong.of)
+                })
+          }
+        }
+        m
+      } else java.util.Collections.emptyMap()
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         est.flatMap(_._2).fold(java.util.OptionalLong.empty)(
@@ -661,6 +709,10 @@ private[io] class GraftScan(
       override def numRows(): java.util.OptionalLong =
         est.flatMap(_._1).fold(java.util.OptionalLong.empty)(
           java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 

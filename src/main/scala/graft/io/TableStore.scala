@@ -1509,6 +1509,60 @@ class SnapshotBucketedStore(
       }
     }
 
+  /** PER-COLUMN PLANNING STATISTICS from ONE manifest read (X254 —
+    * the CBO tier of X250): for every column the manifest can vouch
+    * for, (min, max) folded from the per-dir stats exactly like
+    * [[metadataMinMax]] and an NDV estimate from a DRIVER-SIDE union
+    * of the recorded per-dir HLL sketches (DataSketches heapify +
+    * union — the same registers `hll_union_agg` merges, without
+    * launching a job at plan time). A column blocked on either figure
+    * simply drops that figure; tombstones or a legacy stats format
+    * drop everything (physical-row figures would mis-estimate a
+    * logically-deleted snapshot — the metadata tier's standing
+    * exact-or-refuse rule). Consumed by the scan's
+    * `Statistics.columnStats()` under `spark.sql.cbo.enabled`. */
+  def columnStatsServe(name: String)
+      : Map[String, (Option[(BigDecimal, BigDecimal)], Option[Long])] =
+    latestManifest(name) match {
+      case None => Map.empty
+      case Some(m) =>
+        if (m.hasTombs ||
+            m.statsVersion != SnapshotBucketedStore.CurrentStatsVersion)
+          return Map.empty
+        val live = (m.buckets.values ++ m.logs).toSeq
+        val nonEmpty = live.filterNot(d => m.rows.get(d).contains(0L))
+        def minMax(c: String): Option[(BigDecimal, BigDecimal)] = {
+          val per = nonEmpty.map(d =>
+            m.stats.get(d).flatMap(_.find(_._1 == c)).flatMap {
+              case (_, mn, mx) =>
+                (scala.util.Try(BigDecimal(mn)).toOption,
+                  scala.util.Try(BigDecimal(mx)).toOption) match {
+                  case (Some(a), Some(b)) => Some((a, b))
+                  case _ => None
+                }
+            })
+          if (per.isEmpty || per.exists(_.isEmpty)) None
+          else Some((per.flatten.map(_._1).min, per.flatten.map(_._2).max))
+        }
+        def ndv(c: String): Option[Long] = {
+          val per = nonEmpty.map(d => m.ndv.get(d).flatMap(_.find(_._1 == c)))
+          if (per.isEmpty || per.exists(_.isEmpty)) None
+          else try {
+            val u = new org.apache.datasketches.hll.Union(SnapshotBucketedStore.NdvLgK)
+            per.flatten.foreach { case (_, b64) =>
+              u.update(org.apache.datasketches.hll.HllSketch.heapify(
+                java.util.Base64.getDecoder.decode(b64)))
+            }
+            Some(Math.round(u.getResult.getEstimate))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+        val cols = (statsColumns ++ ndvColumns).distinct
+        cols.flatMap { c =>
+          val v = (minMax(c), ndv(c))
+          if (v._1.isEmpty && v._2.isEmpty) None else Some(c -> v)
+        }.toMap
+    }
+
   /** METADATA-ONLY approximate quantiles of a [[quantileColumns]]
     * column (X218 — per-dir KLL sketches on the X214/X216 substrate):
     * every commit records a per-dir Apache DataSketches KLL quantile

@@ -114,6 +114,47 @@ class ScanStatsSpec extends SparkSpec {
     }
   }
 
+  test("CBO tier: column min/max/NDV reach attributeStats under cbo.enabled") {
+    val root = tmpDir("graft_stats_cbo_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      statsColumns = Seq("v"), keyColumns = Seq("uuid"),
+      ndvColumns = Seq("v"))
+    (0 until 4).foreach(g => store.append("t", rows(g * 50 until (g + 1) * 50)))
+
+    // the serve itself: exact bounds, HLL estimate near the truth
+    val served = store.columnStatsServe("t")
+    val (mm, nd) = served("v")
+    assert(mm.contains((BigDecimal(0), BigDecimal(398))), s"v bounds: $mm")
+    assert(nd.exists(n => n > 180 && n < 220), s"v ndv ~200: $nd")
+
+    val cat = register(root)
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val stats = spark.table(s"$cat.t").queryExecution.optimizedPlan.stats
+      val vAttr = stats.attributeStats.toSeq.map { case (a, cs) => a.name -> cs }.toMap
+      val vs = vAttr.get("v").getOrElse(fail(s"no column stats for v: $vAttr"))
+      assert(vs.min.map(_.toString).contains("0"), s"min: ${vs.min}")
+      assert(vs.max.map(_.toString).contains("398"), s"max: ${vs.max}")
+      assert(vs.distinctCount.exists(n => n > 180 && n < 220),
+        s"ndv: ${vs.distinctCount}")
+    }
+    // default sessions never pay the column-stat fold
+    val cold = spark.table(s"$cat.t").queryExecution.optimizedPlan.stats
+    assert(cold.attributeStats.isEmpty, "no CBO opt-in → no column stats")
+  }
+
+  test("column stats refuse under outstanding tombstones") {
+    val root = tmpDir("graft_stats_cbo_tomb_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      statsColumns = Seq("v"), keyColumns = Seq("uuid"), ndvColumns = Seq("v"))
+    store.upsert("t", rows(0 until 100), "uuid")
+    assert(store.columnStatsServe("t").nonEmpty)
+    store.deleteLazy("t", "uuid", Seq(1L).toDF("uuid"))
+    assert(store.columnStatsServe("t").isEmpty,
+      "physical-row figures must not describe a logically-deleted snapshot")
+  }
+
   test("version-pinned scans estimate from their own snapshot") {
     val root = tmpDir("graft_stats_ver_")
     implicit val s = spark
