@@ -354,7 +354,8 @@ private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String,
     sqlKey: Option[String] = None,
     insertUpsert: Boolean = false)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String =
     version.map(v => s"$table@v$v").getOrElse(table)
@@ -432,6 +433,29 @@ private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String,
     require(sch.fieldNames.contains(key),
       s"upsert key '$key' is not a column of '$table'")
     () => new GraftRowLevelOperation(store, table, key, info.command, sch)
+  }
+
+  /** `TRUNCATE TABLE cat.t` — empty the table in ONE atomic manifest
+    * commit, PRESERVING ITS SHAPE: a keyed table keeps an empty
+    * bucket generation carrying the schema (so it still speaks
+    * MERGE/UPDATE/keyed INSERT afterwards, like a freshly DDL'd keyed
+    * table), a log table replaces to an empty log generation. The
+    * old generations await vacuum, and a restore can still roll the
+    * truncation back — history is append-only here like everywhere
+    * else. */
+  override def truncateTable(): Boolean = {
+    require(version.isEmpty,
+      s"$table is pinned to v${version.get} — time-travel reads are read-only")
+    implicit val s: SparkSession = SparkSession.active
+    val sch = schema()
+    effectiveKey match {
+      case Some(k) if keyedBucketed =>
+        store.createTable(table, sch, Some(k))
+      case _ =>
+        store.replace(table, s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch))
+    }
+    true
   }
 
   /** The executable plan for a SQL DELETE filter set, or None when

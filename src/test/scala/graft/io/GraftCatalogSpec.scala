@@ -490,6 +490,40 @@ class GraftCatalogSpec extends SparkSpec {
     assert(w != null)
   }
 
+  test("TRUNCATE TABLE empties atomically and preserves the table's shape") {
+    val root = tmpDir("graft_cat_trunc_")
+    implicit val s = spark
+    val cat = register(root)
+
+    // log table: truncate → empty, schema kept, appendable again
+    spark.sql(s"CREATE TABLE $cat.lg (uuid BIGINT, v BIGINT, tag STRING)")
+    rows(0 until 30).createOrReplaceTempView("trunc_seed")
+    spark.sql(s"INSERT INTO $cat.lg SELECT * FROM trunc_seed")
+    spark.sql(s"TRUNCATE TABLE $cat.lg")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.lg").head.getLong(0) == 0L)
+    spark.sql(s"INSERT INTO $cat.lg SELECT * FROM trunc_seed")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.lg").head.getLong(0) == 30L)
+
+    // keyed table: still speaks MERGE after the truncation
+    spark.sql(s"CREATE TABLE $cat.ky (uuid BIGINT, v BIGINT, tag STRING) " +
+      "TBLPROPERTIES('key'='uuid', 'buckets'='4', 'insert'='upsert')")
+    spark.sql(s"INSERT INTO $cat.ky SELECT * FROM trunc_seed")
+    spark.sql(s"TRUNCATE TABLE $cat.ky")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ky").head.getLong(0) == 0L)
+    spark.sql(s"MERGE INTO $cat.ky t USING trunc_seed s ON t.uuid = s.uuid " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ky").head.getLong(0) == 30L)
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    val (b, l) = store.tableKind("ky").get
+    assert(b > 0 && l == 0, s"keyed shape must survive truncate: ($b, $l)")
+
+    // and the truncation is a normal snapshot: restore rolls it back
+    spark.sql(s"TRUNCATE TABLE $cat.ky")
+    val versions = store.snapshots("ky")
+    spark.sql(s"CALL $cat.system.restore('ky', ${versions(versions.size - 2)})")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ky").head.getLong(0) == 30L)
+  }
+
   test("missing table and missing root option fail loudly") {
     val root = tmpDir("graft_cat_err_")
     val cat = register(root)
