@@ -395,7 +395,12 @@ private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(store, table, schema(), version)
+    new GraftScanBuilder(store, table, schema(), version,
+      Option(options.get("maxversionspertrigger")).map { v =>
+        require(v.matches("[0-9]+") && v.toInt >= 1,
+          s"maxVersionsPerTrigger must be a positive integer: $v")
+        v.toInt
+      })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(version.isEmpty, s"$table is pinned to v${version.get} — time-travel reads are read-only")
@@ -547,7 +552,8 @@ private[io] class GraftMetaTable(tableName: String,
   * scan computes the truth). */
 private[io] class GraftScanBuilder(
     store: SnapshotBucketedStore, table: String, full: StructType,
-    version: Option[Int] = None)
+    version: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -636,7 +642,8 @@ private[io] class GraftScanBuilder(
   override def build(): Scan = served match {
     case Some((sch, vals)) => new GraftAggServe(table, sch, vals)
     case None => new GraftScan(store, table,
-      if (version.isDefined) Array.empty else pushed, required, version)
+      if (version.isDefined) Array.empty else pushed, required, version,
+      maxVersionsPerTrigger)
   }
 }
 
@@ -679,7 +686,8 @@ private[io] class GraftScan(
     table: String,
     filters: Array[Filter],
     required: StructType,
-    version: Option[Int] = None)
+    version: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Int] = None)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -762,7 +770,8 @@ private[io] class GraftScan(
         "spark.readStream.format(\"graft\")")
     new GraftMicroBatchStream(store, table, required,
       GraftMicroBatchStream.readerConf(
-        org.apache.spark.sql.SparkSession.active))
+        org.apache.spark.sql.SparkSession.active),
+      maxVersionsPerTrigger)
   }
 
   override def description(): String = version match {

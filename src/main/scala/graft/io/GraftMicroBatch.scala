@@ -30,7 +30,8 @@ private[io] class GraftMicroBatchStream(
     store: SnapshotBucketedStore,
     table: String,
     required: StructType,
-    readerConf: Map[String, String])
+    readerConf: Map[String, String],
+    maxVersionsPerTrigger: Option[Int] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   /** AvailableNow fencepost: commits racing the drain wait for the
@@ -54,12 +55,26 @@ private[io] class GraftMicroBatchStream(
     capped.map(GraftVersionOffset(_)).orNull
   }
 
-  // SupportsTriggerAvailableNow extends SupportsAdmissionControl; read
-  // limits are not served (a version is atomic — half a generation is
-  // not a consistent batch), so the rate-limited form is the plain one
+  /** Admission control at VERSION granularity (the only consistent
+    * unit — half a generation is not a snapshot): with
+    * `maxVersionsPerTrigger` = N, a trigger advances at most N
+    * manifest versions past the checkpoint, so a backfill over a
+    * long-lived log drains in bounded batches instead of one giant
+    * initial load. Spark's byte/row ReadLimits are deliberately NOT
+    * mapped — they cut mid-version. The initial load counts as one
+    * version step (it reads the whole table at `start + N`'s floor —
+    * for a fresh checkpoint the cap bounds how far past the first
+    * snapshot it reaches). */
   override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    latestOffset()
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val uncapped = latestOffset()
+    (maxVersionsPerTrigger, Option(uncapped)) match {
+      case (Some(n), Some(GraftVersionOffset(latest))) =>
+        val s = start.asInstanceOf[GraftVersionOffset].version
+        GraftVersionOffset(math.min(latest, math.max(s, 0L) + n))
+      case _ => uncapped
+    }
+  }
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =

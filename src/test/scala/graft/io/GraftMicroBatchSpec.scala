@@ -96,6 +96,28 @@ class GraftMicroBatchSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.b").head.getLong(0) == 45L)
   }
 
+  test("maxVersionsPerTrigger drains a backfill in bounded version steps") {
+    val root = tmpDir("gmb_rate_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    (0 until 6).foreach(g => store.append("src", rows(g * 10 until (g + 1) * 10)))
+    val cat = register(root)
+    val sinkDir = tmpDir("gmb_rate_sink_")
+    val ckpt = tmpDir("gmb_rate_ckpt_")
+
+    spark.readStream.option("maxVersionsPerTrigger", "2").table(s"$cat.src")
+      .writeStream.format("parquet").option("path", sinkDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+
+    assert(spark.read.parquet(sinkDir).count() == 60,
+      "the cap bounds batch size, never total delivery")
+    // six versions at <= 2 per trigger: at least 3 committed batches
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.matches("[0-9]+"))
+    assert(batches >= 3, s"expected bounded steps, got $batches batches")
+  }
+
   test("keyed tables and pinned reads refuse with guidance") {
     val root = tmpDir("gmb_refuse_")
     implicit val s = spark
