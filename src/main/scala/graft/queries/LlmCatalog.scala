@@ -7383,6 +7383,51 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** A keyed table truncated through SQL (X255) and reloaded with a
+    * subset via MERGE — the truncation must leave the keyed shape
+    * fully operational, and no pre-truncation row may survive. */
+  private def truncateCatalog(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    artifact(s, d, "truncate_catalog") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_trnc_").toString
+      val cat = "grafttr" + math.abs(root.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView("graft_trunc_seed")
+      s.sql(s"CREATE TABLE $cat.docs_r (doc_id BIGINT, source STRING, " +
+        "n_chars BIGINT, lang STRING) TBLPROPERTIES('key'='doc_id', " +
+        "'buckets'='16', 'insert'='upsert')")
+      s.sql(s"INSERT INTO $cat.docs_r SELECT * FROM graft_trunc_seed")
+      s.sql(s"TRUNCATE TABLE $cat.docs_r")
+      s.sql(s"MERGE INTO $cat.docs_r t USING " +
+        "(SELECT * FROM graft_trunc_seed WHERE n_chars >= 300) s " +
+        "ON t.doc_id = s.doc_id WHEN NOT MATCHED THEN INSERT *")
+      cat
+    }
+
+  /** TRUNCATE TABLE end to end (X255): the table held every doc, was
+    * emptied in one manifest commit, then MERGE-reloaded with the
+    * n_chars >= 300 subset — the oracle recomputes that filter over
+    * the raw table, so a hash match proves the truncation dropped
+    * every old row and left the keyed write paths intact. */
+  val truncateQ = GraftQuery(
+    "q192_truncate_reload",
+    (s, d) => {
+      val cat = truncateCatalog(s, d)
+      s.sql(s"SELECT doc_id, source, n_chars, lang FROM $cat.docs_r " +
+        "ORDER BY doc_id")
+    },
+    Some("""
+      SELECT doc_id, source, n_chars, lang
+      FROM documents
+      WHERE n_chars >= 300
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -7513,5 +7558,6 @@ object LlmCatalog {
     statsJoinQ,
     streamTailQ,
     zorderQ,
+    truncateQ,
   )
 }
