@@ -360,6 +360,15 @@ private[io] class GraftV2Table(store: SnapshotBucketedStore, table: String,
   override def name(): String =
     version.map(v => s"$table@v$v").getOrElse(table)
 
+  /** `SHOW TBLPROPERTIES cat.t` / DESCRIBE EXTENDED: the table's own
+    * recorded shape sidecar (X243) — what a user declared at CREATE
+    * is what they read back. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    store.tableProps(table).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   /** The row-level upsert key this table's SQL writes merge on: its
     * own `key` property, else the single catalog-level Bloom column
     * (the pre-DDL keyed-catalog convention). */

@@ -524,6 +524,18 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ky").head.getLong(0) == 30L)
   }
 
+  test("SHOW TBLPROPERTIES reads back the declared shape") {
+    val root = tmpDir("graft_cat_props_")
+    val cat = register(root)
+    spark.sql(s"CREATE TABLE $cat.pt (uuid BIGINT, v BIGINT) " +
+      "TBLPROPERTIES('key'='uuid', 'buckets'='8', 'insert'='upsert')")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.pt")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("key").contains("uuid"), props)
+    assert(props.get("buckets").contains("8"), props)
+    assert(props.get("insert").contains("upsert"), props)
+  }
+
   test("missing table and missing root option fail loudly") {
     val root = tmpDir("graft_cat_err_")
     val cat = register(root)
