@@ -118,6 +118,25 @@ class GraftMicroBatchSpec extends SparkSpec {
     assert(batches >= 3, s"expected bounded steps, got $batches batches")
   }
 
+  test("a widened log table streams with old generations null-filled") {
+    val root = tmpDir("gmb_widen_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.append("w", Seq((1L, "a")).toDF("uuid", "tag"))
+    store.append("w", Seq((2L, "b", 9L)).toDF("uuid", "tag", "extra"))
+    val cat = register(root)
+    val sink = tmpDir("gmb_widen_sink_")
+    spark.readStream.table(s"$cat.w").writeStream
+      .format("parquet").option("path", sink)
+      .option("checkpointLocation", tmpDir("gmb_widen_ckpt_"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    val out = spark.read.parquet(sink).orderBy("uuid")
+      .collect().map(_.toSeq).toSeq
+    // the requested-schema clip null-fills columns a generation
+    // predates — same semantics as the batch read's footer merge
+    assert(out == Seq(Seq(1L, "a", null), Seq(2L, "b", 9L)), out)
+  }
+
   test("keyed tables and pinned reads refuse with guidance") {
     val root = tmpDir("gmb_refuse_")
     implicit val s = spark
