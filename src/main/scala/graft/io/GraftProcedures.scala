@@ -140,6 +140,24 @@ private[io] object GraftProcedures {
         Seq(u(t), st.snapshots(t).last)
       }),
     Spec(
+      "analyze",
+      "backfill the metadata tier (min/max, key Blooms, HLL NDV, KLL " +
+        "quantiles, row counts) for generations that predate the " +
+        "table's declared stats shape — turns on pruning, manifest " +
+        "aggregates and CBO for legacy tables; metadata-only commit, " +
+        "no data byte moves",
+      Seq(in("table", StringType, "graft table name"),
+        in("full", org.apache.spark.sql.types.BooleanType,
+          "false = only dirs missing figures; true = recompute all " +
+            "(upgrades a legacy stats format)")),
+      new StructType().add("table", StringType, nullable = false)
+        .add("dirs_analyzed", IntegerType, nullable = false),
+      (args, storeFor) => {
+        val t = args.getUTF8String(0).toString
+        val st = storeFor(t); requireTable(st, t)
+        Seq(u(t), st.analyzeTable(t, onlyMissing = !args.getBoolean(1)))
+      }),
+    Spec(
       "zorder",
       "rewrite an append-log table along the Morton curve of the " +
         "given stats columns, as z-range slab generations whose " +

@@ -3135,6 +3135,70 @@ class SnapshotBucketedStore(
     tombed.size
   }
 
+  /** ANALYZE (X257): backfill the metadata tier for generations that
+    * predate this store's declared stats shape — per-dir min/max,
+    * key Blooms, HLL NDV, KLL quantiles and row counts recomputed
+    * FROM THE DATA and committed in one manifest rename, with every
+    * dir ref unchanged (metadata-only history: no data byte moves).
+    * The lever this pulls at 100 TB: a table written by an older
+    * shape (or ingested before anyone declared `statscolumns`) scans
+    * fully on every filtered read because pruning has nothing to
+    * consult, the manifest aggregates refuse, and CBO sees nothing —
+    * one analyze pass (columnar, reading only the declared columns)
+    * turns all three tiers on. `onlyMissing` (default) recomputes
+    * just the dirs lacking a recorded row count or missing a
+    * declared stat family — re-analyzing an already-covered table is
+    * a no-op commit-free pass; `onlyMissing = false` forces a full
+    * recompute (the legacy-stats upgrade path: when every live dir
+    * is recomputed the manifest's stats format advances to current).
+    * Tombstones are orthogonal: recorded figures describe PHYSICAL
+    * rows as everywhere, and the serving gates still apply. Returns
+    * the number of dirs analyzed. */
+  def analyzeTable(name: String, onlyMissing: Boolean = true): Int = {
+    val m = latestManifest(name).getOrElse(
+      throw new java.util.NoSuchElementException(
+        s"graft table '$name' does not exist"))
+    val live = (m.buckets.values ++ m.logs).toSeq
+    def covered(d: String): Boolean = {
+      val zeroRows = m.rows.get(d).contains(0L)
+      m.rows.contains(d) &&
+        (zeroRows || statsColumns.isEmpty ||
+          m.stats.get(d).exists(_.nonEmpty)) &&
+        (zeroRows || ndvColumns.isEmpty || m.ndv.get(d).exists(_.nonEmpty)) &&
+        (zeroRows || keyColumns.isEmpty || m.keys.get(d).exists(_.nonEmpty))
+    }
+    val targets = if (onlyMissing) live.filterNot(covered) else live
+    if (targets.isEmpty) return 0
+    val computed = targets.flatMap { d =>
+      val dm = metaOf(readDirs(Seq(resolveDir(name, d))))
+      if (dm.isEmpty) None else Some(d -> dm)
+    }.toMap
+    val v = m.version + 1
+    // a full recompute upgrades the stats format; a partial one keeps
+    // the sticky minimum (one legacy float-string survivor must keep
+    // the conservative read-side widening)
+    val statsVer =
+      if (targets.toSet == live.toSet) SnapshotBucketedStore.CurrentStatsVersion
+      else carriedStatsVersion(Some(m))
+    val next = Manifest(v, m.buckets, m.logs, m.lastBatch,
+      m.stats ++ statsPart(computed),
+      m.keys ++ keysPart(computed),
+      statsVer,
+      m.rows ++ rowsPart(computed),
+      m.ndv ++ ndvPart(computed),
+      m.qsk ++ qskPart(computed),
+      m.tombs,
+      fanout = m.fanout)
+    // nothing recomputable changed (e.g. an all-null stats column that
+    // can never record): skip the commit instead of minting identical
+    // history forever
+    if (next.stats == m.stats && next.keys == m.keys && next.rows == m.rows &&
+        next.ndv == m.ndv && next.qsk == m.qsk && statsVer == m.statsVersion)
+      return 0
+    commit(name, next)
+    targets.size
+  }
+
   /** Garbage collection: delete data dirs not referenced by any of the
     * `retainSnapshots` newest manifests, and older manifests. The
     * retention window is the concurrency contract: a reader holding a
