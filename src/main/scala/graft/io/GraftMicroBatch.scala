@@ -71,7 +71,14 @@ private[io] class GraftMicroBatchStream(
     (maxVersionsPerTrigger, Option(uncapped)) match {
       case (Some(n), Some(GraftVersionOffset(latest))) =>
         val s = start.asInstanceOf[GraftVersionOffset].version
-        GraftVersionOffset(math.min(latest, math.max(s, 0L) + n))
+        // never point below the oldest RETAINED version: a fresh
+        // checkpoint on a vacuumed table must initial-load at the
+        // earliest consistent snapshot, not at a version the cap
+        // names but vacuum already reclaimed
+        val floor = store.snapshots(table).headOption
+          .map(_.toLong).getOrElse(latest)
+        GraftVersionOffset(
+          math.min(latest, math.max(math.max(s, 0L) + n, floor)))
       case _ => uncapped
     }
   }
@@ -79,6 +86,14 @@ private[io] class GraftMicroBatchStream(
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
     org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** The driver's hadoop conf, boxed serializable at stream build —
+    * the same discipline as the streaming WRITE path, so executor
+    * readers resolve the store's filesystem exactly as the driver
+    * does (a bare `new Configuration()` would miss cluster fs
+    * settings outside local mode). */
+  private val confBox = org.apache.spark.sql.GraftBridge.confBox(
+    org.apache.spark.sql.SparkSession.active)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftVersionOffset].version
@@ -91,7 +106,7 @@ private[io] class GraftMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftParquetReaderFactory
+    new GraftParquetReaderFactory(confBox)
 
   override def commit(end: Offset): Unit = ()
 
@@ -122,12 +137,15 @@ private[io] case class GraftFilePartition(
   * exactly as a batch read would. Rebase specs are CORRECTED: these
   * files are always written by this engine (Spark 3+ calendar), never
   * by legacy Hive writers. */
-private[io] class GraftParquetReaderFactory extends PartitionReaderFactory {
+private[io] class GraftParquetReaderFactory(
+    confBox: AnyRef with java.io.Serializable)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
     val schema = DataType.fromJson(p.schemaJson).asInstanceOf[StructType]
-    val conf = new Configuration()
+    val conf = new Configuration(
+      org.apache.spark.sql.GraftBridge.confOf(confBox))
     p.conf.foreach { case (k, v) => conf.set(k, v) }
     import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, schema.json)

@@ -118,6 +118,25 @@ class GraftMicroBatchSpec extends SparkSpec {
     assert(batches >= 3, s"expected bounded steps, got $batches batches")
   }
 
+  test("the rate cap clamps to the oldest retained version on a vacuumed table") {
+    val root = tmpDir("gmb_floor_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    (0 until 6).foreach(g => store.append("src", rows(g * 10 until (g + 1) * 10)))
+    store.vacuum("src", retainSnapshots = 2) // only the last two versions remain
+    val cat = register(root)
+    val sinkDir = tmpDir("gmb_floor_sink_")
+
+    // a naive cap would point the first batch at a vacuumed version;
+    // the floor sends the initial load to the oldest RETAINED snapshot
+    spark.readStream.option("maxVersionsPerTrigger", "2").table(s"$cat.src")
+      .writeStream.format("parquet").option("path", sinkDir)
+      .option("checkpointLocation", tmpDir("gmb_floor_ckpt_"))
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    assert(spark.read.parquet(sinkDir).count() == 60,
+      "initial load at the retained floor, then bounded steps to latest")
+  }
+
   test("a widened log table streams with old generations null-filled") {
     val root = tmpDir("gmb_widen_")
     implicit val s = spark
