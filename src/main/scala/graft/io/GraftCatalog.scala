@@ -268,30 +268,59 @@ class GraftCatalog extends TableCatalog
       user.get("insert").contains("upsert"))
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS (...)` — metadata-only (X247): a
-    * zero-row schema generation declares the columns before any data
-    * carries them ([[SnapshotBucketedStore.addColumns]]); existing
-    * rows read null there. Everything else still evolves through
-    * writes (numeric type-widening upserts) and refuses here. */
+  /** `ALTER TABLE ... ADD COLUMNS (...)` / `DROP COLUMN` — both
+    * metadata-only: ADD commits a zero-row schema generation (X247,
+    * [[SnapshotBucketedStore.addColumns]]) so existing rows read
+    * null there; DROP commits a name-retirement marker (X259,
+    * [[SnapshotBucketedStore.dropColumns]]) so every generation
+    * serves without the column and rewrites shed it physically.
+    * RENAME refuses with guidance: without column ids a rename is
+    * drop+add of the same bytes, and the retirement rule exists
+    * precisely because hidden old values must not resurface under a
+    * re-declared name — rebuild() under the new schema instead.
+    * Types still evolve through numeric type-widening upserts. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
-    require(adds.length == changes.length,
-      "graft ALTER TABLE serves ADD COLUMNS only — types evolve through " +
-        "numeric type-widening upserts; renames/drops would need a rewrite " +
-        "(use rebuild)")
-    val fields = adds.map { a =>
-      require(a.fieldNames.length == 1,
-        s"ADD COLUMNS adds top-level columns, got nested ${a.fieldNames.mkString(".")}")
-      require(a.position() == null,
-        "graft column order is footer-merge order — positions are not served")
-      require(a.isNullable,
-        s"added column '${a.fieldNames.head}' must be nullable: existing " +
-          "rows have no value for it")
-      StructField(a.fieldNames.head, a.dataType, nullable = true)
-    }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    require(changes.forall {
+      case _: TableChange.RenameColumn => false
+      case _ => true
+    }, "graft ALTER TABLE cannot RENAME COLUMN: name-keyed lineage has no " +
+      "column ids, so a rename is drop+add of the same bytes and hidden " +
+      "old values could resurface under the re-declared name — rebuild() " +
+      "the table under the new schema instead")
+    require(adds.length + drops.length == changes.length,
+      "graft ALTER TABLE serves ADD COLUMNS and DROP COLUMN — types " +
+        "evolve through numeric type-widening upserts")
+    require(adds.isEmpty || drops.isEmpty,
+      "mixing ADD and DROP in one ALTER is not served — issue them as " +
+        "separate statements (each is one atomic manifest commit)")
     val st = storeFor(ident.name)
-    st.addColumns(ident.name, fields)
+    if (drops.nonEmpty) {
+      val names = drops.map { d =>
+        require(d.fieldNames.length == 1,
+          s"DROP COLUMN drops top-level columns, got nested ${d.fieldNames.mkString(".")}")
+        d.fieldNames.head
+      }
+      val (key, _) = sqlWriteShape(ident.name)
+      key.filter(names.contains).foreach(k => throw new IllegalArgumentException(
+        s"'$k' is the upsert key of '${ident.name}' — row identity hangs " +
+          "off it; rebuild() the table under a new key instead"))
+      st.dropColumns(ident.name, names)
+    } else {
+      val fields = adds.map { a =>
+        require(a.fieldNames.length == 1,
+          s"ADD COLUMNS adds top-level columns, got nested ${a.fieldNames.mkString(".")}")
+        require(a.position() == null,
+          "graft column order is footer-merge order — positions are not served")
+        require(a.isNullable,
+          s"added column '${a.fieldNames.head}' must be nullable: existing " +
+            "rows have no value for it")
+        StructField(a.fieldNames.head, a.dataType, nullable = true)
+      }
+      st.addColumns(ident.name, fields)
+    }
     val (key, insertUpsert) = sqlWriteShape(ident.name)
     new GraftV2Table(st, ident.name, None, key, insertUpsert)
   }
@@ -674,6 +703,21 @@ private[io] object GraftExternal {
       case _ => return None
     }) catch { case _: ArithmeticException => None }
   }
+
+  /** The CATALYST-INTERNAL spelling of a bound — what Spark's
+    * `ColumnStat` contract stores for min/max (estimation code under
+    * `spark.sql.cbo.enabled` reads these as internal values, so a
+    * decimal bound must be [[org.apache.spark.sql.types.Decimal]],
+    * not `java.math.BigDecimal`). Primitives are their own internal
+    * representation; only decimals need wrapping here (dates/
+    * timestamps/strings are never statted — [[SnapshotBucketedStore]]
+    * stat-column eligibility). */
+  def toCatalyst(v: BigDecimal,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] =
+    convert(v, dt).map {
+      case bd: java.math.BigDecimal => org.apache.spark.sql.types.Decimal(bd)
+      case x => x
+    }
 }
 
 /** The scan: manifest-pruned store read (or a version-pinned
@@ -723,8 +767,8 @@ private[io] class GraftScan(
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
         required.fields.foreach { f =>
           served.get(f.name).foreach { case (mm, nd) =>
-            val mn = mm.flatMap(b => GraftExternal.convert(b._1, f.dataType))
-            val mx = mm.flatMap(b => GraftExternal.convert(b._2, f.dataType))
+            val mn = mm.flatMap(b => GraftExternal.toCatalyst(b._1, f.dataType))
+            val mx = mm.flatMap(b => GraftExternal.toCatalyst(b._2, f.dataType))
             if (mn.isDefined || mx.isDefined || nd.isDefined)
               m.put(
                 org.apache.spark.sql.connector.expressions.Expressions.column(f.name),

@@ -332,6 +332,21 @@ class SnapshotBucketedStore(
   require(quantileColumns.forall(_.matches("[A-Za-z0-9_]+")),
     s"quantile column names must be [A-Za-z0-9_]+ (manifest line syntax): " +
       quantileColumns.mkString(", "))
+  // FILESYSTEM-CONTRACT PROBE (docs/SCALE.md §8a): every guarantee
+  // here reduces to a first-writer-wins atomic publish of the
+  // versioned manifest name. Raw object stores (copy+delete rename,
+  // no EEXIST) cannot provide it — warn LOUDLY at construction, once
+  // per store, naming the mitigation section. Not a refusal: a
+  // deployment may carry a rename-atomic layer invisible at the URI.
+  locally {
+    val scheme = Option(new Path(root).toUri.getScheme).getOrElse("file")
+    if (Set("s3", "s3a", "s3n", "oss", "cos", "wasb")(scheme))
+      System.err.println(s"graft WARNING: store root '$root' is on " +
+        s"'$scheme' — raw object-store rename is not an atomic CAS, so " +
+        "manifest commits need a rename-atomic layer, an external " +
+        "commit lock, or conditional PUTs (docs/SCALE.md §8a); without " +
+        "one, racing writers can silently drop a commit")
+  }
   // every generation read goes through the same format seam as
   // FileDirStore, so the atomic-commit/GDPR-delete machinery is
   // format-agnostic (both bundled columnar formats honor mergeSchema)
@@ -512,7 +527,19 @@ class SnapshotBucketedStore(
       qsk: Map[String, Seq[(String, String)]] = Map.empty,
       tombs: Map[String, Seq[(String, String)]] = Map.empty,
       commitMillis: Option[Long] = None,
-      fanout: Option[Int] = None) {
+      fanout: Option[Int] = None,
+      bytes: Map[String, Long] = Map.empty,
+      dropped: Option[Seq[String]] = None) {
+    /** Columns DROPPED from this snapshot (X259, ALTER TABLE DROP
+      * COLUMN): name-suppressed at read over every generation that
+      * still physically carries them; rewrites shed them for real.
+      * `None` means "not specified by this commit's builder" — the
+      * commit point carries the previous manifest's marker forward,
+      * so the 17 commit families stay oblivious; a parsed manifest
+      * and the few semantics-bearing commits (drop itself, replace/
+      * rebuild resetting to the new schema truth, restore) pass an
+      * explicit `Some`. */
+    def droppedNames: Seq[String] = dropped.getOrElse(Nil)
     /** Stats restricted to dirs this manifest still references — the
       * carry-forward rule every commit applies to its predecessor's
       * stats (superseded generations take their stats with them). */
@@ -530,6 +557,14 @@ class SnapshotBucketedStore(
     def liveRows: Map[String, Long] = {
       val live = buckets.values.toSet ++ logs
       rows.filter { case (d, _) => live(d) }
+    }
+    /** Per-dir data-file byte totals (X258), live-filtered alike —
+      * recorded at commit so plan-time scan sizing is a manifest
+      * fold, never a per-dir file listing (generation dirs are
+      * immutable, so a recorded figure can never go stale). */
+    def liveBytes: Map[String, Long] = {
+      val live = buckets.values.toSet ++ logs
+      bytes.filter { case (d, _) => live(d) }
     }
     /** Per-dir HLL sketches (X216), live-filtered like stats/keys. */
     def liveNdv: Map[String, Seq[(String, String)]] = {
@@ -602,6 +637,13 @@ class SnapshotBucketedStore(
       val Array(d, n) = s.stripPrefix("rows:").split("=", 2)
       d -> n.toLong
     }.toMap
+    // per-dir data-file byte totals (X258) — absent on legacy
+    // manifests, whose scan sizing degrades to a per-dir listing
+    // until any commit (or CALL system.analyze) backfills them
+    val byteLines = entries.collect { case s if s.startsWith("bytes:") =>
+      val Array(d, n) = s.stripPrefix("bytes:").split("=", 2)
+      d -> n.toLong
+    }.toMap
     val ndvLines = entries.collect { case s if s.startsWith("ndv:") =>
       val Array(d, cs) = s.stripPrefix("ndv:").split("=", 2)
       d -> cs.split(",").toSeq.map { t =>
@@ -634,8 +676,17 @@ class SnapshotBucketedStore(
     // silently mis-target buckets (absent on legacy manifests)
     val fanLine = entries.collectFirst { case s if s.startsWith("fanout:") =>
       s.stripPrefix("fanout:").toInt }
+    // dropped-column marker (X259) — ALWAYS explicit on a parsed
+    // manifest (absent line ≡ nothing dropped), so a restore of a
+    // pre-drop version resurrects the column rather than carrying a
+    // later drop forward
+    val dropLine = Some(entries.collectFirst {
+      case s if s.startsWith("drop:") =>
+        s.stripPrefix("drop:").split(",").toSeq.filter(_.nonEmpty)
+    }.getOrElse(Nil))
     Some(Manifest(v, buckets, logs, lastBatch, stats, keyLines, statsVer,
-      rowLines, ndvLines, qskLines, tombLines, tsLine, fanLine))
+      rowLines, ndvLines, qskLines, tombLines, tsLine, fanLine, byteLines,
+      dropLine))
   }
 
   /** The stats version a NEW commit records: stats carried forward
@@ -686,7 +737,38 @@ class SnapshotBucketedStore(
     * link(2) fails EEXIST atomically, and the target appears fully
     * written because it aliases the completed staged file — both the
     * CAS and the all-or-nothing visibility survive. */
-  private def commit(name: String, m: Manifest): Unit = {
+  /** Per-dir data-file byte totals for the manifest (X258): carry
+    * every already-recorded figure forward (generation dirs are
+    * immutable — a recorded size can never go stale), list ONLY the
+    * dirs still missing one (the dirs this very commit just wrote,
+    * plus a one-time backfill of legacy dirs). This is what keeps
+    * plan-time scan sizing a pure manifest fold instead of O(live
+    * dirs) namenode listings per query plan. A dir that fails to
+    * list records nothing — its estimate degrades to the listing
+    * fallback, never fails the commit. */
+  private def bytesFilled(name: String, m: Manifest,
+      prev: Option[Manifest]): Map[String, Long] = {
+    val live = (m.buckets.values ++ m.logs).toSeq.distinct
+    val known = prev.map(_.bytes).getOrElse(Map.empty) ++ m.bytes
+    known ++ live.filterNot(known.contains).flatMap { d =>
+      try {
+        val p = new Path(resolveDir(name, d))
+        Some(d -> fs(p).listStatus(p).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }.map(_.getLen).sum)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  private def commit(name: String, m0: Manifest): Unit = {
+    // one previous-manifest read serves both carry-forwards: per-dir
+    // byte records (X258, dir-keyed and immutable) and the dropped-
+    // column marker (X259, explicit `Some` wins — restore/replace
+    // set it; every other commit family carries)
+    val prev = latestManifest(name)
+    val m = m0.copy(bytes = bytesFilled(name, m0, prev),
+      dropped = m0.dropped.orElse(prev.flatMap(_.dropped)))
     val dir = tableDir(name)
     val f = fs(dir)
     // writer-unique staging name: two writers racing to the same
@@ -711,6 +793,7 @@ class SnapshotBucketedStore(
                 cs.map { case (c, b) => s"$c:$b" }.mkString(",")
           } ++
           m.liveRows.toSeq.sortBy(_._1).map { case (d, n) => s"rows:$d=$n" } ++
+          m.liveBytes.toSeq.sortBy(_._1).map { case (d, n) => s"bytes:$d=$n" } ++
           m.liveNdv.toSeq.sortBy(_._1).collect {
             case (d, cs) if cs.nonEmpty =>
               s"ndv:$d=" + cs.map { case (c, b) => s"$c:$b" }.mkString(",")
@@ -724,6 +807,8 @@ class SnapshotBucketedStore(
               s"tomb:$d=" + ts.map { case (k, rel) => s"$k:$rel" }.mkString(",")
           } ++
           m.fanout.map(f => s"fanout:$f").toSeq ++
+          m.dropped.map(_.distinct).filter(_.nonEmpty)
+            .map(ds => s"drop:${ds.mkString(",")}").toSeq ++
           // the commit wall-clock stamp, taken HERE (never carried from
           // the Manifest the caller built) so every commit family gets
           // TIMESTAMP AS OF resolution for free; resolution applies a
@@ -885,7 +970,7 @@ class SnapshotBucketedStore(
       max(statInput(df, c)).cast("string").as(s"graft_mx_$c"))) ++
       kCols.map(bloomAgg) ++
       nCols.map(c => org.apache.spark.sql.functions
-        .hll_sketch_agg(org.apache.spark.sql.functions.col(c), NdvLgK)
+        .hll_sketch_agg(ndvInput(df, c), NdvLgK)
         .as(s"graft_nv_$c")) ++
       qCols.map(c => graft.expr.KllSketchAgg.kllSketch(
         org.apache.spark.sql.functions.col(c).cast("double"))
@@ -918,6 +1003,21 @@ class SnapshotBucketedStore(
         .map(b => (c, encodeBloom(b)))
     }
     DirMeta(stats, keys, Some(rowCount), ndv, qsk)
+  }
+
+  /** The NDV sketch input for a column: `hll_sketch_agg` accepts
+    * int/bigint/string/binary natively; decimal and floating columns
+    * sketch their CANONICAL STRING form instead — distinct values map
+    * 1:1 to distinct strings (fixed-scale decimals; shortest-repr
+    * IEEE), so the estimate is unchanged and the type coverage
+    * extends to the numeric columns CBO most wants NDV for. */
+  private def ndvInput(df: DataFrame, c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val base = org.apache.spark.sql.functions.col(c)
+    df.schema(c).dataType match {
+      case _: DecimalType | FloatType | DoubleType => base.cast("string")
+      case _ => base
+    }
   }
 
   /** Serialized empty Bloom (contains nothing — every probe misses):
@@ -998,7 +1098,7 @@ class SnapshotBucketedStore(
       max(statInput(df, c)).cast("string").as(s"graft_mx_$c"))) ++
       kCols.map(bloomAgg) ++
       nCols.map(c => org.apache.spark.sql.functions
-        .hll_sketch_agg(col(c), NdvLgK).as(s"graft_nv_$c")) ++
+        .hll_sketch_agg(ndvInput(df, c), NdvLgK).as(s"graft_nv_$c")) ++
       qCols.map(c => graft.expr.KllSketchAgg.kllSketch(
         col(c).cast("double")).as(s"graft_qs_$c")) :+
       count(lit(1)).as("graft_cnt_")
@@ -1360,8 +1460,9 @@ class SnapshotBucketedStore(
     * defaults, never to an understated size. The family precedence
     * (eq, then IN, then closed ranges) mirrors the pruned read
     * exactly, so the estimate describes the dirs that scan would
-    * open. O(surviving dirs) manifest lookups + file listings at
-    * plan time — metadata-scale, no data file opened. */
+    * open. O(surviving dirs) manifest lookups at plan time — pure
+    * metadata, ZERO filesystem calls on a bytes-covered table
+    * (X258); only legacy dirs degrade to a per-dir listing. */
   def scanEstimate(name: String,
       eq: Option[(String, Any)] = None,
       inSet: Option[(String, Seq[Any])] = None,
@@ -1396,14 +1497,21 @@ class SnapshotBucketedStore(
       val rows =
         if (kept.forall(m.rows.contains)) Some(kept.flatMap(m.rows.get).sum)
         else None
+      // byte sizing is a MANIFEST FOLD (X258): every commit records
+      // its dirs' data-file bytes in the same rename, so plan-time
+      // sizing costs zero filesystem calls on a covered table. Only
+      // legacy dirs (written before bytes recording) fall back to a
+      // listing — one ANALYZE (or any commit) backfills them for good.
       val bytes = kept.foldLeft(Option(0L)) { (acc, d) =>
         acc.flatMap { sum =>
-          val p = new Path(resolveDir(name, d))
-          try Some(sum + fs(p).listStatus(p).filter { st =>
-            val n = st.getPath.getName
-            st.isFile && !n.startsWith(".") && !n.startsWith("_")
-          }.map(_.getLen).sum)
-          catch { case scala.util.control.NonFatal(_) => None }
+          m.bytes.get(d).map(sum + _).orElse {
+            val p = new Path(resolveDir(name, d))
+            try Some(sum + fs(p).listStatus(p).filter { st =>
+              val n = st.getPath.getName
+              st.isFile && !n.startsWith(".") && !n.startsWith("_")
+            }.map(_.getLen).sum)
+            catch { case scala.util.control.NonFatal(_) => None }
+          }
         }
       }
       (rows, bytes)
@@ -1747,7 +1855,19 @@ class SnapshotBucketedStore(
     * equality — sidecar keys coerce in the join), so a widening
     * upsert over a tombstoned table reads instead of refusing
     * (docs/SCALE.md §8 item 14). */
+  /** Dir read + tombstone anti-joins + dropped-column suppression —
+    * every batch read path flows through here, so DROP COLUMN (X259)
+    * is one name-drop at the end: generations that still physically
+    * carry a dropped column serve without it, and any REWRITE that
+    * reads through here (upsert merge, applyDeletes, compactLogs,
+    * clustered rewrites) sheds the column physically for free. */
   private def readDataDirs(name: String, m: Manifest, rels: Seq[String]): DataFrame = {
+    val df = readDataDirsRaw(name, m, rels)
+    val gone = m.droppedNames.filter(df.columns.contains)
+    if (gone.isEmpty) df else df.drop(gone: _*)
+  }
+
+  private def readDataDirsRaw(name: String, m: Manifest, rels: Seq[String]): DataFrame = {
     val tombed = rels.filter(m.liveTombs.contains)
     if (tombed.isEmpty) return readDirs(dirsOf(name, m, rels))
     val clean = rels.filterNot(m.liveTombs.contains)
@@ -1844,10 +1964,12 @@ class SnapshotBucketedStore(
           org.apache.spark.sql.Row(d, "bucket", Long.box(b),
             m.rows.get(d).map(Long.box).orNull,
             tombsOf.getOrElse(d, Nil).map { case (k, rel) => s"$k:$rel" }
-              .mkString(",") match { case "" => null; case s => s })
+              .mkString(",") match { case "" => null; case s => s },
+            m.bytes.get(d).map(Long.box).orNull)
         } ++
           m.logs.map(d => org.apache.spark.sql.Row(d, "log", null,
-            m.rows.get(d).map(Long.box).orNull, null))
+            m.rows.get(d).map(Long.box).orNull, null,
+            m.bytes.get(d).map(Long.box).orNull))
       import org.apache.spark.sql.types._
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1),
@@ -1856,7 +1978,8 @@ class SnapshotBucketedStore(
           StructField("kind", StringType, nullable = false),
           StructField("bucket", LongType),
           StructField("row_count", LongType),
-          StructField("tombstones", StringType))))
+          StructField("tombstones", StringType),
+          StructField("bytes", LongType))))
     }
 
   /** Committed snapshot versions still on disk, ascending. What's
@@ -1921,7 +2044,13 @@ class SnapshotBucketedStore(
       tombs =
       // the restored version's OUTSTANDING tombstones restore with it —
       // dropping them would silently resurrect merge-on-read deletes
-      target.tombs))
+      target.tombs,
+      bytes = target.bytes,
+      // the restored version's dropped-column marker restores WITH it
+      // (explicit, even when empty): rolling back past a DROP COLUMN
+      // resurrects the column — the marker is snapshot state like
+      // everything else here
+      dropped = target.dropped.orElse(Some(Nil))))
   }
 
   /** ZERO-COPY table clone (X221 — Delta's SHALLOW CLONE / Iceberg's
@@ -1984,7 +2113,12 @@ class SnapshotBucketedStore(
       // the owner, and vacuum's borrow scan protects both
       m.liveTombs.map { case (d, ts) =>
         ref(d) -> ts.map { case (k, rel) => (k, ref(rel)) } },
-      fanout = m.fanout))
+      fanout = m.fanout,
+      bytes = m.liveBytes.map { case (d, n) => ref(d) -> n },
+      // the clone shows the source's LOGICAL schema: its dropped-
+      // column marker copies over (the borrowed dirs still carry the
+      // bytes; the name suppression is what makes them one table)
+      dropped = m.dropped.orElse(Some(Nil))))
   }
 
   /** Keyed diff of two retained snapshots (`added`/`removed`/
@@ -2330,8 +2464,15 @@ class SnapshotBucketedStore(
     dirs.flatMap { d =>
       val p = new Path(resolveDir(name, d))
       val f = fs(p)
-      if (!f.exists(p)) Nil
-      else f.listStatus(p).toSeq.filter { st =>
+      // a vanished dir means vacuum reclaimed a generation the stream
+      // still needs — refuse LOUDLY (the appendDirsSince discipline one
+      // step earlier); silently emitting fewer rows would corrupt the
+      // consumer's exactly-once ledger without a trace
+      if (!f.exists(p))
+        throw new java.util.NoSuchElementException(
+          s"graft table '$name' lost generation dir '$d' needed by the " +
+            "stream (vacuum retention must cover the trigger interval)")
+      f.listStatus(p).toSeq.filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith(".") && !n.startsWith("_")
       }.map(_.getPath.toString)
@@ -2363,7 +2504,8 @@ class SnapshotBucketedStore(
     val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), Some(batchId),
       statsPart(dm), keysPart(dm), rows = rowsPart(dm), ndv = ndvPart(dm),
-      qsk = qskPart(dm), fanout = prev.flatMap(_.fanout)))
+      qsk = qskPart(dm), fanout = prev.flatMap(_.fanout),
+      dropped = Some(Nil))) // full rewrite = the new schema truth
   }
 
   /** K2 append as a committed log generation: new dir + new manifest.
@@ -2387,6 +2529,7 @@ class SnapshotBucketedStore(
     val prev = latestManifest(name)
     require(prev.forall(_.buckets.isEmpty),
       s"$name has bucketed upsert generations; append targets log tables only")
+    refuseDroppedWrite(name, prev, df)
     val v = prev.map(_.version + 1).getOrElse(0)
     val rel = s"data/log-$v"
     writeDir(df, new Path(tableDir(name), rel).toString)
@@ -2467,7 +2610,8 @@ class SnapshotBucketedStore(
     val dm = metaForDir(name, rel)
     commit(name, Manifest(v, Map.empty, Seq(rel), prev.flatMap(_.lastBatch),
       statsPart(dm), keysPart(dm), rows = rowsPart(dm), ndv = ndvPart(dm),
-      qsk = qskPart(dm), fanout = prev.flatMap(_.fanout)))
+      qsk = qskPart(dm), fanout = prev.flatMap(_.fanout),
+      dropped = Some(Nil))) // full rewrite = the new schema truth
   }
 
   override def upsert(name: String, incoming: DataFrame, key: String)(implicit s: SparkSession): Unit =
@@ -2493,6 +2637,7 @@ class SnapshotBucketedStore(
     val prev = latestManifest(name)
     require(prev.forall(_.logs.isEmpty),
       s"$name has append-log generations; bucketed upsert targets are upsert-only")
+    refuseDroppedWrite(name, prev, incoming)
     // BUCKET-COLUMN TYPE STABILITY (X212's hard boundary): bucket
     // assignment and key Blooms hash xxhash64(bucket column), and
     // xxhash64 is type-tagged — an upsert whose key (or cluster)
@@ -2639,7 +2784,8 @@ class SnapshotBucketedStore(
         stageMeta.get(b).filter(_.qsk.nonEmpty).map(rel -> _.qsk) }.toMap,
       // rebuild is the fan-out MIGRATION point: the whole table was
       // just rehashed under this store's configured modulus
-      fanout = Some(numBuckets)))
+      fanout = Some(numBuckets),
+      dropped = Some(Nil))) // full rewrite = the new schema truth
   }
 
   /** Z-ORDER CLUSTERING REWRITE (X253 — the store surface for
@@ -2919,6 +3065,13 @@ class SnapshotBucketedStore(
     val dup = cols.map(_.name).filter(cur.fieldNames.contains)
     require(dup.isEmpty,
       s"$name already has column(s): ${dup.mkString(", ")}")
+    // a DROPPED name is RETIRED (X259): re-declaring it would let the
+    // hidden old-generation values resurface under the new column —
+    // name-keyed lineage cannot tell them apart without column ids
+    val retired = cols.map(_.name).filter(prev.droppedNames.contains)
+    require(retired.isEmpty,
+      s"$name: column name(s) ${retired.mkString(", ")} were dropped and " +
+        "are retired — rebuild()/replace() the table to reuse them")
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
     val extended = StructType(cur.fields ++ cols.map(_.copy(nullable = true)))
     val v = prev.version + 1
@@ -2943,6 +3096,69 @@ class SnapshotBucketedStore(
     * ever computes it: schema gens are never "touched", never
     * rewritten, and carry across every keyed commit untouched. */
   private val SchemaBucket = -1L
+
+  /** ALTER TABLE DROP COLUMN, metadata-only (X259 — the inverse of
+    * [[addColumns]]): ONE manifest rename records the dropped names;
+    * no data byte moves. Reads suppress the columns by name over
+    * every generation that still physically carries them
+    * ([[readDataDirs]]); any content rewrite (upsert merge,
+    * [[applyDeletes]], [[compactLogs]], [[rebuild]]) sheds them
+    * physically as a side effect, and [[vacuum]] then reclaims the
+    * superseded bytes — the same lazy-then-compact lifecycle as
+    * merge-on-read deletes. O(manifest) at any table size.
+    *
+    * The contract a name-keyed lattice can honestly carry:
+    *   - a dropped NAME IS RETIRED — re-adding it would let hidden
+    *     old-generation values resurface as the "new" column (no
+    *     column ids to tell them apart); [[addColumns]] and every
+    *     ingest path refuse it until a [[rebuild]]/[[replace]]
+    *     resets the marker (a full rewrite is the new schema truth);
+    *   - TIME TRAVEL serves the column at pre-drop versions (the
+    *     marker is snapshot state) and [[restore]] resurrects it;
+    *   - physical erasure needs the rewrite + vacuum, exactly like
+    *     [[deleteLazy]] — documented, not silent;
+    *   - RENAME COLUMN stays refused at the catalog: without column
+    *     ids a rename is drop+add of the same bytes, which the
+    *     retirement rule above forbids for good reason.
+    *
+    * The cluster column refuses (physical layout hangs off it); a
+    * keyed table's upsert-key column is refused by the SQL catalog,
+    * which knows the key (a direct API caller dropping it gets the
+    * loud merge failure on the next upsert). */
+  def dropColumns(name: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "DROP COLUMN needs at least one column")
+    cols.foreach(c => require(c.matches("[A-Za-z0-9_]+"),
+      s"droppable column names are [A-Za-z0-9_]+ (manifest line syntax): $c"))
+    val prev = latestManifest(name).getOrElse(
+      throw new java.util.NoSuchElementException(s"no such table: $name"))
+    val cur = readManifest(name, prev).getOrElse(
+      throw new java.util.NoSuchElementException(s"no such table: $name")).schema
+    val missing = cols.filterNot(cur.fieldNames.contains)
+    require(missing.isEmpty,
+      s"$name has no column(s): ${missing.mkString(", ")}")
+    require(cur.fieldNames.toSet != cols.toSet,
+      s"cannot drop every column of $name — use dropTable")
+    clusterColumn.foreach(cc => require(!cols.contains(cc),
+      s"$name: '$cc' is the cluster column — physical bucket layout " +
+        "hangs off it; rebuild() under a new shape instead"))
+    commit(name, Manifest(prev.version + 1, prev.buckets, prev.logs,
+      prev.lastBatch, prev.stats, prev.keys, carriedStatsVersion(Some(prev)),
+      prev.rows, prev.ndv, prev.qsk, prev.tombs, fanout = prev.fanout,
+      dropped = Some((prev.droppedNames ++ cols).distinct)))
+  }
+
+  /** The ingest-side half of the X259 retirement rule: a frame
+    * carrying a dropped column's name must refuse loudly — committing
+    * it would write live data under a name the read path suppresses
+    * (silent data loss), or worse, resurrect hidden values. */
+  private def refuseDroppedWrite(name: String, prev: Option[Manifest],
+      df: DataFrame): Unit =
+    prev.map(_.droppedNames).filter(_.nonEmpty).foreach { gone =>
+      val clash = df.columns.filter(gone.contains)
+      require(clash.isEmpty,
+        s"$name: column name(s) ${clash.mkString(", ")} were dropped and " +
+          "are retired — rebuild()/replace() the table to reuse them")
+    }
 
   /** Scratch dir for one SQL row-level write's delta files — under
     * the table dir with the `stage-` prefix, so a crashed query's
@@ -3168,7 +3384,11 @@ class SnapshotBucketedStore(
         (zeroRows || keyColumns.isEmpty || m.keys.get(d).exists(_.nonEmpty))
     }
     val targets = if (onlyMissing) live.filterNot(covered) else live
-    if (targets.isEmpty) return 0
+    // legacy dirs missing a recorded byte size (X258) make every scan
+    // estimate pay a per-dir listing — a metadata-only commit here
+    // backfills them (commit's bytesFilled lists each exactly once)
+    val bytesMissing = live.exists(d => !m.bytes.contains(d))
+    if (targets.isEmpty && !bytesMissing) return 0
     val computed = targets.flatMap { d =>
       val dm = metaOf(readDirs(Seq(resolveDir(name, d))))
       if (dm.isEmpty) None else Some(d -> dm)
@@ -3177,23 +3397,38 @@ class SnapshotBucketedStore(
     // a full recompute upgrades the stats format; a partial one keeps
     // the sticky minimum (one legacy float-string survivor must keep
     // the conservative read-side widening)
+    val full = targets.toSet == live.toSet
     val statsVer =
-      if (targets.toSet == live.toSet) SnapshotBucketedStore.CurrentStatsVersion
+      if (full) SnapshotBucketedStore.CurrentStatsVersion
       else carriedStatsVersion(Some(m))
-    val next = Manifest(v, m.buckets, m.logs, m.lastBatch,
-      m.stats ++ statsPart(computed),
-      m.keys ++ keysPart(computed),
-      statsVer,
-      m.rows ++ rowsPart(computed),
-      m.ndv ++ ndvPart(computed),
-      m.qsk ++ qskPart(computed),
-      m.tombs,
-      fanout = m.fanout)
+    // a FULL recompute REPLACES the per-dir maps rather than merging:
+    // a dir holding a legacy entry for a formerly-declared stats
+    // column (since redeclared; this recompute recorded nothing for
+    // it) must not keep that stale entry under the upgraded version —
+    // survives() would skip the LegacyStatsEps widening and could
+    // wrongly prune the dir. A partial recompute merges (untargeted
+    // dirs keep their entries) and the sticky version keeps the
+    // read-side widening honest.
+    val next =
+      if (full) Manifest(v, m.buckets, m.logs, m.lastBatch,
+        statsPart(computed), keysPart(computed), statsVer,
+        rowsPart(computed), ndvPart(computed), qskPart(computed),
+        m.tombs, fanout = m.fanout)
+      else Manifest(v, m.buckets, m.logs, m.lastBatch,
+        m.stats ++ statsPart(computed),
+        m.keys ++ keysPart(computed),
+        statsVer,
+        m.rows ++ rowsPart(computed),
+        m.ndv ++ ndvPart(computed),
+        m.qsk ++ qskPart(computed),
+        m.tombs,
+        fanout = m.fanout)
     // nothing recomputable changed (e.g. an all-null stats column that
     // can never record): skip the commit instead of minting identical
-    // history forever
+    // history forever — unless a byte backfill still needs to land
     if (next.stats == m.stats && next.keys == m.keys && next.rows == m.rows &&
-        next.ndv == m.ndv && next.qsk == m.qsk && statsVer == m.statsVersion)
+        next.ndv == m.ndv && next.qsk == m.qsk && statsVer == m.statsVersion &&
+        !bytesMissing)
       return 0
     commit(name, next)
     targets.size
@@ -3309,8 +3544,16 @@ class SnapshotBucketedStore(
         val v = prev.map(_.version + 1).getOrElse(0)
         val rel = s"data/b0-g$v"
         writeDir(empty, new Path(tableDir(name), rel).toString)
+        // On an EXISTING table (the TRUNCATE path — DDL create refuses
+        // existing tables upstream) the streaming batch high-water mark
+        // and the recorded bucket fan-out CARRY: dropping the mark
+        // would let a crash-replayed streaming epoch re-insert an
+        // already-committed batch into the truncated table (the same
+        // reason replace/compactLogs carry it), and the fan-out is the
+        // table's declared shape, which truncation preserves.
         commit(name, Manifest(v, Map(0L -> rel), Nil,
-          fanout = Some(numBuckets)))
+          prev.flatMap(_.lastBatch),
+          fanout = Some(prev.flatMap(_.fanout).getOrElse(numBuckets))))
       case None => append(name, empty)
     }
   }
@@ -3402,7 +3645,7 @@ final case class JdbcPartitioning(
 /** JDBC store: the production shape matching the reference's MySQL
   * sinks (lambda.py:163-190). Untestable in this sandbox (no DB), kept
   * thin and obvious; the option plumbing is pure and unit-tested. */
-final class JdbcStore(
+class JdbcStore( // non-final: the rename seam below is a test override point
     url: String,
     props: java.util.Properties,
     partitioning: Option[JdbcPartitioning] = None,
@@ -3445,6 +3688,19 @@ final class JdbcStore(
   private def tableExistsOn(conn: java.sql.Connection, table: String): Boolean =
     try { conn.createStatement().executeQuery(s"SELECT * FROM $table WHERE 1=0").close(); true }
     catch { case _: java.sql.SQLException => false }
+
+  /** Test seam: one RENAME statement. Strand-recovery tests override
+    * this to commit-then-die on the second rename — simulating an
+    * autocommitting-DDL dialect (MySQL) where a failure between the
+    * two renames cannot be rolled back and the live table is left
+    * under `_graft_replace_old` — without needing that engine here
+    * (Derby DDL is transactional, so the natural path can't reach
+    * the recovery branch). */
+  protected def renameTable(conn: java.sql.Connection,
+      from: String, to: String): Unit = {
+    conn.createStatement().execute(s"RENAME TABLE $from TO $to")
+    ()
+  }
 
   /** Column names of a live table, in its physical order — read from
     * the zero-row result's metadata, so it works on any dialect. */
@@ -3492,9 +3748,8 @@ final class JdbcStore(
       conn.setAutoCommit(false)
       val swapped = renameSwap && {
         try {
-          val st = conn.createStatement()
-          st.execute(s"RENAME TABLE $name TO $old")
-          st.execute(s"RENAME TABLE $stage TO $name")
+          renameTable(conn, name, old)
+          renameTable(conn, stage, name)
           conn.commit()
           true
         } catch {
@@ -3505,7 +3760,7 @@ final class JdbcStore(
             // undoes nothing) — put it back before any fallback, which
             // targets `name`
             if (!tableExistsOn(conn, name) && tableExistsOn(conn, old)) {
-              conn.createStatement().execute(s"RENAME TABLE $old TO $name")
+              renameTable(conn, old, name)
               conn.commit()
             }
             false

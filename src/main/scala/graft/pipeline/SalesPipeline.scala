@@ -9,7 +9,22 @@ import graft.schema.SalesSchema
 import graft.validate.Validator
 
 /** Out-of-engine notification side channel (reference K7, SNS publish,
-  * /root/reference/lambda.py:251-265). */
+  * /root/reference/lambda.py:251-265).
+  *
+  * DELIVERY CONTRACT (stated, since the seam hides a network call in
+  * production): notification is BEST-EFFORT, AT-MOST-ONCE, and
+  * NON-TRANSACTIONAL with the data commits it describes — the
+  * pipeline's state transitions (lake write, log append, upsert,
+  * summary replace, raw delete) are decided by the store commits
+  * alone, and a notifier that THROWS must not un-decide them, so
+  * [[SalesPipeline]] invokes these AFTER the terminal state is
+  * reached and swallows notifier failures into the log (the
+  * reference behaves the same: a failed SNS publish does not roll
+  * back the warehouse write, lambda.py:251-265). Implementations
+  * wanting more (retry with backoff, DLQ, outbox) own it INSIDE
+  * their impl; anything stronger than at-most-once needs an outbox
+  * table written in the same store commit as the data — the seam
+  * deliberately does not fake that. */
 trait Notifier {
   def success(message: String): Unit
   def failure(message: String): Unit
@@ -58,7 +73,7 @@ final class SalesPipeline(
       process(spark, raw, rawPath)
     } catch {
       case e: Exception =>
-        notifier.failure(s"Processing of $rawPath failed: ${e.getMessage}")
+        notify(notifier.failure(s"Processing of $rawPath failed: ${e.getMessage}"))
         PipelineResult.Failed(e.getMessage)
     }
 
@@ -103,16 +118,29 @@ final class SalesPipeline(
       // STEP 5: drop the raw file (K6; errors swallowed inside).
       FileOps.deleteRaw(spark, rawPath)
 
-      // STEP 6: notify (K7).
-      notifier.success(s"Processed $rawPath ($rows rows) → $processedPath")
+      // STEP 6: notify (K7). After this point the run's outcome is
+      // decided by the commits above — the notifier cannot un-decide
+      // it (the [[Notifier]] delivery contract).
       batch.unpersist()
+      notify(notifier.success(
+        s"Processed $rawPath ($rows rows) → $processedPath"))
       PipelineResult.Success(processedPath, rows)
     } catch {
       case e: Exception =>
-        notifier.failure(s"Processing of $rawPath failed: ${e.getMessage}")
+        notify(notifier.failure(s"Processing of $rawPath failed: ${e.getMessage}"))
         PipelineResult.Failed(e.getMessage)
     }
   }
+
+  /** The at-most-once guard of the [[Notifier]] contract: a throwing
+    * notifier must never convert a COMMITTED run into a reported
+    * failure (or mask the original error of a failed one) — the side
+    * channel's own failure is logged and swallowed. */
+  private def notify(f: => Unit): Unit =
+    try f catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft:notify] notifier failed (swallowed): ${e.getMessage}")
+    }
 }
 
 object SalesPipeline {

@@ -7428,6 +7428,58 @@ object LlmCatalog {
     """.trim),
   )
 
+  /** A keyed table that took an `ALTER TABLE DROP COLUMN` (X259 —
+    * metadata-only name retirement) over fully-committed generations,
+    * then a keyed MERGE against the narrowed schema — built once per
+    * session+dataset. */
+  private def sqlDropCatalog(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    artifact(s, d, "sql_drop_catalog") {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_sqldrop_").toString
+      val cat = "graftdrp" + math.abs(root.hashCode).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.io.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        .createOrReplaceTempView("graft_drop_seed")
+      s.sql(s"CREATE TABLE $cat.docs_d (doc_id BIGINT, source STRING, " +
+        "n_chars BIGINT, lang STRING) TBLPROPERTIES('key'='doc_id', " +
+        "'buckets'='16', 'insert'='upsert')")
+      s.sql(s"INSERT INTO $cat.docs_d SELECT * FROM graft_drop_seed")
+      // metadata-only: every committed generation still carries the
+      // column's bytes; the marker suppresses the name at read
+      s.sql(s"ALTER TABLE $cat.docs_d DROP COLUMN source")
+      // keyed writes continue against the narrowed schema — the
+      // touched buckets physically shed the column as they rewrite
+      s.sql(s"MERGE INTO $cat.docs_d t USING " +
+        "(SELECT doc_id, n_chars * 3 AS n_chars, lang " +
+        "FROM graft_drop_seed WHERE doc_id % 5 = 0) s " +
+        "ON t.doc_id = s.doc_id WHEN MATCHED THEN UPDATE SET *")
+      cat
+    }
+
+  /** ALTER TABLE DROP COLUMN end to end (X259): the column was
+    * retired metadata-only over generations that still physically
+    * carry it, old rows serve without it, and the follow-up keyed
+    * MERGE triples n_chars for %5 docs through the narrowed schema;
+    * the oracle recomputes both from the raw table, so the hash
+    * match proves the suppression and the post-drop write path. */
+  val sqlDropQ = GraftQuery(
+    "q193_sql_drop_column",
+    (s, d) => {
+      val cat = sqlDropCatalog(s, d)
+      s.sql(s"SELECT doc_id, n_chars, lang FROM $cat.docs_d ORDER BY doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN n_chars * 3 ELSE n_chars END AS n_chars,
+             lang
+      FROM documents
+      ORDER BY doc_id
+    """.trim),
+  )
+
   val all: Seq[GraftQuery] = Seq(
     exactDupDocs,
     similarVectors,
@@ -7559,5 +7611,6 @@ object LlmCatalog {
     streamTailQ,
     zorderQ,
     truncateQ,
+    sqlDropQ,
   )
 }

@@ -42,6 +42,34 @@ class PipelineSpec extends SparkSpec {
     assert(d.matches("""\d{4}-\d{2}-\d{2}"""), d)
   }
 
+  test("a throwing notifier cannot un-decide a committed run (at-most-once contract)") {
+    val root = tmpDir("pipe_notif")
+    val raw = TestSales.writeCsv(s"$root/batch1.csv", 12)
+    implicit val s = spark
+    var calls = 0
+    val bomb = new Notifier {
+      def success(m: String): Unit = { calls += 1; sys.error("SNS down") }
+      def failure(m: String): Unit = { calls += 1; sys.error("SNS down") }
+    }
+    val store = new SnapshotBucketedStore(s"$root/warehouse")
+    val pipe = new SalesPipeline(store, s"$root/lake", bomb)
+    // the run COMMITTED everything; the side channel's failure is
+    // logged and swallowed, never reported as a pipeline failure
+    pipe.run(spark, raw) match {
+      case PipelineResult.Success(_, rows) => assert(rows == 12)
+      case other => fail(s"notifier failure must not mask success: $other")
+    }
+    assert(calls == 1)
+    assert(store.read("sales_tgt").get.count() == 12)
+    // and on a genuinely failing run, the ORIGINAL error survives a
+    // throwing failure-notifier
+    pipe.run(spark, s"$root/nope.csv") match {
+      case PipelineResult.Failed(err) => assert(!err.contains("SNS down"), err)
+      case other => fail(s"expected failure, got $other")
+    }
+    assert(calls == 2)
+  }
+
   test("re-uploading the same content does not duplicate sales_tgt (upsert invariant)") {
     val root = tmpDir("pipe")
     val (pipe, store) = newPipeline(root)

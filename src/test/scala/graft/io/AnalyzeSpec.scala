@@ -69,4 +69,28 @@ class AnalyzeSpec extends SparkSpec {
     assert(shaped.metadataMinMax("t", "v").contains(
       (BigDecimal(0), BigDecimal(118))))
   }
+
+  test("full recompute REPLACES stale entries for redeclared stats columns") {
+    val root = tmpDir("graft_an_stale_")
+    implicit val s = spark
+    // written under statscolumns=v: every dir records v bounds
+    val oldShape = new SnapshotBucketedStore(root, numBuckets = 4,
+      statsColumns = Seq("v"))
+    (0 until 3).foreach(g => oldShape.append("t", rows(g * 20 until (g + 1) * 20)))
+    assert(oldShape.pruneStats("t", "v", -100L, -50L).get._1 == 0,
+      "v is statted: an out-of-range probe prunes every dir")
+
+    // the shape is REDECLARED to uuid; a full recompute must DROP the
+    // old v entries — a merge would keep them under the upgraded
+    // stats version, where survives() skips the legacy widening and
+    // could wrongly prune on stale bounds
+    val newShape = new SnapshotBucketedStore(root, numBuckets = 4,
+      statsColumns = Seq("uuid"))
+    assert(newShape.analyzeTable("t", onlyMissing = false) == 3)
+    assert(newShape.pruneStats("t", "uuid", 0L, 5L).get._1 <= 1,
+      "the redeclared column prunes")
+    assert(newShape.pruneStats("t", "v", -100L, -50L).get._1 == 3,
+      "stale v entries must be gone: with no recorded stats every dir " +
+        "is conservatively kept")
+  }
 }

@@ -408,7 +408,7 @@ class GraftCatalogSpec extends SparkSpec {
     assert(dup.getMessage.contains("already"), dup.getMessage)
     val ren = intercept[Exception](
       spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO w"))
-    assert(ren.getMessage.contains("ADD COLUMNS"), ren.getMessage)
+    assert(ren.getMessage.contains("rebuild"), ren.getMessage)
   }
 
   test("row-level SQL on a keyless or log table refuses with guidance") {
@@ -480,6 +480,11 @@ class GraftCatalogSpec extends SparkSpec {
     // recorded physical row counts sum to the pre-delete total (the
     // tombstone is merge-on-read; physical rows unchanged)
     assert(files.map(r => if (r.isNullAt(2)) 0L else r.getLong(2)).sum == 100L)
+    // per-dir byte records (X258) surface in the audit table, and
+    // every live dir of a current-code table carries one
+    val fb = spark.sql(s"SELECT bytes FROM $cat.`t$$files`").collect()
+    assert(fb.nonEmpty && fb.forall(r => !r.isNullAt(0) && r.getLong(0) > 0L),
+      fb.mkString("; "))
     // unknown metadata suffix refuses naming the known set
     val e = intercept[Exception](
       spark.sql(s"SELECT * FROM $cat.`t$$bogus`").collect())
@@ -522,6 +527,19 @@ class GraftCatalogSpec extends SparkSpec {
     val versions = store.snapshots("ky")
     spark.sql(s"CALL $cat.system.restore('ky', ${versions(versions.size - 2)})")
     assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ky").head.getLong(0) == 30L)
+
+    // the streaming exactly-once high-water mark SURVIVES truncation:
+    // a truncate that dropped it would let a crash-replayed epoch
+    // re-insert an already-committed batch into the truncated table
+    store.upsertWithBatch("ky", rows(100 until 110), "uuid", 7L)
+    assert(store.lastAppliedBatch("ky").contains(7L))
+    spark.sql(s"TRUNCATE TABLE $cat.ky")
+    assert(store.lastAppliedBatch("ky").contains(7L),
+      "TRUNCATE must carry the streaming batch mark forward")
+    intercept[IllegalArgumentException](
+      store.upsertWithBatch("ky", rows(100 until 110), "uuid", 6L))
+    store.upsertWithBatch("ky", rows(100 until 110), "uuid", 8L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.ky").head.getLong(0) == 10L)
   }
 
   test("SHOW TBLPROPERTIES reads back the declared shape") {

@@ -166,6 +166,37 @@ class JdbcStoreSpec extends SparkSpec {
     assert(store.read("sales_fb2").get.count() == 7)
   }
 
+  test("strand recovery: a committed rename-1 + dead rename-2 leaves the live name serving") {
+    implicit val s: SparkSession = spark
+    // Simulate an autocommitting-DDL dialect (MySQL): the seam commits
+    // the FIRST rename — which a later rollback then cannot undo, the
+    // exact strand — and dies on the second. Derby itself rides
+    // transactional DDL, so only the seam can reach this branch.
+    var renames = 0
+    val store = new JdbcStore(url, props) {
+      override protected def renameTable(conn: java.sql.Connection,
+          from: String, to: String): Unit = {
+        renames += 1
+        if (renames == 2) {
+          conn.commit() // rename 1 is now beyond rollback
+          throw new java.sql.SQLException("injected: rename 2 died")
+        }
+        super.renameTable(conn, from, to)
+      }
+    }
+    store.replace("sales_strand", rows(0 until 30, "v1"))
+    // the failing swap must RECOVER: live table back under its own
+    // name, then the checked DELETE+INSERT fallback lands v2
+    store.replace("sales_strand", rows(0 until 12, "v2"))
+    assert(renames == 3, s"expected rename1, dead rename2, recovery: $renames")
+    val back = store.read("sales_strand").get
+    assert(back.count() == 12)
+    assert(back.select("name").distinct().as[String].collect().toSeq == Seq("v2"))
+    // and no debris tables remain under the strand names
+    assert(store.read("sales_strand_graft_replace_old").isEmpty)
+    assert(store.read("sales_strand_graft_replace_stage").isEmpty)
+  }
+
   test("partitioned read slices the scan into numPartitions range queries") {
     implicit val s: SparkSession = spark
     val plain = new JdbcStore(url, props)

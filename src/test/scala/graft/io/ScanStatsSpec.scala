@@ -155,6 +155,108 @@ class ScanStatsSpec extends SparkSpec {
       "physical-row figures must not describe a logically-deleted snapshot")
   }
 
+  test("byte sizing is a manifest fold: zero data-dir listings at plan time") {
+    val local = tmpDir("graft_stats_fold_")
+    val root = "cntfs:" + local
+    implicit val s = spark
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cntfs.impl", classOf[CountingFileSystem].getName)
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      statsColumns = Seq("v"), keyColumns = Seq("uuid"))
+    (0 until 4).foreach(g => store.append("t", rows(g * 50 until (g + 1) * 50)))
+    store.upsert("kt", rows(0 until 80), "uuid")
+
+    // truth: what a direct listing of every live dir sums to
+    def listedBytes(table: String): Long = {
+      val dataRoot = java.nio.file.Paths.get(local, table, "data")
+      val out = new java.util.ArrayList[java.nio.file.Path]()
+      java.nio.file.Files.walk(dataRoot).forEach(p => { out.add(p); () })
+      import scala.jdk.CollectionConverters._
+      out.asScala.filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith(".") &&
+        !p.getFileName.toString.startsWith("_"))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+
+    CountingFileSystem.reset()
+    val est = store.scanEstimate("t").get
+    val estK = store.scanEstimate("kt").get
+    assert(CountingFileSystem.dataDirListings.isEmpty,
+      "a bytes-covered table must size its scan from the manifest " +
+        s"alone; listed: ${CountingFileSystem.dataDirListings}")
+    assert(est._2.contains(listedBytes("t")),
+      s"manifest bytes must equal the listing truth: ${est._2}")
+    assert(estK._2.contains(listedBytes("kt")), s"keyed: ${estK._2}")
+
+    // LEGACY manifest (no bytes: lines): estimate still serves — by
+    // paying the per-dir listing, the honest degrade
+    val mPath = java.nio.file.Paths.get(local, "t",
+      s"manifest-${store.snapshots("t").last}.txt")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("bytes:")).mkString("", "\n", "\n")
+    java.nio.file.Files.write(mPath, stripped.getBytes("UTF-8"))
+    CountingFileSystem.reset()
+    val legacy = store.scanEstimate("t").get
+    assert(legacy._2.contains(listedBytes("t")))
+    assert(CountingFileSystem.dataDirListings.nonEmpty,
+      "a bytes-less manifest must fall back to listing")
+
+    // one ANALYZE backfills the record; sizing goes listing-free again
+    assert(store.analyzeTable("t") == 0) // nothing to recompute, bytes only
+    CountingFileSystem.reset()
+    val back = store.scanEstimate("t").get
+    assert(back._2.contains(listedBytes("t")))
+    assert(CountingFileSystem.dataDirListings.isEmpty,
+      "analyze must backfill byte records: " +
+        s"${CountingFileSystem.dataDirListings}")
+  }
+
+  test("CBO decimal bounds are served as Catalyst Decimal, and estimate") {
+    val root = tmpDir("graft_stats_dec_")
+    implicit val s = spark
+    // decimals sketch NDV through their canonical string form
+    // (hll_sketch_agg takes int/long/string/binary natively)
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      statsColumns = Seq("d"), ndvColumns = Seq("d"))
+    val df = (0 until 100)
+      .map(i => (i.toLong, BigDecimal(i).setScale(2) * BigDecimal("0.25")))
+      .toDF("uuid", "d")
+      .selectExpr("uuid", "CAST(d AS DECIMAL(10,2)) AS d")
+    store.append("t", df)
+    val cat = "lakedec" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.conf.set(s"spark.sql.catalog.$cat.statscolumns", "d")
+    spark.conf.set(s"spark.sql.catalog.$cat.ndvcolumns", "d")
+    withConf("spark.sql.cbo.enabled" -> "true") {
+      val stats = spark.table(s"$cat.t").queryExecution.optimizedPlan.stats
+      val dStats = stats.attributeStats.toSeq
+        .collectFirst { case (a, cs) if a.name == "d" => cs }
+        .getOrElse(fail(s"no column stats for d: ${stats.attributeStats}"))
+      // the ColumnStat contract stores min/max as CATALYST values:
+      // a decimal bound must be types.Decimal, never java BigDecimal
+      // (estimation's toDouble would throw on the external type)
+      assert(dStats.min.exists(_.isInstanceOf[org.apache.spark.sql.types.Decimal]),
+        s"min must be Catalyst Decimal: ${dStats.min.map(_.getClass)}")
+      assert(dStats.max.exists(_.isInstanceOf[org.apache.spark.sql.types.Decimal]),
+        s"max must be Catalyst Decimal: ${dStats.max.map(_.getClass)}")
+      // NDV through the canonical-string sketch reaches distinctCount
+      assert(dStats.distinctCount.exists(n => n > 80 && n < 120),
+        s"decimal NDV ~100 via string sketch: ${dStats.distinctCount}")
+      // and JoinEstimation runs end-to-end over the decimal bounds
+      // (interval intersection + NDV math on the served stats) — the
+      // estimated inner-join cardinality is defined and finite. A
+      // filter can't exercise this: pushed filters empty the scan's
+      // served column stats by design (whole-table bounds under a
+      // filter-scoped row count would skew selectivity).
+      val jn = spark.table(s"$cat.t").as("a")
+        .join(spark.table(s"$cat.t").as("b"), "d")
+        .queryExecution.optimizedPlan.stats
+      assert(jn.rowCount.exists(rc => rc > BigInt(0) && rc <= BigInt(10000)),
+        s"CBO join estimate over decimal stats: ${jn.rowCount}")
+    }
+  }
+
   test("version-pinned scans estimate from their own snapshot") {
     val root = tmpDir("graft_stats_ver_")
     implicit val s = spark

@@ -148,4 +148,115 @@ class SchemaEvolutionSpec extends SparkSpec {
       .as[(Long, Seq[Double])].collect().toSeq
     assert(got == Seq((1L, Seq(1.5d, 2.5d)), (other, Seq(3.5d, 4.5d))))
   }
+
+  test("DROP COLUMN (X259): metadata-only suppression, retirement, travel, restore") {
+    val root = tmpDir("graft_evo_drop_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.append("lg", (0L until 30L).map(i => (i, i * 2, s"t$i"))
+      .toDF("uuid", "v", "tag"))
+    val preDrop = store.snapshots("lg").last
+
+    // the drop moves no data bytes: same generation dirs before/after
+    val dirsBefore = store.manifestEntries("lg").get
+      .select("dir").as[String].collect().toSet
+    store.dropColumns("lg", Seq("tag"))
+    assert(store.manifestEntries("lg").get
+      .select("dir").as[String].collect().toSet == dirsBefore,
+      "DROP COLUMN must be metadata-only")
+
+    // reads serve without the column, everywhere
+    val got = store.read("lg").get
+    assert(got.columns.toSeq == Seq("uuid", "v"), got.columns.toSeq)
+    assert(got.count() == 30)
+
+    // the name is RETIRED: append/add-column with it refuse loudly
+    val e1 = intercept[IllegalArgumentException](
+      store.append("lg", Seq((99L, 99L, "zz")).toDF("uuid", "v", "tag")))
+    assert(e1.getMessage.contains("retired"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](store.addColumns("lg",
+      Seq(org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType))))
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
+    // appends WITHOUT it flow on
+    store.append("lg", Seq((99L, 99L)).toDF("uuid", "v"))
+    assert(store.read("lg").get.count() == 31)
+
+    // time travel serves the column at pre-drop versions; restore
+    // resurrects it (the marker is snapshot state)
+    assert(store.readAt("lg", preDrop).get.columns.contains("tag"))
+    store.restore("lg", preDrop)
+    assert(store.read("lg").get.columns.contains("tag"))
+    assert(store.read("lg").get.count() == 30)
+
+    // replace resets the marker: the name is reusable after a rewrite
+    store.dropColumns("lg", Seq("tag"))
+    store.replace("lg", Seq((1L, 1L, "fresh")).toDF("uuid", "v", "tag"))
+    assert(store.read("lg").get.columns.contains("tag"))
+  }
+
+  test("DROP COLUMN on a keyed table: upserts shed the column physically") {
+    val root = tmpDir("graft_evo_dropk_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      statsColumns = Seq("v"), keyColumns = Seq("uuid"))
+    store.upsert("t", (0L until 40L).map(i => (i, i * 2, s"x$i"))
+      .toDF("uuid", "v", "tag"), "uuid")
+    store.dropColumns("t", Seq("tag"))
+    assert(store.read("t").get.columns.toSeq == Seq("uuid", "v"))
+
+    // an upsert carrying the retired name refuses; without it, merges
+    intercept[IllegalArgumentException](store.upsert("t",
+      Seq((1L, 100L, "boo")).toDF("uuid", "v", "tag"), "uuid"))
+    store.upsert("t", Seq((1L, 100L)).toDF("uuid", "v"), "uuid")
+    val got = store.read("t").get
+    assert(got.columns.toSeq == Seq("uuid", "v"))
+    assert(got.where("uuid = 1").select("v").as[Long].head() == 100L)
+    assert(got.count() == 40)
+
+    // the rewritten bucket PHYSICALLY shed the column (its footer no
+    // longer carries it) — the lazy-then-compact lifecycle
+    val touched = store.manifestEntries("t").get
+      .where("dir LIKE '%-g%'").select("dir").as[String].collect()
+      .maxBy(d => d.substring(d.lastIndexOf("-g") + 2).toInt)
+    val footer = spark.read.parquet(s"$root/t/$touched").schema
+    assert(!footer.fieldNames.contains("tag"),
+      s"rewrite must shed the dropped column: ${footer.fieldNames.toSeq}")
+
+    // merge-on-read deletes and metadata counts keep composing
+    store.deleteLazy("t", "uuid", Seq(2L, 3L).toDF("uuid"))
+    assert(store.read("t").get.count() == 38)
+    assert(store.applyDeletes("t") >= 1)
+    assert(store.read("t").get.count() == 38)
+  }
+
+  test("SQL ALTER TABLE DROP COLUMN; RENAME and key-drop refuse with guidance") {
+    val root = tmpDir("graft_evo_dropsql_")
+    implicit val s = spark
+    val cat = "lakedrop" + math.abs(root.hashCode).toString
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (uuid BIGINT, v BIGINT, tag STRING) " +
+      "TBLPROPERTIES('key'='uuid', 'insert'='upsert', 'buckets'='4')")
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("uuid", "v", "tag")
+      .createOrReplaceTempView("drop_seed")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM drop_seed")
+
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN tag")
+    assert(spark.table(s"$cat.t").columns.toSeq == Seq("uuid", "v"))
+    assert(spark.sql(s"SELECT SUM(v) FROM $cat.t").head.getLong(0) == 30L)
+    // MERGE keeps working against the narrowed schema
+    Seq((2L, 25L), (3L, 30L)).toDF("uuid", "v")
+      .createOrReplaceTempView("drop_delta")
+    spark.sql(s"MERGE INTO $cat.t t USING drop_delta s ON t.uuid = s.uuid " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql(s"SELECT SUM(v) FROM $cat.t").head.getLong(0) == 65L)
+
+    val r = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO w"))
+    assert(r.getMessage.contains("rebuild"), r.getMessage)
+    val k = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t DROP COLUMN uuid"))
+    assert(k.getMessage.contains("upsert key"), k.getMessage)
+  }
 }
