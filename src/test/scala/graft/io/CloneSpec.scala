@@ -109,6 +109,29 @@ class CloneSpec extends SparkSpec {
     assert(asMap(store.read("older").get).values.forall(_._2 == "x"))
   }
 
+  test("a clone copies the dropped-column marker; a pre-drop clone serves it") {
+    val root = tmpDir("graft_clone_drop_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.upsert("src", rows(0 until 20), "uuid")
+    val preDrop = store.snapshots("src").last
+    store.dropColumns("src", Seq("tag"))
+
+    // clone of HEAD shows the source's logical (narrowed) schema over
+    // the same borrowed bytes, and keeps the retirement rule
+    store.cloneTable("src", "dst")
+    assert(store.read("dst").get.columns.toSeq == Seq("uuid", "v"))
+    val e = intercept[IllegalArgumentException](
+      store.upsert("dst", Seq((1L, 1L, "zz")).toDF("uuid", "v", "tag"), "uuid"))
+    assert(e.getMessage.contains("retired"), e.getMessage)
+
+    // a clone pinned to the PRE-drop version serves the full schema
+    // (the marker is snapshot state, cloned with the snapshot)
+    store.cloneTable("src", "old", version = Some(preDrop))
+    assert(store.read("old").get.columns.toSeq == Seq("uuid", "v", "tag"))
+    assert(store.read("old").get.count() == 20)
+  }
+
   test("contracts: existing target, self-clone, missing source refuse") {
     val root = tmpDir("graft_clone_err_")
     implicit val s = spark
