@@ -1861,8 +1861,16 @@ class SnapshotBucketedStore(
     * carry a dropped column serve without it, and any REWRITE that
     * reads through here (upsert merge, applyDeletes, compactLogs,
     * clustered rewrites) sheds the column physically for free. */
-  private def readDataDirs(name: String, m: Manifest, rels: Seq[String]): DataFrame = {
-    val df = readDataDirsRaw(name, m, rels)
+  private def readDataDirs(name: String, m: Manifest, rels: Seq[String]): DataFrame =
+    dropSuppressed(m, readDataDirsRaw(name, m, rels))
+
+  /** The X259 name suppression: serve a frame without the manifest's
+    * dropped columns. Applied by [[readDataDirs]] (every batch read)
+    * AND by the read paths that go to raw dirs directly — CDC
+    * capture ([[appendsSince]]) and the [[compactLogs]] fold — so no
+    * consumer ever sees a retired name, and every rewrite sheds the
+    * bytes. */
+  private def dropSuppressed(m: Manifest, df: DataFrame): DataFrame = {
     val gone = m.droppedNames.filter(df.columns.contains)
     if (gone.isEmpty) df else df.drop(gone: _*)
   }
@@ -2415,10 +2423,13 @@ class SnapshotBucketedStore(
           s"v${m2.version} (${rewritten.mkString(",")} superseded); " +
           "dir-level capture is only sound across compaction-free ranges")
       val fresh = m2.logs.filterNot(m1.logs.contains)
+      // suppression rides the CAPTURE-END snapshot's marker: a dir
+      // appended before a drop must not leak the retired column into
+      // the change feed (consumers see the table's current schema)
       if (fresh.isEmpty)
         readManifest(name, m2).map(_.limit(0)).getOrElse(
-          readDirs(dirsOf(name, m1, m1.logs)).limit(0))
-      else readDirs(dirsOf(name, m2, fresh))
+          dropSuppressed(m2, readDirs(dirsOf(name, m1, m1.logs)).limit(0)))
+      else dropSuppressed(m2, readDirs(dirsOf(name, m2, fresh)))
     }
 
   /** The generation format this store reads/writes — the SQL
@@ -2578,7 +2589,11 @@ class SnapshotBucketedStore(
       if (base.logs.size <= 1) return true
       val v = base.version + 1
       val rel = s"data/log-$v"
-      val merged = transform(readDirs(dirsOf(name, base, base.logs)))
+      // the fold reads SUPPRESSED (X259): the transform sees the
+      // logical schema, and the compacted generation physically sheds
+      // any dropped column the old log dirs still carried
+      val merged = transform(dropSuppressed(base,
+        readDirs(dirsOf(name, base, base.logs))))
       writeDir(merged, new Path(tableDir(name), rel).toString)
       // CAS: commit only if nothing advanced the table while we wrote
       if (latestManifest(name).exists(_.version == base.version)) {

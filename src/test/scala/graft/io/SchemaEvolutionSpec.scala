@@ -230,6 +230,33 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(store.read("t").get.count() == 38)
   }
 
+  test("DROP COLUMN: CDC capture never leaks the retired name; compaction sheds it") {
+    val root = tmpDir("graft_evo_dropcdc_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4)
+    store.append("lg", Seq((1L, 10L, "a")).toDF("uuid", "v", "tag"))
+    val v0 = store.snapshots("lg").last
+    store.append("lg", Seq((2L, 20L, "b")).toDF("uuid", "v", "tag"))
+    store.dropColumns("lg", Seq("tag"))
+    store.append("lg", Seq((3L, 30L)).toDF("uuid", "v"))
+
+    // the capture range spans a PRE-drop dir (gen 2 physically carries
+    // tag) — the change feed must serve the table's current schema
+    val feed = store.appendsSince("lg", v0).get
+    assert(feed.columns.toSeq == Seq("uuid", "v"), feed.columns.toSeq)
+    assert(feed.select("uuid").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+
+    // compaction folds the log READING SUPPRESSED: the compacted
+    // generation physically sheds the dropped column
+    assert(store.compactLogs("lg"))
+    val m = store.manifestEntries("lg").get
+    val dirs = m.where("kind = 'log'").select("dir").as[String].collect()
+    assert(dirs.length == 1, dirs.toSeq)
+    val footer = spark.read.parquet(s"$root/lg/${dirs.head}").schema
+    assert(!footer.fieldNames.contains("tag"), footer.fieldNames.toSeq)
+    assert(store.read("lg").get.count() == 3)
+  }
+
   test("SQL ALTER TABLE DROP COLUMN; RENAME and key-drop refuse with guidance") {
     val root = tmpDir("graft_evo_dropsql_")
     implicit val s = spark
