@@ -1552,6 +1552,7 @@ class SnapshotBucketedStore(
     latestManifest(name).flatMap { m =>
       if (m.statsVersion != SnapshotBucketedStore.CurrentStatsVersion) None
       else if (m.hasTombs) None // stats describe physical rows → scan
+      else if (m.droppedNames.contains(column)) None // retired name (X259)
       else {
         val live = (m.buckets.values ++ m.logs).toSeq
         // per dir: Some(Some(bounds)) usable, Some(None) blocks
@@ -1593,6 +1594,7 @@ class SnapshotBucketedStore(
   def metadataApproxDistinct(name: String, column: String): Option[Long] =
     latestManifest(name).flatMap { m =>
       if (m.hasTombs) return None // sketches describe physical rows → scan
+      if (m.droppedNames.contains(column)) return None // retired name (X259)
       val live = (m.buckets.values ++ m.logs).toSeq
       val per: Seq[Option[String]] = live.flatMap { d =>
         m.ndv.get(d).flatMap(_.find(_._1 == column)) match {
@@ -1664,7 +1666,10 @@ class SnapshotBucketedStore(
             Some(Math.round(u.getResult.getEstimate))
           } catch { case scala.util.control.NonFatal(_) => None }
         }
+        // a DROPPED declared column serves nothing: its recorded
+        // figures describe a name the schema no longer carries (X259)
         val cols = (statsColumns ++ ndvColumns).distinct
+          .filterNot(m.droppedNames.contains)
         cols.flatMap { c =>
           val v = (minMax(c), ndv(c))
           if (v._1.isEmpty && v._2.isEmpty) None else Some(c -> v)
@@ -1710,6 +1715,7 @@ class SnapshotBucketedStore(
   private def qskMerged(m: Manifest,
       column: String): Option[org.apache.datasketches.kll.KllDoublesSketch] = {
     if (m.hasTombs) return None // sketches describe physical rows → scan
+    if (m.droppedNames.contains(column)) return None // retired name (X259)
     val live = (m.buckets.values ++ m.logs).toSeq
     val per: Seq[Option[String]] = live.flatMap { d =>
       m.qsk.get(d).flatMap(_.find(_._1 == column)) match {
@@ -2319,6 +2325,9 @@ class SnapshotBucketedStore(
       upper: Any): Option[(Int, Int, Int)] = {
     import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, not, regexp_extract}
     latestManifest(name).map { m =>
+      require(!m.droppedNames.contains(column),
+        s"$name: '$column' was dropped — a predicate on a retired name " +
+          "would silently target hidden values (X259); rebuild() first")
       val legacy = m.statsVersion < SnapshotBucketedStore.CurrentStatsVersion
       val lo = boundDecimal(lower); val hi = boundDecimal(upper)
       val entries: Seq[(Option[Long], String)] =
@@ -2920,6 +2929,9 @@ class SnapshotBucketedStore(
     val prev = latestManifest(name)
     require(prev.forall(_.logs.isEmpty),
       s"$name has append-log generations; keyed delete targets bucketed tables")
+    require(prev.forall(!_.droppedNames.contains(keyCol)),
+      s"$name: '$keyCol' was dropped — a predicate on a retired name " +
+        "would silently target hidden values (X259); rebuild() first")
     if (prev.isEmpty) return
     val v = prev.get.version + 1
     val (keyFrame, touchedDirs) = deleteTargeting(name, prev.get, keyCol, keys)
@@ -3276,6 +3288,9 @@ class SnapshotBucketedStore(
     val prev = latestManifest(name)
     require(prev.forall(_.logs.isEmpty),
       s"$name has append-log generations; keyed delete targets bucketed tables")
+    require(prev.forall(!_.droppedNames.contains(keyCol)),
+      s"$name: '$keyCol' was dropped — a predicate on a retired name " +
+        "would silently target hidden values (X259); rebuild() first")
     if (prev.isEmpty) return
     val m = prev.get
     val (keyFrame, targeted) =

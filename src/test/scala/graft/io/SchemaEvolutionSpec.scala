@@ -257,6 +257,43 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(store.read("lg").get.count() == 3)
   }
 
+  test("DROP COLUMN: metadata serves go silent and deletes refuse on the retired name") {
+    val root = tmpDir("graft_evo_dropmeta_")
+    implicit val s = spark
+    val store = new SnapshotBucketedStore(root, numBuckets = 4,
+      statsColumns = Seq("v"), keyColumns = Seq("uuid"),
+      ndvColumns = Seq("v"), quantileColumns = Seq("v"))
+    store.upsert("t", (0L until 50L).map(i => (i, i * 2, s"x$i"))
+      .toDF("uuid", "v", "tag"), "uuid")
+    assert(store.metadataMinMax("t", "v").isDefined)
+    assert(store.metadataApproxDistinct("t", "v").isDefined)
+    assert(store.metadataApproxQuantiles("t", "v", Seq(0.5)).isDefined)
+    assert(store.columnStatsServe("t").contains("v"))
+
+    store.dropColumns("t", Seq("v"))
+    // every metadata tier refuses to describe a name the schema no
+    // longer carries — recorded figures for it are hidden state
+    assert(store.metadataMinMax("t", "v").isEmpty)
+    assert(store.metadataApproxDistinct("t", "v").isEmpty)
+    assert(store.metadataApproxQuantiles("t", "v", Seq(0.5)).isEmpty)
+    assert(!store.columnStatsServe("t").contains("v"))
+    // and a delete predicate on the retired name refuses loudly
+    // (silently targeting hidden values would be worse than either
+    // serving or failing)
+    val e1 = intercept[IllegalArgumentException](
+      store.deleteLazy("t", "v", Seq(4L).toDF("v"), targetByKeyHash = false))
+    assert(e1.getMessage.contains("retired"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      store.delete("t", "v", Seq(4L).toDF("v")))
+    assert(e2.getMessage.contains("retired"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      store.deleteRange("t", "v", 0L, 10L))
+    assert(e3.getMessage.contains("retired"), e3.getMessage)
+    // the surviving key column still deletes fine
+    store.deleteLazy("t", "uuid", Seq(7L).toDF("uuid"))
+    assert(store.read("t").get.count() == 49)
+  }
+
   test("SQL ALTER TABLE DROP COLUMN; RENAME and key-drop refuse with guidance") {
     val root = tmpDir("graft_evo_dropsql_")
     implicit val s = spark
